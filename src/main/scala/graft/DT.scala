@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Joins, Reshape, SetOps, Windows}
+
+/** The core table abstraction: data.table's three-slot query
+  * `DT[i, j, by]` (reference: R/data.table.R:524) re-expressed as a thin,
+  * immutable wrapper over a Catalyst logical plan.
+  *
+  * Design (SURVEY.md §7.1): everything lowers to `org.apache.spark.sql`
+  * plans so Catalyst gets full visibility — predicate pushdown, column
+  * pruning, join selection, AQE. The reference's by-reference `:=`
+  * (src/assign.c) becomes [[set]]/[[update]] returning a NEW DT — a
+  * documented semantic break required by immutable distributed plans.
+  *
+  * The reference's key (`sorted` attribute, R/setkey.R:21) becomes
+  * [[keyBy]]: a range-partition + in-partition sort that downstream
+  * joins/groupings can reuse (Spark preserves outputOrdering /
+  * outputPartitioning through cached plans), plus carried metadata.
+  */
+final case class DT(df: DataFrame, key: Seq[String] = Nil) {
+
+  def spark: SparkSession = df.sparkSession
+
+  // ---- i: row filter --------------------------------------------------
+  /** DT[i] — row subset by predicate (reference i-branch,
+    * R/data.table.R:728-807). Lowers to Filter, which Catalyst pushes
+    * into the parquet scan.
+    */
+  def apply(i: Column): DT = DT(df.filter(i), key)
+
+  /** DT[i, j] — filter + select/compute. */
+  def apply(i: Column, j: Seq[Column]): DT =
+    DT(df.filter(i).select(j: _*))
+
+  /** DT[i, j, by] — filter + grouped aggregate (the general query,
+    * SURVEY.md §3.1). `j` must be aggregate expressions; the GForce
+    * analog is simply that these stay builtin Catalyst aggregates
+    * (partial aggregation + whole-stage codegen for free).
+    */
+  def apply(i: Column, j: Seq[Column], by: Seq[Column]): DT =
+    DT(df.filter(i).groupBy(by: _*).agg(j.head, j.tail: _*))
+
+  /** DT[, j, by] without a filter. */
+  def groupAgg(by: Seq[Column], j: Seq[Column]): DT =
+    DT(df.groupBy(by: _*).agg(j.head, j.tail: _*))
+
+  /** keyby= : grouped aggregate + result sorted by the groups and keyed
+    * (R/data.table.R:551-573).
+    */
+  def keyByAgg(by: Seq[String], j: Seq[Column]): DT =
+    DT(df.groupBy(by.map(col): _*).agg(j.head, j.tail: _*)
+         .orderBy(by.map(col): _*), by)
+
+  // ---- j: projection / compute ---------------------------------------
+  /** DT[, j] — select / compute columns (`with=FALSE`, character j,
+    * .SDcols all lower to column pruning).
+    */
+  def select(j: Column*): DT = DT(df.select(j: _*))
+  def selectNames(names: String*): DT = DT(df.select(names.map(col): _*), key)
+
+  /** .SDcols analog: restrict visible columns by predicate on name/type. */
+  def sdCols(p: String => Boolean): DT =
+    DT(df.select(df.columns.filter(p).map(col).toSeq: _*))
+
+  // ---- := family (reference semantics re-expressed immutably) ---------
+  /** `DT[, (name) := expr]` — add/replace a column (src/assign.c analog). */
+  def set(name: String, value: Column): DT = DT(df.withColumn(name, value), key)
+
+  /** Multi-assign `:=`(a=..., b=...). */
+  def set(assignments: (String, Column)*): DT =
+    DT(df.withColumns(assignments.toMap), key)
+
+  /** `DT[i, name := expr]` — sub-assign: update only rows matching `i`,
+    * keep the old value elsewhere (reference keeps unmatched rows
+    * untouched, src/assign.c).
+    */
+  def update(i: Column, name: String, value: Column): DT = {
+    val old = if (df.columns.contains(name)) col(name) else lit(null)
+    DT(df.withColumn(name, when(i, value).otherwise(old)), key)
+  }
+
+  /** `DT[, name := agg, by]` — grouped update: per-group aggregate
+    * broadcast back onto every row (R/data.table.R:2147-2154) = a window
+    * aggregate over the group partition.
+    */
+  def setBy(name: String, agg: Column, by: Seq[String]): DT =
+    DT(df.withColumn(name, agg.over(Window.partitionBy(by.map(col): _*))), key)
+
+  /** Delete a column (`DT[, col := NULL]`). */
+  def remove(names: String*): DT = DT(df.drop(names: _*), key.filterNot(names.contains))
+
+  /** setnames() — rename by reference in the reference; immutable here. */
+  def setNames(renames: (String, String)*): DT =
+    DT(renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
+       key.map(k => renames.toMap.getOrElse(k, k)))
+
+  /** setcolorder() */
+  def setColOrder(first: String*): DT = {
+    val rest = df.columns.filterNot(first.contains)
+    DT(df.select((first ++ rest).map(col): _*), key)
+  }
+
+  // ---- key (physical ordering / co-location) ---------------------------
+  /** setkey() analog: range-partition by the key then sort within
+    * partitions — the distributed equivalent of the reference's physical
+    * sort + `sorted` attribute. Joins/groupings on the same key then
+    * avoid re-shuffling when the plan is reused (persist() to pin it).
+    */
+  def keyBy(cols: String*): DT =
+    DT(df.repartitionByRange(cols.map(col): _*)
+         .sortWithinPartitions(cols.map(col): _*), cols)
+
+  /** setindex() analog — advisory only (Spark has no secondary index);
+    * recorded for API parity.
+    */
+  def setIndex(cols: String*): DT = this
+
+  // ---- joins (§2.3) ----------------------------------------------------
+  def join(i: DT, on: Seq[String], how: String = "inner"): DT =
+    DT(Joins.equi(df, i.df, on, how))
+
+  def joinExpr(i: DT, cond: Column, how: String = "inner"): DT =
+    DT(df.join(i.df, cond, how))
+
+  /** not-join DT[!i] (R/data.table.R:764-772). */
+  def notJoin(i: DT, on: Seq[String]): DT = DT(df.join(i.df, on, "left_anti"))
+  def semiJoin(i: DT, on: Seq[String]): DT = DT(df.join(i.df, on, "left_semi"))
+
+  /** mult="first"|"last" (src/bmerge.c:32): keep one matching x row per
+    * probe row, ordered by `order` within the match group.
+    */
+  def joinMult(i: DT, on: Seq[String], mult: String, order: Seq[Column]): DT =
+    DT(Joins.mult(df, i.df, on, mult, order))
+
+  /** Rolling / as-of join (roll=, src/bmerge.c:13-17). */
+  def asofJoin(i: DT, by: Seq[String], on: String,
+               roll: Joins.Roll = Joins.Locf, valueCols: Seq[String] = Nil): DT =
+    DT(Joins.asof(df, i.df, by, on, roll, valueCols))
+
+  /** foverlaps() (R/foverlaps.R) — interval overlap join. */
+  def overlapJoin(y: DT, by: Seq[String], xStart: String, xEnd: String,
+                  yStart: String, yEnd: String, typ: String = "any"): DT =
+    DT(Joins.overlap(df, y.df, by, xStart, xEnd, yStart, yEnd, typ))
+
+  def crossJoin(y: DT): DT = DT(df.crossJoin(y.df))
+
+  // ---- distinct (§2.4) -------------------------------------------------
+  def distinct(): DT = DT(df.distinct())
+  def unique(cols: String*): DT =
+    if (cols.isEmpty) DT(df.distinct()) else DT(df.dropDuplicates(cols.toSeq))
+
+  def uniqueN(cols: String*): Long =
+    (if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols.toSeq)).count()
+
+  // ---- set ops (§2.7) --------------------------------------------------
+  def funion(y: DT, all: Boolean = false): DT = DT(SetOps.funion(df, y.df, all))
+  def fintersect(y: DT, all: Boolean = false): DT = DT(SetOps.fintersect(df, y.df, all))
+  def fsetdiff(y: DT, all: Boolean = false): DT = DT(SetOps.fsetdiff(df, y.df, all))
+  def fsetequal(y: DT): Boolean = SetOps.fsetequal(df, y.df)
+
+  // ---- reshape (§2.8) --------------------------------------------------
+  def melt(idVars: Seq[String], measureVars: Seq[String],
+           variableName: String = "variable", valueName: String = "value"): DT =
+    DT(Reshape.melt(df, idVars, measureVars, variableName, valueName))
+
+  def dcast(lhs: Seq[String], rhs: String, valueVar: String,
+            aggFn: Column => Column = first(_, ignoreNulls = true),
+            values: Seq[String] = Nil, fill: Option[Column] = None): DT =
+    DT(Reshape.dcast(df, lhs, rhs, valueVar, aggFn, values, fill))
+
+  // ---- sort / limit (§2.6) ---------------------------------------------
+  def setorder(cols: Column*): DT = DT(df.orderBy(cols: _*), key)
+  def head(n: Int): DT = DT(df.limit(n))
+
+  /** top-k per group: `DT[order(o), head(.SD, k), by]` idiom. */
+  def topK(by: Seq[String], order: Seq[Column], k: Int): DT =
+    DT(Windows.topK(df, by, order, k))
+
+  // ---- misc ------------------------------------------------------------
+  def N: Long = df.count()
+  def nrow: Long = df.count()
+  def ncol: Int = df.columns.length
+  def names: Seq[String] = df.columns.toSeq
+
+  /** na.omit (R/data.table.R:2630) */
+  def naOmit(cols: String*): DT =
+    if (cols.isEmpty) DT(df.na.drop(), key) else DT(df.na.drop(cols.toSeq), key)
+
+  def show(n: Int = 10): Unit = df.show(n, truncate = false)
+}
+
+object DT {
+  def apply(spark: SparkSession, sfDir: String, table: String): DT =
+    DT(Tables.load(spark, sfDir, table))
+
+  /** rowwiseDT / literal constructor analog. */
+  def fromRows(spark: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DT = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        rows.headOption.flatMap(r => Option(r(cols.indexOf(c)))) match {
+          case Some(_: Int)    => org.apache.spark.sql.types.IntegerType
+          case Some(_: Long)   => org.apache.spark.sql.types.LongType
+          case Some(_: Double) => org.apache.spark.sql.types.DoubleType
+          case Some(_: String) => org.apache.spark.sql.types.StringType
+          case _               => org.apache.spark.sql.types.StringType
+        })))
+    val rdd = spark.sparkContext.parallelize(
+      rows.map(r => org.apache.spark.sql.Row.fromSeq(r)))
+    DT(spark.createDataFrame(rdd, schema))
+  }
+}

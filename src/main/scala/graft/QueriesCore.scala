@@ -1,0 +1,268 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Funcs
+import graft.operators.Windows
+
+/** Filters, projections, scalar functions, aggregations
+  * (SURVEY.md §2.2, §2.4, §2.9, §2.10).
+  */
+object QueriesCore {
+  import Queries.{Entry, Q}
+
+  private def dt(s: SparkSession, dir: String, t: String) = DT(s, dir, t)
+
+  // Unique, order-preserving row key for lineitem: (l_orderkey,
+  // l_linenumber) is NOT unique in the synthetic data, so first/last
+  // need the full quadruple, zero-padded so string order == numeric.
+  private def rowKey =
+    concat(lpad(col("l_orderkey").cast("string"), 10, "0"),
+      lpad(col("l_linenumber").cast("string"), 2, "0"),
+      lpad(col("l_partkey").cast("string"), 10, "0"),
+      lpad(col("l_suppkey").cast("string"), 10, "0"))
+
+  def entries: Seq[Entry] = Seq(
+
+    // ---- §2.2 i-subset: DT[quantity > 45 & returnflag == "R"] ----------
+    ("q_filter", ((s, dir) =>
+      dt(s, dir, "lineitem")(col("l_quantity") > 45 && col("l_returnflag") === "R",
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))).df): Q,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin)),
+
+    // ---- %between% (R/between.R) ---------------------------------------
+    ("q_between", ((s, dir) =>
+      dt(s, dir, "events")(Funcs.between(col("value"), lit(10.0), lit(20.0)),
+        Seq(col("event_id"), col("value"))).df): Q,
+      Some("SELECT event_id, value FROM events WHERE value BETWEEN 10.0 AND 20.0")),
+
+    // ---- %like% / %ilike% (R/like.R) -----------------------------------
+    ("q_like", ((s, dir) =>
+      dt(s, dir, "part")(Funcs.like(col("p_name"), "blue") ||
+          Funcs.flike(col("p_name"), "widget"),
+        Seq(col("p_partkey"), col("p_name"), col("p_type"))).df): Q,
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+             |WHERE regexp_matches(p_name, 'blue') OR contains(p_name, 'widget')""".stripMargin)),
+
+    // ---- %chin% / %notin% (src/chmatch.c, R/notin.R) -------------------
+    ("q_chin", ((s, dir) =>
+      dt(s, dir, "lineitem")(Funcs.chin(col("l_returnflag"), Seq("A", "R")),
+        Seq(col("l_returnflag"), col("l_linestatus")))
+        .groupAgg(Seq(col("l_returnflag"), col("l_linestatus")), Seq(count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+             |WHERE l_returnflag IN ('A','R') GROUP BY 1, 2""".stripMargin)),
+
+    ("q_notin", ((s, dir) =>
+      dt(s, dir, "orders")(Funcs.notin(col("o_orderstatus"), Seq("F")),
+        Seq(col("o_orderkey"), col("o_orderstatus"))).df): Q,
+      Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus NOT IN ('F')")),
+
+    // ---- %inrange% (R/between.R:76) ------------------------------------
+    ("q_inrange", ((s, dir) =>
+      dt(s, dir, "events")(Funcs.inrange(col("value"),
+          Seq((0.0, 10.0), (50.0, 60.0), (90.0, 100.0))),
+        Seq(col("event_type")))
+        .groupAgg(Seq(col("event_type")), Seq(count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |WHERE value BETWEEN 0 AND 10 OR value BETWEEN 50 AND 60
+             |   OR value BETWEEN 90 AND 100 GROUP BY 1""".stripMargin)),
+
+    // ---- fifelse (src/fifelse.c) ---------------------------------------
+    ("q_fifelse", ((s, dir) =>
+      dt(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        Funcs.fifelse(col("l_quantity") > 25, lit("high"), lit("low")).as("qty_class")).df): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity > 25 THEN 'high' ELSE 'low' END AS qty_class
+             |FROM lineitem""".stripMargin)),
+
+    // ---- fcase (src/fifelse.c:210) -------------------------------------
+    ("q_fcase", ((s, dir) =>
+      dt(s, dir, "orders").select(col("o_orderkey"),
+        Funcs.fcase(Seq(
+          (col("o_totalprice") < 100000, lit("small")),
+          (col("o_totalprice") < 300000, lit("medium")),
+          (col("o_totalprice") < 450000, lit("large"))),
+          lit("jumbo")).as("bucket"))
+        .groupAgg(Seq(col("bucket")), Seq(count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+             |            WHEN o_totalprice < 300000 THEN 'medium'
+             |            WHEN o_totalprice < 450000 THEN 'large'
+             |            ELSE 'jumbo' END AS bucket, count(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- fcoalesce (src/coalesce.c) ------------------------------------
+    ("q_fcoalesce", ((s, dir) =>
+      dt(s, dir, "events").select(col("event_id"),
+        Funcs.fcoalesce(nullif(col("event_type"), lit("view")), lit("none")).as("et")).df): Q,
+      Some("SELECT event_id, coalesce(nullif(event_type, 'view'), 'none') AS et FROM events")),
+
+    // ---- na.omit (R/data.table.R:2630) ---------------------------------
+    ("q_na_omit", ((s, dir) =>
+      dt(s, dir, "events")
+        .set("v", nullif(col("event_type"), lit("error")))
+        .naOmit("v")
+        .groupAgg(Seq(col("v")), Seq(count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT nullif(event_type, 'error') AS v, count(*) AS n FROM events
+             |WHERE nullif(event_type, 'error') IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // ---- date/time extractors (R/IDateTime.R:374-434) ------------------
+    ("q_datetime", ((s, dir) =>
+      dt(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("yr"),
+        quarter(col("l_shipdate")).as("qtr"),
+        month(col("l_shipdate")).as("mon"),
+        Funcs.mday(col("l_shipdate")).as("dom"),
+        Funcs.yday(col("l_shipdate")).as("doy"),
+        Funcs.isoweek(col("l_shipdate")).as("wk"),
+        Funcs.wday(col("l_shipdate")).as("dow")).df): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  year(l_shipdate) AS yr, quarter(l_shipdate) AS qtr,
+             |  month(l_shipdate) AS mon, day(l_shipdate) AS dom,
+             |  dayofyear(l_shipdate) AS doy, weekofyear(l_shipdate) AS wk,
+             |  (date_part('dow', l_shipdate) + 1) AS dow
+             |FROM lineitem""".stripMargin)),
+
+    // ---- := sub-assign (src/assign.c; update on i-subset) --------------
+    ("q_update_sub", ((s, dir) =>
+      dt(s, dir, "lineitem")
+        .set("net_price", col("l_extendedprice"))
+        .update(col("l_discount") > 0.05, "net_price",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("net_price")).df): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_discount > 0.05
+             |       THEN l_extendedprice * (1.0 - l_discount)
+             |       ELSE l_extendedprice END AS net_price
+             |FROM lineitem""".stripMargin)),
+
+    // ---- := grouped update (R/data.table.R:2147: window broadcast) -----
+    ("q_update_by", ((s, dir) =>
+      dt(s, dir, "lineitem")
+        .setBy("grp_avg_qty", avg(col("l_quantity")), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("grp_avg_qty"), 3).as("grp_avg_qty")).df): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 3) AS grp_avg_qty
+             |FROM lineitem""".stripMargin)),
+
+    // ---- §2.4 GForce aggregate battery (src/gsumm.c) -------------------
+    ("q_gforce", ((s, dir) =>
+      dt(s, dir, "lineitem").groupAgg(Seq(col("l_returnflag")), Seq(
+        round(sum("l_quantity"), 3).as("s"),
+        round(avg("l_quantity"), 3).as("m"),
+        round(min("l_quantity"), 3).as("mn"),
+        round(max("l_quantity"), 3).as("mx"),
+        round(expr("median(l_quantity)"), 3).as("med"),
+        round(stddev_samp(col("l_quantity")), 3).as("sd"),
+        round(var_samp(col("l_quantity")), 3).as("v"),
+        min_by(col("l_extendedprice"), rowKey).as("fst"),
+        max_by(col("l_extendedprice"), rowKey).as("lst"),
+        count(lit(1)).as("n")).map(c => c)).df): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_quantity), 3) AS s, round(avg(l_quantity), 3) AS m,
+             |  round(min(l_quantity), 3) AS mn, round(max(l_quantity), 3) AS mx,
+             |  round(median(l_quantity), 3) AS med,
+             |  round(stddev_samp(l_quantity), 3) AS sd,
+             |  round(var_samp(l_quantity), 3) AS v,
+             |  min_by(l_extendedprice, lpad(l_orderkey::VARCHAR, 10, '0') ||
+             |    lpad(l_linenumber::VARCHAR, 2, '0') || lpad(l_partkey::VARCHAR, 10, '0') ||
+             |    lpad(l_suppkey::VARCHAR, 10, '0')) AS fst,
+             |  max_by(l_extendedprice, lpad(l_orderkey::VARCHAR, 10, '0') ||
+             |    lpad(l_linenumber::VARCHAR, 2, '0') || lpad(l_partkey::VARCHAR, 10, '0') ||
+             |    lpad(l_suppkey::VARCHAR, 10, '0')) AS lst,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- gprod on small groups (src/gsumm.c:1116) ----------------------
+    ("q_prod", ((s, dir) =>
+      dt(s, dir, "lineitem")(col("l_orderkey") % 100 === 0,
+        Seq(col("l_orderkey"), col("l_quantity")))
+        .groupAgg(Seq(col("l_orderkey")),
+          Seq(round(product(col("l_quantity")), 3).as("p"), count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT l_orderkey, round(product(l_quantity), 3) AS p, count(*) AS n
+             |FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey""".stripMargin)),
+
+    // ---- weighted.mean rewrite (R/data.table.R:3353) -------------------
+    ("q_weighted_mean", ((s, dir) =>
+      dt(s, dir, "lineitem").groupAgg(Seq(col("l_returnflag")),
+        Seq(round(sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity")), 3)
+          .as("wm"))).df): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 3) AS wm
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- uniqueN / count distinct (R/duplicated.R:102) -----------------
+    ("q_uniqueN", ((s, dir) =>
+      dt(s, dir, "lineitem").groupAgg(Seq(col("l_returnflag")),
+        Seq(countDistinct(col("l_partkey")).as("u"), count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS u, count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- unique() (R/duplicated.R:1) -----------------------------------
+    ("q_distinct", ((s, dir) =>
+      dt(s, dir, "lineitem").selectNames("l_returnflag", "l_linestatus").distinct().df): Q,
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // ---- keyby= (group + sort result, R/data.table.R:551) --------------
+    ("q_keyby", ((s, dir) =>
+      dt(s, dir, "orders").keyByAgg(Seq("o_orderstatus", "o_orderpriority"),
+        Seq(round(sum(col("o_totalprice")), 3).as("rev"), count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  round(sum(o_totalprice), 3) AS rev, count(*) AS n
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- rollup + grouping_id (R/groupingsets.R) -----------------------
+    ("q_rollup", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 3).as("rev"),
+          grouping_id().as("gid"))): Q,
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 3) AS rev,
+             |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- cube (R/groupingsets.R cube) ----------------------------------
+    ("q_cube", ((s, dir) =>
+      dt(s, dir, "lineitem").df
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))): Q,
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // ---- groupingsets explicit (R/groupingsets.R:19) -------------------
+    ("q_groupingsets", ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }): Q,
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // ---- sort + limit (§2.6 forder/head) -------------------------------
+    ("q_sort_limit", ((s, dir) =>
+      dt(s, dir, "orders")
+        .setorder(col("o_totalprice").desc, col("o_orderkey").asc)
+        .head(100)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 3).as("o_totalprice")).df): Q,
+      Some("""SELECT o_orderkey, round(o_totalprice, 3) AS o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+
+    // ---- top-k per group (ghead idiom, src/gsumm.c:1004) ---------------
+    ("q_topk", ((s, dir) =>
+      dt(s, dir, "orders")
+        .topK(Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 3).as("o_totalprice")).df): Q,
+      Some("""SELECT o_orderpriority, o_orderkey, round(o_totalprice, 3) AS o_totalprice
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+             |WHERE rn <= 3""".stripMargin))
+  )
+}

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Joins
+
+/** Join operator queries (SURVEY.md §2.3). */
+object QueriesJoins {
+  import Queries.{Entry, Q}
+
+  private def dt(s: SparkSession, dir: String, t: String) = DT(s, dir, t)
+
+  def entries: Seq[Entry] = Seq(
+
+    // ---- keyed equi join x[i] (src/bmerge.c) — customer ⋈ nation -------
+    ("q_join_inner", ((s, dir) =>
+      dt(s, dir, "customer")
+        .joinExpr(dt(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"), "inner")
+        .select(col("c_custkey"), col("c_name"), col("n_name")).df): Q,
+      Some("""SELECT c_custkey, c_name, n_name FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // ---- merge(all.x=TRUE) — left join ---------------------------------
+    ("q_join_left", ((s, dir) =>
+      dt(s, dir, "orders")
+        .joinExpr(dt(s, dir, "customer")(col("c_acctbal") > 5000),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name")).df): Q,
+      Some("""SELECT o_orderkey, c_custkey, c_name FROM orders
+             |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+             |ON o_custkey = c_custkey""".stripMargin)),
+
+    // ---- x[i] right-join semantics (i rows drive result) ---------------
+    ("q_join_right", ((s, dir) =>
+      dt(s, dir, "orders")
+        .joinExpr(dt(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 3).as("o_totalprice")).df): Q,
+      Some("""SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 3) AS o_totalprice
+             |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // ---- merge(all=TRUE) — full outer ----------------------------------
+    ("q_join_full", ((s, dir) =>
+      dt(s, dir, "orders")(col("o_totalprice") > 400000)
+        .joinExpr(dt(s, dir, "customer")(col("c_acctbal") < 0),
+          col("o_custkey") === col("c_custkey"), "full")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"), col("c_name")).df): Q,
+      Some("""SELECT o_orderkey, o_custkey, c_custkey, c_name
+             |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+             |FULL JOIN (SELECT * FROM customer WHERE c_acctbal < 0) c
+             |ON o_custkey = c_custkey""".stripMargin)),
+
+    // ---- not-join DT[!i] (R/data.table.R:764) --------------------------
+    ("q_join_anti", ((s, dir) =>
+      dt(s, dir, "customer")
+        .notJoin(dt(s, dir, "orders").setNames("o_custkey" -> "c_custkey"),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name")).df): Q,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ---- semi join (mergelist how="semi") ------------------------------
+    ("q_join_semi", ((s, dir) =>
+      dt(s, dir, "customer")
+        .semiJoin(dt(s, dir, "orders").setNames("o_custkey" -> "c_custkey"),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name")).df): Q,
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ---- non-equi join on=.(pk==pk, qty<size) (src/bmerge.c:20-24) -----
+    ("q_join_nonequi", ((s, dir) =>
+      dt(s, dir, "lineitem")
+        .joinExpr(dt(s, dir, "part")(col("p_size") < 10),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") < col("p_size"),
+          "inner")
+        .groupAgg(Seq(col("p_brand")), Seq(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 3).as("qty"))).df): Q,
+      Some("""SELECT p_brand, count(*) AS n, round(sum(l_quantity), 3) AS qty
+             |FROM lineitem JOIN (SELECT * FROM part WHERE p_size < 10) p
+             |ON l_partkey = p_partkey AND l_quantity < p_size
+             |GROUP BY p_brand""".stripMargin)),
+
+    // ---- mult="first" (src/bmerge.c:32) --------------------------------
+    ("q_mult_first", ((s, dir) =>
+      dt(s, dir, "lineitem")
+        .joinMult(dt(s, dir, "orders").selectNames("o_orderkey", "o_orderpriority")
+            .setNames("o_orderkey" -> "l_orderkey"),
+          Seq("l_orderkey"), "first", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("o_orderpriority")).df): Q,
+      Some("""SELECT o_orderkey AS l_orderkey, l_linenumber, l_partkey, o_orderpriority
+             |FROM (SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_partkey,
+             |        row_number() OVER
+             |        (PARTITION BY o.o_orderkey ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey) AS rn
+             |      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+             |WHERE rn = 1""".stripMargin)),
+
+    // ---- mult="last" ----------------------------------------------------
+    ("q_mult_last", ((s, dir) =>
+      dt(s, dir, "lineitem")
+        .joinMult(dt(s, dir, "orders").selectNames("o_orderkey")
+            .setNames("o_orderkey" -> "l_orderkey"),
+          Seq("l_orderkey"), "last", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).df): Q,
+      Some("""SELECT o_orderkey AS l_orderkey, l_linenumber, l_partkey
+             |FROM (SELECT o.o_orderkey, l.l_linenumber, l.l_partkey, row_number() OVER
+             |        (PARTITION BY o.o_orderkey ORDER BY l.l_linenumber DESC, l.l_partkey DESC, l.l_suppkey DESC) AS rn
+             |      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+             |WHERE rn = 1""".stripMargin)),
+
+    // ---- by=.EACHI grouped join-aggregate (R/data.table.R:573) ---------
+    ("q_eachi", ((s, dir) =>
+      dt(s, dir, "customer")
+        .joinExpr(dt(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"), "inner")
+        .groupAgg(Seq(col("n_name")),
+          Seq(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 3).as("bal"))).df): Q,
+      Some("""SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 3) AS bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // ---- rolling/as-of join roll=TRUE (src/bmerge.c:13-17) -------------
+    // For each click event: value of the user's latest purchase at-or-before.
+    ("q_asof", ((s, dir) => {
+      val ev = dt(s, dir, "events")
+      val purchases = DT(ev(col("event_type") === "purchase").df
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value")))
+      val clicks = DT(ev(col("event_type") === "click").df
+        .select(col("event_id"), col("user_id"), col("ts")))
+      purchases.asofJoin(clicks, Seq("user_id"), "ts", Joins.Locf, Seq("purchase_value"))
+        .select(col("event_id"), col("purchase_value")).df
+    }): Q,
+      Some("""SELECT i.event_id,
+             |  (SELECT x.value FROM events x
+             |   WHERE x.event_type = 'purchase' AND x.user_id = i.user_id
+             |     AND x.ts <= i.ts
+             |   ORDER BY x.ts DESC LIMIT 1) AS purchase_value
+             |FROM events i WHERE i.event_type = 'click'""".stripMargin)),
+
+    // ---- roll=-Inf NOCB -------------------------------------------------
+    ("q_asof_nocb", ((s, dir) => {
+      val ev = dt(s, dir, "events")
+      val purchases = DT(ev(col("event_type") === "purchase").df
+        .select(col("user_id"), col("ts"), col("value").as("next_value")))
+      val clicks = DT(ev(col("event_type") === "click").df
+        .select(col("event_id"), col("user_id"), col("ts")))
+      purchases.asofJoin(clicks, Seq("user_id"), "ts", Joins.Nocb, Seq("next_value"))
+        .select(col("event_id"), col("next_value")).df
+    }): Q,
+      Some("""SELECT i.event_id,
+             |  (SELECT x.value FROM events x
+             |   WHERE x.event_type = 'purchase' AND x.user_id = i.user_id
+             |     AND x.ts >= i.ts
+             |   ORDER BY x.ts ASC LIMIT 1) AS next_value
+             |FROM events i WHERE i.event_type = 'click'""".stripMargin)),
+
+    // ---- roll="nearest" -------------------------------------------------
+    ("q_asof_nearest", ((s, dir) => {
+      val ev = dt(s, dir, "events")
+      val purchases = DT(ev(col("event_type") === "purchase").df
+        .select(col("user_id"), col("ts"), col("value").as("near_value")))
+      val clicks = DT(ev(col("event_type") === "click").df
+        .select(col("event_id"), col("user_id"), col("ts")))
+      purchases.asofJoin(clicks, Seq("user_id"), "ts", Joins.Nearest, Seq("near_value"))
+        .select(col("event_id"), col("near_value")).df
+    }): Q,
+      Some("""SELECT i.event_id,
+             |  (SELECT x.value FROM events x
+             |   WHERE x.event_type = 'purchase' AND x.user_id = i.user_id
+             |   ORDER BY abs(epoch_us(x.ts) - epoch_us(i.ts)) ASC, x.ts ASC LIMIT 1) AS near_value
+             |FROM events i WHERE i.event_type = 'click'""".stripMargin)),
+
+    // ---- foverlaps (R/foverlaps.R) -------------------------------------
+    // part price window [p-10, p+10] × customer balance window [b, b+5].
+    ("q_overlap", ((s, dir) => {
+      val x = DT(dt(s, dir, "part").df.select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice") - 10).as("xs"), (col("p_retailprice") + 10).as("xe")))
+      val y = DT(dt(s, dir, "customer").df.select(col("c_custkey"),
+        col("c_acctbal").as("ys"), (col("c_acctbal") + 5).as("ye")))
+      x.overlapJoin(y, Nil, "xs", "xe", "ys", "ye", "any")
+        .groupAgg(Seq(col("p_brand")), Seq(count(lit(1)).as("n"))).df
+    }): Q,
+      Some("""SELECT p_brand, count(*) AS n
+             |FROM part, customer
+             |WHERE p_retailprice - 10 <= c_acctbal + 5
+             |  AND c_acctbal <= p_retailprice + 10
+             |GROUP BY p_brand""".stripMargin)),
+
+    // ---- foverlaps binned scale path (SURVEY.md §4.2 item 3) -----------
+    ("q_overlap_binned", ((s, dir) => {
+      val x = dt(s, dir, "part").df.select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice") - 10).as("xs"), (col("p_retailprice") + 10).as("xe"))
+      val y = dt(s, dir, "customer").df.select(col("c_custkey"),
+        col("c_acctbal").as("ys"), (col("c_acctbal") + 5).as("ye"))
+      DT(Joins.overlapBinned(x, y, Nil, "xs", "xe", "ys", "ye", binWidth = 32))
+        .groupAgg(Seq(col("p_brand")), Seq(count(lit(1)).as("n"))).df
+    }): Q,
+      Some("""SELECT p_brand, count(*) AS n
+             |FROM part, customer
+             |WHERE p_retailprice - 10 <= c_acctbal + 5
+             |  AND c_acctbal <= p_retailprice + 10
+             |GROUP BY p_brand""".stripMargin)),
+
+    // ---- CJ cross join (src/cj.c) --------------------------------------
+    ("q_cross", ((s, dir) =>
+      dt(s, dir, "region").selectNames("r_name")
+        .crossJoin(dt(s, dir, "nation").selectNames("n_name")).df): Q,
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    // ---- mergelist fold (R/mergelist.R:260) ----------------------------
+    ("q_mergelist", ((s, dir) =>
+      dt(s, dir, "supplier")
+        .joinExpr(dt(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"), "inner")
+        .joinExpr(dt(s, dir, "region"), col("n_regionkey") === col("r_regionkey"), "inner")
+        .groupAgg(Seq(col("r_name")),
+          Seq(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 3).as("bal"))).df): Q,
+      Some("""SELECT r_name, count(*) AS n_supp, round(sum(s_acctbal), 3) AS bal
+             |FROM supplier
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin))
+  )
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Reshape, SetOps}
+
+/** Reshape + set-operation queries (SURVEY.md §2.7, §2.8). */
+object QueriesReshapeSet {
+  import Queries.{Entry, Q}
+
+  private def dt(s: SparkSession, dir: String, t: String) = DT(s, dir, t)
+
+  def entries: Seq[Entry] = Seq(
+
+    // ---- melt wide→long (R/fmelt.R) ------------------------------------
+    ("q_melt", ((s, dir) =>
+      Reshape.melt(
+        dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        idVars = Seq("l_orderkey", "l_linenumber"),
+        measureVars = Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .withColumn("value", round(col("value"), 3))): Q,
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+             |       round(l_quantity, 3) AS value FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice', round(l_extendedprice, 3)
+             |FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 3)
+             |FROM lineitem""".stripMargin)),
+
+    // ---- dcast long→wide pivot (R/fcast.R) -----------------------------
+    ("q_dcast", ((s, dir) =>
+      Reshape.dcast(dt(s, dir, "lineitem").df,
+        lhs = Seq("l_returnflag"), rhs = "l_linestatus", valueVar = "l_quantity",
+        aggFn = c => round(avg(c), 3), values = Seq("F", "O"))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F,
+             |  round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- dcast with multiple value aggregates --------------------------
+    ("q_dcast_multi", ((s, dir) =>
+      dt(s, dir, "lineitem").df
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 3).as("qty"), count(lit(1)).as("n"))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F_qty,
+             |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O_qty,
+             |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- rbindlist(fill=TRUE, idcol) (src/rbindlist.c) -----------------
+    ("q_rbindlist", ((s, dir) => {
+      val c = dt(s, dir, "customer").df.select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_mktsegment").as("segment"))
+      val p = dt(s, dir, "supplier").df.select(col("s_suppkey").as("id"),
+        col("s_name").as("name"))
+      Reshape.rbindlist(Seq(c, p), fill = true, idcol = Some("src"))
+    }): Q,
+      Some("""SELECT 1 AS src, c_custkey AS id, c_name AS name, c_mktsegment AS segment
+             |FROM customer
+             |UNION ALL
+             |SELECT 2, s_suppkey, s_name, NULL FROM supplier""".stripMargin)),
+
+    // ---- tstrsplit (R/transpose.R:26) ----------------------------------
+    ("q_tstrsplit", ((s, dir) =>
+      Reshape.tstrsplit(dt(s, dir, "part").df, "p_type", " ", 3)
+        .select(col("p_partkey"), col("V1"), col("V2"), col("V3"))): Q,
+      Some("""SELECT p_partkey, nullif(split_part(p_type, ' ', 1), '') AS V1,
+             |  nullif(split_part(p_type, ' ', 2), '') AS V2,
+             |  nullif(split_part(p_type, ' ', 3), '') AS V3
+             |FROM part""".stripMargin)),
+
+    // ---- transpose (src/transpose.c) — small table only ----------------
+    ("q_transpose", ((s, dir) => {
+      val counts = dt(s, dir, "nation")
+        .joinExpr(dt(s, dir, "region"), col("n_regionkey") === col("r_regionkey"), "inner")
+        .groupAgg(Seq(col("r_name")), Seq(count(lit(1)).cast("double").as("n_nations"))).df
+      Reshape.transpose(counts, "r_name")
+    }): Q,
+      Some("""SELECT 'n_nations' AS column,
+             |  sum(CASE WHEN r_name = 'AFRICA' THEN 1 END)::DOUBLE AS AFRICA,
+             |  sum(CASE WHEN r_name = 'AMERICA' THEN 1 END)::DOUBLE AS AMERICA,
+             |  sum(CASE WHEN r_name = 'ASIA' THEN 1 END)::DOUBLE AS ASIA,
+             |  sum(CASE WHEN r_name = 'EUROPE' THEN 1 END)::DOUBLE AS EUROPE,
+             |  sum(CASE WHEN r_name = 'MIDDLE EAST' THEN 1 END)::DOUBLE AS "MIDDLE EAST"
+             |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)),
+
+    // ---- funion set/bag union (R/setops.R:91) --------------------------
+    ("q_funion", ((s, dir) => {
+      val a = dt(s, dir, "customer").df.select(col("c_nationkey").as("nk"))
+      val b = dt(s, dir, "supplier").df.select(col("s_nationkey").as("nk"))
+      SetOps.funion(a, b, all = false)
+    }): Q,
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |UNION SELECT s_nationkey FROM supplier""".stripMargin)),
+
+    // ---- fintersect (R/setops.R:60) ------------------------------------
+    ("q_fintersect", ((s, dir) => {
+      val a = dt(s, dir, "customer").df.filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k"))
+      val b = dt(s, dir, "orders").df.select(col("o_custkey").as("k"))
+      SetOps.fintersect(a, b)
+    }): Q,
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000
+             |INTERSECT SELECT o_custkey FROM orders""".stripMargin)),
+
+    // ---- fsetdiff (R/setops.R:76) --------------------------------------
+    ("q_fsetdiff", ((s, dir) => {
+      val a = dt(s, dir, "customer").df.select(col("c_custkey").as("k"))
+      val b = dt(s, dir, "orders").df.select(col("o_custkey").as("k"))
+      SetOps.fsetdiff(a, b)
+    }): Q,
+      Some("""SELECT c_custkey AS k FROM customer
+             |EXCEPT SELECT o_custkey FROM orders""".stripMargin)),
+
+    // ---- fintersect all=TRUE (multiset) --------------------------------
+    ("q_fintersect_all", ((s, dir) => {
+      val a = dt(s, dir, "orders").df.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val b = dt(s, dir, "orders").df.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      SetOps.fintersect(a, b, all = true)
+    }): Q,
+      Some("""SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT ALL
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
+    // ---- melt multiple measure groups (R/fmelt.R measure lists) --------
+    ("q_melt_multi", ((s, dir) =>
+      Reshape.meltMulti(
+        dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        idVars = Seq("l_orderkey", "l_linenumber"),
+        measureGroups = scala.collection.immutable.ListMap(
+          "amount" -> Seq("l_quantity", "l_extendedprice"),
+          "rate" -> Seq("l_discount", "l_tax")))
+        .withColumn("amount", round(col("amount"), 3))
+        .withColumn("rate", round(col("rate"), 3))): Q,
+      Some("""SELECT l_orderkey, l_linenumber, 1 AS variable,
+             |  round(l_quantity, 3) AS amount, round(l_discount, 3) AS rate FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 2,
+             |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin))
+  )
+}

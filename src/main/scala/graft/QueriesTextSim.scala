@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+/** Training-data pipeline queries: dedup, text analysis, similarity
+  * search, streaming-equivalent batch windows (builder-prompt extension
+  * set; documents/embeddings/events tables).
+  */
+object QueriesTextSim {
+  import Queries.{Entry, Q}
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  def entries: Seq[Entry] = Seq(
+
+    // ---- token counting -------------------------------------------------
+    ("q_token_count", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))): Q,
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+             |FROM documents""".stripMargin)),
+
+    // ---- quality scoring ------------------------------------------------
+    ("q_quality", ((s, dir) =>
+      docs(s, dir)
+        .withColumn("f", TextFunctions.qualityFeatures(col("text")))
+        .select(col("doc_id"),
+          col("f.n_chars").as("n_chars"),
+          col("f.n_tokens").as("n_tokens"),
+          round(col("f.mean_token_len"), 4).as("mean_token_len"),
+          round(col("f.punct_ratio"), 4).as("punct_ratio"),
+          round(col("f.stopword_ratio"), 4).as("stopword_ratio"))): Q,
+      Some(s"""SELECT doc_id,
+              |  length(text)::DOUBLE AS n_chars,
+              |  len(string_split_regex(trim(text), '\\s+'))::DOUBLE AS n_tokens,
+              |  round(length(text)::DOUBLE /
+              |        len(string_split_regex(trim(text), '\\s+')), 4) AS mean_token_len,
+              |  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+              |        / length(text), 4) AS punct_ratio,
+              |  round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |        t -> list_contains(${sqlStops}, lower(t))))::DOUBLE
+              |        / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
+              |FROM documents""".stripMargin)),
+
+    // ---- language ID heuristic (no SQL equivalent — rows-only check) ---
+    ("q_langid", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))): Q,
+      None),
+
+    // ---- document fingerprint (rolling hash + md5 forms) ---------------
+    ("q_fingerprint", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))): Q,
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents""".stripMargin)),
+
+    // ---- exact dedup (hash-groupBy on fingerprint) ----------------------
+    ("q_dedup_exact", ((s, dir) =>
+      Dedup.exact(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))): Q,
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+             |FROM documents
+             |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin)),
+
+    // ---- MinHash LSH near-dup pairs (rows-only: not SQL-expressible) ---
+    ("q_dedup_minhash", ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)): Q,
+      None),
+
+    // ---- SimHash signatures + near-dup by Hamming distance -------------
+    ("q_simhash", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        Dedup.simhash(col("text")).as("sig"))): Q,
+      None),
+
+    // ---- n-gram Jaccard on adjacent doc pairs (deterministic pairing) --
+    ("q_ngram_jaccard", ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val a = d.withColumnRenamed("doc_id", "idA").withColumnRenamed("text", "tA")
+      val b = d.withColumnRenamed("doc_id", "idB").withColumnRenamed("text", "tB")
+      a.join(b, col("idB") === col("idA") + 1)
+        .select(col("idA"), col("idB"),
+          round(Dedup.ngramJaccard(col("tA"), col("tB"), 3), 4).as("jac"))
+    }): Q,
+      None),
+
+    // ---- embedding cosine top-k (brute force baseline) ------------------
+    ("q_embed_topk", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 3).as("sim"),
+          col("rk"))
+    }): Q,
+      Some("""SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+             |               c.vec_id ASC) AS rk
+             |  FROM embeddings c, embeddings q
+             |  WHERE q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id)
+             |WHERE rk <= 5""".stripMargin)),
+
+    // ---- LSH-bucketed ANN (scale path; rows-only) -----------------------
+    ("q_ann_lsh", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      Similarity.lshTopK(e, queries, "vec_id", "embedding",
+        dim = 64, nBits = 4, k = 5)
+    }): Q,
+      None),
+
+    // ---- multimodal-ish: opaque binary metadata -------------------------
+    ("q_binary_meta", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        substring(md5(col("text")), 1, 8).as("sig"))): Q,
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |  substr(md5(text), 1, 8) AS sig
+             |FROM documents""".stripMargin)),
+
+    // ---- tumbling window aggregation (batch twin of streaming mode) ----
+    ("q_window_tumbling", ((s, dir) =>
+      ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))): Q,
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+             |  count(*) AS n, round(sum(value), 3) AS v
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- sessionization (30-min inactivity gap, gaps-and-islands) ------
+    ("q_session", ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      val newSession = when(gap.isNull || gap > 1800L * 1000000L, 1).otherwise(0)
+      ev(s, dir)
+        .withColumn("sid", sum(newSession).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }): Q,
+      Some("""SELECT user_id, max(sid) AS n_sessions, count(*) AS n_events FROM (
+             |  SELECT user_id,
+             |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM (SELECT user_id, ts, event_id,
+             |          epoch_us(ts) - lag(epoch_us(ts))
+             |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |        FROM events))
+             |GROUP BY user_id""".stripMargin))
+  )
+
+  private def sqlStops: String =
+    TextFunctions.stopwordsEn.map(s => s"'$s'").mkString("[", ", ", "]")
+}

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Windows
+
+/** Window / ordered operator queries (SURVEY.md §2.5). Every entry
+  * orders by a unique key so results are deterministic across engines.
+  */
+object QueriesWindows {
+  import Queries.{Entry, Q}
+
+  private def dt(s: SparkSession, dir: String, t: String) = DT(s, dir, t)
+
+  // Shared ordering: orders per customer by (orderdate, orderkey).
+  private val ordCols = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  def entries: Seq[Entry] = Seq(
+
+    // ---- shift lag/lead (src/shift.c) ----------------------------------
+    ("q_shift", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("prev_price", Windows.shift(col("o_totalprice"), 1,
+          Seq("o_custkey"), ordCols, lit(0.0)))
+        .withColumn("next_price", Windows.shift(col("o_totalprice"), -1,
+          Seq("o_custkey"), ordCols, lit(0.0)))
+        .select(col("o_orderkey"), col("prev_price"), col("next_price"))): Q,
+      Some("""SELECT o_orderkey,
+             |  coalesce(lag(o_totalprice) OVER w, 0.0) AS prev_price,
+             |  coalesce(lead(o_totalprice) OVER w, 0.0) AS next_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // ---- shift cyclic (src/shift.c:25) ---------------------------------
+    ("q_shift_cyclic", ((s, dir) =>
+      Windows.shiftCyclic(
+        dt(s, dir, "events")(col("event_type") === "signup").df
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        "value", 1, Seq("user_id"), Seq(col("ts").asc, col("event_id").asc), "wrapped")
+        .select(col("event_id"), col("wrapped"))): Q,
+      Some("""SELECT event_id,
+             |  coalesce(lag(value) OVER w,
+             |    last_value(value) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS wrapped
+             |FROM events WHERE event_type = 'signup'
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // ---- frank ties.method=min/dense/first (src/frank.c) ---------------
+    ("q_rank", ((s, dir) => {
+      val base = dt(s, dir, "customer").df
+      val o = Seq(col("c_nationkey").asc, col("c_custkey").asc)
+      val r1 = Windows.frank(base, Seq(col("c_nationkey").asc), Seq(col("c_nationkey")),
+        "min", Seq("c_mktsegment"), "rk_min")
+      val r2 = Windows.frank(r1, Seq(col("c_nationkey").asc), Seq(col("c_nationkey")),
+        "dense", Seq("c_mktsegment"), "rk_dense")
+      val r3 = Windows.frank(r2, o, Seq(col("c_nationkey"), col("c_custkey")),
+        "first", Seq("c_mktsegment"), "rk_first")
+      r3.select(col("c_custkey"), col("rk_min"), col("rk_dense"), col("rk_first"))
+    }): Q,
+      Some("""SELECT c_custkey,
+             |  rank() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rk_min,
+             |  dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey) AS rk_dense,
+             |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_nationkey, c_custkey) AS rk_first
+             |FROM customer""".stripMargin)),
+
+    // ---- frank ties.method=average (reference default) -----------------
+    ("q_frank_avg", ((s, dir) =>
+      Windows.frank(dt(s, dir, "customer").df,
+        Seq(col("c_nationkey").asc), Seq(col("c_nationkey")),
+        "average", Seq("c_mktsegment"), "rk")
+        .select(col("c_custkey"), col("rk").cast("double").as("rk"))): Q,
+      Some("""SELECT c_custkey, avg(rn) OVER (PARTITION BY c_mktsegment, c_nationkey) AS rk
+             |FROM (SELECT c_custkey, c_mktsegment, c_nationkey,
+             |        row_number() OVER (PARTITION BY c_mktsegment
+             |          ORDER BY c_nationkey, c_custkey) AS rn
+             |      FROM customer)""".stripMargin)),
+
+    // ---- rleid gaps-and-islands (src/uniqlist.c:170) -------------------
+    ("q_rleid", ((s, dir) =>
+      Windows.rleid(dt(s, dir, "events").df, Seq("event_type"),
+        Seq(col("ts").asc, col("event_id").asc), Seq("user_id"), "run_id")
+        .select(col("event_id"), col("run_id"))): Q,
+      Some("""SELECT event_id,
+             |  sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |          ROWS UNBOUNDED PRECEDING) AS run_id
+             |FROM (SELECT event_id, user_id, ts, event_type,
+             |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |      FROM events)""".stripMargin)),
+
+    // ---- rowid within dup group (R/data.table.R:3267) ------------------
+    ("q_rowid", ((s, dir) =>
+      Windows.rowid(dt(s, dir, "events").df, Seq("user_id", "event_type"),
+        Seq(col("ts").asc, col("event_id").asc), "seq")
+        .select(col("event_id"), col("seq"))): Q,
+      Some("""SELECT event_id, row_number() OVER
+             |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS seq
+             |FROM events""".stripMargin)),
+
+    // ---- cumulative sum (free frame op) --------------------------------
+    ("q_cumsum", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("running", round(Windows.cum("sum", col("o_totalprice"),
+          Seq("o_custkey"), ordCols), 3))
+        .select(col("o_orderkey"), col("running"))): Q,
+      Some("""SELECT o_orderkey, round(sum(o_totalprice) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |   ROWS UNBOUNDED PRECEDING), 3) AS running
+             |FROM orders""".stripMargin)),
+
+    // ---- frollmean fixed window, partial=FALSE (src/froll.c) -----------
+    ("q_froll_mean", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("r7", round(Windows.froll("mean", col("o_totalprice"), 7,
+          Seq("o_custkey"), ordCols), 3))
+        .select(col("o_orderkey"), col("r7"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w7 = 7
+             |       THEN round(avg(o_totalprice) OVER w7, 3) END AS r7
+             |FROM orders
+             |WINDOW w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- frollsum align="center" ---------------------------------------
+    ("q_froll_center", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("c5", round(Windows.froll("sum", col("o_totalprice"), 5,
+          Seq("o_custkey"), ordCols, align = "center"), 3))
+        .select(col("o_orderkey"), col("c5"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER wc = 5
+             |       THEN round(sum(o_totalprice) OVER wc, 3) END AS c5
+             |FROM orders
+             |WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin)),
+
+    // ---- frollmedian (array-frame path) --------------------------------
+    ("q_froll_median", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("med5", round(Windows.froll("median", col("o_totalprice"), 5,
+          Seq("o_custkey"), ordCols), 3))
+        .select(col("o_orderkey"), col("med5"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w5 = 5
+             |       THEN round(median(o_totalprice) OVER w5, 3) END AS med5
+             |FROM orders
+             |WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- frollsum adaptive (src/frolladaptive.c) -----------------------
+    // Per-row window length: 2 + (o_orderkey mod 3) rows, bounded by 4.
+    ("q_froll_adaptive", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("an", (col("o_orderkey") % 3 + 2).cast("int"))
+        .withColumn("asum", round(Windows.frollAdaptive("sum", col("o_totalprice"),
+          col("an"), 4, Seq("o_custkey"), ordCols), 3))
+        .select(col("o_orderkey"), col("asum"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER wmax >= an THEN
+             |    round(CASE
+             |      WHEN an = 2 THEN sum(o_totalprice) OVER w2
+             |      WHEN an = 3 THEN sum(o_totalprice) OVER w3
+             |      ELSE sum(o_totalprice) OVER w4 END, 3) END AS asum
+             |FROM (SELECT *, CAST(o_orderkey % 3 + 2 AS INT) AS an FROM orders)
+             |WINDOW
+             |  wmax AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+             |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             |  w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- nafill locf (src/nafill.c) ------------------------------------
+    ("q_nafill_locf", ((s, dir) =>
+      dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("filled", Windows.nafillLocf(col("v"),
+          Seq("user_id"), Seq(col("ts").asc, col("event_id").asc)))
+        .select(col("event_id"), col("filled"))): Q,
+      Some("""SELECT event_id,
+             |  last_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS UNBOUNDED PRECEDING) AS filled
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |      FROM events)""".stripMargin)),
+
+    // ---- nafill nocb ----------------------------------------------------
+    ("q_nafill_nocb", ((s, dir) =>
+      dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("filled", Windows.nafillNocb(col("v"),
+          Seq("user_id"), Seq(col("ts").asc, col("event_id").asc)))
+        .select(col("event_id"), col("filled"))): Q,
+      Some("""SELECT event_id,
+             |  first_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |      FROM events)""".stripMargin)),
+
+    // ---- frollapply analog: window array + higher-order fn -------------
+    // Range (max-min) over the trailing 4-row window.
+    ("q_frollapply", ((s, dir) => {
+      val arr = Windows.frollWindowArray(col("o_totalprice"), 4,
+        Seq("o_custkey"), ordCols)
+      dt(s, dir, "orders").df
+        .withColumn("rng", when(size(arr) === 4,
+          round(array_max(arr) - array_min(arr), 3)))
+        .select(col("o_orderkey"), col("rng"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w4 = 4
+             |       THEN round(max(o_totalprice) OVER w4 - min(o_totalprice) OVER w4, 3)
+             |  END AS rng
+             |FROM orders
+             |WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin))
+  )
+}

@@ -14,8 +14,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // raw long (spark.sql.legacy.parquet.nanosAsLong). The generator
+    // emits µs-precision values (ns % 1000 == 0), so ns DIV 1000 →
+    // timestamp_micros is lossless. Integer division keeps the full 64
+    // bits (a double round-trip would lose precision above 2^53).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
 
   /** All tables as a name -> DataFrame map (plans only, nothing is read). */
   def all(spark: SparkSession, sfDir: String): Map[String, DataFrame] =

@@ -1,0 +1,125 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard. Designed for the 100 TB case:
+  * every stage is a hash-partitioned groupBy/join on signatures — no
+  * pairwise O(n²) anywhere except WITHIN a candidate bucket.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per normalized-content fingerprint.
+    * (hash-groupBy; `keep` picks the representative deterministically.)
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("_fp")
+  }
+
+  /** Word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextFunctions.wsTokens(TextFunctions.normalize(text))
+    when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum hash over the shingle set. Independent hashes come from
+    * seeding xxhash64 with the hash index.
+    */
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 32): Column = {
+    val sh = shingles(text, k)
+    array((0 until numHashes).map(seed =>
+      array_min(transform(sh, s => xxhash64(lit(seed), s)))): _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `rowsPerBand` and hash each band → one (bandId, bandHash) per band.
+    * Docs sharing any band hash become candidate pairs.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b => struct(
+      lit(b).as("band"),
+      xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("string"))
+        .as("bh"))): _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact-jaccard
+    * verification: shingle → minhash → band → bucket self-join →
+    * estimated + exact Jaccard filter. Returns (idA, idB, jaccard)
+    * with idA < idB, deduped across buckets.
+    *
+    * Scale: the self-join is an equi join on (band, bandHash) — a plain
+    * hash shuffle. Giant buckets (boilerplate docs) explode
+    * quadratically; cap them upstream via a bucket-size filter.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), k, numHashes))
+      .withColumn("sh", shingles(col("text"), k))
+    val banded = sigs
+      .select(col("id"), col("sig"), col("sh"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("sig"), col("sh"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    // Guard against degenerate buckets before the quadratic step.
+    val counted = banded.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = counted.select(col("band"), col("bh"), col("id").as("idA"),
+      col("sig").as("sigA"), col("sh").as("shA"))
+    val b = counted.select(col("band"), col("bh"), col("id").as("idB"),
+      col("sig").as("sigB"), col("sh").as("shB"))
+    val pairs = a.join(b, Seq("band", "bh")).filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+    pairs
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(1.0))
+  }
+
+  /** n-gram (character shingle) Jaccard between two text columns. */
+  def ngramJaccard(textA: Column, textB: Column, n: Int = 3): Column = {
+    def grams(t: Column) = {
+      val norm = TextFunctions.normalize(t)
+      array_distinct(transform(sequence(lit(0), greatest(length(norm) - n, lit(0))),
+        i => norm.substr(i + 1, lit(n))))
+    }
+    jaccard(grams(textA), grams(textB))
+  }
+
+  /** SimHash: 64-bit signature where bit b = sign of Σ_tokens
+    * (±1 by token-hash bit b). Near-dups have small Hamming distance.
+    * Pure expression: 64 bit-counters via transform over bit positions.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextFunctions.wsTokens(TextFunctions.normalize(text))
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitCols = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar / vector functions (SURVEY.md §2.9). All are thin lowerings to
+  * codegen'd Catalyst expressions — never UDFs — so they inline into
+  * whole-stage codegen.
+  */
+object Funcs {
+
+  // ---- conditional (src/fifelse.c) ------------------------------------
+
+  /** fifelse(test, yes, no, na): strict two-branch conditional; `na`
+    * (default null) is the result where test itself is null — the
+    * reference's explicit NA-branch semantics.
+    */
+  def fifelse(test: Column, yes: Column, no: Column,
+              na: Column = lit(null)): Column =
+    when(test.isNull, na).when(test, yes).otherwise(no)
+
+  /** fcase(cond1, val1, cond2, val2, ..., default): first true branch
+    * wins, lazily evaluated (src/fifelse.c:210) — exactly Catalyst's
+    * CaseWhen.
+    */
+  def fcase(branches: Seq[(Column, Column)],
+            default: Column = lit(null)): Column =
+    branches.foldRight(default) { case ((c, v), acc) => when(c, v).otherwise(acc) }
+
+  // ---- NA handling (src/coalesce.c, src/nafill.c) ---------------------
+
+  /** fcoalesce(...): first non-null across columns. */
+  def fcoalesce(cols: Column*): Column = coalesce(cols: _*)
+
+  /** nafill(type="const"). locf/nocb are ordered ops — see
+    * graft.operators.Windows.nafillLocf/nafillNocb.
+    */
+  def nafill(c: Column, fill: Column): Column = coalesce(c, fill)
+
+  // ---- predicates (R/between.R, R/like.R, R/notin.R) ------------------
+
+  /** between(x, lower, upper, incbounds=TRUE) — vectorized bounds. */
+  def between(x: Column, lower: Column, upper: Column,
+              incbounds: Boolean = true): Column =
+    if (incbounds) x >= lower && x <= upper else x > lower && x < upper
+
+  /** %like% — regex match (R/like.R:4). */
+  def like(x: Column, pattern: String): Column = x.rlike(pattern)
+  /** %ilike% — case-insensitive. */
+  def ilike(x: Column, pattern: String): Column = lower(x).rlike(pattern.toLowerCase)
+  /** %flike% — fixed (literal substring). */
+  def flike(x: Column, pattern: String): Column = x.contains(pattern)
+
+  /** %chin% — fast string membership (src/chmatch.c; interning is an
+    * execution detail — Catalyst compiles IN-lists to hash sets).
+    */
+  def chin(x: Column, values: Seq[String]): Column = x.isin(values: _*)
+  /** %notin% (R/notin.R). */
+  def notin(x: Column, values: Seq[Any]): Column = !x.isin(values: _*)
+
+  /** %inrange% (R/between.R:76): x falls in ANY [lo,hi] interval of a
+    * small literal interval set. For a table-valued interval side use a
+    * range join (graft.operators.Joins.overlap) instead.
+    */
+  def inrange(x: Column, intervals: Seq[(Double, Double)],
+              incbounds: Boolean = true): Column =
+    intervals.map { case (lo, hi) => between(x, lit(lo), lit(hi), incbounds) }
+      .reduce(_ || _)
+
+  // ---- date/time (R/IDateTime.R) --------------------------------------
+  // Extractor set from R/IDateTime.R:374-434; all builtin Catalyst.
+
+  def isoweek(c: Column): Column = weekofyear(c)
+  def yday(c: Column): Column = dayofyear(c)
+  /** wday: 1=Sunday (reference convention == Spark's dayofweek). */
+  def wday(c: Column): Column = dayofweek(c)
+  def mday(c: Column): Column = dayofmonth(c)
+  /** yearmon/yearqtr: fractional year encodings (R/IDateTime.R). */
+  def yearmon(c: Column): Column = year(c) + (month(c) - 1) / lit(12.0)
+  def yearqtr(c: Column): Column = year(c) + (quarter(c) - 1) / lit(4.0)
+  /** round.IDate-style truncation to week/month/quarter/year starts. */
+  def roundDate(c: Column, unit: String): Column = date_trunc(unit, c)
+
+  // ---- misc vector ops (src/vecseq.c, src/init.c) ---------------------
+
+  /** vecseq analog — expand (start, len) pairs into row sequences. */
+  def vecseq(start: Column, len: Column): Column =
+    sequence(start, start + len - 1)
+
+  /** frev — reverse an array column. */
+  def frev(c: Column): Column = reverse(c)
+
+  /** setNumericRounding analog (src/bmerge.c:12): opt-in tolerance
+    * equality for doubles — an explicit expression rather than a global
+    * knob.
+    */
+  def approxEqual(a: Column, b: Column, eps: Double = 1e-9): Column =
+    abs(a - b) < lit(eps)
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators (SURVEY.md §2.3). The reference funnels every join
+  * through sorted binary search (src/bmerge.c); here every join lowers to
+  * a Catalyst Join node so the planner picks broadcast-hash /
+  * shuffled-hash / sort-merge from statistics — at 100 TB that choice
+  * (plus AQE skew splitting) is the whole game.
+  *
+  * The two operators Spark genuinely lacks — rolling/as-of join
+  * (src/bmerge.c:13-17) and interval overlap join (R/foverlaps.R) — are
+  * implemented as logical rewrites that need exactly ONE shuffle by the
+  * group keys (union + ordered window LOCF; bin-exploded equi join),
+  * rather than per-row lookups.
+  */
+object Joins {
+
+  /** Equi join with data.table-style disambiguation: clashing non-join
+    * columns of `i` get the reference's `i.` prefix (rendered `i_`).
+    */
+  def equi(x: DataFrame, i: DataFrame, on: Seq[String], how: String): DataFrame = {
+    val clashes = i.columns.filter(c => x.columns.contains(c) && !on.contains(c))
+    val iRenamed = clashes.foldLeft(i)((d, c) => d.withColumnRenamed(c, s"i_$c"))
+    x.join(iRenamed, on, how)
+  }
+
+  /** mult="first"|"last" (src/bmerge.c:32 enum): keep one x row per probe
+    * row of `i`, picked by the BARE `order` columns (no asc/desc — the
+    * direction comes from mult) within the match group. `"error"`
+    * becomes a cardinality assertion the caller can run via
+    * [[assertNoDup]].
+    */
+  def mult(x: DataFrame, i: DataFrame, on: Seq[String], mult: String,
+           order: Seq[Column]): DataFrame = {
+    require(mult == "first" || mult == "last", s"mult=$mult")
+    val probeId = "_graft_probe_id"
+    val iId = i.withColumn(probeId, monotonically_increasing_id())
+    val joined = equi(x, iId, on, "right")
+    val ord = if (mult == "first") order.map(_.asc) else order.map(_.desc)
+    val w = Window.partitionBy(col(probeId)).orderBy(ord: _*)
+    joined.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn", probeId)
+  }
+
+  /** mult="error": fail when any probe row matches more than one x row. */
+  def assertNoDup(x: DataFrame, on: Seq[String]): Unit = {
+    val dups = x.groupBy(on.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+    require(dups == 0, s"mult='error': duplicate matches on ${on.mkString(",")}")
+  }
+
+  // ---- as-of / rolling join -------------------------------------------
+
+  sealed trait Roll
+  /** roll=TRUE / +Inf — last observation carried forward. */
+  case object Locf extends Roll
+  /** roll=-Inf — next observation carried backward. */
+  case object Nocb extends Roll
+  /** roll="nearest". */
+  case object Nearest extends Roll
+  /** roll=<limit> — LOCF but only within `limit` of the on-column
+    * (src/bmerge.c:15 "limited staleness").
+    */
+  final case class Limit(limit: Double) extends Roll
+
+  /** As-of join: for each row of `i`, attach `valueCols` from the `x` row
+    * whose `on` value prevails per `roll`, within equal `by` groups.
+    *
+    * Implementation (no Spark builtin): tag and union both sides, then a
+    * single window pass per direction —
+    * `last(value, ignoreNulls).over(partitionBy(by).orderBy(on, tag))`
+    * gives LOCF; the mirrored first() gives NOCB; nearest compares both.
+    * One shuffle on `by`, streaming window evaluation, no per-row
+    * lookups; skewed `by` keys are handled by AQE. Semantics follow
+    * src/bmerge.c:13-17 (exact match preferred, then roll).
+    */
+  def asof(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
+           roll: Roll, valueColsIn: Seq[String] = Nil): DataFrame = {
+    val valueCols =
+      if (valueColsIn.nonEmpty) valueColsIn
+      else x.columns.filterNot(c => by.contains(c) || c == on).toSeq
+    val tag = "_graft_src"              // 0 = x (reference), 1 = i (probe)
+    val onX = "_graft_on_x"             // x's on-value carried for limit/nearest
+
+    val iCols = i.columns.toSeq
+    // Align schemas: i columns ++ value columns ++ bookkeeping.
+    val xAligned = x.select(
+      (by.map(col) ++ Seq(col(on)) ++
+        iCols.filterNot(c => by.contains(c) || c == on).map(c => lit(null).cast(i.schema(c).dataType).as(c)) ++
+        valueCols.map(col) :+ col(on).as(onX) :+ lit(0).as(tag)): _*)
+    val iAligned = i.select(
+      (by.map(col) ++ Seq(col(on)) ++
+        iCols.filterNot(c => by.contains(c) || c == on).map(col) ++
+        valueCols.map(c => lit(null).cast(x.schema(c).dataType).as(c)) :+
+        lit(null).cast(x.schema(on).dataType).as(onX) :+ lit(1).as(tag)): _*)
+    val u = xAligned.unionByName(iAligned)
+
+    val wBack = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(on).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(on).asc, col(tag).desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+
+    def filled(d: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+               pick: Column => Column, suffix: String): DataFrame =
+      valueCols.foldLeft(d.withColumn(onX + suffix, pick(col(onX)).over(w))) {
+        (acc, v) => acc.withColumn(v + suffix, pick(col(v)).over(w))
+      }
+
+    val result = roll match {
+      case Locf =>
+        val f = filled(u, wBack, last(_, ignoreNulls = true), "_b")
+        f.filter(col(tag) === 1)
+          .select((iCols.map(col) ++ valueCols.map(v => col(v + "_b").as(v))): _*)
+      case Nocb =>
+        val f = filled(u, wFwd, first(_, ignoreNulls = true), "_f")
+        f.filter(col(tag) === 1)
+          .select((iCols.map(col) ++ valueCols.map(v => col(v + "_f").as(v))): _*)
+      case Limit(lim) =>
+        val f = filled(u, wBack, last(_, ignoreNulls = true), "_b")
+        val within = col(on).cast("double") - col(onX + "_b").cast("double") <= lit(lim)
+        f.filter(col(tag) === 1)
+          .select((iCols.map(col) ++
+            valueCols.map(v => when(within, col(v + "_b")).as(v))): _*)
+      case Nearest =>
+        val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
+                       wFwd, first(_, ignoreNulls = true), "_f")
+        val dB = abs(col(on).cast("double") - col(onX + "_b").cast("double"))
+        val dF = abs(col(onX + "_f").cast("double") - col(on).cast("double"))
+        val useBack = col(onX + "_f").isNull ||
+          (col(onX + "_b").isNotNull && dB <= dF)
+        f.filter(col(tag) === 1)
+          .select((iCols.map(col) ++
+            valueCols.map(v => when(useBack, col(v + "_b")).otherwise(col(v + "_f")).as(v))): _*)
+    }
+    result
+  }
+
+  // ---- overlap (interval) join ----------------------------------------
+
+  /** foverlaps() (R/foverlaps.R:1-22): interval × interval join.
+    * type = any | within | start | end | equal.
+    *
+    * Lowered to an equi join on `by` plus a range predicate — Catalyst
+    * plans SMJ/SHJ on the equi keys with the range as join condition.
+    * For low-cardinality `by` at scale use [[overlapBinned]].
+    */
+  def overlap(x: DataFrame, y: DataFrame, by: Seq[String],
+              xStart: String, xEnd: String, yStart: String, yEnd: String,
+              typ: String = "any"): DataFrame = {
+    val yy = disambiguate(x, y, by)
+    val cond = overlapCond(x, yy, xStart, xEnd, yStart, yEnd, typ)
+    val full = by.map(b => x(b) === yy(b)).foldRight(cond)(_ && _)
+    x.join(yy, full, "inner")
+  }
+
+  /** Scale path for overlap joins with few/no `by` keys: explode each
+    * interval into the fixed-width bins it covers, equi-join on
+    * (by, bin), post-filter the exact predicate, dedupe multi-bin pairs.
+    * Shuffle volume ∝ data × (interval span / binWidth) — pick binWidth
+    * near the median interval length (SURVEY.md §4.2 item 3).
+    */
+  def overlapBinned(x: DataFrame, y: DataFrame, by: Seq[String],
+                    xStart: String, xEnd: String, yStart: String, yEnd: String,
+                    binWidth: Long, typ: String = "any"): DataFrame = {
+    val xid = "_graft_xid"; val yid = "_graft_yid"; val bin = "_graft_bin"
+    val xb = x.withColumn(xid, monotonically_increasing_id())
+      .withColumn(bin, explode(sequence(
+        floor(col(xStart).cast("double") / binWidth).cast("long"),
+        floor(col(xEnd).cast("double") / binWidth).cast("long"))))
+    val yb0 = y.withColumn(yid, monotonically_increasing_id())
+      .withColumn(bin, explode(sequence(
+        floor(col(yStart).cast("double") / binWidth).cast("long"),
+        floor(col(yEnd).cast("double") / binWidth).cast("long"))))
+    val yb = disambiguate(xb, yb0, by :+ bin)
+    val cond = overlapCond(xb, yb, xStart, xEnd, yStart, yEnd, typ)
+    val keys = (by :+ bin).map(k => xb(k) === yb(k)).foldRight(cond)(_ && _)
+    xb.join(yb, keys, "inner")
+      .dropDuplicates(xid, yid)
+      .drop(xid, yid, bin)
+  }
+
+  private def overlapCond(x: DataFrame, y: DataFrame, xs: String, xe: String,
+                          ys: String, ye: String, typ: String): Column = typ match {
+    case "any"    => x(xs) <= y(ye) && y(ys) <= x(xe)
+    case "within" => x(xs) >= y(ys) && x(xe) <= y(ye)
+    case "start"  => x(xs) === y(ys)
+    case "end"    => x(xe) === y(ye)
+    case "equal"  => x(xs) === y(ys) && x(xe) === y(ye)
+    case other    => throw new IllegalArgumentException(s"type=$other")
+  }
+
+  private def disambiguate(x: DataFrame, y: DataFrame, keep: Seq[String]): DataFrame =
+    y.columns.filter(c => x.columns.contains(c) && !keep.contains(c))
+      .foldLeft(y)((d, c) => d.withColumnRenamed(c, s"i_$c"))
+
+  /** allow.cartesian guard (R/data.table.R:925-935): pre-flight
+    * cardinality check — estimate the join explosion from per-key counts
+    * and refuse beyond `maxRatio`. Cheap (two partial aggregations) and
+    * worth it before a 100 TB shuffle.
+    */
+  def cartesianGuard(x: DataFrame, i: DataFrame, on: Seq[String],
+                     maxRows: Long): Unit = {
+    val xc = x.groupBy(on.map(col): _*).count().withColumnRenamed("count", "xc")
+    val ic = i.groupBy(on.map(col): _*).count().withColumnRenamed("count", "ic")
+    val est = xc.join(ic, on).agg(sum(col("xc") * col("ic"))).head().getLong(0)
+    require(est <= maxRows,
+      s"join would produce ~$est rows > allow.cartesian limit $maxRows")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Reshape operators (SURVEY.md §2.8): melt / dcast / rbindlist /
+  * transpose / tstrsplit, re-expressed on Catalyst.
+  */
+object Reshape {
+
+  /** melt() (R/fmelt.R:183): wide → long. Lowers to the `stack`
+    * generator — one pass, no shuffle; measure columns are cast to their
+    * common promoted type first (the reference's type-promotion rules,
+    * src/fmelt.c).
+    */
+  def melt(df: DataFrame, idVars: Seq[String], measureVars: Seq[String],
+           variableName: String = "variable", valueName: String = "value",
+           naRm: Boolean = false): DataFrame = {
+    val types = measureVars.map(m => df.schema(m).dataType).distinct
+    val target = if (types.size == 1) types.head
+                 else if (types.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType])) DoubleType
+                 else StringType
+    val pairs = measureVars
+      .map(m => s"'$m', cast(`$m` as ${target.sql})").mkString(", ")
+    val stacked = df.select(
+      (idVars.map(col) :+
+        expr(s"stack(${measureVars.size}, $pairs) as (`$variableName`, `$valueName`)")): _*)
+    if (naRm) stacked.filter(col(valueName).isNotNull) else stacked
+  }
+
+  /** melt with multiple measure groups (measure.vars=list(...)): each
+    * group becomes its own value column, zipped positionally by variable
+    * ordinal (R/fmelt.R measure-list semantics).
+    */
+  def meltMulti(df: DataFrame, idVars: Seq[String],
+                measureGroups: Map[String, Seq[String]]): DataFrame = {
+    val n = measureGroups.values.head.size
+    require(measureGroups.values.forall(_.size == n), "ragged measure groups")
+    val structs = (0 until n).map { i =>
+      struct((lit(i + 1).as("variable") +:
+        measureGroups.map { case (out, cols) => col(cols(i)).as(out) }.toSeq): _*)
+    }
+    df.select((idVars.map(col) :+ explode(array(structs: _*)).as("_m")): _*)
+      .select((idVars.map(col) :+ col("_m.variable").as("variable")) ++
+        measureGroups.keys.toSeq.map(k => col(s"_m.$k").as(k)): _*)
+  }
+
+  /** dcast() (R/fcast.R:11): long → wide pivot. When `values` is given
+    * Spark skips the extra distinct-values job — always pass it at scale.
+    * drop=FALSE (keep empty key combos) is [[dcastComplete]].
+    */
+  def dcast(df: DataFrame, lhs: Seq[String], rhs: String, valueVar: String,
+            aggFn: Column => Column, values: Seq[String] = Nil,
+            fill: Option[Column] = None): DataFrame = {
+    val g = df.groupBy(lhs.map(col): _*)
+    val p = if (values.nonEmpty) g.pivot(rhs, values) else g.pivot(rhs)
+    val wide = p.agg(aggFn(col(valueVar)))
+    fill match {
+      case Some(f) =>
+        val pivotCols = wide.columns.filterNot(lhs.contains).toSeq
+        wide.select((lhs.map(col) ++ pivotCols.map(c => coalesce(col(c), f).as(c))): _*)
+      case None => wide
+    }
+  }
+
+  /** dcast(drop=FALSE): complete the LHS key domain via a cross join of
+    * the observed key values before pivoting (CJ completion,
+    * R/fcast.R + src/cj.c).
+    */
+  def dcastComplete(df: DataFrame, lhs: Seq[String], rhs: String,
+                    valueVar: String, aggFn: Column => Column,
+                    values: Seq[String] = Nil): DataFrame = {
+    val domain = lhs.map(c => df.select(c).distinct())
+      .reduce(_.crossJoin(_))
+    val complete = domain.join(df, lhs, "left")
+    dcast(complete, lhs, rhs, valueVar, aggFn, values)
+  }
+
+  /** rbindlist(fill=TRUE, idcol=) (src/rbindlist.c): N-way concat with
+    * column union, missing → null, optional provenance column.
+    */
+  def rbindlist(dfs: Seq[DataFrame], fill: Boolean = true,
+                idcol: Option[String] = None): DataFrame = {
+    val tagged = idcol match {
+      case Some(name) => dfs.zipWithIndex.map { case (d, i) =>
+        d.select(lit(i + 1).as(name) +: d.columns.map(col).toSeq: _*) }
+      case None => dfs
+    }
+    tagged.reduce((a, b) => a.unionByName(b, allowMissingColumns = fill))
+  }
+
+  /** tstrsplit() (R/transpose.R:26): split a string column into `n`
+    * columns; `fill` pads short splits with null (getItem past the end
+    * is already null).
+    */
+  def tstrsplit(df: DataFrame, c: String, pattern: String, n: Int,
+                names: Seq[String] = Nil, keep: Seq[Int] = Nil): DataFrame = {
+    val parts = split(col(c), pattern)
+    val idxs = if (keep.nonEmpty) keep else (1 to n).toSeq
+    val outNames = if (names.nonEmpty) names else idxs.map(i => s"V$i")
+    idxs.zip(outNames).foldLeft(df) { case (d, (i, nm)) =>
+      // get() (0-based) is null past the end — fill=NA semantics, and
+      // safe under ANSI mode where getItem/element_at would throw.
+      d.withColumn(nm, get(parts, lit(i - 1)))
+    }
+  }
+
+  /** transpose() (src/transpose.c): flip a (small) table. Distributed
+    * tables have no row order, so an explicit ordering column is
+    * required; melt + pivot keeps it in plan land (no collect).
+    */
+  def transpose(df: DataFrame, orderCol: String): DataFrame = {
+    val measures = df.columns.filterNot(_ == orderCol).toSeq
+    val long = melt(df, Seq(orderCol), measures, "_var", "_val")
+    long.groupBy(col("_var")).pivot(orderCol).agg(first(col("_val")))
+      .withColumnRenamed("_var", "column")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (exact; one shuffle-free map +
+  * per-query top-k). Scale path: LSH bucketing by random-hyperplane
+  * signs — candidates only within matching buckets, turning O(N·Q) into
+  * an equi join on the signature.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns — pure
+    * higher-order expressions (zip_with product + aggregate), codegen'd.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Exact brute-force top-k neighbors for each query row: broadcast the
+    * (small) query set against the corpus, score all pairs, keep top-k
+    * per query via window. Corpus-side scales linearly; query side must
+    * be broadcastable.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qvec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("_qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rk"))
+  }
+
+  /** Random-hyperplane LSH signature: bit b = sign(v · h_b) with
+    * deterministic pseudo-random hyperplanes derived from xxhash64 of
+    * (seed, dimension) — no RNG state, reproducible across runs/nodes.
+    */
+  def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      // h_b[d] = hash(b, d) mapped to [-1, 1]
+      val dot = (0 until dim).map { d =>
+        val h = (xxhash64(lit(b), lit(d)) % 1000L).cast("double") / 1000.0
+        element_at(vec, d + 1) * h
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1)).otherwise(lit(0)).as(s"bit$b")
+    }
+    concat_ws("", bits: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the signature
+    * bucket → equi join on signature, then exact cosine within bucket.
+    * Recall is tunable by nBits (fewer bits = bigger buckets).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
+    val sig = lshSignature(col(vecCol), dim, nBits)
+    val c = corpus.select(col(idCol), col(vecCol)).withColumn("_sig", sig)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+      .withColumn("_sig", lshSignature(col("_qvec"), dim, nBits))
+    val scored = c.join(q, Seq("_sig"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("_qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rk"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to the nearest
+    * of `centroids` (a small broadcast list), search only within the
+    * probe's cell. Centroids come from any upstream sampling pass.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String,
+                centroids: Seq[Seq[Double]]): DataFrame = {
+    val cents = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cid"), array(c.map(lit): _*).as("vec"))
+    }: _*)
+    val best = aggregate(cents,
+      struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
+      (acc, cent) => {
+        val s = cosine(col(vecCol), cent.getField("vec"))
+        when(s > acc.getField("sim"),
+          struct(cent.getField("cid").as("cid"), s.as("sim"))).otherwise(acc)
+      })
+    df.withColumn("ivf_cell", best.getField("cid"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * extension set): token counting, quality scoring, language ID,
+  * fingerprinting. All pure Catalyst expressions (no UDFs) so they run
+  * inside whole-stage codegen over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization — the baseline token count. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword proxy: count runs of letters, digits, or single
+    * punctuation — a deterministic stand-in for a real tokenizer's token
+    * count (useful for budget estimation at scale).
+    */
+  def bpeishTokens(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(t) > 0))
+
+  /** Normalized text: lowercase, collapse whitespace — the canonical
+    * form used by fingerprints and exact dedup.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text (content-defined
+    * identity for exact dedup).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Rolling (polynomial) hash over tokens — an order-sensitive 64-bit
+    * signature (distinct from the bag-of-words fingerprint above):
+    * h = Σ h*31 + xxhash64(token), evaluated left to right.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(wsTokens(text), lit(0L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Quality-score feature family (length / punctuation / stopword
+    * ratios), one struct column. Thresholding is left to the caller.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val n = length(text).cast("double")
+    val nPunct = (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double")
+    val toks = wsTokens(text)
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => lower(t).isin(stopwordsEn: _*))).cast("double")
+    struct(
+      n.as("n_chars"),
+      nTok.as("n_tokens"),
+      when(nTok > 0, n / nTok).otherwise(0.0).as("mean_token_len"),
+      when(n > 0, nPunct / n).otherwise(0.0).as("punct_ratio"),
+      when(nTok > 0, nStop / nTok).otherwise(0.0).as("stopword_ratio"))
+  }
+
+  /** Language ID by stopword-overlap heuristic: score each candidate
+    * language by the fraction of tokens in its stopword list, pick the
+    * argmax (ties → first in [[langs]] order). n-gram-free but O(1)
+    * per token and fully vectorized.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = transform(wsTokens(text), lower _)
+    val scores = langs.map { case (lang, stops) =>
+      struct(
+        (size(filter(toks, t => t.isin(stops: _*))).cast("double") /
+          greatest(size(toks), lit(1))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on structs compares field-by-field: (score, lang).
+    array_max(array(scores: _*)).getField("lang")
+  }
+
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are", "was",
+    "from", "but", "not", "they", "his", "her", "she", "he", "you", "we")
+
+  val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopwordsEn,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "auf", "für", "von", "im", "den", "dem", "des", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du",
+      "dans", "pour", "que", "qui", "au", "aux", "avec", "sur", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
+      "en", "por", "para", "con", "no", "se", "del", "al", "como"))
+}
