@@ -180,6 +180,21 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def topK(by: Seq[String], order: Seq[Column], k: Int): DT =
     DT(Windows.topK(df, by, order, k))
 
+  // ---- dogroups analog: arbitrary j per group (SURVEY.md §2.11) --------
+  /** The reference's `dogroups` superpower (src/dogroups.c): evaluate an
+    * arbitrary closure once per group over the group's rows (.SD), with
+    * the group key (.BY) bound; the closure may return 0..N rows (UDTF).
+    *
+    * This is the deliberate escape hatch OUT of Catalyst
+    * (`groupByKey.flatMapGroups`); every j that CAN stay in expression
+    * land should use [[apply]]/[[groupAgg]] instead — that decision is
+    * our GForce (SURVEY.md §4.1).
+    */
+  def groups[K: org.apache.spark.sql.Encoder, OUT: org.apache.spark.sql.Encoder](
+      keyFn: org.apache.spark.sql.Row => K)(
+      f: (K, Iterator[org.apache.spark.sql.Row]) => IterableOnce[OUT]): org.apache.spark.sql.Dataset[OUT] =
+    df.groupByKey(keyFn).flatMapGroups((k, it) => f(k, it).iterator)
+
   // ---- misc ------------------------------------------------------------
   def N: Long = df.count()
   def nrow: Long = df.count()

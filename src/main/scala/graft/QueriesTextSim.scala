@@ -143,6 +143,26 @@ object QueriesTextSim {
              |  count(*) AS n, round(sum(value), 3) AS v
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- fread/fwrite CSV roundtrip (SURVEY.md §2.1) --------------------
+    ("q_fread_roundtrip", ((s, dir) => {
+      val out = s"/tmp/graft_fread_rt"
+      graft.sources.Fread.fwrite(Tables.load(s, dir, "nation"), out,
+        graft.sources.Fread.FwriteOptions(sep = "\t"))
+      graft.sources.Fread.fread(s, out)   // sep auto-sniffed
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+    }): Q,
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    // ---- multimodal decode plumbing (stubbed codec; rows-only) ----------
+    ("q_media_features", ((s, dir) => {
+      val blobs = graft.mm.Multimodal.blobsFromDocuments(
+        Tables.load(s, dir, "documents"))
+      graft.mm.Multimodal.extractFeatures(blobs).toDF()
+        .select(col("media_id"), col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))
+    }): Q,
+      None),
+
     // ---- sessionization (30-min inactivity gap, gaps-and-islands) ------
     ("q_session", ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window

@@ -1,0 +1,93 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (builder-prompt extension): image / audio
+  * / video payloads as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract stages as partition-local batch transforms.
+  *
+  * The Spark-side plumbing (schema, batching, partition-local execution,
+  * output shape) is real and tested; the actual codec call is STUBBED
+  * behind [[StubCodec]] with a deterministic fake — the container has no
+  * image/audio libraries. Swapping in a real decoder changes ONE
+  * function, not the pipeline.
+  */
+object Multimodal {
+
+  /** A multimodal cell: payload + self-describing metadata. */
+  case class MediaBlob(media_id: Long, kind: String, payload: Array[Byte],
+                       width: Int, height: Int, sample_rate: Int)
+
+  /** Fixed-size feature row produced by decode+extract. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           features: Array[Float])
+
+  val blobSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false)))
+
+  /** STUB codec: a real implementation would call an image/audio
+    * library here (per partition, reusing a decoder instance). The fake
+    * derives a deterministic D-dim feature vector from payload bytes so
+    * the pipeline is testable end-to-end.
+    */
+  object StubCodec {
+    val dim = 16
+    def decodeAndExtract(b: MediaBlob): MediaFeatures = {
+      val bytes = Option(b.payload).getOrElse(Array.emptyByteArray)
+      val feats = Array.tabulate(dim) { i =>
+        var h = 1125899906842597L + i
+        var j = 0
+        while (j < bytes.length) { h = 31 * h + bytes(j); j += 1 }
+        ((h % 1000L).toFloat / 1000.0f)
+      }
+      MediaFeatures(b.media_id, b.kind, bytes.length, feats)
+    }
+  }
+
+  /** Decode + feature-extract over partition-local batches — the Scala
+    * analog of a pandas-UDF `mapInPandas` stage: one codec per
+    * partition, streaming iterator in/out, no per-row JVM↔native churn.
+    */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    blobs.mapPartitions { it =>
+      // per-partition codec setup would go here
+      it.map(StubCodec.decodeAndExtract)
+    }
+  }
+
+  /** Build a MediaBlob table from any binary-ish source column —
+    * here payloads are synthesized from text bytes (deterministic) so
+    * the pipeline runs on the driver-provided `documents` table.
+    */
+  def blobsFromDocuments(docs: DataFrame): Dataset[MediaBlob] = {
+    implicit val enc = Encoders.product[MediaBlob]
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (pmod(col("doc_id"), lit(640)).cast("int") + 32).as("width"),
+      (pmod(col("doc_id"), lit(480)).cast("int") + 32).as("height"),
+      lit(0).as("sample_rate")).as[MediaBlob]
+  }
+
+  /** Frame-sample plumbing: pick every `stride`-th chunk of the payload
+    * as a pseudo-frame (the real op would decode video frames); output
+    * is one row per sampled frame — a generator (1 row → N rows).
+    */
+  def sampleFrames(blobs: Dataset[MediaBlob], stride: Int): DataFrame =
+    blobs.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest((octet_length(col("payload")) / stride).cast("int") - 1, lit(0)))))
+      .withColumn("frame",
+        col("payload").substr((col("frame_idx") * stride + 1).cast("int"), lit(stride)))
+      .select(col("media_id"), col("frame_idx"), col("frame"))
+}

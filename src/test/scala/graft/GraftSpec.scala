@@ -1,0 +1,323 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Funcs
+import graft.operators.{Joins, Reshape, SetOps, Windows}
+
+/** Shared session for all suites (one JVM, local[4]). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+/** Semantic edge cases mined from the reference's tests.Rraw style:
+  * inline expected values on tiny literal tables.
+  */
+class DTSemanticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fifelse: NA test routes to na branch, not yes/no") {
+    val df = Seq((1, Some(true)), (2, Some(false)), (3, None: Option[Boolean]))
+      .toDF("id", "t")
+    val out = df.select($"id", Funcs.fifelse($"t", lit("Y"), lit("N"), lit("?")).as("r"))
+      .orderBy($"id").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "Y"), (2, "N"), (3, "?")))
+  }
+
+  test("fcase: first true branch wins, default otherwise") {
+    val df = Seq(5, 15, 25, 99).toDF("x")
+    val out = df.select(Funcs.fcase(Seq(
+      ($"x" < 10, lit("a")), ($"x" < 20, lit("b")), ($"x" < 30, lit("c"))),
+      lit("z")).as("r")).as[String].collect()
+    assert(out.toSeq == Seq("a", "b", "c", "z"))
+  }
+
+  test("shift: fill only applies at partition edges; n<0 leads") {
+    val df = Seq((1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0))
+      .toDF("g", "o", "v")
+    val out = df.withColumn("lag1",
+        Windows.shift($"v", 1, Seq("g"), Seq($"o".asc), lit(-1.0)))
+      .withColumn("lead1",
+        Windows.shift($"v", -1, Seq("g"), Seq($"o".asc), lit(-1.0)))
+      .orderBy($"g", $"o")
+      .select($"lag1", $"lead1").as[(Double, Double)].collect()
+    assert(out.toSeq == Seq((-1.0, 20.0), (10.0, 30.0), (20.0, -1.0), (-1.0, -1.0)))
+  }
+
+  test("rleid: consecutive runs get increasing ids, per group") {
+    val df = Seq((1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (2, 1, "x"))
+      .toDF("g", "o", "v")
+    val out = Windows.rleid(df, Seq("v"), Seq($"o".asc), Seq("g"), "rid")
+      .orderBy($"g", $"o").select($"rid").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L, 2L, 3L, 1L))
+  }
+
+  test("froll: partial=FALSE yields null until window full; partial=TRUE doesn't") {
+    val df = Seq((1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)).toDF("g", "o", "v")
+    val strict = df.withColumn("m",
+        Windows.froll("sum", $"v", 2, Seq("g"), Seq($"o".asc)))
+      .orderBy($"o").select($"m").collect().map(r => Option(r.get(0)))
+    assert(strict.toSeq == Seq(None, Some(3.0), Some(5.0)))
+    val part = df.withColumn("m",
+        Windows.froll("sum", $"v", 2, Seq("g"), Seq($"o".asc), partial = true))
+      .orderBy($"o").select($"m").as[Double].collect()
+    assert(part.toSeq == Seq(1.0, 3.0, 5.0))
+  }
+
+  test("froll median: odd window exact middle") {
+    val df = Seq((1, 1, 5.0), (1, 2, 1.0), (1, 3, 9.0)).toDF("g", "o", "v")
+    val out = df.withColumn("m",
+        Windows.froll("median", $"v", 3, Seq("g"), Seq($"o".asc)))
+      .orderBy($"o").select($"m").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, None, Some(5.0)))
+  }
+
+  test("asof LOCF: exact match preferred, else prevailing; Limit caps staleness") {
+    val x = Seq((1, 10L, 100.0), (1, 20L, 200.0)).toDF("g", "t", "v")
+    val i = Seq((1, 10L, "a"), (1, 15L, "b"), (1, 25L, "c"), (1, 5L, "d"))
+      .toDF("g", "t", "id")
+    val locf = Joins.asof(x, i, Seq("g"), "t", Joins.Locf, Seq("v"))
+      .orderBy($"t").select($"id", $"v").collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+    assert(locf.toSeq == Seq(("d", None), ("a", Some(100.0)),
+      ("b", Some(100.0)), ("c", Some(200.0))))
+    val lim = Joins.asof(x, i, Seq("g"), "t", Joins.Limit(4), Seq("v"))
+      .orderBy($"t").select($"id", $"v").collect()
+      .map(r => (r.getString(0), Option(r.get(1))))
+    // at t=15 the last x is t=10, staleness 5 > 4 → null
+    assert(lim.toSeq == Seq(("d", None), ("a", Some(100.0)),
+      ("b", None), ("c", None)))
+  }
+
+  test("asof nearest: picks closer side; backward wins ties") {
+    val x = Seq((1, 10L, 100.0), (1, 20L, 200.0)).toDF("g", "t", "v")
+    val i = Seq((1, 14L, "nearA"), (1, 16L, "nearB"), (1, 15L, "tie"))
+      .toDF("g", "t", "id")
+    val out = Joins.asof(x, i, Seq("g"), "t", Joins.Nearest, Seq("v"))
+      .orderBy($"t").select($"id", $"v").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("nearA", 100.0), ("tie", 100.0), ("nearB", 200.0)))
+  }
+
+  test("joinMult first/last pick by order within match group") {
+    val x = Seq((1, 1, "p1"), (1, 2, "p2"), (2, 1, "q1")).toDF("k", "seq", "v")
+    val i = Seq(Tuple1(1), Tuple1(2), Tuple1(3)).toDF("k")
+    val first = Joins.mult(x, i, Seq("k"), "first", Seq($"seq"))
+      .orderBy($"k").select($"k", $"v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(first.toSeq == Seq((1, Some("p1")), (2, Some("q1")), (3, None)))
+    val lastR = Joins.mult(x, i, Seq("k"), "last", Seq($"seq"))
+      .orderBy($"k").select($"k", $"v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(lastR.toSeq == Seq((1, Some("p2")), (2, Some("q1")), (3, None)))
+  }
+
+  test("rbindlist: fill missing columns with null, idcol tags source") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, 3.5)).toDF("id", "d")
+    val out = Reshape.rbindlist(Seq(a, b), fill = true, idcol = Some("src"))
+    assert(out.columns.toSeq == Seq("src", "id", "s", "d"))
+    val rows = out.orderBy($"src").collect()
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(2) == "x" && rows(0).isNullAt(3))
+    assert(rows(1).getInt(0) == 2 && rows(1).isNullAt(2) && rows(1).getDouble(3) == 3.5)
+  }
+
+  test("setops: union/intersect/setdiff incl. all= multiset forms") {
+    val a = Seq(1, 1, 2, 3).toDF("x")
+    val b = Seq(1, 2, 2).toDF("x")
+    assert(SetOps.funion(a, b).count() == 3)          // {1,2,3}
+    assert(SetOps.funion(a, b, all = true).count() == 7)
+    assert(SetOps.fintersect(a, b).count() == 2)      // {1,2}
+    assert(SetOps.fintersect(a, b, all = true).count() == 2)  // 1×1, 2×1
+    assert(SetOps.fsetdiff(a, b).count() == 1)        // {3}
+    assert(SetOps.fsetdiff(a, b, all = true).count() == 2)    // extra 1 + 3
+    assert(SetOps.fsetequal(a, a.distinct()))
+  }
+
+  test("update: := on i-subset keeps other rows; grouped := broadcasts") {
+    val d = DT(Seq((1, 10.0), (2, 20.0)).toDF("id", "v"))
+    val u = d.update($"id" === 1, "v", $"v" * 100)
+    assert(u.df.orderBy($"id").select($"v").as[Double].collect().toSeq == Seq(1000.0, 20.0))
+    val g = DT(Seq((1, 1.0), (1, 3.0), (2, 5.0)).toDF("g", "v"))
+      .setBy("gm", avg($"v"), Seq("g"))
+    assert(g.df.filter($"g" === 1).select($"gm").as[Double].collect().toSeq == Seq(2.0, 2.0))
+  }
+
+  test("dogroups analog: per-group closure emitting custom rows (UDTF)") {
+    val d = DT(Seq((1, 2.0), (1, 4.0), (2, 10.0)).toDF("g", "v"))
+    val out = d.groups(r => r.getInt(0)) { (k, it) =>
+      val vs = it.map(_.getDouble(1)).toSeq
+      Seq((k, vs.sum, vs.size))
+    }.toDF("g", "s", "n").orderBy($"g").as[(Int, Double, Int)].collect()
+    assert(out.toSeq == Seq((1, 6.0, 2), (2, 10.0, 1)))
+  }
+
+  test("frank average: mean of tied block row numbers") {
+    val df = Seq((1, 10), (2, 10), (3, 20)).toDF("id", "v")
+    val out = Windows.frank(df, Seq($"v".asc), Seq($"v"), "average", Nil, "rk")
+      .orderBy($"id").select($"rk").as[Double].collect()
+    assert(out.toSeq == Seq(1.5, 1.5, 3.0))
+  }
+}
+
+/** Dedup / similarity behavior on planted near-duplicates. */
+class DedupSimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.dedup.Dedup
+  import graft.sim.Similarity
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3L, "completely different text about spark distributed computation engines"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"))
+
+  test("exact dedup collapses identical normalized text") {
+    val out = Dedup.exact(docs.toDF("doc_id", "text"), "text", "doc_id")
+    assert(out.count() == 3)
+    val dup = out.filter($"doc_id" === 1).select($"dup_count").as[Long].head()
+    assert(dup == 2)  // docs 1 and 4
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+      k = 2, numHashes = 16, bands = 8, threshold = 0.5)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // near-dup
+    assert(pairs.contains((1L, 4L)))   // exact dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val sigs = docs.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) == 0)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("ngram jaccard: identical=1, near-dup high, unrelated low") {
+    val df = docs.toDF("doc_id", "text")
+    val a = df.select($"doc_id".as("ia"), $"text".as("ta"))
+    val b = df.select($"doc_id".as("ib"), $"text".as("tb"))
+    val j = a.crossJoin(b).filter($"ia" < $"ib")
+      .select($"ia", $"ib", Dedup.ngramJaccard($"ta", $"tb", 3).as("j"))
+      .as[(Long, Long, Double)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8)
+    assert(j((1L, 3L)) < 0.3)
+  }
+
+  test("brute-force cosine topk: identical vector ranks first with sim≈1") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(1.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0)), (3L, Array(0.9, 0.1, 0.0)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val out = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 2)
+      .orderBy($"rk").select($"neighbor_id", $"sim").as[(Long, Double)].collect()
+    assert(out(0)._1 == 1L && math.abs(out(0)._2 - 1.0) < 1e-12)
+    assert(out(1)._1 == 3L)
+  }
+
+  test("LSH signature buckets identical vectors together") {
+    val vecs = Seq(
+      (0L, (0 until 8).map(_.toDouble).toArray),
+      (1L, (0 until 8).map(_.toDouble).toArray))
+      .toDF("vec_id", "embedding")
+    val sigs = vecs.select(Similarity.lshSignature($"embedding", 8, 4).as("s"))
+      .as[String].collect()
+    assert(sigs(0) == sigs(1) && sigs(0).length == 4)
+  }
+}
+
+/** Streaming mode: memory-sink smoke against batch equivalents. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.streaming.Streams
+
+  test("windowed streaming agg over events matches batch tumbling counts") {
+    val batch = Tables.load(spark, SparkTestSession.sfDir, "events")
+    // Write a small parquet copy (µs timestamps) to stream from.
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    batch.limit(500).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema, maxFilesPerTrigger = 2)
+    val agg = Streams.windowedAgg(stream, "ts", "1 hour", "1 hour",
+      keys = Seq("event_type"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT sum(n) FROM win_out").head().getLong(0)
+      assert(streamed == 500L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes duplicate keys in horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val batch = Tables.load(spark, SparkTestSession.sfDir, "events").limit(200)
+    batch.union(batch).write.mode("overwrite").parquet(dir)  // every row twice
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema, maxFilesPerTrigger = 10)
+    val dd = Streams.dedupWithinWatermark(stream, "ts", "24 hours", Seq("event_id"))
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(DISTINCT event_id), count(*) FROM dedup_out").head()
+      assert(n.getLong(0) == 200L && n.getLong(1) == 200L)
+    } finally q.stop()
+  }
+}
+
+/** Multimodal plumbing + fread/fwrite roundtrip. */
+class SourcesMultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.mm.Multimodal
+  import graft.sources.Fread
+
+  test("multimodal: blobs -> deterministic features, frame sampling generator") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(20)
+    val blobs = Multimodal.blobsFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(blobs)
+    val rows = feats.collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.features.length == Multimodal.StubCodec.dim))
+    // determinism: same input → same features
+    val again = Multimodal.extractFeatures(blobs).collect()
+    assert(rows.sortBy(_.media_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
+    val frames = Multimodal.sampleFrames(blobs, stride = 64)
+    assert(frames.count() >= 20)   // at least one frame per doc
+  }
+
+  test("fwrite/fread roundtrip with tab sep + auto-sniff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    val src = Tables.load(spark, SparkTestSession.sfDir, "nation")
+    Fread.fwrite(src, dir, Fread.FwriteOptions(sep = "\t"))
+    assert(Fread.sniffSep(spark, dir) == "\t")
+    val back = Fread.fread(spark, dir)
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+    val o = src.orderBy($"n_nationkey").collect().map(_.toSeq)
+    val b = back.orderBy($"n_nationkey").collect().map(_.toSeq)
+    assert(o.toSeq == b.toSeq)
+  }
+}
