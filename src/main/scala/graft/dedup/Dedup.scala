@@ -33,13 +33,15 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum hash over the shingle set. Independent hashes come from
-    * seeding xxhash64 with the hash index.
+    * seeding xxhash64 with the hash index. Takes the shingle ARRAY (not
+    * the text) so callers compute shingles exactly once.
     */
-  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 32): Column = {
-    val sh = shingles(text, k)
+  def minhashFromShingles(sh: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map(seed =>
       array_min(transform(sh, s => xxhash64(lit(seed), s)))): _*)
-  }
+
+  def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 32): Column =
+    minhashFromShingles(shingles(text, k), numHashes)
 
   /** LSH banding: split the signature into `bands` bands of
     * `rowsPerBand` and hash each band → one (bandId, bandHash) per band.
@@ -64,25 +66,35 @@ object Dedup {
                    k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), k, numHashes))
-      .withColumn("sh", shingles(col("text"), k))
-    val banded = sigs
-      .select(col("id"), col("sig"), col("sh"),
-        explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("sig"), col("sh"),
-        col("b.band").as("band"), col("b.bh").as("bh"))
-    // Guard against degenerate buckets before the quadratic step.
-    val counted = banded.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = counted.select(col("band"), col("bh"), col("id").as("idA"),
-      col("sig").as("sigA"), col("sh").as("shA"))
-    val b = counted.select(col("band"), col("bh"), col("id").as("idB"),
-      col("sig").as("sigB"), col("sh").as("shB"))
-    val pairs = a.join(b, Seq("band", "bh")).filter(col("idA") < col("idB"))
+    // Shingles computed ONCE per doc; signature derived from them.
+    // Cached: referenced by the banding pass AND both candidate-side
+    // shingle fetches — without it Spark recomputes shingles+signature
+    // three times. MEMORY_AND_DISK so huge corpora spill, not OOM.
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", array_distinct(shingles(col("text"), k)))
+      .withColumn("sig", graft.plans.MinHashSignature(col("sh"), numHashes))
+      .drop("text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Slim banding: only (id, band, bandHash) travels through the
+    // explode+shuffle — never the shingle arrays.
+    val banded = base
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // One hash aggregation per bucket; singleton buckets (the vast
+    // majority) die here, degenerate buckets are capped, and candidate
+    // pairs are generated bucket-locally — no self-join shuffle at all.
+    val buckets = banded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
-    pairs
+    // Fetch shingles only for surviving candidates, then exact Jaccard.
+    val shA = base.select(col("id").as("idA"), col("sh").as("shA"))
+    val shB = base.select(col("id").as("idB"), col("sh").as("shB"))
+    pairs.join(shA, "idA").join(shB, "idB")
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))

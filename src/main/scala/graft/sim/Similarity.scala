@@ -44,17 +44,28 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rk"))
   }
 
-  /** Random-hyperplane LSH signature: bit b = sign(v · h_b) with
-    * deterministic pseudo-random hyperplanes derived from xxhash64 of
-    * (seed, dimension) — no RNG state, reproducible across runs/nodes.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * a splitmix64-style integer mix of (bit, dim) — no RNG state, same
+    * plane on every node/run, computed ONCE at plan build time.
+    */
+  private def planeComponent(b: Int, d: Int): Double = {
+    var z = b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z % 1000L).toDouble / 1000.0
+  }
+
+  /** Random-hyperplane LSH signature: bit b = sign(v · h_b). The
+    * hyperplanes are constant literal arrays, so each bit is one
+    * zip_with+aggregate over the vector — a small codegen'd expression
+    * rather than dim×bits scalar terms.
     */
   def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      // h_b[d] = hash(b, d) mapped to [-1, 1]
-      val dot = (0 until dim).map { d =>
-        val h = (xxhash64(lit(b), lit(d)) % 1000L).cast("double") / 1000.0
-        element_at(vec, d + 1) * h
-      }.reduce(_ + _)
+      val plane = array((0 until dim).map(d => lit(planeComponent(b, d))): _*)
+      val dot = aggregate(zip_with(vec, plane, (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1)).otherwise(lit(0)).as(s"bit$b")
     }
     concat_ws("", bits: _*)
