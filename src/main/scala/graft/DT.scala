@@ -212,6 +212,10 @@ object DT {
   def apply(spark: SparkSession, sfDir: String, table: String): DT =
     DT(Tables.load(spark, sfDir, table))
 
+  /** tables() catalog analog (R/tables.R): registered tables w/ metadata. */
+  def tables(spark: SparkSession): DataFrame =
+    spark.sql("SHOW TABLES")
+
   /** rowwiseDT / literal constructor analog. */
   def fromRows(spark: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DT = {
     import scala.jdk.CollectionConverters._

@@ -130,6 +130,49 @@ object QueriesReshapeSet {
              |INTERSECT ALL
              |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
 
+    // ---- cbindlist zip-by-id (R/mergelist.R:1) -------------------------
+    ("q_cbindlist", ((s, dir) => {
+      val names = dt(s, dir, "nation").df.select(col("n_nationkey"), col("n_name"))
+      val counts = dt(s, dir, "customer").df
+        .groupBy(col("c_nationkey").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      Reshape.cbindlist(Seq(names, counts), "n_nationkey")
+    }): Q,
+      Some("""SELECT n.n_nationkey, n.n_name, c.n_cust
+             |FROM nation n
+             |JOIN (SELECT c_nationkey AS n_nationkey, count(*) AS n_cust
+             |      FROM customer GROUP BY 1) c USING (n_nationkey)""".stripMargin)),
+
+    // ---- dcast drop=FALSE (CJ completion of empty key combos) ----------
+    ("q_dcast_complete", ((s, dir) => {
+      val f = dt(s, dir, "lineitem").df.filter(col("l_quantity") > 49)
+        .withColumn("yr", year(col("l_shipdate")).cast("string"))
+      Reshape.dcastComplete(f, Seq("l_returnflag", "l_linestatus"), "yr",
+        "l_quantity", c => round(avg(c), 3), values = Seq("1996", "1997"))
+    }): Q,
+      Some("""WITH f AS (SELECT l_returnflag, l_linestatus,
+             |             year(l_shipdate) AS yr, l_quantity
+             |           FROM lineitem WHERE l_quantity > 49),
+             |d AS (SELECT rf.l_returnflag, ls.l_linestatus
+             |      FROM (SELECT DISTINCT l_returnflag FROM f) rf
+             |      CROSS JOIN (SELECT DISTINCT l_linestatus FROM f) ls)
+             |SELECT d.l_returnflag, d.l_linestatus,
+             |  round(avg(CASE WHEN f.yr = 1996 THEN f.l_quantity END), 3) AS "1996",
+             |  round(avg(CASE WHEN f.yr = 1997 THEN f.l_quantity END), 3) AS "1997"
+             |FROM d LEFT JOIN f
+             |  ON d.l_returnflag = f.l_returnflag AND d.l_linestatus = f.l_linestatus
+             |GROUP BY d.l_returnflag, d.l_linestatus""".stripMargin)),
+
+    // ---- typed Aggregator UDAF (SURVEY.md §2.11) -----------------------
+    ("q_wmean_udaf", ((s, dir) =>
+      dt(s, dir, "lineitem").df
+        .groupBy(col("l_returnflag"))
+        .agg(round(graft.functions.Aggregators.weightedMean(
+          col("l_extendedprice"), col("l_quantity")), 3).as("wm"))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 3) AS wm
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- melt multiple measure groups (R/fmelt.R measure lists) --------
     ("q_melt_multi", ((s, dir) =>
       Reshape.meltMulti(

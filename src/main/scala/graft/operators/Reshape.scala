@@ -106,6 +106,19 @@ object Reshape {
     }
   }
 
+  /** cbindlist() (R/mergelist.R:1): zip tables side-by-side by position.
+    * Distributed tables have no stable row order, so each input must
+    * carry (or be given) an explicit row-id ordering; alignment is an
+    * equi join on that id (SURVEY.md §2.3 cbindlist row — documented
+    * semantic difference from the reference's positional zip).
+    */
+  def cbindlist(dfs: Seq[DataFrame], idCol: String): DataFrame =
+    dfs.reduce { (a, b) =>
+      val clash = b.columns.filter(c => a.columns.contains(c) && c != idCol)
+      val br = clash.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"i_$c"))
+      a.join(br, Seq(idCol), "inner")
+    }
+
   /** transpose() (src/transpose.c): flip a (small) table. Distributed
     * tables have no row order, so an explicit ordering column is
     * required; melt + pivot keeps it in plan land (no collect).
