@@ -70,8 +70,12 @@ object Dedup {
     // Cached: referenced by the banding pass AND both candidate-side
     // shingle fetches — without it Spark recomputes shingles+signature
     // three times. MEMORY_AND_DISK so huge corpora spill, not OOM.
+    // Shingles live as HASH arrays end-to-end (native kernels; exact
+    // Jaccard over 64-bit shingle hashes ≡ string Jaccard up to
+    // negligible collision probability).
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", array_distinct(shingles(col("text"), k)))
+      .withColumn("sh", graft.plans.ShingleHashes(
+        TextFunctions.wsTokens(TextFunctions.normalize(col("text"))), k))
       .withColumn("sig", graft.plans.MinHashSignature(col("sh"), numHashes))
       .drop("text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

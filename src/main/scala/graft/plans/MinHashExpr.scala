@@ -1,20 +1,74 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Native MinHash signature kernel (SURVEY.md §4.2 "custom Expression"
-  * tier): array<string> shingles → array<long> of `numHashes` minima.
+/** Native shingling + MinHash kernels (SURVEY.md §4.2 "custom
+  * Expression" tier). Two single-pass JVM loops replace the interpreted
+  * higher-order-function formulation (transform/slice/array_join ×
+  * numHashes), which dominated dedup runtime ~10:1.
+  */
+
+/** array<string> tokens → array<long> distinct word-k-shingle hashes.
   *
-  * One xxhash64 per shingle; the independent hash family is derived by
-  * affine mixing (h_j = A_j·h + B_j over Z/2^64 — a standard universal
-  * family), so the whole signature is a single tight JVM loop instead of
-  * numHashes interpreted transform+array_min passes. ~20× less work than
-  * the higher-order-function formulation on long documents.
+  * Each token is xxhash64'd ONCE; a k-gram's hash is the polynomial
+  * combination of its token hashes — no shingle strings are ever
+  * built. Matches the reference semantics of word shingles as set
+  * members (src-free: our own extension operator).
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      th(i) = if (s == null) 0L else XxHash64Function.hash(s, StringType, 42L)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (n < k) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) { h = h * 0x100000001B3L + th(j); j += 1 }
+      out += h
+    } else {
+      i = 0
+      while (i + k <= n) {
+        var h = 1125899906842597L
+        var j = i
+        while (j < i + k) { h = h * 0x100000001B3L + th(j); j += 1 }
+        if (seen.add(h)) out += h
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def apply(tokens: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(tokens), k))
+}
+
+/** array<long> shingle hashes → array<long> MinHash signature.
+  *
+  * The independent hash family is derived by affine mixing
+  * (h_j = A_j·h + B_j over Z/2^64, odd A_j ⇒ bijective — a standard
+  * universal family), so the signature is one tight loop per row.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
@@ -22,7 +76,6 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   @transient private lazy val A: Array[Long] = Array.tabulate(numHashes) { j =>
-    // splitmix64 of j → odd multiplier (odd ⇒ bijective mod 2^64)
     var z = j.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -37,18 +90,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
     val n = arr.numElements()
+    var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      if (s != null) {
-        val h = XxHash64Function.hash(s, StringType, 42L)
-        var j = 0
-        while (j < numHashes) {
-          val hj = A(j) * h + B(j)
-          if (hj < mins(j)) mins(j) = hj
-          j += 1
-        }
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val hj = A(j) * h + B(j)
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
       }
       i += 1
     }
@@ -60,11 +110,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 object MinHashSignature {
-  /** Column-level entry: minhash(shingleArray, 32). Uses the classic
-    * Column↔Expression bridge (Spark 4 removed Column.expr).
-    */
-  def apply(shingles: Column, numHashes: Int): Column = {
-    import org.apache.spark.sql.GraftSqlBridge
-    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(shingles), numHashes))
-  }
+  /** Column-level entry over shingle-hash arrays. */
+  def apply(shingleHashes: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSignature(GraftSqlBridge.expression(shingleHashes), numHashes))
 }
