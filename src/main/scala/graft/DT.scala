@@ -120,8 +120,21 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def setIndex(cols: String*): DT = this
 
   // ---- joins (§2.3) ----------------------------------------------------
-  def join(i: DT, on: Seq[String], how: String = "inner"): DT =
-    DT(Joins.equi(df, i.df, on, how))
+  /** Equi join. `nullSafe=true` matches the reference's NA-joins-NA
+    * semantics (src/bmerge.c: NA/NaN are joinable values) via `<=>`;
+    * default follows SQL semantics (null keys never match).
+    */
+  def join(i: DT, on: Seq[String], how: String = "inner",
+           nullSafe: Boolean = false): DT =
+    if (!nullSafe) DT(Joins.equi(df, i.df, on, how))
+    else {
+      val clashes = i.df.columns.filter(c => df.columns.contains(c) && !on.contains(c))
+      val renamed = clashes.foldLeft(i.df)((d, c) => d.withColumnRenamed(c, s"i_$c"))
+      val cond = on.map(c => df(c) <=> renamed(c)).reduce(_ && _)
+      val joined = df.join(renamed, cond, how)
+      // collapse the duplicated join columns like a USING join
+      DT(on.foldLeft(joined)((d, c) => d.drop(renamed(c))))
+    }
 
   def joinExpr(i: DT, cond: Column, how: String = "inner"): DT =
     DT(df.join(i.df, cond, how))

