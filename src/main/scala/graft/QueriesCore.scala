@@ -244,6 +244,62 @@ object QueriesCore {
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
 
+    // ---- lapply(.SD, f) unrolling (R/data.table.R:163-189) -------------
+    // The reference unrolls the column-map closure; here the DSL maps the
+    // aggregate over the .SDcols set at plan-build time — same rewrite.
+    ("q_lapply_sd", ((s, dir) => {
+      val sdcols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      dt(s, dir, "lineitem").df
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(sdcols.head), 3).as(s"sum_${sdcols.head}"),
+          sdcols.tail.map(c => round(sum(c), 3).as(s"sum_$c")): _*)
+    }): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(l_quantity), 3) AS sum_l_quantity,
+             |  round(sum(l_extendedprice), 3) AS sum_l_extendedprice,
+             |  round(sum(l_discount), 3) AS sum_l_discount,
+             |  round(sum(l_tax), 3) AS sum_l_tax
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- shift vector-n with give.names (R/shift.R) --------------------
+    ("q_shift_vector", ((s, dir) => {
+      val w = Seq("o_custkey")
+      val o = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
+      dt(s, dir, "orders").df
+        .withColumn("price_lag_1", Windows.shift(col("o_totalprice"), 1, w, o))
+        .withColumn("price_lag_2", Windows.shift(col("o_totalprice"), 2, w, o))
+        .withColumn("price_lead_1", Windows.shift(col("o_totalprice"), -1, w, o))
+        .select(col("o_orderkey"), col("price_lag_1"), col("price_lag_2"),
+          col("price_lead_1"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  lag(o_totalprice, 1) OVER w AS price_lag_1,
+             |  lag(o_totalprice, 2) OVER w AS price_lag_2,
+             |  lead(o_totalprice, 1) OVER w AS price_lead_1
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    // ---- nafill const (src/nafill.c) -----------------------------------
+    ("q_nafill_const", ((s, dir) =>
+      dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .select(col("event_id"), Funcs.nafill(col("v"), lit(-999.0)).as("filled"))): Q,
+      Some("""SELECT event_id,
+             |  coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+             |           -999.0) AS filled
+             |FROM events""".stripMargin)),
+
+    // ---- head(.SD, k) per group ascending (ghead, src/gsumm.c:1004) ----
+    ("q_head_sd", ((s, dir) =>
+      dt(s, dir, "orders")
+        .topK(Seq("o_orderstatus"),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc), 2)
+        .select(col("o_orderstatus"), col("o_orderkey")).df): Q,
+      Some("""SELECT o_orderstatus, o_orderkey
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+             |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+             |WHERE rn <= 2""".stripMargin)),
+
     // ---- sort + limit (§2.6 forder/head) -------------------------------
     ("q_sort_limit", ((s, dir) =>
       dt(s, dir, "orders")

@@ -99,6 +99,18 @@ object QueriesReshapeSet {
       Some("""SELECT c_nationkey AS nk FROM customer
              |UNION SELECT s_nationkey FROM supplier""".stripMargin)),
 
+    // ---- funion all=TRUE bag union (R/setops.R:91) ---------------------
+    ("q_funion_all", ((s, dir) => {
+      val a = dt(s, dir, "customer").df.select(col("c_nationkey").as("nk"))
+      val b = dt(s, dir, "supplier").df.select(col("s_nationkey").as("nk"))
+      DT(SetOps.funion(a, b, all = true))
+        .groupAgg(Seq(col("nk")), Seq(count(lit(1)).as("n"))).df
+    }): Q,
+      Some("""SELECT nk, count(*) AS n FROM (
+             |  SELECT c_nationkey AS nk FROM customer
+             |  UNION ALL SELECT s_nationkey FROM supplier)
+             |GROUP BY nk""".stripMargin)),
+
     // ---- fintersect (R/setops.R:60) ------------------------------------
     ("q_fintersect", ((s, dir) => {
       val a = dt(s, dir, "customer").df.filter(col("c_acctbal") > 9000)

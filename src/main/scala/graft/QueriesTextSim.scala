@@ -28,6 +28,18 @@ object QueriesTextSim {
              |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
              |FROM documents""".stripMargin)),
 
+    // ---- BPE-ish subword token counting ---------------------------------
+    ("q_bpe_tokens", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.bpeishTokens(col("text")).as("n_subtokens"))): Q,
+      None),
+
+    // ---- rolling-hash document signature (order-sensitive) --------------
+    ("q_rolling_hash", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.rollingHash(col("text")).as("rh"))): Q,
+      None),
+
     // ---- quality scoring ------------------------------------------------
     ("q_quality", ((s, dir) =>
       docs(s, dir)

@@ -33,13 +33,15 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Rolling (polynomial) hash over tokens — an order-sensitive 64-bit
-    * signature (distinct from the bag-of-words fingerprint above):
-    * h = Σ h*31 + xxhash64(token), evaluated left to right.
+  /** Rolling hash over tokens — an order-sensitive 64-bit signature
+    * (distinct from the bag-of-words fingerprint above):
+    * h' = rotl(h, 5) XOR xxhash64(token), left to right. Pure bitwise
+    * ops, so it cannot hit ANSI-mode arithmetic overflow.
     */
   def rollingHash(text: Column): Column =
     aggregate(wsTokens(text), lit(0L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+      (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(t)))
 
   /** Quality-score feature family (length / punctuation / stopword
     * ratios), one struct column. Thresholding is left to the caller.
