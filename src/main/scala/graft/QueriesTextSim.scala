@@ -137,6 +137,20 @@ object QueriesTextSim {
     }): Q,
       None),
 
+    // ---- IVF coarse quantization (ANN scale path #2; rows-only) --------
+    ("q_ann_ivf", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      // Deterministic centroids: the 4 lowest vec_ids (tiny driver-side
+      // collect; a real pipeline would sample+kmeans upstream).
+      val centroids = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      Similarity.ivfAssign(e, "embedding", centroids)
+        .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
+    }): Q,
+      None),
+
     // ---- multimodal-ish: opaque binary metadata -------------------------
     ("q_binary_meta", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
