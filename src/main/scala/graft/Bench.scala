@@ -25,15 +25,24 @@ object Bench {
     // Warmup: touch every table's footer + JIT the scan path.
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // db-benchmark convention: two runs per query, report the second
+    // (steady-state) — the first run is dominated by per-query-shape
+    // whole-stage-codegen JIT, not execution.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = timeOnce(fn)
+      val warm = timeOnce(fn)
+      (name, cold, warm)
+    }
+    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","run":"second-of-two","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
