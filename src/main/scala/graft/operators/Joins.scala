@@ -198,6 +198,24 @@ object Joins {
     y.columns.filter(c => x.columns.contains(c) && !keep.contains(c))
       .foldLeft(y)((d, c) => d.withColumnRenamed(c, s"i_$c"))
 
+  /** mergelist / setmergelist (R/mergelist.R:260-352): fold a list of
+    * tables with one join spec per step (left/inner/full/right/semi/
+    * anti/cross). Catalyst reorders/broadcasts each step from stats.
+    */
+  def mergelist(dfs: Seq[DataFrame], on: Seq[String],
+                how: Seq[String]): DataFrame = {
+    require(dfs.size >= 2 && how.size == dfs.size - 1,
+      "mergelist: need N tables and N-1 join kinds")
+    dfs.tail.zip(how).foldLeft(dfs.head) { case (acc, (next, h)) =>
+      h match {
+        case "cross" => acc.crossJoin(next)
+        case "semi"  => acc.join(next, on, "left_semi")
+        case "anti"  => acc.join(next, on, "left_anti")
+        case other   => equi(acc, next, on, other)
+      }
+    }
+  }
+
   /** allow.cartesian guard (R/data.table.R:925-935): pre-flight
     * cardinality check — estimate the join explosion from per-key counts
     * and refuse beyond `maxRatio`. Cheap (two partial aggregations) and

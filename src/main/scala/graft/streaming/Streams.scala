@@ -61,4 +61,41 @@ object Streams {
   def enrich(stream: DataFrame, dim: DataFrame, on: Seq[String],
              how: String = "left"): DataFrame =
     stream.join(broadcast(dim), on, how)
+
+  // ---- stateful as-of enrichment (flatMapGroupsWithState) --------------
+
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                event_type: String, value: Double)
+  case class EnrichedEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                        event_type: String, value: Double,
+                        last_match: Option[Double])
+
+  /** Streaming as-of (LOCF) enrichment: for every event of
+    * `probeType`, attach the latest prior `refType` value of the same
+    * user — the streaming twin of `Joins.asof(..., Locf)`. Custom state
+    * = one Double per user, sharded across executors by the group key
+    * (SURVEY.md §2.12). Events are ordered within each micro-batch;
+    * state carries the prevailing value across batches.
+    */
+  def asofEnrichStream(events: org.apache.spark.sql.Dataset[Ev],
+                       refType: String, probeType: String)
+      : org.apache.spark.sql.Dataset[EnrichedEv] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, EnrichedEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Double]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last: Option[Double] = state.getOption
+          val out = sorted.flatMap { e =>
+            if (e.event_type == refType) { last = Some(e.value); None }
+            else if (e.event_type == probeType)
+              Some(EnrichedEv(e.event_id, e.user_id, e.ts, e.event_type, e.value, last))
+            else None
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -437,3 +437,55 @@ class StreamingMoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Stateful streaming as-of == batch as-of join (strong equivalence). */
+class StatefulStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.streaming.Streams
+  import graft.operators.Joins
+
+  test("flatMapGroupsWithState as-of enrichment matches batch asof join") {
+    val batchEv = Tables.load(spark, SparkTestSession.sfDir, "events").limit(600)
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    batchEv.write.mode("overwrite").parquet(dir)
+
+    // Batch truth: asof LOCF purchase→click on the same rows.
+    val stored = spark.read.parquet(dir)
+    val purchases = stored.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value".as("last_match"))
+    val clicks = stored.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val expected = Joins.asof(purchases, clicks, Seq("user_id"), "ts",
+      Joins.Locf, Seq("last_match"))
+      .select($"event_id", $"last_match").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    // Streaming: single-batch read (one file group) through the
+    // stateful enrichment.
+    val schema = stored.schema
+    val stream = Streams.readParquetStream(spark, dir, schema,
+      maxFilesPerTrigger = 100)   // all files in one micro-batch
+      .as[Streams.Ev]
+    val q = Streams.asofEnrichStream(stream, "purchase", "click")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_state_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, last_match FROM asof_state_out")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got.keySet == expected.keySet)
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("mergelist fold applies per-step join kinds") {
+    val a = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "va")
+    val b = Seq((1, "x"), (2, "y")).toDF("k", "vb")
+    val c = Seq(Tuple1(1)).toDF("k")
+    val out = Joins.mergelist(Seq(a, b, c), Seq("k"), Seq("left", "semi"))
+    assert(out.select($"k").as[Int].collect().toSeq == Seq(1))
+    val anti = Joins.mergelist(Seq(a, c), Seq("k"), Seq("anti"))
+    assert(anti.select($"k").as[Int].collect().toSet == Set(2, 3))
+  }
+}
