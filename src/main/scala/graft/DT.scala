@@ -229,6 +229,29 @@ object DT {
   def tables(spark: SparkSession): DataFrame =
     spark.sql("SHOW TABLES")
 
+  /** CJ(...) (src/cj.c): sorted cartesian product of literal vectors —
+    * the join-table constructor. Lowered to crossJoin of literal
+    * DataFrames + orderBy (tiny inputs by construction).
+    */
+  def CJ(spark: SparkSession, vectors: (String, Seq[Any])*): DT = {
+    import scala.jdk.CollectionConverters._
+    val dfs = vectors.map { case (name, vals) =>
+      val rows = vals.map(v => org.apache.spark.sql.Row(v)).asJava
+      val dt = vals.head match {
+        case _: Int => org.apache.spark.sql.types.IntegerType
+        case _: Long => org.apache.spark.sql.types.LongType
+        case _: Double => org.apache.spark.sql.types.DoubleType
+        case _ => org.apache.spark.sql.types.StringType
+      }
+      spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name, dt))))
+    }
+    val crossed = dfs.reduce(_.crossJoin(_))
+    DT(crossed.orderBy(vectors.map(v => org.apache.spark.sql.functions.col(v._1)): _*),
+      vectors.map(_._1))
+  }
+
   /** rowwiseDT / literal constructor analog. */
   def fromRows(spark: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DT = {
     import scala.jdk.CollectionConverters._

@@ -489,3 +489,36 @@ class StatefulStreamSpec extends AnyFunSuite {
     assert(anti.select($"k").as[Int].collect().toSet == Set(2, 3))
   }
 }
+
+/** Key reuse, CJ constructor, cartesian guard. */
+class KeyReuseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("keyBy partitioning is reused: groupBy on the key adds no second exchange") {
+    val keyed = DT(Tables.load(spark, SparkTestSession.sfDir, "orders"))
+      .keyBy("o_custkey")
+    val agg = keyed.df.groupBy($"o_custkey").agg(sum($"o_totalprice"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // exactly the keyBy's own range exchange; aggregation reuses it
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("CJ: sorted cross product of literal vectors") {
+    val cj = DT.CJ(spark, "a" -> Seq(1, 2), "b" -> Seq("x", "y"))
+    val rows = cj.df.as[(Int, String)].collect()
+    assert(rows.toSeq == Seq((1, "x"), (1, "y"), (2, "x"), (2, "y")))
+    assert(cj.key == Seq("a", "b"))
+  }
+
+  test("cartesianGuard rejects explosive joins, passes sane ones") {
+    val x = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val i = Seq((1, "p"), (1, "q")).toDF("k", "w")
+    graft.operators.Joins.cartesianGuard(x, i, Seq("k"), maxRows = 10) // 2*2=4 ok
+    intercept[IllegalArgumentException] {
+      graft.operators.Joins.cartesianGuard(x, i, Seq("k"), maxRows = 3)
+    }
+  }
+}
