@@ -166,6 +166,19 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def unique(cols: String*): DT =
     if (cols.isEmpty) DT(df.distinct()) else DT(df.dropDuplicates(cols.toSeq))
 
+  /** duplicated() (R/duplicated.R:26): flag every row after the first
+    * occurrence of its `cols` values, "first" defined by `order`.
+    * anyDuplicated = does such a row exist.
+    */
+  def duplicated(cols: Seq[String], order: Seq[Column], flag: String = "dup"): DT =
+    DT(Windows.rowid(df, cols, order, "_graft_occ")
+      .withColumn(flag, col("_graft_occ") > 1)
+      .drop("_graft_occ"), key)
+
+  def anyDuplicated(cols: String*): Boolean =
+    df.groupBy(cols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count() > 0
+
   def uniqueN(cols: String*): Long =
     (if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols.toSeq)).count()
 

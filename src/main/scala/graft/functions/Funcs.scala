@@ -80,6 +80,11 @@ object Funcs {
   def yearqtr(c: Column): Column = year(c) + (quarter(c) - 1) / lit(4.0)
   /** round.IDate-style truncation to week/month/quarter/year starts. */
   def roundDate(c: Column, unit: String): Column = date_trunc(unit, c)
+  /** ITime analog (R/IDateTime.R:175): seconds since midnight. */
+  def itime(c: Column): Column =
+    hour(c) * 3600 + minute(c) * 60 + second(c)
+  /** as.IDate on a timestamp. */
+  def idate(c: Column): Column = to_date(c)
 
   // ---- misc vector ops (src/vecseq.c, src/init.c) ---------------------
 

@@ -46,6 +46,43 @@ object Reshape {
         measureGroups.keys.toSeq.map(k => col(s"_m.$k").as(k)): _*)
   }
 
+  /** melt(measure.vars = patterns(...)) (R/fmelt.R:15): select measure
+    * columns by regex instead of listing them.
+    */
+  def meltPatterns(df: DataFrame, idVars: Seq[String], pattern: String,
+                   variableName: String = "variable",
+                   valueName: String = "value"): DataFrame = {
+    val re = pattern.r
+    val measures = df.columns.filter(c => re.findFirstIn(c).isDefined).toSeq
+    require(measures.nonEmpty, s"patterns('$pattern') matched no columns")
+    melt(df, idVars, measures, variableName, valueName)
+  }
+
+  /** melt(measure.vars = measure(sep=)) (R/fmelt.R:32-64): split measure
+    * column names on `sep` into (value-name, dimension) — e.g. columns
+    * a_1, a_2, b_1, b_2 melt to value columns (a, b) with a `dim`
+    * column of 1/2. The positional zip is by the suffix dimension.
+    */
+  def meltMeasureSep(df: DataFrame, idVars: Seq[String], sep: String,
+                     dimName: String = "dim"): DataFrame = {
+    val measureCols = df.columns.filterNot(idVars.contains).toSeq
+    val parsed = measureCols.map { c =>
+      val i = c.lastIndexOf(sep)
+      require(i > 0, s"column $c has no '$sep' separator")
+      (c.substring(0, i), c.substring(i + sep.length), c)
+    }
+    val dims = parsed.map(_._2).distinct.sorted
+    val valueNames = parsed.map(_._1).distinct
+    val structs = dims.map { d =>
+      val byName = parsed.filter(_._2 == d).map(p => p._1 -> p._3).toMap
+      struct((lit(d).as(dimName) +: valueNames.map(v =>
+        byName.get(v).map(col).getOrElse(lit(null)).as(v))): _*)
+    }
+    df.select((idVars.map(col) :+ explode(array(structs: _*)).as("_m")): _*)
+      .select((idVars.map(col) :+ col(s"_m.$dimName").as(dimName)) ++
+        valueNames.map(v => col(s"_m.$v").as(v)): _*)
+  }
+
   /** dcast() (R/fcast.R:11): long → wide pivot. When `values` is given
     * Spark skips the extra distinct-values job — always pass it at scale.
     * drop=FALSE (keep empty key combos) is [[dcastComplete]].

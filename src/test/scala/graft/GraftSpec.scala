@@ -522,3 +522,52 @@ class KeyReuseSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Reshape variants, overlap types, duplicated, ITime. */
+class ReshapeMoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.{Joins, Reshape}
+  import org.apache.spark.sql.functions._
+
+  test("meltPatterns selects measures by regex") {
+    val df = Seq((1, 2.0, 3.0, "x")).toDF("id", "m_a", "m_b", "other")
+    val out = Reshape.meltPatterns(df, Seq("id"), "^m_")
+    assert(out.columns.toSeq == Seq("id", "variable", "value"))
+    assert(out.count() == 2)
+  }
+
+  test("meltMeasureSep splits col names into value groups × dimension") {
+    val df = Seq((1, 10.0, 20.0, 1.0, 2.0)).toDF("id", "a_1", "a_2", "b_1", "b_2")
+    val out = Reshape.meltMeasureSep(df, Seq("id"), "_")
+      .orderBy($"dim").select($"dim", $"a", $"b").as[(String, Double, Double)].collect()
+    assert(out.toSeq == Seq(("1", 10.0, 1.0), ("2", 20.0, 2.0)))
+  }
+
+  test("foverlaps types: within / start / equal") {
+    val x = Seq((1, 5, 10), (2, 0, 100)).toDF("xid", "xs", "xe")
+    val y = Seq((10, 4, 12), (20, 5, 10), (30, 50, 60)).toDF("yid", "ys", "ye")
+    def ids(t: String) = Joins.overlap(x, y, Nil, "xs", "xe", "ys", "ye", t)
+      .select($"xid", $"yid").as[(Int, Int)].collect().toSet
+    assert(ids("within") == Set((1, 10), (1, 20)))          // x inside y
+    assert(ids("start") == Set((1, 20)))                    // same start
+    assert(ids("equal") == Set((1, 20)))                    // same both
+    assert(ids("any").contains((2, 30)))                    // plain overlap
+  }
+
+  test("duplicated / anyDuplicated flag later occurrences") {
+    val d = DT(Seq((1, "a"), (2, "a"), (3, "b")).toDF("rid", "k"))
+    val flags = d.duplicated(Seq("k"), Seq($"rid".asc))
+      .df.orderBy($"rid").select($"dup").as[Boolean].collect()
+    assert(flags.toSeq == Seq(false, true, false))
+    assert(d.anyDuplicated("k"))
+    assert(!d.anyDuplicated("rid"))
+  }
+
+  test("itime: seconds since midnight") {
+    val df = Seq("2024-01-01 01:02:03").toDF("s")
+      .select(to_timestamp($"s").as("ts"))
+    val out = df.select(graft.functions.Funcs.itime($"ts")).as[Int].head()
+    assert(out == 3723)
+  }
+}
