@@ -213,6 +213,16 @@ object QueriesCore {
              |  round(sum(o_totalprice), 3) AS rev, count(*) AS n
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- setkey + keyed pipeline (R/setkey.R; key reuse §4.1) ----------
+    // keyBy range-partitions + sorts; the follow-on groupBy reuses that
+    // clustering (no second exchange — proven in KeyReuseSpec).
+    ("q_keyed_pipeline", ((s, dir) =>
+      dt(s, dir, "orders").keyBy("o_custkey")
+        .groupAgg(Seq(col("o_custkey")),
+          Seq(round(sum(col("o_totalprice")), 3).as("spend"), count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT o_custkey, round(sum(o_totalprice), 3) AS spend, count(*) AS n
+             |FROM orders GROUP BY o_custkey""".stripMargin)),
+
     // ---- rollup + grouping_id (R/groupingsets.R) -----------------------
     ("q_rollup", ((s, dir) =>
       dt(s, dir, "orders").df

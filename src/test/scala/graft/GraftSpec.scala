@@ -571,3 +571,36 @@ class ReshapeMoreSpec extends AnyFunSuite {
     assert(out == 3723)
   }
 }
+
+/** Empty-input robustness across composite operators. */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.{Joins, Reshape}
+
+  test("asof with empty reference side yields all-null values") {
+    val x = Seq.empty[(Int, Long, Double)].toDF("g", "t", "v")
+    val i = Seq((1, 10L, "a")).toDF("g", "t", "id")
+    val out = Joins.asof(x, i, Seq("g"), "t", Joins.Locf, Seq("v"))
+    assert(out.count() == 1 && out.filter($"v".isNull).count() == 1)
+  }
+
+  test("asof with empty probe side yields empty result") {
+    val x = Seq((1, 10L, 1.0)).toDF("g", "t", "v")
+    val i = Seq.empty[(Int, Long, String)].toDF("g", "t", "id")
+    assert(Joins.asof(x, i, Seq("g"), "t", Joins.Locf, Seq("v")).count() == 0)
+  }
+
+  test("melt/rbindlist of empty frames keep schema") {
+    val e = Seq.empty[(Int, Double, Double)].toDF("id", "a", "b")
+    val m = Reshape.melt(e, Seq("id"), Seq("a", "b"))
+    assert(m.count() == 0 && m.columns.toSeq == Seq("id", "variable", "value"))
+    val r = Reshape.rbindlist(Seq(e, e), fill = true)
+    assert(r.count() == 0)
+  }
+
+  test("minhashPairs on empty corpus returns empty") {
+    val e = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.minhashPairs(e, "doc_id", "text").count() == 0)
+  }
+}
