@@ -29,6 +29,7 @@ object Fread {
       dec: String = ".",
       encoding: String = "UTF-8",
       tz: String = "UTC",
+      multiLine: Boolean = false,       // quoted fields w/ embedded newlines
       compression: String = "auto")     // gz/bz2 handled by codec auto-detect
 
   /** Sniff the separator from the first non-skipped line (driver-side,
@@ -62,8 +63,8 @@ object Fread {
       .option("encoding", opts.encoding)
       .option("timeZone", opts.tz)
       .option("mode", "PERMISSIVE")
+      .option("multiLine", opts.multiLine)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-    if (opts.skip > 0) r = r.option("skipLines", opts.skip)
     r = opts.header match {
       case "auto" | "true" => r.option("header", true)
       case _               => r.option("header", false)
@@ -73,7 +74,15 @@ object Fread {
       case None         => r.option("inferSchema", true)
     }
     if (opts.fill) r = r.option("mode", "PERMISSIVE")
-    var df = r.csv(path)
+    // skip= has no Spark CSV option: drop the first N physical lines via
+    // a text pre-pass (zipWithIndex follows file order), then parse the
+    // remaining lines as CSV.
+    var df =
+      if (opts.skip > 0) {
+        val lines = spark.read.textFile(path).rdd.zipWithIndex()
+          .filter(_._2 >= opts.skip).map(_._1)
+        r.csv(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+      } else r.csv(path)
     if (opts.select.nonEmpty)
       df = df.select(opts.select.map(df.col): _*)
     if (opts.drop.nonEmpty)

@@ -604,3 +604,87 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.minhashPairs(e, "doc_id", "text").count() == 0)
   }
 }
+
+/** fread pathological-CSV classes (FIXTURES.md §3) + NaN/Inf join keys
+  * (FIXTURES.md §2, src/bmerge.c:10-12 semantics).
+  */
+class FreadEdgeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.sources.Fread
+  import org.apache.spark.sql.functions._
+
+  private def writeFile(name: String, content: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_csv_edge")
+    val p = d.resolve(name)
+    java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("quoted field with embedded newline and separator (multiLine)") {
+    val p = writeFile("quoted.csv",
+      "id,txt\n1,\"hello, world\"\n2,\"line1\nline2\"\n")
+    val df = Fread.fread(spark, p, Fread.FreadOptions(sep = ",", multiLine = true))
+    assert(df.count() == 2)
+    val txt = df.filter($"id" === 2).select($"txt").as[String].head()
+    assert(txt == "line1\nline2")
+  }
+
+  test("CRLF line endings parse identically to LF") {
+    val p = writeFile("crlf.csv", "a,b\r\n1,x\r\n2,y\r\n")
+    val df = Fread.fread(spark, p)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("UTF-8 BOM does not corrupt the header") {
+    val p = writeFile("bom.csv", "﻿a,b\n1,x\n")
+    val df = Fread.fread(spark, p)
+    assert(df.columns.contains("a") || df.columns.head.endsWith("a"))
+    assert(df.count() == 1)
+  }
+
+  test("ragged rows: missing trailing fields fill with null (fill=TRUE)") {
+    val p = writeFile("ragged.csv", "a,b,c\n1,x,9\n2,y\n3\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.IntegerType)))
+    val df = Fread.fread(spark, p,
+      Fread.FreadOptions(colClasses = Some(schema), fill = true))
+    assert(df.count() == 3)
+    assert(df.filter($"a" === 2).select($"c").head().isNullAt(0))
+    assert(df.filter($"a" === 3).select($"b").head().isNullAt(0))
+  }
+
+  test("na.strings: custom NA token becomes null") {
+    val p = writeFile("na.csv", "a,b\n1,NA\n2,ok\n")
+    val df = Fread.fread(spark, p, Fread.FreadOptions(naStrings = Seq("NA")))
+    assert(df.filter($"a" === 1).select($"b").head().isNullAt(0))
+  }
+
+  test("skip leading garbage lines") {
+    val p = writeFile("skip.csv", "garbage line\nanother\na,b\n1,x\n")
+    val df = Fread.fread(spark, p, Fread.FreadOptions(skip = 2))
+    assert(df.columns.toSeq == Seq("a", "b") && df.count() == 1)
+  }
+
+  test("late type change caught by full-scan inference (type-bump parity)") {
+    // int-looking for many rows, then a double late in the file
+    val rows = (1 to 100).map(i => s"$i").mkString("\n")
+    val p = writeFile("bump.csv", s"x\n$rows\n3.5\n")
+    val df = Fread.fread(spark, p)
+    assert(df.schema("x").dataType.typeName == "double")
+    assert(df.count() == 101)
+  }
+
+  test("NaN and Inf are joinable values (reference bmerge semantics)") {
+    val x = Seq((Double.NaN, "nan"), (Double.PositiveInfinity, "inf"), (1.0, "one"))
+      .toDF("k", "xv")
+    val i = Seq(Double.NaN, Double.PositiveInfinity, 1.0).toDF("k")
+    // Spark normalizes NaN in join keys — matches reference's NaN-joins-NaN
+    val out = DT(x).join(DT(i), Seq("k"), "inner").df
+    assert(out.count() == 3)
+    val g = x.groupBy($"k").count()
+    assert(g.count() == 3)  // NaN groups as one key too
+  }
+}
