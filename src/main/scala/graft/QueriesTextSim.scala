@@ -169,6 +169,26 @@ object QueriesTextSim {
              |  count(*) AS n, round(sum(value), 3) AS v
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- JSON column extraction (SURVEY.md §2.9 json family) ------------
+    ("q_json_props", ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))): Q,
+      Some("""SELECT CAST(props->>'k' AS BIGINT) AS k, count(*) AS n
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- grouped list aggregation (dogroups list-column result) ---------
+    // The reference's `list(unique(x))` per group (benchmark.Rraw:18-23
+    // fixture shape) — sorted for cross-engine determinism.
+    ("q_collect_agg", ((s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+          count(lit(1)).as("n"))): Q,
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+             |  count(*) AS n
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // ---- fread/fwrite CSV roundtrip (SURVEY.md §2.1) --------------------
     ("q_fread_roundtrip", ((s, dir) => {
       val out = s"/tmp/graft_fread_rt"
