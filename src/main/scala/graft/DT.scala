@@ -221,6 +221,18 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       f: (K, Iterator[org.apache.spark.sql.Row]) => IterableOnce[OUT]): org.apache.spark.sql.Dataset[OUT] =
     df.groupByKey(keyFn).flatMapGroups((k, it) => f(k, it).iterator)
 
+  /** cogroup (the `.iSD`/`.xSD` analog, src/dogroups.c:120-190): an
+    * arbitrary closure over BOTH sides' rows of each key — the general
+    * form of by=.EACHI when the computation can't be expressed as
+    * join+agg.
+    */
+  def cogroup[K: org.apache.spark.sql.Encoder, OUT: org.apache.spark.sql.Encoder](
+      other: DT)(xKey: org.apache.spark.sql.Row => K, iKey: org.apache.spark.sql.Row => K)(
+      f: (K, Iterator[org.apache.spark.sql.Row], Iterator[org.apache.spark.sql.Row]) => IterableOnce[OUT])
+      : org.apache.spark.sql.Dataset[OUT] =
+    df.groupByKey(xKey).cogroup(other.df.groupByKey(iKey))(
+      (k, xs, is) => f(k, xs, is).iterator)
+
   // ---- misc ------------------------------------------------------------
   def N: Long = df.count()
   def nrow: Long = df.count()

@@ -688,3 +688,31 @@ class FreadEdgeSpec extends AnyFunSuite {
     assert(g.count() == 3)  // NaN groups as one key too
   }
 }
+
+/** frollapply via custom Aggregator over a window frame + cogroup. */
+class UdafWindowSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  test("custom Aggregator runs as a rolling window function (frollapply tier)") {
+    val df = Seq((1, 1, 2.0), (1, 2, 3.0), (1, 3, 4.0)).toDF("g", "o", "v")
+    val w = Window.partitionBy($"g").orderBy($"o").rowsBetween(-1, 0)
+    val out = df.withColumn("rollprod",
+        graft.functions.Aggregators.prodAgg($"v").over(w))
+      .orderBy($"o").select($"rollprod").as[Double].collect()
+    assert(out.toSeq == Seq(2.0, 6.0, 12.0))
+  }
+
+  test("cogroup: arbitrary closure over both sides per key (.iSD/.xSD)") {
+    val x = DT(Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("k", "xv"))
+    val i = DT(Seq((1, 100.0), (3, 7.0)).toDF("k", "iv"))
+    val out = x.cogroup(i)(_.getInt(0), _.getInt(0)) { (k, xs, is) =>
+      val xsum = xs.map(_.getDouble(1)).sum
+      val isum = is.map(_.getDouble(1)).sum
+      Seq((k, xsum, isum))
+    }.toDF("k", "xsum", "isum").orderBy($"k").as[(Int, Double, Double)].collect()
+    assert(out.toSeq == Seq((1, 30.0, 100.0), (2, 5.0, 0.0), (3, 0.0, 7.0)))
+  }
+}
