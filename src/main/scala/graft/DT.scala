@@ -146,8 +146,9 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   /** mult="first"|"last" (src/bmerge.c:32): keep one matching x row per
     * probe row, ordered by `order` within the match group.
     */
-  def joinMult(i: DT, on: Seq[String], mult: String, order: Seq[Column]): DT =
-    DT(Joins.mult(df, i.df, on, mult, order))
+  def joinMult(i: DT, on: Seq[String], mult: String, order: Seq[Column],
+               probeUnique: Boolean = false): DT =
+    DT(Joins.mult(df, i.df, on, mult, order, probeUnique))
 
   /** Rolling / as-of join (roll=, src/bmerge.c:13-17). */
   def asofJoin(i: DT, by: Seq[String], on: String,

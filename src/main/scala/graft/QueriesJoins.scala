@@ -87,7 +87,8 @@ object QueriesJoins {
       dt(s, dir, "lineitem")
         .joinMult(dt(s, dir, "orders").selectNames("o_orderkey", "o_orderpriority")
             .setNames("o_orderkey" -> "l_orderkey"),
-          Seq("l_orderkey"), "first", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+          Seq("l_orderkey"), "first", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          probeUnique = true)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("o_orderpriority")).df): Q,
       Some("""SELECT o_orderkey AS l_orderkey, l_linenumber, l_partkey, o_orderpriority
@@ -102,7 +103,8 @@ object QueriesJoins {
       dt(s, dir, "lineitem")
         .joinMult(dt(s, dir, "orders").selectNames("o_orderkey")
             .setNames("o_orderkey" -> "l_orderkey"),
-          Seq("l_orderkey"), "last", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+          Seq("l_orderkey"), "last", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          probeUnique = true)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).df): Q,
       Some("""SELECT o_orderkey AS l_orderkey, l_linenumber, l_partkey
              |FROM (SELECT o.o_orderkey, l.l_linenumber, l.l_partkey, row_number() OVER

@@ -34,16 +34,27 @@ object Joins {
     * [[assertNoDup]].
     */
   def mult(x: DataFrame, i: DataFrame, on: Seq[String], mult: String,
-           order: Seq[Column]): DataFrame = {
+           order: Seq[Column], probeUnique: Boolean = false): DataFrame = {
     require(mult == "first" || mult == "last", s"mult=$mult")
-    val probeId = "_graft_probe_id"
-    val iId = i.withColumn(probeId, monotonically_increasing_id())
-    val joined = equi(x, iId, on, "right")
     val ord = if (mult == "first") order.map(_.asc) else order.map(_.desc)
-    val w = Window.partitionBy(col(probeId)).orderBy(ord: _*)
-    joined.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn", probeId)
+    if (probeUnique) {
+      // Probe rows are unique on the join keys: window by the keys
+      // themselves — the join's hash partitioning feeds the window sort
+      // directly, no generated probe id travels through the shuffle.
+      val joined = equi(x, i, on, "right")
+      val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      joined.withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1)
+        .drop("_graft_rn")
+    } else {
+      val probeId = "_graft_probe_id"
+      val iId = i.withColumn(probeId, monotonically_increasing_id())
+      val joined = equi(x, iId, on, "right")
+      val w = Window.partitionBy(col(probeId)).orderBy(ord: _*)
+      joined.withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") === 1)
+        .drop("_graft_rn", probeId)
+    }
   }
 
   /** mult="error": fail when any probe row matches more than one x row. */
@@ -151,11 +162,32 @@ object Joins {
     */
   def overlap(x: DataFrame, y: DataFrame, by: Seq[String],
               xStart: String, xEnd: String, yStart: String, yEnd: String,
-              typ: String = "any"): DataFrame = {
-    val yy = disambiguate(x, y, by)
-    val cond = overlapCond(x, yy, xStart, xEnd, yStart, yEnd, typ)
-    val full = by.map(b => x(b) === yy(b)).foldRight(cond)(_ && _)
-    x.join(yy, full, "inner")
+              typ: String = "any", autoBin: Boolean = true): DataFrame = {
+    if (by.isEmpty && autoBin) {
+      // No equi keys ⇒ the naive plan is a broadcast-nested-loop join
+      // (quadratic). Route through the binned equi join with a bin
+      // width estimated from the median interval lengths (two tiny
+      // stats jobs at plan-build time — cheap insurance at any scale).
+      val w = estimateBinWidth(x, xStart, xEnd, y, yStart, yEnd)
+      overlapBinned(x, y, by, xStart, xEnd, yStart, yEnd, w, typ)
+    } else {
+      val yy = disambiguate(x, y, by)
+      val cond = overlapCond(x, yy, xStart, xEnd, yStart, yEnd, typ)
+      val full = by.map(b => x(b) === yy(b)).foldRight(cond)(_ && _)
+      x.join(yy, full, "inner")
+    }
+  }
+
+  /** Bin width for [[overlapBinned]]: max of the two sides' median
+    * interval lengths (wider side dominates the per-interval bin
+    * count), floored at 1.
+    */
+  def estimateBinWidth(x: DataFrame, xs: String, xe: String,
+                       y: DataFrame, ys: String, ye: String): Long = {
+    def med(df: DataFrame, s: String, e: String): Double =
+      df.select((col(e).cast("double") - col(s).cast("double")).as("len"))
+        .stat.approxQuantile("len", Array(0.5), 0.05).headOption.getOrElse(1.0)
+    math.max(1L, math.ceil(math.max(med(x, xs, xe), med(y, ys, ye))).toLong)
   }
 
   /** Scale path for overlap joins with few/no `by` keys: explode each
