@@ -88,8 +88,16 @@ object Joins {
     * lookups; skewed `by` keys are handled by AQE. Semantics follow
     * src/bmerge.c:13-17 (exact match preferred, then roll).
     */
+  /** rollends (R/data.table.R:597-607): (fillStartEdge, fillEndEdge).
+    * For LOCF the end edge "rolls" by nature, so the knobs mean:
+    * `_1` = also fill probes BEFORE the first x row (from the first x),
+    * `_2` = allow filling probes AFTER the last x row (default true).
+    * The reference's defaults: roll=+Inf → (false, true); roll=-Inf →
+    * (true, false) — mirrored in [[asof]]'s defaults per direction.
+    */
   def asof(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
-           roll: Roll, valueColsIn: Seq[String] = Nil): DataFrame = {
+           roll: Roll, valueColsIn: Seq[String] = Nil,
+           rollends: Option[(Boolean, Boolean)] = None): DataFrame = {
     val valueCols =
       if (valueColsIn.nonEmpty) valueColsIn
       else x.columns.filterNot(c => by.contains(c) || c == on).toSeq
@@ -124,13 +132,46 @@ object Joins {
 
     val result = roll match {
       case Locf =>
-        val f = filled(u, wBack, last(_, ignoreNulls = true), "_b")
-        f.filter(col(tag) === 1)
-          .select((iCols.map(col) ++ valueCols.map(v => col(v + "_b").as(v))): _*)
+        val (reStart, reEnd) = rollends.getOrElse((false, true))
+        if (!reStart && reEnd) {
+          val f = filled(u, wBack, last(_, ignoreNulls = true), "_b")
+          f.filter(col(tag) === 1)
+            .select((iCols.map(col) ++ valueCols.map(v => col(v + "_b").as(v))): _*)
+        } else {
+          // need both directions to detect/fill the edges
+          val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
+                         wFwd, first(_, ignoreNulls = true), "_f")
+          val beforeFirst = col(onX + "_b").isNull   // no x at or before probe
+          val afterLast = col(onX + "_f").isNull     // no x at or after probe
+          f.filter(col(tag) === 1)
+            .select((iCols.map(col) ++ valueCols.map { v =>
+              val base = col(v + "_b")
+              val withStart = if (reStart) when(beforeFirst, col(v + "_f")).otherwise(base) else base
+              val withEnd = if (reEnd) withStart
+                            else when(afterLast && !beforeFirst, lit(null)).otherwise(withStart)
+              withEnd.as(v)
+            }): _*)
+        }
       case Nocb =>
-        val f = filled(u, wFwd, first(_, ignoreNulls = true), "_f")
-        f.filter(col(tag) === 1)
-          .select((iCols.map(col) ++ valueCols.map(v => col(v + "_f").as(v))): _*)
+        val (reStart, reEnd) = rollends.getOrElse((true, false))
+        if (reStart && !reEnd) {
+          val f = filled(u, wFwd, first(_, ignoreNulls = true), "_f")
+          f.filter(col(tag) === 1)
+            .select((iCols.map(col) ++ valueCols.map(v => col(v + "_f").as(v))): _*)
+        } else {
+          val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
+                         wFwd, first(_, ignoreNulls = true), "_f")
+          val beforeFirst = col(onX + "_b").isNull
+          val afterLast = col(onX + "_f").isNull
+          f.filter(col(tag) === 1)
+            .select((iCols.map(col) ++ valueCols.map { v =>
+              val base = col(v + "_f")
+              val withEnd = if (reEnd) when(afterLast, col(v + "_b")).otherwise(base) else base
+              val withStart = if (reStart) withEnd
+                              else when(beforeFirst && !afterLast, lit(null)).otherwise(withEnd)
+              withStart.as(v)
+            }): _*)
+        }
       case Limit(lim) =>
         val f = filled(u, wBack, last(_, ignoreNulls = true), "_b")
         val within = col(on).cast("double") - col(onX + "_b").cast("double") <= lit(lim)

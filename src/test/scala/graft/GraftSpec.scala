@@ -716,3 +716,49 @@ class UdafWindowSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 30.0, 100.0), (2, 5.0, 0.0), (3, 0.0, 7.0)))
   }
 }
+
+/** rollends variants for the as-of join (R/data.table.R:597-607). */
+class RollendsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.Joins
+
+  val x = Seq((1, 10L, 100.0), (1, 20L, 200.0)).toDF("g", "t", "v")
+  // probes: before-first (5), between (15), after-last (25)
+  val i = Seq((1, 5L, "pre"), (1, 15L, "mid"), (1, 25L, "post")).toDF("g", "t", "id")
+
+  def run(roll: Joins.Roll, re: Option[(Boolean, Boolean)]) =
+    Joins.asof(x, i, Seq("g"), "t", roll, Seq("v"), re)
+      .orderBy($"t").select($"id", $"v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSeq
+
+  test("Locf default (false,true): pre=NA, mid/post roll") {
+    assert(run(Joins.Locf, None) ==
+      Seq(("pre", None), ("mid", Some(100.0)), ("post", Some(200.0))))
+  }
+
+  test("Locf rollends (true,true): pre fills from first x") {
+    assert(run(Joins.Locf, Some((true, true))) ==
+      Seq(("pre", Some(100.0)), ("mid", Some(100.0)), ("post", Some(200.0))))
+  }
+
+  test("Locf rollends (false,false): post gets NA too") {
+    assert(run(Joins.Locf, Some((false, false))) ==
+      Seq(("pre", None), ("mid", Some(100.0)), ("post", None)))
+  }
+
+  test("Nocb default (true,false): pre/mid roll back, post=NA") {
+    assert(run(Joins.Nocb, None) ==
+      Seq(("pre", Some(100.0)), ("mid", Some(200.0)), ("post", None)))
+  }
+
+  test("Nocb rollends (true,true): post fills from last x") {
+    assert(run(Joins.Nocb, Some((true, true))) ==
+      Seq(("pre", Some(100.0)), ("mid", Some(200.0)), ("post", Some(200.0))))
+  }
+
+  test("Nocb rollends (false,false): only interior probes fill") {
+    assert(run(Joins.Nocb, Some((false, false))) ==
+      Seq(("pre", None), ("mid", Some(200.0)), ("post", None)))
+  }
+}
