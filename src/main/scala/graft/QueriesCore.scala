@@ -244,12 +244,12 @@ object QueriesCore {
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
     // ---- groupingsets explicit (R/groupingsets.R:19) -------------------
-    ("q_groupingsets", ((s, dir) => {
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
-      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
-              |FROM orders_gs
-              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
-    }): Q,
+    ("q_groupingsets", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))): Q,
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),

@@ -189,6 +189,20 @@ object Windows {
       case "mean" => aggregate(sliced, lit(0.0), (a, x) => a + x.cast("double")) / take
       case "max"  => array_max(sliced)
       case "min"  => array_min(sliced)
+      case "prod" => aggregate(sliced, lit(1.0), (a, x) => a * x.cast("double"))
+      case "median" =>
+        val sorted = array_sort(sliced)
+        val sz = size(sorted)
+        when(sz % 2 === 1, element_at(sorted, ((sz + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(sorted, (sz / 2).cast("int")) +
+            element_at(sorted, (sz / 2).cast("int") + 1)) / 2.0)
+      case "var" | "sd" =>
+        val n = size(sliced).cast("double")
+        val mean = aggregate(sliced, lit(0.0), (a, x) => a + x.cast("double")) / n
+        val ss = aggregate(sliced, lit(0.0),
+          (a, x) => a + (x.cast("double") - mean) * (x.cast("double") - mean))
+        val v = when(n > 1, ss / (n - 1))
+        if (fn == "var") v else sqrt(v)
       case other  => throw new IllegalArgumentException(s"frolladaptive fn=$other")
     }
     when(an > size(arr), lit(null)).otherwise(res)

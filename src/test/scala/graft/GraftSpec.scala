@@ -762,3 +762,29 @@ class RollendsSpec extends AnyFunSuite {
       Seq(("pre", None), ("mid", Some(200.0)), ("post", None)))
   }
 }
+
+/** Adaptive froll extended fns (prod/median/var/sd). */
+class AdaptiveFrollSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.Windows
+
+  // rows: v=2,3,4 with adaptive n=1,2,3 → windows [2],[2,3],[2,3,4]
+  val df = Seq((1, 1, 2.0, 1), (1, 2, 3.0, 2), (1, 3, 4.0, 3)).toDF("g", "o", "v", "an")
+
+  def run(fn: String) =
+    df.withColumn("r", Windows.frollAdaptive(fn, $"v", $"an", 4, Seq("g"), Seq($"o".asc)))
+      .orderBy($"o").select($"r").as[Double].collect().toSeq
+
+  test("adaptive prod") { assert(run("prod") == Seq(2.0, 6.0, 24.0)) }
+  test("adaptive median") { assert(run("median") == Seq(2.0, 2.5, 3.0)) }
+  test("adaptive var/sd") {
+    val v = df.withColumn("r", Windows.frollAdaptive("var", $"v", $"an", 4, Seq("g"), Seq($"o".asc)))
+      .orderBy($"o").select($"r").collect().map(r => Option(r.get(0)))
+    assert(v(0).isEmpty)                       // n=1 → var undefined
+    assert(v(1).contains(0.5) && v(2).contains(1.0))
+    val sd = df.withColumn("r", Windows.frollAdaptive("sd", $"v", $"an", 4, Seq("g"), Seq($"o".asc)))
+      .orderBy($"o").select($"r").collect().map(r => Option(r.get(0)))
+    assert(sd(0).isEmpty && sd(1).contains(math.sqrt(0.5)) && sd(2).contains(1.0))
+  }
+}
