@@ -176,12 +176,17 @@ object QueriesCore {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- gprod on small groups (src/gsumm.c:1116) ----------------------
+    // Product over (1+discount): bounded magnitude (≤ ~2) so rounding is
+    // meaningful at every scale factor — a raw quantity product reaches
+    // 1e14+ where 3-decimal rounding is below one ulp and partial-agg
+    // multiplication order flips the hash.
     ("q_prod", ((s, dir) =>
       dt(s, dir, "lineitem")(col("l_orderkey") % 100 === 0,
-        Seq(col("l_orderkey"), col("l_quantity")))
+        Seq(col("l_orderkey"), col("l_discount")))
         .groupAgg(Seq(col("l_orderkey")),
-          Seq(round(product(col("l_quantity")), 3).as("p"), count(lit(1)).as("n"))).df): Q,
-      Some("""SELECT l_orderkey, round(product(l_quantity), 3) AS p, count(*) AS n
+          Seq(round(product(lit(1.0) + col("l_discount")), 6).as("p"),
+            count(lit(1)).as("n"))).df): Q,
+      Some("""SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS p, count(*) AS n
              |FROM lineitem WHERE l_orderkey % 100 = 0 GROUP BY l_orderkey""".stripMargin)),
 
     // ---- weighted.mean rewrite (R/data.table.R:3353) -------------------

@@ -267,6 +267,47 @@ object Joins {
     case other    => throw new IllegalArgumentException(s"type=$other")
   }
 
+  /** foverlaps maxgap/minoverlap (R/foverlaps.R:20-21 — declared but NOT
+    * implemented by the reference; we implement them):
+    *  - maxgap g: also match intervals separated by ≤ g (type="any"
+    *    relaxed to gap-tolerant);
+    *  - minoverlap m: require the intersection length ≥ m (type="any"
+    *    tightened).
+    * Composable with the binned path: callers widen binWidth by maxgap.
+    */
+  def overlapGapCond(x: DataFrame, y: DataFrame, xs: String, xe: String,
+                     ys: String, ye: String,
+                     maxgap: Double = 0.0, minoverlap: Double = 0.0): Column = {
+    val gapOk = x(xs) <= y(ye) + maxgap && y(ys) <= x(xe) + maxgap
+    if (minoverlap > 0.0) {
+      val inter = least(x(xe), y(ye)) - greatest(x(xs), y(ys))
+      gapOk && inter >= minoverlap
+    } else gapOk
+  }
+
+  /** Overlap join with maxgap/minoverlap, binned for scale (bins widened
+    * by maxgap so gap-tolerant matches still share a bin).
+    */
+  def overlapGap(x: DataFrame, y: DataFrame,
+                 xs: String, xe: String, ys: String, ye: String,
+                 maxgap: Double = 0.0, minoverlap: Double = 0.0): DataFrame = {
+    val xid = "_graft_xid"; val yid = "_graft_yid"; val bin = "_graft_bin"
+    val w = math.max(1L, estimateBinWidth(x, xs, xe, y, ys, ye) + math.ceil(maxgap).toLong)
+    val xb = x.withColumn(xid, monotonically_increasing_id())
+      .withColumn(bin, explode(sequence(
+        floor((col(xs).cast("double") - maxgap) / w).cast("long"),
+        floor((col(xe).cast("double") + maxgap) / w).cast("long"))))
+    val yb0 = y.withColumn(yid, monotonically_increasing_id())
+      .withColumn(bin, explode(sequence(
+        floor(col(ys).cast("double") / w).cast("long"),
+        floor(col(ye).cast("double") / w).cast("long"))))
+    val yb = disambiguate(xb, yb0, Seq(bin))
+    val cond = overlapGapCond(xb, yb, xs, xe, ys, ye, maxgap, minoverlap)
+    xb.join(yb, xb(bin) === yb(bin) && cond, "inner")
+      .dropDuplicates(xid, yid)
+      .drop(xid, yid, bin)
+  }
+
   private def disambiguate(x: DataFrame, y: DataFrame, keep: Seq[String]): DataFrame =
     y.columns.filter(c => x.columns.contains(c) && !keep.contains(c))
       .foldLeft(y)((d, c) => d.withColumnRenamed(c, s"i_$c"))

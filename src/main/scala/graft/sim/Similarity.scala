@@ -91,6 +91,51 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rk"))
   }
 
+  /** Embedding near-duplicate PAIRS: LSH-bucket the corpus, generate
+    * candidate pairs bucket-locally (same shape as minhash banding —
+    * one hash aggregation, no self-join), verify with exact cosine.
+    * For higher recall, union over `tables` independent signature
+    * tables (bit offsets shift the hyperplane family).
+    */
+  def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  nBits: Int, threshold: Double, tables: Int = 2,
+                  maxBucket: Int = 1000): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = (0 until tables).map { t =>
+      base.withColumn("_sig", concat_ws("|", lit(t.toString),
+        lshSignatureOffset(col("vec"), dim, nBits, t * nBits)))
+        .select(col("id"), col("_sig"))
+    }.reduce(_ unionByName _)
+    val buckets = banded.groupBy(col("_sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+    val va = base.select(col("id").as("idA"), col("vec").as("_va"))
+    val vb = base.select(col("id").as("idB"), col("vec").as("_vb"))
+    pairs.join(va, "idA").join(vb, "idB")
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("idA"), col("idB"), col("sim"))
+  }
+
+  /** lshSignature with a bit-index offset → an independent hyperplane
+    * family per LSH table.
+    */
+  private def lshSignatureOffset(vec: Column, dim: Int, nBits: Int,
+                                 offset: Int): Column = {
+    val bits = (offset until offset + nBits).map { b =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(b, d))): _*)
+      val dot = aggregate(zip_with(vec, plane, (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", bits: _*)
+  }
+
   /** IVF-style coarse quantization: assign every vector to the nearest
     * of `centroids` (a small broadcast list), search only within the
     * probe's cell. Centroids come from any upstream sampling pass.

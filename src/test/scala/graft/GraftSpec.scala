@@ -788,3 +788,38 @@ class AdaptiveFrollSpec extends AnyFunSuite {
     assert(sd(0).isEmpty && sd(1).contains(math.sqrt(0.5)) && sd(2).contains(1.0))
   }
 }
+
+/** maxgap/minoverlap (beyond-reference) + embedding near-dup pairs. */
+class OverlapGapSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.Joins
+  import graft.sim.Similarity
+
+  test("overlapGap: maxgap admits near misses, minoverlap filters slivers") {
+    val x = Seq((1, 0.0, 10.0)).toDF("xid", "xs", "xe")
+    val y = Seq((10, 12.0, 20.0),   // gap of 2
+                (20, 9.0, 30.0),    // overlap length 1
+                (30, 100.0, 110.0)) // far away
+      .toDF("yid", "ys", "ye")
+    def ids(g: Double, m: Double) =
+      Joins.overlapGap(x, y, "xs", "xe", "ys", "ye", maxgap = g, minoverlap = m)
+        .select($"yid").as[Int].collect().toSet
+    assert(ids(0.0, 0.0) == Set(20))          // plain overlap only
+    assert(ids(3.0, 0.0) == Set(10, 20))      // gap ≤ 3 admitted
+    assert(ids(0.0, 2.0) == Set.empty)        // sliver overlap < 2 rejected
+    assert(ids(3.0, 0.5) == Set(20))          // minoverlap excludes pure-gap match
+  }
+
+  test("cosinePairs surfaces planted near-identical embeddings") {
+    val vecs = (0 until 50).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 8 + d + 1))
+      (i.toLong, base)
+    } :+ (100L, Array.tabulate(8)(d => math.sin(0 * 8 + d + 1) * 1.0001))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(df, "vec_id", "embedding", 8,
+      nBits = 4, threshold = 0.999, tables = 3)
+      .select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))   // planted near-dup of vec 0
+  }
+}
