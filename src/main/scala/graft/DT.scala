@@ -90,6 +90,31 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def setBy(name: String, agg: Column, by: Seq[String]): DT =
     DT(df.withColumn(name, agg.over(Window.partitionBy(by.map(col): _*))), key)
 
+  /** Update join `X[Y, x := i.y]` (R/data.table.R := with join i):
+    * for rows of this table matching `i` on `on`, set each target
+    * column from the probe-side expression; unmatched rows keep their
+    * old values. Lowered to a left join + conditional projection —
+    * the immutable form of the reference's by-reference join-update
+    * (and the batch analog of MERGE INTO ... WHEN MATCHED UPDATE).
+    */
+  def updateJoin(i: DT, on: Seq[String],
+                 assignments: (String, Column)*): DT = {
+    val matched = "_graft_matched"
+    val iTagged = i.df.withColumn(matched, lit(true))
+    val clashes = iTagged.columns.filter(c => df.columns.contains(c) && !on.contains(c))
+    val iRenamed = clashes.foldLeft(iTagged)((d, c) => d.withColumnRenamed(c, s"i_$c"))
+    val joined = df.join(iRenamed, on, "left")
+    val updated = assignments.foldLeft(joined) { case (d, (name, value)) =>
+      val old = if (df.columns.contains(name)) col(name) else lit(null)
+      d.withColumn(name, when(col(matched), value).otherwise(old))
+    }
+    DT(updated.drop(matched).drop(
+      iRenamed.columns.filterNot(c => on.contains(c) || c == matched)
+        .filterNot(c => assignments.map(_._1).contains(c)): _*)
+      .select(df.columns.map(col) ++
+        assignments.map(_._1).filterNot(df.columns.contains).map(col): _*), key)
+  }
+
   /** Delete a column (`DT[, col := NULL]`). */
   def remove(names: String*): DT = DT(df.drop(names: _*), key.filterNot(names.contains))
 

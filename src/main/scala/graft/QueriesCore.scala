@@ -147,6 +147,20 @@ object QueriesCore {
              |  round(avg(l_quantity) OVER (PARTITION BY l_returnflag), 3) AS grp_avg_qty
              |FROM lineitem""".stripMargin)),
 
+    // ---- update join X[Y, x := i.y] (join-update, src/assign.c) --------
+    ("q_update_join", ((s, dir) =>
+      dt(s, dir, "orders")
+        .set("segment", lit("UNKNOWN"))
+        .updateJoin(
+          dt(s, dir, "customer").selectNames("c_custkey", "c_mktsegment")
+            .setNames("c_custkey" -> "o_custkey"),
+          Seq("o_custkey"),
+          "segment" -> col("c_mktsegment"))
+        .select(col("o_orderkey"), col("segment")).df): Q,
+      Some("""SELECT o_orderkey,
+             |  coalesce(c_mktsegment, 'UNKNOWN') AS segment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
     // ---- §2.4 GForce aggregate battery (src/gsumm.c) -------------------
     ("q_gforce", ((s, dir) =>
       dt(s, dir, "lineitem").groupAgg(Seq(col("l_returnflag")), Seq(

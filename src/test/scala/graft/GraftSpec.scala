@@ -823,3 +823,21 @@ class OverlapGapSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))   // planted near-dup of vec 0
   }
 }
+
+/** Update join X[Y, x := i.y]. */
+class UpdateJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("updateJoin sets matched rows from probe, keeps unmatched, adds new cols") {
+    val x = DT(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("k", "v"))
+    val y = DT(Seq((1, 100.0, "a"), (3, 300.0, "c")).toDF("k", "nv", "tag"))
+    val out = x.updateJoin(y, Seq("k"),
+      "v" -> col("nv"), "tag" -> col("tag"))
+    assert(out.df.columns.toSeq == Seq("k", "v", "tag"))
+    val rows = out.df.orderBy($"k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    assert(rows == Seq((1, 100.0, Some("a")), (2, 20.0, None), (3, 300.0, Some("c"))))
+  }
+}
