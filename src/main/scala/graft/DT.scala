@@ -270,6 +270,21 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     if (cols.isEmpty) DT(df.na.drop(), key) else DT(df.na.drop(cols.toSeq), key)
 
   def show(n: Int = 10): Unit = df.show(n, truncate = false)
+
+  /** Reference-style truncated print (R/print.data.table.R): first and
+    * last `n` rows by an explicit order, separated by `---`. Collects
+    * only 2n rows.
+    */
+  def printTopBottom(order: Seq[Column], n: Int = 5): String = {
+    val cols = df.columns
+    val top = df.orderBy(order: _*).limit(n).collect()
+    val revOrder = order.map { c => c.desc } // callers pass bare asc columns
+    val bottom = df.orderBy(revOrder: _*).limit(n).collect().reverse
+    val header = cols.mkString("\t")
+    val fmt = (r: org.apache.spark.sql.Row) =>
+      cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")
+    (Seq(header) ++ top.map(fmt) ++ Seq("---") ++ bottom.map(fmt)).mkString("\n")
+  }
 }
 
 object DT {

@@ -101,6 +101,19 @@ object Reshape {
     }
   }
 
+  /** dcast with a LIST of named aggregates (fun.aggregate = list(...),
+    * R/fcast.R:126): one output column per (pivot value × aggregate),
+    * named `<value>_<aggName>` like the reference's convention.
+    */
+  def dcastMulti(df: DataFrame, lhs: Seq[String], rhs: String,
+                 values: Seq[String], aggs: Seq[(String, Column)]): DataFrame = {
+    require(aggs.nonEmpty)
+    val named = aggs.map { case (n, c) => c.as(n) }
+    df.groupBy(lhs.map(col): _*)
+      .pivot(rhs, values)
+      .agg(named.head, named.tail: _*)
+  }
+
   /** dcast(drop=FALSE): complete the LHS key domain via a cross join of
     * the observed key values before pivoting (CJ completion,
     * R/fcast.R + src/cj.c).

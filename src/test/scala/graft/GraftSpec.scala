@@ -841,3 +841,33 @@ class UpdateJoinSpec extends AnyFunSuite {
     assert(rows == Seq((1, 100.0, Some("a")), (2, 20.0, None), (3, 300.0, Some("c"))))
   }
 }
+
+/** dcastMulti + printTopBottom. */
+class DcastMultiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("dcastMulti: one column per pivot value × named aggregate") {
+    val df = Seq(("a", "F", 1.0), ("a", "O", 2.0), ("b", "F", 3.0))
+      .toDF("k", "st", "v")
+    val out = graft.operators.Reshape.dcastMulti(df, Seq("k"), "st",
+      Seq("F", "O"), Seq("s" -> sum($"v"), "n" -> count(lit(1))))
+    assert(out.columns.toSeq == Seq("k", "F_s", "F_n", "O_s", "O_n"))
+    val a = out.filter($"k" === "a").head()
+    assert(a.getDouble(1) == 1.0 && a.getLong(2) == 1L &&
+      a.getDouble(3) == 2.0 && a.getLong(4) == 1L)
+    val b = out.filter($"k" === "b").head()
+    assert(b.getDouble(1) == 3.0 && b.isNullAt(3))
+  }
+
+  test("printTopBottom: first/last n with --- separator") {
+    val d = DT((1 to 20).map(i => (i, s"r$i")).toDF("id", "s"))
+    val txt = d.printTopBottom(Seq($"id"), 2)
+    val lines = txt.split("\n").toSeq
+    assert(lines.head == "id\ts")
+    assert(lines(1).startsWith("1\t") && lines(2).startsWith("2\t"))
+    assert(lines(3) == "---")
+    assert(lines(4).startsWith("19\t") && lines(5).startsWith("20\t"))
+  }
+}
