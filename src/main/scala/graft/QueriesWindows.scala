@@ -136,6 +136,25 @@ object QueriesWindows {
              |WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin)),
 
+    // ---- frollsd / frollvar / frollmin / frollmax ----------------------
+    ("q_froll_sdvar", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("sd5", round(Windows.froll("sd", col("o_totalprice"), 5,
+          Seq("o_custkey"), ordCols), 3))
+        .withColumn("mn5", Windows.froll("min", col("o_totalprice"), 5,
+          Seq("o_custkey"), ordCols))
+        .withColumn("mx5", Windows.froll("max", col("o_totalprice"), 5,
+          Seq("o_custkey"), ordCols))
+        .select(col("o_orderkey"), col("sd5"), col("mn5"), col("mx5"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w5 = 5
+             |       THEN round(stddev_samp(o_totalprice) OVER w5, 3) END AS sd5,
+             |  CASE WHEN count(*) OVER w5 = 5 THEN min(o_totalprice) OVER w5 END AS mn5,
+             |  CASE WHEN count(*) OVER w5 = 5 THEN max(o_totalprice) OVER w5 END AS mx5
+             |FROM orders
+             |WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- frollmedian (array-frame path) --------------------------------
     ("q_froll_median", ((s, dir) =>
       dt(s, dir, "orders").df
