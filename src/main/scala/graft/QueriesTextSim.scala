@@ -209,6 +209,24 @@ object QueriesTextSim {
     }): Q,
       None),
 
+    // ---- sliding window aggregation (streaming twin, batch form) -------
+    // 1-hour windows sliding every 30 min: each event lands in exactly 2
+    // windows (len = 2×slide), epoch-aligned like Spark's window().
+    ("q_window_sliding", ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("v"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("v"))): Q,
+      Some("""SELECT ws, event_type, count(*) AS n, round(sum(value), 3) AS v
+             |FROM (
+             |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 1800000000)) AS ws,
+             |         event_type, value FROM events
+             |  UNION ALL
+             |  SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 1800000000)
+             |                        - 1800000000) AS ws,
+             |         event_type, value FROM events)
+             |GROUP BY ws, event_type""".stripMargin)),
+
     // ---- sessionization (30-min inactivity gap, gaps-and-islands) ------
     ("q_session", ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
