@@ -193,6 +193,37 @@ object QueriesWindows {
              |  w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- rolling correlation (multi-column frollapply analog) ----------
+    ("q_froll_corr", ((s, dir) => {
+      val o = Seq(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_partkey").asc)
+      val w8 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey")).orderBy(o: _*).rowsBetween(-7, 0)
+      // corr from covar/stddev builtins: the native corr window divides
+      // internally and throws under ANSI on zero-variance frames (the
+      // when() guard can't help — window exprs evaluate before the
+      // projection). Identical formula on the oracle side ⇒ identical FP.
+      val sx = stddev_samp(col("l_quantity")).over(w8)
+      val sy = stddev_samp(col("l_extendedprice")).over(w8)
+      val cv = covar_samp(col("l_quantity"), col("l_extendedprice")).over(w8)
+      val ok = count(lit(1)).over(w8) === 8 && sx > 0 && sy > 0
+      dt(s, dir, "lineitem").df
+        .withColumn("c8", round(when(ok, cv / (sx * sy)), 3))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("c8"))
+    }): Q,
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  round(CASE WHEN count(*) OVER w8 = 8
+             |              AND stddev_samp(l_quantity) OVER w8 > 0
+             |              AND stddev_samp(l_extendedprice) OVER w8 > 0
+             |        THEN covar_samp(l_quantity, l_extendedprice) OVER w8
+             |             / (stddev_samp(l_quantity) OVER w8
+             |                * stddev_samp(l_extendedprice) OVER w8) END, 3) AS c8
+             |FROM lineitem
+             |WINDOW w8 AS (PARTITION BY l_suppkey
+             |              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+             |              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- nafill locf (src/nafill.c) ------------------------------------
     ("q_nafill_locf", ((s, dir) =>
       dt(s, dir, "events").df
