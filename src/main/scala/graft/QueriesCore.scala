@@ -329,6 +329,29 @@ object QueriesCore {
              |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
              |WHERE rn <= 2""".stripMargin)),
 
+    // ---- composite pipeline: filter → update-join → agg → top-k --------
+    // The "realistic workload" demonstration: four DSL stages chained,
+    // still ONE Catalyst plan (filter pushdown through the join, partial
+    // aggs, a single window for the top-k).
+    ("q_pipeline", ((s, dir) =>
+      dt(s, dir, "orders")(col("o_totalprice") > 50000)
+        .set("segment", lit("UNKNOWN"))
+        .updateJoin(
+          dt(s, dir, "customer").selectNames("c_custkey", "c_mktsegment")
+            .setNames("c_custkey" -> "o_custkey"),
+          Seq("o_custkey"),
+          "segment" -> col("c_mktsegment"))
+        .groupAgg(Seq(col("segment")),
+          Seq(round(sum(col("o_totalprice")), 3).as("rev"), count(lit(1)).as("n")))
+        .topK(Seq.empty, Seq(col("rev").desc, col("segment").asc), 3).df): Q,
+      Some("""SELECT segment, rev, n FROM (
+             |  SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+             |         round(sum(o_totalprice), 3) AS rev, count(*) AS n
+             |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |  WHERE o_totalprice > 50000
+             |  GROUP BY 1)
+             |ORDER BY rev DESC, segment ASC LIMIT 3""".stripMargin)),
+
     // ---- sort + limit (§2.6 forder/head) -------------------------------
     ("q_sort_limit", ((s, dir) =>
       dt(s, dir, "orders")

@@ -169,6 +169,42 @@ object QueriesTextSim {
              |  count(*) AS n, round(sum(value), 3) AS v
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // ---- composite training-data pipeline: quality → dedup → stats -----
+    // Filter documents by quality features, dedup by fingerprint, report
+    // per-language token statistics — the end-to-end LLM-pipeline shape.
+    ("q_doc_pipeline", ((s, dir) => {
+      val q = docs(s, dir)
+        .withColumn("f", TextFunctions.qualityFeatures(col("text")))
+        .filter(col("f.n_tokens") >= 10 && col("f.stopword_ratio") < 0.9)
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val deduped = q.withColumn("occ",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+              .orderBy(col("doc_id").asc)))
+        .filter(col("occ") === 1)
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("f.n_tokens")), 3).as("avg_tokens"),
+          sum(col("f.n_tokens")).cast("long").as("total_tokens"))
+    }): Q,
+      Some("""WITH q AS (
+             |  SELECT doc_id, lang,
+             |    len(string_split_regex(trim(text), '\s+'))::DOUBLE AS n_tokens,
+             |    len(list_filter(string_split_regex(trim(text), '\s+'),
+             |        t -> list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in',
+             |          'is', 'it', 'that', 'for', 'on', 'with', 'as', 'at', 'by', 'be',
+             |          'this', 'are', 'was', 'from', 'but', 'not', 'they', 'his', 'her',
+             |          'she', 'he', 'you', 'we'], lower(t))))::DOUBLE
+             |      / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+             |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |  FROM documents),
+             |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS occ
+             |      FROM q WHERE n_tokens >= 10 AND stopword_ratio < 0.9)
+             |SELECT lang, count(*) AS n_docs,
+             |  round(avg(n_tokens), 3) AS avg_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+             |FROM d WHERE occ = 1 GROUP BY lang""".stripMargin)),
+
     // ---- JSON column extraction (SURVEY.md §2.9 json family) ------------
     ("q_json_props", ((s, dir) =>
       ev(s, dir).select(col("event_id"),

@@ -871,3 +871,10 @@ class DcastMultiSpec extends AnyFunSuite {
     assert(lines(4).startsWith("19\t") && lines(5).startsWith("20\t"))
   }
 }
+
+/** Driver-contract smoke: entry() returns rows. */
+class EntrySmokeSpec extends AnyFunSuite {
+  test("SparkEntry.entry yields rows on sf0.001") {
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
+}
