@@ -192,6 +192,16 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def unique(cols: String*): DT =
     if (cols.isEmpty) DT(df.distinct()) else DT(df.dropDuplicates(cols.toSeq))
 
+  /** unique(fromLast=) with DETERMINISTIC survivor choice (the plain
+    * dropDuplicates keeps an arbitrary row): keeps the first (or last)
+    * occurrence per `cols` group along `order`.
+    */
+  def uniqueBy(cols: Seq[String], order: Seq[Column],
+               fromLast: Boolean = false): DT = {
+    val ord = if (fromLast) order.map(_.desc) else order
+    DT(Windows.topK(df, cols, ord, 1), key)
+  }
+
   /** duplicated() (R/duplicated.R:26): flag every row after the first
     * occurrence of its `cols` values, "first" defined by `order`.
     * anyDuplicated = does such a row exist.

@@ -91,6 +91,14 @@ object Windows {
         val tiePart = Window.partitionBy((by.map(col) ++ tieCols): _*)
         df.withColumn(out,
           rank().over(w) + (count(lit(1)).over(tiePart) - 1) / 2.0)
+      case "random" =>
+        // reference: ties broken uniformly at random. Distributed +
+        // reproducible: break ties by a hash of the whole row (stable
+        // across retries/nodes, unlike rand()).
+        val rowHash = xxhash64(df.columns.map(col).toSeq: _*)
+        val wr = if (by.isEmpty) Window.orderBy((order :+ rowHash.asc): _*)
+                 else Window.partitionBy(by.map(col): _*).orderBy((order :+ rowHash.asc): _*)
+        df.withColumn(out, row_number().over(wr))
       case other => throw new IllegalArgumentException(s"ties.method=$other")
     }
   }

@@ -878,3 +878,70 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
   }
 }
+
+/** Plan-shape regression: the scale properties the engine promises.
+  * If one of these breaks, a future change silently regressed the
+  * 100 TB story even though results stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: filter pushed to parquet scan + partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q_join_inner: dimension side broadcasts") {
+    val p = plan("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("q_asof: exactly one exchange (union + single window pass)") {
+    val p = plan("q_asof")
+    val n = "Exchange".r.findAllIn(p).count(_ => true) -
+      "BroadcastExchange".r.findAllIn(p).count(_ => true)
+    assert(n == 1, s"expected 1 shuffle exchange, got $n:\n$p")
+  }
+
+  test("q_pipeline: single shuffle through filter->join->agg->topk chain") {
+    val p = plan("q_pipeline")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected <=1 hash exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_filter: scan reads only projected columns") {
+    val p = plan("q_filter")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double"), s"column pruning failed:\n$p")
+  }
+
+  test("frank random: deterministic tie-break, all ranks distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 10), (2, 10), (3, 10)).toDF("id", "v")
+    val r1 = graft.operators.Windows.frank(df, Seq($"v".asc), Seq($"v"), "random", Nil, "rk")
+      .orderBy($"id").select($"rk").as[Int].collect().toSeq
+    val r2 = graft.operators.Windows.frank(df, Seq($"v".asc), Seq($"v"), "random", Nil, "rk")
+      .orderBy($"id").select($"rk").as[Int].collect().toSeq
+    assert(r1 == r2)                       // reproducible
+    assert(r1.sorted == Seq(1, 2, 3))      // a permutation of ranks
+  }
+
+  test("uniqueBy fromLast keeps last occurrence deterministically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = DT(Seq((1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3")).toDF("rid", "k", "v"))
+    val first = d.uniqueBy(Seq("k"), Seq(col("rid"))).df
+      .select($"v").as[String].collect().toSet
+    val last = d.uniqueBy(Seq("k"), Seq(col("rid")), fromLast = true).df
+      .select($"v").as[String].collect().toSet
+    assert(first == Set("x1", "x3") && last == Set("x2", "x3"))
+  }
+}
