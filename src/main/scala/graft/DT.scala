@@ -62,6 +62,16 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def select(j: Column*): DT = DT(df.select(j: _*))
   def selectNames(names: String*): DT = DT(df.select(names.map(col): _*), key)
 
+  /** lapply(.SD, f) (R/data.table.R:163-189): apply one aggregate
+    * builder over every .SDcols column, grouped — the reference's
+    * unrolling rewrite done at plan-build time.
+    */
+  def sdApply(by: Seq[Column], sdCols: Seq[String], f: Column => Column,
+              prefix: String = ""): DT = {
+    val aggs = sdCols.map(c => f(col(c)).as(s"$prefix$c"))
+    DT(df.groupBy(by: _*).agg(aggs.head, aggs.tail: _*))
+  }
+
   /** .SDcols analog: restrict visible columns by predicate on name/type. */
   def sdCols(p: String => Boolean): DT =
     DT(df.select(df.columns.filter(p).map(col).toSeq: _*))

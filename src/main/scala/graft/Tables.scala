@@ -32,4 +32,13 @@ object Tables {
   /** All tables as a name -> DataFrame map (plans only, nothing is read). */
   def all(spark: SparkSession, sfDir: String): Map[String, DataFrame] =
     names.map(n => n -> load(spark, sfDir, n)).toMap
+
+  /** Register every table as a temp view (plus graft's SQL functions) so
+    * users can `spark.sql` directly against the dataset — the catalog
+    * face of the engine.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.plans.GraftExtensions.register(spark)
+  }
 }

@@ -945,3 +945,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(first == Set("x1", "x3") && last == Set("x2", "x3"))
   }
 }
+
+/** sdApply sugar + registerAll catalog. */
+class SdApplySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("sdApply maps an aggregate over .SDcols") {
+    val d = DT(Seq((1, 2.0, 10.0), (1, 4.0, 20.0)).toDF("g", "a", "b"))
+    val out = d.sdApply(Seq($"g"), Seq("a", "b"), sum, "sum_").df
+    assert(out.columns.toSeq == Seq("g", "sum_a", "sum_b"))
+    val r = out.head()
+    assert(r.getDouble(1) == 6.0 && r.getDouble(2) == 30.0)
+  }
+
+  test("registerAll exposes tables + graft SQL functions to spark.sql") {
+    Tables.registerAll(spark, SparkTestSession.sfDir)
+    assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) == 25)
+    val sig = spark.sql(
+      "SELECT graft_minhash(graft_shingle_hashes(array('p','q'), 2), 8) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+}
