@@ -44,6 +44,16 @@ object Funcs {
               incbounds: Boolean = true): Column =
     if (incbounds) x >= lower && x <= upper else x > lower && x < upper
 
+  /** between(NAbounds=TRUE) (R/between.R): a null bound means
+    * unbounded on that side (-Inf / +Inf) instead of null-propagating.
+    */
+  def betweenNA(x: Column, lower: Column, upper: Column,
+                incbounds: Boolean = true): Column = {
+    val lo = if (incbounds) x >= lower else x > lower
+    val hi = if (incbounds) x <= upper else x < upper
+    (lower.isNull || lo) && (upper.isNull || hi)
+  }
+
   /** %like% — regex match (R/like.R:4). */
   def like(x: Column, pattern: String): Column = x.rlike(pattern)
   /** %ilike% — case-insensitive. */

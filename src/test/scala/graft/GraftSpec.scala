@@ -969,3 +969,68 @@ class SdApplySpec extends AnyFunSuite {
     assert(sig.length == 8)
   }
 }
+
+/** Reference-parity semantics mined from the tests.Rraw families. */
+class ReferenceParitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.Funcs
+
+  test("between NAbounds: null bound = unbounded side") {
+    val df = Seq((1, 5.0), (2, 50.0)).toDF("id", "x")
+    val open = df.filter(Funcs.betweenNA($"x", lit(null).cast("double"), lit(10.0)))
+    assert(open.select($"id").as[Int].collect().toSeq == Seq(1))
+    val openHi = df.filter(Funcs.betweenNA($"x", lit(10.0), lit(null).cast("double")))
+    assert(openHi.select($"id").as[Int].collect().toSeq == Seq(2))
+    val allOpen = df.filter(Funcs.betweenNA($"x", lit(null).cast("double"), lit(null).cast("double")))
+    assert(allOpen.count() == 2)
+  }
+
+  test("join keys coerce across int/long/double like bmerge's type matrix") {
+    val x = Seq((1, "a"), (2, "b")).toDF("k", "v")                  // int key
+    val iL = Seq(1L, 2L).toDF("k")                                   // long key
+    assert(DT(x).join(DT(iL), Seq("k"), "inner").df.count() == 2)
+    val iD = Seq(1.0, 2.0).toDF("k")                                 // double key
+    assert(DT(x).join(DT(iD), Seq("k"), "inner").df.count() == 2)
+  }
+
+  test("rleid over MULTIPLE columns: run breaks when ANY column changes") {
+    val df = Seq((1, "a", 1), (2, "a", 1), (3, "a", 2), (4, "b", 2), (5, "b", 2))
+      .toDF("o", "s", "i")
+    val out = graft.operators.Windows.rleid(df, Seq("s", "i"),
+      Seq($"o".asc), Nil, "rid")
+      .orderBy($"o").select($"rid").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L, 2L, 3L, 3L))
+  }
+
+  test("dcast fill= replaces empty cells, not genuine aggregates") {
+    val df = Seq(("a", "F", 1.0), ("b", "O", 2.0)).toDF("k", "st", "v")
+    val out = graft.operators.Reshape.dcast(df, Seq("k"), "st", "v",
+      c => sum(c), values = Seq("F", "O"), fill = Some(lit(-1.0)))
+    val a = out.filter($"k" === "a").head()
+    assert(a.getDouble(1) == 1.0 && a.getDouble(2) == -1.0)
+  }
+
+  test("foverlaps with by keys only matches within the same group") {
+    val x = Seq((1, "g1", 0, 10), (2, "g2", 0, 10)).toDF("xid", "g", "xs", "xe")
+    val y = Seq((10, "g1", 5, 15)).toDF("yid", "g", "ys", "ye")
+    val out = graft.operators.Joins.overlap(x, y, Seq("g"), "xs", "xe", "ys", "ye")
+    assert(out.select($"xid").as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("shift works on string columns (typed parity)") {
+    val df = Seq((1, "a"), (2, "b")).toDF("o", "s")
+    val out = df.withColumn("p",
+      graft.operators.Windows.shift($"s", 1, Nil, Seq($"o".asc), lit("<NA>")))
+      .orderBy($"o").select($"p").as[String].collect()
+    assert(out.toSeq == Seq("<NA>", "a"))
+  }
+
+  test("fcoalesce promotes mixed numeric types") {
+    val df = Seq((Some(1), 2.5)).toDF("i", "d")
+    val out = df.select(Funcs.fcoalesce($"i", $"d").as("c"))
+    assert(out.schema("c").dataType.typeName == "double")
+    assert(out.head().getDouble(0) == 1.0)
+  }
+}
