@@ -28,14 +28,17 @@ object Bench {
     // db-benchmark convention: two runs per query, report the second
     // (steady-state) — the first run is dominated by per-query-shape
     // whole-stage-codegen JIT, not execution.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failed query reports -1 (never a plausible-looking duration)
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cold = timeOnce(fn)
-      val warm = timeOnce(fn)
+      val cold = timeOnce(name, fn)
+      val warm = timeOnce(name, fn)
       (name, cold, warm)
     }
     val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }

@@ -109,6 +109,10 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     */
   def updateJoin(i: DT, on: Seq[String],
                  assignments: (String, Column)*): DT = {
+    // A probe side with duplicate join keys would MULTIPLY target rows —
+    // the one thing a join-update must never do. Cheap pre-flight check
+    // (one partial aggregation), same ethos as Joins.cartesianGuard.
+    graft.operators.Joins.assertNoDup(i.df, on)
     val matched = "_graft_matched"
     val iTagged = i.df.withColumn(matched, lit(true))
     val clashes = iTagged.columns.filter(c => df.columns.contains(c) && !on.contains(c))
@@ -221,9 +225,13 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       .withColumn(flag, col("_graft_occ") > 1)
       .drop("_graft_occ"), key)
 
-  def anyDuplicated(cols: String*): Boolean =
-    df.groupBy(cols.map(col): _*).count()
+  def anyDuplicated(cols: String*): Boolean = {
+    // no args = all columns (reference default); groupBy() with zero
+    // columns would collapse everything into one global group.
+    val keys = if (cols.nonEmpty) cols.toSeq else df.columns.toSeq
+    df.groupBy(keys.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count() > 0
+  }
 
   def uniqueN(cols: String*): Long =
     (if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols.toSeq)).count()

@@ -56,8 +56,10 @@ object Funcs {
 
   /** %like% — regex match (R/like.R:4). */
   def like(x: Column, pattern: String): Column = x.rlike(pattern)
-  /** %ilike% — case-insensitive. */
-  def ilike(x: Column, pattern: String): Column = lower(x).rlike(pattern.toLowerCase)
+  /** %ilike% — case-insensitive via the (?i) flag; lowercasing the
+    * pattern would invert uppercase regex classes (\\W, \\S, \\B).
+    */
+  def ilike(x: Column, pattern: String): Column = x.rlike("(?i)" + pattern)
   /** %flike% — fixed (literal substring). */
   def flike(x: Column, pattern: String): Column = x.contains(pattern)
 
@@ -98,9 +100,13 @@ object Funcs {
 
   // ---- misc vector ops (src/vecseq.c, src/init.c) ---------------------
 
-  /** vecseq analog — expand (start, len) pairs into row sequences. */
+  /** vecseq analog — expand (start, len) pairs into row sequences.
+    * len <= 0 yields an EMPTY array (Spark's bare sequence() would
+    * auto-reverse into a 2-element descending array).
+    */
   def vecseq(start: Column, len: Column): Column =
-    sequence(start, start + len - 1)
+    when(len > 0, sequence(start, start + len - 1))
+      .otherwise(slice(sequence(start, start), 1, 0))
 
   /** frev — reverse an array column. */
   def frev(c: Column): Column = reverse(c)

@@ -105,15 +105,21 @@ object Joins {
     val onX = "_graft_on_x"             // x's on-value carried for limit/nearest
 
     val iCols = i.columns.toSeq
-    // Align schemas: i columns ++ value columns ++ bookkeeping.
+    // Internal aliases keep value columns distinct from same-named i
+    // columns (the normal as-of shape: both sides carry e.g. "value");
+    // clashing outputs get the reference-style x_ prefix.
+    val aliases = valueCols.indices.map(k => s"_graft_v_$k")
+    val outNames = valueCols.map(v => if (iCols.contains(v)) s"x_$v" else v)
+    // Align schemas: i columns ++ aliased value columns ++ bookkeeping.
     val xAligned = x.select(
       (by.map(col) ++ Seq(col(on)) ++
         iCols.filterNot(c => by.contains(c) || c == on).map(c => lit(null).cast(i.schema(c).dataType).as(c)) ++
-        valueCols.map(col) :+ col(on).as(onX) :+ lit(0).as(tag)): _*)
+        valueCols.zip(aliases).map { case (v, a) => col(v).as(a) } :+
+        col(on).as(onX) :+ lit(0).as(tag)): _*)
     val iAligned = i.select(
       (by.map(col) ++ Seq(col(on)) ++
         iCols.filterNot(c => by.contains(c) || c == on).map(col) ++
-        valueCols.map(c => lit(null).cast(x.schema(c).dataType).as(c)) :+
+        valueCols.zip(aliases).map { case (v, a) => lit(null).cast(x.schema(v).dataType).as(a) } :+
         lit(null).cast(x.schema(on).dataType).as(onX) :+ lit(1).as(tag)): _*)
     val u = xAligned.unionByName(iAligned)
 
@@ -126,8 +132,8 @@ object Joins {
 
     def filled(d: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
                pick: Column => Column, suffix: String): DataFrame =
-      valueCols.foldLeft(d.withColumn(onX + suffix, pick(col(onX)).over(w))) {
-        (acc, v) => acc.withColumn(v + suffix, pick(col(v)).over(w))
+      aliases.foldLeft(d.withColumn(onX + suffix, pick(col(onX)).over(w))) {
+        (acc, a) => acc.withColumn(a + suffix, pick(col(a)).over(w))
       }
 
     val result = roll match {
@@ -136,7 +142,8 @@ object Joins {
         if (!reStart && reEnd) {
           val f = filled(u, wBack, last(_, ignoreNulls = true), "_b")
           f.filter(col(tag) === 1)
-            .select((iCols.map(col) ++ valueCols.map(v => col(v + "_b").as(v))): _*)
+            .select((iCols.map(col) ++ aliases.zip(outNames).map {
+              case (a, o) => col(a + "_b").as(o) }): _*)
         } else {
           // need both directions to detect/fill the edges
           val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
@@ -144,12 +151,12 @@ object Joins {
           val beforeFirst = col(onX + "_b").isNull   // no x at or before probe
           val afterLast = col(onX + "_f").isNull     // no x at or after probe
           f.filter(col(tag) === 1)
-            .select((iCols.map(col) ++ valueCols.map { v =>
-              val base = col(v + "_b")
-              val withStart = if (reStart) when(beforeFirst, col(v + "_f")).otherwise(base) else base
+            .select((iCols.map(col) ++ aliases.zip(outNames).map { case (a, o) =>
+              val base = col(a + "_b")
+              val withStart = if (reStart) when(beforeFirst, col(a + "_f")).otherwise(base) else base
               val withEnd = if (reEnd) withStart
                             else when(afterLast && !beforeFirst, lit(null)).otherwise(withStart)
-              withEnd.as(v)
+              withEnd.as(o)
             }): _*)
         }
       case Nocb =>
@@ -157,19 +164,20 @@ object Joins {
         if (reStart && !reEnd) {
           val f = filled(u, wFwd, first(_, ignoreNulls = true), "_f")
           f.filter(col(tag) === 1)
-            .select((iCols.map(col) ++ valueCols.map(v => col(v + "_f").as(v))): _*)
+            .select((iCols.map(col) ++ aliases.zip(outNames).map {
+              case (a, o) => col(a + "_f").as(o) }): _*)
         } else {
           val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
                          wFwd, first(_, ignoreNulls = true), "_f")
           val beforeFirst = col(onX + "_b").isNull
           val afterLast = col(onX + "_f").isNull
           f.filter(col(tag) === 1)
-            .select((iCols.map(col) ++ valueCols.map { v =>
-              val base = col(v + "_f")
-              val withEnd = if (reEnd) when(afterLast, col(v + "_b")).otherwise(base) else base
+            .select((iCols.map(col) ++ aliases.zip(outNames).map { case (a, o) =>
+              val base = col(a + "_f")
+              val withEnd = if (reEnd) when(afterLast, col(a + "_b")).otherwise(base) else base
               val withStart = if (reStart) withEnd
                               else when(beforeFirst && !afterLast, lit(null)).otherwise(withEnd)
-              withStart.as(v)
+              withStart.as(o)
             }): _*)
         }
       case Limit(lim) =>
@@ -177,7 +185,7 @@ object Joins {
         val within = col(on).cast("double") - col(onX + "_b").cast("double") <= lit(lim)
         f.filter(col(tag) === 1)
           .select((iCols.map(col) ++
-            valueCols.map(v => when(within, col(v + "_b")).as(v))): _*)
+            aliases.zip(outNames).map { case (a, o) => when(within, col(a + "_b")).as(o) }): _*)
       case Nearest =>
         val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
                        wFwd, first(_, ignoreNulls = true), "_f")
@@ -187,7 +195,7 @@ object Joins {
           (col(onX + "_b").isNotNull && dB <= dF)
         f.filter(col(tag) === 1)
           .select((iCols.map(col) ++
-            valueCols.map(v => when(useBack, col(v + "_b")).otherwise(col(v + "_f")).as(v))): _*)
+            aliases.zip(outNames).map { case (a, o) => when(useBack, col(a + "_b")).otherwise(col(a + "_f")).as(o) }): _*)
     }
     result
   }
@@ -215,7 +223,9 @@ object Joins {
       val yy = disambiguate(x, y, by)
       val cond = overlapCond(x, yy, xStart, xEnd, yStart, yEnd, typ)
       val full = by.map(b => x(b) === yy(b)).foldRight(cond)(_ && _)
-      x.join(yy, full, "inner")
+      // drop y's copies of the equi keys (equal by construction) so the
+      // result has each by-column exactly once
+      by.foldLeft(x.join(yy, full, "inner"))((d, b) => d.drop(yy(b)))
     }
   }
 
@@ -252,7 +262,7 @@ object Joins {
     val yb = disambiguate(xb, yb0, by :+ bin)
     val cond = overlapCond(xb, yb, xStart, xEnd, yStart, yEnd, typ)
     val keys = (by :+ bin).map(k => xb(k) === yb(k)).foldRight(cond)(_ && _)
-    xb.join(yb, keys, "inner")
+    (by :+ bin).foldLeft(xb.join(yb, keys, "inner"))((d, k) => d.drop(yb(k)))
       .dropDuplicates(xid, yid)
       .drop(xid, yid, bin)
   }
@@ -339,7 +349,8 @@ object Joins {
                      maxRows: Long): Unit = {
     val xc = x.groupBy(on.map(col): _*).count().withColumnRenamed("count", "xc")
     val ic = i.groupBy(on.map(col): _*).count().withColumnRenamed("count", "ic")
-    val est = xc.join(ic, on).agg(sum(col("xc") * col("ic"))).head().getLong(0)
+    val estRow = xc.join(ic, on).agg(sum(col("xc") * col("ic"))).head()
+    val est = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)  // no overlap → 0
     require(est <= maxRows,
       s"join would produce ~$est rows > allow.cartesian limit $maxRows")
   }

@@ -19,6 +19,9 @@ object Scale {
     */
   def saltedJoin(large: DataFrame, small: DataFrame, on: Seq[String],
                  salts: Int, how: String = "inner"): DataFrame = {
+    // right/full would emit `salts` copies of unmatched small-side rows
+    require(how == "inner" || how == "left",
+      s"saltedJoin supports inner/left, got $how")
     val saltCol = "_graft_salt"
     val l = large.withColumn(saltCol,
       pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salts)).cast("int"))

@@ -158,7 +158,10 @@ object Windows {
       case "median" =>
         val arr = array_sort(collect_list(c).over(w))
         val sz = size(arr)
-        when(sz % 2 === 1, element_at(arr, ((sz + 1) / 2).cast("int")).cast("double"))
+        // collect_list drops nulls: an all-null frame is EMPTY and the
+        // even branch would index element 0 (SQL arrays are 1-based)
+        when(sz === 0, lit(null).cast("double"))
+          .when(sz % 2 === 1, element_at(arr, ((sz + 1) / 2).cast("int")).cast("double"))
           .otherwise((element_at(arr, (sz / 2).cast("int")) +
             element_at(arr, (sz / 2).cast("int") + 1)) / 2.0)
       case "prod" =>

@@ -35,7 +35,8 @@ object Fread {
   /** Sniff the separator from the first non-skipped line (driver-side,
     * one small read — the distributed scan never re-reads).
     */
-  def sniffSep(spark: SparkSession, path: String, skip: Int = 0): String = {
+  /** First non-empty line after `skip` (driver-side, one small read). */
+  def firstLine(spark: SparkSession, path: String, skip: Int = 0): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -48,7 +49,11 @@ object Fread {
     val buf = new Array[Byte](65536)
     val n = in.read(buf); in.close()
     val text = new String(buf, 0, math.max(n, 0), "UTF-8")
-    val line = text.linesIterator.drop(skip).find(_.nonEmpty).getOrElse("")
+    text.linesIterator.drop(skip).find(_.nonEmpty).getOrElse("")
+  }
+
+  def sniffSep(spark: SparkSession, path: String, skip: Int = 0): String = {
+    val line = firstLine(spark, path, skip)
     Seq("\t", ";", "|", ",").maxBy(s => line.count(_.toString == s))
   }
 
@@ -59,16 +64,23 @@ object Fread {
     var r = spark.read
       .option("sep", sep)
       .option("quote", opts.quote)
-      .option("nullValue", opts.naStrings.headOption.getOrElse(""))
+      // Spark CSV supports ONE null token: prefer the first NON-empty
+      // na.string ('' parses as null for non-string types regardless)
+      .option("nullValue", opts.naStrings.find(_.nonEmpty).getOrElse(""))
       .option("encoding", opts.encoding)
       .option("timeZone", opts.tz)
       .option("mode", "PERMISSIVE")
       .option("multiLine", opts.multiLine)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-    r = opts.header match {
-      case "auto" | "true" => r.option("header", true)
-      case _               => r.option("header", false)
+    val hasHeader = opts.header match {
+      case "true"  => true
+      case "false" => false
+      case _ =>      // auto: header iff NO first-line field parses numeric
+        val line = firstLine(spark, path, opts.skip)
+        val fields = line.split(java.util.regex.Pattern.quote(sep), -1)
+        !fields.exists(f => scala.util.Try(f.trim.toDouble).isSuccess)
     }
+    r = r.option("header", hasHeader)
     r = opts.colClasses match {
       case Some(schema) => r.schema(schema)
       case None         => r.option("inferSchema", true)

@@ -67,13 +67,14 @@ object TextFunctions {
     */
   def langIdHeuristic(text: Column): Column = {
     val toks = transform(wsTokens(text), lower _)
-    val scores = langs.map { case (lang, stops) =>
+    val scores = langs.zipWithIndex.map { case ((lang, stops), idx) =>
       struct(
         (size(filter(toks, t => t.isin(stops: _*))).cast("double") /
           greatest(size(toks), lit(1))).as("score"),
+        lit(-idx).as("prio"),           // ties → FIRST language in langs
         lit(lang).as("lang"))
     }
-    // array_max on structs compares field-by-field: (score, lang).
+    // array_max on structs compares field-by-field: (score, prio, lang).
     array_max(array(scores: _*)).getField("lang")
   }
 

@@ -1034,3 +1034,89 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(out.head().getDouble(0) == 1.0)
   }
 }
+
+/** Regression specs for the round-1 code-review findings. */
+class ReviewFixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.{Joins, Windows}
+  import graft.functions.Funcs
+
+  test("asof works when both sides share a payload column name") {
+    val x = Seq((1, 10L, 100.0)).toDF("g", "t", "value")
+    val i = Seq((7L, 1, 15L, 0.5)).toDF("event_id", "g", "t", "value")
+    val out = Joins.asof(x, i, Seq("g"), "t", Joins.Locf, Seq("value"))
+    // clash → reference-style x_ prefix; i's own column survives untouched
+    assert(out.columns.toSeq == Seq("event_id", "g", "t", "value", "x_value"))
+    val r = out.head()
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 100.0)
+  }
+
+  test("anyDuplicated() with no args uses all columns") {
+    val d = DT(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"))
+    assert(!d.anyDuplicated())
+    val dup = DT(Seq((1, "a"), (1, "a")).toDF("k", "v"))
+    assert(dup.anyDuplicated())
+  }
+
+  test("vecseq with len=0 or negative yields empty array") {
+    val df = Seq((5, 0), (5, 3), (5, -1)).toDF("s", "l")
+    val out = df.select(Funcs.vecseq($"s", $"l").as("seq"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(out.toSeq == Seq(Seq(), Seq(5, 6, 7), Seq()))
+  }
+
+  test("ilike does not invert uppercase regex classes") {
+    val df = Seq("x!y", "xay").toDF("s")
+    // \W = non-word char; lowercasing the pattern would turn it into \w
+    val out = df.filter(Funcs.ilike($"s", "X\\Wy")).as[String].collect()
+    assert(out.toSeq == Seq("x!y"))
+  }
+
+  test("updateJoin rejects duplicate probe keys instead of multiplying rows") {
+    val x = DT(Seq((1, 10.0)).toDF("k", "v"))
+    val dup = DT(Seq((1, 1.0), (1, 2.0)).toDF("k", "nv"))
+    intercept[IllegalArgumentException] {
+      x.updateJoin(dup, Seq("k"), "v" -> col("nv"))
+    }
+  }
+
+  test("cartesianGuard passes (not NPEs) when join keys don't overlap") {
+    val x = Seq(1, 2).toDF("k"); val i = Seq(3, 4).toDF("k")
+    Joins.cartesianGuard(x, i, Seq("k"), maxRows = 10)  // must not throw
+  }
+
+  test("overlap with by keys yields each by-column exactly once") {
+    val x = Seq((1, "g1", 0, 10)).toDF("xid", "g", "xs", "xe")
+    val y = Seq((10, "g1", 5, 15)).toDF("yid", "g", "ys", "ye")
+    val out = Joins.overlap(x, y, Seq("g"), "xs", "xe", "ys", "ye")
+    assert(out.columns.count(_ == "g") == 1)
+    assert(out.groupBy($"g").count().count() == 1)  // by-name ref not ambiguous
+  }
+
+  test("froll median survives all-null frames (partial=true)") {
+    val df = Seq((1, 1, None: Option[Double]), (1, 2, Some(4.0)))
+      .toDF("g", "o", "v")
+    val out = df.withColumn("m",
+        Windows.froll("median", $"v", 2, Seq("g"), Seq($"o".asc), partial = true))
+      .orderBy($"o").select($"m").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, Some(4.0)))
+  }
+
+  test("fread header=auto detects headerless numeric files") {
+    val d = java.nio.file.Files.createTempDirectory("graft_noheader")
+    val p = d.resolve("nohead.csv")
+    java.nio.file.Files.write(p, "1,2.5\n3,4.5\n".getBytes)
+    val df = graft.sources.Fread.fread(spark, p.toString)
+    assert(df.count() == 2)   // first row is DATA, not a header
+  }
+
+  test("fread honors NA sentinel from naStrings") {
+    val d = java.nio.file.Files.createTempDirectory("graft_na2")
+    val p = d.resolve("na2.csv")
+    java.nio.file.Files.write(p, "a,b\n1,NA\n2,x\n".getBytes)
+    val df = graft.sources.Fread.fread(spark, p.toString)
+    assert(df.filter($"a" === 1).select($"b").head().isNullAt(0))
+  }
+}
