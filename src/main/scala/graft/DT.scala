@@ -346,18 +346,22 @@ object DT {
       vectors.map(_._1))
   }
 
-  /** rowwiseDT / literal constructor analog. */
+  /** rowwiseDT / literal constructor analog. Column types are inferred
+    * from the first NON-NULL value per column (a null first row would
+    * otherwise mistype the column).
+    */
   def fromRows(spark: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DT = {
     import scala.jdk.CollectionConverters._
-    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
-      org.apache.spark.sql.types.StructField(c,
-        rows.headOption.flatMap(r => Option(r(cols.indexOf(c)))) match {
-          case Some(_: Int)    => org.apache.spark.sql.types.IntegerType
-          case Some(_: Long)   => org.apache.spark.sql.types.LongType
-          case Some(_: Double) => org.apache.spark.sql.types.DoubleType
-          case Some(_: String) => org.apache.spark.sql.types.StringType
-          case _               => org.apache.spark.sql.types.StringType
-        })))
+    val schema = org.apache.spark.sql.types.StructType(cols.zipWithIndex.map {
+      case (c, idx) =>
+        org.apache.spark.sql.types.StructField(c,
+          rows.iterator.map(r => Option(r(idx))).collectFirst { case Some(v) => v } match {
+            case Some(_: Int)    => org.apache.spark.sql.types.IntegerType
+            case Some(_: Long)   => org.apache.spark.sql.types.LongType
+            case Some(_: Double) => org.apache.spark.sql.types.DoubleType
+            case _               => org.apache.spark.sql.types.StringType
+          })
+    })
     val rdd = spark.sparkContext.parallelize(
       rows.map(r => org.apache.spark.sql.Row.fromSeq(r)))
     DT(spark.createDataFrame(rdd, schema))

@@ -229,6 +229,10 @@ object Windows {
 
   // ---- cumulative (free in Spark, SURVEY.md §2.5 last row) ------------
 
+  /** NOTE cum("prod") materializes the growing prefix as an array
+    * (O(n²) per partition) — fine for short series; for long ones use
+    * sign-tracked exp(sum(log(abs))) composition instead.
+    */
   def cum(fn: String, c: Column, by: Seq[String], order: Seq[Column]): Column = {
     val w = spec(by, order).rowsBetween(Window.unboundedPreceding, 0)
     fn match {
