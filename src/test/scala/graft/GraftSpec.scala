@@ -1120,3 +1120,66 @@ class ReviewFixSpec extends AnyFunSuite {
     assert(df.filter($"a" === 1).select($"b").head().isNullAt(0))
   }
 }
+
+/** Remaining option-surface specs. */
+class OptionSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.{Reshape, Windows}
+
+  test("froll align=left uses the leading frame") {
+    val df = Seq((1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)).toDF("g", "o", "v")
+    val out = df.withColumn("m",
+        Windows.froll("sum", $"v", 2, Seq("g"), Seq($"o".asc), align = "left"))
+      .orderBy($"o").select($"m").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(Some(3.0), Some(5.0), None))
+  }
+
+  test("tstrsplit keep= and names= select and rename parts") {
+    val df = Seq("a-b-c").toDF("s")
+    val out = Reshape.tstrsplit(df, "s", "-", n = 3,
+      names = Seq("first", "third"), keep = Seq(1, 3))
+    assert(out.columns.toSeq == Seq("s", "first", "third"))
+    val r = out.head()
+    assert(r.getString(1) == "a" && r.getString(2) == "c")
+  }
+
+  test("meltPatterns with no matching columns fails fast") {
+    val df = Seq((1, 2.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Reshape.meltPatterns(df, Seq("id"), "^zzz")
+    }
+  }
+
+  test("melt na.rm drops null measure values") {
+    val df = Seq((1, Some(1.0), None: Option[Double])).toDF("id", "a", "b")
+    val out = Reshape.melt(df, Seq("id"), Seq("a", "b"), naRm = true)
+    assert(out.count() == 1)
+    assert(out.select($"variable").as[String].head() == "a")
+  }
+
+  test("mult='error' assertion fires on duplicate keys only") {
+    val unique = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    graft.operators.Joins.assertNoDup(unique, Seq("k"))
+    val dup = Seq((1, "a"), (1, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Joins.assertNoDup(dup, Seq("k"))
+    }
+  }
+
+  test("fsetequal detects inequality") {
+    val a = Seq(1, 2).toDF("x"); val b = Seq(2, 3).toDF("x")
+    assert(!graft.operators.SetOps.fsetequal(a, b))
+  }
+
+  test("shiftCyclic wraps both directions") {
+    val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c")).toDF("g", "o", "v")
+    val fwd = Windows.shiftCyclic(df, "v", 1, Seq("g"), Seq($"o".asc), "w")
+      .orderBy($"o").select($"w").as[String].collect()
+    assert(fwd.toSeq == Seq("c", "a", "b"))
+    val back = Windows.shiftCyclic(df, "v", -1, Seq("g"), Seq($"o".asc), "w")
+      .orderBy($"o").select($"w").as[String].collect()
+    assert(back.toSeq == Seq("b", "c", "a"))
+  }
+}
