@@ -116,7 +116,13 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     val matched = "_graft_matched"
     val iTagged = i.df.withColumn(matched, lit(true))
     val clashes = iTagged.columns.filter(c => df.columns.contains(c) && !on.contains(c))
-    val iRenamed = clashes.foldLeft(iTagged)((d, c) => d.withColumnRenamed(c, s"i_$c"))
+    // A clashing probe column would be renamed i_<c>, so an assignment
+    // written as col(<c>) would silently bind to the TARGET's column —
+    // refuse and point at the name-based variant, which resolves safely.
+    require(clashes.isEmpty,
+      s"updateJoin: probe columns ${clashes.mkString(",")} clash with target " +
+        "columns; use updateJoinFrom(target -> probeColumnName) instead")
+    val iRenamed = iTagged
     val joined = df.join(iRenamed, on, "left")
     val updated = assignments.foldLeft(joined) { case (d, (name, value)) =>
       val old = if (df.columns.contains(name)) col(name) else lit(null)
@@ -127,6 +133,28 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
         .filterNot(c => assignments.map(_._1).contains(c)): _*)
       .select(df.columns.map(col) ++
         assignments.map(_._1).filterNot(df.columns.contains).map(col): _*), key)
+  }
+
+  /** Update join with NAME-based probe references — the safe form when
+    * probe and target share column names: each assignment is
+    * (targetColumn, probeColumnName), resolved against the probe side
+    * explicitly (`X[Y, w := i.w]`).
+    */
+  def updateJoinFrom(i: DT, on: Seq[String],
+                     mapping: (String, String)*): DT = {
+    graft.operators.Joins.assertNoDup(i.df, on)
+    val matched = "_graft_matched"
+    val renames = mapping.map { case (tgt, probe) => probe -> s"_graft_i_$probe" }.toMap
+    val iPrepped = renames.foldLeft(i.df.withColumn(matched, lit(true))) {
+      case (d, (from, to)) => d.withColumnRenamed(from, to)
+    }.select((on.map(col) :+ col(matched)) ++ renames.values.map(col).toSeq: _*)
+    val joined = df.join(iPrepped, on, "left")
+    val updated = mapping.foldLeft(joined) { case (d, (tgt, probe)) =>
+      val old = if (df.columns.contains(tgt)) col(tgt) else lit(null)
+      d.withColumn(tgt, when(col(matched), col(renames(probe))).otherwise(old))
+    }
+    DT(updated.select(df.columns.map(col) ++
+      mapping.map(_._1).filterNot(df.columns.contains).map(col): _*), key)
   }
 
   /** Delete a column (`DT[, col := NULL]`). */
@@ -212,7 +240,7 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     */
   def uniqueBy(cols: Seq[String], order: Seq[Column],
                fromLast: Boolean = false): DT = {
-    val ord = if (fromLast) order.map(_.desc) else order
+    val ord = if (fromLast) order.map(Windows.flipOrder) else order
     DT(Windows.topK(df, cols, ord, 1), key)
   }
 
@@ -305,13 +333,19 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     */
   def printTopBottom(order: Seq[Column], n: Int = 5): String = {
     val cols = df.columns
-    val top = df.orderBy(order: _*).limit(n).collect()
-    val revOrder = order.map { c => c.desc } // callers pass bare asc columns
-    val bottom = df.orderBy(revOrder: _*).limit(n).collect().reverse
-    val header = cols.mkString("\t")
     val fmt = (r: org.apache.spark.sql.Row) =>
       cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")
-    (Seq(header) ++ top.map(fmt) ++ Seq("---") ++ bottom.map(fmt)).mkString("\n")
+    val header = cols.mkString("\t")
+    // Small tables print every row ONCE, no separator (reference print).
+    val head2n = df.orderBy(order: _*).limit(2 * n + 1).collect()
+    if (head2n.length <= 2 * n)
+      (header +: head2n.map(fmt).toSeq).mkString("\n")
+    else {
+      val top = head2n.take(n)
+      val bottom = df.orderBy(order.map(Windows.flipOrder): _*)
+        .limit(n).collect().reverse
+      (Seq(header) ++ top.map(fmt) ++ Seq("---") ++ bottom.map(fmt)).mkString("\n")
+    }
   }
 }
 

@@ -158,7 +158,8 @@ object QueriesCore {
           "segment" -> col("c_mktsegment"))
         .select(col("o_orderkey"), col("segment")).df): Q,
       Some("""SELECT o_orderkey,
-             |  coalesce(c_mktsegment, 'UNKNOWN') AS segment
+             |  CASE WHEN c_custkey IS NULL THEN 'UNKNOWN'
+             |       ELSE c_mktsegment END AS segment
              |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
 
     // ---- §2.4 GForce aggregate battery (src/gsumm.c) -------------------
@@ -345,7 +346,8 @@ object QueriesCore {
           Seq(round(sum(col("o_totalprice")), 3).as("rev"), count(lit(1)).as("n")))
         .topK(Seq.empty, Seq(col("rev").desc, col("segment").asc), 3).df): Q,
       Some("""SELECT segment, rev, n FROM (
-             |  SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+             |  SELECT CASE WHEN c_custkey IS NULL THEN 'UNKNOWN'
+             |              ELSE c_mktsegment END AS segment,
              |         round(sum(o_totalprice), 3) AS rev, count(*) AS n
              |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
              |  WHERE o_totalprice > 50000

@@ -51,7 +51,9 @@ object Funcs {
                 incbounds: Boolean = true): Column = {
     val lo = if (incbounds) x >= lower else x > lower
     val hi = if (incbounds) x <= upper else x < upper
-    (lower.isNull || lo) && (upper.isNull || hi)
+    // null x stays NA (reference semantics) even with open bounds
+    when(x.isNull, lit(null).cast("boolean"))
+      .otherwise((lower.isNull || lo) && (upper.isNull || hi))
   }
 
   /** %like% — regex match (R/like.R:4). */

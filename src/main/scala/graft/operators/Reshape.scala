@@ -103,7 +103,9 @@ object Reshape {
 
   /** dcast with a LIST of named aggregates (fun.aggregate = list(...),
     * R/fcast.R:126): one output column per (pivot value × aggregate),
-    * named `<value>_<aggName>` like the reference's convention.
+    * named `<value>_<aggName>` — NOTE Spark drops the agg alias when
+    * exactly one aggregate is given (columns are then the bare pivot
+    * values, same as plain dcast), so the convention applies for 2+.
     */
   def dcastMulti(df: DataFrame, lhs: Seq[String], rhs: String,
                  values: Seq[String], aggs: Seq[(String, Column)]): DataFrame = {

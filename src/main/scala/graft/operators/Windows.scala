@@ -16,6 +16,13 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
   */
 object Windows {
 
+  /** Flip a sort column's direction safely: unwraps an existing
+    * SortOrder node (Spark 4 Columns wrap internal ColumnNodes, not
+    * catalyst expressions) instead of nesting .desc on top of it.
+    */
+  def flipOrder(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.flipSortOrder(c)
+
   private def spec(by: Seq[String], order: Seq[Column]): WindowSpec =
     if (by.isEmpty) Window.orderBy(order: _*)
     else Window.partitionBy(by.map(col): _*).orderBy(order: _*)
@@ -204,7 +211,8 @@ object Windows {
       case "median" =>
         val sorted = array_sort(sliced)
         val sz = size(sorted)
-        when(sz % 2 === 1, element_at(sorted, ((sz + 1) / 2).cast("int")).cast("double"))
+        when(sz === 0, lit(null).cast("double"))
+          .when(sz % 2 === 1, element_at(sorted, ((sz + 1) / 2).cast("int")).cast("double"))
           .otherwise((element_at(sorted, (sz / 2).cast("int")) +
             element_at(sorted, (sz / 2).cast("int") + 1)) / 2.0)
       case "var" | "sd" =>

@@ -32,10 +32,10 @@ object Fread {
       multiLine: Boolean = false,       // quoted fields w/ embedded newlines
       compression: String = "auto")     // gz/bz2 handled by codec auto-detect
 
-  /** Sniff the separator from the first non-skipped line (driver-side,
-    * one small read — the distributed scan never re-reads).
+  /** First non-empty line after `skip` (driver-side, one small read —
+    * shared by separator sniffing and header detection so the file head
+    * is fetched once).
     */
-  /** First non-empty line after `skip` (driver-side, one small read). */
   def firstLine(spark: SparkSession, path: String, skip: Int = 0): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
@@ -52,15 +52,18 @@ object Fread {
     text.linesIterator.drop(skip).find(_.nonEmpty).getOrElse("")
   }
 
-  def sniffSep(spark: SparkSession, path: String, skip: Int = 0): String = {
-    val line = firstLine(spark, path, skip)
+  /** Auto separator detection over a pre-fetched first line. */
+  def sniffSepFrom(line: String): String =
     Seq("\t", ";", "|", ",").maxBy(s => line.count(_.toString == s))
-  }
+
+  def sniffSep(spark: SparkSession, path: String, skip: Int = 0): String =
+    sniffSepFrom(firstLine(spark, path, skip))
 
   /** fread(file): distributed CSV read with data.table-flavored options. */
   def fread(spark: SparkSession, path: String,
             opts: FreadOptions = FreadOptions()): DataFrame = {
-    val sep = if (opts.sep == "auto") sniffSep(spark, path, opts.skip) else opts.sep
+    lazy val line1 = firstLine(spark, path, opts.skip)   // fetched at most once
+    val sep = if (opts.sep == "auto") sniffSepFrom(line1) else opts.sep
     var r = spark.read
       .option("sep", sep)
       .option("quote", opts.quote)
@@ -76,9 +79,10 @@ object Fread {
       case "true"  => true
       case "false" => false
       case _ =>      // auto: header iff NO first-line field parses numeric
-        val line = firstLine(spark, path, opts.skip)
-        val fields = line.split(java.util.regex.Pattern.quote(sep), -1)
-        !fields.exists(f => scala.util.Try(f.trim.toDouble).isSuccess)
+        val fields = line1.split(java.util.regex.Pattern.quote(sep), -1)
+        def unquote(f: String) =
+          f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim
+        !fields.exists(f => scala.util.Try(unquote(f).toDouble).isSuccess)
     }
     r = r.option("header", hasHeader)
     r = opts.colClasses match {

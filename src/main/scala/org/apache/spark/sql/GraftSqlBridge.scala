@@ -9,4 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Flip a sort column's direction, unwrapping an existing SortOrder
+    * node (Spark 4 Columns wrap internal ColumnNodes; nesting .desc on
+    * a SortOrder breaks analysis). Lives here because the node types
+    * are private[sql].
+    */
+  def flipSortOrder(c: Column): Column = {
+    import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder}
+    c.node match {
+      case NodeSortOrder(child, NodeSortOrder.Ascending, _, _) =>
+        new Column(child).desc
+      case NodeSortOrder(child, NodeSortOrder.Descending, _, _) =>
+        new Column(child).asc
+      case _ => c.desc
+    }
+  }
 }

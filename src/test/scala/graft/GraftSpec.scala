@@ -1183,3 +1183,62 @@ class OptionSurfaceSpec extends AnyFunSuite {
     assert(back.toSeq == Seq("b", "c", "a"))
   }
 }
+
+/** Second review round regression specs. */
+class ReviewFix2Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.Funcs
+  import graft.operators.Windows
+
+  test("updateJoin refuses clashing probe columns; updateJoinFrom resolves them") {
+    val x = DT(Seq((1, 10.0), (2, 20.0)).toDF("k", "w"))
+    val y = DT(Seq((1, 99.0)).toDF("k", "w"))
+    intercept[IllegalArgumentException] {
+      x.updateJoin(y, Seq("k"), "w" -> col("w"))
+    }
+    val out = x.updateJoinFrom(y, Seq("k"), "w" -> "w")
+      .df.orderBy($"k").select($"w").as[Double].collect()
+    assert(out.toSeq == Seq(99.0, 20.0))   // matched updated, unmatched kept
+  }
+
+  test("betweenNA: null x stays NA even with open bounds") {
+    val df = Seq((1, Some(5.0)), (2, None: Option[Double])).toDF("id", "x")
+    val kept = df.filter(Funcs.betweenNA($"x",
+        lit(null).cast("double"), lit(null).cast("double")))
+      .select($"id").as[Int].collect()
+    assert(kept.toSeq == Seq(1))   // null x does not leak through
+  }
+
+  test("uniqueBy fromLast handles order columns that already carry desc") {
+    val d = DT(Seq((1, "a", "x1"), (2, "a", "x2")).toDF("rid", "k", "v"))
+    // caller passes DESC; fromLast flips it back to ASC → keeps rid=1
+    val out = d.uniqueBy(Seq("k"), Seq(col("rid").desc), fromLast = true)
+      .df.select($"v").as[String].collect()
+    assert(out.toSeq == Seq("x1"))
+  }
+
+  test("frollAdaptive median survives zero-length windows") {
+    val df = Seq((1, 1, 5.0, 0), (1, 2, 7.0, 2)).toDF("g", "o", "v", "an")
+    val out = df.withColumn("m",
+        Windows.frollAdaptive("median", $"v", $"an", 3, Seq("g"), Seq($"o".asc)))
+      .orderBy($"o").select($"m").collect().map(r => Option(r.get(0)))
+    assert(out(0).isEmpty && out(1).contains(6.0))
+  }
+
+  test("printTopBottom prints small tables once, without separator") {
+    val d = DT((1 to 4).map(i => (i, s"r$i")).toDF("id", "s"))
+    val txt = d.printTopBottom(Seq(col("id")), 5)
+    assert(!txt.contains("---"))
+    assert(txt.split("\n").length == 5)   // header + 4 rows, no dupes
+  }
+
+  test("fread header=auto: quoted numeric first line is data, not header") {
+    val d = java.nio.file.Files.createTempDirectory("graft_qnum")
+    val p = d.resolve("qnum.csv")
+    java.nio.file.Files.write(p, "\"1\",\"2.5\"\n\"3\",\"4.5\"\n".getBytes)
+    val df = graft.sources.Fread.fread(spark, p.toString)
+    assert(df.count() == 2)
+  }
+}
