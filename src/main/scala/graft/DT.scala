@@ -217,6 +217,12 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
                probeUnique: Boolean = false): DT =
     DT(Joins.mult(df, i.df, on, mult, order, probeUnique))
 
+  /** joinMult via one min_by/max_by hash aggregation (no window sort) —
+    * same semantics when `order` totally orders each key group.
+    */
+  def joinMultAgg(i: DT, on: Seq[String], mult: String, order: Seq[Column]): DT =
+    DT(Joins.multAgg(df, i.df, on, mult, order))
+
   /** Rolling / as-of join (roll=, src/bmerge.c:13-17). */
   def asofJoin(i: DT, by: Seq[String], on: String,
                roll: Joins.Roll = Joins.Locf, valueCols: Seq[String] = Nil): DT =
@@ -226,6 +232,19 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def overlapJoin(y: DT, by: Seq[String], xStart: String, xEnd: String,
                   yStart: String, yEnd: String, typ: String = "any"): DT =
     DT(Joins.overlap(df, y.df, by, xStart, xEnd, yStart, yEnd, typ))
+
+  /** foverlaps(mult=first|last|all). */
+  def overlapJoinMult(y: DT, by: Seq[String], xStart: String, xEnd: String,
+                      yStart: String, yEnd: String, typ: String = "any",
+                      mult: String = "all"): DT =
+    DT(Joins.overlapMult(df, y.df, by, xStart, xEnd, yStart, yEnd, typ, mult))
+
+  /** foverlaps(which=TRUE): matching id pairs only. */
+  def overlapJoinWhich(y: DT, by: Seq[String], xStart: String, xEnd: String,
+                       yStart: String, yEnd: String, xIdCol: String,
+                       yIdCol: String, typ: String = "any"): DT =
+    DT(Joins.overlapWhich(df, y.df, by, xStart, xEnd, yStart, yEnd,
+      xIdCol, yIdCol, typ))
 
   def crossJoin(y: DT): DT = DT(df.crossJoin(y.df))
 
@@ -285,8 +304,15 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def head(n: Int): DT = DT(df.limit(n))
 
   /** top-k per group: `DT[order(o), head(.SD, k), by]` idiom. */
-  def topK(by: Seq[String], order: Seq[Column], k: Int): DT =
-    DT(Windows.topK(df, by, order, k))
+  def topK(by: Seq[String], order: Seq[Column], k: Int,
+           allowGlobal: Boolean = false): DT =
+    DT(Windows.topK(df, by, order, k, allowGlobal))
+
+  /** tail-k per group: `DT[order(o), tail(.SD, k), by]` (gtail,
+    * src/gsumm.c:1004-1018). */
+  def tailK(by: Seq[String], order: Seq[Column], k: Int,
+            allowGlobal: Boolean = false): DT =
+    DT(Windows.tailK(df, by, order, k, allowGlobal))
 
   // ---- dogroups analog: arbitrary j per group (SURVEY.md §2.11) --------
   /** The reference's `dogroups` superpower (src/dogroups.c): evaluate an
@@ -357,6 +383,12 @@ object DT {
   def tables(spark: SparkSession): DataFrame =
     spark.sql("SHOW TABLES")
 
+  /** SJ(...) (NAMESPACE:8, tests.Rraw:279): sorted-and-keyed join table
+    * from literal rows — fromRows + keyBy on every column.
+    */
+  def SJ(spark: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DT =
+    fromRows(spark, cols, rows).keyBy(cols: _*)
+
   /** CJ(...) (src/cj.c): sorted cartesian product of literal vectors —
     * the join-table constructor. Lowered to crossJoin of literal
     * DataFrames + orderBy (tiny inputs by construction).
@@ -390,10 +422,23 @@ object DT {
       case (c, idx) =>
         org.apache.spark.sql.types.StructField(c,
           rows.iterator.map(r => Option(r(idx))).collectFirst { case Some(v) => v } match {
-            case Some(_: Int)    => org.apache.spark.sql.types.IntegerType
-            case Some(_: Long)   => org.apache.spark.sql.types.LongType
-            case Some(_: Double) => org.apache.spark.sql.types.DoubleType
-            case _               => org.apache.spark.sql.types.StringType
+            case Some(_: Int)     => org.apache.spark.sql.types.IntegerType
+            case Some(_: Long)    => org.apache.spark.sql.types.LongType
+            case Some(_: Double)  => org.apache.spark.sql.types.DoubleType
+            case Some(_: Float)   => org.apache.spark.sql.types.FloatType
+            case Some(_: Boolean) => org.apache.spark.sql.types.BooleanType
+            case Some(_: String)  => org.apache.spark.sql.types.StringType
+            case Some(_: java.sql.Timestamp) => org.apache.spark.sql.types.TimestampType
+            case Some(_: java.sql.Date)      => org.apache.spark.sql.types.DateType
+            case Some(_: java.math.BigDecimal) =>
+              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+            case Some(_: BigDecimal) =>
+              org.apache.spark.sql.types.DataTypes.createDecimalType(38, 18)
+            // all-null column: only String round-trips a pure-null column
+            case None => org.apache.spark.sql.types.StringType
+            case Some(v) => throw new IllegalArgumentException(
+              s"fromRows: unsupported value type ${v.getClass.getName} in column '$c' — " +
+                "supported: Int, Long, Double, Float, Boolean, String, Timestamp, Date, BigDecimal")
           })
     })
     val rdd = spark.sparkContext.parallelize(

@@ -344,7 +344,7 @@ object QueriesCore {
           "segment" -> col("c_mktsegment"))
         .groupAgg(Seq(col("segment")),
           Seq(round(sum(col("o_totalprice")), 3).as("rev"), count(lit(1)).as("n")))
-        .topK(Seq.empty, Seq(col("rev").desc, col("segment").asc), 3).df): Q,
+        .topK(Seq.empty, Seq(col("rev").desc, col("segment").asc), 3, allowGlobal = true).df): Q,
       Some("""SELECT segment, rev, n FROM (
              |  SELECT CASE WHEN c_custkey IS NULL THEN 'UNKNOWN'
              |              ELSE c_mktsegment END AS segment,

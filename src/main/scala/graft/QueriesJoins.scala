@@ -85,10 +85,9 @@ object QueriesJoins {
     // ---- mult="first" (src/bmerge.c:32) --------------------------------
     ("q_mult_first", ((s, dir) =>
       dt(s, dir, "lineitem")
-        .joinMult(dt(s, dir, "orders").selectNames("o_orderkey", "o_orderpriority")
+        .joinMultAgg(dt(s, dir, "orders").selectNames("o_orderkey", "o_orderpriority")
             .setNames("o_orderkey" -> "l_orderkey"),
-          Seq("l_orderkey"), "first", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-          probeUnique = true)
+          Seq("l_orderkey"), "first", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("o_orderpriority")).df): Q,
       Some("""SELECT o_orderkey AS l_orderkey, l_linenumber, l_partkey, o_orderpriority
@@ -101,10 +100,9 @@ object QueriesJoins {
     // ---- mult="last" ----------------------------------------------------
     ("q_mult_last", ((s, dir) =>
       dt(s, dir, "lineitem")
-        .joinMult(dt(s, dir, "orders").selectNames("o_orderkey")
+        .joinMultAgg(dt(s, dir, "orders").selectNames("o_orderkey")
             .setNames("o_orderkey" -> "l_orderkey"),
-          Seq("l_orderkey"), "last", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
-          probeUnique = true)
+          Seq("l_orderkey"), "last", Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).df): Q,
       Some("""SELECT o_orderkey AS l_orderkey, l_linenumber, l_partkey
              |FROM (SELECT o.o_orderkey, l.l_linenumber, l.l_partkey, row_number() OVER
@@ -203,6 +201,37 @@ object QueriesJoins {
              |WHERE p_retailprice - 10 <= c_acctbal + 5
              |  AND c_acctbal <= p_retailprice + 10
              |GROUP BY p_brand""".stripMargin)),
+
+    // ---- foverlaps mult=first (earliest-starting match per x row) ------
+    ("q_overlap_mult", ((s, dir) => {
+      val x = DT(dt(s, dir, "part").df.select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice") - 10).as("xs"), (col("p_retailprice") + 10).as("xe")))
+      val y = DT(dt(s, dir, "customer").df.select(col("c_custkey"),
+        col("c_acctbal").as("ys"), (col("c_acctbal") + 5).as("ye")))
+      // output only tie-insensitive columns: equal (ys,ye) matches are
+      // interchangeable, so the matched start value is deterministic
+      x.overlapJoinMult(y, Nil, "xs", "xe", "ys", "ye", "any", mult = "first")
+        .df.select(col("p_partkey"), col("p_brand"), col("ys"))
+    }): Q,
+      Some("""SELECT p_partkey, p_brand, min(c_acctbal) AS ys
+             |FROM part, customer
+             |WHERE p_retailprice - 10 <= c_acctbal + 5
+             |  AND c_acctbal <= p_retailprice + 10
+             |GROUP BY p_partkey, p_brand""".stripMargin)),
+
+    // ---- foverlaps which=TRUE (id pairs only) --------------------------
+    ("q_overlap_which", ((s, dir) => {
+      val x = DT(dt(s, dir, "part").df.select(col("p_partkey"),
+        (col("p_retailprice") - 10).as("xs"), (col("p_retailprice") + 10).as("xe")))
+      val y = DT(dt(s, dir, "customer").df.select(col("c_custkey"),
+        col("c_acctbal").as("ys"), (col("c_acctbal") + 5).as("ye")))
+      x.overlapJoinWhich(y, Nil, "xs", "xe", "ys", "ye",
+        "p_partkey", "c_custkey").df
+    }): Q,
+      Some("""SELECT p_partkey, c_custkey
+             |FROM part, customer
+             |WHERE p_retailprice - 10 <= c_acctbal + 5
+             |  AND c_acctbal <= p_retailprice + 10""".stripMargin)),
 
     // ---- CJ cross join (src/cj.c) --------------------------------------
     ("q_cross", ((s, dir) =>

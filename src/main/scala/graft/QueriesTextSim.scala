@@ -29,16 +29,29 @@ object QueriesTextSim {
              |FROM documents""".stripMargin)),
 
     // ---- BPE-ish subword token counting ---------------------------------
+    // split-on-alnum-boundary count ≡ #alnum-runs + #non-alnum chars
+    // (RE2 has no lookarounds, so the oracle states the identity directly)
     ("q_bpe_tokens", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextFunctions.bpeishTokens(col("text")).as("n_subtokens"))): Q,
-      None),
+      Some("""SELECT doc_id,
+             |  (len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+             |   len(regexp_extract_all(text, '[^A-Za-z0-9]'))) AS n_subtokens
+             |FROM documents""".stripMargin)),
 
     // ---- rolling-hash document signature (order-sensitive) --------------
+    // Portable variant: md5-derived token hashes + 59-bit rotate-xor,
+    // bit-identical in DuckDB (rollingHash/xxhash64 is the JVM-only twin).
     ("q_rolling_hash", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        TextFunctions.rollingHash(col("text")).as("rh"))): Q,
-      None),
+        TextFunctions.rollingHashPortable(col("text")).as("rh"))): Q,
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(string_split_regex(trim(text), '\s+'),
+             |      t -> ('0x'||substr(md5(t),1,15))::BIGINT)),
+             |    (acc, x) -> xor((((acc & 18014398509481983) << 5) | (acc >> 54)), x)
+             |                & 576460752303423487) AS rh
+             |FROM documents""".stripMargin)),
 
     // ---- quality scoring ------------------------------------------------
     ("q_quality", ((s, dir) =>
@@ -62,12 +75,12 @@ object QueriesTextSim {
               |        / len(string_split_regex(trim(text), '\\s+')), 4) AS stopword_ratio
               |FROM documents""".stripMargin)),
 
-    // ---- language ID heuristic (no SQL equivalent — rows-only check) ---
+    // ---- language ID heuristic (stopword-ratio argmax) ------------------
     ("q_langid", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))): Q,
-      None),
+      Some(langidOracle)),
 
     // ---- document fingerprint (rolling hash + md5 forms) ---------------
     ("q_fingerprint", ((s, dir) =>
@@ -85,17 +98,22 @@ object QueriesTextSim {
              |FROM documents
              |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin)),
 
-    // ---- MinHash LSH near-dup pairs (rows-only: not SQL-expressible) ---
+    // ---- MinHash LSH near-dup pairs -------------------------------------
+    // Portable md5-derived hash family end-to-end, so the oracle mirrors
+    // the ENTIRE LSH pipeline (shingle→sig→band→capped bucket→exact
+    // jaccard) in SQL — exact equality, no recall gap to paper over.
+    // (Dedup.minhashPairs keeps the faster xxhash64 kernels; spec-tested.)
     ("q_dedup_minhash", ((s, dir) =>
-      Dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+      Dedup.minhashPairsPortable(docs(s, dir), "doc_id", "text",
         k = 3, numHashes = 32, bands = 8, threshold = 0.5)): Q,
-      None),
+      Some(minhashOracle)),
 
-    // ---- SimHash signatures + near-dup by Hamming distance -------------
+    // ---- SimHash signatures (portable md5 token hashes) ----------------
     ("q_simhash", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        Dedup.simhash(col("text")).as("sig"))): Q,
-      None),
+        graft.plans.PortableSimHash(TextFunctions.wsTokens(
+          TextFunctions.normalize(col("text")))).as("sig"))): Q,
+      Some(simhashOracle)),
 
     // ---- n-gram Jaccard on adjacent doc pairs (deterministic pairing) --
     ("q_ngram_jaccard", ((s, dir) => {
@@ -106,7 +124,19 @@ object QueriesTextSim {
         .select(col("idA"), col("idB"),
           round(Dedup.ngramJaccard(col("tA"), col("tB"), 3), 4).as("jac"))
     }): Q,
-      None),
+      Some("""WITH g AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(0, greatest(length(n3) - 3, 0) + 1),
+             |    i -> substr(n3, i + 1, 3))) AS grams
+             |  FROM (SELECT doc_id,
+             |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n3
+             |        FROM documents))
+             |SELECT a.doc_id AS idA, b.doc_id AS idB,
+             |  round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+             |        THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+             |             / len(list_distinct(list_concat(a.grams, b.grams)))
+             |        ELSE 1.0 END, 4) AS jac
+             |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
     // ---- embedding cosine top-k (brute force baseline) ------------------
     ("q_embed_topk", ((s, dir) => {
@@ -127,29 +157,68 @@ object QueriesTextSim {
              |  WHERE q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id)
              |WHERE rk <= 5""".stripMargin)),
 
-    // ---- LSH-bucketed ANN (scale path; rows-only) -----------------------
+    // ---- LSH-bucketed ANN (scale path) ----------------------------------
+    // The hyperplanes are deterministic literals, so the oracle rebuilds
+    // the same signatures with list_dot_product and mirrors the bucket
+    // join + per-query top-k exactly.
     ("q_ann_lsh", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
       val queries = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      // `+ 0.0` canonicalizes a possible round(-ε,3) = -0.0 (bucketed
+      // neighbors can have slightly negative cosine)
       Similarity.lshTopK(e, queries, "vec_id", "embedding",
         dim = 64, nBits = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
     }): Q,
-      None),
+      Some(annLshOracle)),
 
-    // ---- IVF coarse quantization (ANN scale path #2; rows-only) --------
+    // ---- IVF coarse quantization (ANN scale path #2) -------------------
+    // Deterministic seed centroids (4 lowest vec_ids) ⇒ the assignment
+    // argmax is SQL-expressible; the kmeans-fitted variant below
+    // exercises the real quantizer.
     ("q_ann_ivf", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
-      // Deterministic centroids: the 4 lowest vec_ids (tiny driver-side
-      // collect; a real pipeline would sample+kmeans upstream).
       val centroids = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
         .select(col("embedding")).collect()
         .map(_.getSeq[Double](0).toSeq).toSeq
       Similarity.ivfAssign(e, "embedding", centroids)
         .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
     }): Q,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+             |sc AS (SELECT e.vec_id, c.cid,
+             |         list_cosine_similarity(e.v, c.cv) AS sim
+             |       FROM e CROSS JOIN c),
+             |a AS (SELECT vec_id, cid, row_number() OVER
+             |        (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+             |      FROM sc)
+             |SELECT cid::INT AS ivf_cell, count(*) AS n
+             |FROM a WHERE rn = 1 GROUP BY 1""".stripMargin)),
+
+    // ---- IVF with kmeans-lite fitted centroids (rows-only: centroids
+    // come from the distributed Lloyd fit; assignment optimality and
+    // fit determinism are spec-verified in KmeansIvfSpec) ---------------
+    ("q_ann_ivf_kmeans", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 3)
+      Similarity.ivfAssign(e, "embedding", cents)
+        .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
+    }): Q,
       None),
+
+    // ---- embedding near-dup pairs (LSH buckets + exact cosine) ---------
+    ("q_cosine_pairs", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      Similarity.cosinePairs(e, "vec_id", "embedding", dim = 64, nBits = 4,
+        threshold = 0.8, tables = 2)
+        .select(col("idA"), col("idB"), round(col("sim"), 3).as("sim"))
+    }): Q,
+      Some(cosinePairsOracle)),
 
     // ---- multimodal-ish: opaque binary metadata -------------------------
     ("q_binary_meta", ((s, dir) =>
@@ -277,9 +346,9 @@ object QueriesTextSim {
     }): Q,
       Some("""SELECT user_id, max(sid) AS n_sessions, count(*) AS n_events FROM (
              |  SELECT user_id,
-             |    sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+             |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
              |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |            ROWS UNBOUNDED PRECEDING) AS sid
+             |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
              |  FROM (SELECT user_id, ts, event_id,
              |          epoch_us(ts) - lag(epoch_us(ts))
              |            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
@@ -289,4 +358,138 @@ object QueriesTextSim {
 
   private def sqlStops: String =
     TextFunctions.stopwordsEn.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  // ---- generated oracle SQL (mirrors of the portable-hash pipelines) ---
+
+  /** langIdHeuristic mirror: stopword-ratio per language, argmax with
+    * ties going to the first language in TextFunctions.langs order.
+    */
+  private def langidOracle: String = {
+    val scores = TextFunctions.langs.map { case (lang, stops) =>
+      val lst = stops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, w -> list_contains($lst, w)))::DOUBLE" +
+        s" / greatest(len(toks), 1) AS s_$lang"
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    $scores
+       |  FROM t)
+       |SELECT CASE
+       |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |    WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred,
+       |  count(*) AS n
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
+  /** PortableSimHash mirror: 60 generated bit-vote terms over md5 token
+    * hashes (see plans/PortableHashExprs.scala for the bit layout).
+    */
+  private def simhashOracle: String = {
+    val terms = (0 until 60).map { b =>
+      s"CASE WHEN 2*len(list_filter(h, x -> ((x >> $b) & 1) = 1)) > len(h)" +
+        s" THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", "\n   + ", ")")
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform(
+       |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+'),
+       |    t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $terms::BIGINT AS sig
+       |FROM th""".stripMargin
+  }
+
+  /** minhashPairsPortable mirror: the full LSH pipeline in SQL —
+    * shingle md5 identities → 32-hash affine signature → 8 rotate-xor
+    * band hashes → capped buckets → distinct candidate pairs → exact
+    * shingle-set jaccard ≥ threshold. Constants match PortableHash.
+    */
+  private def minhashOracle: String = {
+    val maskA = "288230376151711743"   // 2^58-1
+    val mask40 = "1099511627775"       // 2^40-1
+    val maskB = "9007199254740991"     // 2^53-1
+    val sigTerms = (0 until 32).map { i =>
+      s"list_min(list_transform(sh, a -> (a & $maskA)" +
+        s" + $i * (xor(a >> 7, (a & $mask40) << 13) & $maskB)))"
+    }.mkString("[\n    ", ",\n    ", "]")
+    def rot(e: String) = s"((($e & 4503599627370495) << 7) | ($e >> 52))"
+    def bh(b: Int): String = {
+      var e = s"list_extract(sig, ${b * 4 + 1})"
+      for (j <- 2 to 4) e = s"xor(${rot(e)}, list_extract(sig, ${b * 4 + j}))"
+      e
+    }
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT id, $b AS band, ${bh(b)} AS bh FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id,
+       |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), '\\s+') AS t
+       |  FROM documents),
+       |shl AS (
+       |  SELECT id, list_distinct(list_transform(
+       |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |         ELSE list_transform(range(0, len(t)-2),
+       |                i -> array_to_string(list_slice(t, i+1, i+3), ' ')) END,
+       |    s -> ('0x'||substr(md5(s),1,15))::BIGINT)) AS sh
+       |  FROM toks),
+       |sig AS (SELECT id, sh, $sigTerms AS sig FROM shl),
+       |banded AS (
+       |  $bandSelects),
+       |sizes AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+       |  JOIN sizes s ON s.band = a.band AND s.bh = a.bh
+       |  WHERE s.n BETWEEN 2 AND 1000),
+       |j AS (
+       |  SELECT idA, idB,
+       |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+       |  FROM cand JOIN shl x ON x.id = cand.idA JOIN shl y ON y.id = cand.idB)
+       |SELECT idA, idB, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** Signature text for the random-hyperplane LSH: bit b = sign of the
+    * dot product with the deterministic literal plane (the same
+    * constants Similarity.planeComponent bakes into the Spark plan).
+    */
+  private def lshSigSql(vecExpr: String, bitOffset: Int, nBits: Int): String =
+    (bitOffset until bitOffset + nBits).map { b =>
+      val plane = (0 until 64).map(d =>
+        Similarity.planeComponent(b, d).toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product($vecExpr, $plane) >= 0 THEN '1' ELSE '0' END"
+    }.mkString("(", " || ", ")")
+
+  private def annLshOracle: String =
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, ${lshSigSql("v", 0, 4)} AS sig FROM c),
+       |q AS (SELECT vec_id AS query_id, v AS qv, sig FROM s
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |sc AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+       |         list_cosine_similarity(s.v, q.qv) AS sim
+       |       FROM s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
+       |FROM r WHERE rk <= 5""".stripMargin
+
+  private def cosinePairsOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS (
+       |  SELECT id, '0|' || ${lshSigSql("v", 0, 4)} AS sig FROM e
+       |  UNION ALL
+       |  SELECT id, '1|' || ${lshSigSql("v", 4, 4)} AS sig FROM e),
+       |sizes AS (SELECT sig, count(*) AS n FROM banded GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS idA, b.id AS idB
+       |  FROM banded a JOIN banded b ON a.sig = b.sig AND a.id < b.id
+       |  JOIN sizes s ON s.sig = a.sig
+       |  WHERE s.n BETWEEN 2 AND 1000),
+       |p AS (SELECT idA, idB, list_cosine_similarity(x.v, y.v) AS sim
+       |      FROM cand JOIN e x ON x.id = cand.idA JOIN e y ON y.id = cand.idB)
+       |SELECT idA, idB, round(sim, 3) AS sim FROM p WHERE sim >= 0.8""".stripMargin
 }

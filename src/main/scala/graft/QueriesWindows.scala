@@ -77,15 +77,47 @@ object QueriesWindows {
              |          ORDER BY c_nationkey, c_custkey) AS rn
              |      FROM customer)""".stripMargin)),
 
+    // ---- frank ties.method=last (src/frank.c:112-123 7-method enum) ----
+    ("q_frank_last", ((s, dir) =>
+      Windows.frank(dt(s, dir, "customer").df,
+        Seq(col("c_nationkey").asc), Seq(col("c_nationkey")),
+        "last", Seq("c_mktsegment"), "rk_last",
+        appearance = Seq(col("c_custkey").asc))
+        .select(col("c_custkey"), col("rk_last"))): Q,
+      Some("""SELECT c_custkey,
+             |  row_number() OVER (PARTITION BY c_mktsegment
+             |    ORDER BY c_nationkey, c_custkey DESC) AS rk_last
+             |FROM customer""".stripMargin)),
+
+    // ---- frank na.last="keep" (R/frank.R:1 default NA handling) --------
+    ("q_frank_na", ((s, dir) =>
+      Windows.frankNa(
+        dt(s, dir, "events").df
+          .withColumn("v", when(col("event_type") === "error", lit(null))
+            .otherwise(col("value"))),
+        col("v"), desc = false, ties = "min", by = Seq("user_id"),
+        naLast = "keep", out = "rk")
+        // double, not int: an int-with-nulls column round-trips through
+        // pandas as EITHER Int64 or float64 depending on the reader —
+        // double is unambiguous on both sides of the driver's hash.
+        .select(col("event_id"), col("rk").cast("double").as("rk"))): Q,
+      Some("""SELECT event_id,
+             |  CASE WHEN v IS NULL THEN NULL ELSE
+             |    rank() OVER (PARTITION BY user_id ORDER BY v ASC NULLS LAST)
+             |  END ::DOUBLE AS rk
+             |FROM (SELECT event_id, user_id,
+             |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |      FROM events)""".stripMargin)),
+
     // ---- rleid gaps-and-islands (src/uniqlist.c:170) -------------------
     ("q_rleid", ((s, dir) =>
       Windows.rleid(dt(s, dir, "events").df, Seq("event_type"),
         Seq(col("ts").asc, col("event_id").asc), Seq("user_id"), "run_id")
         .select(col("event_id"), col("run_id"))): Q,
       Some("""SELECT event_id,
-             |  sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+             |  CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
              |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |          ROWS UNBOUNDED PRECEDING) AS run_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
              |FROM (SELECT event_id, user_id, ts, event_type,
              |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
              |      FROM events)""".stripMargin)),
@@ -109,6 +141,50 @@ object QueriesWindows {
              |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |   ROWS UNBOUNDED PRECEDING), 3) AS running
              |FROM orders""".stripMargin)),
+
+    // ---- cumprod, exact-FP tier (bounded series; the log-space tier is
+    // the scale default, spec-verified with tolerance) -------------------
+    // values ∈ {1,-1,2} keep every prefix product an exact ±2^k, so the
+    // result is independent of multiplication order (engines' window
+    // product algorithms associate differently — a raw-double product
+    // diverged by 1 ulp)
+    ("q_cumprod", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("x", when(col("o_orderkey") % 3 === 0, 1.0)
+          .when(col("o_orderkey") % 3 === 1, -1.0).otherwise(2.0))
+        .withColumn("cp", Windows.cum("prod_exact", col("x"),
+          Seq("o_custkey"), ordCols))
+        .select(col("o_orderkey"), col("cp"))): Q,
+      Some("""SELECT o_orderkey, product(CASE o_orderkey % 3
+             |    WHEN 0 THEN 1.0::DOUBLE WHEN 1 THEN -1.0::DOUBLE
+             |    ELSE 2.0::DOUBLE END) OVER
+             |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |   ROWS UNBOUNDED PRECEDING) AS cp
+             |FROM orders""".stripMargin)),
+
+    // ---- gtail: last-k per group (src/gsumm.c:1004-1018) ---------------
+    ("q_tail_sd", ((s, dir) =>
+      dt(s, dir, "orders").tailK(Seq("o_custkey"), ordCols, 2)
+        .df.filter(col("o_custkey") <= 10)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))): Q,
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn <= 2 AND o_custkey <= 10""".stripMargin)),
+
+    // ---- frollmean partial=TRUE (incomplete leading windows kept) ------
+    ("q_froll_partial", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("p5", round(Windows.froll("sum", col("o_totalprice"), 5,
+          Seq("o_custkey"), ordCols, partial = true), 3))
+        .select(col("o_orderkey"), col("p5"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(o_totalprice) OVER w5 = count(*) OVER w5
+             |       THEN round(sum(o_totalprice) OVER w5, 3) END AS p5
+             |FROM orders
+             |WINDOW w5 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // ---- frollmean fixed window, partial=FALSE (src/froll.c) -----------
     ("q_froll_mean", ((s, dir) =>
@@ -207,8 +283,11 @@ object QueriesWindows {
       val sy = stddev_samp(col("l_extendedprice")).over(w8)
       val cv = covar_samp(col("l_quantity"), col("l_extendedprice")).over(w8)
       val ok = count(lit(1)).over(w8) === 8 && sx > 0 && sy > 0
+      // `+ 0.0` canonicalizes IEEE -0.0 to +0.0: DuckDB's round keeps the
+      // sign bit on tiny negatives while Spark's BigDecimal round drops it,
+      // which flips the driver's value hash despite numeric equality.
       dt(s, dir, "lineitem").df
-        .withColumn("c8", round(when(ok, cv / (sx * sy)), 3))
+        .withColumn("c8", round(when(ok, cv / (sx * sy)), 3) + lit(0.0))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("c8"))
     }): Q,
@@ -218,7 +297,7 @@ object QueriesWindows {
              |              AND stddev_samp(l_extendedprice) OVER w8 > 0
              |        THEN covar_samp(l_quantity, l_extendedprice) OVER w8
              |             / (stddev_samp(l_quantity) OVER w8
-             |                * stddev_samp(l_extendedprice) OVER w8) END, 3) AS c8
+             |                * stddev_samp(l_extendedprice) OVER w8) END, 3) + 0.0 AS c8
              |FROM lineitem
              |WINDOW w8 AS (PARTITION BY l_suppkey
              |              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey

@@ -87,9 +87,11 @@ object Dedup {
     // One hash aggregation per bucket; singleton buckets (the vast
     // majority) die here, degenerate buckets are capped, and candidate
     // pairs are generated bucket-locally — no self-join shuffle at all.
-    val buckets = banded.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    // The size cap is enforced BEFORE collect_list materializes a bucket:
+    // a boilerplate bucket with 10M ids would otherwise OOM the executor
+    // building the array only to be filtered away. Count is O(1) memory;
+    // the semi join then admits only eligible buckets to the collect.
+    val buckets = cappedBuckets(banded, Seq("band", "bh"), "id", maxBucket)
     val pairs = buckets
       .select(explode(col("ids")).as("idA"), col("ids"))
       .select(col("idA"), explode(col("ids")).as("idB"))
@@ -102,6 +104,70 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** minhashPairs over the PORTABLE hash kernels (plans/PortableHashExprs
+    * .scala): same LSH pipeline — shingle → minhash → band → capped
+    * bucket → exact jaccard — but every hash derives from md5 + exact
+    * integer arithmetic, so a DuckDB SQL mirror reproduces the output
+    * bit-for-bit (the driver's oracle gate can adjudicate it; the
+    * xxhash64 variant above is the faster non-adjudicable path).
+    */
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", graft.plans.PortableShingles(
+        TextFunctions.wsTokens(TextFunctions.normalize(col("text"))), k))
+      .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
+      .drop("text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandHash(b: Int): Column =
+      (1 until rowsPerBand).foldLeft(element_at(col("sig"), b * rowsPerBand + 1)) {
+        (acc, j) => portableRot(acc).bitwiseXOR(element_at(col("sig"), b * rowsPerBand + j + 1))
+      }
+    val banded = base
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val buckets = cappedBuckets(banded, Seq("band", "bh"), "id", maxBucket)
+    val pairs = buckets
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+    val shA = base.select(col("id").as("idA"), col("sh").as("shA"))
+    val shB = base.select(col("id").as("idB"), col("sh").as("shB"))
+    pairs.join(shA, "idA").join(shB, "idB")
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** 59-bit rotate-left-by-7 via mask-then-shift (no overflow anywhere;
+    * DuckDB mirror: ((x & 2^52-1) << 7) | (x >> 52)).
+    */
+  private def portableRot(x: Column): Column =
+    shiftleft(x.bitwiseAND(lit((1L << 52) - 1)), 7)
+      .bitwiseOR(shiftrightunsigned(x, 52))
+
+  /** Group rows into (keys → id array) buckets, keeping only buckets of
+    * size in [2, maxBucket] — WITHOUT ever materializing an oversized
+    * bucket. Pass 1 counts per bucket (constant-memory partial aggs);
+    * pass 2 semi-joins eligible keys, then collects. Both passes hash on
+    * the same keys, so AQE/exchange reuse keeps this at ~one extra
+    * count-shuffle of the slim (keys, id) projection.
+    */
+  private[graft] def cappedBuckets(banded: DataFrame, keys: Seq[String],
+                                   idCol: String, maxBucket: Int): DataFrame = {
+    val eligible = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_graft_n"))
+      .filter(col("_graft_n").between(2, maxBucket))
+      .select(keys.map(col): _*)
+    banded.join(eligible, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
   }
 
   /** Exact Jaccard similarity of two string-array columns (as sets). */

@@ -57,6 +57,26 @@ object Joins {
     }
   }
 
+  /** mult="first"/"last" via ONE min_by/max_by hash aggregation on x
+    * followed by the join — instead of join + per-probe sort window. The
+    * struct ordering key gives lexicographic multi-column order; the
+    * payload travels as one struct. Equivalent results to [[mult]] when
+    * `order` is a total order within each key group; preferred at scale
+    * (map-side partial aggregation reduces the shuffled x volume to one
+    * row per key, and no generated probe id rides the shuffle).
+    */
+  def multAgg(x: DataFrame, i: DataFrame, on: Seq[String], mult: String,
+              order: Seq[Column]): DataFrame = {
+    require(mult == "first" || mult == "last", s"mult=$mult")
+    val payload = x.columns.filterNot(on.contains).toSeq
+    val pick = struct(payload.map(col): _*)
+    val key = struct(order: _*)
+    val agg = if (mult == "first") min_by(pick, key) else max_by(pick, key)
+    val reduced = x.groupBy(on.map(col): _*).agg(agg.as("_graft_s"))
+      .select((on.map(col) ++ payload.map(p => col(s"_graft_s.$p").as(p))): _*)
+    equi(reduced, i, on, "right")
+  }
+
   /** mult="error": fail when any probe row matches more than one x row. */
   def assertNoDup(x: DataFrame, on: Seq[String]): Unit = {
     val dups = x.groupBy(on.map(col): _*).count().filter(col("count") > 1).limit(1).count()
@@ -275,6 +295,45 @@ object Joins {
     case "end"    => x(xe) === y(ye)
     case "equal"  => x(xs) === y(ys) && x(xe) === y(ye)
     case other    => throw new IllegalArgumentException(s"type=$other")
+  }
+
+  /** foverlaps(mult=) (R/foverlaps.R:1-22 signature): keep only the
+    * first/last matching y interval per x row, ordered by (yStart, yEnd)
+    * — "first" = earliest-starting match (reference sorted-y order).
+    * Reduction runs per x row via min_by/max_by over the joined match
+    * set: one extra hash aggregation, no window sort.
+    */
+  def overlapMult(x: DataFrame, y: DataFrame, by: Seq[String],
+                  xStart: String, xEnd: String, yStart: String, yEnd: String,
+                  typ: String = "any", mult: String = "all"): DataFrame = {
+    if (mult == "all") return overlap(x, y, by, xStart, xEnd, yStart, yEnd, typ)
+    require(mult == "first" || mult == "last", s"foverlaps mult=$mult")
+    val xid = "_graft_mxid"   // NOT _graft_xid: overlapBinned owns that one
+    val xi = x.withColumn(xid, monotonically_increasing_id())
+    val joined = overlap(xi, y, by, xStart, xEnd, yStart, yEnd, typ)
+    // y's columns may have been i_-prefixed by the clash rule
+    def yName(c: String): String = if (joined.columns.contains(s"i_$c")) s"i_$c" else c
+    val yCols = joined.columns.filterNot(c => xi.columns.contains(c)).toSeq
+    val ordKey = struct(col(yName(yStart)), col(yName(yEnd)))
+    val agg = if (mult == "first") min_by(struct(yCols.map(col): _*), ordKey)
+              else max_by(struct(yCols.map(col): _*), ordKey)
+    joined.groupBy((x.columns.toSeq :+ xid).map(col): _*)
+      .agg(agg.as("_graft_m"))
+      .select((x.columns.toSeq.map(col) ++ yCols.map(c => col(s"_graft_m.$c").as(c))): _*)
+  }
+
+  /** foverlaps(which=TRUE): return only the matching id pairs
+    * (xIdCol, yIdCol) instead of the joined payload — the distributed
+    * analog of the reference's row-index return (physical row numbers
+    * don't exist in a distributed table, so callers name the keys).
+    */
+  def overlapWhich(x: DataFrame, y: DataFrame, by: Seq[String],
+                   xStart: String, xEnd: String, yStart: String, yEnd: String,
+                   xIdCol: String, yIdCol: String,
+                   typ: String = "any"): DataFrame = {
+    val joined = overlap(x, y, by, xStart, xEnd, yStart, yEnd, typ)
+    val yid = if (joined.columns.contains(s"i_$yIdCol")) s"i_$yIdCol" else yIdCol
+    joined.select(col(xIdCol), col(yid).as(yIdCol))
   }
 
   /** foverlaps maxgap/minoverlap (R/foverlaps.R:20-21 — declared but NOT

@@ -126,7 +126,17 @@ object Reshape {
     val domain = lhs.map(c => df.select(c).distinct())
       .reduce(_.crossJoin(_))
     val complete = domain.join(df, lhs, "left")
-    dcast(complete, lhs, rhs, valueVar, aggFn, values)
+    // Completed combos carry a null rhs; without explicit `values`,
+    // pivot's distinct-value scan would include null and emit a spurious
+    // all-null "null" column. Pinning the value list to the observed
+    // non-null rhs values keeps those rows group-preserving only. (The
+    // distinct collect is the same driver-side scan pivot would run
+    // internally anyway.)
+    val vals =
+      if (values.nonEmpty) values
+      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
+        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    dcast(complete, lhs, rhs, valueVar, aggFn, vals)
   }
 
   /** rbindlist(fill=TRUE, idcol=) (src/rbindlist.c): N-way concat with

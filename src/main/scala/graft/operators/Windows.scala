@@ -13,6 +13,12 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
   * All lower to Catalyst Window nodes: one shuffle on the partition keys,
   * then streaming frame evaluation — the distributed analog of the
   * reference's single sorted pass.
+  *
+  * SCALE GUARD: an empty `by` means a single-partition global sort of
+  * the whole input — fine for a 3-row post-aggregate frame, fatal on
+  * 100 TB. Every operator therefore REJECTS empty partition keys unless
+  * the caller passes `allowGlobal = true`, making the scale hazard an
+  * explicit, greppable opt-in instead of a silent default.
   */
 object Windows {
 
@@ -23,9 +29,18 @@ object Windows {
   def flipOrder(c: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.flipSortOrder(c)
 
-  private def spec(by: Seq[String], order: Seq[Column]): WindowSpec =
+  private def requirePartitioned(by: Seq[String], allowGlobal: Boolean, op: String): Unit =
+    require(by.nonEmpty || allowGlobal,
+      s"$op with no partition keys is a single-partition global sort of the " +
+        "whole input — a scale trap at 100 TB. Pass partition columns, or " +
+        "allowGlobal=true if the input is provably small (e.g. post-aggregate).")
+
+  private def spec(by: Seq[String], order: Seq[Column], allowGlobal: Boolean,
+                   op: String): WindowSpec = {
+    requirePartitioned(by, allowGlobal, op)
     if (by.isEmpty) Window.orderBy(order: _*)
     else Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+  }
 
   // ---- shift (src/shift.c) --------------------------------------------
 
@@ -34,8 +49,8 @@ object Windows {
     * genuine nulls pass fill=lit(null) to keep them distinguishable.
     */
   def shift(c: Column, n: Int, by: Seq[String], order: Seq[Column],
-            fill: Column = lit(null)): Column = {
-    val w = spec(by, order)
+            fill: Column = lit(null), allowGlobal: Boolean = false): Column = {
+    val w = spec(by, order, allowGlobal, "shift")
     if (n >= 0) coalesce(lag(c, n).over(w), fill)
     else coalesce(lead(c, -n).over(w), fill)
   }
@@ -45,8 +60,9 @@ object Windows {
     * (group, target row) — no partition-sized arrays.
     */
   def shiftCyclic(df: DataFrame, colName: String, n: Int, by: Seq[String],
-                  order: Seq[Column], out: String): DataFrame = {
-    val w = spec(by, order)
+                  order: Seq[Column], out: String,
+                  allowGlobal: Boolean = false): DataFrame = {
+    val w = spec(by, order, allowGlobal, "shiftCyclic")
     val part = if (by.isEmpty) Window.partitionBy() else Window.partitionBy(by.map(col): _*)
     val withRn = df.withColumn("_graft_rn", row_number().over(w))
       .withColumn("_graft_cnt", count(lit(1)).over(part))
@@ -67,47 +83,79 @@ object Windows {
   def nafillConst(c: Column, fill: Column): Column = coalesce(c, fill)
 
   /** nafill(type="locf"): last non-null carried forward. */
-  def nafillLocf(c: Column, by: Seq[String], order: Seq[Column]): Column =
+  def nafillLocf(c: Column, by: Seq[String], order: Seq[Column],
+                 allowGlobal: Boolean = false): Column =
     last(c, ignoreNulls = true)
-      .over(spec(by, order).rowsBetween(Window.unboundedPreceding, 0))
+      .over(spec(by, order, allowGlobal, "nafillLocf")
+        .rowsBetween(Window.unboundedPreceding, 0))
 
   /** nafill(type="nocb"): next non-null carried backward. */
-  def nafillNocb(c: Column, by: Seq[String], order: Seq[Column]): Column =
+  def nafillNocb(c: Column, by: Seq[String], order: Seq[Column],
+                 allowGlobal: Boolean = false): Column =
     first(c, ignoreNulls = true)
-      .over(spec(by, order).rowsBetween(0, Window.unboundedFollowing))
+      .over(spec(by, order, allowGlobal, "nafillNocb")
+        .rowsBetween(0, Window.unboundedFollowing))
 
   // ---- frank (src/frank.c ties enum) ----------------------------------
 
-  /** frank(ties.method=) — average, first, min, max, dense
-    * (src/frank.c:112-123). `order` is the ranking order (may carry
-    * asc/desc); `tieCols` are the bare ranked value columns, used to
-    * partition tied blocks for average/max.
+  /** frank(ties.method=) — average, first, last, min, max, dense, random
+    * (the full 7-method enum, src/frank.c:112-123). `order` is the
+    * ranking order (may carry asc/desc); `tieCols` are the bare ranked
+    * value columns, used to partition tied blocks for average/max.
     * `average` = rank + (tieCount-1)/2, the mean row number of the block.
+    * `first`/`last` break ties by `appearance` order (ascending resp.
+    * descending) — the distributed stand-in for the reference's physical
+    * row order; pass a unique key there for determinism.
     */
   def frank(df: DataFrame, order: Seq[Column], tieCols: Seq[Column], ties: String,
-            by: Seq[String], out: String): DataFrame = {
-    val w = spec(by, order)
+            by: Seq[String], out: String, appearance: Seq[Column] = Nil,
+            allowGlobal: Boolean = false): DataFrame = {
+    requirePartitioned(by, allowGlobal, "frank")
+    def w(extra: Seq[Column]) = spec(by, order ++ extra, allowGlobal = true, "frank")
     ties match {
-      case "first" => df.withColumn(out, row_number().over(w))
-      case "min"   => df.withColumn(out, rank().over(w))
-      case "dense" => df.withColumn(out, dense_rank().over(w))
+      case "first" => df.withColumn(out, row_number().over(w(appearance)))
+      case "last"  =>
+        require(appearance.nonEmpty,
+          "frank(ties=\"last\") needs `appearance` columns to reverse")
+        df.withColumn(out, row_number().over(w(appearance.map(flipOrder))))
+      case "min"   => df.withColumn(out, rank().over(w(Nil)))
+      case "dense" => df.withColumn(out, dense_rank().over(w(Nil)))
       case "max"   =>
         val tiePart = Window.partitionBy((by.map(col) ++ tieCols): _*)
-        df.withColumn(out, rank().over(w) + count(lit(1)).over(tiePart) - 1)
+        df.withColumn(out, rank().over(w(Nil)) + count(lit(1)).over(tiePart) - 1)
       case "average" =>
         val tiePart = Window.partitionBy((by.map(col) ++ tieCols): _*)
         df.withColumn(out,
-          rank().over(w) + (count(lit(1)).over(tiePart) - 1) / 2.0)
+          rank().over(w(Nil)) + (count(lit(1)).over(tiePart) - 1) / 2.0)
       case "random" =>
         // reference: ties broken uniformly at random. Distributed +
         // reproducible: break ties by a hash of the whole row (stable
         // across retries/nodes, unlike rand()).
         val rowHash = xxhash64(df.columns.map(col).toSeq: _*)
-        val wr = if (by.isEmpty) Window.orderBy((order :+ rowHash.asc): _*)
-                 else Window.partitionBy(by.map(col): _*).orderBy((order :+ rowHash.asc): _*)
-        df.withColumn(out, row_number().over(wr))
+        df.withColumn(out, row_number().over(w(Seq(rowHash.asc))))
       case other => throw new IllegalArgumentException(s"ties.method=$other")
     }
+  }
+
+  /** frank with `na.last=` handling (R/frank.R:1): ranks a single value
+    * column, controlling where nulls rank. naLast = "keep" (reference
+    * default: NA values get NA rank), "true" (NAs rank last), "false"
+    * (NAs rank first). `desc` flips the ranking direction.
+    */
+  def frankNa(df: DataFrame, value: Column, desc: Boolean, ties: String,
+              by: Seq[String], naLast: String, out: String,
+              appearance: Seq[Column] = Nil,
+              allowGlobal: Boolean = false): DataFrame = {
+    val ord = (desc, naLast) match {
+      case (false, "false") => value.asc_nulls_first
+      case (false, _)       => value.asc_nulls_last   // true | keep
+      case (true, "false")  => value.desc_nulls_first
+      case (true, _)        => value.desc_nulls_last
+    }
+    val ranked = frank(df, Seq(ord), Seq(value), ties, by, out, appearance, allowGlobal)
+    if (naLast == "keep")
+      ranked.withColumn(out, when(value.isNull, lit(null)).otherwise(col(out)))
+    else ranked
   }
 
   // ---- rleid / rowid (src/uniqlist.c:170, R/data.table.R:3267) --------
@@ -116,21 +164,24 @@ object Windows {
     * along `order` (gaps-and-islands).
     */
   def rleid(df: DataFrame, cols: Seq[String], order: Seq[Column],
-            by: Seq[String], out: String): DataFrame = {
-    val w = spec(by, order)
+            by: Seq[String], out: String,
+            allowGlobal: Boolean = false): DataFrame = {
+    val w = spec(by, order, allowGlobal, "rleid")
     val changed = cols.map(c =>
       when(lag(col(c), 1).over(w).isNull && col(c).isNull, 0)
         .when(lag(col(c), 1).over(w) === col(c), 0)
         .otherwise(1)).reduce(greatest(_, _))
-    val wCum = spec(by, order).rowsBetween(Window.unboundedPreceding, 0)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn(out, sum(changed).over(wCum))
   }
 
   /** rowid(): 1..n within duplicate group of `cols`, ordered by `order`. */
   def rowid(df: DataFrame, cols: Seq[String], order: Seq[Column],
-            out: String): DataFrame =
+            out: String, allowGlobal: Boolean = false): DataFrame = {
+    requirePartitioned(cols, allowGlobal, "rowid")
     df.withColumn(out,
       row_number().over(Window.partitionBy(cols.map(col): _*).orderBy(order: _*)))
+  }
 
   // ---- froll* (src/froll.c) -------------------------------------------
 
@@ -146,15 +197,21 @@ object Windows {
     * (reference default) yields null until the window is full —
     * implemented as a frame-count check, not a separate pass.
     *
+    * Null semantics are na.rm=FALSE (reference default) in BOTH modes:
+    * any null inside the frame nulls the result. partial=false requires
+    * count(c)==n (full frame, no nulls); partial=true requires the
+    * non-null count to equal the physical frame length.
+    *
     * fn: one of sum, mean, min, max, sd, var, median, prod.
     * All but median/prod stay builtin Catalyst window aggregates
     * (codegen'd, streaming frame); median/prod materialize the bounded
     * frame as an array (fine: n is small and fixed).
     */
   def froll(fn: String, c: Column, n: Int, by: Seq[String], order: Seq[Column],
-            align: String = "right", partial: Boolean = false): Column = {
+            align: String = "right", partial: Boolean = false,
+            allowGlobal: Boolean = false): Column = {
     val (lo, hi) = bounds(n, align)
-    val w = spec(by, order).rowsBetween(lo, hi)
+    val w = spec(by, order, allowGlobal, "froll").rowsBetween(lo, hi)
     val core = fn match {
       case "sum"    => sum(c).over(w)
       case "mean"   => avg(c).over(w)
@@ -176,7 +233,7 @@ object Windows {
           (acc, x) => acc * x.cast("double"))
       case other => throw new IllegalArgumentException(s"froll fn=$other")
     }
-    if (partial) core
+    if (partial) when(count(c).over(w) === count(lit(1)).over(w), core)
     else when(count(c).over(w) === n, core)
   }
 
@@ -185,9 +242,11 @@ object Windows {
     * stand-in for an arbitrary window closure).
     */
   def frollWindowArray(c: Column, n: Int, by: Seq[String], order: Seq[Column],
-                       align: String = "right"): Column = {
+                       align: String = "right",
+                       allowGlobal: Boolean = false): Column = {
     val (lo, hi) = bounds(n, align)
-    collect_list(c).over(spec(by, order).rowsBetween(lo, hi))
+    collect_list(c).over(spec(by, order, allowGlobal, "frollWindowArray")
+      .rowsBetween(lo, hi))
   }
 
   /** Adaptive rolling aggregate (src/frolladaptive.c): per-row window
@@ -195,13 +254,22 @@ object Windows {
     * last-maxN rows; rows beyond the per-row length are masked out of an
     * array aggregate. Scale-sane when maxN is modest (frame is bounded);
     * unbounded adaptive windows would need a custom SparkPlan.
+    *
+    * The frame is collected as single-field STRUCTS: collect_list drops
+    * bare null elements, which would silently pull older rows into the
+    * slice; struct(null) survives, so the physical frame stays intact
+    * and a null inside the last `an` rows nulls the result
+    * (na.rm=FALSE, matching froll).
     */
   def frollAdaptive(fn: String, c: Column, an: Column, maxN: Int,
-                    by: Seq[String], order: Seq[Column]): Column = {
-    val w = spec(by, order).rowsBetween(-(maxN - 1), 0)
-    val arr = collect_list(c).over(w)   // oldest..newest within frame
-    val take = least(an, size(arr))
-    val sliced = slice(arr, size(arr) - take + 1, take)
+                    by: Seq[String], order: Seq[Column],
+                    allowGlobal: Boolean = false): Column = {
+    val w = spec(by, order, allowGlobal, "frollAdaptive").rowsBetween(-(maxN - 1), 0)
+    val frame = collect_list(struct(c.as("v"))).over(w)  // oldest..newest, nulls kept
+    val take = least(an, size(frame))
+    val slicedS = slice(frame, size(frame) - take + 1, take)
+    val hasNull = exists(slicedS, s => s.getField("v").isNull)
+    val sliced = transform(slicedS, s => s.getField("v"))
     val res = fn match {
       case "sum"  => aggregate(sliced, lit(0.0), (a, x) => a + x.cast("double"))
       case "mean" => aggregate(sliced, lit(0.0), (a, x) => a + x.cast("double")) / take
@@ -224,30 +292,57 @@ object Windows {
         if (fn == "var") v else sqrt(v)
       case other  => throw new IllegalArgumentException(s"frolladaptive fn=$other")
     }
-    when(an > size(arr), lit(null)).otherwise(res)
+    when(an > size(frame) || hasNull, lit(null)).otherwise(res)
   }
 
-  // ---- top-k per group (ghead idiom, src/gsumm.c:1004) ----------------
+  // ---- head/tail-k per group (ghead/gtail, src/gsumm.c:923-1018) ------
 
-  def topK(df: DataFrame, by: Seq[String], order: Seq[Column], k: Int): DataFrame =
-    df.withColumn("_graft_rn",
-        row_number().over(Window.partitionBy(by.map(col): _*).orderBy(order: _*)))
+  def topK(df: DataFrame, by: Seq[String], order: Seq[Column], k: Int,
+           allowGlobal: Boolean = false): DataFrame = {
+    requirePartitioned(by, allowGlobal, "topK")
+    val w = if (by.isEmpty) Window.partitionBy().orderBy(order: _*)
+            else Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+    df.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") <= k)
       .drop("_graft_rn")
+  }
+
+  /** gtail analog (src/gsumm.c:1004-1018): last k rows per group along
+    * `order` — topK over the flipped order, preserving original columns.
+    */
+  def tailK(df: DataFrame, by: Seq[String], order: Seq[Column], k: Int,
+            allowGlobal: Boolean = false): DataFrame =
+    topK(df, by, order.map(flipOrder), k, allowGlobal)
 
   // ---- cumulative (free in Spark, SURVEY.md §2.5 last row) ------------
 
-  /** NOTE cum("prod") materializes the growing prefix as an array
-    * (O(n²) per partition) — fine for short series; for long ones use
-    * sign-tracked exp(sum(log(abs))) composition instead.
+  /** Cumulative aggregates. cum("prod") runs in log space — sign-tracked
+    * exp(sum(log|x|)) with zero- and null-propagation — an O(n) streaming
+    * frame that scales to arbitrarily long series (the naive growing-
+    * prefix array is O(n²) per partition). Exact-FP semantics (bitwise
+    * reproducible sequential multiply) are available as "prod_exact" for
+    * short series.
     */
-  def cum(fn: String, c: Column, by: Seq[String], order: Seq[Column]): Column = {
-    val w = spec(by, order).rowsBetween(Window.unboundedPreceding, 0)
+  def cum(fn: String, c: Column, by: Seq[String], order: Seq[Column],
+          allowGlobal: Boolean = false): Column = {
+    val w = spec(by, order, allowGlobal, "cum").rowsBetween(Window.unboundedPreceding, 0)
     fn match {
       case "sum" => sum(c).over(w)
       case "min" => min(c).over(w)
       case "max" => max(c).over(w)
-      case "prod" => aggregate(collect_list(c).over(w), lit(1.0), (a, x) => a * x.cast("double"))
+      case "prod" =>
+        val x = c.cast("double")
+        // null in prefix → null (reference cumprod propagates NA)
+        val sawNull = count(x).over(w) < count(lit(1)).over(w)
+        val zeros = sum(when(x === 0.0, 1).otherwise(0)).over(w)
+        val negs = sum(when(x < 0.0, 1).otherwise(0)).over(w)
+        val logMag = sum(when(x =!= 0.0, log(abs(x)))).over(w)
+        when(sawNull, lit(null).cast("double"))
+          .when(zeros > 0, lit(0.0))
+          .otherwise(when(negs % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
+            exp(coalesce(logMag, lit(0.0))))
+      case "prod_exact" =>
+        aggregate(collect_list(c).over(w), lit(1.0), (a, x) => a * x.cast("double"))
       case other => throw new IllegalArgumentException(s"cum fn=$other")
     }
   }

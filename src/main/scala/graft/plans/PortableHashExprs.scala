@@ -1,0 +1,157 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Cross-engine ("portable") hashing kernels.
+  *
+  * The xxhash64 kernels in MinHashExpr.scala are the fast path, but no
+  * other engine reproduces Spark's xxhash64 — so queries built on them
+  * cannot be adjudicated by the DuckDB oracle. These kernels derive all
+  * hash material from MD5 (identical in every engine) and then use only
+  * exact, overflow-free 64-bit integer arithmetic, so a DuckDB SQL
+  * mirror computes bit-identical results:
+  *
+  *  - shingle identity a = first 15 md5 hex chars as a 60-bit int
+  *    (DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT)
+  *  - minhash family h_i = (a & 2^58-1) + i·b(a), i < 32, with
+  *    b(a) = ((a >> 7) XOR ((a & 2^40-1) << 13)) & 2^53-1 —
+  *    a Carter-Wegman-style affine family whose terms stay < 2^59, so
+  *    no wrap-around under ANSI Spark or DuckDB checked arithmetic.
+  *
+  * One MD5 per shingle (not per hash function) keeps the benched cost
+  * within ~2× of the xxhash64 kernels.
+  */
+object PortableHash {
+  val MaskA: Long = (1L << 58) - 1
+  val Mask40: Long = (1L << 40) - 1
+  val MaskB: Long = (1L << 53) - 1
+
+  /** md5 hex of UTF-8 bytes — matches Spark's and DuckDB's md5(). */
+  def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** 60-bit shingle/token identity from the md5 prefix. */
+  def a60(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  /** Derived second affine parameter (bit-mix of a; overflow-free). */
+  def bOf(a: Long): Long = ((a >>> 7) ^ ((a & Mask40) << 13)) & MaskB
+}
+
+/** array<string> tokens → array<long> distinct word-k-shingle 60-bit
+  * md5 identities (shingle text = k tokens joined with " "; n<k ⇒ one
+  * shingle of all tokens, mirroring Dedup.shingles).
+  */
+case class PortableShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      toks(i) = if (s == null) "" else s.toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < k) seen.add(PortableHash.a60(toks.mkString(" ")))
+    else { i = 0; while (i + k <= n) { seen.add(PortableHash.a60(toks.slice(i, i + k).mkString(" "))); i += 1 } }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableShingles =
+    copy(child = newChild)
+}
+
+object PortableShingles {
+  def apply(tokens: Column, k: Int): Column =
+    GraftSqlBridge.column(PortableShingles(GraftSqlBridge.expression(tokens), k))
+}
+
+/** array<long> shingle identities → array<long> minhash signature over
+  * the portable affine family (see PortableHash).
+  */
+case class PortableMinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      val a58 = a & PortableHash.MaskA
+      val b = PortableHash.bOf(a)
+      var j = 0
+      while (j < numHashes) {
+        val hj = a58 + j.toLong * b
+        if (hj < mins(j)) mins(j) = hj
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHashSig =
+    copy(child = newChild)
+}
+
+object PortableMinHashSig {
+  def apply(shingles: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(PortableMinHashSig(GraftSqlBridge.expression(shingles), numHashes))
+}
+
+/** array<string> tokens → 60-bit portable SimHash: per token,
+  * a = 60-bit md5 prefix; bit b of the signature is set iff more tokens
+  * have bit b set than clear (votes 2·ones − n > 0).
+  */
+case class PortableSimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val a = PortableHash.a60(if (s == null) "" else s.toString)
+      var b = 0
+      while (b < 60) { if (((a >>> b) & 1L) == 1L) ones(b) += 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * ones(b) - n > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHash =
+    copy(child = newChild)
+}
+
+object PortableSimHash {
+  def apply(tokens: Column): Column =
+    GraftSqlBridge.column(PortableSimHash(GraftSqlBridge.expression(tokens)))
+}

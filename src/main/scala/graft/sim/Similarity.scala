@@ -48,7 +48,7 @@ object Similarity {
     * a splitmix64-style integer mix of (bit, dim) — no RNG state, same
     * plane on every node/run, computed ONCE at plan build time.
     */
-  private def planeComponent(b: Int, d: Int): Double = {
+  private[graft] def planeComponent(b: Int, d: Int): Double = {
     var z = b.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -106,9 +106,9 @@ object Similarity {
         lshSignatureOffset(col("vec"), dim, nBits, t * nBits)))
         .select(col("id"), col("_sig"))
     }.reduce(_ unionByName _)
-    val buckets = banded.groupBy(col("_sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    // Cap enforced before materialization (count → semi-join → collect);
+    // see Dedup.cappedBuckets for why a post-collect filter is an OOM trap.
+    val buckets = graft.dedup.Dedup.cappedBuckets(banded, Seq("_sig"), "id", maxBucket)
     val pairs = buckets
       .select(explode(col("ids")).as("idA"), col("ids"))
       .select(col("idA"), explode(col("ids")).as("idB"))
@@ -134,6 +134,41 @@ object Similarity {
       when(dot >= 0, lit(1)).otherwise(lit(0))
     }
     concat_ws("", bits: _*)
+  }
+
+  /** kmeans-lite centroid fitting for IVF: deterministic seeding (the k
+    * lowest-id vectors) + `iters` Lloyd rounds, all computed
+    * distributedly — assignment is a broadcast argmax map, the update is
+    * a posexplode + groupBy(cell, dim); only k×dim aggregate rows ever
+    * reach the driver per round. Per-dimension sums accumulate as SCALED
+    * INTEGERS (round(v·2^20) as long) so the fitted centroids are
+    * bit-deterministic regardless of partition/merge order — double sums
+    * would make the whole IVF index nondeterministic across runs.
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int = 4, scale: Long = 1L << 20): Seq[Seq[Double]] = {
+    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val sums = ivfAssign(df, vecCol, cents)
+        .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
+        .groupBy(col("ivf_cell"), col("d"))
+        .agg(sum(round(col("v") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()  // k×dim rows, independent of corpus size
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = (0 until k).map { c =>
+        byCell.get(c) match {
+          case Some(rs) =>
+            val m = rs.map(r =>
+              r.getInt(1) -> (r.getLong(2).toDouble / scale / r.getLong(3))).toMap
+            (0 until dim).map(d => m.getOrElse(d, 0.0))
+          case None => cents(c)  // empty cell keeps its previous centroid
+        }
+      }
+    }
+    cents
   }
 
   /** IVF-style coarse quantization: assign every vector to the nearest

@@ -43,6 +43,27 @@ object TextFunctions {
       (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
 
+  /** Portable 60-bit token hash: first 15 md5 hex chars as an integer.
+    * Bit-identical in any engine with md5 — DuckDB mirror:
+    * ('0x'||substr(md5(t),1,15))::BIGINT.
+    */
+  def md5Token60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Portable rolling hash: 59-bit rotate-left-5 XOR md5Token60 over
+    * tokens, left to right. Same order-sensitive signature semantics as
+    * [[rollingHash]], but reproducible outside the JVM (the oracle gate
+    * can adjudicate it); all intermediate values stay < 2^59 so no
+    * ANSI/checked-arithmetic overflow in either engine.
+    */
+  def rollingHashPortable(text: Column): Column = {
+    val mask54 = lit((1L << 54) - 1)
+    val mask59 = lit((1L << 59) - 1)
+    aggregate(wsTokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc.bitwiseAND(mask54), 5).bitwiseOR(shiftrightunsigned(acc, 54))
+        .bitwiseXOR(md5Token60(t)).bitwiseAND(mask59))
+  }
+
   /** Quality-score feature family (length / punctuation / stopword
     * ratios), one struct column. Thresholding is left to the caller.
     */

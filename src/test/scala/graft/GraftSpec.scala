@@ -167,7 +167,7 @@ class DTSemanticsSpec extends AnyFunSuite {
 
   test("frank average: mean of tied block row numbers") {
     val df = Seq((1, 10), (2, 10), (3, 20)).toDF("id", "v")
-    val out = Windows.frank(df, Seq($"v".asc), Seq($"v"), "average", Nil, "rk")
+    val out = Windows.frank(df, Seq($"v".asc), Seq($"v"), "average", Nil, "rk", allowGlobal = true)
       .orderBy($"id").select($"rk").as[Double].collect()
     assert(out.toSeq == Seq(1.5, 1.5, 3.0))
   }
@@ -926,9 +926,9 @@ class PlanShapeSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val df = Seq((1, 10), (2, 10), (3, 10)).toDF("id", "v")
-    val r1 = graft.operators.Windows.frank(df, Seq($"v".asc), Seq($"v"), "random", Nil, "rk")
+    val r1 = graft.operators.Windows.frank(df, Seq($"v".asc), Seq($"v"), "random", Nil, "rk", allowGlobal = true)
       .orderBy($"id").select($"rk").as[Int].collect().toSeq
-    val r2 = graft.operators.Windows.frank(df, Seq($"v".asc), Seq($"v"), "random", Nil, "rk")
+    val r2 = graft.operators.Windows.frank(df, Seq($"v".asc), Seq($"v"), "random", Nil, "rk", allowGlobal = true)
       .orderBy($"id").select($"rk").as[Int].collect().toSeq
     assert(r1 == r2)                       // reproducible
     assert(r1.sorted == Seq(1, 2, 3))      // a permutation of ranks
@@ -999,7 +999,7 @@ class ReferenceParitySpec extends AnyFunSuite {
     val df = Seq((1, "a", 1), (2, "a", 1), (3, "a", 2), (4, "b", 2), (5, "b", 2))
       .toDF("o", "s", "i")
     val out = graft.operators.Windows.rleid(df, Seq("s", "i"),
-      Seq($"o".asc), Nil, "rid")
+      Seq($"o".asc), Nil, "rid", allowGlobal = true)
       .orderBy($"o").select($"rid").as[Long].collect()
     assert(out.toSeq == Seq(1L, 1L, 2L, 3L, 3L))
   }
@@ -1022,7 +1022,7 @@ class ReferenceParitySpec extends AnyFunSuite {
   test("shift works on string columns (typed parity)") {
     val df = Seq((1, "a"), (2, "b")).toDF("o", "s")
     val out = df.withColumn("p",
-      graft.operators.Windows.shift($"s", 1, Nil, Seq($"o".asc), lit("<NA>")))
+      graft.operators.Windows.shift($"s", 1, Nil, Seq($"o".asc), lit("<NA>"), allowGlobal = true))
       .orderBy($"o").select($"p").as[String].collect()
     assert(out.toSeq == Seq("<NA>", "a"))
   }
@@ -1095,13 +1095,16 @@ class ReviewFixSpec extends AnyFunSuite {
     assert(out.groupBy($"g").count().count() == 1)  // by-name ref not ambiguous
   }
 
-  test("froll median survives all-null frames (partial=true)") {
-    val df = Seq((1, 1, None: Option[Double]), (1, 2, Some(4.0)))
+  test("froll median: all-null frames stay null; partial keeps na.rm=FALSE") {
+    // r2 semantics change (ADVICE): partial=true now mirrors na.rm=FALSE —
+    // ANY null inside the frame nulls the result, so row 2 (frame
+    // (null, 4.0)) is null too, and no ANSI error escapes the empty frame.
+    val df = Seq((1, 1, None: Option[Double]), (1, 2, Some(4.0)), (1, 3, Some(6.0)))
       .toDF("g", "o", "v")
     val out = df.withColumn("m",
         Windows.froll("median", $"v", 2, Seq("g"), Seq($"o".asc), partial = true))
       .orderBy($"o").select($"m").collect().map(r => Option(r.get(0)))
-    assert(out.toSeq == Seq(None, Some(4.0)))
+    assert(out.toSeq == Seq(None, None, Some(5.0)))
   }
 
   test("fread header=auto detects headerless numeric files") {
