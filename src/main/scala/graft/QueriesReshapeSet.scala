@@ -40,6 +40,35 @@ object QueriesReshapeSet {
              |  round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- dcast(subset=) (R/fcast.R:171-175) ----------------------------
+    ("q_dcast_subset", ((s, dir) =>
+      Reshape.dcastSubset(dt(s, dir, "lineitem").df,
+        subset = col("l_quantity") > 25,
+        lhs = Seq("l_returnflag"), rhs = "l_linestatus", valueVar = "l_quantity",
+        aggFn = c => round(sum(c), 3), values = Seq("F", "O"))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O
+             |FROM lineitem WHERE l_quantity > 25
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // ---- dcast(margins=TRUE): "(all)" column + total row ---------------
+    ("q_dcast_margins", ((s, dir) =>
+      Reshape.dcastMargins(dt(s, dir, "lineitem").df,
+        lhs = "l_returnflag", rhs = "l_linestatus", valueVar = "l_quantity",
+        aggFn = c => round(sum(c), 3), values = Seq("F", "O"))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O,
+             |  round(sum(l_quantity), 3) AS "(all)"
+             |FROM lineitem GROUP BY l_returnflag
+             |UNION ALL
+             |SELECT '(all)',
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3),
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3),
+             |  round(sum(l_quantity), 3)
+             |FROM lineitem""".stripMargin)),
+
     // ---- dcast with multiple value aggregates --------------------------
     ("q_dcast_multi", ((s, dir) =>
       dt(s, dir, "lineitem").df

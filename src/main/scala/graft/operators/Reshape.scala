@@ -139,6 +139,37 @@ object Reshape {
     dcast(complete, lhs, rhs, valueVar, aggFn, vals)
   }
 
+  /** dcast(subset=) (R/fcast.R:171-175): filter the long input before
+    * casting — the predicate pushes straight down to the scan.
+    */
+  def dcastSubset(df: DataFrame, subset: Column, lhs: Seq[String], rhs: String,
+                  valueVar: String, aggFn: Column => Column,
+                  values: Seq[String] = Nil): DataFrame =
+    dcast(df.filter(subset), lhs, rhs, valueVar, aggFn, values)
+
+  /** dcast(margins=TRUE), reshape2-style totals (the reference declares
+    * `margins` in its signature, R/fcast.R:126, but leaves it
+    * unimplemented — we provide the useful form): an "(all)" column
+    * re-aggregating each row group across ALL rhs values, plus an
+    * "(all)" total row. Totals re-aggregate the RAW values (correct for
+    * non-additive aggregates like mean), costing one extra groupBy and
+    * one global aggregate — both partial-aggregated map-side.
+    * Single string lhs column (the literal "(all)" row label).
+    */
+  def dcastMargins(df: DataFrame, lhs: String, rhs: String, valueVar: String,
+                   aggFn: Column => Column,
+                   values: Seq[String] = Nil): DataFrame = {
+    val vals =
+      if (values.nonEmpty) values
+      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
+        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    val wide = dcast(df, Seq(lhs), rhs, valueVar, aggFn, vals)
+      .join(df.groupBy(col(lhs)).agg(aggFn(col(valueVar)).as("(all)")), Seq(lhs), "left")
+    val totalRow = dcast(df.withColumn(lhs, lit("(all)")), Seq(lhs), rhs, valueVar, aggFn, vals)
+      .crossJoin(df.groupBy().agg(aggFn(col(valueVar)).as("(all)")))
+    wide.unionByName(totalRow)
+  }
+
   /** rbindlist(fill=TRUE, idcol=) (src/rbindlist.c): N-way concat with
     * column union, missing → null, optional provenance column.
     */

@@ -77,6 +77,68 @@ object Streams {
     * (SURVEY.md §2.12). Events are ordered within each micro-batch;
     * state carries the prevailing value across batches.
     */
+  /** Reference-side state for the TTL as-of: the prevailing value and
+    * ITS event time, so late probes are detectable.
+    */
+  case class AsofState(lastValue: Double, lastTsMillis: Long)
+
+  /** [[asofEnrichStream]] with an EVENT-TIME TIMEOUT and an explicit
+    * late-data policy — the production-shaped variant:
+    *
+    *  - State for a user EXPIRES once the watermark passes
+    *    lastRefTs + stateTtl, so the state store stays bounded by the
+    *    active-user set instead of growing forever (the NoTimeout
+    *    variant is a slow leak at 100 TB/day).
+    *  - A probe older than the prevailing reference (a late arrival the
+    *    single-value state cannot answer exactly) follows
+    *    `lateProbePolicy`: "null" (default — emit unenriched; honest) or
+    *    "enrich" (attach the newer value; approximate LOCF).
+    *
+    * Requires a watermark on `ts` upstream (EventTimeTimeout contract).
+    */
+  def asofEnrichStreamTtl(events: org.apache.spark.sql.Dataset[Ev],
+                          refType: String, probeType: String,
+                          stateTtlMillis: Long,
+                          lateProbePolicy: String = "null")
+      : org.apache.spark.sql.Dataset[EnrichedEv] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(lateProbePolicy == "null" || lateProbePolicy == "enrich",
+      s"lateProbePolicy=$lateProbePolicy")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, EnrichedEv](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur: Option[AsofState] = state.getOption
+            val out = sorted.flatMap { e =>
+              if (e.event_type == refType) {
+                // ignore a ref older than the prevailing one (late ref)
+                if (cur.forall(_.lastTsMillis <= e.ts.getTime))
+                  cur = Some(AsofState(e.value, e.ts.getTime))
+                None
+              } else if (e.event_type == probeType) {
+                val matched = cur match {
+                  case Some(st) if e.ts.getTime >= st.lastTsMillis => Some(st.lastValue)
+                  case Some(st) if lateProbePolicy == "enrich"     => Some(st.lastValue)
+                  case _                                           => None
+                }
+                Some(EnrichedEv(e.event_id, e.user_id, e.ts, e.event_type, e.value, matched))
+              } else None
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTsMillis + stateTtlMillis)
+            }
+            out.iterator
+          }
+      }
+  }
+
   def asofEnrichStream(events: org.apache.spark.sql.Dataset[Ev],
                        refType: String, probeType: String)
       : org.apache.spark.sql.Dataset[EnrichedEv] = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+/** Event-time-timeout as-of enrichment: late probes and state expiry
+  * (round-2 item: production state policy for asofEnrichStream).
+  */
+class StreamingTtlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def run(policy: String)(
+      feed: (org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev],
+             org.apache.spark.sql.streaming.StreamingQuery) => Unit): Map[Long, Option[Double]] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val src = ms.toDS().withWatermark("ts", "30 minutes").as[Ev]
+    val enriched = Streams.asofEnrichStreamTtl(src, "purchase", "click",
+      stateTtlMillis = 60 * 1000L, lateProbePolicy = policy)
+    val name = s"asof_ttl_$policy"
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      feed(ms, q)
+      spark.sql(s"SELECT event_id, last_match FROM $name").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    } finally q.stop()
+  }
+
+  test("in-order probe enriches; late probe follows policy; state expires after TTL") {
+    val out = run("null") { (ms, q) =>
+      // batch 1: reference then probe, in order
+      ms.addData(
+        Ev(1, 7L, ts("2024-01-01 10:00:00"), "purchase", 100.0),
+        Ev(2, 7L, ts("2024-01-01 10:00:30"), "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: probe OLDER than the prevailing reference (late arrival)
+      ms.addData(Ev(3, 7L, ts("2024-01-01 09:59:00"), "click", 0.0))
+      q.processAllAvailable()
+      // batch 3: unrelated user advances the watermark (maxTs − 30 min)
+      // past refTs+TTL = 10:01:00
+      ms.addData(Ev(4, 8L, ts("2024-01-01 10:35:00"), "noise", 0.0))
+      q.processAllAvailable()
+      // batch 4: another tick lets user 7's (inputless) timeout fire
+      ms.addData(Ev(5, 8L, ts("2024-01-01 10:40:00"), "noise", 0.0))
+      q.processAllAvailable()
+      // batch 5: probe after expiry → no prevailing state
+      ms.addData(Ev(6, 7L, ts("2024-01-01 10:41:00"), "click", 0.0))
+      q.processAllAvailable()
+    }
+    assert(out(2L) == Some(100.0))   // normal LOCF
+    assert(out(3L) == None)          // late probe, policy "null"
+    assert(out(6L) == None)          // state expired by event-time TTL
+  }
+
+  test("lateProbePolicy=enrich attaches the newer reference value") {
+    val out = run("enrich") { (ms, q) =>
+      ms.addData(Ev(1, 9L, ts("2024-01-01 10:00:00"), "purchase", 42.0))
+      q.processAllAvailable()
+      ms.addData(Ev(2, 9L, ts("2024-01-01 09:58:00"), "click", 0.0))
+      q.processAllAvailable()
+    }
+    assert(out(2L) == Some(42.0))
+  }
+}
