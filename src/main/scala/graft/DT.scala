@@ -30,7 +30,12 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * R/data.table.R:728-807). Lowers to Filter, which Catalyst pushes
     * into the parquet scan.
     */
-  def apply(i: Column): DT = DT(df.filter(i), key)
+  def apply(i: Column): DT = {
+    // secondary-index routing: a filter touching a setIndex'd column
+    // prefix runs against the sorted cached copy (batch-stat pruning)
+    val routed = operators.Scale.indexedSource(df, i).getOrElse(df)
+    DT(routed.filter(i), key)
+  }
 
   /** DT[i, j] — filter + select/compute. */
   def apply(i: Column, j: Seq[Column]): DT =
@@ -181,10 +186,16 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     DT(df.repartitionByRange(cols.map(col): _*)
          .sortWithinPartitions(cols.map(col): _*), cols)
 
-  /** setindex() analog — advisory only (Spark has no secondary index);
-    * recorded for API parity.
+  /** setindex() (R/setkey.R:11-19): register a persisted sorted copy of
+    * this table keyed by `cols`; later `DT(predicate)` subsets touching
+    * the index's leading column route to it and prune cached batches by
+    * min/max stats. The original table order is untouched (unlike
+    * setkey), matching the reference's secondary-index semantics.
     */
-  def setIndex(cols: String*): DT = this
+  def setIndex(cols: String*): DT = {
+    operators.Scale.setIndex(df, cols.toSeq)
+    this
+  }
 
   // ---- joins (§2.3) ----------------------------------------------------
   /** Equi join. `nullSafe=true` matches the reference's NA-joins-NA

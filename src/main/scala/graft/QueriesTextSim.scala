@@ -204,7 +204,8 @@ object QueriesTextSim {
     ("q_ann_ivf_kmeans", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
-      val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 3)
+      val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4,
+        iters = 3, fitSample = 0.25)
       Similarity.ivfAssign(e, "embedding", cents)
         .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
     }): Q,
@@ -214,7 +215,11 @@ object QueriesTextSim {
     ("q_cosine_pairs", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
-      Similarity.cosinePairs(e, "vec_id", "embedding", dim = 64, nBits = 4,
+      // nBits sizes the bucket count (2^nBits per table): 12 bits keeps
+      // per-bucket occupancy ~corpus/4096, so bucket-local pair
+      // generation stays near-linear at sf0.1 and beyond (4 bits = 16
+      // buckets was a quadratic blowup)
+      Similarity.cosinePairs(e, "vec_id", "embedding", dim = 64, nBits = 12,
         threshold = 0.8, tables = 2)
         .select(col("idA"), col("idB"), round(col("sim"), 3).as("sim"))
     }): Q,
@@ -480,9 +485,9 @@ object QueriesTextSim {
   private def cosinePairsOracle: String =
     s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
        |banded AS (
-       |  SELECT id, '0|' || ${lshSigSql("v", 0, 4)} AS sig FROM e
+       |  SELECT id, '0|' || ${lshSigSql("v", 0, 12)} AS sig FROM e
        |  UNION ALL
-       |  SELECT id, '1|' || ${lshSigSql("v", 4, 4)} AS sig FROM e),
+       |  SELECT id, '1|' || ${lshSigSql("v", 12, 12)} AS sig FROM e),
        |sizes AS (SELECT sig, count(*) AS n FROM banded GROUP BY 1),
        |cand AS (
        |  SELECT DISTINCT a.id AS idA, b.id AS idB

@@ -14,7 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Plan cache: spark.read.parquet re-reads footers for schema on every
+  // call; ~100 registered queries × 2 bench runs made that a visible
+  // fixed cost. DataFrames are immutable plans, so reuse is free.
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate((spark, sfDir, name), loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
     // raw long (spark.sql.legacy.parquet.nanosAsLong). The generator
     // emits µs-precision values (ns % 1000 == 0), so ns DIV 1000 →

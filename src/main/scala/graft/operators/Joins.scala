@@ -253,12 +253,22 @@ object Joins {
     * interval lengths (wider side dominates the per-interval bin
     * count), floored at 1.
     */
+  // estimate cache: the two approxQuantile stats jobs are plan-time
+  // overhead paid per overlap query; identical (plan, cols) inputs reuse
+  // the previous estimate (driver-local, like any other plan cache)
+  private val binWidthCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def estimateBinWidth(x: DataFrame, xs: String, xe: String,
                        y: DataFrame, ys: String, ye: String): Long = {
-    def med(df: DataFrame, s: String, e: String): Double =
-      df.select((col(e).cast("double") - col(s).cast("double")).as("len"))
-        .stat.approxQuantile("len", Array(0.5), 0.05).headOption.getOrElse(1.0)
-    math.max(1L, math.ceil(math.max(med(x, xs, xe), med(y, ys, ye))).toLong)
+    val key = s"${x.queryExecution.analyzed.semanticHash()}:$xs:$xe:" +
+      s"${y.queryExecution.analyzed.semanticHash()}:$ys:$ye"
+    binWidthCache.getOrElseUpdate(key, {
+      def med(df: DataFrame, s: String, e: String): Double =
+        df.select((col(e).cast("double") - col(s).cast("double")).as("len"))
+          .stat.approxQuantile("len", Array(0.5), 0.05).headOption.getOrElse(1.0)
+      math.max(1L, math.ceil(math.max(med(x, xs, xe), med(y, ys, ye))).toLong)
+    })
   }
 
   /** Scale path for overlap joins with few/no `by` keys: explode each
@@ -315,10 +325,14 @@ object Joins {
     def yName(c: String): String = if (joined.columns.contains(s"i_$c")) s"i_$c" else c
     val yCols = joined.columns.filterNot(c => xi.columns.contains(c)).toSeq
     val ordKey = struct(col(yName(yStart)), col(yName(yEnd)))
-    val agg = if (mult == "first") min_by(struct(yCols.map(col): _*), ordKey)
-              else max_by(struct(yCols.map(col): _*), ordKey)
-    joined.groupBy((x.columns.toSeq :+ xid).map(col): _*)
-      .agg(agg.as("_graft_m"))
+    val pick = if (mult == "first") min_by(struct(yCols.map(col): _*), ordKey)
+               else max_by(struct(yCols.map(col): _*), ordKey)
+    // group on the slim xid alone — x's payload columns are constant per
+    // group, carried by first() instead of widening the hash key
+    val aggs = pick.as("_graft_m") +:
+      x.columns.toSeq.map(c => first(col(c)).as(c))
+    joined.groupBy(col(xid))
+      .agg(aggs.head, aggs.tail: _*)
       .select((x.columns.toSeq.map(col) ++ yCols.map(c => col(s"_graft_m.$c").as(c))): _*)
   }
 

@@ -49,6 +49,61 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  // ---- secondary-index registry (setindex, R/setkey.R:11-19) ----------
+
+  /** (source-plan fingerprint, index cols) → persisted sorted copy. The
+    * copy is range-partitioned + sorted by the index columns and cached;
+    * in-memory columnar batches carry min/max stats, so filters routed
+    * through it PRUNE whole batches — the distributed analog of the
+    * reference's secondary-key binary search. Driver-local plan cache
+    * (indexes are per-session, like the reference's per-table attribute).
+    */
+  private val indexRegistry =
+    scala.collection.concurrent.TrieMap.empty[(String, Seq[String]), DataFrame]
+
+  private def planKey(df: DataFrame): String =
+    df.queryExecution.analyzed.semanticHash().toString + ":" +
+      df.columns.mkString(",")
+
+  /** setindex(): build (or reuse) the sorted cached copy for `cols`. */
+  def setIndex(df: DataFrame, cols: Seq[String]): DataFrame =
+    indexRegistry.getOrElseUpdate((planKey(df), cols),
+      df.repartitionByRange(cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Route a filter whose referenced columns include an index's leading
+    * column to the indexed copy (leading-prefix rule, like the
+    * reference's secondary-key usage).
+    */
+  def indexFor(df: DataFrame, predicateRefs: Set[String]): Option[DataFrame] = {
+    val k = planKey(df)
+    indexRegistry.collectFirst {
+      case ((pk, cols), idx) if pk == k && predicateRefs.contains(cols.head) => idx
+    }
+  }
+
+  /** [[indexFor]] with the predicate refs resolved from the Column
+    * itself. The analysis pass runs only when this table has at least
+    * one registered index (the common un-indexed path stays zero-cost).
+    */
+  def indexedSource(df: DataFrame, cond: Column): Option[DataFrame] = {
+    val k = planKey(df)
+    if (!indexRegistry.keySet.exists(_._1 == k)) None
+    else indexFor(df, org.apache.spark.sql.GraftSqlBridge.resolvedFilterRefs(df, cond))
+  }
+
+  /** Drop all registered indexes for a table (or every index). */
+  def clearIndexes(df: Option[DataFrame] = None): Unit = df match {
+    case Some(d) =>
+      val k = planKey(d)
+      indexRegistry.keys.filter(_._1 == k).foreach { key =>
+        indexRegistry.remove(key).foreach(_.unpersist())
+      }
+    case None =>
+      indexRegistry.keys.foreach(key => indexRegistry.remove(key).foreach(_.unpersist()))
+  }
+
   /** datatable.join.many / allow.cartesian analog — see
     * [[Joins.cartesianGuard]]; re-exported here as the scale-guard
     * surface.

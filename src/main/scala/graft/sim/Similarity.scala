@@ -146,12 +146,18 @@ object Similarity {
     * would make the whole IVF index nondeterministic across runs.
     */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                iters: Int = 4, scale: Long = 1L << 20): Seq[Seq[Double]] = {
+                iters: Int = 4, scale: Long = 1L << 20,
+                fitSample: Double = 1.0): Seq[Seq[Double]] = {
     val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // Lloyd rounds run on a (seeded, deterministic) sample — centroid
+    // quality needs only a representative subset; the full corpus is
+    // touched once by the caller's final assignment.
+    val fit = if (fitSample < 1.0) df.sample(withReplacement = false, fitSample, seed = 42L)
+              else df
     var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 0 until iters) {
-      val sums = ivfAssign(df, vecCol, cents)
+      val sums = ivfAssign(fit, vecCol, cents)
         .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
         .groupBy(col("ivf_cell"), col("d"))
         .agg(sum(round(col("v") * scale).cast("long")).as("s"),

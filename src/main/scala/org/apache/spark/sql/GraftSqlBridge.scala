@@ -10,6 +10,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Column names referenced by a predicate, resolved against `df`
+    * (an unresolved Spark-4 Column wraps ColumnNodes, not catalyst
+    * expressions, so the names only exist after analysis). Used by the
+    * secondary-index router to decide whether an index covers a filter.
+    */
+  def resolvedFilterRefs(df: DataFrame, cond: Column): Set[String] =
+    df.filter(cond).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSeq
+    }.flatten.toSet
+
   /** Flip a sort column's direction, unwrapping an existing SortOrder
     * node (Spark 4 Columns wrap internal ColumnNodes; nesting .desc on
     * a SortOrder breaks analysis). Lives here because the node types
