@@ -20,8 +20,12 @@ object Tables {
   private val planCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // evict plans owned by stopped sessions so restarted-session
+    // workflows don't pin dead session state in driver memory
+    planCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     planCache.getOrElseUpdate((spark, sfDir, name), loadUncached(spark, sfDir, name))
+  }
 
   private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a

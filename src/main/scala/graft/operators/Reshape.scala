@@ -163,8 +163,12 @@ object Reshape {
       if (values.nonEmpty) values
       else df.select(rhs).distinct().filter(col(rhs).isNotNull)
         .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    // null-safe join key: a null lhs group must still receive its margin
+    val rowAll = df.groupBy(col(lhs)).agg(aggFn(col(valueVar)).as("(all)"))
+      .withColumnRenamed(lhs, "_graft_lhs")
     val wide = dcast(df, Seq(lhs), rhs, valueVar, aggFn, vals)
-      .join(df.groupBy(col(lhs)).agg(aggFn(col(valueVar)).as("(all)")), Seq(lhs), "left")
+      .join(rowAll, col(lhs) <=> col("_graft_lhs"), "left")
+      .drop("_graft_lhs")
     val totalRow = dcast(df.withColumn(lhs, lit("(all)")), Seq(lhs), rhs, valueVar, aggFn, vals)
       .crossJoin(df.groupBy().agg(aggFn(col(valueVar)).as("(all)")))
     wide.unionByName(totalRow)

@@ -62,7 +62,10 @@ object Scale {
     scala.collection.concurrent.TrieMap.empty[(String, Seq[String]), DataFrame]
 
   private def planKey(df: DataFrame): String =
-    df.queryExecution.analyzed.semanticHash().toString + ":" +
+    // session identity is part of the key: an identical plan in a NEW
+    // session must not route to a cached DataFrame bound to a stopped one
+    System.identityHashCode(df.sparkSession).toString + ":" +
+      df.queryExecution.analyzed.semanticHash().toString + ":" +
       df.columns.mkString(",")
 
   /** setindex(): build (or reuse) the sorted cached copy for `cols`. */
@@ -88,6 +91,7 @@ object Scale {
     * one registered index (the common un-indexed path stays zero-cost).
     */
   def indexedSource(df: DataFrame, cond: Column): Option[DataFrame] = {
+    if (indexRegistry.isEmpty) return None   // zero cost when nothing is indexed
     val k = planKey(df)
     if (!indexRegistry.keySet.exists(_._1 == k)) None
     else indexFor(df, org.apache.spark.sql.GraftSqlBridge.resolvedFilterRefs(df, cond))

@@ -292,7 +292,9 @@ object Windows {
         if (fn == "var") v else sqrt(v)
       case other  => throw new IllegalArgumentException(s"frolladaptive fn=$other")
     }
-    when(an > size(frame) || hasNull, lit(null)).otherwise(res)
+    // null `an` must yield null (reference NAs on NA adaptive n) — the
+    // bare comparison would evaluate to null and fall through to res
+    when(an.isNull || an > size(frame) || hasNull, lit(null)).otherwise(res)
   }
 
   // ---- head/tail-k per group (ghead/gtail, src/gsumm.c:923-1018) ------

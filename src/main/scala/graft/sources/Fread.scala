@@ -149,7 +149,10 @@ object Fread {
     if (extra.nonEmpty)
       df = strCols.foldLeft(df)((d, c) =>
         d.withColumn(c, when(col(c).isin(extra: _*), lit(null)).otherwise(col(c))))
-    val candidates = strCols
+    // an explicit colClasses schema PINS every column's type — the user
+    // said StringType on purpose (zip codes, ids with leading zeros), so
+    // only infer-schema reads are eligible for the numeric re-bump
+    val candidates = if (opts.colClasses.isDefined) Seq.empty[String] else strCols
     if (candidates.nonEmpty) {
       def decFixed(c: String): String = {
         val q = s"`$c`"
@@ -191,6 +194,12 @@ object Fread {
     */
   def fwrite(df0: DataFrame, path: String,
              opts: FwriteOptions = FwriteOptions()): Unit = {
+    // BOM is a plaintext prefix: inside a gzip stream it corrupts the
+    // file, and under append it would re-stamp earlier parts each run
+    require(!(opts.bom && opts.compress == "gzip"),
+      "fwrite: bom=TRUE cannot combine with compress=gzip")
+    require(!(opts.bom && opts.append),
+      "fwrite: bom=TRUE cannot combine with append=TRUE")
     var df = df0
     df0.schema.fields.foreach { f =>
       val c = col(f.name)

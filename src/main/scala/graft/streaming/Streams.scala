@@ -132,7 +132,11 @@ object Streams {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.lastTsMillis + stateTtlMillis)
+              // never at/below the watermark: Spark throws (and kills the
+              // query) if a group gets data after its natural TTL passed
+              // and we re-arm with the stale timestamp
+              state.setTimeoutTimestamp(math.max(st.lastTsMillis + stateTtlMillis,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }
