@@ -63,6 +63,59 @@ object Multimodal {
     }
   }
 
+  /** Decode + feature-extract through ARROW BATCHES: rows are marshalled
+    * into a VectorSchemaRoot of `batchSize` per chunk inside each
+    * partition and the codec consumes/produces whole columnar batches —
+    * the exact interface a native (JNI/GPU) decoder binds to zero-copy.
+    * Spark's Scala API has no public mapInArrow (Python-only), so the
+    * batch bridge is explicit mapPartitions + arrow-vector; only the
+    * codec call inside [[ArrowCodecBridge]] is stubbed.
+    */
+  def extractFeaturesArrow(blobs: Dataset[MediaBlob],
+                           batchSize: Int = 256): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    blobs.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(rows => ArrowCodecBridge.processBatch(rows))
+    }
+  }
+
+  /** The Arrow boundary: build the input batch, hand it to the codec,
+    * read the result. A real decoder receives `root`'s buffers directly.
+    */
+  object ArrowCodecBridge {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, FieldVector, VarBinaryVector, VarCharVector, VectorSchemaRoot}
+
+    def processBatch(rows: Seq[MediaBlob]): Seq[MediaFeatures] = {
+      val alloc = new RootAllocator(Long.MaxValue)
+      try {
+        val ids = new BigIntVector("media_id", alloc)
+        val kinds = new VarCharVector("kind", alloc)
+        val payloads = new VarBinaryVector("payload", alloc)
+        val root = new VectorSchemaRoot(
+          java.util.Arrays.asList[FieldVector](ids, kinds, payloads))
+        try {
+          ids.allocateNew(rows.size); kinds.allocateNew(); payloads.allocateNew()
+          rows.zipWithIndex.foreach { case (b, i) =>
+            ids.setSafe(i, b.media_id)
+            kinds.setSafe(i, b.kind.getBytes("UTF-8"))
+            if (b.payload == null) payloads.setNull(i)
+            else payloads.setSafe(i, b.payload)
+          }
+          root.setRowCount(rows.size)
+          // ---- native-codec boundary: a real implementation passes
+          // `root` across JNI and reads a feature batch back; the stub
+          // walks the same Arrow vectors so the data path is identical
+          (0 until root.getRowCount).map { i =>
+            val payload = if (payloads.isNull(i)) null else payloads.get(i)
+            StubCodec.decodeAndExtract(MediaBlob(ids.get(i),
+              new String(kinds.get(i), "UTF-8"), payload, 0, 0, 0))
+          }
+        } finally root.close()
+      } finally alloc.close()
+    }
+  }
+
   /** Build a MediaBlob table from any binary-ish source column —
     * here payloads are synthesized from text bytes (deterministic) so
     * the pipeline runs on the driver-provided `documents` table.

@@ -273,28 +273,33 @@ object Joins {
 
   /** Scale path for overlap joins with few/no `by` keys: explode each
     * interval into the fixed-width bins it covers, equi-join on
-    * (by, bin), post-filter the exact predicate, dedupe multi-bin pairs.
+    * (by, bin), post-filter the exact predicate. A pair of intersecting
+    * intervals shares MANY bins; it is emitted only from the FIRST one —
+    * bin == floor(max(xStart, yStart)/w), which both sides provably
+    * cover — so every matching pair appears exactly once with NO
+    * dedupe shuffle and NO generated row ids (every overlap type
+    * implies intersection, so the first shared bin always exists).
     * Shuffle volume ∝ data × (interval span / binWidth) — pick binWidth
     * near the median interval length (SURVEY.md §4.2 item 3).
     */
   def overlapBinned(x: DataFrame, y: DataFrame, by: Seq[String],
                     xStart: String, xEnd: String, yStart: String, yEnd: String,
                     binWidth: Long, typ: String = "any"): DataFrame = {
-    val xid = "_graft_xid"; val yid = "_graft_yid"; val bin = "_graft_bin"
-    val xb = x.withColumn(xid, monotonically_increasing_id())
-      .withColumn(bin, explode(sequence(
+    val bin = "_graft_bin"
+    val xb = x.withColumn(bin, explode(sequence(
         floor(col(xStart).cast("double") / binWidth).cast("long"),
         floor(col(xEnd).cast("double") / binWidth).cast("long"))))
-    val yb0 = y.withColumn(yid, monotonically_increasing_id())
-      .withColumn(bin, explode(sequence(
+    val yb0 = y.withColumn(bin, explode(sequence(
         floor(col(yStart).cast("double") / binWidth).cast("long"),
         floor(col(yEnd).cast("double") / binWidth).cast("long"))))
     val yb = disambiguate(xb, yb0, by :+ bin)
-    val cond = overlapCond(xb, yb, xStart, xEnd, yStart, yEnd, typ)
+    val ysIn = if (xb.columns.contains(yStart)) s"i_$yStart" else yStart
+    val firstBin = xb(bin) ===
+      floor(greatest(xb(xStart).cast("double"), yb(ysIn).cast("double")) / binWidth).cast("long")
+    val cond = overlapCond(xb, yb, xStart, xEnd, yStart, yEnd, typ) && firstBin
     val keys = (by :+ bin).map(k => xb(k) === yb(k)).foldRight(cond)(_ && _)
     (by :+ bin).foldLeft(xb.join(yb, keys, "inner"))((d, k) => d.drop(yb(k)))
-      .dropDuplicates(xid, yid)
-      .drop(xid, yid, bin)
+      .drop(bin)
   }
 
   private def overlapCond(x: DataFrame, y: DataFrame, xs: String, xe: String,
@@ -374,21 +379,23 @@ object Joins {
   def overlapGap(x: DataFrame, y: DataFrame,
                  xs: String, xe: String, ys: String, ye: String,
                  maxgap: Double = 0.0, minoverlap: Double = 0.0): DataFrame = {
-    val xid = "_graft_xid"; val yid = "_graft_yid"; val bin = "_graft_bin"
+    val bin = "_graft_bin"
     val w = math.max(1L, estimateBinWidth(x, xs, xe, y, ys, ye) + math.ceil(maxgap).toLong)
-    val xb = x.withColumn(xid, monotonically_increasing_id())
-      .withColumn(bin, explode(sequence(
+    val xb = x.withColumn(bin, explode(sequence(
         floor((col(xs).cast("double") - maxgap) / w).cast("long"),
         floor((col(xe).cast("double") + maxgap) / w).cast("long"))))
-    val yb0 = y.withColumn(yid, monotonically_increasing_id())
-      .withColumn(bin, explode(sequence(
+    val yb0 = y.withColumn(bin, explode(sequence(
         floor(col(ys).cast("double") / w).cast("long"),
         floor(col(ye).cast("double") / w).cast("long"))))
     val yb = disambiguate(xb, yb0, Seq(bin))
-    val cond = overlapGapCond(xb, yb, xs, xe, ys, ye, maxgap, minoverlap)
+    val ysIn = if (xb.columns.contains(ys)) s"i_$ys" else ys
+    // first shared bin of the WIDENED x interval and y — gapOk implies
+    // the widened intervals intersect, so it exists and is unique
+    val firstBin = xb(bin) ===
+      floor(greatest(xb(xs).cast("double") - maxgap, yb(ysIn).cast("double")) / w).cast("long")
+    val cond = overlapGapCond(xb, yb, xs, xe, ys, ye, maxgap, minoverlap) && firstBin
     xb.join(yb, xb(bin) === yb(bin) && cond, "inner")
-      .dropDuplicates(xid, yid)
-      .drop(xid, yid, bin)
+      .drop(bin)
   }
 
   private def disambiguate(x: DataFrame, y: DataFrame, keep: Seq[String]): DataFrame =

