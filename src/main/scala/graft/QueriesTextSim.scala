@@ -198,6 +198,39 @@ object QueriesTextSim {
              |SELECT cid::INT AS ivf_cell, count(*) AS n
              |FROM a WHERE rn = 1 GROUP BY 1""".stripMargin)),
 
+    // ---- IVF top-k SEARCH (nprobe=1 within the probe's cell) -----------
+    ("q_ann_ivf_search", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val centroids = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.ivfTopK(e, queries, "vec_id", "embedding", centroids, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
+    }): Q,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+             |sc AS (SELECT e.vec_id, c.cid,
+             |         list_cosine_similarity(e.v, c.cv) AS csim
+             |       FROM e CROSS JOIN c),
+             |a AS (SELECT vec_id, cid FROM (
+             |        SELECT vec_id, cid, row_number() OVER
+             |          (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+             |        FROM sc) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, cid FROM a WHERE vec_id IN (0, 1, 2)),
+             |s2 AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             |         list_cosine_similarity(x.v, y.v) AS sim
+             |       FROM a JOIN q ON a.cid = q.cid AND a.vec_id <> q.query_id
+             |       JOIN e x ON x.vec_id = a.vec_id
+             |       JOIN e y ON y.vec_id = q.query_id),
+             |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+             |      FROM s2)
+             |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
+             |FROM r WHERE rk <= 5""".stripMargin)),
+
     // ---- IVF with kmeans-lite fitted centroids (rows-only: centroids
     // come from the distributed Lloyd fit; assignment optimality and
     // fit determinism are spec-verified in KmeansIvfSpec) ---------------

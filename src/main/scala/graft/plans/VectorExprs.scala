@@ -41,3 +41,45 @@ object DotProduct {
     GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a),
       GraftSqlBridge.expression(b)))
 }
+
+/** Count of tokens (lowercased) present in a static word set — replaces
+  * the interpreted `size(filter(toks, t => lower(t).isin(words)))`
+  * formulation (per-element lambda dispatch × |words| isin scan) with
+  * one hash-set probe per token. Used by the stopword-ratio and
+  * language-ID paths over every document at 100 TB.
+  */
+case class TokenSetCount(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                         words: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(w => s.add(w))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var count = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null && wordSet.contains(s.toString.toLowerCase(java.util.Locale.ROOT))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): TokenSetCount =
+    copy(child = newChild)
+}
+
+object TokenSetCount {
+  def apply(tokens: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(TokenSetCount(GraftSqlBridge.expression(tokens), words))
+}

@@ -123,6 +123,27 @@ object Similarity {
       .select(col("idA"), col("idB"), col("sim"))
   }
 
+  /** IVF top-k search (nprobe=1): assign corpus AND queries to their
+    * nearest centroid cell, then brute-force cosine ONLY within the
+    * probe's cell — the candidate set shrinks by ~#cells. The join is a
+    * plain equi join on ivf_cell (hash shuffle or broadcast); combine
+    * with [[kmeansFit]] for fitted centroids.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, centroids: Seq[Seq[Double]], k: Int): DataFrame = {
+    val c = ivfAssign(corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
+    val q = ivfAssign(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qvec")), "_qvec", centroids)
+    val scored = c.join(q, Seq("ivf_cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("_qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rk"))
+  }
+
   /** lshSignature with a bit-index offset → an independent hyperplane
     * family per LSH table.
     */

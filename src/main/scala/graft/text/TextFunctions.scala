@@ -72,7 +72,7 @@ object TextFunctions {
     val nPunct = (n - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double")
     val toks = wsTokens(text)
     val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => lower(t).isin(stopwordsEn: _*))).cast("double")
+    val nStop = graft.plans.TokenSetCount(toks, stopwordsEn).cast("double")
     struct(
       n.as("n_chars"),
       nTok.as("n_tokens"),
@@ -87,10 +87,10 @@ object TextFunctions {
     * per token and fully vectorized.
     */
   def langIdHeuristic(text: Column): Column = {
-    val toks = transform(wsTokens(text), lower _)
+    val toks = wsTokens(text)
     val scores = langs.zipWithIndex.map { case ((lang, stops), idx) =>
       struct(
-        (size(filter(toks, t => t.isin(stops: _*))).cast("double") /
+        (graft.plans.TokenSetCount(toks, stops).cast("double") /
           greatest(size(toks), lit(1))).as("score"),
         lit(-idx).as("prio"),           // ties → FIRST language in langs
         lit(lang).as("lang"))
