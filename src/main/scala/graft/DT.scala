@@ -368,18 +368,29 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * last `n` rows by an explicit order, separated by `---`. Collects
     * only 2n rows.
     */
-  def printTopBottom(order: Seq[Column], n: Int = 5): String = {
-    val cols = df.columns
+  def printTopBottom(order: Seq[Column], n: Int = 5, maxCols: Int = 0): String = {
+    // Wide tables elide middle columns with a "..." marker (reference
+    // wide-print truncation); first/last halves stay visible.
+    val allCols = df.columns.toSeq
+    val elide = maxCols > 0 && allCols.length > maxCols
+    val (shown, splitAt) =
+      if (elide) {
+        val headN = (maxCols + 1) / 2
+        (allCols.take(headN) ++ allCols.takeRight(maxCols - headN), headN)
+      } else (allCols, -1)
+    val d = if (elide) df.select(shown.map(col): _*) else df
+    def withMarker(cells: Seq[String]): Seq[String] =
+      if (elide) (cells.take(splitAt) :+ "...") ++ cells.drop(splitAt) else cells
     val fmt = (r: org.apache.spark.sql.Row) =>
-      cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")
-    val header = cols.mkString("\t")
+      withMarker(shown.indices.map(i => String.valueOf(r.get(i)))).mkString("\t")
+    val header = withMarker(shown).mkString("\t")
     // Small tables print every row ONCE, no separator (reference print).
-    val head2n = df.orderBy(order: _*).limit(2 * n + 1).collect()
+    val head2n = d.orderBy(order: _*).limit(2 * n + 1).collect()
     if (head2n.length <= 2 * n)
       (header +: head2n.map(fmt).toSeq).mkString("\n")
     else {
       val top = head2n.take(n)
-      val bottom = df.orderBy(order.map(Windows.flipOrder): _*)
+      val bottom = d.orderBy(order.map(Windows.flipOrder): _*)
         .limit(n).collect().reverse
       (Seq(header) ++ top.map(fmt) ++ Seq("---") ++ bottom.map(fmt)).mkString("\n")
     }

@@ -82,6 +82,25 @@ object QueriesReshapeSet {
              |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- dcast general fun.aggregate LIST: 2 value.vars × 2 fns --------
+    // (R/fcast.R:126 list form; Spark names columns <pivot>_<aggAlias>)
+    ("q_dcast_multifns", ((s, dir) =>
+      Reshape.dcastMulti(dt(s, dir, "lineitem").df,
+        lhs = Seq("l_returnflag"), rhs = "l_linestatus",
+        values = Seq("F", "O"),
+        aggs = Seq(
+          "qty_sum" -> round(sum(col("l_quantity")), 3),
+          "qty_avg" -> round(avg(col("l_quantity")), 3),
+          "price_sum" -> round(sum(col("l_extendedprice")), 3)))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F_qty_sum,
+             |  round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F_qty_avg,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 3) AS F_price_sum,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O_qty_sum,
+             |  round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O_qty_avg,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 3) AS O_price_sum
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- rbindlist(fill=TRUE, idcol) (src/rbindlist.c) -----------------
     ("q_rbindlist", ((s, dir) => {
       val c = dt(s, dir, "customer").df.select(col("c_custkey").as("id"),

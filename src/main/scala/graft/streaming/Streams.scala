@@ -143,6 +143,22 @@ object Streams {
       }
   }
 
+  /** STREAM-STREAM as-of enrichment: a reference stream and a probe
+    * stream, unioned into the single stateful pass. The union is the
+    * scale-correct shape — one watermark, one shuffle on user_id, one
+    * state row per user — where a stream-stream interval join + latest-
+    * pick would need two chained stateful operators and re-buffer every
+    * reference within the horizon per probe.
+    */
+  def asofEnrichTwoStreams(refs: org.apache.spark.sql.Dataset[Ev],
+                           probes: org.apache.spark.sql.Dataset[Ev],
+                           refType: String, probeType: String,
+                           stateTtlMillis: Long,
+                           lateProbePolicy: String = "null")
+      : org.apache.spark.sql.Dataset[EnrichedEv] =
+    asofEnrichStreamTtl(refs.unionByName(probes), refType, probeType,
+      stateTtlMillis, lateProbePolicy)
+
   def asofEnrichStream(events: org.apache.spark.sql.Dataset[Ev],
                        refType: String, probeType: String)
       : org.apache.spark.sql.Dataset[EnrichedEv] = {

@@ -241,3 +241,21 @@ class Round2Spec extends AnyFunSuite {
     assert(pairs.contains((100L, 101L)))
   }
 }
+
+/** Wide-table print truncation (reference wide-print `...` elision). */
+class PrintWideSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("printTopBottom elides middle columns beyond maxCols") {
+    val df = Seq((1, 2, 3, 4, 5, 6)).toDF("a", "b", "c", "d", "e", "f")
+    val out = DT(df).printTopBottom(Seq($"a".asc), n = 5, maxCols = 4)
+    val header = out.linesIterator.next()
+    assert(header == Seq("a", "b", "...", "e", "f").mkString("\t"))
+    val row = out.linesIterator.drop(1).next()
+    assert(row == Seq("1", "2", "...", "5", "6").mkString("\t"))
+    // narrow tables print unchanged
+    val full = DT(df).printTopBottom(Seq($"a".asc), n = 5)
+    assert(full.linesIterator.next() == df.columns.mkString("\t"))
+  }
+}

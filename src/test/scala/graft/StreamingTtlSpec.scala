@@ -70,3 +70,34 @@ class StreamingTtlSpec extends AnyFunSuite {
     assert(out(2L) == Some(42.0))
   }
 }
+
+/** Stream-stream as-of: two sources, one stateful pass. */
+class StreamStreamAsofSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asofEnrichTwoStreams enriches probes from a separate reference stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val refs = MemoryStream[Ev]
+    val probes = MemoryStream[Ev]
+    val out = Streams.asofEnrichTwoStreams(
+      refs.toDS().withWatermark("ts", "10 minutes").as[Ev],
+      probes.toDS().withWatermark("ts", "10 minutes").as[Ev],
+      "purchase", "click", stateTtlMillis = 3600 * 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ss_asof").start()
+    try {
+      refs.addData(Ev(1, 5L, ts("2024-01-01 09:00:00"), "purchase", 77.0))
+      q.processAllAvailable()
+      probes.addData(Ev(2, 5L, ts("2024-01-01 09:05:00"), "click", 0.0),
+        Ev(3, 6L, ts("2024-01-01 09:06:00"), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, last_match FROM ss_asof").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(rows(2L) == Some(77.0))   // cross-stream LOCF
+      assert(rows(3L) == None)         // user with no reference
+    } finally q.stop()
+  }
+}
