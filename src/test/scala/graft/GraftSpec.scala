@@ -922,6 +922,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "l_quantity:double,l_extendedprice:double"), s"column pruning failed:\n$p")
   }
 
+  test("q_mult_first: one hash aggregation, no window sort (r2 multAgg shape)") {
+    val p = plan("q_mult_first")
+    // min_by(struct, struct) plans as SortAggregate (immutable buffer
+    // type) — still map-side partial-aggregated; the invariant is the
+    // ABSENCE of the join+window formulation
+    assert(p.contains("Aggregate"), s"expected an aggregation:\n$p")
+    assert(!p.contains("Window"), s"window formulation crept back:\n$p")
+  }
+
+  test("q_overlap_binned: no generated row ids, no dedupe pass (first-bin emission)") {
+    val p = plan("q_overlap_binned")
+    assert(!p.contains("monotonically_increasing_id"),
+      s"generated ids crept back into the binned overlap:\n$p")
+  }
+
   test("frank random: deterministic tie-break, all ranks distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
