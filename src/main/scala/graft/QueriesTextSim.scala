@@ -231,18 +231,20 @@ object QueriesTextSim {
              |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
              |FROM r WHERE rk <= 5""".stripMargin)),
 
-    // ---- IVF with kmeans-lite fitted centroids (rows-only: centroids
-    // come from the distributed Lloyd fit; assignment optimality and
-    // fit determinism are spec-verified in KmeansIvfSpec) ---------------
+    // ---- IVF with kmeans-lite fitted centroids -------------------------
+    // Oracle mirrors the ENTIRE fit: centroid updates accumulate as
+    // scaled integers (exact in both engines, order-independent), so 3
+    // unrolled Lloyd iterations in SQL reproduce the centroids
+    // bit-for-bit; the fit runs on the full corpus here because a
+    // Spark-seeded sample has no DuckDB mirror.
     ("q_ann_ivf_kmeans", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
-      val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4,
-        iters = 3, fitSample = 0.25)
+      val cents = Similarity.kmeansFit(e, "vec_id", "embedding", k = 4, iters = 3)
       Similarity.ivfAssign(e, "embedding", cents)
         .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
     }): Q,
-      None),
+      Some(kmeansIvfOracle)),
 
     // ---- embedding near-dup pairs (LSH buckets + exact cosine) ---------
     ("q_cosine_pairs", ((s, dir) => {
@@ -488,6 +490,41 @@ object QueriesTextSim {
        |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
        |  FROM cand JOIN shl x ON x.id = cand.idA JOIN shl y ON y.id = cand.idB)
        |SELECT idA, idB, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** kmeansFit + ivfAssign mirror: 3 unrolled Lloyd iterations. The
+    * centroid update sums scaled integers (CAST(round(x·2^20) AS
+    * BIGINT)) — exact and order-independent in both engines — and the
+    * final doubles come from the same (sum/scale)/n expression shape, so
+    * the fitted centroids match Spark's bit-for-bit. Assignment argmax
+    * ties break to the lowest cell id (mirroring ivfAssign's strict-
+    * greater scan). Empty cells keep the previous centroid (COALESCE).
+    */
+  private def kmeansIvfOracle: String = {
+    val scale = 1L << 20
+    def assign(a: String, c: String) =
+      s"""$a AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, cPrev: String, c: String) =
+      s"""$u AS (SELECT $a.cid, ex.d,
+         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
+         |  FROM $a JOIN ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
+         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
+         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
+         |  ON n.cid = $cPrev.cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM e),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+       |${assign("a1", "c0")},
+       |${update("u1", "a1", "c0", "c1")},
+       |${assign("a2", "c1")},
+       |${update("u2", "a2", "c1", "c2")},
+       |${assign("a3", "c2")},
+       |${update("u3", "a3", "c2", "c3")},
+       |${assign("af", "c3")}
+       |SELECT cid::INT AS ivf_cell, count(*) AS n FROM af GROUP BY 1""".stripMargin
   }
 
   /** Signature text for the random-hyperplane LSH: bit b = sign of the
