@@ -43,6 +43,21 @@ object Dedup {
   def minhashSignature(text: Column, k: Int = 3, numHashes: Int = 32): Column =
     minhashFromShingles(shingles(text, k), numHashes)
 
+  /** Auto-tune the banding for a target similarity threshold: among the
+    * divisors of `numHashes`, pick (bands, rowsPerBand) whose S-curve
+    * inflection (1/b)^(1/r) lands closest to `threshold` — the standard
+    * MMDS rule. Steeper curves (more hashes) cost signature width;
+    * callers pass the budget, this picks the split.
+    */
+  def tuneBands(numHashes: Int, threshold: Double): (Int, Int) = {
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+      .filter(_._2 >= 1)
+    candidates.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** LSH banding: split the signature into `bands` bands of
     * `rowsPerBand` and hash each band → one (bandId, bandHash) per band.
     * Docs sharing any band hash become candidate pairs.

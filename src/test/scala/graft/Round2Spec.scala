@@ -259,3 +259,17 @@ class PrintWideSpec extends AnyFunSuite {
     assert(full.linesIterator.next() == df.columns.mkString("\t"))
   }
 }
+
+/** Band auto-tuning: S-curve inflection tracks the target threshold. */
+class TuneBandsSpec extends AnyFunSuite {
+  test("tuneBands picks steeper banding for higher thresholds") {
+    val (bLow, rLow) = graft.dedup.Dedup.tuneBands(32, 0.3)
+    val (bHigh, rHigh) = graft.dedup.Dedup.tuneBands(32, 0.9)
+    assert(bLow * rLow == 32 && bHigh * rHigh == 32)
+    // low threshold → many bands of few rows; high → few bands of many rows
+    assert(bLow > bHigh && rLow < rHigh)
+    // inflection near the target
+    def inflection(b: Int, r: Int) = math.pow(1.0 / b, 1.0 / r)
+    assert(math.abs(inflection(bHigh, rHigh) - 0.9) < 0.25)
+  }
+}
