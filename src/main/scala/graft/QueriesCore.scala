@@ -254,6 +254,15 @@ object QueriesCore {
              |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // ---- rollup over COMPUTED grouping expressions ---------------------
+    ("q_rollup_expr", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 3).as("rev"))): Q,
+      Some("""SELECT year(o_orderdate) AS yr, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 3) AS rev
+             |FROM orders GROUP BY ROLLUP (yr, o_orderpriority)""".stripMargin)),
+
     // ---- cube (R/groupingsets.R cube) ----------------------------------
     ("q_cube", ((s, dir) =>
       dt(s, dir, "lineitem").df

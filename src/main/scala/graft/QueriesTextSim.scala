@@ -231,6 +231,44 @@ object QueriesTextSim {
              |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
              |FROM r WHERE rk <= 5""".stripMargin)),
 
+    // ---- IVF multi-probe search (nprobe=2: recall recovers near cell
+    // boundaries at ~2× the candidate cost) ------------------------------
+    ("q_ann_ivf_probe2", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val centroids = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.ivfTopK(e, queries, "vec_id", "embedding", centroids,
+        k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
+    }): Q,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+             |sc AS (SELECT e.vec_id, c.cid,
+             |         list_cosine_similarity(e.v, c.cv) AS csim
+             |       FROM e CROSS JOIN c),
+             |a AS (SELECT vec_id, cid FROM (
+             |        SELECT vec_id, cid, row_number() OVER
+             |          (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+             |        FROM sc) WHERE rn = 1),
+             |qc AS (SELECT vec_id AS query_id, cid FROM (
+             |        SELECT vec_id, cid, row_number() OVER
+             |          (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+             |        FROM sc) WHERE rn <= 2 AND vec_id IN (0, 1, 2)),
+             |s2 AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
+             |         list_cosine_similarity(x.v, y.v) AS sim
+             |       FROM a JOIN qc ON a.cid = qc.cid AND a.vec_id <> qc.query_id
+             |       JOIN e x ON x.vec_id = a.vec_id
+             |       JOIN e y ON y.vec_id = qc.query_id),
+             |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+             |      FROM s2)
+             |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
+             |FROM r WHERE rk <= 5""".stripMargin)),
+
     // ---- IVF with kmeans-lite fitted centroids -------------------------
     // Oracle mirrors the ENTIRE fit: centroid updates accumulate as
     // scaled integers (exact in both engines, order-independent), so 3

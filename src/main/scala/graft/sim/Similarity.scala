@@ -130,10 +130,26 @@ object Similarity {
     * with [[kmeansFit]] for fitted centroids.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, centroids: Seq[Seq[Double]], k: Int): DataFrame = {
+              vecCol: String, centroids: Seq[Seq[Double]], k: Int,
+              nprobe: Int = 1): DataFrame = {
     val c = ivfAssign(corpus.select(col(idCol), col(vecCol)), vecCol, centroids)
-    val q = ivfAssign(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("_qvec")), "_qvec", centroids)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+    val q =
+      if (nprobe <= 1) ivfAssign(q0, "_qvec", centroids)
+      else {
+        // probe the nprobe nearest cells: corpus cells are disjoint, so
+        // the per-cell joins never duplicate a candidate
+        val cents = array(centroids.zipWithIndex.map { case (cv, i) =>
+          struct(lit(i).as("cid"), array(cv.map(lit): _*).as("vec"))
+        }: _*)
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("_csim").desc, col("_cand.cid").asc)
+        q0.withColumn("_cand", explode(cents))
+          .withColumn("_csim", cosine(col("_qvec"), col("_cand.vec")))
+          .withColumn("_crn", row_number().over(wq))
+          .filter(col("_crn") <= nprobe)
+          .select(col("query_id"), col("_qvec"), col("_cand.cid").as("ivf_cell"))
+      }
     val scored = c.join(q, Seq("ivf_cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
