@@ -104,13 +104,48 @@ object Multimodal {
           }
           root.setRowCount(rows.size)
           // ---- native-codec boundary: a real implementation passes
-          // `root` across JNI and reads a feature batch back; the stub
-          // walks the same Arrow vectors so the data path is identical
-          (0 until root.getRowCount).map { i =>
-            val payload = if (payloads.isNull(i)) null else payloads.get(i)
-            StubCodec.decodeAndExtract(MediaBlob(ids.get(i),
-              new String(kinds.get(i), "UTF-8"), payload, 0, 0, 0))
-          }
+          // `root` across JNI and fills the OUTPUT batch below; the stub
+          // walks the same Arrow vectors, so both directions of the data
+          // path exercise the real columnar interface
+          val n = root.getRowCount
+          val dim = StubCodec.dim
+          val outBytes = new org.apache.arrow.vector.IntVector("n_bytes", alloc)
+          val outFeats = new org.apache.arrow.vector.complex.FixedSizeListVector(
+            "features", alloc,
+            org.apache.arrow.vector.types.pojo.FieldType.nullable(
+              new org.apache.arrow.vector.types.pojo.ArrowType.FixedSizeList(dim)), null)
+          try {
+            outFeats.initializeChildrenFromFields(java.util.Arrays.asList(
+              new org.apache.arrow.vector.types.pojo.Field("item",
+                org.apache.arrow.vector.types.pojo.FieldType.nullable(
+                  new org.apache.arrow.vector.types.pojo.ArrowType.FloatingPoint(
+                    org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE)), null)))
+            val featData = outFeats.getDataVector
+              .asInstanceOf[org.apache.arrow.vector.Float4Vector]
+            outBytes.allocateNew(n)
+            outFeats.setInitialCapacity(n)
+            outFeats.allocateNew()
+            var i = 0
+            while (i < n) {
+              val payload = if (payloads.isNull(i)) null else payloads.get(i)
+              val f = StubCodec.decodeAndExtract(MediaBlob(ids.get(i),
+                new String(kinds.get(i), "UTF-8"), payload, 0, 0, 0))
+              outBytes.setSafe(i, f.n_bytes)
+              outFeats.setNotNull(i)
+              var j = 0
+              while (j < dim) { featData.setSafe(i * dim + j, f.features(j)); j += 1 }
+              i += 1
+            }
+            outBytes.setValueCount(n)
+            featData.setValueCount(n * dim)
+            outFeats.setValueCount(n)
+            // unmarshal the columnar result batch back into rows
+            (0 until n).map { i =>
+              val fs = Array.tabulate(dim)(j => featData.get(i * dim + j))
+              MediaFeatures(ids.get(i), new String(kinds.get(i), "UTF-8"),
+                outBytes.get(i), fs)
+            }
+          } finally { outBytes.close(); outFeats.close() }
         } finally root.close()
       } finally alloc.close()
     }

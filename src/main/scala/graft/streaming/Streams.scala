@@ -143,6 +143,25 @@ object Streams {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join: rows of `left` match rows
+    * of `right` with equal keys whose event time falls in
+    * [leftTs − lookback, leftTs]. Both sides carry watermarks, so
+    * Spark's join state is bounded by watermark + lookback — the
+    * Spark-native windowed join (returns ALL matches in the window; for
+    * latest-only semantics compose [[asofEnrichTwoStreams]] instead).
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, on: Seq[String],
+                          leftTs: String, rightTs: String,
+                          lookback: String, watermark: String,
+                          how: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    val keys = on.map(c => col(s"l.$c") === col(s"r.$c"))
+    val time = expr(s"r.$rightTs <= l.$leftTs AND " +
+      s"r.$rightTs >= l.$leftTs - INTERVAL $lookback")
+    l.join(r, keys.foldRight(time: Column)(_ && _), how)
+  }
+
   /** STREAM-STREAM as-of enrichment: a reference stream and a probe
     * stream, unioned into the single stateful pass. The union is the
     * scale-correct shape — one watermark, one shuffle on user_id, one

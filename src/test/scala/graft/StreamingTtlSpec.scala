@@ -101,3 +101,37 @@ class StreamStreamAsofSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Watermarked stream-stream interval join. */
+class IntervalJoinStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("intervalJoinStreams matches rows within the lookback window only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = Streams.intervalJoinStreams(
+      clicks.toDS().toDF().select($"event_id".as("click_id"), $"user_id", $"ts"),
+      buys.toDS().toDF().select($"event_id".as("buy_id"), $"user_id", $"ts".as("bts"),
+        $"value"),
+      on = Seq("user_id"), leftTs = "ts", rightTs = "bts",
+      lookback = "30 MINUTES", watermark = "10 minutes")
+    val q = joined.select($"click_id", $"buy_id", $"value")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivj_out").start()
+    try {
+      buys.addData(
+        Ev(100, 1L, ts("2024-01-01 10:00:00"), "purchase", 5.0),   // in window
+        Ev(101, 1L, ts("2024-01-01 09:00:00"), "purchase", 7.0))   // too old
+      clicks.addData(Ev(1, 1L, ts("2024-01-01 10:20:00"), "click", 0.0),
+        Ev(2, 2L, ts("2024-01-01 10:21:00"), "click", 0.0))        // no buys
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, buy_id FROM ivj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 100L)))
+    } finally q.stop()
+  }
+}
