@@ -156,3 +156,44 @@ class FreadFixtureSpec extends AnyFunSuite {
     assert(rt.columns.head == "k")
   }
 }
+
+/** Encoding fixtures + scale-guard negative battery (round-2 closeout). */
+class FreadEncodingAndGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val fx = "/root/reference/inst/tests"
+
+  test("UTF-16 LE/BE files parse with explicit encoding (BOM included)") {
+    for ((f, enc) <- Seq("utf16le.txt" -> "UTF-16LE", "utf16be.txt" -> "UTF-16BE")) {
+      // multiLine forces a whole-file univocity parse: Hadoop's line
+      // splitter would otherwise break UTF-16 on raw 0x0A bytes
+      val df = Fread.fread(spark, s"$fx/$f",
+        FreadOptions(encoding = enc, header = "true", sep = ",", multiLine = true))
+      assert(df.columns.toSeq == Seq("a", "b"), s"$f: ${df.columns.toSeq}")
+      assert(df.count() == 1, f)
+      val r = df.head()
+      assert(r.getString(0) == "c" && r.getString(1) == "d", s"$f: $r")
+    }
+  }
+
+  test("every ordered operator rejects empty partition keys") {
+    import graft.operators.Windows
+    val df = Seq((1, 1.0)).toDF("o", "v")
+    def deny(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("allowGlobal"))
+    }
+    deny(df.withColumn("x", Windows.nafillLocf($"v", Nil, Seq($"o".asc))).collect())
+    deny(df.withColumn("x", Windows.nafillNocb($"v", Nil, Seq($"o".asc))).collect())
+    deny(Windows.frank(df, Seq($"v".asc), Seq($"v"), "min", Nil, "rk"))
+    deny(Windows.rleid(df, Seq("v"), Seq($"o".asc), Nil, "rid"))
+    deny(Windows.rowid(df, Nil, Seq($"o".asc), "rid"))
+    deny(df.withColumn("x", Windows.froll("sum", $"v", 2, Nil, Seq($"o".asc))).collect())
+    deny(df.withColumn("x", Windows.frollWindowArray($"v", 2, Nil, Seq($"o".asc))).collect())
+    deny(df.withColumn("x", Windows.frollAdaptive("sum", $"v", lit(2), 4, Nil, Seq($"o".asc))).collect())
+    deny(df.withColumn("x", Windows.cum("sum", $"v", Nil, Seq($"o".asc))).collect())
+    deny(Windows.tailK(df, Nil, Seq($"o".asc), 1))
+    deny(Windows.shiftCyclic(df, "v", 1, Nil, Seq($"o".asc), "w"))
+  }
+}
