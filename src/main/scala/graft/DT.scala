@@ -411,11 +411,30 @@ object DT {
   def SJ(spark: SparkSession, cols: Seq[String], rows: Seq[Seq[Any]]): DT =
     fromRows(spark, cols, rows).keyBy(cols: _*)
 
+  /** CJ with the full option surface (src/cj.c; R/setops.R CJ):
+    * `sorted=FALSE` keeps input order, `unique=TRUE` dedupes each input
+    * vector before crossing.
+    */
+  def CJopt(spark: SparkSession, sorted: Boolean, unique: Boolean)
+           (vectors: (String, Seq[Any])*): DT = {
+    val vecs = if (unique) vectors.map { case (n, vs) => (n, vs.distinct) } else vectors
+    val crossed = cjBuild(spark, vecs)
+    if (sorted)
+      DT(crossed.orderBy(vecs.map(v => org.apache.spark.sql.functions.col(v._1)): _*),
+        vecs.map(_._1))
+    else DT(crossed)   // input order, unkeyed (matches sorted=FALSE)
+  }
+
   /** CJ(...) (src/cj.c): sorted cartesian product of literal vectors —
     * the join-table constructor. Lowered to crossJoin of literal
     * DataFrames + orderBy (tiny inputs by construction).
     */
-  def CJ(spark: SparkSession, vectors: (String, Seq[Any])*): DT = {
+  def CJ(spark: SparkSession, vectors: (String, Seq[Any])*): DT =
+    DT(cjBuild(spark, vectors)
+        .orderBy(vectors.map(v => org.apache.spark.sql.functions.col(v._1)): _*),
+      vectors.map(_._1))
+
+  private def cjBuild(spark: SparkSession, vectors: Seq[(String, Seq[Any])]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val dfs = vectors.map { case (name, vals) =>
       val rows = vals.map(v => org.apache.spark.sql.Row(v)).asJava
@@ -429,9 +448,7 @@ object DT {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(name, dt))))
     }
-    val crossed = dfs.reduce(_.crossJoin(_))
-    DT(crossed.orderBy(vectors.map(v => org.apache.spark.sql.functions.col(v._1)): _*),
-      vectors.map(_._1))
+    dfs.reduce(_.crossJoin(_))
   }
 
   /** rowwiseDT / literal constructor analog. Column types are inferred

@@ -178,11 +178,26 @@ object Reshape {
     * column union, missing → null, optional provenance column.
     */
   def rbindlist(dfs: Seq[DataFrame], fill: Boolean = true,
-                idcol: Option[String] = None): DataFrame = {
+                idcol: Option[String] = None,
+                useNames: Boolean = true): DataFrame = {
+    require(useNames || !fill || dfs.map(_.columns.length).distinct.size == 1,
+      "rbindlist(use.names=FALSE, fill=TRUE) needs equal column counts " +
+        "(the reference errors here too, R/rbindlist.R)")
+    val positional =
+      if (useNames) dfs
+      else {
+        // use.names=FALSE: bind BY POSITION under the first table's names
+        val names = dfs.head.columns.toSeq
+        dfs.map { d =>
+          require(d.columns.length == names.length,
+            s"rbindlist(use.names=FALSE): ${d.columns.length} cols vs ${names.length}")
+          d.toDF(names: _*)
+        }
+      }
     val tagged = idcol match {
-      case Some(name) => dfs.zipWithIndex.map { case (d, i) =>
+      case Some(name) => positional.zipWithIndex.map { case (d, i) =>
         d.select(lit(i + 1).as(name) +: d.columns.map(col).toSeq: _*) }
-      case None => dfs
+      case None => positional
     }
     tagged.reduce((a, b) => a.unionByName(b, allowMissingColumns = fill))
   }

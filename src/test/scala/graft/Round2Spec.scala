@@ -273,3 +273,34 @@ class TuneBandsSpec extends AnyFunSuite {
     assert(math.abs(inflection(bHigh, rHigh) - 0.9) < 0.25)
   }
 }
+
+/** CJ option surface + positional rbindlist (tests.Rraw-mined parity). */
+class ConstructorOptionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("CJ(unique=TRUE) dedupes inputs; sorted=FALSE skips the sort and key") {
+    val cj = DT.CJopt(spark, sorted = true, unique = true)(
+      "a" -> Seq(2, 1, 2), "b" -> Seq("x", "x"))
+    assert(cj.df.count() == 2)
+    assert(cj.df.select($"a").as[Int].collect().toSeq == Seq(1, 2))
+    val unsorted = DT.CJopt(spark, sorted = false, unique = false)(
+      "a" -> Seq(2, 1))
+    assert(unsorted.key.isEmpty && unsorted.df.count() == 2)
+  }
+
+  test("rbindlist(use.names=FALSE) binds by position under head's names") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq(("y", 2)).toDF("p", "q")   // different names AND types
+    // same arity, positional bind: b's p→k (string!) — type promotion to string
+    val c = Seq((3, "z")).toDF("q", "p")   // swapped names, compatible types
+    val out = graft.operators.Reshape.rbindlist(Seq(a, c), fill = false,
+      useNames = false)
+    assert(out.columns.toSeq == Seq("k", "v"))
+    assert(out.as[(Int, String)].collect().toSet == Set((1, "x"), (3, "z")))
+    intercept[IllegalArgumentException] {
+      graft.operators.Reshape.rbindlist(
+        Seq(a, Seq(Tuple1(1)).toDF("solo")), useNames = false, fill = false)
+    }
+  }
+}
