@@ -383,14 +383,22 @@ object QueriesTextSim {
     }): Q,
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 
-    // ---- multimodal decode plumbing (stubbed codec; rows-only) ----------
+    // ---- multimodal decode plumbing (portable md5 stub codec) ----------
+    // Runs the ARROW batch path under the oracle: payload → md5 → affine
+    // feature family (PortableHash constants), mirrored bit-for-bit in
+    // DuckDB. Features are k/1000 as float32; ×1000 + round recovers the
+    // integer k exactly on both sides, so the hash gate adjudicates the
+    // full decode pipeline (marshal → codec → unmarshal), zero recall gap.
     ("q_media_features", ((s, dir) => {
       val blobs = graft.mm.Multimodal.blobsFromDocuments(
         Tables.load(s, dir, "documents"))
-      graft.mm.Multimodal.extractFeatures(blobs).toDF()
-        .select(col("media_id"), col("n_bytes"), round(element_at(col("features"), 1), 4).as("f0"))
+      graft.mm.Multimodal.extractFeaturesArrow(blobs, batchSize = 64).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes").cast("bigint").as("n_bytes"),
+          round(element_at(col("features"), 1).cast("double") * 1000.0).cast("bigint").as("f0_milli"),
+          round(element_at(col("features"), 8).cast("double") * 1000.0).cast("bigint").as("f7_milli"),
+          round(element_at(col("features"), 16).cast("double") * 1000.0).cast("bigint").as("f15_milli"))
     }): Q,
-      None),
+      Some(mediaOracle)),
 
     // ---- sliding window aggregation (streaming twin, batch form) -------
     // 1-hour windows sliding every 30 min: each event lands in exactly 2
@@ -528,6 +536,29 @@ object QueriesTextSim {
        |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
        |  FROM cand JOIN shl x ON x.id = cand.idA JOIN shl y ON y.id = cand.idB)
        |SELECT idA, idB, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** StubCodec mirror: payload = UTF-8 bytes of `text`, so DuckDB's
+    * md5(text) hashes the exact bytes the Arrow codec sees; feature i's
+    * integer milli-value is ((a & 2^58-1) + i·b(a)) % 1000 with the
+    * PortableHash masks — overflow-free on both engines.
+    */
+  private def mediaOracle: String = {
+    val maskA = "288230376151711743"   // 2^58-1
+    val mask40 = "1099511627775"       // 2^40-1
+    val maskB = "9007199254740991"     // 2^53-1
+    def fi(i: Int) =
+      s"((a & $maskA) + $i * (xor(a >> 7, (a & $mask40) << 13) & $maskB)) % 1000"
+    s"""WITH h AS (
+       |  SELECT doc_id AS media_id, 'image' AS kind,
+       |    octet_length(encode(text))::BIGINT AS n_bytes,
+       |    ('0x'||substr(md5(text),1,15))::BIGINT AS a
+       |  FROM documents)
+       |SELECT media_id, kind, n_bytes,
+       |  ${fi(0)} AS f0_milli,
+       |  ${fi(7)} AS f7_milli,
+       |  ${fi(15)} AS f15_milli
+       |FROM h""".stripMargin
   }
 
   /** kmeansFit + ivfAssign mirror: 3 unrolled Lloyd iterations. The

@@ -34,18 +34,24 @@ object Multimodal {
 
   /** STUB codec: a real implementation would call an image/audio
     * library here (per partition, reusing a decoder instance). The fake
-    * derives a deterministic D-dim feature vector from payload bytes so
-    * the pipeline is testable end-to-end.
+    * derives a deterministic D-dim feature vector from the md5 of the
+    * payload bytes via the portable affine family (graft.plans
+    * .PortableHash) — overflow-free 64-bit arithmetic only, so a DuckDB
+    * SQL mirror reproduces every feature bit-for-bit and the whole
+    * decode pipeline is oracle-adjudicable, not just rows-counted.
     */
   object StubCodec {
     val dim = 16
     def decodeAndExtract(b: MediaBlob): MediaFeatures = {
+      import graft.plans.PortableHash
       val bytes = Option(b.payload).getOrElse(Array.emptyByteArray)
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map(x => f"$x%02x").mkString
+      val a = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val a58 = a & PortableHash.MaskA
+      val bb = PortableHash.bOf(a)
       val feats = Array.tabulate(dim) { i =>
-        var h = 1125899906842597L + i
-        var j = 0
-        while (j < bytes.length) { h = 31 * h + bytes(j); j += 1 }
-        ((h % 1000L).toFloat / 1000.0f)
+        ((a58 + i.toLong * bb) % 1000L).toFloat / 1000.0f
       }
       MediaFeatures(b.media_id, b.kind, bytes.length, feats)
     }
