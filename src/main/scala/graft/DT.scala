@@ -31,6 +31,9 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * into the parquet scan.
     */
   def apply(i: Column): DT = {
+    // opt-in auto-indexing: the Nth equality filter on an unindexed
+    // column registers an index (reference auto-index-on-first-use)
+    operators.Scale.autoIndexNote(df, i)
     // secondary-index routing: a filter touching a setIndex'd column
     // prefix runs against the sorted cached copy (batch-stat pruning)
     val routed = operators.Scale.indexedSource(df, i).getOrElse(df)

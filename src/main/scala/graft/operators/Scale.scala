@@ -97,6 +97,52 @@ object Scale {
     else indexFor(df, org.apache.spark.sql.GraftSqlBridge.resolvedFilterRefs(df, cond))
   }
 
+  // ---- auto-indexing (datatable.auto.index, man/datatable-optimize
+  // .Rd:97-105): the reference auto-creates an index the first time a
+  // `DT[col == v]` filter scans an unindexed column. Here it is OPT-IN
+  // (index creation is a shuffle + persist — too big a side effect to
+  // hide behind a filter by default) and threshold-based: the Nth
+  // equality filter on the same unindexed column registers a setIndex
+  // copy, which that same filter and all later ones route through.
+
+  @volatile private var autoIndexThreshold: Int = 0   // 0 = off (default)
+  private val eqFilterCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+
+  /** Opt in: auto-register an index once `threshold` equality filters
+    * have hit the same unindexed column of the same table.
+    * threshold=1 mirrors the reference's index-on-first-use exactly.
+    */
+  def enableAutoIndex(threshold: Int = 2): Unit = {
+    require(threshold >= 1, s"auto-index threshold must be >= 1, got $threshold")
+    autoIndexThreshold = threshold
+  }
+
+  /** The off-switch (options(datatable.auto.index=FALSE)). Forgets the
+    * filter counts; already-registered indexes stay until clearIndexes.
+    */
+  def disableAutoIndex(): Unit = { autoIndexThreshold = 0; eqFilterCounts.clear() }
+
+  def autoIndexEnabled: Boolean = autoIndexThreshold > 0
+
+  /** DT.apply(i) hook: count `col == literal` / IN-literal filters per
+    * (table, column); at the threshold, build the index. Zero-cost when
+    * disabled (no predicate analysis, no planKey hash).
+    */
+  def autoIndexNote(df: DataFrame, cond: Column): Unit = {
+    if (autoIndexThreshold <= 0) return
+    val k = planKey(df)
+    org.apache.spark.sql.GraftSqlBridge.equalityFilterCols(df, cond).foreach { c =>
+      val covered = indexRegistry.keySet.exists {
+        case (pk, cols) => pk == k && cols.head == c
+      }
+      if (!covered) {
+        val n = eqFilterCounts.updateWith((k, c))(p => Some(p.getOrElse(0) + 1)).get
+        if (n >= autoIndexThreshold) setIndex(df, Seq(c))
+      }
+    }
+  }
+
   /** Drop all registered indexes for a table (or every index). */
   def clearIndexes(df: Option[DataFrame] = None): Unit = df match {
     case Some(d) =>

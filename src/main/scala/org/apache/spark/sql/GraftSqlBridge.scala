@@ -21,6 +21,25 @@ object GraftSqlBridge {
         f.condition.references.map(_.name).toSeq
     }.flatten.toSet
 
+
+  /** Columns compared for EQUALITY with a literal in a predicate —
+    * the trigger shape for auto-indexing (the reference auto-creates an
+    * index only for `col == value` / `%in%` filters,
+    * man/datatable-optimize.Rd:97-105).
+    */
+  def equalityFilterCols(df: DataFrame, cond: Column): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, InSet, Literal}
+    df.filter(cond).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case EqualTo(a: AttributeReference, _: Literal) => a.name
+          case EqualTo(_: Literal, a: AttributeReference) => a.name
+          case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) => a.name
+          case InSet(a: AttributeReference, _) => a.name
+        }
+    }.flatten.distinct
+  }
+
   /** Flip a sort column's direction, unwrapping an existing SortOrder
     * node (Spark 4 Columns wrap internal ColumnNodes; nesting .desc on
     * a SortOrder breaks analysis). Lives here because the node types
