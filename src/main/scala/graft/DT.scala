@@ -63,6 +63,55 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     DT(df.groupBy(by.map(col): _*).agg(j.head, j.tail: _*)
          .orderBy(by.map(col): _*), by)
 
+  /** groupingsets() with computed grouping EXPRESSIONS and totals-row
+    * labels (R/groupingsets.R:41-44,91-111): `keys` are (name, expr)
+    * pairs — arbitrary expressions, not just plain columns; `sets` pick
+    * key subsets by name; `labels` fills a key's output slot in rows
+    * where that key is rolled up (the reference's label= argument) in
+    * place of the SQL NULL. Lowers to one GROUPING SETS aggregate — the
+    * label fix-up is a post-projection on grouping_id bits, so Catalyst
+    * still plans a single pass with partial aggregation.
+    */
+  def groupingSetsAgg(keys: Seq[(String, Column)], sets: Seq[Seq[String]],
+                      j: Seq[Column],
+                      labels: Map[String, Column] = Map.empty): DT = {
+    val keyNames = keys.map(_._1)
+    require(sets.forall(_.forall(keyNames.contains)),
+      s"sets must reference key names ${keyNames.mkString(",")}")
+    require(labels.keySet.subsetOf(keyNames.toSet),
+      "labels must reference key names")
+    // computed keys become real columns FIRST (Catalyst collapses the
+    // projection into the scan), then the sets reference plain columns —
+    // expression-vs-alias matching inside groupingSets' set lists is
+    // analyzer-fragile, plain attribute references are not. Temp names
+    // sidestep collisions with existing input columns.
+    val tmp = keyNames.map(n => n -> s"_graft_k_$n").toMap
+    val withKeys = df.select(col("*") +: keys.map { case (n, c) => c.as(tmp(n)) }: _*)
+    val gid = "_graft_gid"
+    val grouped = withKeys.groupingSets(
+        sets.map(_.map(n => col(tmp(n)))),
+        keyNames.map(n => col(tmp(n))): _*)
+      .agg(j.head, (j.tail :+ grouping_id().as(gid)): _*)
+    val n = keys.size
+    val out = grouped.columns.filterNot(_ == gid).toSeq.map { cn =>
+      val i = keyNames.indexWhere(kn => tmp(kn) == cn)
+      if (i < 0) col(cn)
+      else {
+        val name = keyNames(i)
+        val base = labels.get(name) match {
+          // a set bit in grouping_id means this key is rolled up in the
+          // row (leftmost key = most significant bit)
+          case Some(l) =>
+            when(col(gid).bitwiseAND(lit(1L << (n - 1 - i))) =!= 0, l)
+              .otherwise(col(cn))
+          case None => col(cn)
+        }
+        base.as(name)
+      }
+    }
+    DT(grouped.select(out: _*))
+  }
+
   // ---- j: projection / compute ---------------------------------------
   /** DT[, j] — select / compute columns (`with=FALSE`, character j,
     * .SDcols all lower to column pruning).

@@ -283,6 +283,27 @@ object QueriesCore {
              |FROM orders
              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
 
+    // ---- groupingsets over COMPUTED expressions + label= ----------------
+    // Expression keys (yr = year(o_orderdate)) and totals-row labels
+    // (R/groupingsets.R:41-44,91-111): rolled-up slots show the label,
+    // not NULL. One GROUPING SETS pass; labels are a gid-bit projection.
+    ("q_groupingsets_expr", ((s, dir) =>
+      dt(s, dir, "orders")
+        .groupingSetsAgg(
+          Seq("yr" -> year(col("o_orderdate")), "pr" -> col("o_orderpriority")),
+          Seq(Seq("yr", "pr"), Seq("yr"), Seq.empty),
+          Seq(count(lit(1)).as("n"), round(sum("o_totalprice"), 3).as("rev")),
+          labels = Map("yr" -> lit(9999), "pr" -> lit("TOTAL"))).df): Q,
+      Some("""SELECT
+             |  CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN 9999
+             |       ELSE year(o_orderdate) END AS yr,
+             |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'TOTAL'
+             |       ELSE o_orderpriority END AS pr,
+             |  count(*) AS n, round(sum(o_totalprice), 3) AS rev
+             |FROM orders
+             |GROUP BY GROUPING SETS ((year(o_orderdate), o_orderpriority),
+             |                        (year(o_orderdate)), ())""".stripMargin)),
+
     // ---- lapply(.SD, f) unrolling (R/data.table.R:163-189) -------------
     // The reference unrolls the column-map closure; here the DSL maps the
     // aggregate over the .SDcols set at plan-build time — same rewrite.
