@@ -349,6 +349,49 @@ object QueriesWindows {
              |  END AS rng
              |FROM orders
              |WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- frollapply over a MULTI-COLUMN frame (R/frollapply.R .SD) -----
+    // Rolling 4-row weighted mean: the frame carries (price, qty) structs
+    // — a closure over two columns, inexpressible with a single-column
+    // frame. (l_orderkey, l_linenumber, l_partkey) is unique within a
+    // supplier, so the frame order is deterministic.
+    ("q_frollapply_multi", ((s, dir) => {
+      val ord = Seq(col("l_orderkey").asc, col("l_linenumber").asc, col("l_partkey").asc)
+      val fr = Windows.frollWindowStructs(
+        Seq("p" -> col("l_extendedprice"), "q" -> col("l_quantity")),
+        4, Seq("l_suppkey"), ord)
+      // prices are exact cents and quantities exact integers: the frame
+      // sums run in scaled-int space (order-independent, both engines
+      // exact), so the final double division sees identical inputs
+      // prices are exact cents, quantities exact integers: frame sums in
+      // scaled-int space, and the 3-dp rounding is explicit integer
+      // half-up division — engine round() on half-way decimals diverges
+      // (Spark rounds the shortest-decimal form, DuckDB the binary one)
+      val num = aggregate(fr, lit(0L), (a, x) =>
+        a + round(x.getField("p") * 100).cast("long") * x.getField("q").cast("long"))
+      val den = aggregate(fr, lit(0L), (a, x) => a + x.getField("q").cast("long"))
+      dt(s, dir, "lineitem").df
+        .withColumn("_num", num).withColumn("_den", den)
+        .withColumn("wm", when(size(fr) === 4,
+          expr("(20 * _num + _den) div (2 * _den)").cast("double") / 1000.0))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("wm"))
+    }): Q,
+      Some("""WITH f AS (
+             |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |        * CAST(l_quantity AS BIGINT)) OVER w4 AS num,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER w4 AS den,
+             |    count(*) OVER w4 AS c
+             |  FROM lineitem
+             |  WINDOW w4 AS (PARTITION BY l_suppkey
+             |                ORDER BY l_orderkey, l_linenumber, l_partkey
+             |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |  CASE WHEN c = 4
+             |       THEN ((20 * num + den) // (2 * den))::DOUBLE / 1000.0
+             |  END AS wm
+             |FROM f""".stripMargin))
   )
 }

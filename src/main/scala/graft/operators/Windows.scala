@@ -249,6 +249,21 @@ object Windows {
       .rowsBetween(lo, hi))
   }
 
+  /** Multi-column frollapply (R/frollapply.R's `.SD` input): the n-row
+    * frame of SEVERAL columns exposed as one array-of-structs column the
+    * caller reduces with higher-order functions — e.g. a rolling
+    * weighted mean needs (value, weight) per frame row, which no
+    * single-column frame can express.
+    */
+  def frollWindowStructs(cols: Seq[(String, Column)], n: Int, by: Seq[String],
+                         order: Seq[Column], align: String = "right",
+                         allowGlobal: Boolean = false): Column = {
+    require(cols.nonEmpty, "frollWindowStructs needs at least one column")
+    val (lo, hi) = bounds(n, align)
+    collect_list(struct(cols.map { case (nm, c) => c.as(nm) }: _*))
+      .over(spec(by, order, allowGlobal, "frollWindowStructs").rowsBetween(lo, hi))
+  }
+
   /** Adaptive rolling aggregate (src/frolladaptive.c): per-row window
     * length from column `an`, bounded by maxN. The frame is the bounded
     * last-maxN rows; rows beyond the per-row length are masked out of an
