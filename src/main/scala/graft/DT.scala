@@ -253,9 +253,14 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   /** Equi join. `nullSafe=true` matches the reference's NA-joins-NA
     * semantics (src/bmerge.c: NA/NaN are joinable values) via `<=>`;
     * default follows SQL semantics (null keys never match).
+    * `strict=true` applies the reference's bmerge coercion matrix
+    * (R/bmerge.R:93-160): errors on cross-class key types (string vs
+    * numeric, boolean vs anything) instead of Catalyst's silent cast;
+    * integer↔double stays allowed, as the reference coerces those.
     */
   def join(i: DT, on: Seq[String], how: String = "inner",
-           nullSafe: Boolean = false): DT =
+           nullSafe: Boolean = false, strict: Boolean = false): DT = {
+    if (strict) graft.functions.StrictTypes.checkJoinTypes(df, i.df, on)
     if (!nullSafe) DT(Joins.equi(df, i.df, on, how))
     else {
       val clashes = i.df.columns.filter(c => df.columns.contains(c) && !on.contains(c))
@@ -265,6 +270,7 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       // collapse the duplicated join columns like a USING join
       DT(on.foldLeft(joined)((d, c) => d.drop(renamed(c))))
     }
+  }
 
   def joinExpr(i: DT, cond: Column, how: String = "inner"): DT =
     DT(df.join(i.df, cond, how))

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Opt-in strict type discipline (round-3 item 5).
+  *
+  * Catalyst silently coerces mixed types (int branch + string branch,
+  * string key joined to int key); the reference ERRORS instead —
+  * R/bmerge.R:93-160's coercion matrix for joins, src/fifelse.c:52,267
+  * for conditional branches. A migrating user relies on those errors to
+  * catch real bugs, so `strict` surfaces reproduce them: same class ok,
+  * integer↔double ok (the reference coerces), anything crossing
+  * character/logical/temporal boundaries throws with the reference's
+  * message shape.
+  */
+object StrictTypes {
+
+  /** bmerge's mergeType classes (R/bmerge.R:1-8), mapped to Spark. */
+  private def cls(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType   => "integer"
+    case FloatType | DoubleType                          => "double"
+    case _: DecimalType                                  => "double"
+    case StringType                                      => "character"
+    case BooleanType                                     => "logical"
+    case DateType | TimestampType | TimestampNTZType     => "temporal"
+    case other                                           => other.simpleString
+  }
+
+  private def compatible(a: DataType, b: DataType): Boolean = {
+    val (ca, cb) = (cls(a), cls(b))
+    // integer↔double is the ONE silent coercion the reference performs
+    // (R/bmerge.R:120-160); everything else cross-class errors
+    ca == cb || Set(ca, cb) == Set("integer", "double")
+  }
+
+  /** merge/bmerge join-key check (R/bmerge.R:109): equal-named keys. */
+  def checkJoinTypes(x: DataFrame, i: DataFrame, on: Seq[String]): Unit =
+    checkJoinTypePairs(x, i, on.map(c => (c, c)))
+
+  /** As [[checkJoinTypes]] with differently-named key pairs (x, i). */
+  def checkJoinTypePairs(x: DataFrame, i: DataFrame,
+                         on: Seq[(String, String)]): Unit =
+    on.foreach { case (xc, ic) =>
+      val xt = x.schema(xc).dataType
+      val it = i.schema(ic).dataType
+      if (!compatible(xt, it))
+        throw new IllegalArgumentException(
+          s"Incompatible join types: $xc (${xt.simpleString}) and " +
+            s"$ic (${it.simpleString})")
+    }
+
+  private def typeOf(df: DataFrame, c: Column): DataType =
+    df.select(c).schema.head.dataType
+
+  /** fifelse with the reference's type discipline (src/fifelse.c:11,52):
+    * test must be boolean; yes/no/na must share ONE exact type (even
+    * int vs double errors — the reference does not promote here). A null
+    * literal `na` is the untyped NA and always allowed.
+    */
+  def fifelseStrict(df: DataFrame, test: Column, yes: Column, no: Column,
+                    na: Column = lit(null)): Column = {
+    if (typeOf(df, test) != BooleanType)
+      throw new IllegalArgumentException("Argument 'test' must be logical.")
+    val (ty, tn, tna) = (typeOf(df, yes), typeOf(df, no), typeOf(df, na))
+    if (ty != tn)
+      throw new IllegalArgumentException(
+        s"'no' is of type ${tn.simpleString} but 'yes' is ${ty.simpleString}. " +
+          "Please make all arguments have the same type.")
+    if (tna != NullType && tna != ty)
+      throw new IllegalArgumentException(
+        s"'na' is of type ${tna.simpleString} but 'yes' is ${ty.simpleString}. " +
+          "Please make all arguments have the same type.")
+    Funcs.fifelse(test, yes, no, na)
+  }
+
+  /** fcase with the reference's type discipline (src/fifelse.c:238,267):
+    * every condition boolean, every branch value (and non-null default)
+    * the same exact type as the first.
+    */
+  def fcaseStrict(df: DataFrame, branches: Seq[(Column, Column)],
+                  default: Column = lit(null)): Column = {
+    require(branches.nonEmpty, "fcase needs at least one (condition, value)")
+    branches.zipWithIndex.foreach { case ((c, _), i) =>
+      val t = typeOf(df, c)
+      if (t != BooleanType)
+        throw new IllegalArgumentException(
+          s"Argument #${2 * i + 1} must be logical but was of type ${t.simpleString}.")
+    }
+    val t0 = typeOf(df, branches.head._2)
+    branches.foreach { case (_, v) =>
+      val t = typeOf(df, v)
+      if (t != t0)
+        throw new IllegalArgumentException(
+          s"Resulting value is of type ${t.simpleString} but 'ans' is of type " +
+            s"${t0.simpleString}. Please make sure all output values have the same type.")
+    }
+    val td = typeOf(df, default)
+    if (td != NullType && td != t0)
+      throw new IllegalArgumentException(
+        s"Resulting value is of type ${td.simpleString} but 'ans' is of type " +
+          s"${t0.simpleString}. Please make sure all output values have the same type.")
+    Funcs.fcase(branches, default)
+  }
+}
