@@ -165,11 +165,21 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * (and the batch analog of MERGE INTO ... WHEN MATCHED UPDATE).
     */
   def updateJoin(i: DT, on: Seq[String],
-                 assignments: (String, Column)*): DT = {
+                 assignments: (String, Column)*): DT =
+    updateJoinChecked(i, on, checked = true, assignments: _*)
+
+  /** [[updateJoin]] with the dup-guard knob: `checked=false` skips the
+    * pre-flight duplicate scan of the probe side (one full aggregation
+    * per call — an extra probe-side pass at 100 TB) for callers that
+    * KNOW their keys are unique. Corrupt inputs then multiply target
+    * rows silently, exactly like the reference with mult="all".
+    */
+  def updateJoinChecked(i: DT, on: Seq[String], checked: Boolean,
+                        assignments: (String, Column)*): DT = {
     // A probe side with duplicate join keys would MULTIPLY target rows —
     // the one thing a join-update must never do. Cheap pre-flight check
     // (one partial aggregation), same ethos as Joins.cartesianGuard.
-    graft.operators.Joins.assertNoDup(i.df, on)
+    if (checked) graft.operators.Joins.assertNoDup(i.df, on)
     val matched = "_graft_matched"
     val iTagged = i.df.withColumn(matched, lit(true))
     val clashes = iTagged.columns.filter(c => df.columns.contains(c) && !on.contains(c))
@@ -198,8 +208,14 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * explicitly (`X[Y, w := i.w]`).
     */
   def updateJoinFrom(i: DT, on: Seq[String],
-                     mapping: (String, String)*): DT = {
-    graft.operators.Joins.assertNoDup(i.df, on)
+                     mapping: (String, String)*): DT =
+    updateJoinFromChecked(i, on, checked = true, mapping: _*)
+
+  /** [[updateJoinFrom]] with the dup-guard knob (see
+    * [[updateJoinChecked]]). */
+  def updateJoinFromChecked(i: DT, on: Seq[String], checked: Boolean,
+                            mapping: (String, String)*): DT = {
+    if (checked) graft.operators.Joins.assertNoDup(i.df, on)
     val matched = "_graft_matched"
     val renames = mapping.map { case (tgt, probe) => probe -> s"_graft_i_$probe" }.toMap
     val iPrepped = renames.foldLeft(i.df.withColumn(matched, lit(true))) {

@@ -261,7 +261,11 @@ object Joins {
 
   def estimateBinWidth(x: DataFrame, xs: String, xe: String,
                        y: DataFrame, ys: String, ye: String): Long = {
-    val key = s"${x.queryExecution.analyzed.semanticHash()}:$xs:$xe:" +
+    // session identity is part of the key (matching Scale.planKey): a
+    // NEW session re-reading changed data at the same plan shape must
+    // not reuse a stale width
+    val key = s"${System.identityHashCode(x.sparkSession)}:" +
+      s"${x.queryExecution.analyzed.semanticHash()}:$xs:$xe:" +
       s"${y.queryExecution.analyzed.semanticHash()}:$ys:$ye"
     binWidthCache.getOrElseUpdate(key, {
       def med(df: DataFrame, s: String, e: String): Double =
@@ -323,22 +327,28 @@ object Joins {
                   typ: String = "any", mult: String = "all"): DataFrame = {
     if (mult == "all") return overlap(x, y, by, xStart, xEnd, yStart, yEnd, typ)
     require(mult == "first" || mult == "last", s"foverlaps mult=$mult")
-    val xid = "_graft_mxid"   // NOT _graft_xid: overlapBinned owns that one
-    val xi = x.withColumn(xid, monotonically_increasing_id())
-    val joined = overlap(xi, y, by, xStart, xEnd, yStart, yEnd, typ)
+    // x-row identity WITHOUT generated ids (monotonically_increasing_id
+    // renumbers when a non-deterministic source recomputes a partition):
+    // dedupe x to distinct rows carrying their multiplicity, group the
+    // join result by the full distinct x row, and explode the
+    // multiplicity back at the end. Exact-duplicate x rows match the
+    // same y set and pick the same y row, so this reproduces the
+    // reference's one-output-row-per-physical-x-row exactly, and every
+    // step is deterministic under task retries and re-planning.
+    val cnt = "_graft_mxn"
+    val xcols = x.columns.toSeq
+    val xd = x.groupBy(xcols.map(col): _*).agg(count(lit(1)).as(cnt))
+    val joined = overlap(xd, y, by, xStart, xEnd, yStart, yEnd, typ)
     // y's columns may have been i_-prefixed by the clash rule
     def yName(c: String): String = if (joined.columns.contains(s"i_$c")) s"i_$c" else c
-    val yCols = joined.columns.filterNot(c => xi.columns.contains(c)).toSeq
+    val yCols = joined.columns.filterNot(c => xd.columns.contains(c)).toSeq
     val ordKey = struct(col(yName(yStart)), col(yName(yEnd)))
     val pick = if (mult == "first") min_by(struct(yCols.map(col): _*), ordKey)
                else max_by(struct(yCols.map(col): _*), ordKey)
-    // group on the slim xid alone — x's payload columns are constant per
-    // group, carried by first() instead of widening the hash key
-    val aggs = pick.as("_graft_m") +:
-      x.columns.toSeq.map(c => first(col(c)).as(c))
-    joined.groupBy(col(xid))
-      .agg(aggs.head, aggs.tail: _*)
-      .select((x.columns.toSeq.map(col) ++ yCols.map(c => col(s"_graft_m.$c").as(c))): _*)
+    joined.groupBy((xcols :+ cnt).map(col): _*)
+      .agg(pick.as("_graft_m"))
+      .withColumn("_graft_dup", explode(sequence(lit(1L), col(cnt))))
+      .select((xcols.map(col) ++ yCols.map(c => col(s"_graft_m.$c").as(c))): _*)
   }
 
   /** foverlaps(which=TRUE): return only the matching id pairs
