@@ -38,13 +38,31 @@ object Fread {
       // STOP_AT_CLOSING_QUOTE mirrors fread's quote-rule fallback
       // (src/fread.c quoteRule 1-3) closest for `a,"he said:"hi."",b`
       unescapedQuoteHandling: String = "STOP_AT_CLOSING_QUOTE",
-      compression: String = "auto")     // gz/bz2 handled by codec auto-detect
+      compression: String = "auto",     // gz/bz2 handled by codec auto-detect
+      yaml: Boolean = false,            // csvy front matter (R/fread.R yaml=)
+      // schema-inference sample fraction. 1.0 (default) scans all rows —
+      // inference cannot be wrong, zero extra cost. < 1.0 enables the
+      // out-of-sample type-bump re-read (src/fread.c:126-128): rows that
+      // fail the sampled schema trigger ONE full re-read with
+      // full-data-determined types.
+      samplingRatio: Double = 1.0)
 
   /** First non-empty line after `skip` (driver-side, one small read —
     * shared by separator sniffing and header detection so the file head
-    * is fetched once).
+    * is fetched once). Reads in 64 KB chunks until the wanted line is
+    * COMPLETE (newline-terminated or EOF) — a >64 KB first line (wide
+    * header, long quoted field) no longer truncates the sniff. Capped at
+    * 64 MB so a binary/garbage file can't buffer unboundedly on the
+    * driver.
     */
   def firstLine(spark: SparkSession, path: String, skip: Int = 0): String = {
+    headLines(spark, path, skip, 1).headOption.getOrElse("")
+  }
+
+  /** First `want` non-empty lines after `skip` (driver-side chunked
+    * read; see [[firstLine]]). Returns fewer if the file ends first.
+    */
+  def headLines(spark: SparkSession, path: String, skip: Int, want: Int): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -54,10 +72,144 @@ object Fread {
           .head.getPath
       else p
     val in = fs.open(target)
+    val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](65536)
-    val n = in.read(buf); in.close()
-    val text = new String(buf, 0, math.max(n, 0), "UTF-8")
-    text.linesIterator.drop(skip).find(_.nonEmpty).getOrElse("")
+    val cap = 64 * 1024 * 1024
+    try {
+      var eof = false
+      def decoded = new String(out.toByteArray, "UTF-8")
+      def complete: Seq[String] = {
+        val text = decoded
+        // the final segment is complete only at EOF (no trailing newline)
+        val segs = text.split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+        val done = if (eof) segs else segs.dropRight(1)
+        done.drop(skip).filter(_.nonEmpty)
+      }
+      while (!eof && complete.length < want && out.size < cap) {
+        val n = in.read(buf)
+        if (n < 0) eof = true else out.write(buf, 0, n)
+      }
+      complete.take(want)
+    } finally in.close()
+  }
+
+  /** First `want` PHYSICAL lines (empties kept — needed when the caller
+    * must count lines to skip, e.g. the csvy front-matter block).
+    */
+  def headLinesRaw(spark: SparkSession, path: String, want: Int): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val target =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .head.getPath
+      else p
+    val in = fs.open(target)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    val cap = 64 * 1024 * 1024
+    try {
+      var eof = false
+      def complete: Seq[String] = {
+        val segs = new String(out.toByteArray, "UTF-8")
+          .split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+        if (eof) segs else segs.dropRight(1)
+      }
+      while (!eof && complete.length < want && out.size < cap) {
+        val n = in.read(buf)
+        if (n < 0) eof = true else out.write(buf, 0, n)
+      }
+      complete.take(want)
+    } finally in.close()
+  }
+
+  /** Parsed csvy front matter (R/fread.R yaml=TRUE; spec: csvy.org —
+    * a `---`-delimited YAML block before the CSV data carrying schema
+    * field names/types and dialect options).
+    *
+    * @param skipLines physical lines the block occupies (incl. both
+    *                  `---` fences) — add to `skip` before parsing data
+    */
+  final case class CsvyHeader(
+      schema: Option[StructType],
+      sep: Option[String],
+      header: Option[Boolean],
+      skipLines: Int,
+      dec: Option[String] = None,
+      quote: Option[String] = None,
+      naStrings: Option[Seq[String]] = None)
+
+  /** Minimal driver-side parser for the csvy YAML subset the reference
+    * emits/consumes: `schema: fields: [- name/type]` and
+    * `dialect: delimiter/header`. No YAML lib in the container — the
+    * subset is line-regular enough for a hand parser, and unknown keys
+    * are ignored (like the reference, which passes the block to
+    * yaml::yaml.load and reads only these keys).
+    */
+  def csvyHeader(spark: SparkSession, path: String): CsvyHeader = {
+    val head0 = headLinesRaw(spark, path, 1000)
+    // commented variant: every front-matter line is '#'-prefixed
+    // (inst/tests/csvy/test_comment.csvy) — strip the marker first
+    val commented = head0.headOption.exists(_.trim == "#---")
+    val head = if (commented) head0.map(l => l.stripPrefix("#")) else head0
+    if (head.isEmpty || head.head.trim != "---") return CsvyHeader(None, None, None, 0)
+    val end = head.indexWhere(l => l.trim == "---" || l.trim == "...", 1)
+    if (end < 0)
+      throw new IllegalArgumentException(
+        s"fread(yaml=TRUE): unterminated csvy front matter in $path " +
+        "(no closing '---' in the first 1000 lines)")
+    val block = head.slice(1, end)
+    def unq(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    // field list: "- name: x" lines, each optionally followed by an
+    // indented "type: y" before the next "-"
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val types = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sep: Option[String] = None
+    var hdr: Option[Boolean] = None
+    var dec: Option[String] = None
+    var quo: Option[String] = None
+    var na: Option[Seq[String]] = None
+    var inFields = false
+    block.foreach { l =>
+      val t = l.trim
+      if (t == "fields:") inFields = true
+      else if (t.startsWith("- name:")) {
+        names += unq(t.stripPrefix("- name:"))
+        types += "string"                      // csvy default type
+      } else if (t.startsWith("type:") && inFields && names.nonEmpty) {
+        types(types.length - 1) = unq(t.stripPrefix("type:")).toLowerCase
+      } else if (t.startsWith("delimiter:") || t.startsWith("sep:")) {
+        sep = Some(unq(t.dropWhile(_ != ':').drop(1)))
+      } else if (t.startsWith("header:")) {
+        hdr = Some(unq(t.stripPrefix("header:")).toLowerCase == "true")
+      } else if (t.startsWith("dec:")) {
+        dec = Some(unq(t.stripPrefix("dec:")))
+      } else if (t.startsWith("quote:")) {
+        quo = Some(unq(t.stripPrefix("quote:")))
+      } else if (t.startsWith("na.strings:")) {
+        na = Some(Seq(unq(t.stripPrefix("na.strings:"))))
+      }
+    }
+    import org.apache.spark.sql.types._
+    def toDt(t: String): DataType = t match {
+      case "integer" | "int" | "long"       => LongType
+      case "number" | "numeric" | "double"  => DoubleType
+      case "boolean" | "logical"            => BooleanType
+      case "date"                           => DateType
+      case "datetime" | "timestamp"         => TimestampType
+      case _                                => StringType
+    }
+    val schema =
+      if (names.isEmpty) None
+      else Some(StructType(names.zip(types).map { case (n, t) =>
+        StructField(n, toDt(t), nullable = true) }.toArray))
+    CsvyHeader(schema, sep, hdr, end + 1, dec, quo, na)
   }
 
   /** Auto separator detection over a pre-fetched first line. */
@@ -69,25 +221,45 @@ object Fread {
 
   /** fread(file): distributed CSV read with data.table-flavored options. */
   def fread(spark: SparkSession, path: String,
-            opts: FreadOptions = FreadOptions()): DataFrame = {
+            opts0: FreadOptions = FreadOptions()): DataFrame = {
+    // csvy: fold the front-matter's schema/dialect into the options
+    // (explicit user options win, matching the reference where
+    // fread(yaml=TRUE) args override the header block)
+    val dflt = FreadOptions()
+    val optsY = if (opts0.yaml) {
+      val h = csvyHeader(spark, path)
+      // explicit (non-default) user args override the yaml block, like
+      // the reference's test_override_* fixtures pin down
+      opts0.copy(
+        skip = opts0.skip + h.skipLines,
+        sep = if (opts0.sep == dflt.sep) h.sep.getOrElse(opts0.sep) else opts0.sep,
+        header = if (opts0.header == dflt.header) h.header.map(_.toString).getOrElse(opts0.header)
+                 else opts0.header,
+        colClasses = opts0.colClasses.orElse(h.schema),
+        dec = if (opts0.dec == dflt.dec) h.dec.getOrElse(opts0.dec) else opts0.dec,
+        quote = if (opts0.quote == dflt.quote) h.quote.getOrElse(opts0.quote) else opts0.quote,
+        naStrings = if (opts0.naStrings == dflt.naStrings)
+                      h.naStrings.map("" +: _).getOrElse(opts0.naStrings)
+                    else opts0.naStrings)
+    } else opts0
+    // dec="," + a yaml number field: the pinned DoubleType can't parse
+    // decimal-comma strings — read those fields as string and let the
+    // re-bump pass normalize + re-type them from the full data
+    val yamlDecDowngrade = opts0.yaml && optsY.dec != "." &&
+      optsY.colClasses.isDefined && opts0.colClasses.isEmpty
+    val downgradedCols: Seq[String] = if (yamlDecDowngrade) {
+      import org.apache.spark.sql.types.DoubleType
+      optsY.colClasses.get.fields.filter(_.dataType == DoubleType).map(_.name).toSeq
+    } else Nil
+    val opts = if (yamlDecDowngrade) {
+      import org.apache.spark.sql.types.{DoubleType, StructField}
+      optsY.copy(colClasses = Some(StructType(optsY.colClasses.get.fields.map(f =>
+        if (f.dataType == DoubleType) StructField(f.name, StringType, nullable = true) else f))))
+    } else optsY
     lazy val line1 = firstLine(spark, path, opts.skip)   // fetched at most once
     val sep = if (opts.sep == "auto") sniffSepFrom(line1) else opts.sep
     require(opts.dec == "." || opts.dec != sep,
       s"dec='${opts.dec}' cannot equal sep='$sep'")
-    var r = spark.read
-      .option("sep", sep)
-      .option("quote", opts.quote)
-      .option("escape", opts.escape)
-      // Spark CSV supports ONE null token: prefer the first NON-empty
-      // na.string ('' parses as null for non-string types regardless);
-      // remaining tokens are nulled by the post-parse pass below
-      .option("nullValue", opts.naStrings.find(_.nonEmpty).getOrElse(""))
-      .option("encoding", opts.encoding)
-      .option("timeZone", opts.tz)
-      .option("mode", "PERMISSIVE")
-      .option("multiLine", opts.multiLine)
-      .option("unescapedQuoteHandling", opts.unescapedQuoteHandling)
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
     val hasHeader = opts.header match {
       case "true"  => true
       case "false" => false
@@ -97,26 +269,71 @@ object Fread {
           f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim
         !fields.exists(f => scala.util.Try(unquote(f).toDouble).isSuccess)
     }
-    r = r.option("header", hasHeader)
-    r = opts.colClasses match {
-      case Some(schema) => r.schema(schema)
-      case None         => r.option("inferSchema", true)
+    // DataFrameReader is MUTABLE (schema()/option() return this) — build
+    // a fresh one per parse so the type-bump probe can't pollute the
+    // inferring reader
+    def mkReader(schema: Option[StructType]) = {
+      val r = spark.read
+        .option("sep", sep)
+        .option("quote", opts.quote)
+        .option("escape", opts.escape)
+        // Spark CSV supports ONE null token: prefer the first NON-empty
+        // na.string ('' parses as null for non-string types regardless);
+        // remaining tokens are nulled by the post-parse pass below
+        .option("nullValue", opts.naStrings.find(_.nonEmpty).getOrElse(""))
+        .option("encoding", opts.encoding)
+        .option("timeZone", opts.tz)
+        .option("mode", "PERMISSIVE")
+        .option("multiLine", opts.multiLine)
+        .option("unescapedQuoteHandling", opts.unescapedQuoteHandling)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", hasHeader)
+      schema match {
+        case Some(s) => r.schema(s)
+        case None    => r.option("inferSchema", true)
+                         .option("samplingRatio", opts.samplingRatio)
+      }
     }
-    if (opts.fill) r = r.option("mode", "PERMISSIVE")
     // skip= has no Spark CSV option: drop the first N physical lines via
     // a text pre-pass (zipWithIndex follows file order), then parse the
     // remaining lines as CSV.
-    var df =
+    def runCsv(schema: Option[StructType]): DataFrame =
       if (opts.skip > 0) {
         val lines = spark.read.textFile(path).rdd.zipWithIndex()
           .filter(_._2 >= opts.skip).map(_._1)
-        r.csv(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
-      } else r.csv(path)
+        mkReader(schema).csv(
+          spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+      } else mkReader(schema).csv(path)
+    var df = runCsv(opts.colClasses)
+    var bumped = false
+    // Out-of-sample type-bump re-read (src/fread.c:126-128): only
+    // possible when inference sampled a fraction of rows. Probe for rows
+    // the sampled schema can't parse; if any exist, ONE full re-read
+    // with all-string schema followed by the full-data numeric/boolean
+    // re-bump — the distributed analog of fread's "bump the type,
+    // re-read from the top". samplingRatio=1.0 (default) skips the
+    // probe entirely, so the common path pays nothing.
+    if (opts.colClasses.isEmpty && opts.samplingRatio < 1.0) {
+      import org.apache.spark.sql.types.StructField
+      val inferred = df.schema
+      val probeSchema = StructType(
+        inferred.fields :+ StructField("_corrupt_record", StringType, nullable = true))
+      val anyCorrupt = runCsv(Some(probeSchema))
+        .filter(col("_corrupt_record").isNotNull).head(1).nonEmpty
+      if (anyCorrupt) {
+        val allString = StructType(inferred.fields
+          .filterNot(_.name == "_corrupt_record")
+          .map(f => StructField(f.name, StringType, nullable = true)))
+        df = runCsv(Some(allString))
+        bumped = true
+      }
+    }
     // a UTF-8 BOM survives as part of the first column name — strip it
     // (fread strips BOMs, src/fread.c:1071)
     if (df.columns.nonEmpty && df.columns.head.startsWith("\uFEFF"))
       df = df.withColumnRenamed(df.columns.head, df.columns.head.substring(1))
-    df = applyExtraNaAndRebump(df, opts)
+    df = applyExtraNaAndRebump(df, opts, forceRebump = bumped || yamlDecDowngrade,
+      extraCandidates = downgradedCols)
     if (opts.select.nonEmpty)
       df = df.select(opts.select.map(df.col): _*)
     if (opts.drop.nonEmpty)
@@ -139,11 +356,13 @@ object Fread {
     *    type-bump re-read (src/fread.c:126-128), costing one extra
     *    aggregation pass only when these options are in play.
     */
-  private def applyExtraNaAndRebump(df0: DataFrame, opts: FreadOptions): DataFrame = {
+  private def applyExtraNaAndRebump(df0: DataFrame, opts: FreadOptions,
+                                    forceRebump: Boolean = false,
+                                    extraCandidates: Seq[String] = Nil): DataFrame = {
     val primary = opts.naStrings.find(_.nonEmpty).getOrElse("")
     val extra = opts.naStrings.filter(t => t.nonEmpty && t != primary).distinct
     val needDec = opts.dec != "."
-    if (extra.isEmpty && !needDec) return df0
+    if (extra.isEmpty && !needDec && !forceRebump) return df0
     var df = df0
     def strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     if (extra.nonEmpty)
@@ -151,8 +370,11 @@ object Fread {
         d.withColumn(c, when(col(c).isin(extra: _*), lit(null)).otherwise(col(c))))
     // an explicit colClasses schema PINS every column's type — the user
     // said StringType on purpose (zip codes, ids with leading zeros), so
-    // only infer-schema reads are eligible for the numeric re-bump
-    val candidates = if (opts.colClasses.isDefined) Seq.empty[String] else strCols
+    // only infer-schema reads are eligible for the numeric re-bump; the
+    // yaml dec-downgrade re-opens exactly its downgraded columns
+    val candidates =
+      if (opts.colClasses.isDefined) extraCandidates.filter(strCols.contains)
+      else strCols
     if (candidates.nonEmpty) {
       def decFixed(c: String): String = {
         val q = s"`$c`"
@@ -162,13 +384,17 @@ object Fread {
         expr(s"count(`$c`)").as(s"n_$c"),
         // try_cast, not cast: ANSI mode throws on non-numeric strings
         expr(s"count(try_cast(${decFixed(c)} AS DOUBLE))").as(s"d_$c"),
-        expr(s"count(CASE WHEN ${decFixed(c)} RLIKE '^-?[0-9]+$$' THEN 1 END)").as(s"i_$c")))
+        expr(s"count(CASE WHEN ${decFixed(c)} RLIKE '^-?[0-9]+$$' THEN 1 END)").as(s"i_$c"),
+        expr(s"count(CASE WHEN lower(`$c`) IN ('true','false') THEN 1 END)").as(s"b_$c")))
       val row = df.agg(checks.head, checks.tail: _*).head()
       candidates.foreach { c =>
         val n = row.getAs[Long](s"n_$c")
         val d = row.getAs[Long](s"d_$c")
         val i = row.getAs[Long](s"i_$c")
-        if (n > 0 && d == n)
+        val b = row.getAs[Long](s"b_$c")
+        if (n > 0 && b == n)
+          df = df.withColumn(c, expr(s"try_cast(`$c` AS BOOLEAN)"))
+        else if (n > 0 && d == n)
           df = df.withColumn(c,
             expr(s"try_cast(${decFixed(c)} AS ${if (i == n) "BIGINT" else "DOUBLE"})"))
       }
