@@ -41,11 +41,38 @@ object Bench {
       val warm = timeOnce(name, fn)
       (name, cold, warm)
     }
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
-      .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","run":"second-of-two","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val warms = results.map(_._3).sorted
+    val median = if (warms.isEmpty) 0.0 else warms(warms.size / 2)
+
+    def r3(d: Double): String = f"$d%.3f"
+
+    // Full per-query detail goes to a repo file — the driver captures only
+    // the last ~2000 chars of stdout, so a 119-entry map can never fit on
+    // the final line (BENCH_r03.json came back parsed:null for exactly
+    // this reason). The stdout line carries totals + a headline subset.
+    val detail = results.map { case (k, c, w) =>
+      "\"" + k + "\":{\"cold\":" + r3(c) + ",\"warm\":" + r3(w) + "}"
+    }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"second-of-two","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
+
+    // db-benchmark-shaped headline subset: core aggs/joins/windows/reshape
+    // plus the LLM-pipeline flagships. Kept well under the tail budget.
+    val headline = Seq(
+      "q1_agg", "q_gforce", "q_keyby", "q_topk", "q_distinct",
+      "q_join_inner", "q_join_left", "q_asof", "q_overlap", "q_mult_first",
+      "q_sort_limit", "q_melt", "q_dcast", "q_froll_mean", "q_rank",
+      "q_shift", "q_update_by", "q_pipeline", "q_dedup_exact",
+      "q_dedup_minhash", "q_embed_topk", "q_ann_ivf", "q_cosine_pairs",
+      "q_langid", "q_token_count")
+    val warmByName = results.map { case (k, _, w) => k -> w }.toMap
+    val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"second-of-two","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
