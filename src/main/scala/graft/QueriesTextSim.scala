@@ -284,6 +284,22 @@ object QueriesTextSim {
     }): Q,
       Some(kmeansIvfOracle)),
 
+    // ---- IVF with SAMPLED kmeans fit (the 100 TB shape, verified) ------
+    // Lloyd rounds run on the deterministic mod-4 sample (25% of the
+    // corpus); the full corpus is assigned once at the end. Because the
+    // sample is a plain SQL predicate (vec_id % 4 = 0), the oracle
+    // mirrors the ENTIRE sampled fit — proving the sampled path, not
+    // just the full-corpus fallback.
+    ("q_ann_ivf_sampled", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val cents = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 4,
+        m = 4, iters = 3)
+      Similarity.ivfAssign(e, "embedding", cents)
+        .groupBy(col("ivf_cell")).agg(count(lit(1)).as("n"))
+    }): Q,
+      Some(kmeansIvfSampledOracle)),
+
     // ---- embedding near-dup pairs (LSH buckets + exact cosine) ---------
     ("q_cosine_pairs", ((s, dir) => {
       val e = emb(s, dir)
@@ -593,6 +609,42 @@ object QueriesTextSim {
        |${assign("a3", "c2")},
        |${update("u3", "a3", "c2", "c3")},
        |${assign("af", "c3")}
+       |SELECT cid::INT AS ivf_cell, count(*) AS n FROM af GROUP BY 1""".stripMargin
+  }
+
+  /** kmeansFitMod + ivfAssign mirror: identical scaled-integer Lloyd
+    * structure to [[kmeansIvfOracle]], but the fit relations (`es`,
+    * `exs`) carry only the mod-4 sample and the seeds are the 4
+    * lowest-id SAMPLED vectors (cid = row_number within the sample,
+    * matching kmeansFitMod's collect order). Only the final assignment
+    * `af` touches the full corpus.
+    */
+  private def kmeansIvfSampledOracle: String = {
+    val scale = 1L << 20
+    def assign(a: String, rel: String, c: String) =
+      s"""$a AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |  FROM $rel e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, cPrev: String, c: String) =
+      s"""$u AS (SELECT $a.cid, ex.d,
+         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
+         |  FROM $a JOIN exs ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
+         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
+         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
+         |  ON n.cid = $cPrev.cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |es AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+       |exs AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM es),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |       FROM es ORDER BY vec_id LIMIT 4),
+       |${assign("a1", "es", "c0")},
+       |${update("u1", "a1", "c0", "c1")},
+       |${assign("a2", "es", "c1")},
+       |${update("u2", "a2", "c1", "c2")},
+       |${assign("a3", "es", "c2")},
+       |${update("u3", "a3", "c2", "c3")},
+       |${assign("af", "e", "c3")}
        |SELECT cid::INT AS ivf_cell, count(*) AS n FROM af GROUP BY 1""".stripMargin
   }
 

@@ -185,14 +185,42 @@ object Similarity {
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 iters: Int = 4, scale: Long = 1L << 20,
                 fitSample: Double = 1.0): Seq[Seq[Double]] = {
-    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     // Lloyd rounds run on a (seeded, deterministic) sample — centroid
     // quality needs only a representative subset; the full corpus is
     // touched once by the caller's final assignment.
     val fit = if (fitSample < 1.0) df.sample(withReplacement = false, fitSample, seed = 42L)
               else df
-    var cents: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+    val seeds: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    lloyd(fit, vecCol, seeds, iters, scale)
+  }
+
+  /** [[kmeansFit]] whose Lloyd rounds run on a DETERMINISTIC mod-`m`
+    * sample (`id % m == 0`) with seeds drawn from the same sample.
+    * Unlike the RNG-seeded `fitSample`, the mod filter is a plain SQL
+    * predicate, so the entire sampled fit is oracle-adjudicable — this
+    * is the verified twin of the production sampling path a 100 TB fit
+    * would use (fit on ~corpus/m, assign the full corpus once).
+    */
+  def kmeansFitMod(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   m: Int, iters: Int = 4,
+                   scale: Long = 1L << 20): Seq[Seq[Double]] = {
+    val fit = df.filter(col(idCol) % m === 0)
+    val seeds: Seq[Seq[Double]] = fit.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    lloyd(fit, vecCol, seeds, iters, scale)
+  }
+
+  /** Shared Lloyd loop: assignment is a broadcast argmax map over `fit`,
+    * the update a posexplode + groupBy(cell, dim); only k×dim aggregate
+    * rows reach the driver per round (scaled-integer sums — see
+    * [[kmeansFit]]).
+    */
+  private def lloyd(fit: DataFrame, vecCol: String, init: Seq[Seq[Double]],
+                    iters: Int, scale: Long): Seq[Seq[Double]] = {
+    val k = init.size
+    val dim = init.headOption.map(_.size).getOrElse(0)
+    var cents = init
     for (_ <- 0 until iters) {
       val sums = ivfAssign(fit, vecCol, cents)
         .select(col("ivf_cell"), posexplode(col(vecCol)).as(Seq("d", "v")))
