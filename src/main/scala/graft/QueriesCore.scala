@@ -46,6 +46,13 @@ object QueriesCore {
       Some("""SELECT p_partkey, p_name, p_type FROM part
              |WHERE regexp_matches(p_name, 'blue') OR contains(p_name, 'widget')""".stripMargin)),
 
+    // ---- startsWithAny (src/utils.c) ------------------------------------
+    ("q_starts_with", ((s, dir) =>
+      dt(s, dir, "part")(Funcs.startsWithAny(col("p_name"), Seq("blue", "red")),
+        Seq(col("p_partkey"), col("p_name"))).df): Q,
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE starts_with(p_name, 'blue') OR starts_with(p_name, 'red')""".stripMargin)),
+
     // ---- %chin% / %notin% (src/chmatch.c, R/notin.R) -------------------
     ("q_chin", ((s, dir) =>
       dt(s, dir, "lineitem")(Funcs.chin(col("l_returnflag"), Seq("A", "R")),
@@ -122,6 +129,23 @@ object QueriesCore {
              |  month(l_shipdate) AS mon, day(l_shipdate) AS dom,
              |  dayofyear(l_shipdate) AS doy, weekofyear(l_shipdate) AS wk,
              |  (date_part('dow', l_shipdate) + 1) AS dow
+             |FROM lineitem""".stripMargin)),
+
+    // ---- round.IDate to week/month/quarter/year (R/IDateTime.R:99) -----
+    // Outputs stay TIMESTAMP-typed (l_shipdate is a timestamp; both
+    // engines' date_trunc preserve the input's type kind, proven by
+    // q_window_tumbling). The DATE-typed roundIDate is spec-covered.
+    ("q_idate_round", ((s, dir) =>
+      dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+        Funcs.roundDate(col("l_shipdate"), "week").as("wk_start"),
+        Funcs.roundDate(col("l_shipdate"), "month").as("mon_start"),
+        Funcs.roundDate(col("l_shipdate"), "quarter").as("qtr_start"),
+        Funcs.roundDate(col("l_shipdate"), "year").as("yr_start"))): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  date_trunc('week', l_shipdate) AS wk_start,
+             |  date_trunc('month', l_shipdate) AS mon_start,
+             |  date_trunc('quarter', l_shipdate) AS qtr_start,
+             |  date_trunc('year', l_shipdate) AS yr_start
              |FROM lineitem""".stripMargin)),
 
     // ---- := sub-assign (src/assign.c; update on i-subset) --------------

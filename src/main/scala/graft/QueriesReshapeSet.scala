@@ -69,6 +69,36 @@ object QueriesReshapeSet {
              |  round(sum(l_quantity), 3)
              |FROM lineitem""".stripMargin)),
 
+    // ---- dcast margins over a MULTI-column lhs (rollup interpretation) -
+    ("q_dcast_margins2", ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("len_bucket",
+          when(col("n_chars") < 300, "short").otherwise("long"))
+      Reshape.dcastMarginsN(d, lhs = Seq("lang", "source"),
+        rhs = "len_bucket", valueVar = "n_chars",
+        aggFn = c => sum(c).cast("bigint"), values = Seq("long", "short"))
+    }): Q,
+      Some("""WITH d AS (SELECT lang, source,
+             |  CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END AS b,
+             |  n_chars FROM documents)
+             |SELECT lang, source,
+             |  CAST(sum(CASE WHEN b = 'long' THEN n_chars END) AS BIGINT) AS long,
+             |  CAST(sum(CASE WHEN b = 'short' THEN n_chars END) AS BIGINT) AS short,
+             |  CAST(sum(n_chars) AS BIGINT) AS "(all)"
+             |FROM d GROUP BY lang, source
+             |UNION ALL
+             |SELECT lang, '(all)',
+             |  CAST(sum(CASE WHEN b = 'long' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(CASE WHEN b = 'short' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT)
+             |FROM d GROUP BY lang
+             |UNION ALL
+             |SELECT '(all)', '(all)',
+             |  CAST(sum(CASE WHEN b = 'long' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(CASE WHEN b = 'short' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT)
+             |FROM d""".stripMargin)),
+
     // ---- dcast with multiple value aggregates --------------------------
     ("q_dcast_multi", ((s, dir) =>
       dt(s, dir, "lineitem").df

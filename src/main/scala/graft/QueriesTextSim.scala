@@ -98,6 +98,35 @@ object QueriesTextSim {
              |FROM documents
              |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin)),
 
+    // ---- canonical-form dedup (case/punct/space-insensitive tier) ------
+    ("q_dedup_canonical", ((s, dir) =>
+      Dedup.exactCanonical(docs(s, dir), "text", "doc_id")
+        .orderBy(col("doc_id"))): Q,
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+             |FROM documents
+             |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+             |  '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')))""".stripMargin)),
+
+    // ---- deterministic content-hash sampling (curation) -----------------
+    // The keep/drop decision is a pure function of md5(text): stable
+    // across runs, partitionings, and corpus growth — and therefore
+    // fully oracle-adjudicable, unlike RNG sampling.
+    ("q_sample_hash", ((s, dir) =>
+      graft.curate.Sampling.hashSample(docs(s, dir), col("text"), rate = 0.3)
+        .select(col("doc_id"), col("lang"))): Q,
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE ('0x'||substr(md5(text),1,15))::BIGINT % 10000 < 3000""".stripMargin)),
+
+    // ---- stratified sampling: downsample the dominant language ---------
+    ("q_sample_stratified", ((s, dir) =>
+      graft.curate.Sampling.stratifiedHashSample(docs(s, dir), col("text"),
+        "lang", rates = Map("en" -> 0.1, "zh" -> 0.5), default = 0.8)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))): Q,
+      Some("""SELECT lang, count(*) AS n FROM documents
+             |WHERE ('0x'||substr(md5(text),1,15))::BIGINT % 10000 <
+             |  CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 5000 ELSE 8000 END
+             |GROUP BY lang""".stripMargin)),
+
     // ---- MinHash LSH near-dup pairs -------------------------------------
     // Portable md5-derived hash family end-to-end, so the oracle mirrors
     // the ENTIRE LSH pipeline (shingle→sig→band→capped bucket→exact

@@ -23,6 +23,17 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** Canonical-form dedup: like [[exact]] but on the aggressively
+    * canonicalized text (casing/punctuation/spacing-insensitive). The
+    * group key is the md5 of the canonical form — 16 bytes shuffle per
+    * row instead of the document text.
+    */
+  def exactCanonical(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("_fp", md5(TextFunctions.canonicalize(col(textCol))))
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("_fp")
+
   /** Word k-shingles of the normalized text. */
   def shingles(text: Column, k: Int): Column = {
     val toks = TextFunctions.wsTokens(TextFunctions.normalize(text))

@@ -94,6 +94,19 @@ object Funcs {
   def yearqtr(c: Column): Column = year(c) + (quarter(c) - 1) / lit(4.0)
   /** round.IDate-style truncation to week/month/quarter/year starts. */
   def roundDate(c: Column, unit: String): Column = date_trunc(unit, c)
+  /** round.IDate proper (R/IDateTime.R:99): DATE-typed truncation. */
+  def roundIDate(c: Column, unit: String): Column = {
+    require(Set("week", "month", "quarter", "year")(unit),
+      s"roundIDate: unit must be week/month/quarter/year, got '$unit'")
+    to_date(date_trunc(unit, c))
+  }
+  /** startsWithAny (src/utils.c, init src/init.c:151): true iff the
+    * string starts with ANY of the literal prefixes.
+    */
+  def startsWithAny(c: Column, prefixes: Seq[String]): Column = {
+    require(prefixes.nonEmpty, "startsWithAny needs at least one prefix")
+    prefixes.map(p => c.startsWith(p)).reduce(_ || _)
+  }
   /** ITime analog (R/IDateTime.R:175): seconds since midnight. */
   def itime(c: Column): Column =
     hour(c) * 3600 + minute(c) * 60 + second(c)

@@ -174,6 +174,39 @@ object Reshape {
     wide.unionByName(totalRow)
   }
 
+  /** dcast margins over a MULTI-column lhs (reference-signature margins,
+    * R/fcast.R:126 — declared there but never implemented; we take the
+    * standard rollup interpretation): one block per lhs prefix level,
+    * the remaining lhs columns labelled "(all)", plus the row-wise
+    * "(all)" margin column. lhs columns must be string-typed (the
+    * "(all)" label replaces real values, mirroring groupingsets'
+    * label= fill).
+    */
+  def dcastMarginsN(df: DataFrame, lhs: Seq[String], rhs: String,
+                    valueVar: String, aggFn: Column => Column,
+                    values: Seq[String] = Nil): DataFrame = {
+    require(lhs.nonEmpty, "dcastMarginsN needs at least one lhs column")
+    lhs.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"dcastMarginsN: lhs column '$c' must be string-typed to carry the '(all)' label")
+    }
+    val vals =
+      if (values.nonEmpty) values
+      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
+        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    def level(keep: Int): DataFrame = {
+      val d2 = lhs.drop(keep).foldLeft(df)((d, c) => d.withColumn(c, lit("(all)")))
+      val rowAll = d2.groupBy(lhs.map(col): _*)
+        .agg(aggFn(col(valueVar)).as("(all)"))
+        .select(lhs.map(c => col(c).as(s"_graft_$c")) :+ col("(all)"): _*)
+      val cond = lhs.map(c => col(c) <=> col(s"_graft_$c")).reduce(_ && _)
+      dcast(d2, lhs, rhs, valueVar, aggFn, vals)
+        .join(rowAll, cond, "left")
+        .drop(lhs.map(c => s"_graft_$c"): _*)
+    }
+    (lhs.size to 0 by -1).map(level).reduce(_ unionByName _)
+  }
+
   /** rbindlist(fill=TRUE, idcol=) (src/rbindlist.c): N-way concat with
     * column union, missing → null, optional provenance column.
     */

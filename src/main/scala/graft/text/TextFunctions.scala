@@ -28,6 +28,16 @@ object TextFunctions {
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Aggressive ASCII canonicalization: lowercase, strip everything
+    * outside [a-z0-9] to spaces, collapse runs. Catches near-dups that
+    * differ only in punctuation/casing/spacing — the canonical-form
+    * dedup tier between exact (fingerprint) and MinHash. Locale-free by
+    * construction (every non-ASCII codepoint is stripped), so the
+    * decision is identical across engines.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]", " "), " +", " "))
+
   /** Document fingerprint: md5 of the normalized text (content-defined
     * identity for exact dedup).
     */

@@ -28,4 +28,89 @@ class Round4Spec extends AnyFunSuite {
       k = 4, iters = 3)
     assert(c1 == cs, "mod-sampled fit == full fit restricted to the sample")
   }
+
+  test("hashSample is deterministic, content-addressed, and rate-monotone") {
+    val df = (0 until 1000).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
+    val s1 = graft.curate.Sampling.hashSample(df, col("text"), 0.3)
+      .select("id").as[Long].collect().toSet
+    val s2 = graft.curate.Sampling.hashSample(df.repartition(7), col("text"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2, "decision must not depend on partitioning")
+    val bigger = graft.curate.Sampling.hashSample(df, col("text"), 0.6)
+      .select("id").as[Long].collect().toSet
+    assert(s1.subsetOf(bigger), "raising the rate must keep every previously-kept row")
+    assert(s1.nonEmpty && s1.size < 1000)
+    // growing the corpus keeps prior decisions (content-addressed)
+    val grown = df.union(Seq((9999L, "a brand new doc")).toDF("id", "text"))
+    val s3 = graft.curate.Sampling.hashSample(grown, col("text"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert((s3 - 9999L) == s1 || s3 == s1)
+  }
+
+  test("stratifiedHashSample applies per-stratum rates with a default") {
+    val df = (0 until 600).map(i =>
+      (i.toLong, s"text $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("id", "text", "lang")
+    val out = graft.curate.Sampling.stratifiedHashSample(df, col("text"), "lang",
+      Map("en" -> 0.0, "zh" -> 1.0), default = 0.5)
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("en"), "rate 0 keeps nothing")
+    assert(byLang("zh") == 200L, "rate 1 keeps everything")
+    assert(byLang.get("fr").exists(n => n > 0 && n < 200), "default rate is partial")
+  }
+
+  test("canonicalize strips case/punct/spacing; exactCanonical groups on it") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello   world"), (3L, "HELLO-WORLD"),
+      (4L, "different doc")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.exactCanonical(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("roundIDate truncates to DATE-typed period starts; rejects bad units") {
+    val df = Seq("2001-03-17 10:30:00").toDF("s")
+      .select(to_timestamp($"s").as("ts"))
+    val r = df.select(
+      graft.functions.Funcs.roundIDate($"ts", "week").as("w"),
+      graft.functions.Funcs.roundIDate($"ts", "month").as("m"),
+      graft.functions.Funcs.roundIDate($"ts", "quarter").as("q"),
+      graft.functions.Funcs.roundIDate($"ts", "year").as("y"))
+    assert(r.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.DateType))
+    val row = r.head()
+    assert(row.getDate(0).toString == "2001-03-12")  // Monday
+    assert(row.getDate(1).toString == "2001-03-01")
+    assert(row.getDate(2).toString == "2001-01-01")
+    assert(row.getDate(3).toString == "2001-01-01")
+    intercept[IllegalArgumentException] {
+      graft.functions.Funcs.roundIDate($"ts", "fortnight")
+    }
+  }
+
+  test("startsWithAny matches any literal prefix") {
+    val df = Seq("blue bolt", "red widget", "green gear").toDF("s")
+    val got = df.filter(graft.functions.Funcs.startsWithAny($"s", Seq("blue", "red")))
+      .as[String].collect().toSet
+    assert(got == Set("blue bolt", "red widget"))
+  }
+
+  test("dcastMarginsN emits every lhs prefix level plus the (all) column") {
+    val df = Seq(
+      ("a", "x", "F", 1.0), ("a", "x", "O", 2.0), ("a", "y", "F", 3.0),
+      ("b", "x", "O", 4.0)).toDF("k1", "k2", "st", "v")
+    val out = graft.operators.Reshape.dcastMarginsN(df, Seq("k1", "k2"), "st",
+      "v", c => sum(c), values = Seq("F", "O"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(rows.contains(("a", "x", Some(1.0), Some(2.0), Some(3.0))))
+    assert(rows.contains(("a", "(all)", Some(4.0), Some(2.0), Some(6.0))))
+    assert(rows.contains(("(all)", "(all)", Some(4.0), Some(6.0), Some(10.0))))
+    // string-typed lhs is required for the label fill
+    intercept[IllegalArgumentException] {
+      graft.operators.Reshape.dcastMarginsN(
+        df.withColumn("k1", lit(1)), Seq("k1", "k2"), "st", "v", c => sum(c))
+    }
+  }
 }
