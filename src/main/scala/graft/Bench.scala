@@ -46,7 +46,10 @@ object Bench {
     val warms = results.map(_._3).sorted
     val median = if (warms.isEmpty) 0.0 else warms(warms.size / 2)
 
-    def r3(d: Double): String = f"$d%.3f"
+    // Locale-pinned formatting: a comma-decimal default locale would
+    // render 0,123 and break the JSON.
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
     // Full per-query detail goes to a repo file — the driver captures only
     // the last ~2000 chars of stdout, so a 119-entry map can never fit on

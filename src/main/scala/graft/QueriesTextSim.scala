@@ -115,7 +115,7 @@ object QueriesTextSim {
       graft.curate.Sampling.hashSample(docs(s, dir), col("text"), rate = 0.3)
         .select(col("doc_id"), col("lang"))): Q,
       Some("""SELECT doc_id, lang FROM documents
-             |WHERE ('0x'||substr(md5(text),1,15))::BIGINT % 10000 < 3000""".stripMargin)),
+             |WHERE ('0x'||substr(md5(coalesce(text,'')),1,15))::BIGINT % 10000 < 3000""".stripMargin)),
 
     // ---- stratified sampling: downsample the dominant language ---------
     ("q_sample_stratified", ((s, dir) =>
@@ -123,7 +123,7 @@ object QueriesTextSim {
         "lang", rates = Map("en" -> 0.1, "zh" -> 0.5), default = 0.8)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))): Q,
       Some("""SELECT lang, count(*) AS n FROM documents
-             |WHERE ('0x'||substr(md5(text),1,15))::BIGINT % 10000 <
+             |WHERE ('0x'||substr(md5(coalesce(text,'')),1,15))::BIGINT % 10000 <
              |  CASE lang WHEN 'en' THEN 1000 WHEN 'zh' THEN 5000 ELSE 8000 END
              |GROUP BY lang""".stripMargin)),
 

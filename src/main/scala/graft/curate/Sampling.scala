@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** 60-bit content identity of a string column (md5-prefix; always
-    * non-negative, so `% denom` is safe on both engines).
+    * non-negative, so `% denom` is safe on both engines). A null key
+    * hashes as the empty string — without the coalesce, null rows would
+    * evaluate the sampling predicate to null and be silently dropped
+    * even at rate 1.0.
     */
   def contentId(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    conv(substring(md5(coalesce(c, lit("")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
 
   /** Keep each row iff hash(key) falls under `rate`: deterministic
     * Bernoulli sampling keyed on content. Same key ⇒ same decision on

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DateType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, StringType, StructType, TimestampType}
 
 /** fread / fwrite parity surface (SURVEY.md §2.1).
   *
@@ -59,10 +59,19 @@ object Fread {
     headLines(spark, path, skip, 1).headOption.getOrElse("")
   }
 
-  /** First `want` non-empty lines after `skip` (driver-side chunked
-    * read; see [[firstLine]]). Returns fewer if the file ends first.
+  /** Shared chunked head reader: accumulates 64 KB chunks and returns
+    * the physical line segments (the final partial segment counts only
+    * at EOF). Newlines are counted per-chunk, so a multi-MB line does
+    * NOT trigger a full re-decode per chunk (the old shape was
+    * quadratic in bytes read); the buffer is decoded only once at least
+    * `minPhysical` whole lines exist. Capped at 64 MB so a garbage file
+    * can't buffer unboundedly — on cap-hit the truncated prefix is
+    * still returned (the old code returned nothing, so sep sniffing ran
+    * on an empty string).
     */
-  def headLines(spark: SparkSession, path: String, skip: Int, want: Int): Seq[String] = {
+  private def headSegments(spark: SparkSession, path: String,
+                           minPhysical: Int,
+                           done: Seq[String] => Boolean): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -77,52 +86,44 @@ object Fread {
     val cap = 64 * 1024 * 1024
     try {
       var eof = false
-      def decoded = new String(out.toByteArray, "UTF-8")
-      def complete: Seq[String] = {
-        val text = decoded
-        // the final segment is complete only at EOF (no trailing newline)
-        val segs = text.split("\n", -1).toSeq.map(_.stripSuffix("\r"))
-        val done = if (eof) segs else segs.dropRight(1)
-        done.drop(skip).filter(_.nonEmpty)
+      var nl = 0
+      def segs(keepPartial: Boolean): Seq[String] = {
+        val all = new String(out.toByteArray, "UTF-8")
+          .split("\n", -1).toSeq.map(_.stripSuffix("\r"))
+        if (keepPartial) all else all.dropRight(1)
       }
-      while (!eof && complete.length < want && out.size < cap) {
+      var result: Option[Seq[String]] = None
+      while (!eof && result.isEmpty && out.size < cap) {
         val n = in.read(buf)
-        if (n < 0) eof = true else out.write(buf, 0, n)
+        if (n < 0) eof = true
+        else {
+          var i = 0
+          while (i < n) { if (buf(i) == '\n') nl += 1; i += 1 }
+          out.write(buf, 0, n)
+        }
+        if (eof || nl >= minPhysical) {
+          val s = segs(eof)
+          if (eof || done(s)) result = Some(s)
+        }
       }
-      complete.take(want)
+      val capped = !eof && result.isEmpty
+      result.getOrElse(segs(eof || capped))
     } finally in.close()
   }
+
+  /** First `want` non-empty lines after `skip` (driver-side chunked
+    * read; see [[firstLine]]). Returns fewer if the file ends first.
+    */
+  def headLines(spark: SparkSession, path: String, skip: Int, want: Int): Seq[String] =
+    headSegments(spark, path, skip + want,
+      s => s.drop(skip).count(_.nonEmpty) >= want)
+      .drop(skip).filter(_.nonEmpty).take(want)
 
   /** First `want` PHYSICAL lines (empties kept — needed when the caller
     * must count lines to skip, e.g. the csvy front-matter block).
     */
-  def headLinesRaw(spark: SparkSession, path: String, want: Int): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val target =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-          .head.getPath
-      else p
-    val in = fs.open(target)
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    val cap = 64 * 1024 * 1024
-    try {
-      var eof = false
-      def complete: Seq[String] = {
-        val segs = new String(out.toByteArray, "UTF-8")
-          .split("\n", -1).toSeq.map(_.stripSuffix("\r"))
-        if (eof) segs else segs.dropRight(1)
-      }
-      while (!eof && complete.length < want && out.size < cap) {
-        val n = in.read(buf)
-        if (n < 0) eof = true else out.write(buf, 0, n)
-      }
-      complete.take(want)
-    } finally in.close()
-  }
+  def headLinesRaw(spark: SparkSession, path: String, want: Int): Seq[String] =
+    headSegments(spark, path, want, s => s.length >= want).take(want)
 
   /** Parsed csvy front matter (R/fread.R yaml=TRUE; spec: csvy.org —
     * a `---`-delimited YAML block before the CSV data carrying schema
@@ -175,11 +176,23 @@ object Fread {
     var dec: Option[String] = None
     var quo: Option[String] = None
     var na: Option[Seq[String]] = None
+    // Field parsing is SCOPED to schema:→fields: — without the scope, a
+    // '- name:' item in any other front-matter section (csvy files
+    // carry e.g. 'sources:' metadata lists) fabricated a phantom
+    // column, and a 'type:' key in a later section re-typed the last
+    // real field. Scope closes on the next TOP-LEVEL (indent-0) key;
+    // indented keys like a field's 'constraints:' must NOT close it.
+    // ('#'-commented front matter keeps relative indentation after the
+    // marker strip, so indent-0 detection holds for both variants.)
+    var inSchema = false
     var inFields = false
     block.foreach { l =>
       val t = l.trim
-      if (t == "fields:") inFields = true
-      else if (t.startsWith("- name:")) {
+      val indent0 = l.nonEmpty && !l.head.isWhitespace
+      if (t == "schema:") { inSchema = true; inFields = false }
+      else if (t == "fields:") inFields = inSchema
+      else if (indent0) { inSchema = false; inFields = false }
+      if (t.startsWith("- name:") && inFields) {
         names += unq(t.stripPrefix("- name:"))
         types += "string"                      // csvy default type
       } else if (t.startsWith("type:") && inFields && names.nonEmpty) {
@@ -193,7 +206,13 @@ object Fread {
       } else if (t.startsWith("quote:")) {
         quo = Some(unq(t.stripPrefix("quote:")))
       } else if (t.startsWith("na.strings:")) {
-        na = Some(Seq(unq(t.stripPrefix("na.strings:"))))
+        // scalar or YAML inline-list form; the list split is naive on
+        // commas (fine for the marker-token subset csvy carries)
+        val v = t.stripPrefix("na.strings:").trim
+        na = Some(
+          if (v.startsWith("[") && v.endsWith("]"))
+            v.substring(1, v.length - 1).split(",").toSeq.map(unq)
+          else Seq(unq(v)))
       }
     }
     import org.apache.spark.sql.types._
@@ -306,6 +325,14 @@ object Fread {
       } else mkReader(schema).csv(path)
     var df = runCsv(opts.colClasses)
     var bumped = false
+    // types to prefer when the re-bump pass re-types string columns:
+    // csvy-declared doubles (dec-downgrade) and, after a type-bump
+    // re-read, whatever the sampler correctly inferred (esp. temporal
+    // types, which the numeric re-bump alone could never restore)
+    var preferredTypes: Map[String, DataType] =
+      if (yamlDecDowngrade)
+        downgradedCols.map(_ -> (DoubleType: DataType)).toMap
+      else Map.empty
     // Out-of-sample type-bump re-read (src/fread.c:126-128): only
     // possible when inference sampled a fraction of rows. Probe for rows
     // the sampled schema can't parse; if any exist, ONE full re-read
@@ -326,6 +353,9 @@ object Fread {
           .map(f => StructField(f.name, StringType, nullable = true)))
         df = runCsv(Some(allString))
         bumped = true
+        preferredTypes ++= inferred.fields
+          .filter(f => f.dataType != StringType && f.name != "_corrupt_record")
+          .map(f => f.name -> f.dataType)
       }
     }
     // a UTF-8 BOM survives as part of the first column name — strip it
@@ -333,7 +363,7 @@ object Fread {
     if (df.columns.nonEmpty && df.columns.head.startsWith("\uFEFF"))
       df = df.withColumnRenamed(df.columns.head, df.columns.head.substring(1))
     df = applyExtraNaAndRebump(df, opts, forceRebump = bumped || yamlDecDowngrade,
-      extraCandidates = downgradedCols)
+      extraCandidates = downgradedCols, preferred = preferredTypes)
     if (opts.select.nonEmpty)
       df = df.select(opts.select.map(df.col): _*)
     if (opts.drop.nonEmpty)
@@ -358,7 +388,8 @@ object Fread {
     */
   private def applyExtraNaAndRebump(df0: DataFrame, opts: FreadOptions,
                                     forceRebump: Boolean = false,
-                                    extraCandidates: Seq[String] = Nil): DataFrame = {
+                                    extraCandidates: Seq[String] = Nil,
+                                    preferred: Map[String, DataType] = Map.empty): DataFrame = {
     val primary = opts.naStrings.find(_.nonEmpty).getOrElse("")
     val extra = opts.naStrings.filter(t => t.nonEmpty && t != primary).distinct
     val needDec = opts.dec != "."
@@ -385,18 +416,40 @@ object Fread {
         // try_cast, not cast: ANSI mode throws on non-numeric strings
         expr(s"count(try_cast(${decFixed(c)} AS DOUBLE))").as(s"d_$c"),
         expr(s"count(CASE WHEN ${decFixed(c)} RLIKE '^-?[0-9]+$$' THEN 1 END)").as(s"i_$c"),
-        expr(s"count(CASE WHEN lower(`$c`) IN ('true','false') THEN 1 END)").as(s"b_$c")))
+        expr(s"count(CASE WHEN lower(`$c`) IN ('true','false') THEN 1 END)").as(s"b_$c"),
+        // date/timestamp restore after a type-bump re-read: the
+        // all-string schema must not permanently demote a column the
+        // sampler correctly inferred as temporal
+        expr(s"count(try_cast(`$c` AS DATE))").as(s"dt_$c"),
+        expr(s"count(try_cast(`$c` AS TIMESTAMP))").as(s"ts_$c")))
       val row = df.agg(checks.head, checks.tail: _*).head()
       candidates.foreach { c =>
         val n = row.getAs[Long](s"n_$c")
         val d = row.getAs[Long](s"d_$c")
         val i = row.getAs[Long](s"i_$c")
         val b = row.getAs[Long](s"b_$c")
-        if (n > 0 && b == n)
-          df = df.withColumn(c, expr(s"try_cast(`$c` AS BOOLEAN)"))
-        else if (n > 0 && d == n)
-          df = df.withColumn(c,
-            expr(s"try_cast(${decFixed(c)} AS ${if (i == n) "BIGINT" else "DOUBLE"})"))
+        val dt = row.getAs[Long](s"dt_$c")
+        val ts = row.getAs[Long](s"ts_$c")
+        preferred.get(c) match {
+          // a column the sampler typed temporal: restore iff the FULL
+          // data still parses; otherwise it stays string (the corrupt
+          // rows are the reason the re-read happened)
+          case Some(DateType) if n > 0 && dt == n =>
+            df = df.withColumn(c, expr(s"try_cast(`$c` AS DATE)"))
+          case Some(TimestampType) if n > 0 && ts == n =>
+            df = df.withColumn(c, expr(s"try_cast(`$c` AS TIMESTAMP)"))
+          // a column DECLARED double (csvy 'number', or inferred double)
+          // keeps DoubleType even when every value happens to be
+          // integral — the declaration wins over the narrower guess
+          case Some(DoubleType) if n > 0 && d == n =>
+            df = df.withColumn(c, expr(s"try_cast(${decFixed(c)} AS DOUBLE)"))
+          case _ =>
+            if (n > 0 && b == n)
+              df = df.withColumn(c, expr(s"try_cast(`$c` AS BOOLEAN)"))
+            else if (n > 0 && d == n)
+              df = df.withColumn(c,
+                expr(s"try_cast(${decFixed(c)} AS ${if (i == n) "BIGINT" else "DOUBLE"})"))
+        }
       }
     }
     df

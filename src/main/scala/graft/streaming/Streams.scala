@@ -54,6 +54,25 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Content-keyed streaming dedup — the streaming form of the
+    * pipeline's document dedup: duplicates of a document (by
+    * fingerprint, or by aggressive canonical form) arriving within the
+    * watermark horizon are dropped. State is one 16-byte md5 key per
+    * unique document inside the horizon, watermark-bounded — the
+    * streaming twin of Dedup.exact / Dedup.exactCanonical.
+    */
+  def dedupContentStream(docs: DataFrame, tsCol: String, watermark: String,
+                         textCol: String,
+                         canonical: Boolean = false): DataFrame = {
+    val fp =
+      if (canonical) md5(graft.text.TextFunctions.canonicalize(col(textCol)))
+      else graft.text.TextFunctions.fingerprint(col(textCol))
+    docs.withColumn("_graft_fp", fp)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_graft_fp")
+      .drop("_graft_fp")
+  }
+
   /** Stream-static enrichment: join each streaming row against a static
     * dimension (broadcast by Catalyst when small) — the streaming
     * counterpart of the keyed equi join x[i].

@@ -142,4 +142,111 @@ class FreadTailSpec extends AnyFunSuite {
     assert(df.schema("a").dataType == DoubleType)   // full-scan inference is already right
     assert(df.count() == 2)
   }
+
+  // ---- round-4 review fixes ---------------------------------------------
+
+  test("csvy: '- name:' items outside schema.fields add no phantom columns") {
+    val f = new java.io.File(tmp, "scoped.csvy")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.print("""---
+               |schema:
+               |  fields:
+               |  - name: var1
+               |    type: string
+               |    constraints:
+               |      - required: true
+               |  - name: var2
+               |    type: integer
+               |sources:
+               |  - name: "Some Source"
+               |    path: data.csv
+               |resources:
+               |  type: csv
+               |---
+               |var1,var2
+               |A,1
+               |B,2
+               |""".stripMargin)
+    w.close()
+    val df = Fread.fread(spark, f.getAbsolutePath, FreadOptions(yaml = true))
+    assert(df.columns.toSeq == Seq("var1", "var2"),
+      "metadata list items must not become columns")
+    assert(df.schema("var2").dataType == LongType,
+      "a 'type:' key in a later section must not re-type the last field")
+    assert(df.count() == 2)
+  }
+
+  test("csvy: na.strings YAML inline-list form nulls every listed token") {
+    val f = new java.io.File(tmp, "nalist.csvy")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.print("""---
+               |schema:
+               |  fields:
+               |  - name: k
+               |    type: string
+               |  - name: v
+               |    type: string
+               |na.strings: ["@", "."]
+               |---
+               |k,v
+               |a,@
+               |b,.
+               |c,ok
+               |""".stripMargin)
+    w.close()
+    val df = Fread.fread(spark, f.getAbsolutePath, FreadOptions(yaml = true))
+    val vs = df.orderBy("k").select("v").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(vs == Seq(null, null, "ok"), s"got $vs")
+  }
+
+  test("type-bump re-read restores sampler-inferred date columns") {
+    val f = new java.io.File(tmp, "bumpdate.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("id,d,v")
+    (1 to 5000).foreach(i => w.println(f"$i,2024-01-${i % 28 + 1}%02d,7"))
+    w.println("5001,2024-02-01,2.5")   // bumps v int→double; d must stay DATE
+    w.close()
+    val df = Fread.fread(spark, f.getAbsolutePath, FreadOptions(samplingRatio = 0.01))
+    assert(df.schema("v").dataType == DoubleType)
+    assert(df.schema("d").dataType == DateType,
+      s"inferred DateType must survive the all-string re-read, got ${df.schema("d").dataType}")
+    assert(df.count() == 5001)
+  }
+
+  test("csvy: declared 'number' stays DOUBLE under dec downgrade even if all values integral") {
+    val f = new java.io.File(tmp, "decint.csvy")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.print("""---
+               |schema:
+               |  fields:
+               |  - name: k
+               |    type: string
+               |  - name: x
+               |    type: number
+               |dec: ","
+               |sep: ";"
+               |---
+               |k;x
+               |a;4
+               |b;7
+               |""".stripMargin)
+    w.close()
+    val df = Fread.fread(spark, f.getAbsolutePath, FreadOptions(yaml = true))
+    assert(df.schema("x").dataType == DoubleType,
+      s"declared number must stay DOUBLE, got ${df.schema("x").dataType}")
+    assert(df.agg(sum("x")).head().getDouble(0) == 11.0)
+  }
+
+  test("cap-hit head read returns the truncated prefix, not empty") {
+    // one giant line with NO newline: firstLine must return the prefix
+    // so sep sniffing has material to work with
+    val f = new java.io.File(tmp, "noline.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.print(("a;b;c;" * 50000).take(200000))   // 200 KB, no newline
+    w.close()
+    val line = Fread.firstLine(spark, f.getAbsolutePath)
+    assert(line.nonEmpty, "EOF-terminated unterminated line must be returned")
+    assert(Fread.sniffSepFrom(line) == ";")
+  }
 }

@@ -88,6 +88,31 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("dedupContentStream drops canonical duplicates within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val src = ms.toDS().toDF("doc_id", "ts", "text")
+    val out = graft.streaming.Streams.dedupContentStream(
+      src, "ts", "10 minutes", "text", canonical = true)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00"), "Hello, World!"),
+        (2L, ts("2024-01-01 10:00:05"), "hello   world"),   // canonical dup of 1
+        (3L, ts("2024-01-01 10:00:10"), "another doc"))
+      q.processAllAvailable()
+      ms.addData(
+        (4L, ts("2024-01-01 10:01:00"), "HELLO-WORLD"))     // still inside horizon
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dedup_stream")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"expected canonical dups dropped, got $kept")
+    } finally q.stop()
+  }
+
   test("startsWithAny matches any literal prefix") {
     val df = Seq("blue bolt", "red widget", "green gear").toDF("s")
     val got = df.filter(graft.functions.Funcs.startsWithAny($"s", Seq("blue", "red")))
