@@ -132,4 +132,14 @@ object Funcs {
     */
   def approxEqual(a: Column, b: Column, eps: Double = 1e-9): Column =
     abs(a - b) < lit(eps)
+  /** setNumericRounding TRUE semantics (man/setNumericRounding.Rd):
+    * round the last `bytes` (0/1/2) off the double's significand —
+    * apply to both sides of a join/group/order key for the reference's
+    * rounded comparison behavior.
+    */
+  def roundMantissa(c: Column, bytes: Int): Column =
+    graft.plans.RoundMantissa(c, bytes)
+  /** Rounded equality, the join-predicate form of setNumericRounding. */
+  def roundedEqual(a: Column, b: Column, bytes: Int): Column =
+    roundMantissa(a, bytes) === roundMantissa(b, bytes)
 }

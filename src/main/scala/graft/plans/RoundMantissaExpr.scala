@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** setNumericRounding semantics (man/setNumericRounding.Rd: "rounding
+  * the last 2 bytes off the significand" of a double before joining /
+  * grouping / ordering; values 0, 1 or 2 bytes).
+  *
+  * The reference applies the knob globally inside its sort/join
+  * kernels; here it is an explicit expression — round both join keys
+  * with the same `bytes` and equality behaves like the reference's
+  * rounded comparison, while staying a plain deterministic column the
+  * optimizer can push/reorder like any other. Round-to-nearest on the
+  * significand: add half of the dropped range, then mask. A carry out
+  * of the significand correctly increments the exponent (IEEE-754
+  * layout); NaN/Inf pass through unchanged.
+  */
+case class RoundMantissa(child: Expression, bytes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bytes >= 0 && bytes <= 2,
+    s"RoundMantissa: bytes must be 0, 1 or 2 (reference surface), got $bytes")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Double]
+    if (bytes == 0 || java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
+    else {
+      val bits = java.lang.Double.doubleToRawLongBits(v)
+      val mask = (1L << (8 * bytes)) - 1L
+      val rounded = (bits + (mask >>> 1) + 1L) & ~mask
+      // rounding can only carry upward within the same sign's magnitude
+      java.lang.Double.longBitsToDouble(rounded)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RoundMantissa =
+    copy(child = newChild)
+}
+
+object RoundMantissa {
+  def apply(c: Column, bytes: Int): Column =
+    GraftSqlBridge.column(
+      new RoundMantissa(GraftSqlBridge.expression(c.cast("double")), bytes))
+}

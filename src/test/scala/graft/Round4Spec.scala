@@ -120,6 +120,33 @@ class Round4Spec extends AnyFunSuite {
     assert(got == Set("blue bolt", "red widget"))
   }
 
+  test("roundMantissa: FP-noise keys join under 1-2 byte rounding, distinct values stay distinct") {
+    // the reference's motivating FP-noise case (man/setNumericRounding.Rd
+    // shape): 0.1 + 0.2 != 0.3 at full precision
+    val noisy = 0.1 + 0.2
+    assert(noisy != 0.3)
+    val df = Seq(("a", noisy), ("b", 0.3), ("c", 0.30001)).toDF("k", "v")
+    def groupsAt(bytes: Int): Long =
+      df.select(graft.functions.Funcs.roundMantissa($"v", bytes).as("r"))
+        .distinct().count()
+    assert(groupsAt(0) == 3, "0 bytes = full precision (default off)")
+    assert(groupsAt(2) == 2, "2-byte rounding merges the FP-noise pair only")
+    // joins: rounded equality matches the noisy pair, not the distinct one
+    val l = Seq(("a", noisy)).toDF("lk", "lv")
+    val r = Seq(("b", 0.3), ("c", 0.30001)).toDF("rk", "rv")
+    val m = l.join(r, graft.functions.Funcs.roundedEqual($"lv", $"rv", 2))
+      .select("rk").as[String].collect().toSeq
+    assert(m == Seq("b"))
+    // NaN / infinities pass through unchanged
+    val special = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("v").select(graft.functions.Funcs.roundMantissa($"v", 2).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(special(0).isNaN && special(1).isPosInfinity && special(2).isNegInfinity)
+    intercept[IllegalArgumentException] {
+      graft.functions.Funcs.roundMantissa($"v", 3)
+    }
+  }
+
   test("dcastMarginsN emits every lhs prefix level plus the (all) column") {
     val df = Seq(
       ("a", "x", "F", 1.0), ("a", "x", "O", 2.0), ("a", "y", "F", 3.0),
