@@ -98,6 +98,33 @@ object QueriesTextSim {
              |FROM documents
              |GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin)),
 
+    // ---- fixed-width chunking (context-window packing) ------------------
+    ("q_doc_chunks", ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        posexplode(TextFunctions.chunksFixed(col("text"), 100))
+          .as(Seq("chunk_id", "chunk")))): Q,
+      Some("""WITH d AS (SELECT doc_id, text,
+             |  greatest((length(text) + 99) // 100, 1) AS n FROM documents)
+             |SELECT doc_id,
+             |  unnest(range(0, n))::INT AS chunk_id,
+             |  unnest(list_transform(range(0, n),
+             |    i -> substr(text, (i*100+1)::INT, 100))) AS chunk
+             |FROM d""".stripMargin)),
+
+    // ---- dedup pruning: drop the higher-id side of every near-dup pair -
+    // (the keep-one composition a pipeline runs after pair generation;
+    // anti join = no pair-loser ever shuffles its document body)
+    ("q_dedup_prune", ((s, dir) => {
+      val pairs = Dedup.minhashPairsPortable(docs(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      docs(s, dir).join(
+        pairs.select(col("idB").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"))
+    }): Q,
+      Some(s"""SELECT d.doc_id, d.lang FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT idB FROM ($minhashOracle) t)""".stripMargin)),
+
     // ---- canonical-form dedup (case/punct/space-insensitive tier) ------
     ("q_dedup_canonical", ((s, dir) =>
       Dedup.exactCanonical(docs(s, dir), "text", "doc_id")

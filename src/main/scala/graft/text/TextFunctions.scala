@@ -43,6 +43,19 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Fixed-width character chunking (pipeline extension): split a
+    * document into ceil(len/width) windows of `width` characters — the
+    * context-window packing step of a training pipeline. Empty text
+    * yields ONE empty chunk (a document never disappears). Pure
+    * per-row expression: no shuffle, explodes map-side.
+    */
+  def chunksFixed(text: Column, width: Int): Column = {
+    require(width > 0, s"chunksFixed: width must be positive, got $width")
+    // integer ceil via double div + truncation (exact for lengths < 2^53)
+    val n = greatest(((length(text) + (width - 1)) / width).cast("int"), lit(1))
+    transform(sequence(lit(0), n - 1), i => text.substr(i * width + 1, lit(width)))
+  }
+
   /** Rolling hash over tokens — an order-sensitive 64-bit signature
     * (distinct from the bag-of-words fingerprint above):
     * h' = rotl(h, 5) XOR xxhash64(token), left to right. Pure bitwise

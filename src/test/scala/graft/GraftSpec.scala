@@ -937,6 +937,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"generated ids crept back into the binned overlap:\n$p")
   }
 
+  test("q_sample_hash / q_doc_chunks: pure map-side plans, zero shuffles") {
+    for (q <- Seq("q_sample_hash", "q_doc_chunks")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q must stay a narrow scan+filter/explode (no shuffle):\n$p")
+    }
+  }
+
   test("frank random: deterministic tie-break, all ranks distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -120,6 +120,31 @@ class Round4Spec extends AnyFunSuite {
     assert(got == Set("blue bolt", "red widget"))
   }
 
+  test("chunksFixed: exact cover, remainder tail, empty text keeps one chunk") {
+    val df = Seq(
+      (1L, "a" * 250),   // 3 chunks: 100+100+50
+      (2L, "b" * 200),   // exact multiple: 2 chunks
+      (3L, "")           // one empty chunk
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      posexplode(graft.text.TextFunctions.chunksFixed($"text", 100))
+        .as(Seq("chunk_id", "chunk")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2).length))
+    assert(out.count(_._1 == 1L) == 3)
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq == Seq(100, 100, 50))
+    assert(out.count(_._1 == 2L) == 2)
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq(100, 100))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0)))
+    // reassembly round-trips
+    val glued = df.select($"doc_id",
+      concat_ws("", graft.text.TextFunctions.chunksFixed($"text", 100)).as("t2"))
+      .join(df, "doc_id").filter($"t2" =!= $"text").count()
+    assert(glued == 0)
+    intercept[IllegalArgumentException] {
+      graft.text.TextFunctions.chunksFixed($"text", 0)
+    }
+  }
+
   test("roundMantissa: FP-noise keys join under 1-2 byte rounding, distinct values stay distinct") {
     // the reference's motivating FP-noise case (man/setNumericRounding.Rd
     // shape): 0.1 + 0.2 != 0.3 at full precision
