@@ -131,6 +131,21 @@ object QueriesCore {
              |  (date_part('dow', l_shipdate) + 1) AS dow
              |FROM lineitem""".stripMargin)),
 
+    // ---- grouped quantiles (base quantile() in j via dogroups; the
+    // gmedian kernel src/gsumm.c:869 is the 0.5 special case). Exact
+    // linear-interpolated percentile == DuckDB quantile_cont; dyadic
+    // probabilities over integral quantities interpolate exactly. ----
+    ("q_quantiles", ((s, dir) =>
+      dt(s, dir, "lineitem").df.groupBy(col("l_returnflag"))
+        .agg((round(expr("percentile(l_quantity, 0.25)"), 3) + lit(0.0)).as("q25"),
+          (round(expr("percentile(l_quantity, 0.5)"), 3) + lit(0.0)).as("q50"),
+          (round(expr("percentile(l_quantity, 0.75)"), 3) + lit(0.0)).as("q75"))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.25), 3) + 0.0 AS q25,
+             |  round(quantile_cont(l_quantity, 0.5), 3) + 0.0 AS q50,
+             |  round(quantile_cont(l_quantity, 0.75), 3) + 0.0 AS q75
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ---- round.IDate to week/month/quarter/year (R/IDateTime.R:99) -----
     // Outputs stay TIMESTAMP-typed (l_shipdate is a timestamp; both
     // engines' date_trunc preserve the input's type kind, proven by

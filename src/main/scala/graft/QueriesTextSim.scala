@@ -125,6 +125,25 @@ object QueriesTextSim {
       Some(s"""SELECT d.doc_id, d.lang FROM documents d
               |WHERE d.doc_id NOT IN (SELECT idB FROM ($minhashOracle) t)""".stripMargin)),
 
+    // ---- sequence packing by token budget (per-lang shards) ------------
+    ("q_token_pack", ((s, dir) => {
+      val n = TextFunctions.bpeishTokens(col("text"))
+      graft.curate.Packing.packByBudget(
+        docs(s, dir).select(col("doc_id"), col("lang"), n.as("_n")),
+        col("_n"), budget = 2000L,
+        shard = Seq("lang"), order = Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("seq_id"))
+    }): Q,
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  (len(regexp_extract_all(text, '[A-Za-z0-9]+')) +
+             |   len(regexp_extract_all(text, '[^A-Za-z0-9]'))) AS n
+             |  FROM documents)
+             |SELECT doc_id, lang,
+             |  CAST(floor(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS INT)
+             |    AS seq_id
+             |FROM t""".stripMargin)),
+
     // ---- canonical-form dedup (case/punct/space-insensitive tier) ------
     ("q_dedup_canonical", ((s, dir) =>
       Dedup.exactCanonical(docs(s, dir), "text", "doc_id")

@@ -1,0 +1,33 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines (extension): assign
+  * documents to fixed-token-budget training sequences.
+  *
+  * The scalable formulation is cumulative-quotient packing: within a
+  * shard, documents in a deterministic order accumulate token counts,
+  * and `seq_id = floor(tokens_before / budget)`. Sequences average
+  * exactly `budget` tokens; a document may straddle a boundary (chunk
+  * first via TextFunctions.chunksFixed when strict caps matter). One
+  * window per shard — no global ordering, no driver state, shards
+  * pack independently across the cluster.
+  */
+object Packing {
+
+  def packByBudget(df: DataFrame, tokenCount: Column, budget: Long,
+                   shard: Seq[String], order: Seq[Column],
+                   seqCol: String = "seq_id"): DataFrame = {
+    require(budget > 0, s"packByBudget: budget must be positive, got $budget")
+    require(shard.nonEmpty,
+      "packByBudget needs shard columns: a single global packing order " +
+        "would serialize the whole corpus through one partition")
+    val w = Window.partitionBy(shard.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(seqCol,
+      floor(coalesce(sum(tokenCount).over(w), lit(0L)) / budget.toDouble)
+        .cast("int"))
+  }
+}

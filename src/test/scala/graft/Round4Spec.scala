@@ -120,6 +120,25 @@ class Round4Spec extends AnyFunSuite {
     assert(got == Set("blue bolt", "red widget"))
   }
 
+  test("packByBudget: sequences average the budget, shards pack independently") {
+    val df = (0 until 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 100)).toDF("id", "shard", "n")
+    val out = graft.curate.Packing.packByBudget(df, col("n"), budget = 500L,
+      shard = Seq("shard"), order = Seq(col("id")))
+    // 50 docs x 100 tokens per shard / 500 budget = 10 sequences of 5 docs
+    val sizes = out.groupBy("shard", "seq_id").count()
+      .as[(String, Int, Long)].collect()
+    assert(sizes.length == 20)
+    assert(sizes.forall(_._3 == 5L), s"expected 5 docs/sequence: ${sizes.toSeq}")
+    // deterministic: same input, same assignment
+    val again = graft.curate.Packing.packByBudget(df, col("n"), 500L,
+      Seq("shard"), Seq(col("id")))
+    assert(out.orderBy("id").collect().toSeq == again.orderBy("id").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      graft.curate.Packing.packByBudget(df, col("n"), 500L, Nil, Seq(col("id")))
+    }
+  }
+
   test("chunksFixed: exact cover, remainder tail, empty text keeps one chunk") {
     val df = Seq(
       (1L, "a" * 250),   // 3 chunks: 100+100+50
