@@ -140,7 +140,7 @@ object QueriesTextSim {
              |  FROM documents)
              |SELECT doc_id, lang,
              |  CAST(floor(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS INT)
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
              |    AS seq_id
              |FROM t""".stripMargin)),
 

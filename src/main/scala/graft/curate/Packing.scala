@@ -26,8 +26,12 @@ object Packing {
         "would serialize the whole corpus through one partition")
     val w = Window.partitionBy(shard.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
+    // LONG seq ids via exact decimal floor-division: a shard past
+    // budget·2^31 tokens would wrap an int cast, and double division
+    // loses exactness past 2^53 cumulative tokens — both silent
+    // mis-assignments at the corpus scale this targets.
     df.withColumn(seqCol,
-      floor(coalesce(sum(tokenCount).over(w), lit(0L)) / budget.toDouble)
-        .cast("int"))
+      floor(coalesce(sum(tokenCount).over(w), lit(0L)).cast("decimal(38,0)")
+        / lit(budget)).cast("long"))
   }
 }

@@ -143,12 +143,19 @@ object Dedup {
                            k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                            threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", graft.plans.PortableShingles(
-        TextFunctions.wsTokens(TextFunctions.normalize(col("text"))), k))
-      .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
-      .drop("text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Session-scoped memoized persist (the Scale.planKey pattern):
+    // several pipeline queries share one corpus's shingle+signature base
+    // (pair listing, pruning, ...) — without the registry each call
+    // pinned a fresh MEMORY_AND_DISK copy for the session's lifetime.
+    val baseKey = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), idCol, textCol, k, numHashes)
+    val base = portableBaseCache.getOrElseUpdate(baseKey,
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("sh", graft.plans.PortableShingles(
+          TextFunctions.wsTokens(TextFunctions.normalize(col("text"))), k))
+        .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
+        .drop("text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     def bandHash(b: Int): Column =
       (1 until rowsPerBand).foldLeft(element_at(col("sig"), b * rowsPerBand + 1)) {
         (acc, j) => portableRot(acc).bitwiseXOR(element_at(col("sig"), b * rowsPerBand + j + 1))
@@ -170,6 +177,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
   }
+
+  private val portableBaseCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, String, String, Int, Int), DataFrame]
 
   /** 59-bit rotate-left-by-7 via mask-then-shift (no overflow anywhere;
     * DuckDB mirror: ((x & 2^52-1) << 7) | (x >> 52)).

@@ -33,8 +33,14 @@ case class RoundMantissa(child: Expression, bytes: Int)
       val bits = java.lang.Double.doubleToRawLongBits(v)
       val mask = (1L << (8 * bytes)) - 1L
       val rounded = (bits + (mask >>> 1) + 1L) & ~mask
-      // rounding can only carry upward within the same sign's magnitude
-      java.lang.Double.longBitsToDouble(rounded)
+      val r = java.lang.Double.longBitsToDouble(rounded)
+      // An exponent carry is correct rounding (0.999… → 1.0) EXCEPT when
+      // it promotes a finite value to Inf (all-ones significand at the
+      // top exponent): a rounded KEY must never merge finite values with
+      // true infinities, so fall back to truncation there.
+      if (java.lang.Double.isInfinite(r))
+        java.lang.Double.longBitsToDouble(bits & ~mask)
+      else r
     }
   }
 

@@ -127,7 +127,7 @@ class Round4Spec extends AnyFunSuite {
       shard = Seq("shard"), order = Seq(col("id")))
     // 50 docs x 100 tokens per shard / 500 budget = 10 sequences of 5 docs
     val sizes = out.groupBy("shard", "seq_id").count()
-      .as[(String, Int, Long)].collect()
+      .as[(String, Long, Long)].collect()
     assert(sizes.length == 20)
     assert(sizes.forall(_._3 == 5L), s"expected 5 docs/sequence: ${sizes.toSeq}")
     // deterministic: same input, same assignment
@@ -186,6 +186,12 @@ class Round4Spec extends AnyFunSuite {
       .toDF("v").select(graft.functions.Funcs.roundMantissa($"v", 2).as("r"))
       .collect().map(_.getDouble(0))
     assert(special(0).isNaN && special(1).isPosInfinity && special(2).isNegInfinity)
+    // finite values never round INTO Inf (MaxValue's all-ones significand
+    // would carry into the Inf exponent; we truncate there instead)
+    val maxR = Seq(Double.MaxValue, Double.MinValue)
+      .toDF("v").select(graft.functions.Funcs.roundMantissa($"v", 2).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(maxR.forall(d => !d.isInfinite), s"finite keys leaked to Inf: ${maxR.toSeq}")
     intercept[IllegalArgumentException] {
       graft.functions.Funcs.roundMantissa($"v", 3)
     }
