@@ -70,8 +70,9 @@ object Bench {
       "q_join_inner", "q_join_left", "q_asof", "q_overlap", "q_mult_first",
       "q_sort_limit", "q_melt", "q_dcast", "q_froll_mean", "q_rank",
       "q_shift", "q_update_by", "q_pipeline", "q_dedup_exact",
-      "q_dedup_minhash", "q_embed_topk", "q_ann_ivf", "q_cosine_pairs",
-      "q_langid", "q_token_count")
+      "q_dedup_minhash", "q_dedup_prune", "q_embed_topk", "q_ann_ivf",
+      "q_ann_ivf_sampled", "q_cosine_pairs", "q_langid", "q_token_count",
+      "q_sample_hash", "q_token_pack", "q_doc_chunks", "q_quantiles")
     val warmByName = results.map { case (k, _, w) => k -> w }.toMap
     val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
