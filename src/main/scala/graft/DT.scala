@@ -313,6 +313,15 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
                roll: Joins.Roll = Joins.Locf, valueCols: Seq[String] = Nil): DT =
     DT(Joins.asof(df, i.df, by, on, roll, valueCols))
 
+  /** Skew-safe as-of join tier (power-law `by` keys): identical LOCF
+    * results, time-bucketed so no task sorts a whole hot key — see
+    * [[Joins.asofSalted]].
+    */
+  def asofJoinSalted(i: DT, by: Seq[String], on: String, bucketWidth: Double,
+                     roll: Joins.Roll = Joins.Locf,
+                     valueCols: Seq[String] = Nil): DT =
+    DT(Joins.asofSalted(df, i.df, by, on, roll, bucketWidth, valueCols))
+
   /** foverlaps() (R/foverlaps.R) — interval overlap join. */
   def overlapJoin(y: DT, by: Seq[String], xStart: String, xEnd: String,
                   yStart: String, yEnd: String, typ: String = "any"): DT =
@@ -475,9 +484,52 @@ object DT {
   def apply(spark: SparkSession, sfDir: String, table: String): DT =
     DT(Tables.load(spark, sfDir, table))
 
-  /** tables() catalog analog (R/tables.R): registered tables w/ metadata. */
-  def tables(spark: SparkSession): DataFrame =
-    spark.sql("SHOW TABLES")
+  // ---- tables() registry (R/tables.R) ---------------------------------
+  // The reference's tables() scans the R environment for data.tables;
+  // the session analog is an explicit name → DT registry (also mirrored
+  // as temp views so spark.sql sees the same names).
+  private val tableRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, DT]
+
+  /** Register a DT under a session name (and as a temp view). */
+  def register(name: String, dt: DT): DT = {
+    dt.df.createOrReplaceTempView(name)
+    tableRegistry.put(name, dt)
+    dt
+  }
+
+  def unregister(name: String): Unit = {
+    tableRegistry.remove(name).foreach(dt =>
+      dt.spark.catalog.dropTempView(name))
+  }
+
+  /** tables() (R/tables.R:1): one row per registered table with NAME /
+    * NROW / NCOL / COLS / KEY / INDICES metadata. `counts=false`
+    * (default) leaves NROW null — a count() per table is a full scan at
+    * 100 TB, so paying it is explicit, like the reference's
+    * `mb=FALSE` size opt-out.
+    */
+  def tables(spark: SparkSession, counts: Boolean = false): DataFrame = {
+    val rows = tableRegistry.toSeq.sortBy(_._1).map { case (name, dt) =>
+      org.apache.spark.sql.Row(
+        name,
+        if (counts) dt.df.count() else null,
+        dt.df.columns.length,
+        dt.df.columns.mkString(","),
+        if (dt.key.nonEmpty) dt.key.mkString(",") else null,
+        {
+          val idx = operators.Scale.indexesOf(dt.df)
+          if (idx.nonEmpty) idx.map(_.mkString(",")).mkString(";") else null
+        })
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType), StructField("nrow", LongType),
+        StructField("ncol", IntegerType), StructField("cols", StringType),
+        StructField("key", StringType), StructField("indices", StringType))))
+  }
 
   /** SJ(...) (NAMESPACE:8, tests.Rraw:279): sorted-and-keyed join table
     * from literal rows — fromRows + keyBy on every column.

@@ -146,6 +146,19 @@ object QueriesCore {
              |  round(quantile_cont(l_quantity, 0.75), 3) + 0.0 AS q75
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- approx-quantile tier (exact=false knob on Funcs.quantileAgg) --
+    // The 100 TB path: Greenwald-Khanna sketch, O(1/ε) memory per group
+    // vs exact percentile's per-group value map. No oracle SQL on
+    // purpose: DuckDB has no GK mirror, so the driver records the
+    // rows-only check; the bounded-error guarantee vs the exact tier is
+    // proven in Round5Spec instead.
+    ("q_quantiles_approx", ((s, dir) =>
+      dt(s, dir, "lineitem").df.groupBy(col("l_returnflag"))
+        .agg(Funcs.quantileAgg(col("l_quantity"), 0.25, exact = false).cast("double").as("q25"),
+          Funcs.quantileAgg(col("l_quantity"), 0.5, exact = false).cast("double").as("q50"),
+          Funcs.quantileAgg(col("l_quantity"), 0.75, exact = false).cast("double").as("q75"))): Q,
+      None),
+
     // ---- round.IDate to week/month/quarter/year (R/IDateTime.R:99) -----
     // Outputs stay TIMESTAMP-typed (l_shipdate is a timestamp; both
     // engines' date_trunc preserve the input's type kind, proven by

@@ -138,6 +138,28 @@ object QueriesJoins {
              |   ORDER BY x.ts DESC LIMIT 1) AS purchase_value
              |FROM events i WHERE i.event_type = 'click'""".stripMargin)),
 
+    // ---- skew-safe as-of tier (time-bucketed LOCF window) --------------
+    // Same semantics and SAME ORACLE as q_asof, via asofSalted: the
+    // (by, week-bucket) window + boundary-carry pass must reproduce the
+    // single-window LOCF bit-for-bit — oracle-adjudicated, not just
+    // spec-asserted.
+    ("q_asof_salted", ((s, dir) => {
+      val ev = dt(s, dir, "events")
+      val purchases = DT(ev(col("event_type") === "purchase").df
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value")))
+      val clicks = DT(ev(col("event_type") === "click").df
+        .select(col("event_id"), col("user_id"), col("ts")))
+      purchases.asofJoinSalted(clicks, Seq("user_id"), "ts",
+          bucketWidth = 7 * 86400.0, valueCols = Seq("purchase_value"))
+        .select(col("event_id"), col("purchase_value")).df
+    }): Q,
+      Some("""SELECT i.event_id,
+             |  (SELECT x.value FROM events x
+             |   WHERE x.event_type = 'purchase' AND x.user_id = i.user_id
+             |     AND x.ts <= i.ts
+             |   ORDER BY x.ts DESC LIMIT 1) AS purchase_value
+             |FROM events i WHERE i.event_type = 'click'""".stripMargin)),
+
     // ---- roll=-Inf NOCB -------------------------------------------------
     ("q_asof_nocb", ((s, dir) => {
       val ev = dt(s, dir, "events")

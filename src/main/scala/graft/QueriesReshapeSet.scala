@@ -99,6 +99,45 @@ object QueriesReshapeSet {
              |  CAST(sum(n_chars) AS BIGINT)
              |FROM d""".stripMargin)),
 
+    // ---- dcast margins, CUBE form (all 2^k lhs subsets) ----------------
+    // Adds the (source)-only block that the rollup form can't express:
+    // 4 blocks for lhs=(lang, source) — (lang,source), (lang), (source),
+    // () — each with the row-wise "(all)" margin column.
+    ("q_dcast_margins_cube", ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("len_bucket",
+          when(col("n_chars") < 300, "short").otherwise("long"))
+      Reshape.dcastMarginsCube(d, lhs = Seq("lang", "source"),
+        rhs = "len_bucket", valueVar = "n_chars",
+        aggFn = c => sum(c).cast("bigint"), values = Seq("long", "short"))
+    }): Q,
+      Some("""WITH d AS (SELECT lang, source,
+             |  CASE WHEN n_chars < 300 THEN 'short' ELSE 'long' END AS b,
+             |  n_chars FROM documents)
+             |SELECT lang, source,
+             |  CAST(sum(CASE WHEN b = 'long' THEN n_chars END) AS BIGINT) AS long,
+             |  CAST(sum(CASE WHEN b = 'short' THEN n_chars END) AS BIGINT) AS short,
+             |  CAST(sum(n_chars) AS BIGINT) AS "(all)"
+             |FROM d GROUP BY lang, source
+             |UNION ALL
+             |SELECT lang, '(all)',
+             |  CAST(sum(CASE WHEN b = 'long' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(CASE WHEN b = 'short' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT)
+             |FROM d GROUP BY lang
+             |UNION ALL
+             |SELECT '(all)', source,
+             |  CAST(sum(CASE WHEN b = 'long' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(CASE WHEN b = 'short' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT)
+             |FROM d GROUP BY source
+             |UNION ALL
+             |SELECT '(all)', '(all)',
+             |  CAST(sum(CASE WHEN b = 'long' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(CASE WHEN b = 'short' THEN n_chars END) AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT)
+             |FROM d""".stripMargin)),
+
     // ---- dcast with multiple value aggregates --------------------------
     ("q_dcast_multi", ((s, dir) =>
       dt(s, dir, "lineitem").df
@@ -278,6 +317,25 @@ object QueriesReshapeSet {
              |  round(l_quantity, 3) AS amount, round(l_discount, 3) AS rate FROM lineitem
              |UNION ALL
              |SELECT l_orderkey, l_linenumber, 2,
+             |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin)),
+
+    // ---- melt measure(pattern=) (R/fmelt.R:32-64) ----------------------
+    // Regex capture groups split measure names into (value-name, dim):
+    // amount_y1/amount_y2/rate_y1/rate_y2 → value columns (amount, rate)
+    // keyed by a string dim of 1/2.
+    ("q_melt_measure", ((s, dir) =>
+      Reshape.meltMeasurePattern(
+        dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("amount_y1"), col("l_extendedprice").as("amount_y2"),
+          col("l_discount").as("rate_y1"), col("l_tax").as("rate_y2")),
+        idVars = Seq("l_orderkey", "l_linenumber"),
+        pattern = "^(amount|rate)_y(\\d+)$")
+        .withColumn("amount", round(col("amount"), 3))
+        .withColumn("rate", round(col("rate"), 3))): Q,
+      Some("""SELECT l_orderkey, l_linenumber, '1' AS dim,
+             |  round(l_quantity, 3) AS amount, round(l_discount, 3) AS rate FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, '2',
              |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin))
   )
 }

@@ -392,6 +392,40 @@ object QueriesWindows {
              |  CASE WHEN c = 4
              |       THEN ((20 * num + den) // (2 * den))::DOUBLE / 1000.0
              |  END AS wm
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // ---- ADAPTIVE frollapply (src/frollapply.c × src/frolladaptive.c) --
+    // Arbitrary fold over the PER-ROW-LENGTH frame: rolling sum of
+    // squares (not in the fixed frollAdaptive fn set) over an = key%3+2
+    // rows. Cents-scaled integer fold — exact on both engines, no FP
+    // summation-order hazard; rows with fewer than `an` rows available
+    // yield null (reference NA).
+    ("q_frollapply_adaptive", ((s, dir) => {
+      val arr = Windows.frollApplyAdaptive(col("o_totalprice"), col("an"), 4,
+        Seq("o_custkey"), ordCols)
+      def cents(x: org.apache.spark.sql.Column) = round(x * 100).cast("long")
+      dt(s, dir, "orders").df
+        .withColumn("an", (col("o_orderkey") % 3 + 2).cast("int"))
+        .withColumn("ss", aggregate(arr, lit(0L), (a, x) => a + cents(x) * cents(x)))
+        .select(col("o_orderkey"), col("ss"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER wmax >= an THEN
+             |    CAST(CASE WHEN an = 2 THEN sum(c2) OVER w2
+             |              WHEN an = 3 THEN sum(c2) OVER w3
+             |              ELSE sum(c2) OVER w4 END AS BIGINT) END AS ss
+             |FROM (SELECT *, CAST(o_orderkey % 3 + 2 AS INT) AS an,
+             |        CAST(round(o_totalprice * 100) AS BIGINT)
+             |          * CAST(round(o_totalprice * 100) AS BIGINT) AS c2
+             |      FROM orders)
+             |WINDOW
+             |  wmax AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+             |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+             |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             |  w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }

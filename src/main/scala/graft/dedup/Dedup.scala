@@ -147,8 +147,7 @@ object Dedup {
     // several pipeline queries share one corpus's shingle+signature base
     // (pair listing, pruning, ...) — without the registry each call
     // pinned a fresh MEMORY_AND_DISK copy for the session's lifetime.
-    val baseKey = (System.identityHashCode(df.sparkSession),
-      df.queryExecution.analyzed.semanticHash(), idCol, textCol, k, numHashes)
+    val baseKey = s"${baseKeyOf(df)}:$idCol:$textCol:$k:$numHashes"
     val base = portableBaseCache.getOrElseUpdate(baseKey,
       df.select(col(idCol).as("id"), col(textCol).as("text"))
         .withColumn("sh", graft.plans.PortableShingles(
@@ -178,8 +177,33 @@ object Dedup {
       .select(col("idA"), col("idB"), col("jaccard"))
   }
 
+  // Keyed like Scale.planKey — session identity + analyzed semanticHash +
+  // the COLUMN LIST (a 32-bit semanticHash alone can collide across
+  // re-written tables; the column names cheaply disambiguate the common
+  // same-shape-different-schema case).
+  private def baseKeyOf(df: DataFrame): String =
+    System.identityHashCode(df.sparkSession).toString + ":" +
+      df.queryExecution.analyzed.semanticHash().toString + ":" +
+      df.columns.mkString(",")
+
   private val portableBaseCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, String, String, Int, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Unpersist + forget memoized shingle/signature bases — for `df`'s
+    * corpus only, or every base (mirrors Scale.clearIndexes; without it
+    * a long-lived session processing many corpora pins every corpus's
+    * MEMORY_AND_DISK base forever).
+    */
+  def clearBases(df: Option[DataFrame] = None): Unit = df match {
+    case Some(d) =>
+      val prefix = baseKeyOf(d) + ":"
+      portableBaseCache.keys.filter(_.startsWith(prefix)).foreach { k =>
+        portableBaseCache.remove(k).foreach(_.unpersist())
+      }
+    case None =>
+      portableBaseCache.keys.foreach(k =>
+        portableBaseCache.remove(k).foreach(_.unpersist()))
+  }
 
   /** 59-bit rotate-left-by-7 via mask-then-shift (no overflow anywhere;
     * DuckDB mirror: ((x & 2^52-1) << 7) | (x >> 52)).

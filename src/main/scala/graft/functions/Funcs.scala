@@ -56,6 +56,27 @@ object Funcs {
       .otherwise((lower.isNull || lo) && (upper.isNull || hi))
   }
 
+  // ---- quantiles (gmedian/gquantile, src/gsumm.c:869) -----------------
+
+  /** Grouped-quantile aggregate with an explicit exactness knob.
+    *
+    * `exact=true` (the oracle path) is Spark's exact `percentile`: a
+    * sort-based aggregate buffering a per-group value→count map —
+    * correct everywhere, but on a high-cardinality double column at
+    * 100 TB that map is an executor-memory hazard (millions of distinct
+    * values per group stay resident until the group closes).
+    *
+    * `exact=false` is `approx_percentile` (Greenwald-Khanna): O(1/ε)
+    * memory per group regardless of cardinality, rank error ≤ 1/accuracy
+    * — the tier a real 100 TB run should use. Returns a VALUE FROM THE
+    * DATA (no interpolation), so results are approximate in rank, exact
+    * in domain.
+    */
+  def quantileAgg(c: Column, p: Double, exact: Boolean = true,
+                  accuracy: Int = 10000): Column =
+    if (exact) percentile(c, lit(p))
+    else percentile_approx(c, lit(p), lit(accuracy))
+
   /** %like% — regex match (R/like.R:4). */
   def like(x: Column, pattern: String): Column = x.rlike(pattern)
   /** %ilike% — case-insensitive via the (?i) flag; lowercasing the

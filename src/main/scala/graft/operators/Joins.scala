@@ -105,8 +105,12 @@ object Joins {
     * `last(value, ignoreNulls).over(partitionBy(by).orderBy(on, tag))`
     * gives LOCF; the mirrored first() gives NOCB; nearest compares both.
     * One shuffle on `by`, streaming window evaluation, no per-row
-    * lookups; skewed `by` keys are handled by AQE. Semantics follow
-    * src/bmerge.c:13-17 (exact match preferred, then roll).
+    * lookups. SKEW CAVEAT: AQE skew splitting applies to sort-merge
+    * joins, NOT to Window exchanges — a power-law `by` key (one key with
+    * 10^9 rows) serializes that key's whole series through one task. For
+    * such keys use [[asofSalted]], which sub-buckets each key by time
+    * range and carries the boundary LOCF value across buckets. Semantics
+    * follow src/bmerge.c:13-17 (exact match preferred, then roll).
     */
   /** rollends (R/data.table.R:597-607): (fillStartEdge, fillEndEdge).
     * For LOCF the end edge "rolls" by nature, so the knobs mean:
@@ -115,15 +119,20 @@ object Joins {
     * The reference's defaults: roll=+Inf → (false, true); roll=-Inf →
     * (true, false) — mirrored in [[asof]]'s defaults per direction.
     */
-  def asof(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
-           roll: Roll, valueColsIn: Seq[String] = Nil,
-           rollends: Option[(Boolean, Boolean)] = None): DataFrame = {
+  /** Shared tag-and-union alignment for [[asof]]/[[asofSalted]]:
+    * x rows carry the value columns under internal aliases, i rows carry
+    * their own payload; both sides get the (onX, tag) bookkeeping.
+    */
+  private final case class AsofUnion(u: DataFrame, iCols: Seq[String],
+                                     aliases: Seq[String], outNames: Seq[String])
+  private val tag = "_graft_src"        // 0 = x (reference), 1 = i (probe)
+  private val onX = "_graft_on_x"       // x's on-value carried for limit/nearest
+
+  private def asofUnion(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
+                        valueColsIn: Seq[String]): AsofUnion = {
     val valueCols =
       if (valueColsIn.nonEmpty) valueColsIn
       else x.columns.filterNot(c => by.contains(c) || c == on).toSeq
-    val tag = "_graft_src"              // 0 = x (reference), 1 = i (probe)
-    val onX = "_graft_on_x"             // x's on-value carried for limit/nearest
-
     val iCols = i.columns.toSeq
     // Internal aliases keep value columns distinct from same-named i
     // columns (the normal as-of shape: both sides carry e.g. "value");
@@ -141,7 +150,13 @@ object Joins {
         iCols.filterNot(c => by.contains(c) || c == on).map(col) ++
         valueCols.zip(aliases).map { case (v, a) => lit(null).cast(x.schema(v).dataType).as(a) } :+
         lit(null).cast(x.schema(on).dataType).as(onX) :+ lit(1).as(tag)): _*)
-    val u = xAligned.unionByName(iAligned)
+    AsofUnion(xAligned.unionByName(iAligned), iCols, aliases.toSeq, outNames)
+  }
+
+  def asof(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
+           roll: Roll, valueColsIn: Seq[String] = Nil,
+           rollends: Option[(Boolean, Boolean)] = None): DataFrame = {
+    val AsofUnion(u, iCols, aliases, outNames) = asofUnion(x, i, by, on, valueColsIn)
 
     val wBack = Window.partitionBy(by.map(col): _*)
       .orderBy(col(on).asc, col(tag).asc)
@@ -218,6 +233,95 @@ object Joins {
             aliases.zip(outNames).map { case (a, o) => when(useBack, col(a + "_b")).otherwise(col(a + "_f")).as(o) }): _*)
     }
     result
+  }
+
+  /** Skew-safe LOCF as-of join: identical results to
+    * `asof(roll = Locf | Limit)` with default rollends, but each `by` key
+    * is sub-bucketed by time range so no single task ever sorts a whole
+    * power-law key's series.
+    *
+    * Plan shape: the tagged union gets `bucket = floor(on/bucketWidth)`;
+    * the LOCF window partitions by (by, bucket) — parallelism becomes
+    * (#keys × #buckets), restoring uniform tasks under any key skew. A
+    * second pass fixes the bucket boundaries: per (by, bucket) the last
+    * x row is aggregated (max_by — one row per bucket, partial map-side),
+    * LOCF'd ACROSS buckets with a tiny per-key window over the bucket
+    * table (rows ∝ time-range/bucketWidth, not data), and joined back as
+    * the carry-in for probes whose bucket holds no earlier x row. Total:
+    * two shuffles of the data (bucketed window + carry join) plus one
+    * shuffle of the bucket-summary table — vs [[asof]]'s one shuffle,
+    * the price of skew immunity.
+    *
+    * `bucketWidth` is in `on` units: pick it so an average key has a few
+    * rows per bucket × enough buckets to split the worst key (e.g.
+    * hottest-key rows / 10k tasks).
+    */
+  def asofSalted(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
+                 roll: Roll, bucketWidth: Double,
+                 valueColsIn: Seq[String] = Nil): DataFrame = {
+    require(roll == Locf || roll.isInstanceOf[Limit],
+      s"asofSalted implements LOCF-family rolls (Locf/Limit); got $roll — " +
+        "use asof() for Nocb/Nearest (mirror the carry pass forward to extend)")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val AsofUnion(u0, iCols, aliases, outNames) = asofUnion(x, i, by, on, valueColsIn)
+    val bucket = "_graft_bucket"
+    val u = u0.withColumn(bucket, floor(col(on).cast("double") / bucketWidth))
+
+    // Pass 1: LOCF within (by, bucket) — the skew-split window.
+    val wIn = Window.partitionBy((by :+ bucket).map(col): _*)
+      .orderBy(col(on).asc, col(tag).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filledIn = (aliases :+ onX).foldLeft(u) { (acc, a) =>
+      acc.withColumn(a + "_b", last(col(a), ignoreNulls = true).over(wIn))
+    }
+
+    // Pass 2 (bucket-summary scale): per (by, bucket) the last NON-NULL
+    // value of each column among x rows (asof's last(ignoreNulls) carries
+    // columns independently — max_by keyed on `on` masked to non-null
+    // rows reproduces that per column), then LOCF across buckets. The
+    // summary has ≤ one row per non-empty bucket; the cross-bucket window
+    // is per-key over that tiny table.
+    val xRows = u.filter(col(tag) === 0)
+    val perCol = aliases.map(a =>
+      max_by(col(a), when(col(a).isNotNull, col(on))).as(a)) :+
+      max_by(col(onX), col(on)).as(onX)
+    val lastPerBucket = xRows.groupBy((by :+ bucket).map(col): _*)
+      .agg(perCol.head, perCol.tail: _*)
+    // Every (by, bucket) seen in the data — probe-only buckets included —
+    // must receive a carry-in from the latest earlier x buckets.
+    val allBuckets = u.select((by :+ bucket).map(col): _*).distinct()
+    val wCarry = Window.partitionBy(by.map(col): _*)
+      .orderBy(col(bucket).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = (aliases :+ onX).foldLeft(
+        allBuckets.join(lastPerBucket, by :+ bucket, "left")) { (acc, a) =>
+      acc.withColumn(a + "_c", last(col(a), ignoreNulls = true).over(wCarry))
+    }.select((by :+ bucket).map(col) ++ (aliases :+ onX).map(a => col(a + "_c")): _*)
+
+    // Stitch: per column, the within-bucket fill wins; a null prefix in
+    // the probe's own bucket falls back to the cross-bucket carry —
+    // together exactly last-non-null-at-or-before-probe, i.e. asof.
+    // Null-safe join keys: a null `by` key is a real group to the window
+    // (matching asof) and must still receive its carry row.
+    val carryR = carry.select(
+      ((by :+ bucket).map(c => col(c).as(s"_graft_cb_$c")) ++
+        (aliases :+ onX).map(a => col(a + "_c"))): _*)
+    val joinCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_cb_$c")).reduce(_ && _)
+    val stitched = filledIn.join(carryR, joinCond, "left")
+      .drop((by :+ bucket).map(c => s"_graft_cb_$c"): _*)
+    def eff(a: String): Column = coalesce(col(a + "_b"), col(a + "_c"))
+    val effOnX = coalesce(col(onX + "_b"), col(onX + "_c"))
+    val probes = stitched.filter(col(tag) === 1)
+    roll match {
+      case Locf =>
+        probes.select((iCols.map(col) ++
+          aliases.zip(outNames).map { case (a, o) => eff(a).as(o) }): _*)
+      case Limit(lim) =>
+        val within = col(on).cast("double") - effOnX.cast("double") <= lit(lim)
+        probes.select((iCols.map(col) ++
+          aliases.zip(outNames).map { case (a, o) => when(within, eff(a)).as(o) }): _*)
+      case _ => throw new IllegalStateException("unreachable")
+    }
   }
 
   // ---- overlap (interval) join ----------------------------------------

@@ -71,6 +71,16 @@ object Reshape {
       require(i > 0, s"column $c has no '$sep' separator")
       (c.substring(0, i), c.substring(i + sep.length), c)
     }
+    meltParsed(df, idVars, parsed, dimName)
+  }
+
+  /** Shared melt-by-parsed-names tail: `parsed` = (valueName, dim,
+    * sourceColumn) triples; one struct per dim is exploded, missing
+    * (valueName, dim) combos become nulls.
+    */
+  private def meltParsed(df: DataFrame, idVars: Seq[String],
+                         parsed: Seq[(String, String, String)],
+                         dimName: String): DataFrame = {
     val dims = parsed.map(_._2).distinct.sorted
     val valueNames = parsed.map(_._1).distinct
     val structs = dims.map { d =>
@@ -81,6 +91,27 @@ object Reshape {
     df.select((idVars.map(col) :+ explode(array(structs: _*)).as("_m")): _*)
       .select((idVars.map(col) :+ col(s"_m.$dimName").as(dimName)) ++
         valueNames.map(v => col(s"_m.$v").as(v)): _*)
+  }
+
+  /** melt(measure.vars = measure(pattern=)) (R/fmelt.R:32-64): split
+    * measure column names by a REGEX with exactly two capture groups —
+    * group 1 = the output value-column name, group 2 = the dimension
+    * label — instead of a literal separator. Columns not matching the
+    * pattern (and not id vars) are ignored, like the reference's
+    * measure() column selection. e.g. pattern "^(.*)_y(\\d+)$" melts
+    * sales_y2020/sales_y2021/cost_y2020 into value columns (sales, cost)
+    * with a dim column of 2020/2021.
+    */
+  def meltMeasurePattern(df: DataFrame, idVars: Seq[String], pattern: String,
+                         dimName: String = "dim"): DataFrame = {
+    val re = pattern.r
+    require(re.pattern.matcher("").groupCount() == 2,
+      s"measure(pattern=) needs exactly 2 capture groups (value-name, dim); got '$pattern'")
+    val parsed = df.columns.filterNot(idVars.contains).toSeq.flatMap { c =>
+      re.findFirstMatchIn(c).map(m => (m.group(1), m.group(2), c))
+    }
+    require(parsed.nonEmpty, s"measure(pattern='$pattern') matched no columns")
+    meltParsed(df, idVars, parsed, dimName)
   }
 
   /** dcast() (R/fcast.R:11): long → wide pivot. When `values` is given
@@ -194,17 +225,54 @@ object Reshape {
       if (values.nonEmpty) values
       else df.select(rhs).distinct().filter(col(rhs).isNotNull)
         .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
-    def level(keep: Int): DataFrame = {
-      val d2 = lhs.drop(keep).foldLeft(df)((d, c) => d.withColumn(c, lit("(all)")))
-      val rowAll = d2.groupBy(lhs.map(col): _*)
-        .agg(aggFn(col(valueVar)).as("(all)"))
-        .select(lhs.map(c => col(c).as(s"_graft_$c")) :+ col("(all)"): _*)
-      val cond = lhs.map(c => col(c) <=> col(s"_graft_$c")).reduce(_ && _)
-      dcast(d2, lhs, rhs, valueVar, aggFn, vals)
-        .join(rowAll, cond, "left")
-        .drop(lhs.map(c => s"_graft_$c"): _*)
+    (lhs.size to 0 by -1)
+      .map(k => marginLevel(df, lhs, rhs, valueVar, aggFn, vals, lhs.take(k).toSet))
+      .reduce(_ unionByName _)
+  }
+
+  /** dcast margins, CUBE form (reshape2's margins=TRUE over every
+    * dimension): one block per SUBSET of lhs columns — all 2^k margin
+    * combinations, not just the rollup prefixes of [[dcastMarginsN]] —
+    * each with the dropped columns labelled "(all)" and the row-wise
+    * "(all)" margin column. Costs 2^k grouped pivots over the same
+    * input; Catalyst shares the scan, and k is small by construction
+    * (it's a column count). Reference anchor: R/fcast.R:126 declares
+    * margins and leaves them unimplemented.
+    */
+  def dcastMarginsCube(df: DataFrame, lhs: Seq[String], rhs: String,
+                       valueVar: String, aggFn: Column => Column,
+                       values: Seq[String] = Nil): DataFrame = {
+    require(lhs.nonEmpty, "dcastMarginsCube needs at least one lhs column")
+    require(lhs.size <= 8, s"dcastMarginsCube: 2^${lhs.size} margin blocks is unreasonable")
+    lhs.foreach { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"dcastMarginsCube: lhs column '$c' must be string-typed to carry the '(all)' label")
     }
-    (lhs.size to 0 by -1).map(level).reduce(_ unionByName _)
+    val vals =
+      if (values.nonEmpty) values
+      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
+        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    val subsets = ((1 << lhs.size) - 1 to 0 by -1)
+      .map(mask => lhs.zipWithIndex.collect { case (c, i) if (mask & (1 << i)) != 0 => c }.toSet)
+    subsets.map(marginLevel(df, lhs, rhs, valueVar, aggFn, vals, _))
+      .reduce(_ unionByName _)
+  }
+
+  /** One margin block: lhs columns outside `keep` replaced by the
+    * "(all)" label, pivoted, plus the row-wise "(all)" margin column
+    * re-aggregated from the raw values (correct for non-additive aggs).
+    */
+  private def marginLevel(df: DataFrame, lhs: Seq[String], rhs: String,
+                          valueVar: String, aggFn: Column => Column,
+                          vals: Seq[String], keep: Set[String]): DataFrame = {
+    val d2 = lhs.filterNot(keep).foldLeft(df)((d, c) => d.withColumn(c, lit("(all)")))
+    val rowAll = d2.groupBy(lhs.map(col): _*)
+      .agg(aggFn(col(valueVar)).as("(all)"))
+      .select(lhs.map(c => col(c).as(s"_graft_$c")) :+ col("(all)"): _*)
+    val cond = lhs.map(c => col(c) <=> col(s"_graft_$c")).reduce(_ && _)
+    dcast(d2, lhs, rhs, valueVar, aggFn, vals)
+      .join(rowAll, cond, "left")
+      .drop(lhs.map(c => s"_graft_$c"): _*)
   }
 
   /** rbindlist(fill=TRUE, idcol=) (src/rbindlist.c): N-way concat with

@@ -143,6 +143,14 @@ object Scale {
     }
   }
 
+  /** Column sets of every registered secondary index on `df` — the
+    * indices() metadata surface (R/tables.R INDICES column).
+    */
+  def indexesOf(df: DataFrame): Seq[Seq[String]] = {
+    val k = planKey(df)
+    indexRegistry.keys.collect { case (pk, cols) if pk == k => cols }.toSeq
+  }
+
   /** Drop all registered indexes for a table (or every index). */
   def clearIndexes(df: Option[DataFrame] = None): Unit = df match {
     case Some(d) =>

@@ -109,7 +109,8 @@ object Windows {
     */
   def frank(df: DataFrame, order: Seq[Column], tieCols: Seq[Column], ties: String,
             by: Seq[String], out: String, appearance: Seq[Column] = Nil,
-            allowGlobal: Boolean = false): DataFrame = {
+            allowGlobal: Boolean = false,
+            randomSeed: Option[Long] = None): DataFrame = {
     requirePartitioned(by, allowGlobal, "frank")
     def w(extra: Seq[Column]) = spec(by, order ++ extra, allowGlobal = true, "frank")
     ties match {
@@ -128,11 +129,21 @@ object Windows {
         df.withColumn(out,
           rank().over(w(Nil)) + (count(lit(1)).over(tiePart) - 1) / 2.0)
       case "random" =>
-        // reference: ties broken uniformly at random. Distributed +
-        // reproducible: break ties by a hash of the whole row (stable
-        // across retries/nodes, unlike rand()).
-        val rowHash = xxhash64(df.columns.map(col).toSeq: _*)
-        df.withColumn(out, row_number().over(w(Seq(rowHash.asc))))
+        // reference: ties broken uniformly at random (src/frank.c:112).
+        // Two tiers, both documented:
+        //  - default (randomSeed=None): ties broken by a hash of the
+        //    whole row — content-addressed, so stable across retries,
+        //    partitionings, AND runs (identical rows tie-break
+        //    identically forever);
+        //  - randomSeed=Some(s): rand(s) tiebreak — per-run sampled like
+        //    the reference, reproducible for a fixed seed AND a fixed
+        //    partitioning of the input (rand() streams are seeded per
+        //    partition; repartitioning re-deals the draws).
+        val tiebreak = randomSeed match {
+          case Some(seed) => rand(seed)
+          case None       => xxhash64(df.columns.map(col).toSeq: _*)
+        }
+        df.withColumn(out, row_number().over(w(Seq(tiebreak.asc))))
       case other => throw new IllegalArgumentException(s"ties.method=$other")
     }
   }
@@ -262,6 +273,31 @@ object Windows {
     val (lo, hi) = bounds(n, align)
     collect_list(struct(cols.map { case (nm, c) => c.as(nm) }: _*))
       .over(spec(by, order, allowGlobal, "frollWindowStructs").rowsBetween(lo, hi))
+  }
+
+  /** Adaptive frollapply (src/frollapply.c × src/frolladaptive.c):
+    * expose the PER-ROW-LENGTH frame as an array column the caller folds
+    * with any higher-order function — [[frollWindowArray]]'s arbitrary-fn
+    * surface crossed with [[frollAdaptive]]'s per-row window length.
+    *
+    * Physical frame = bounded last-maxN rows collected as single-field
+    * structs (bare nulls would be dropped by collect_list and silently
+    * pull older rows into the slice); the last `an` are sliced out and
+    * unwrapped, so a null INSIDE the logical window surfaces as a null
+    * array element for the caller's fold to treat (na.rm is the
+    * caller's choice here, unlike frollAdaptive's fixed na.rm=FALSE).
+    * Rows whose `an` is null or exceeds the rows available yield null
+    * (reference: adaptive n larger than the prefix → NA).
+    */
+  def frollApplyAdaptive(c: Column, an: Column, maxN: Int,
+                         by: Seq[String], order: Seq[Column],
+                         allowGlobal: Boolean = false): Column = {
+    val w = spec(by, order, allowGlobal, "frollApplyAdaptive").rowsBetween(-(maxN - 1), 0)
+    val frame = collect_list(struct(c.as("v"))).over(w)
+    val take = least(an, size(frame))
+    val sliced = transform(slice(frame, size(frame) - take + 1, take),
+      s => s.getField("v"))
+    when(an.isNull || an > size(frame), lit(null)).otherwise(sliced)
   }
 
   /** Adaptive rolling aggregate (src/frolladaptive.c): per-row window

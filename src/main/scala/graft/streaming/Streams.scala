@@ -73,6 +73,85 @@ object Streams {
       .drop("_graft_fp")
   }
 
+  // ---- streaming MinHash near-dup tier --------------------------------
+
+  case class BandedDoc(doc_id: Long, ts: java.sql.Timestamp, band: Int, bh: Long)
+  case class CandPair(idA: Long, idB: Long, band: Int)
+  /** Per-(band, bandHash) bucket membership inside the TTL horizon.
+    * `saturated` buckets (boilerplate collisions past maxBucket) stop
+    * emitting — the streaming twin of Dedup.cappedBuckets' size cap.
+    */
+  case class BucketState(ids: List[Long], lastTsMillis: Long, saturated: Boolean)
+
+  /** Streaming MinHash+LSH near-duplicate CANDIDATE detection — the
+    * in-stream twin of [[graft.dedup.Dedup.minhashPairs]]. Each arriving
+    * doc is shingled, minhashed, and banded exactly like the batch path;
+    * the stateful pass keys on (band, bandHash) so every executor holds
+    * a shard of the bucket table. A new doc landing in a non-empty live
+    * bucket emits one candidate pair per co-resident doc (idA < idB;
+    * the same pair may surface from several bands — downstream exact-
+    * jaccard verification dedups, as in the batch tier).
+    *
+    * State is bounded three ways: watermark + event-time TTL expires
+    * idle buckets; maxBucket caps membership (and marks the bucket
+    * saturated — degenerate boilerplate buckets would otherwise emit
+    * O(n²) pairs forever); and only (id, ts) pairs live in state —
+    * never text or signatures.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, idCol: String, tsCol: String,
+                              textCol: String, watermark: String,
+                              stateTtlMillis: Long, k: Int = 3,
+                              numHashes: Int = 32, bands: Int = 8,
+                              maxBucket: Int = 100)
+      : org.apache.spark.sql.Dataset[CandPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    val rowsPerBand = numHashes / bands
+    val sig = graft.plans.MinHashSignature(
+      graft.plans.ShingleHashes(
+        graft.text.TextFunctions.wsTokens(
+          graft.text.TextFunctions.normalize(col(textCol))), k), numHashes)
+    val banded = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        explode(graft.dedup.Dedup.lshBands(sig, bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("ts"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+      .withWatermark("ts", watermark)
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L, saturated = false))
+            val out = Seq.newBuilder[CandPair]
+            sorted.foreach { d =>
+              if (!st.saturated && !st.ids.contains(d.doc_id)) {
+                st.ids.foreach { prev =>
+                  out += (if (prev < d.doc_id) CandPair(prev, d.doc_id, d.band)
+                          else CandPair(d.doc_id, prev, d.band))
+                }
+                val grown = d.doc_id :: st.ids
+                st = BucketState(grown, math.max(st.lastTsMillis, d.ts.getTime),
+                  saturated = grown.size > maxBucket)
+              } else {
+                st = st.copy(lastTsMillis = math.max(st.lastTsMillis, d.ts.getTime))
+              }
+            }
+            state.update(st)
+            // re-arm strictly above the watermark (Spark kills the query
+            // on a stale timeout timestamp)
+            state.setTimeoutTimestamp(math.max(st.lastTsMillis + stateTtlMillis,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: join each streaming row against a static
     * dimension (broadcast by Catalyst when small) — the streaming
     * counterpart of the keyed equi join x[i].
