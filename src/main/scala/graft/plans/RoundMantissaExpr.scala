@@ -18,6 +18,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * significand: add half of the dropped range, then mask. A carry out
   * of the significand correctly increments the exponent (IEEE-754
   * layout); NaN/Inf pass through unchanged.
+  *
+  * NEGATIVE-TIE PARITY with dtwiddle (src/forder.c:425-440): the
+  * reference rounds in the sign-flipped MONOTONE encoding (negatives
+  * have all bits complemented) while this expression rounds raw
+  * sign-magnitude bits — yet the induced equivalence classes are
+  * identical. With granule g = 2^(8·bytes) and a negative key's
+  * low field L: the monotone low field is g−1−L, so dtwiddle's
+  * round-up condition (monotone L ≥ g/2) is exactly L < g/2 — both
+  * schemes cut the negative axis at the same |Q·g + g/2| boundaries
+  * and only LABEL the classes differently (a fixed −1 shift), which
+  * equality never observes. The half-tie L = g/2 rounds away from
+  * zero in both. Near zero both merge (−g/2, +g/2): here via
+  * −0.0 ≡ 0.0, there via the complement carry. Proven empirically in
+  * Round5Spec ("RoundMantissa groups exactly like dtwiddle").
   */
 case class RoundMantissa(child: Expression, bytes: Int)
     extends UnaryExpression with CodegenFallback {

@@ -61,13 +61,14 @@ object Fread {
 
   /** Shared chunked head reader: accumulates 64 KB chunks and returns
     * the physical line segments (the final partial segment counts only
-    * at EOF). Newlines are counted per-chunk, so a multi-MB line does
-    * NOT trigger a full re-decode per chunk (the old shape was
-    * quadratic in bytes read); the buffer is decoded only once at least
-    * `minPhysical` whole lines exist. Capped at 64 MB so a garbage file
-    * can't buffer unboundedly — on cap-hit the truncated prefix is
-    * still returned (the old code returned nothing, so sep sniffing ran
-    * on an empty string).
+    * at EOF). Decoding is INCREMENTAL: each segment's bytes are decoded
+    * exactly once as its closing newline arrives ('\n' is never part of
+    * a UTF-8 multi-byte sequence, so splitting raw bytes is safe), and
+    * `done` re-runs only on chunks that completed at least one new line
+    * — the earlier shape re-decoded the whole accumulated buffer per
+    * chunk, quadratic in bytes read. Capped at 64 MB so a garbage file
+    * can't buffer unboundedly — on cap-hit the truncated prefix
+    * (including the partial tail) is still returned for sep sniffing.
     */
   private def headSegments(spark: SparkSession, path: String,
                            minPhysical: Int,
@@ -81,33 +82,45 @@ object Fread {
           .head.getPath
       else p
     val in = fs.open(target)
-    val out = new java.io.ByteArrayOutputStream()
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pending = new java.io.ByteArrayOutputStream()  // partial-line bytes
     val buf = new Array[Byte](65536)
     val cap = 64 * 1024 * 1024
+    def flushPending(): String = {
+      val s = new String(pending.toByteArray, "UTF-8").stripSuffix("\r")
+      pending.reset()
+      s
+    }
     try {
       var eof = false
-      var nl = 0
-      def segs(keepPartial: Boolean): Seq[String] = {
-        val all = new String(out.toByteArray, "UTF-8")
-          .split("\n", -1).toSeq.map(_.stripSuffix("\r"))
-        if (keepPartial) all else all.dropRight(1)
-      }
+      var total = 0L
       var result: Option[Seq[String]] = None
-      while (!eof && result.isEmpty && out.size < cap) {
+      while (!eof && result.isEmpty && total < cap) {
         val n = in.read(buf)
         if (n < 0) eof = true
         else {
+          total += n
+          var start = 0
           var i = 0
-          while (i < n) { if (buf(i) == '\n') nl += 1; i += 1 }
-          out.write(buf, 0, n)
-        }
-        if (eof || nl >= minPhysical) {
-          val s = segs(eof)
-          if (eof || done(s)) result = Some(s)
+          var newLines = false
+          while (i < n) {
+            if (buf(i) == '\n') {
+              pending.write(buf, start, i - start)
+              segs += flushPending()
+              start = i + 1
+              newLines = true
+            }
+            i += 1
+          }
+          pending.write(buf, start, n - start)
+          if (newLines && segs.length >= minPhysical && done(segs.toSeq))
+            result = Some(segs.toSeq)
         }
       }
-      val capped = !eof && result.isEmpty
-      result.getOrElse(segs(eof || capped))
+      // EOF (and cap-hit) keep the final partial segment — "a\nb" must
+      // surface "b", and "a\n" its trailing empty segment, matching a
+      // split("\n", -1) of the whole file
+      result.getOrElse((segs += flushPending()).toSeq)
     } finally in.close()
   }
 

@@ -214,6 +214,50 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  // ---- RoundMantissa ≡ dtwiddle grouping --------------------------------
+
+  /** Behavioral model of the reference's rounded sort key (dtwiddle,
+    * src/forder.c:425-440): flip to the monotone encoding (sign bit
+    * always; all bits when negative), add the granule when the top
+    * dropped bit is set, shift the dropped bytes off. Two doubles get
+    * the same data.table rounded-comparison class iff these keys match.
+    */
+  private def dtwiddleModel(x: Double, bytes: Int): Long = {
+    var u = java.lang.Double.doubleToRawLongBits(if (x == 0.0) 0.0 else x)
+    u ^= (if (u < 0) -1L else Long.MinValue)
+    u += (u & (1L << (8 * bytes - 1))) << 1
+    u >>> (8 * bytes)
+  }
+
+  test("RoundMantissa groups exactly like dtwiddle, negative ties included") {
+    val bytes = 2
+    val g = 1L << (8 * bytes)
+    // adversarial set: exact half-granule ties both signs, boundary ±1,
+    // zero straddle, plus pseudo-random doubles
+    val base = Seq(1.0, -1.0, math.Pi, -math.Pi, 1e300, -1e300, 1e-300, -1e-300)
+    val crafted = base.flatMap { v =>
+      val b = java.lang.Double.doubleToRawLongBits(v)
+      val q = b & ~(g - 1)
+      Seq(q, q + g / 2 - 1, q + g / 2, q + g / 2 + 1, q + g - 1)
+        .map(java.lang.Double.longBitsToDouble)
+    } ++ (0 until 80).map { i =>
+      java.lang.Double.longBitsToDouble(
+        scala.util.hashing.MurmurHash3.stringHash(s"seed$i").toLong * 2654435761L)
+    }.filter(d => !d.isNaN && !d.isInfinite) ++
+      Seq(0.0, -0.0, java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE)
+    val pairs = crafted.combinations(2).toSeq ++ crafted.map(v => Seq(v, v))
+    val df = pairs.map { case Seq(a, b) => (a, b) }.toDF("a", "b")
+      .withColumn("ra", graft.plans.RoundMantissa(col("a"), bytes))
+      .withColumn("rb", graft.plans.RoundMantissa(col("b"), bytes))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getDouble(0), r.getDouble(1))
+      val ours = r.getDouble(2) == r.getDouble(3)
+      val ref = dtwiddleModel(a, bytes) == dtwiddleModel(b, bytes)
+      assert(ours == ref, s"a=$a b=$b ours=$ours dtwiddle=$ref")
+    }
+  }
+
   // ---- frank ties="random" seeded tier ---------------------------------
 
   test("frank random ties: seeded rand is seed-stable; default is content-stable") {
