@@ -48,12 +48,17 @@ object Bench {
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(name, fn)
-      val warm = medianOf((1 to 3).map(_ => timeOnce(name, fn)))
+      // failed runs (-1) are excluded from the median so a transient
+      // flake can't masquerade as a fast duration; all-failed → -1
+      val ok = (1 to 3).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+      val warm = if (ok.isEmpty) -1.0 else medianOf(ok)
       (name, cold, warm)
     }
-    val total = results.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
-    val median = medianOf(results.map(_._3))
+    // totals sum only successful runs; failures surface via `failed`
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val coldTotal = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(r => r._2 < 0 || r._3 < 0)
+    val median = medianOf(results.map(_._3).filter(_ >= 0))
 
     // Locale-pinned formatting: a comma-decimal default locale would
     // render 0,123 and break the JSON.
@@ -68,7 +73,7 @@ object Bench {
       "\"" + k + "\":{\"cold\":" + r3(c) + ",\"warm\":" + r3(w) + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"queries":$detail,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
 
@@ -85,7 +90,7 @@ object Bench {
     val warmByName = results.map { case (k, _, w) => k -> w }.toMap
     val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -487,20 +487,23 @@ object DT {
   // ---- tables() registry (R/tables.R) ---------------------------------
   // The reference's tables() scans the R environment for data.tables;
   // the session analog is an explicit name → DT registry (also mirrored
-  // as temp views so spark.sql sees the same names).
+  // as temp views so spark.sql sees the same names). Keyed by session
+  // identity (the Scale.planKey convention): temp views are per-session,
+  // so tables(spark) must list exactly the DTs whose views that session
+  // can actually query.
   private val tableRegistry =
-    scala.collection.concurrent.TrieMap.empty[String, DT]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DT]
 
   /** Register a DT under a session name (and as a temp view). */
   def register(name: String, dt: DT): DT = {
     dt.df.createOrReplaceTempView(name)
-    tableRegistry.put(name, dt)
+    tableRegistry.put((System.identityHashCode(dt.spark), name), dt)
     dt
   }
 
-  def unregister(name: String): Unit = {
-    tableRegistry.remove(name).foreach(dt =>
-      dt.spark.catalog.dropTempView(name))
+  def unregister(spark: SparkSession, name: String): Unit = {
+    tableRegistry.remove((System.identityHashCode(spark), name))
+      .foreach(dt => dt.spark.catalog.dropTempView(name))
   }
 
   /** tables() (R/tables.R:1): one row per registered table with NAME /
@@ -510,7 +513,9 @@ object DT {
     * `mb=FALSE` size opt-out.
     */
   def tables(spark: SparkSession, counts: Boolean = false): DataFrame = {
-    val rows = tableRegistry.toSeq.sortBy(_._1).map { case (name, dt) =>
+    val sid = System.identityHashCode(spark)
+    val rows = tableRegistry.toSeq.collect { case ((s, name), dt) if s == sid => (name, dt) }
+      .sortBy(_._1).map { case (name, dt) =>
       org.apache.spark.sql.Row(
         name,
         if (counts) dt.df.count() else null,

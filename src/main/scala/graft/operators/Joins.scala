@@ -288,13 +288,21 @@ object Joins {
     val lastPerBucket = xRows.groupBy((by :+ bucket).map(col): _*)
       .agg(perCol.head, perCol.tail: _*)
     // Every (by, bucket) seen in the data — probe-only buckets included —
-    // must receive a carry-in from the latest earlier x buckets.
+    // must receive a carry-in from the latest earlier x buckets. Both
+    // carry-side joins are NULL-SAFE: a null `by` key is a real group to
+    // the window (matching asof) and would silently lose its carry under
+    // plain equi-join keys.
     val allBuckets = u.select((by :+ bucket).map(col): _*).distinct()
+    val lastR = lastPerBucket.select(
+      ((by :+ bucket).map(c => col(c).as(s"_graft_lb_$c")) ++
+        (aliases :+ onX).map(col)): _*)
+    val lastCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_lb_$c")).reduce(_ && _)
     val wCarry = Window.partitionBy(by.map(col): _*)
       .orderBy(col(bucket).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = (aliases :+ onX).foldLeft(
-        allBuckets.join(lastPerBucket, by :+ bucket, "left")) { (acc, a) =>
+        allBuckets.join(lastR, lastCond, "left")
+          .drop((by :+ bucket).map(c => s"_graft_lb_$c"): _*)) { (acc, a) =>
       acc.withColumn(a + "_c", last(col(a), ignoreNulls = true).over(wCarry))
     }.select((by :+ bucket).map(col) ++ (aliases :+ onX).map(a => col(a + "_c")): _*)
 

@@ -111,6 +111,14 @@ object Reshape {
       re.findFirstMatchIn(c).map(m => (m.group(1), m.group(2), c))
     }
     require(parsed.nonEmpty, s"measure(pattern='$pattern') matched no columns")
+    // an unanchored pattern can parse two source columns to the same
+    // (value-name, dim) slot; meltParsed's by-name lookup would then
+    // silently drop one column's data
+    parsed.groupBy(p => (p._1, p._2)).find(_._2.size > 1).foreach { case (k, cs) =>
+      throw new IllegalArgumentException(
+        s"measure(pattern='$pattern'): columns ${cs.map(_._3).mkString(", ")} " +
+          s"all parse to $k — anchor the pattern")
+    }
     meltParsed(df, idVars, parsed, dimName)
   }
 

@@ -289,14 +289,27 @@ object Windows {
     * Rows whose `an` is null or exceeds the rows available yield null
     * (reference: adaptive n larger than the prefix → NA).
     */
+  /** Shared adaptive-frame plumbing: bounded last-maxN physical frame as
+    * single-field structs (collect_list drops bare nulls — structs keep
+    * them), the per-row take, and the struct slice of the last `take`
+    * rows. Callers unwrap and guard per their null semantics.
+    */
+  private def adaptiveSlice(c: Column, an: Column, maxN: Int,
+                            by: Seq[String], order: Seq[Column],
+                            allowGlobal: Boolean, op: String)
+      : (Column, Column, Column) = {
+    val w = spec(by, order, allowGlobal, op).rowsBetween(-(maxN - 1), 0)
+    val frame = collect_list(struct(c.as("v"))).over(w)
+    val take = least(an, size(frame))
+    (frame, take, slice(frame, size(frame) - take + 1, take))
+  }
+
   def frollApplyAdaptive(c: Column, an: Column, maxN: Int,
                          by: Seq[String], order: Seq[Column],
                          allowGlobal: Boolean = false): Column = {
-    val w = spec(by, order, allowGlobal, "frollApplyAdaptive").rowsBetween(-(maxN - 1), 0)
-    val frame = collect_list(struct(c.as("v"))).over(w)
-    val take = least(an, size(frame))
-    val sliced = transform(slice(frame, size(frame) - take + 1, take),
-      s => s.getField("v"))
+    val (frame, _, slicedS) =
+      adaptiveSlice(c, an, maxN, by, order, allowGlobal, "frollApplyAdaptive")
+    val sliced = transform(slicedS, s => s.getField("v"))
     when(an.isNull || an > size(frame), lit(null)).otherwise(sliced)
   }
 
@@ -315,10 +328,8 @@ object Windows {
   def frollAdaptive(fn: String, c: Column, an: Column, maxN: Int,
                     by: Seq[String], order: Seq[Column],
                     allowGlobal: Boolean = false): Column = {
-    val w = spec(by, order, allowGlobal, "frollAdaptive").rowsBetween(-(maxN - 1), 0)
-    val frame = collect_list(struct(c.as("v"))).over(w)  // oldest..newest, nulls kept
-    val take = least(an, size(frame))
-    val slicedS = slice(frame, size(frame) - take + 1, take)
+    val (frame, take, slicedS) =
+      adaptiveSlice(c, an, maxN, by, order, allowGlobal, "frollAdaptive")
     val hasNull = exists(slicedS, s => s.getField("v").isNull)
     val sliced = transform(slicedS, s => s.getField("v"))
     val res = fn match {

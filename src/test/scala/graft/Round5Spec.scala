@@ -22,11 +22,14 @@ class Round5Spec extends AnyFunSuite {
     */
   private lazy val asofX = (1 to 300).map { i =>
     ("h", i.toDouble, if (i % 17 == 0) None else Some(i * 1.0))
-  }.concat(Seq(("c", 5.0, Some(50.0)), ("c", 25.0, None), ("c", 40.0, Some(400.0))))
+  }.concat(Seq(("c", 5.0, Some(50.0)), ("c", 25.0, None), ("c", 40.0, Some(400.0)),
+      (null.asInstanceOf[String], 1.0, Some(-1.0))))
     .toDF("k", "t", "v")
   private lazy val asofI = ((1 to 300 by 7).map(i => ("h", i + 0.5, i.toLong)) ++
     Seq(("h", 0.2, 9001L), ("c", 4.0, 9002L), ("c", 30.0, 9003L),
-      ("c", 999.0, 9004L), ("p", 12.0, 9005L)))
+      ("c", 999.0, 9004L), ("p", 12.0, 9005L),
+      // null by key: a real window group — must carry across buckets too
+      (null.asInstanceOf[String], 100.0, 9006L)))
     .toDF("k", "t", "pid")
 
   private def collected(df: org.apache.spark.sql.DataFrame): Seq[(Long, Option[Double])] =
@@ -135,6 +138,12 @@ class Round5Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Reshape.meltMeasurePattern(wide, Seq("id"), "^(a)_y\\d+$") // 1 group
     }
+    // unanchored pattern parsing two columns into one slot must fail
+    // loudly instead of silently dropping a column's data
+    val clash = Seq((1, 1.0, 2.0)).toDF("id", "a_y1", "xa_y1")
+    intercept[IllegalArgumentException] {
+      Reshape.meltMeasurePattern(clash, Seq("id"), "(a)_y(\\d+)")
+    }
   }
 
   // ---- dcast cube margins ----------------------------------------------
@@ -209,7 +218,7 @@ class Round5Spec extends AnyFunSuite {
         .map(r => r.getString(0) -> r).toMap
       assert(counted("t_region").getLong(1) == region.count())
     } finally {
-      DT.unregister("t_orders"); DT.unregister("t_region")
+      DT.unregister(spark, "t_orders"); DT.unregister(spark, "t_region")
       Scale.clearIndexes()
     }
   }
