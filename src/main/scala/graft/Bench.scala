@@ -86,7 +86,8 @@ object Bench {
       "q_shift", "q_update_by", "q_pipeline", "q_dedup_exact",
       "q_dedup_minhash", "q_dedup_prune", "q_embed_topk", "q_ann_ivf",
       "q_ann_ivf_sampled", "q_cosine_pairs", "q_langid", "q_token_count",
-      "q_sample_hash", "q_token_pack", "q_doc_chunks", "q_quantiles")
+      "q_sample_hash", "q_token_pack", "q_doc_chunks", "q_quantiles",
+      "q_asof_salted", "q_quantiles_approx")
     val warmByName = results.map { case (k, _, w) => k -> w }.toMap
     val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")

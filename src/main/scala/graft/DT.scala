@@ -313,9 +313,9 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
                roll: Joins.Roll = Joins.Locf, valueCols: Seq[String] = Nil): DT =
     DT(Joins.asof(df, i.df, by, on, roll, valueCols))
 
-  /** Skew-safe as-of join tier (power-law `by` keys): identical LOCF
-    * results, time-bucketed so no task sorts a whole hot key — see
-    * [[Joins.asofSalted]].
+  /** Skew-safe as-of join tier (power-law `by` keys): identical results
+    * for every roll, time-bucketed so no task sorts a whole hot key —
+    * see [[Joins.asofSalted]].
     */
   def asofJoinSalted(i: DT, by: Seq[String], on: String, bucketWidth: Double,
                      roll: Joins.Roll = Joins.Locf,

@@ -235,22 +235,24 @@ object Joins {
     result
   }
 
-  /** Skew-safe LOCF as-of join: identical results to
-    * `asof(roll = Locf | Limit)` with default rollends, but each `by` key
-    * is sub-bucketed by time range so no single task ever sorts a whole
-    * power-law key's series.
+  /** Skew-safe as-of join: identical results to `asof` with default
+    * rollends for EVERY roll (Locf / Limit / Nocb / Nearest), but each
+    * `by` key is sub-bucketed by time range so no single task ever sorts
+    * a whole power-law key's series.
     *
     * Plan shape: the tagged union gets `bucket = floor(on/bucketWidth)`;
-    * the LOCF window partitions by (by, bucket) — parallelism becomes
+    * the fill window partitions by (by, bucket) — parallelism becomes
     * (#keys × #buckets), restoring uniform tasks under any key skew. A
-    * second pass fixes the bucket boundaries: per (by, bucket) the last
-    * x row is aggregated (max_by — one row per bucket, partial map-side),
-    * LOCF'd ACROSS buckets with a tiny per-key window over the bucket
-    * table (rows ∝ time-range/bucketWidth, not data), and joined back as
-    * the carry-in for probes whose bucket holds no earlier x row. Total:
-    * two shuffles of the data (bucketed window + carry join) plus one
-    * shuffle of the bucket-summary table — vs [[asof]]'s one shuffle,
-    * the price of skew immunity.
+    * second pass fixes the bucket boundaries: per (by, bucket) the
+    * boundary x row of each column is aggregated (max_by/min_by — one
+    * row per bucket, partial map-side), carried ACROSS buckets with a
+    * tiny per-key window over the bucket table (rows ∝
+    * time-range/bucketWidth, not data), and joined back for probes whose
+    * own bucket holds no matching x row. Nearest runs both directions
+    * and picks per row, exactly like [[asof]]. Total: two shuffles of
+    * the data (bucketed window + carry join) plus one shuffle of the
+    * bucket-summary table — vs [[asof]]'s one shuffle, the price of
+    * skew immunity.
     *
     * `bucketWidth` is in `on` units: pick it so an average key has a few
     * rows per bucket × enough buckets to split the worst key (e.g.
@@ -259,76 +261,110 @@ object Joins {
   def asofSalted(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
                  roll: Roll, bucketWidth: Double,
                  valueColsIn: Seq[String] = Nil): DataFrame = {
-    require(roll == Locf || roll.isInstanceOf[Limit],
-      s"asofSalted implements LOCF-family rolls (Locf/Limit); got $roll — " +
-        "use asof() for Nocb/Nearest (mirror the carry pass forward to extend)")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val needBack = roll != Nocb
+    val needFwd = roll == Nocb || roll == Nearest
     val AsofUnion(u0, iCols, aliases, outNames) = asofUnion(x, i, by, on, valueColsIn)
     val bucket = "_graft_bucket"
     val u = u0.withColumn(bucket, floor(col(on).cast("double") / bucketWidth))
+    val cols = aliases :+ onX
 
-    // Pass 1: LOCF within (by, bucket) — the skew-split window.
-    val wIn = Window.partitionBy((by :+ bucket).map(col): _*)
+    // Pass 1: fill within (by, bucket) — the skew-split window. Backward
+    // (LOCF) and/or forward (NOCB) per the roll.
+    val wInB = Window.partitionBy((by :+ bucket).map(col): _*)
       .orderBy(col(on).asc, col(tag).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filledIn = (aliases :+ onX).foldLeft(u) { (acc, a) =>
-      acc.withColumn(a + "_b", last(col(a), ignoreNulls = true).over(wIn))
+    val wInF = Window.partitionBy((by :+ bucket).map(col): _*)
+      .orderBy(col(on).asc, col(tag).desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filledB =
+      if (!needBack) u
+      else cols.foldLeft(u)((acc, a) =>
+        acc.withColumn(a + "_b", last(col(a), ignoreNulls = true).over(wInB)))
+    val filledIn =
+      if (!needFwd) filledB
+      else cols.foldLeft(filledB)((acc, a) =>
+        acc.withColumn(a + "_f", first(col(a), ignoreNulls = true).over(wInF)))
+
+    // Pass 2 (bucket-summary scale): per (by, bucket) the boundary
+    // NON-NULL value of each column among x rows (asof's last/first
+    // (ignoreNulls) carries columns independently — max_by/min_by keyed
+    // on `on` masked to non-null rows reproduces that per column), then
+    // carried across buckets. The summary has ≤ one row per non-empty
+    // bucket; the cross-bucket window is per-key over that tiny table.
+    // All carry-side joins are NULL-SAFE: a null `by` key is a real
+    // group to the window (matching asof) and would silently lose its
+    // carry under plain equi-join keys.
+    val xRows = u.filter(col(tag) === 0)
+    val allBuckets = u.select((by :+ bucket).map(col): _*).distinct()
+    def boundaryCarry(backward: Boolean): DataFrame = {
+      val pick: (Column, Column) => Column = if (backward) max_by else min_by
+      val perCol = aliases.map(a =>
+        pick(col(a), when(col(a).isNotNull, col(on))).as(a)) :+
+        pick(col(onX), col(on)).as(onX)
+      val summary = xRows.groupBy((by :+ bucket).map(col): _*)
+        .agg(perCol.head, perCol.tail: _*)
+      val sR = summary.select(
+        ((by :+ bucket).map(c => col(c).as(s"_graft_lb_$c")) ++ cols.map(col)): _*)
+      val sCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_lb_$c")).reduce(_ && _)
+      val wCarry =
+        if (backward)
+          Window.partitionBy(by.map(col): _*).orderBy(col(bucket).asc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        else
+          Window.partitionBy(by.map(col): _*).orderBy(col(bucket).asc)
+            .rowsBetween(1, Window.unboundedFollowing)
+      val fill: Column => Column =
+        if (backward) last(_, ignoreNulls = true) else first(_, ignoreNulls = true)
+      val suffix = if (backward) "_c" else "_fc"
+      cols.foldLeft(
+          allBuckets.join(sR, sCond, "left")
+            .drop((by :+ bucket).map(c => s"_graft_lb_$c"): _*)) { (acc, a) =>
+        acc.withColumn(a + suffix, fill(col(a)).over(wCarry))
+      }.select((by :+ bucket).map(col) ++ cols.map(a => col(a + suffix)): _*)
+    }
+    def stitchCarry(base: DataFrame, carry: DataFrame, suffix: String): DataFrame = {
+      val carryR = carry.select(
+        ((by :+ bucket).map(c => col(c).as(s"_graft_cb_$c")) ++
+          cols.map(a => col(a + suffix))): _*)
+      val cond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_cb_$c")).reduce(_ && _)
+      base.join(carryR, cond, "left")
+        .drop((by :+ bucket).map(c => s"_graft_cb_$c"): _*)
     }
 
-    // Pass 2 (bucket-summary scale): per (by, bucket) the last NON-NULL
-    // value of each column among x rows (asof's last(ignoreNulls) carries
-    // columns independently — max_by keyed on `on` masked to non-null
-    // rows reproduces that per column), then LOCF across buckets. The
-    // summary has ≤ one row per non-empty bucket; the cross-bucket window
-    // is per-key over that tiny table.
-    val xRows = u.filter(col(tag) === 0)
-    val perCol = aliases.map(a =>
-      max_by(col(a), when(col(a).isNotNull, col(on))).as(a)) :+
-      max_by(col(onX), col(on)).as(onX)
-    val lastPerBucket = xRows.groupBy((by :+ bucket).map(col): _*)
-      .agg(perCol.head, perCol.tail: _*)
-    // Every (by, bucket) seen in the data — probe-only buckets included —
-    // must receive a carry-in from the latest earlier x buckets. Both
-    // carry-side joins are NULL-SAFE: a null `by` key is a real group to
-    // the window (matching asof) and would silently lose its carry under
-    // plain equi-join keys.
-    val allBuckets = u.select((by :+ bucket).map(col): _*).distinct()
-    val lastR = lastPerBucket.select(
-      ((by :+ bucket).map(c => col(c).as(s"_graft_lb_$c")) ++
-        (aliases :+ onX).map(col)): _*)
-    val lastCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_lb_$c")).reduce(_ && _)
-    val wCarry = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(bucket).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = (aliases :+ onX).foldLeft(
-        allBuckets.join(lastR, lastCond, "left")
-          .drop((by :+ bucket).map(c => s"_graft_lb_$c"): _*)) { (acc, a) =>
-      acc.withColumn(a + "_c", last(col(a), ignoreNulls = true).over(wCarry))
-    }.select((by :+ bucket).map(col) ++ (aliases :+ onX).map(a => col(a + "_c")): _*)
-
-    // Stitch: per column, the within-bucket fill wins; a null prefix in
-    // the probe's own bucket falls back to the cross-bucket carry —
-    // together exactly last-non-null-at-or-before-probe, i.e. asof.
-    // Null-safe join keys: a null `by` key is a real group to the window
-    // (matching asof) and must still receive its carry row.
-    val carryR = carry.select(
-      ((by :+ bucket).map(c => col(c).as(s"_graft_cb_$c")) ++
-        (aliases :+ onX).map(a => col(a + "_c"))): _*)
-    val joinCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_cb_$c")).reduce(_ && _)
-    val stitched = filledIn.join(carryR, joinCond, "left")
-      .drop((by :+ bucket).map(c => s"_graft_cb_$c"): _*)
-    def eff(a: String): Column = coalesce(col(a + "_b"), col(a + "_c"))
-    val effOnX = coalesce(col(onX + "_b"), col(onX + "_c"))
+    // Stitch: per column, the within-bucket fill wins; a null prefix
+    // (resp. suffix) in the probe's own bucket falls back to the
+    // cross-bucket carry — together exactly the nearest-non-null-
+    // at-or-before (resp. at-or-after) the probe, i.e. asof.
+    val stitchedB =
+      if (needBack) stitchCarry(filledIn, boundaryCarry(backward = true), "_c")
+      else filledIn
+    val stitched =
+      if (needFwd) stitchCarry(stitchedB, boundaryCarry(backward = false), "_fc")
+      else stitchedB
+    def effB(a: String): Column = coalesce(col(a + "_b"), col(a + "_c"))
+    def effF(a: String): Column = coalesce(col(a + "_f"), col(a + "_fc"))
     val probes = stitched.filter(col(tag) === 1)
     roll match {
       case Locf =>
         probes.select((iCols.map(col) ++
-          aliases.zip(outNames).map { case (a, o) => eff(a).as(o) }): _*)
+          aliases.zip(outNames).map { case (a, o) => effB(a).as(o) }): _*)
       case Limit(lim) =>
-        val within = col(on).cast("double") - effOnX.cast("double") <= lit(lim)
+        val within = col(on).cast("double") - effB(onX).cast("double") <= lit(lim)
         probes.select((iCols.map(col) ++
-          aliases.zip(outNames).map { case (a, o) => when(within, eff(a)).as(o) }): _*)
-      case _ => throw new IllegalStateException("unreachable")
+          aliases.zip(outNames).map { case (a, o) => when(within, effB(a)).as(o) }): _*)
+      case Nocb =>
+        probes.select((iCols.map(col) ++
+          aliases.zip(outNames).map { case (a, o) => effF(a).as(o) }): _*)
+      case Nearest =>
+        // mirror asof's per-row pick: back wins when forward is absent
+        // or the backward reference is at least as close
+        val dB = abs(col(on).cast("double") - effB(onX).cast("double"))
+        val dF = abs(effF(onX).cast("double") - col(on).cast("double"))
+        val useBack = effF(onX).isNull || (effB(onX).isNotNull && dB <= dF)
+        probes.select((iCols.map(col) ++
+          aliases.zip(outNames).map { case (a, o) =>
+            when(useBack, effB(a)).otherwise(effF(a)).as(o) }): _*)
     }
   }
 

@@ -909,6 +909,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 shuffle exchange, got $n:\n$p")
   }
 
+  test("q_asof_salted: window exchange partitions on (by, time-bucket)") {
+    val p = plan("q_asof_salted")
+    assert("hashpartitioning\\(user_id[^)]*_graft_bucket".r.findFirstIn(p).isDefined,
+      s"skew-split bucket missing from the window partitioning:\n$p")
+  }
+
   test("q_pipeline: single shuffle through filter->join->agg->topk chain") {
     val p = plan("q_pipeline")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -59,10 +59,18 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
-  test("asofSalted rejects non-LOCF rolls and bad widths") {
-    intercept[IllegalArgumentException] {
-      Joins.asofSalted(asofX, asofI, Seq("k"), "t", Joins.Nearest, 10.0, Seq("v"))
+  test("asofSalted(Nocb) and asofSalted(Nearest) equal asof on the same fixture") {
+    for (roll <- Seq(Joins.Nocb, Joins.Nearest)) {
+      val plain = collected(Joins.asof(asofX, asofI, Seq("k"), "t", roll, Seq("v")))
+      for (w <- Seq(1.0, 10.0, 1000.0)) {
+        val salted = collected(
+          Joins.asofSalted(asofX, asofI, Seq("k"), "t", roll, w, Seq("v")))
+        assert(salted == plain, s"$roll bucketWidth=$w diverged from asof")
+      }
     }
+  }
+
+  test("asofSalted rejects bad widths") {
     intercept[IllegalArgumentException] {
       Joins.asofSalted(asofX, asofI, Seq("k"), "t", Joins.Locf, 0.0, Seq("v"))
     }
