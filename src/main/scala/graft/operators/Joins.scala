@@ -224,15 +224,26 @@ object Joins {
       case Nearest =>
         val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
                        wFwd, first(_, ignoreNulls = true), "_f")
-        val dB = abs(col(on).cast("double") - col(onX + "_b").cast("double"))
-        val dF = abs(col(onX + "_f").cast("double") - col(on).cast("double"))
-        val useBack = col(onX + "_f").isNull ||
-          (col(onX + "_b").isNotNull && dB <= dF)
+        val pick = nearestPick(col(on), col(onX + "_b"), col(onX + "_f")) _
         f.filter(col(tag) === 1)
           .select((iCols.map(col) ++
-            aliases.zip(outNames).map { case (a, o) => when(useBack, col(a + "_b")).otherwise(col(a + "_f")).as(o) }): _*)
+            aliases.zip(outNames).map { case (a, o) =>
+              pick(col(a + "_b"), col(a + "_f")).as(o) }): _*)
     }
     result
+  }
+
+  /** The roll="nearest" per-row rule, shared by [[asof]] and
+    * [[asofSalted]] so the oracle-proven identity between them cannot
+    * drift: back wins when forward is absent or the backward reference
+    * is at least as close.
+    */
+  private def nearestPick(onCol: Column, onXB: Column, onXF: Column)
+                         (back: Column, fwd: Column): Column = {
+    val dB = abs(onCol.cast("double") - onXB.cast("double"))
+    val dF = abs(onXF.cast("double") - onCol.cast("double"))
+    val useBack = onXF.isNull || (onXB.isNotNull && dB <= dF)
+    when(useBack, back).otherwise(fwd)
   }
 
   /** Skew-safe as-of join: identical results to `asof` with default
@@ -286,62 +297,60 @@ object Joins {
       else cols.foldLeft(filledB)((acc, a) =>
         acc.withColumn(a + "_f", first(col(a), ignoreNulls = true).over(wInF)))
 
-    // Pass 2 (bucket-summary scale): per (by, bucket) the boundary
-    // NON-NULL value of each column among x rows (asof's last/first
+    // Pass 2 (bucket-summary scale): ONE aggregation computes, per
+    // (by, bucket), the boundary NON-NULL value of each column among x
+    // rows for every direction the roll needs (asof's last/first
     // (ignoreNulls) carries columns independently — max_by/min_by keyed
-    // on `on` masked to non-null rows reproduces that per column), then
-    // carried across buckets. The summary has ≤ one row per non-empty
-    // bucket; the cross-bucket window is per-key over that tiny table.
-    // All carry-side joins are NULL-SAFE: a null `by` key is a real
-    // group to the window (matching asof) and would silently lose its
-    // carry under plain equi-join keys.
+    // on the non-null-masked, STRUCT-WRAPPED `on` reproduces that per
+    // column; the struct wrapper keeps the ordering key non-null for x
+    // rows whose `on` itself is null, which sort before everything in
+    // asof and must still carry). The summary has ≤ one row per
+    // non-empty bucket; the cross-bucket carry windows run per-key over
+    // that tiny table, and ONE null-safe join stitches all carry
+    // columns back (a null `by` key is a real group to the window and
+    // would silently lose its carry under plain equi-join keys).
     val xRows = u.filter(col(tag) === 0)
     val allBuckets = u.select((by :+ bucket).map(col): _*).distinct()
-    def boundaryCarry(backward: Boolean): DataFrame = {
+    def boundary(a: String, backward: Boolean): Column = {
       val pick: (Column, Column) => Column = if (backward) max_by else min_by
-      val perCol = aliases.map(a =>
-        pick(col(a), when(col(a).isNotNull, col(on))).as(a)) :+
-        pick(col(onX), col(on)).as(onX)
-      val summary = xRows.groupBy((by :+ bucket).map(col): _*)
-        .agg(perCol.head, perCol.tail: _*)
-      val sR = summary.select(
-        ((by :+ bucket).map(c => col(c).as(s"_graft_lb_$c")) ++ cols.map(col)): _*)
-      val sCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_lb_$c")).reduce(_ && _)
-      val wCarry =
-        if (backward)
-          Window.partitionBy(by.map(col): _*).orderBy(col(bucket).asc)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        else
-          Window.partitionBy(by.map(col): _*).orderBy(col(bucket).asc)
-            .rowsBetween(1, Window.unboundedFollowing)
-      val fill: Column => Column =
-        if (backward) last(_, ignoreNulls = true) else first(_, ignoreNulls = true)
-      val suffix = if (backward) "_c" else "_fc"
-      cols.foldLeft(
-          allBuckets.join(sR, sCond, "left")
-            .drop((by :+ bucket).map(c => s"_graft_lb_$c"): _*)) { (acc, a) =>
-        acc.withColumn(a + suffix, fill(col(a)).over(wCarry))
-      }.select((by :+ bucket).map(col) ++ cols.map(a => col(a + suffix)): _*)
+      val key = if (a == onX) struct(col(on)) else when(col(a).isNotNull, struct(col(on)))
+      pick(col(a), key).as(a + (if (backward) "_lb" else "_fb"))
     }
-    def stitchCarry(base: DataFrame, carry: DataFrame, suffix: String): DataFrame = {
-      val carryR = carry.select(
-        ((by :+ bucket).map(c => col(c).as(s"_graft_cb_$c")) ++
-          cols.map(a => col(a + suffix))): _*)
-      val cond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_cb_$c")).reduce(_ && _)
-      base.join(carryR, cond, "left")
-        .drop((by :+ bucket).map(c => s"_graft_cb_$c"): _*)
-    }
+    val summaryAggs =
+      (if (needBack) cols.map(boundary(_, backward = true)) else Nil) ++
+        (if (needFwd) cols.map(boundary(_, backward = false)) else Nil)
+    val summary = xRows.groupBy((by :+ bucket).map(col): _*)
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
+    val sR = summary.columns.filter(c => by.contains(c) || c == bucket)
+      .foldLeft(summary)((d, c) => d.withColumnRenamed(c, s"_graft_lb_$c"))
+    val sCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_lb_$c")).reduce(_ && _)
+    val wCarryB = Window.partitionBy(by.map(col): _*).orderBy(col(bucket).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCarryF = Window.partitionBy(by.map(col): _*).orderBy(col(bucket).asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val joinedSummary = allBuckets.join(sR, sCond, "left")
+      .drop((by :+ bucket).map(c => s"_graft_lb_$c"): _*)
+    val withBack =
+      if (!needBack) joinedSummary
+      else cols.foldLeft(joinedSummary)((acc, a) =>
+        acc.withColumn(a + "_c", last(col(a + "_lb"), ignoreNulls = true).over(wCarryB)))
+    val withBoth =
+      if (!needFwd) withBack
+      else cols.foldLeft(withBack)((acc, a) =>
+        acc.withColumn(a + "_fc", first(col(a + "_fb"), ignoreNulls = true).over(wCarryF)))
+    val carrySuffixes =
+      (if (needBack) Seq("_c") else Nil) ++ (if (needFwd) Seq("_fc") else Nil)
+    val carry = withBoth.select(
+      ((by :+ bucket).map(c => col(c).as(s"_graft_cb_$c")) ++
+        carrySuffixes.flatMap(s => cols.map(a => col(a + s)))): _*)
 
     // Stitch: per column, the within-bucket fill wins; a null prefix
     // (resp. suffix) in the probe's own bucket falls back to the
     // cross-bucket carry — together exactly the nearest-non-null-
     // at-or-before (resp. at-or-after) the probe, i.e. asof.
-    val stitchedB =
-      if (needBack) stitchCarry(filledIn, boundaryCarry(backward = true), "_c")
-      else filledIn
-    val stitched =
-      if (needFwd) stitchCarry(stitchedB, boundaryCarry(backward = false), "_fc")
-      else stitchedB
+    val stitchCond = (by :+ bucket).map(c => col(c) <=> col(s"_graft_cb_$c")).reduce(_ && _)
+    val stitched = filledIn.join(carry, stitchCond, "left")
+      .drop((by :+ bucket).map(c => s"_graft_cb_$c"): _*)
     def effB(a: String): Column = coalesce(col(a + "_b"), col(a + "_c"))
     def effF(a: String): Column = coalesce(col(a + "_f"), col(a + "_fc"))
     val probes = stitched.filter(col(tag) === 1)
@@ -357,14 +366,10 @@ object Joins {
         probes.select((iCols.map(col) ++
           aliases.zip(outNames).map { case (a, o) => effF(a).as(o) }): _*)
       case Nearest =>
-        // mirror asof's per-row pick: back wins when forward is absent
-        // or the backward reference is at least as close
-        val dB = abs(col(on).cast("double") - effB(onX).cast("double"))
-        val dF = abs(effF(onX).cast("double") - col(on).cast("double"))
-        val useBack = effF(onX).isNull || (effB(onX).isNotNull && dB <= dF)
+        val pick = nearestPick(col(on), effB(onX), effF(onX)) _
         probes.select((iCols.map(col) ++
           aliases.zip(outNames).map { case (a, o) =>
-            when(useBack, effB(a)).otherwise(effF(a)).as(o) }): _*)
+            pick(effB(a), effF(a)).as(o) }): _*)
     }
   }
 

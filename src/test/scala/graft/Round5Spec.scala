@@ -70,6 +70,21 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("asofSalted carries values from x rows whose `on` is null (sort-first in asof)") {
+    val x = Seq(("k", Option.empty[Double], Some(7.0)), ("k", Some(50.0), Some(9.0)))
+      .toDF("k", "t", "v")
+    val i = Seq(("k", Some(5.0), 1L), ("k", Some(60.0), 2L), ("k", Option.empty[Double], 3L))
+      .toDF("k", "t", "pid")
+    for (roll <- Seq[Joins.Roll](Joins.Locf, Joins.Nocb, Joins.Nearest)) {
+      val plain = collected(Joins.asof(x, i, Seq("k"), "t", roll, Seq("v")))
+      val salted = collected(Joins.asofSalted(x, i, Seq("k"), "t", roll, 10.0, Seq("v")))
+      assert(salted == plain, s"$roll diverged on null-`on` x rows")
+    }
+    // the null-`on` reference must actually reach the early probe
+    val locf = collected(Joins.asofSalted(x, i, Seq("k"), "t", Joins.Locf, 10.0, Seq("v")))
+    assert(locf.toMap.apply(1L) == Some(7.0))
+  }
+
   test("asofSalted rejects bad widths") {
     intercept[IllegalArgumentException] {
       Joins.asofSalted(asofX, asofI, Seq("k"), "t", Joins.Locf, 0.0, Seq("v"))
