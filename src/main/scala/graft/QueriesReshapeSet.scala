@@ -336,6 +336,26 @@ object QueriesReshapeSet {
              |  round(l_quantity, 3) AS amount, round(l_discount, 3) AS rate FROM lineitem
              |UNION ALL
              |SELECT l_orderkey, l_linenumber, '2',
-             |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin))
+             |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin)),
+
+    // ---- melt measure() GENERAL form: N dims, single value column ------
+    // No "value.name" group: both captures (metric, yr) become dim
+    // columns and all four measures melt into one promoted value column.
+    ("q_melt_measure_n", ((s, dir) =>
+      Reshape.meltMeasureN(
+        dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("q_y1"), col("l_tax").as("q_y2"),
+          col("l_extendedprice").as("p_y1"), col("l_discount").as("p_y2")),
+        idVars = Seq("l_orderkey", "l_linenumber"),
+        pattern = "^([qp])_y([12])$", groupNames = Seq("metric", "yr"))
+        .withColumn("value", round(col("value"), 3))): Q,
+      Some("""SELECT l_orderkey, l_linenumber, 'q' AS metric, '1' AS yr,
+             |  round(l_quantity, 3) AS value FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'q', '2', round(l_tax, 3) FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'p', '1', round(l_extendedprice, 3) FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'p', '2', round(l_discount, 3) FROM lineitem""".stripMargin))
   )
 }

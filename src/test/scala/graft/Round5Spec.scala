@@ -169,6 +169,30 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("meltMeasureN: value.name group at any position + multi-dim single-value form") {
+    // multi-value form, value.name group SECOND (reference allows any slot)
+    val wide = Seq((1, 10.0, 20.0, 0.1, 0.2))
+      .toDF("id", "r1_a", "r2_a", "r1_b", "r2_b")
+    val long = Reshape.meltMeasureN(wide, Seq("id"), "^(r\\d)_([ab])$",
+      Seq("region", "value.name"))
+    assert(long.columns.toSeq == Seq("id", "region", "a", "b"))
+    val rows = long.orderBy("region").collect()
+    assert(rows.map(r => (r.getString(1), r.getDouble(2), r.getDouble(3))).toSeq ==
+      Seq(("r1", 10.0, 0.1), ("r2", 20.0, 0.2)))
+
+    // single-value form with mixed types promotes (int + double → double)
+    val mixed = Seq((1, 5, 2.5)).toDF("id", "m_x", "m_y")
+    val single = Reshape.meltMeasureN(mixed, Seq("id"), "^m_([xy])$", Seq("k"))
+    assert(single.columns.toSeq == Seq("id", "k", "value"))
+    assert(single.schema("value").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(single.orderBy("k").collect().map(_.getDouble(2)).toSeq == Seq(5.0, 2.5))
+
+    intercept[IllegalArgumentException] { // group-name count mismatch
+      Reshape.meltMeasureN(wide, Seq("id"), "^(r\\d)_([ab])$", Seq("region"))
+    }
+  }
+
   // ---- dcast cube margins ----------------------------------------------
 
   test("dcastMarginsCube emits all 2^k margin blocks with consistent totals") {
