@@ -377,6 +377,15 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def uniqueN(cols: String*): Long =
     (if (cols.isEmpty) df.distinct() else df.dropDuplicates(cols.toSeq)).count()
 
+  /** uniqueN, approximate tier (HyperLogLog++, relative error ≤ `rsd`):
+    * one sketch-sized aggregate instead of a full distinct shuffle —
+    * the cardinality-estimate path for 100 TB (see Funcs.uniqueNAgg).
+    */
+  def uniqueNApprox(rsd: Double, cols: String*): Long = {
+    val keys = if (cols.nonEmpty) cols.toSeq else df.columns.toSeq
+    df.agg(approx_count_distinct(struct(keys.map(col): _*), rsd)).head().getLong(0)
+  }
+
   // ---- set ops (§2.7) --------------------------------------------------
   def funion(y: DT, all: Boolean = false): DT = DT(SetOps.funion(df, y.df, all))
   def fintersect(y: DT, all: Boolean = false): DT = DT(SetOps.fintersect(df, y.df, all))

@@ -272,6 +272,20 @@ object QueriesCore {
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS u, count(*) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- uniqueN approximate tier (exact=false knob, HLL++ sketch) ----
+    // The 100 TB cardinality path: count_distinct's expanded first-phase
+    // shuffle carries one row per distinct (group, value) pair;
+    // approx_count_distinct keeps a fixed-size register set per group.
+    // No oracle SQL on purpose: DuckDB's approx_count_distinct is a
+    // different HLL implementation, so the driver records the rows-only
+    // check; the ≤rsd error bound vs the exact tier is proven in
+    // Round5Spec.
+    ("q_uniqueN_approx", ((s, dir) =>
+      dt(s, dir, "lineitem").groupAgg(Seq(col("l_returnflag")),
+        Seq(Funcs.uniqueNAgg(col("l_partkey"), exact = false).as("u"),
+          count(lit(1)).as("n"))).df): Q,
+      None),
+
     // ---- unique() (R/duplicated.R:1) -----------------------------------
     ("q_distinct", ((s, dir) =>
       dt(s, dir, "lineitem").selectNames("l_returnflag", "l_linestatus").distinct().df): Q,

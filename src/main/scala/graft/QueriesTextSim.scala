@@ -125,6 +125,48 @@ object QueriesTextSim {
       Some(s"""SELECT d.doc_id, d.lang FROM documents d
               |WHERE d.doc_id NOT IN (SELECT idB FROM ($minhashOracle) t)""".stripMargin)),
 
+    // ---- near-dup clustering: pairs → connected components -------------
+    // Transitive closure of the candidate-pair graph via alternating
+    // large-star/small-star (O(log n) shuffle rounds). The oracle walks
+    // the same pair list with a recursive CTE: component = min reachable
+    // id — exact equality, whole pipeline adjudicated.
+    ("q_dedup_cluster", ((s, dir) => {
+      val pairs = Dedup.minhashPairsPortable(docs(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      graft.dedup.Components.connectedComponents(pairs, "idA", "idB")
+        .select(col("id").as("doc_id"), col("component"))
+    }): Q,
+      Some(s"""WITH RECURSIVE pairs AS (SELECT idA, idB FROM ($minhashOracle) t),
+              |edges AS (SELECT idA AS s, idB AS d FROM pairs
+              |          UNION SELECT idB AS s, idA AS d FROM pairs),
+              |r(id, reach) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT r.id, e.d FROM r JOIN edges e ON e.s = r.reach)
+              |SELECT id AS doc_id, min(reach) AS component
+              |FROM r GROUP BY id""".stripMargin)),
+
+    // ---- cluster-aware dedup: keep ONE representative per component ----
+    // (pair-based pruning is not transitive: on a chain A-B-C it drops
+    // both B and C; component pruning keeps exactly min(component))
+    ("q_dedup_reps", ((s, dir) => {
+      val pairs = Dedup.minhashPairsPortable(docs(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      graft.dedup.Components.keepRepresentatives(docs(s, dir), "doc_id", pairs)
+        .select(col("doc_id"), col("lang"))
+    }): Q,
+      Some(s"""WITH RECURSIVE pairs AS (SELECT idA, idB FROM ($minhashOracle) t),
+              |edges AS (SELECT idA AS s, idB AS d FROM pairs
+              |          UNION SELECT idB AS s, idA AS d FROM pairs),
+              |r(id, reach) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT r.id, e.d FROM r JOIN edges e ON e.s = r.reach)
+              |SELECT d.doc_id, d.lang FROM documents d
+              |WHERE d.doc_id NOT IN (
+              |  SELECT id FROM (SELECT id, min(reach) AS component FROM r GROUP BY id)
+              |  WHERE component <> id)""".stripMargin)),
+
     // ---- sequence packing by token budget (per-lang shards) ------------
     ("q_token_pack", ((s, dir) => {
       val n = TextFunctions.bpeishTokens(col("text"))
@@ -152,6 +194,75 @@ object QueriesTextSim {
              |FROM documents
              |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
              |  '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')))""".stripMargin)),
+
+    // ---- C4-style global unit dedup (keep first occurrence) ------------
+    // Registered at token granularity (the synthetic docs are single-
+    // line, so sep="\n" would be a no-op here); the multi-line and
+    // sentence-span cases ride the same operator and are spec-proven.
+    ("q_line_dedup", ((s, dir) =>
+      Dedup.unitDedup(docs(s, dir), "doc_id", "text", sep = "\\s+")): Q,
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ls
+             |          FROM documents),
+             |l AS (SELECT doc_id, unnest(range(0, len(ls)))::INT AS line_no,
+             |             unnest(ls) AS line FROM t),
+             |l2 AS (SELECT * FROM l WHERE length(trim(line)) > 0),
+             |f AS (SELECT line, min(doc_id) AS doc_id FROM l2 GROUP BY line)
+             |SELECT f.doc_id, min(l2.line_no)::INT AS line_no, f.line
+             |FROM f JOIN l2 ON l2.line = f.line AND l2.doc_id = f.doc_id
+             |GROUP BY f.doc_id, f.line""".stripMargin)),
+
+    // ---- per-doc survival after global unit dedup ----------------------
+    // The curation threshold signal: "drop docs that are mostly
+    // boilerplate" = n_kept/n_units below a cutoff.
+    ("q_line_dedup_stats", ((s, dir) =>
+      Dedup.unitDedupStats(docs(s, dir), "doc_id", "text", sep = "\\s+")): Q,
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ls
+             |          FROM documents),
+             |l AS (SELECT doc_id, unnest(range(0, len(ls)))::INT AS line_no,
+             |             unnest(ls) AS line FROM t),
+             |l2 AS (SELECT * FROM l WHERE length(trim(line)) > 0),
+             |f AS (SELECT line, min(doc_id) AS doc_id FROM l2 GROUP BY line),
+             |k AS (SELECT f.doc_id, min(l2.line_no)::INT AS line_no
+             |      FROM f JOIN l2 ON l2.line = f.line AND l2.doc_id = f.doc_id
+             |      GROUP BY f.doc_id, f.line)
+             |SELECT l2.doc_id, count(*) AS n_units,
+             |  CAST(sum(CASE WHEN k.line_no IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept
+             |FROM l2 LEFT JOIN k ON k.doc_id = l2.doc_id AND k.line_no = l2.line_no
+             |GROUP BY l2.doc_id""".stripMargin)),
+
+    // ---- repetition-ratio curation signals (Gopher §A2 family) ---------
+    ("q_repetition", ((s, dir) =>
+      docs(s, dir)
+        .withColumn("r", TextFunctions.repetitionFeatures(col("text"), 2))
+        .select(col("doc_id"),
+          round(col("r.dup_token_frac"), 4).as("dup_token_frac"),
+          round(col("r.dup_token_char_frac"), 4).as("dup_token_char_frac"),
+          round(col("r.dup_ngram_frac"), 4).as("dup_ngram_frac"))): Q,
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                       '\s+') AS tk
+             |  FROM documents),
+             |g AS (SELECT doc_id, tk,
+             |    CASE WHEN len(tk) >= 2
+             |         THEN list_transform(range(0, len(tk) - 1),
+             |                i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))
+             |         ELSE [] END AS gr
+             |  FROM t)
+             |SELECT doc_id,
+             |  round(CASE WHEN len(tk) > 0
+             |    THEN (len(tk) - len(list_distinct(tk)))::DOUBLE / len(tk)
+             |    ELSE 0.0 END, 4) AS dup_token_frac,
+             |  round(CASE WHEN coalesce(list_sum(list_transform(tk, x -> length(x))), 0) > 0
+             |    THEN (list_sum(list_transform(tk, x -> length(x)))
+             |          - list_sum(list_transform(list_distinct(tk), x -> length(x))))::DOUBLE
+             |         / list_sum(list_transform(tk, x -> length(x)))
+             |    ELSE 0.0 END, 4) AS dup_token_char_frac,
+             |  round(CASE WHEN len(gr) > 0
+             |    THEN (len(gr) - len(list_distinct(gr)))::DOUBLE / len(gr)
+             |    ELSE 0.0 END, 4) AS dup_ngram_frac
+             |FROM g""".stripMargin)),
 
     // ---- deterministic content-hash sampling (curation) -----------------
     // The keep/drop decision is a pure function of md5(text): stable

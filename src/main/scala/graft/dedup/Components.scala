@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the clustering
+  * step a production dedup pipeline runs after near-dup pair generation
+  * ([[Dedup.minhashPairs]] / [[Dedup.minhashPairsPortable]]): candidate
+  * pairs → components → exactly one representative kept per component.
+  * (Pair-based pruning alone is not transitive: dropping the higher id
+  * of every pair can drop BOTH of {B,C} for the chain A-B, B-C, or keep
+  * two docs that are near-dups of each other through a middleman.)
+  *
+  * Algorithm: alternating large-star / small-star rounds (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC 2014).
+  * Every round is a plain hash shuffle of the (src, dst) edge list on
+  * src — no driver-side graph, no vertex program — and the component
+  * trees flatten geometrically, so convergence is O(log n) rounds even
+  * on long chains where min-label propagation would need O(diameter)
+  * rounds. Per-round state is just the current edge list; each round
+  * ends in `localCheckpoint` to cut the growing lineage (a 10-round
+  * loop would otherwise double the plan ten times). On a real cluster
+  * prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+  * fault tolerance; localCheckpoint keeps blocks on executors.
+  *
+  * Reference has no counterpart (clusters there are a by-product of
+  * single-node grouping); this is the 100 TB shape of "group the
+  * near-dups".
+  */
+object Components {
+
+  /** (id, component) for every node of `edges`, where component is the
+    * minimum node id reachable from `id`. Nodes must be orderable (long
+    * doc ids, strings, ...); null endpoints and self-loops are dropped.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    // All nodes that appear in any edge — the original graph's node set
+    // (the star edges at convergence omit isolated roots' self-rows).
+    val nodes = e0.select(col("src").as("id"))
+      .union(e0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    var cur = e0.distinct().localCheckpoint(true)
+    var fp = fingerprint(cur)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      cur.unpersist()
+      cur = next
+      converged = nfp == fp
+      fp = nfp
+      it += 1
+    }
+
+    // At the fixpoint the edge list is a star: (v, root) for every
+    // non-root v. Roots appear only on the dst side → component = id.
+    val roots = cur.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("component"))
+    val out = nodes.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    nodes.unpersist()
+    out
+  }
+
+  /** Keep exactly one document per near-dup component: rows whose id is
+    * its component's representative (the min id), plus every row that
+    * never appeared in a candidate pair. Anti-join composition — losers
+    * never shuffle their document bodies, mirroring Dedup's prune.
+    */
+  def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame,
+                          srcCol: String = "idA", dstCol: String = "idB"): DataFrame = {
+    val losers = connectedComponents(pairs, srcCol, dstCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Large-star: every node points its LARGER neighbors at the minimum
+    * of its closed neighborhood. One window (= one hash shuffle on src)
+    * over the symmetrized edges.
+    */
+  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = least(min(col("dst")).over(Window.partitionBy("src")), col("src"))
+    sym.withColumn("m", m)
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge large→small, then point each node's
+    * SMALLER neighbors (and the node itself) at the minimum neighbor.
+    */
+  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val withMin = or.withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
+    withMin.select(col("dst").as("src"), col("m").as("dst"))
+      .union(withMin.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Order-independent edge-set fingerprint: (row count, XOR of row
+    * hashes) — XOR, not sum, so ANSI mode can't overflow; the edge list
+    * is distinct so the XOR is a sound set digest. Equal fingerprints on
+    * consecutive rounds = fixpoint. One tiny two-value aggregate job per
+    * round, over already-checkpointed data.
+    */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -230,6 +230,46 @@ object Dedup {
       .agg(collect_list(col(idCol)).as("ids"))
   }
 
+  /** C4-style global unit dedup (Raffel et al. 2020 §2.2 "we discard
+    * all but one of any three-sentence span occurring more than once"):
+    * split every document on `sep`, keep only the globally-FIRST
+    * occurrence of each distinct non-blank unit, identified by the
+    * lowest (doc, position). Returns (doc_id, line_no, line).
+    *
+    * `sep` picks the granularity: "\n" for real multi-line corpora
+    * (lines), a sentence-boundary regex for C4's spans, "\\s+" for
+    * token-level. One hash aggregation on the unit text — partial
+    * map-side combine collapses within-partition duplicates before the
+    * shuffle, and `min(struct)` is an ordinary agg (no global window
+    * anywhere), so the op scales like any groupBy.
+    */
+  def unitDedup(df: DataFrame, idCol: String, textCol: String,
+                sep: String = "\n"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), sep)).as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.line_no").as("line_no"),
+        col("line"))
+
+  /** Per-doc survival stats after [[unitDedup]]: how much of each
+    * document survives global unit dedup — the signal a curation
+    * pipeline thresholds on ("drop docs that are >80% boilerplate").
+    */
+  def unitDedupStats(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val units = df.select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), sep)).as(Seq("line_no", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val kept = unitDedup(df, idCol, textCol, sep)
+      .select(col("doc_id"), col("line_no"), lit(1).as("_kept"))
+    units.join(kept, Seq("doc_id", "line_no"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(coalesce(col("_kept"), lit(0))).as("n_kept"))
+  }
+
   /** Exact Jaccard similarity of two string-array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

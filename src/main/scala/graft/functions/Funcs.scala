@@ -77,6 +77,23 @@ object Funcs {
     if (exact) percentile(c, lit(p))
     else percentile_approx(c, lit(p), lit(accuracy))
 
+  /** Grouped distinct-count with an explicit exactness knob — the
+    * uniqueN twin of [[quantileAgg]]'s tiering.
+    *
+    * `exact=true` (the oracle path) is `count_distinct`: Spark expands
+    * it into a two-phase aggregate whose first phase keys on (group,
+    * value) — correct everywhere, but the expanded shuffle carries one
+    * row per DISTINCT (group, value) pair, and a high-cardinality
+    * column at 100 TB makes that first exchange the bottleneck.
+    *
+    * `exact=false` is `approx_count_distinct` (HyperLogLog++): a fixed
+    * ~`1.04/rsd²`-register sketch per group, one ordinary hash
+    * aggregate, relative error ≤ `rsd` — the tier a real 100 TB run
+    * should use for cardinality estimates.
+    */
+  def uniqueNAgg(c: Column, exact: Boolean = true, rsd: Double = 0.05): Column =
+    if (exact) count_distinct(c) else approx_count_distinct(c, rsd)
+
   /** %like% — regex match (R/like.R:4). */
   def like(x: Column, pattern: String): Column = x.rlike(pattern)
   /** %ilike% — case-insensitive via the (?i) flag; lowercasing the

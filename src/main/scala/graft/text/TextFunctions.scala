@@ -104,6 +104,41 @@ object TextFunctions {
       when(nTok > 0, nStop / nTok).otherwise(0.0).as("stopword_ratio"))
   }
 
+  /** Repetition-ratio feature family (Gopher §A2 / FineWeb-style
+    * curation signals): how internally repetitive a document is, over
+    * the normalized tokens. One struct column, pure array expressions —
+    * no explode, no shuffle, whole-stage-codegen'd per row.
+    *
+    *  - dup_token_frac: fraction of token OCCURRENCES beyond the first
+    *    of each distinct token;
+    *  - dup_token_char_frac: same, weighted by token length (chars in
+    *    repeated occurrences / chars in all occurrences);
+    *  - dup_ngram_frac: fraction of word n-gram occurrences beyond the
+    *    first of each distinct n-gram (n = `n`).
+    */
+  def repetitionFeatures(text: Column, n: Int = 2): Column = {
+    require(n >= 2, s"repetitionFeatures: n must be >= 2, got $n")
+    val toks = wsTokens(normalize(text))
+    val nT = size(toks).cast("double")
+    val nD = size(array_distinct(toks)).cast("double")
+    def chars(a: Column) =
+      aggregate(a, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    val cAll = chars(toks)
+    val cDis = chars(array_distinct(toks))
+    // sequence(0, k) with k < 0 generates a DESCENDING range — guard the
+    // short-doc case explicitly.
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val nG = size(grams).cast("double")
+    val nGD = size(array_distinct(grams)).cast("double")
+    struct(
+      when(nT > 0, (nT - nD) / nT).otherwise(0.0).as("dup_token_frac"),
+      when(cAll > 0, (cAll - cDis) / cAll).otherwise(0.0).as("dup_token_char_frac"),
+      when(nG > 0, (nG - nGD) / nG).otherwise(0.0).as("dup_ngram_frac"))
+  }
+
   /** Language ID by stopword-overlap heuristic: score each candidate
     * language by the fraction of tokens in its stopword list, pick the
     * argmax (ties → first in [[langs]] order). n-gram-free but O(1)
