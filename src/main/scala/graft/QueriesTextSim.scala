@@ -233,8 +233,7 @@ object QueriesTextSim {
 
     // ---- repetition-ratio curation signals (Gopher §A2 family) ---------
     ("q_repetition", ((s, dir) =>
-      docs(s, dir)
-        .withColumn("r", TextFunctions.repetitionFeatures(col("text"), 2))
+      TextFunctions.withRepetitionFeatures(docs(s, dir), "text", 2)
         .select(col("doc_id"),
           round(col("r.dup_token_frac"), 4).as("dup_token_frac"),
           round(col("r.dup_token_char_frac"), 4).as("dup_token_char_frac"),
@@ -263,6 +262,57 @@ object QueriesTextSim {
              |    THEN (len(gr) - len(list_distinct(gr)))::DOUBLE / len(gr)
              |    ELSE 0.0 END, 4) AS dup_ngram_frac
              |FROM g""".stripMargin)),
+
+    // ---- URL/email scrubbing + removal audit counts --------------------
+    // The synthetic docs carry no URLs/emails, so both are injected
+    // deterministically (same concat on both engines) — the oracle then
+    // adjudicates the actual regex replacement on real matches, not a
+    // no-op passthrough.
+    ("q_scrub", ((s, dir) => {
+      val t2 = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com via https://ex.org/p/"),
+        col("doc_id").cast("string"), lit(" end"))
+      docs(s, dir).withColumn("t2", t2)
+        .select(col("doc_id"),
+          TextFunctions.scrubUrls(TextFunctions.scrubEmails(col("t2"))).as("cleaned"),
+          TextFunctions.patternCount(col("t2"), TextFunctions.urlPattern).as("n_urls"),
+          TextFunctions.patternCount(col("t2"), TextFunctions.emailPattern).as("n_emails"))
+    }): Q,
+      Some("""WITH t AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id::VARCHAR ||
+             |  '@example.com via https://ex.org/p/' || doc_id::VARCHAR || ' end' AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    'https?://[^\s]+', '<URL>', 'g') AS cleaned,
+             |  len(regexp_extract_all(t2, 'https?://[^\s]+')) AS n_urls,
+             |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    AS n_emails
+             |FROM t""".stripMargin)),
+
+    // ---- vocabulary stats: top-k tokens per language -------------------
+    // Tokenizer-prep shape: map-side explode → partial-agg'd (lang,
+    // token) counts → one per-lang top-k window. Deterministic tiebreak
+    // on the token itself.
+    ("q_vocab_topk", ((s, dir) => {
+      val toks = docs(s, dir).select(col("lang"),
+        explode(TextFunctions.wsTokens(TextFunctions.normalize(col("text")))).as("token"))
+      val counts = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+    }): Q,
+      Some("""WITH tok AS (SELECT lang,
+             |    unnest(string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                              '\s+')) AS token
+             |  FROM documents),
+             |c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+             |SELECT lang, token, n, rk FROM (
+             |  SELECT lang, token, n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+             |  FROM c)
+             |WHERE rk <= 5""".stripMargin)),
 
     // ---- deterministic content-hash sampling (curation) -----------------
     // The keep/drop decision is a pure function of md5(text): stable

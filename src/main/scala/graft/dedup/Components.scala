@@ -86,7 +86,7 @@ object Components {
     * of its closed neighborhood. One window (= one hash shuffle on src)
     * over the symmetrized edges.
     */
-  private[dedup] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val m = least(min(col("dst")).over(Window.partitionBy("src")), col("src"))
     sym.withColumn("m", m)
@@ -98,14 +98,19 @@ object Components {
 
   /** Small-star: orient every edge large→small, then point each node's
     * SMALLER neighbors (and the node itself) at the minimum neighbor.
+    * Both emitted rows come out of ONE window pass via a map-side
+    * explode — a self-union of the windowed frame would replay the
+    * window exchange per branch.
     */
-  private[dedup] def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val or = e.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val withMin = or.withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
-    withMin.select(col("dst").as("src"), col("m").as("dst"))
-      .union(withMin.select(col("src"), col("m").as("dst")))
+    or.withColumn("m", min(col("dst")).over(Window.partitionBy("src")))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("m").as("dst")),
+        struct(col("src").as("src"), col("m").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }

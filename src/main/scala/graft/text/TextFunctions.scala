@@ -116,21 +116,28 @@ object TextFunctions {
     *  - dup_ngram_frac: fraction of word n-gram occurrences beyond the
     *    first of each distinct n-gram (n = `n`).
     */
-  def repetitionFeatures(text: Column, n: Int = 2): Column = {
-    require(n >= 2, s"repetitionFeatures: n must be >= 2, got $n")
-    val toks = wsTokens(normalize(text))
+  def repetitionFeatures(text: Column, n: Int = 2): Column =
+    repetitionFeaturesTok(wsTokens(normalize(text)), ngramsOf(wsTokens(normalize(text)), n))
+
+  /** Word n-grams of a token array. `sequence(0, k)` with k < 0
+    * generates a DESCENDING range — the short-doc case is guarded
+    * explicitly.
+    */
+  def ngramsOf(toks: Column, n: Int): Column = {
+    require(n >= 2, s"ngramsOf: n must be >= 2, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def repetitionFeaturesTok(toks: Column, grams: Column): Column = {
     val nT = size(toks).cast("double")
     val nD = size(array_distinct(toks)).cast("double")
     def chars(a: Column) =
       aggregate(a, lit(0L), (acc, t) => acc + length(t)).cast("double")
     val cAll = chars(toks)
     val cDis = chars(array_distinct(toks))
-    // sequence(0, k) with k < 0 generates a DESCENDING range — guard the
-    // short-doc case explicitly.
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
     val nG = size(grams).cast("double")
     val nGD = size(array_distinct(grams)).cast("double")
     struct(
@@ -138,6 +145,22 @@ object TextFunctions {
       when(cAll > 0, (cAll - cDis) / cAll).otherwise(0.0).as("dup_token_char_frac"),
       when(nG > 0, (nG - nGD) / nG).otherwise(0.0).as("dup_ngram_frac"))
   }
+
+  /** DataFrame-staged [[repetitionFeatures]]: materializes the token
+    * and n-gram arrays ONCE per row in their own projections before the
+    * ratios reference them. The ratio expressions use higher-order
+    * functions, which run interpreted (outside whole-stage codegen), so
+    * expression-level common-subexpression elimination never kicks in —
+    * inlined, the tokenizer would re-split the document ~15×. Catalyst's
+    * CollapseProject keeps the staging (it refuses to inline non-cheap
+    * aliases referenced more than once), which the plan spec asserts.
+    */
+  def withRepetitionFeatures(df: org.apache.spark.sql.DataFrame, textCol: String,
+                             n: Int = 2, out: String = "r"): org.apache.spark.sql.DataFrame =
+    df.withColumn("_graft_tk", wsTokens(normalize(col(textCol))))
+      .withColumn("_graft_gr", ngramsOf(col("_graft_tk"), n))
+      .withColumn(out, repetitionFeaturesTok(col("_graft_tk"), col("_graft_gr")))
+      .drop("_graft_tk", "_graft_gr")
 
   /** Language ID by stopword-overlap heuristic: score each candidate
     * language by the fraction of tokens in its stopword list, pick the
@@ -156,6 +179,33 @@ object TextFunctions {
     // array_max on structs compares field-by-field: (score, prio, lang).
     array_max(array(scores: _*)).getField("lang")
   }
+
+  // ---- scrubbing / masking (lightweight PII + markup cleaning) --------
+  // Patterns stay inside the RE2-compatible subset (no lookaround, no
+  // backreferences) so an engine-portable mirror produces identical
+  // output; both Spark's regexp_replace and DuckDB's 'g' flag replace
+  // every occurrence.
+
+  /** URL matcher: scheme://non-space. Deliberately greedy-simple — for
+    * cleaning, over-matching a trailing ')' beats under-matching.
+    */
+  val urlPattern = "https?://[^\\s]+"
+  /** Email matcher (pragmatic RFC-lite). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Replace every URL with `mask` (empty string = strip). */
+  def scrubUrls(text: Column, mask: String = "<URL>"): Column =
+    regexp_replace(text, urlPattern, mask)
+
+  /** Replace every email address with `mask`. */
+  def scrubEmails(text: Column, mask: String = "<EMAIL>"): Column =
+    regexp_replace(text, emailPattern, mask)
+
+  /** Count pattern occurrences (the audit twin of the scrub: a pipeline
+    * logs how much it removed).
+    */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 
   val stopwordsEn: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",

@@ -110,6 +110,45 @@ class Round5bSpec extends AnyFunSuite {
     assert(rep("single") == (0.0, 0.0, 0.0))
   }
 
+  test("withRepetitionFeatures matches the inline form and stages tokenization once") {
+    val df = Seq((1L, "a bb A c x x"), (2L, "q w e")).toDF("doc_id", "text")
+    def flat(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("r.dup_token_frac"), col("r.dup_token_char_frac"),
+        col("r.dup_ngram_frac"))
+    val staged = flat(TextFunctions.withRepetitionFeatures(df, "text", 2))
+    val inline = flat(df.withColumn("r", TextFunctions.repetitionFeatures(col("text"), 2)))
+    assert(staged.collect().map(_.toSeq).toSeq == inline.collect().map(_.toSeq).toSeq)
+    // the HOF ratios run interpreted (no codegen CSE): the tokenizer must
+    // stay in its own projection, not be inlined 15x by CollapseProject
+    val n = "regexp_replace".r.findAllIn(staged.queryExecution.optimizedPlan.toString).size
+    assert(n <= 2, s"tokenizer duplicated $n times — staging was collapsed")
+  }
+
+  test("largeStar/smallStar rounds cost at most two exchanges each") {
+    val e = Seq((1L, 2L), (2L, 3L), (7L, 3L)).toDF("src", "dst")
+    for ((name, star) <- Seq("largeStar" -> Components.largeStar(e),
+        "smallStar" -> Components.smallStar(e))) {
+      val plan = star.queryExecution.executedPlan.toString
+      val nEx = "Exchange".r.findAllIn(plan).size
+      assert(nEx <= 2, s"$name has $nEx exchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    }
+  }
+
+  test("scrubUrls/scrubEmails mask real matches and leave clean text alone") {
+    val df = Seq(
+      (1L, "see https://a.io/x?q=1 or mail bob.smith+x@corp.co.uk now"),
+      (2L, "no links here")).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFunctions.scrubUrls(TextFunctions.scrubEmails(col("text"))).as("c"),
+        TextFunctions.patternCount(col("text"), TextFunctions.urlPattern).as("nu"),
+        TextFunctions.patternCount(col("text"), TextFunctions.emailPattern).as("ne"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == Set(
+      (1L, "see <URL> or mail <EMAIL> now", 1, 1),
+      (2L, "no links here", 0, 0)))
+  }
+
   // ---- approx-distinct tier -------------------------------------------
 
   test("uniqueNApprox is within the HLL error envelope of the exact count") {
