@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the clustering
   * step a production dedup pipeline runs after near-dup pair generation
@@ -18,11 +19,22 @@ import org.apache.spark.sql.functions._
   * src — no driver-side graph, no vertex program — and the component
   * trees flatten geometrically, so convergence is O(log n) rounds even
   * on long chains where min-label propagation would need O(diameter)
-  * rounds. Per-round state is just the current edge list; each round
-  * ends in `localCheckpoint` to cut the growing lineage (a 10-round
-  * loop would otherwise double the plan ten times). On a real cluster
-  * prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
-  * fault tolerance; localCheckpoint keeps blocks on executors.
+  * rounds.
+  *
+  * Materialization discipline (the 100 TB part):
+  *  - the upstream edge pipeline (for near-dup use, the whole LSH
+  *    banding/bucketing/jaccard job) is evaluated EXACTLY ONCE — the
+  *    deduped edge list is persisted first and every downstream reader
+  *    (node set, every star round) reads those blocks;
+  *  - each round's edge list is persisted with its logical plan cut to
+  *    a bare scan of the materialized RDD (a 10-round loop would
+  *    otherwise double the plan ten times). A plain `persist` with the
+  *    plan cut — NOT `localCheckpoint`, whose internal blocks
+  *    `Dataset.unpersist()` cannot free — so intermediate rounds are
+  *    released eagerly as soon as the next round is materialized;
+  *  - only the first and final edge lists stay pinned (the returned
+  *    frame reads them); call [[clearCheckpoints]] when done with the
+  *    results to release those too (mirrors `Dedup.clearBases`).
   *
   * Reference has no counterpart (clusters there are a by-product of
   * single-node grouping); this is the 100 TB shape of "group the
@@ -33,40 +45,52 @@ object Components {
   /** (id, component) for every node of `edges`, where component is the
     * minimum node id reachable from `id`. Nodes must be orderable (long
     * doc ids, strings, ...); null endpoints and self-loops are dropped.
+    *
+    * Throws if the fixpoint is not reached within `maxIter` rounds —
+    * a silently-unconverged edge list would yield non-minimal labels
+    * and make [[keepRepresentatives]] drop the wrong documents. The
+    * default 25 covers any graph whose star-contraction depth is
+    * O(log n) (i.e. all of them) with a wide margin.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    // All nodes that appear in any edge — the original graph's node set
-    // (the star edges at convergence omit isolated roots' self-rows).
-    val nodes = e0.select(col("src").as("id"))
-      .union(e0.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
 
-    var cur = e0.distinct().localCheckpoint(true)
+    // The ONLY evaluation of the upstream pair pipeline.
+    val base = materialize(e0.distinct())
+    var cur = base
     var fp = fingerprint(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = materialize(smallStar(largeStar(cur)))
       val nfp = fingerprint(next)
-      cur.unpersist()
+      if (cur ne base) cur.unpersist()
       cur = next
       converged = nfp == fp
       fp = nfp
       it += 1
     }
+    if (!converged) {
+      cur.unpersist(); base.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds — " +
+          "result would be silently non-minimal; raise maxIter")
+    }
 
     // At the fixpoint the edge list is a star: (v, root) for every
     // non-root v. Roots appear only on the dst side → component = id.
+    // All nodes of the ORIGINAL graph come from the persisted base (the
+    // star list omits isolated roots' self-rows).
+    val nodes = base.select(col("src").as("id"))
+      .union(base.select(col("dst").as("id"))).distinct()
     val roots = cur.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("component"))
-    val out = nodes.join(roots, Seq("id"), "left")
+    track(base); if (cur ne base) track(cur)
+    nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-    nodes.unpersist()
-    out
   }
 
   /** Keep exactly one document per near-dup component: rows whose id is
@@ -115,11 +139,38 @@ object Components {
       .distinct()
   }
 
+  /** Evaluate `df` once into persisted blocks and return a frame whose
+    * logical plan is a bare scan of them (lineage/plan-growth cut).
+    * Unlike `localCheckpoint`, the persist is CacheManager-tracked, so
+    * `unpersist()` genuinely frees the blocks.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val m = df.sparkSession.createDataFrame(df.rdd, df.schema)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    m.count()
+    m
+  }
+
+  // The first + final edge lists of every call stay persisted (the
+  // returned frame reads them lazily). Session-scoped registry so a
+  // long-lived session can reclaim them once results are consumed.
+  private val pinned = new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def track(df: DataFrame): Unit = pinned.synchronized { pinned += df }
+
+  /** Unpersist every edge list pinned by past [[connectedComponents]]
+    * calls. Results already written/collected are unaffected; an
+    * un-evaluated result frame would recompute from the original edges.
+    */
+  def clearCheckpoints(): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist())
+    pinned.clear()
+  }
+
   /** Order-independent edge-set fingerprint: (row count, XOR of row
     * hashes) — XOR, not sum, so ANSI mode can't overflow; the edge list
     * is distinct so the XOR is a sound set digest. Equal fingerprints on
     * consecutive rounds = fixpoint. One tiny two-value aggregate job per
-    * round, over already-checkpointed data.
+    * round, over already-persisted data.
     */
   private def fingerprint(e: DataFrame): (Long, Long) = {
     val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()

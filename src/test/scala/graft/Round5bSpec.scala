@@ -58,6 +58,25 @@ class Round5bSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("connectedComponents frees intermediate round blocks; clearCheckpoints the rest") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1L to 40L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val out = Components.connectedComponents(edges.toDF("s", "d"), "s", "d")
+    assert(out.count() == 40)
+    // only the base + final edge lists may remain pinned per call
+    val during = spark.sparkContext.getPersistentRDDs.size
+    assert(during <= before + 2, s"pinned ${during - before} RDDs, expected <= 2")
+    Components.clearCheckpoints()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
+  test("connectedComponents throws rather than returning unconverged labels") {
+    val chain = (1L to 30L).sliding(2).map(s => (s(1), s.head)).toSeq
+    intercept[IllegalStateException] {
+      Components.connectedComponents(chain.toDF("s", "d"), "s", "d", maxIter = 1)
+    }
+  }
+
   test("keepRepresentatives keeps exactly one doc per component (transitive)") {
     val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     // chain 1-2-3 (pairwise prune would drop both 2 AND 3; cluster keep = {1})
