@@ -28,13 +28,16 @@ import org.apache.spark.storage.StorageLevel
   *    (node set, every star round) reads those blocks;
   *  - each round's edge list is persisted with its logical plan cut to
   *    a bare scan of the materialized RDD (a 10-round loop would
-  *    otherwise double the plan ten times). A plain `persist` with the
-  *    plan cut — NOT `localCheckpoint`, whose internal blocks
-  *    `Dataset.unpersist()` cannot free — so intermediate rounds are
-  *    released eagerly as soon as the next round is materialized;
-  *  - only the first and final edge lists stay pinned (the returned
-  *    frame reads them); call [[clearCheckpoints]] when done with the
-  *    results to release those too (mirrors `Dedup.clearBases`).
+  *    otherwise double the plan ten times), and the convergence
+  *    fingerprint is computed by the same materializing job — ONE
+  *    action per round. A plain `persist` with the plan cut — NOT
+  *    `localCheckpoint`, whose internal blocks `Dataset.unpersist()`
+  *    cannot free — so intermediate rounds are released eagerly as
+  *    soon as the next round is materialized;
+  *  - the final (id, component) labeling is materialized, memoized on
+  *    the edge plan, and every intermediate released immediately; call
+  *    [[clearCheckpoints]] when done with the results to release the
+  *    labelings too (mirrors `Dedup.clearBases`).
   *
   * Reference has no counterpart (clusters there are a by-product of
   * single-node grouping); this is the 100 TB shape of "group the
@@ -51,22 +54,34 @@ object Components {
     * and make [[keepRepresentatives]] drop the wrong documents. The
     * default 25 covers any graph whose star-contraction depth is
     * O(log n) (i.e. all of them) with a wide margin.
+    *
+    * The labeling is session-memoized on the edge plan (the
+    * `Scale.planKey` pattern): a pipeline typically reads the SAME
+    * candidate-pair list twice — once for the cluster view, once to
+    * prune to representatives — and the O(log n)-round job should run
+    * once, not per reader. [[clearCheckpoints]] drops the memo.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
+    val key = System.identityHashCode(edges.sparkSession).toString + ":" +
+      edges.queryExecution.analyzed.semanticHash().toString + ":" +
+      edges.columns.mkString(",") + ":" + srcCol + ":" + dstCol
+    memo.getOrElseUpdate(key, compute(edges, srcCol, dstCol, maxIter))
+  }
+
+  private def compute(edges: DataFrame, srcCol: String, dstCol: String,
+                      maxIter: Int): DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
 
     // The ONLY evaluation of the upstream pair pipeline.
-    val base = materialize(e0.distinct())
+    var (base, fp) = materialize(e0.distinct())
     var cur = base
-    var fp = fingerprint(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = materialize(smallStar(largeStar(cur)))
-      val nfp = fingerprint(next)
+      val (next, nfp) = materialize(smallStar(largeStar(cur)))
       if (cur ne base) cur.unpersist()
       cur = next
       converged = nfp == fp
@@ -88,9 +103,15 @@ object Components {
       .union(base.select(col("dst").as("id"))).distinct()
     val roots = cur.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("component"))
-    track(base); if (cur ne base) track(cur)
-    nodes.join(roots, Seq("id"), "left")
+    val res = nodes.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    // The labeling is materialized — the star intermediates can go now;
+    // only the (id, component) result stays pinned (until clearCheckpoints).
+    base.unpersist(); if (cur ne base) cur.unpersist()
+    track(res)
+    res
   }
 
   /** Keep exactly one document per near-dup component: rows whose id is
@@ -140,40 +161,40 @@ object Components {
   }
 
   /** Evaluate `df` once into persisted blocks and return a frame whose
-    * logical plan is a bare scan of them (lineage/plan-growth cut).
+    * logical plan is a bare scan of them (lineage/plan-growth cut),
+    * plus the edge-set fingerprint computed by that SAME materializing
+    * job (one action per round, not a count + a separate digest pass).
     * Unlike `localCheckpoint`, the persist is CacheManager-tracked, so
     * `unpersist()` genuinely frees the blocks.
+    *
+    * The fingerprint is (row count, XOR of row hashes) — XOR, not sum,
+    * so ANSI mode can't overflow; the edge list is distinct so the XOR
+    * is a sound set digest. Equal fingerprints on consecutive rounds =
+    * fixpoint.
     */
-  private def materialize(df: DataFrame): DataFrame = {
+  private def materialize(df: DataFrame): (DataFrame, (Long, Long)) = {
     val m = df.sparkSession.createDataFrame(df.rdd, df.schema)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    m.count()
-    m
+    val r = m.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+    (m, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
 
-  // The first + final edge lists of every call stay persisted (the
-  // returned frame reads them lazily). Session-scoped registry so a
-  // long-lived session can reclaim them once results are consumed.
+  // The (id, component) result of every distinct edge plan stays
+  // persisted and memoized (several pipeline stages re-read the same
+  // labeling). Session-scoped registries so a long-lived session can
+  // reclaim them once results are consumed.
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val pinned = new scala.collection.mutable.ArrayBuffer[DataFrame]
   private def track(df: DataFrame): Unit = pinned.synchronized { pinned += df }
 
-  /** Unpersist every edge list pinned by past [[connectedComponents]]
-    * calls. Results already written/collected are unaffected; an
-    * un-evaluated result frame would recompute from the original edges.
+  /** Unpersist + forget every labeling pinned by past
+    * [[connectedComponents]] calls. Results already written/collected
+    * are unaffected; an un-evaluated result frame would recompute from
+    * the original edges.
     */
   def clearCheckpoints(): Unit = pinned.synchronized {
+    memo.clear()
     pinned.foreach(_.unpersist())
     pinned.clear()
-  }
-
-  /** Order-independent edge-set fingerprint: (row count, XOR of row
-    * hashes) — XOR, not sum, so ANSI mode can't overflow; the edge list
-    * is distinct so the XOR is a sound set digest. Equal fingerprints on
-    * consecutive rounds = fixpoint. One tiny two-value aggregate job per
-    * round, over already-persisted data.
-    */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 }
