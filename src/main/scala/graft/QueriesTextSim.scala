@@ -291,6 +291,83 @@ object QueriesTextSim {
              |    AS n_emails
              |FROM t""".stripMargin)),
 
+    // ---- PII scrubbing: phone numbers + IPv4 literals ------------------
+    // Same deterministic-injection scheme as q_scrub: the synthetic
+    // corpus has no PII, so matches are appended from doc_id and the
+    // oracle adjudicates real replacements.
+    ("q_scrub_pii", ((s, dir) => {
+      val t2 = concat(col("text"), lit(" call +1 415 555 "),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.7 end"))
+      docs(s, dir).withColumn("t2", t2)
+        .select(col("doc_id"),
+          TextFunctions.scrubIps(TextFunctions.scrubPhones(col("t2"))).as("cleaned"),
+          TextFunctions.patternCount(col("t2"), TextFunctions.phonePattern).as("n_phones"),
+          TextFunctions.patternCount(col("t2"), TextFunctions.ipv4Pattern).as("n_ips"))
+    }): Q,
+      Some("""WITH t AS (SELECT doc_id,
+             |  text || ' call +1 415 555 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+             |  ' from 10.' || (doc_id % 256)::VARCHAR || '.0.7 end' AS t2
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(t2,
+             |    '\+\d{1,3}(?:[ -]?\d){6,13}\d', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS cleaned,
+             |  len(regexp_extract_all(t2, '\+\d{1,3}(?:[ -]?\d){6,13}\d')) AS n_phones,
+             |  len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+             |    AS n_ips
+             |FROM t""".stripMargin)),
+
+    // ---- per-domain corpus stats ---------------------------------------
+    // Host extraction + per-domain volume: the grouping key for domain
+    // caps and per-source quality tracking. URL injected like q_scrub.
+    ("q_domain_stats", ((s, dir) => {
+      val t2 = concat(col("text"), lit(" see https://d"),
+        pmod(col("doc_id"), lit(20)).cast("string"), lit(".example.com/p/"),
+        col("doc_id").cast("string"))
+      docs(s, dir).withColumn("t2", t2)
+        .groupBy(TextFunctions.urlHost(col("t2")).as("host"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }): Q,
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+             |  text || ' see https://d' || (doc_id % 20)::VARCHAR ||
+             |  '.example.com/p/' || doc_id::VARCHAR AS t2
+             |  FROM documents)
+             |SELECT regexp_extract(t2, 'https?://([^/\s]+)', 1) AS host,
+             |  count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+             |FROM t GROUP BY 1""".stripMargin)),
+
+    // ---- benchmark decontamination (n-gram overlap) --------------------
+    // Corpus docs sharing any word 3-gram with the "benchmark" slice
+    // (doc_id % 37 = 0 stands in for an eval suite). Benchmark grams
+    // broadcast; corpus text never shuffles — only slim (doc_id, gram)
+    // hits reach the one aggregation exchange.
+    ("q_contamination", ((s, dir) => {
+      val d = docs(s, dir)
+      graft.curate.Contamination.ngramOverlap(
+        d.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", n = 3)
+    }): Q,
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                       '\s+') AS tk
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) >= 3
+             |         THEN list_distinct(list_transform(range(0, len(tk) - 2),
+             |                i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
+             |         ELSE [] END AS gr
+             |  FROM t),
+             |bench AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 37 = 0),
+             |corpus AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 37 <> 0)
+             |SELECT c.doc_id, count(*) AS n_hits
+             |FROM corpus c JOIN bench b ON c.gram = b.gram
+             |GROUP BY 1""".stripMargin)),
+
     // ---- vocabulary stats: top-k tokens per language -------------------
     // Tokenizer-prep shape: map-side explode → partial-agg'd (lang,
     // token) counts → one per-lang top-k window. Deterministic tiebreak
@@ -390,6 +467,64 @@ object QueriesTextSim {
              |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
              |               c.vec_id ASC) AS rk
              |  FROM embeddings c, embeddings q
+             |  WHERE q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id)
+             |WHERE rk <= 5""".stripMargin)),
+
+    // ---- int8 scalar quantization of embeddings ------------------------
+    // Per-vector scale + relative L2 reconstruction error. floor(x+0.5)
+    // ties + sequential folds make the formula engine-portable
+    // term-by-term.
+    ("q_embed_quant", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("v", transform(col("embedding"), _.cast("double")))
+        .withColumn("q", Similarity.quantizeInt8(col("v")))
+      e.select(col("vec_id"),
+        round(col("q.scale"), 6).as("scale"),
+        round(Similarity.quantError(col("v"), col("q")), 5).as("rel_err"))
+    }): Q,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+             |qz AS (SELECT vec_id, v, scale,
+             |        CASE WHEN scale > 0
+             |             THEN list_transform(v, x -> greatest(least(floor(x / scale + 0.5), 127.0), -127.0))
+             |             ELSE list_transform(v, x -> 0.0) END AS code
+             |       FROM s)
+             |SELECT vec_id, round(scale, 6) AS scale,
+             |  round(CASE WHEN list_sum(list_transform(v, x -> x * x)) > 0
+             |    THEN sqrt(list_sum(list_transform(range(1, len(v) + 1),
+             |           i -> (v[i] - code[i] * scale) * (v[i] - code[i] * scale)))
+             |         / list_sum(list_transform(v, x -> x * x)))
+             |    ELSE 0.0 END, 5) AS rel_err
+             |FROM qz""".stripMargin)),
+
+    // ---- top-k search over the QUANTIZED tier --------------------------
+    // Same shape as q_embed_topk but both sides reconstructed from int8
+    // codes — proves search quality survives the compression the 100 TB
+    // store would actually serve from.
+    ("q_ann_quant_topk", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("v", transform(col("embedding"), _.cast("double")))
+        .withColumn("v", Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))))
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.bruteForceTopK(e, queries, "vec_id", "v", k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 3).as("sim"),
+          col("rk"))
+    }): Q,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+             |dq AS (SELECT vec_id,
+             |        CASE WHEN scale > 0
+             |             THEN list_transform(v, x -> greatest(least(floor(x / scale + 0.5), 127.0), -127.0) * scale)
+             |             ELSE list_transform(v, x -> 0.0) END AS v
+             |       FROM s)
+             |SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    list_cosine_similarity(c.v, q.v) AS sim,
+             |    row_number() OVER (PARTITION BY q.vec_id
+             |      ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC) AS rk
+             |  FROM dq c, dq q
              |  WHERE q.vec_id IN (0, 1, 2) AND c.vec_id <> q.vec_id)
              |WHERE rk <= 5""".stripMargin)),
 

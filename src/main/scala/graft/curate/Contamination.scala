@@ -1,0 +1,73 @@
+package graft.curate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Benchmark decontamination: find training documents that share word
+  * n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+  * PaLM-style "13-gram overlap" check). A training corpus that
+  * contains eval items inflates downstream scores, so every serious
+  * pipeline runs this before training.
+  *
+  * Shape at 100 TB: the benchmark side is always small (eval suites
+  * are thousands of documents, not billions), so its distinct-gram set
+  * is broadcast and the corpus side never shuffles its text — each
+  * corpus partition explodes to slim (doc_id, gram) rows, hash-joins
+  * against the broadcast gram set map-side, and only the surviving
+  * hits reach the one aggregation exchange keyed on doc_id.
+  *
+  * No reference counterpart (data.table has no text pipeline); the
+  * n-gram definition reuses [[TextFunctions.ngramsOf]] over
+  * whitespace tokens of the normalized text, matching the repetition
+  * and Jaccard operators.
+  */
+object Contamination {
+
+  /** Slim (doc_id, gram) pairs: DISTINCT word n-grams per document. */
+  private def grams(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.ngramsOf(
+          TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))), n)))
+          .as("gram"))
+
+  /** Per corpus document: how many distinct benchmark n-grams it
+    * contains (`n_hits`). Documents with zero overlap are absent —
+    * compose with a left anti join to KEEP the clean ones, or with
+    * [[contaminated]] to list ids above a threshold.
+    *
+    * `broadcastBench=false` opts out of the broadcast for the rare
+    * giant-benchmark case; the join then shuffles both slim gram
+    * lists on the gram hash.
+    */
+  def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, n: Int = 13,
+                   broadcastBench: Boolean = true): DataFrame = {
+    val bg0 = grams(bench, idCol, textCol, n).select(col("gram")).distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    grams(corpus, idCol, textCol, n)
+      .join(bg, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
+  }
+
+  /** Ids of corpus documents sharing at least `minHits` distinct
+    * n-grams with the benchmark — the drop list.
+    */
+  def contaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, n: Int = 13, minHits: Int = 1,
+                   broadcastBench: Boolean = true): DataFrame =
+    ngramOverlap(corpus, bench, idCol, textCol, n, broadcastBench)
+      .filter(col("n_hits") >= minHits)
+      .select(col("doc_id").as(idCol))
+
+  /** The corpus with contaminated documents removed (anti join — the
+    * kept side's text never shuffles).
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 13, minHits: Int = 1): DataFrame =
+    corpus.join(contaminated(corpus, bench, idCol, textCol, n, minHits),
+      Seq(idCol), "left_anti")
+}

@@ -260,4 +260,45 @@ object Similarity {
       })
     df.withColumn("ivf_cell", best.getField("cid"))
   }
+
+  // ---- int8 scalar quantization (embedding compression) ---------------
+
+  /** Per-vector symmetric int8 quantization of a double-array column:
+    * scale = max|x| / 127, code_i = clamp(floor(x_i/scale + 0.5), ±127).
+    * Returns struct(scale: double, code: array<int>) — 4 bytes + dim
+    * bytes on the wire instead of 8·dim, the standard first compression
+    * tier for a 100 TB embedding store (the vectors dominate the bytes;
+    * ints also dictionary/RLE-compress far better in Parquet).
+    *
+    * floor(x+0.5) (not round()) so the Spark and oracle sides share one
+    * exactly-specified tie rule; an all-zero vector gets scale=0 and an
+    * all-zero code.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x))) / lit(127.0)
+    val code = when(scale > 0,
+      transform(vec, x =>
+        greatest(least(floor(x / scale + lit(0.5)), lit(127.0)), lit(-127.0))
+          .cast("int")))
+      .otherwise(transform(vec, _ => lit(0)))
+    struct(scale.as("scale"), code.as("code"))
+  }
+
+  /** Reconstruct the double vector from a [[quantizeInt8]] struct. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("code"), c => c.cast("double") * q.getField("scale"))
+
+  /** Relative L2 reconstruction error of the quantization:
+    * ||x - x̂|| / ||x|| (0 for the all-zero vector). The quality gauge a
+    * pipeline thresholds on before switching search to the compressed
+    * tier. Sequential left-to-right folds, so an engine mirroring the
+    * formula term-by-term reproduces the value bit-for-bit.
+    */
+  def quantError(vec: Column, q: Column): Column = {
+    val dq = dequantizeInt8(q)
+    val num = aggregate(zip_with(vec, dq, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val den = aggregate(transform(vec, x => x * x), lit(0.0), (acc, x) => acc + x)
+    when(den > 0, sqrt(num / den)).otherwise(lit(0.0))
+  }
 }

@@ -207,6 +207,31 @@ object TextFunctions {
   def patternCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** IPv4 literal (word-bounded dotted quad; over-matches out-of-range
+    * octets like 999.1.1.1 — for scrubbing, over-matching is the safe
+    * direction).
+    */
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** International phone number: +CC then 7-14 digits with optional
+    * single space/dash separators (pragmatic E.164-lite).
+    */
+  val phonePattern = "\\+\\d{1,3}(?:[ -]?\\d){6,13}\\d"
+
+  /** Replace every IPv4 literal with `mask`. */
+  def scrubIps(text: Column, mask: String = "<IP>"): Column =
+    regexp_replace(text, ipv4Pattern, mask)
+
+  /** Replace every international phone number with `mask`. */
+  def scrubPhones(text: Column, mask: String = "<PHONE>"): Column =
+    regexp_replace(text, phonePattern, mask)
+
+  /** Host part of the FIRST URL in the text ("" if none) — the key a
+    * curation pipeline aggregates by for per-domain quality/volume
+    * stats and domain-cap sampling.
+    */
+  def urlHost(text: Column): Column =
+    regexp_extract(text, "https?://([^/\\s]+)", 1)
+
   val stopwordsEn: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "be", "this", "are", "was",

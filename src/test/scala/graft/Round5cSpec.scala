@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curate.Contamination
+import graft.sim.Similarity
+import graft.text.TextFunctions
+
+/** Round-5 session 3: benchmark decontamination, int8 embedding
+  * quantization, phone/IP scrubbing, per-domain host extraction.
+  */
+class Round5cSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- contamination ---------------------------------------------------
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "completely unrelated text with no shared phrases here"),
+    (3L, "quick brown fox is a common pangram fragment"),
+    (4L, "short doc")).toDF("doc_id", "text")
+  private lazy val bench = Seq(
+    (100L, "THE QUICK BROWN FOX appears in this benchmark item"),
+    (101L, "another eval question entirely")).toDF("doc_id", "text")
+
+  test("ngramOverlap counts distinct shared n-grams, case/space-insensitive") {
+    val got = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    // "quick brown fox"; docs 2 and 4 share nothing (4 is below n).
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("decontaminate drops exactly the overlapping docs; minHits raises the bar") {
+    val kept = Contamination.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    val kept2 = Contamination.decontaminate(corpus, bench, "doc_id", "text",
+      n = 3, minHits = 2).select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(2L, 3L, 4L))
+  }
+
+  test("ngramOverlap broadcast and shuffle tiers agree; broadcast tier plans a broadcast join") {
+    val b = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", n = 2)
+    val s = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", n = 2,
+      broadcastBench = false)
+    assert(b.collect().toSet == s.collect().toSet)
+    val plan = b.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join for the bench grams, got:\n$plan")
+  }
+
+  // ---- int8 quantization ----------------------------------------------
+
+  private lazy val vecs = Seq(
+    (0L, Seq(0.5, -1.0, 0.25, 0.0)),
+    (1L, Seq(0.0, 0.0, 0.0, 0.0)),          // all-zero: scale 0, no NaN
+    (2L, Seq(1e-8, -1e-8, 5e-9, 0.0)),      // tiny magnitudes
+    (3L, (1 to 64).map(i => math.sin(i.toDouble)).toSeq))
+    .toDF("vec_id", "v")
+
+  test("quantizeInt8: codes bounded, max|x| maps to ±127, zero vector stays zero") {
+    val q = vecs.withColumn("q", Similarity.quantizeInt8(col("v")))
+      .select(col("vec_id"), col("q.scale").as("scale"), col("q.code").as("code"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    q.values.foreach { case (_, code) =>
+      assert(code.forall(c => c >= -127 && c <= 127)) }
+    assert(q(0L)._2 == Seq(64, -127, 32, 0)) // scale = 1/127
+    assert(q(1L)._1 == 0.0 && q(1L)._2.forall(_ == 0))
+    assert(q(2L)._2.max == 127 || q(2L)._2.min == -127) // tiny but scaled
+  }
+
+  test("quantError ≤ half-step bound and 0 for the zero vector") {
+    val e = vecs.withColumn("q", Similarity.quantizeInt8(col("v")))
+      .select(col("vec_id"),
+        Similarity.quantError(col("v"), col("q")).as("err"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(e(1L) == 0.0)
+    // per-component error ≤ scale/2 = max|x|/254 → relative L2 error is
+    // ≤ (scale/2)·sqrt(dim)/||x||; for these fixtures far under 5%
+    e.filterKeys(_ != 1L).values.foreach(v => assert(v >= 0 && v < 0.05, v))
+  }
+
+  test("dequantizeInt8 round-trips within one quantization step per component") {
+    val rows = vecs.withColumn("q", Similarity.quantizeInt8(col("v")))
+      .select(col("v"), Similarity.dequantizeInt8(col("q")).as("dq"),
+        col("q.scale").as("scale"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0); val dq = r.getSeq[Double](1)
+      val scale = r.getDouble(2)
+      v.zip(dq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-15, s"$a vs $b (scale $scale)") }
+    }
+  }
+
+  // ---- PII scrubbing + host extraction --------------------------------
+
+  test("phone and IP scrubbing mask the matches and only the matches") {
+    val df = Seq(
+      "call +1 415 555 0123 or +44-20-7946-0958 now",
+      "server at 10.0.3.77 and 192.168.1.1, version 1.2 unaffected",
+      "no pii here, just +steve and 1.2.3 partial").toDF("t")
+    val got = df.select(
+      TextFunctions.scrubIps(TextFunctions.scrubPhones(col("t"))).as("c"))
+      .as[String].collect()
+    assert(got(0) == "call <PHONE> or <PHONE> now")
+    assert(got(1) == "server at <IP> and <IP>, version 1.2 unaffected")
+    assert(got(2) == "no pii here, just +steve and 1.2.3 partial")
+  }
+
+  test("urlHost extracts the first URL's host, empty when absent") {
+    val got = Seq(
+      "see https://sub.example.com/path?q=1 and http://other.org/x",
+      "no links at all").toDF("t")
+      .select(TextFunctions.urlHost(col("t")).as("h")).as[String].collect()
+    assert(got(0) == "sub.example.com")
+    assert(got(1) == "")
+  }
+}
