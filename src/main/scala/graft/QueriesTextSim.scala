@@ -338,6 +338,83 @@ object QueriesTextSim {
              |  count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
              |FROM t GROUP BY 1""".stripMargin)),
 
+    // ---- domain caps: at most N docs per host --------------------------
+    // C4-style anti-domination: survivors chosen by content hash
+    // (deterministic, order-independent), doc_id tiebreak.
+    ("q_domain_cap", ((s, dir) => {
+      val host = concat(lit("d"), pmod(col("doc_id"), lit(20)).cast("string"),
+        lit(".example.com"))
+      graft.curate.Sampling.capPerKey(
+        docs(s, dir).withColumn("host", host),
+        col("host"), col("text"), 10, col("doc_id"))
+        .select(col("doc_id"), col("host"))
+    }): Q,
+      Some("""WITH t AS (SELECT doc_id, text,
+             |  'd' || (doc_id % 20)::VARCHAR || '.example.com' AS host
+             |  FROM documents)
+             |SELECT doc_id, host FROM (
+             |  SELECT doc_id, host,
+             |    row_number() OVER (PARTITION BY host
+             |      ORDER BY ('0x'||substr(md5(coalesce(text,'')),1,15))::BIGINT ASC,
+             |               doc_id ASC) AS rk
+             |  FROM t) WHERE rk <= 10""".stripMargin)),
+
+    // ---- composed Gopher-style quality filter --------------------------
+    // keep + comma-joined failure reasons; '#' runs injected from
+    // doc_id so the symbol rule fires on a deterministic subset.
+    // Thresholds tuned to the synthetic corpus so every branch of the
+    // rule set is exercised (167 keeps, 6 distinct reason combos).
+    ("q_quality_filter", ((s, dir) => {
+      val t2 = concat(col("text"), lit(" "),
+        expr("repeat('#', CAST(doc_id % 9 AS INT))"))
+      docs(s, dir).withColumn("t2", t2)
+        .withColumn("f", TextFunctions.gopherFilter(col("t2"), minTokens = 30,
+          maxTokens = 100000, minMeanLen = 3.0, maxMeanLen = 4.5,
+          maxSymbolRatio = 0.1, minAlphaRatio = 0.8, minStopwords = 1))
+        .select(col("doc_id"), col("f.keep").as("keep"),
+          col("f.reasons").as("reasons"))
+    }): Q,
+      Some("""WITH d2 AS (SELECT doc_id,
+             |    text || ' ' || repeat('#', (doc_id % 9)::INT) AS text
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id, text,
+             |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                       '\s+') AS tk
+             |  FROM d2),
+             |f AS (
+             |  SELECT doc_id,
+             |    len(tk)::DOUBLE AS n_tok,
+             |    CASE WHEN len(tk) > 0
+             |      THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+             |      ELSE 0.0 END AS mean_len,
+             |    CASE WHEN len(tk) > 0 THEN
+             |      ((length(text) - length(replace(text, '#', ''))) +
+             |       len(regexp_extract_all(text, '\.\.\.')))::DOUBLE / len(tk)
+             |      ELSE 0.0 END AS symbol_ratio,
+             |    CASE WHEN len(tk) > 0
+             |      THEN len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(tk)
+             |      ELSE 0.0 END AS alpha_ratio,
+             |    len(list_intersect(list_distinct(tk),
+             |        ['the','be','to','of','and','that','have','with'])) AS n_stop
+             |  FROM t)
+             |SELECT doc_id,
+             |  (len(list_filter([
+             |     CASE WHEN n_tok < 30 OR n_tok > 100000 THEN 'tokens' ELSE NULL END,
+             |     CASE WHEN mean_len < 3.0 OR mean_len > 4.5 THEN 'wordlen' ELSE NULL END,
+             |     CASE WHEN symbol_ratio > 0.1 THEN 'symbol' ELSE NULL END,
+             |     CASE WHEN alpha_ratio < 0.8 THEN 'alpha' ELSE NULL END,
+             |     CASE WHEN n_stop < 1 THEN 'stopword' ELSE NULL END],
+             |     x -> x IS NOT NULL)) = 0) AS keep,
+             |  coalesce(array_to_string(list_filter([
+             |     CASE WHEN n_tok < 30 OR n_tok > 100000 THEN 'tokens' ELSE NULL END,
+             |     CASE WHEN mean_len < 3.0 OR mean_len > 4.5 THEN 'wordlen' ELSE NULL END,
+             |     CASE WHEN symbol_ratio > 0.1 THEN 'symbol' ELSE NULL END,
+             |     CASE WHEN alpha_ratio < 0.8 THEN 'alpha' ELSE NULL END,
+             |     CASE WHEN n_stop < 1 THEN 'stopword' ELSE NULL END],
+             |     x -> x IS NOT NULL), ','), '') AS reasons
+             |FROM f""".stripMargin)),
+
     // ---- benchmark decontamination (n-gram overlap) --------------------
     // Corpus docs sharing any word 3-gram with the "benchmark" slice
     // (doc_id % 37 = 0 stands in for an eval suite). Benchmark grams

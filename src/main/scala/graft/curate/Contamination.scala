@@ -25,13 +25,21 @@ import graft.text.TextFunctions
   */
 object Contamination {
 
-  /** Slim (doc_id, gram) pairs: DISTINCT word n-grams per document. */
+  /** Slim (doc_id, gram) pairs: DISTINCT word n-grams per document.
+    * `hashed=true` replaces each gram string with its xxhash64 — at
+    * n=13 a gram is ~80 bytes of text vs 8 bytes of hash, so hashing
+    * cuts the broadcast and the exploded corpus volume ~10×; a false
+    * hit needs a 64-bit collision against the benchmark set (~2⁻⁶⁴ per
+    * pair — negligible next to the n-gram heuristic itself).
+    */
   private def grams(df: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextFunctions.ngramsOf(
-          TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))), n)))
-          .as("gram"))
+                    n: Int, hashed: Boolean): DataFrame = {
+    val g = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFunctions.ngramsOf(
+        TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))), n)))
+        .as("gram"))
+    if (hashed) g.select(col("doc_id"), xxhash64(col("gram")).as("gram")) else g
+  }
 
   /** Per corpus document: how many distinct benchmark n-grams it
     * contains (`n_hits`). Documents with zero overlap are absent —
@@ -40,14 +48,20 @@ object Contamination {
     *
     * `broadcastBench=false` opts out of the broadcast for the rare
     * giant-benchmark case; the join then shuffles both slim gram
-    * lists on the gram hash.
+    * lists on the gram hash. `hashGrams=true` joins on xxhash64(gram)
+    * instead of the gram text — the production tier at n=13 (~10×
+    * smaller broadcast + corpus explode; see [[grams]]) — and is kept
+    * off the oracle path only because the oracle engine has no
+    * xxhash64 mirror.
     */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int = 13,
-                   broadcastBench: Boolean = true): DataFrame = {
-    val bg0 = grams(bench, idCol, textCol, n).select(col("gram")).distinct()
+                   broadcastBench: Boolean = true,
+                   hashGrams: Boolean = false): DataFrame = {
+    val bg0 = grams(bench, idCol, textCol, n, hashGrams)
+      .select(col("gram")).distinct()
     val bg = if (broadcastBench) broadcast(bg0) else bg0
-    grams(corpus, idCol, textCol, n)
+    grams(corpus, idCol, textCol, n, hashGrams)
       .join(bg, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
@@ -58,8 +72,9 @@ object Contamination {
     */
   def contaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int = 13, minHits: Int = 1,
-                   broadcastBench: Boolean = true): DataFrame =
-    ngramOverlap(corpus, bench, idCol, textCol, n, broadcastBench)
+                   broadcastBench: Boolean = true,
+                   hashGrams: Boolean = false): DataFrame =
+    ngramOverlap(corpus, bench, idCol, textCol, n, broadcastBench, hashGrams)
       .filter(col("n_hits") >= minHits)
       .select(col("doc_id").as(idCol))
 
@@ -67,7 +82,10 @@ object Contamination {
     * kept side's text never shuffles).
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 13, minHits: Int = 1): DataFrame =
-    corpus.join(contaminated(corpus, bench, idCol, textCol, n, minHits),
+                    textCol: String, n: Int = 13, minHits: Int = 1,
+                    hashGrams: Boolean = false): DataFrame =
+    corpus.join(
+      contaminated(corpus, bench, idCol, textCol, n, minHits,
+        broadcastBench = true, hashGrams = hashGrams),
       Seq(idCol), "left_anti")
 }

@@ -59,4 +59,24 @@ object Sampling {
       .filter(contentId(key) % denom < col("_graft_thr"))
       .drop("_graft_thr")
   }
+
+  /** Keep at most `n` rows per key (C4-style domain caps: no single
+    * host dominates the corpus). Survivors are chosen by content hash
+    * — deterministic across runs/partitionings, and unbiased w.r.t.
+    * row order — with `tiebreak` disambiguating equal hashes.
+    *
+    * One hash shuffle on the key. Key cardinality is high (domains) so
+    * the exchange is balanced; a single pathological mega-key costs
+    * one task sorting that key's rows, which the partial top-n
+    * window-group optimization in Spark ≥3.5 bounds when `n` is small.
+    */
+  def capPerKey(df: DataFrame, key: Column, sortKey: Column, n: Int,
+                tiebreak: Column): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(contentId(sortKey).asc, tiebreak.asc)
+    df.withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") <= n)
+      .drop("_graft_rk")
+  }
 }

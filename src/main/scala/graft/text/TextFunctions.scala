@@ -162,6 +162,69 @@ object TextFunctions {
       .withColumn(out, repetitionFeaturesTok(col("_graft_tk"), col("_graft_gr")))
       .drop("_graft_tk", "_graft_gr")
 
+  /** Gopher-style document quality filter (Rae et al. 2021 §A1.1,
+    * FineWeb variants): five engine-portable rules over the normalized
+    * tokens, returning struct(keep: boolean, reasons: string) where
+    * `reasons` is the comma-joined list of failed rules in a fixed
+    * order ("" when kept). A curation pipeline filters on `keep` and
+    * aggregates `reasons` for its drop-audit report.
+    *
+    * Rules (all thresholds are parameters):
+    *  - tokens:   n_tokens in [minTokens, maxTokens]
+    *  - wordlen:  mean token length in [minMeanLen, maxMeanLen]
+    *  - symbol:   ('#' chars + "..." runs) / n_tokens <= maxSymbolRatio
+    *  - alpha:    fraction of tokens containing a letter >= minAlphaRatio
+    *  - stopword: >= minStopwords DISTINCT tokens from an 8-word list
+    *    (the Gopher stopword rule uses a tiny fixed list, not the full
+    *    langid inventory)
+    *
+    * Zero-shuffle per-row expressions. Use the same DataFrame-staged
+    * tokenization trick as [[withRepetitionFeatures]] when composing
+    * with other token consumers.
+    */
+  def gopherFilter(text: Column, minTokens: Int = 50, maxTokens: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                   minStopwords: Int = 2): Column = {
+    val toks = wsTokens(normalize(text))
+    gopherFilterTok(toks, text, minTokens, maxTokens, minMeanLen, maxMeanLen,
+      maxSymbolRatio, minAlphaRatio, minStopwords)
+  }
+
+  /** [[gopherFilter]] over a pre-materialized token array (staged form:
+    * tokenize once, feed every consumer).
+    */
+  def gopherFilterTok(toks: Column, text: Column, minTokens: Int,
+                      maxTokens: Int, minMeanLen: Double, maxMeanLen: Double,
+                      maxSymbolRatio: Double, minAlphaRatio: Double,
+                      minStopwords: Int): Column = {
+    val nTok = size(toks).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    val meanLen = when(nTok > 0, sumLen / nTok).otherwise(0.0)
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val nEllipsis = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("double")
+    val symbolRatio = when(nTok > 0, (nHash + nEllipsis) / nTok).otherwise(0.0)
+    val alphaRatio = when(nTok > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nTok).otherwise(0.0)
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(gopherStops.map(lit): _*)))
+    val fails = concat(
+      when(nTok < minTokens || nTok > maxTokens, array(lit("tokens")))
+        .otherwise(array().cast("array<string>")),
+      when(meanLen < minMeanLen || meanLen > maxMeanLen, array(lit("wordlen")))
+        .otherwise(array().cast("array<string>")),
+      when(symbolRatio > maxSymbolRatio, array(lit("symbol")))
+        .otherwise(array().cast("array<string>")),
+      when(alphaRatio < minAlphaRatio, array(lit("alpha")))
+        .otherwise(array().cast("array<string>")),
+      when(nStop < minStopwords, array(lit("stopword")))
+        .otherwise(array().cast("array<string>")))
+    struct(
+      (size(fails) === 0).as("keep"),
+      array_join(fails, ",").as("reasons"))
+  }
+
   /** Language ID by stopword-overlap heuristic: score each candidate
     * language by the fraction of tokens in its stopword list, pick the
     * argmax (ties → first in [[langs]] order). n-gram-free but O(1)

@@ -52,6 +52,62 @@ class Round5cSpec extends AnyFunSuite {
       s"expected a broadcast join for the bench grams, got:\n$plan")
   }
 
+  test("ngramOverlap hashed tier agrees with the exact-string tier") {
+    val exact = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", n = 2)
+    val hashed = Contamination.ngramOverlap(corpus, bench, "doc_id", "text",
+      n = 2, hashGrams = true)
+    assert(exact.collect().toSet == hashed.collect().toSet)
+  }
+
+  // ---- domain caps -----------------------------------------------------
+
+  test("capPerKey keeps at most n per key, deterministically across reorderings") {
+    val df = (1L to 100L).map(i => (s"h${i % 3}", i, s"content $i"))
+      .toDF("host", "id", "text")
+    val kept = graft.curate.Sampling.capPerKey(df, col("host"), col("text"),
+      7, col("id"))
+    val byHost = kept.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost.values.forall(_ == 7L) && byHost.size == 3)
+    // survivors are a pure function of content, not input order
+    val kept2 = graft.curate.Sampling.capPerKey(df.orderBy(col("id").desc),
+      col("host"), col("text"), 7, col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == kept.select("id").as[Long].collect().toSet)
+    // a key with fewer rows than the cap keeps all of them
+    val small = graft.curate.Sampling.capPerKey(df.limit(4), col("host"),
+      col("text"), 7, col("id"))
+    assert(small.count() == 4)
+  }
+
+  // ---- gopher quality filter ------------------------------------------
+
+  test("gopherFilter fails the right rules with the right reason labels") {
+    val good = ("the data of this corpus and that table have rows with " +
+      "columns and each row should be long enough to pass the filters " +
+      "easily because it keeps plain english words flowing onward " +
+      "nicely for the whole test document here today") // >30 toks, stopwords
+    val rows = Seq(
+      (1L, good),
+      (2L, "short doc with the word"),                       // tokens only
+                                                             // ("with"+"the" satisfy minStopwords=2)
+      (3L, good + " ################################"),      // symbol
+      (4L, (1 to 40).map(i => s"word$i plain text token").mkString(" ")), // stopword
+                                                             // (no gopher stopwords at all)
+      (5L, (1 to 40).map(_ => "12345").mkString(" ")))       // alpha+stopword
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextFunctions.gopherFilter(col("text"), minTokens = 30,
+          maxMeanLen = 10.0, minStopwords = 2).as("f"))
+      .select(col("doc_id"), col("f.keep"), col("f.reasons"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) == ((true, "")))
+    assert(got(2L) == ((false, "tokens")))
+    assert(got(3L)._2.contains("symbol"))
+    assert(got(4L)._2 == "stopword")
+    assert(got(5L)._2.contains("alpha") && got(5L)._2.contains("stopword"))
+  }
+
   // ---- int8 quantization ----------------------------------------------
 
   private lazy val vecs = Seq(
