@@ -367,10 +367,10 @@ object QueriesTextSim {
     ("q_quality_filter", ((s, dir) => {
       val t2 = concat(col("text"), lit(" "),
         expr("repeat('#', CAST(doc_id % 9 AS INT))"))
-      docs(s, dir).withColumn("t2", t2)
-        .withColumn("f", TextFunctions.gopherFilter(col("t2"), minTokens = 30,
-          maxTokens = 100000, minMeanLen = 3.0, maxMeanLen = 4.5,
-          maxSymbolRatio = 0.1, minAlphaRatio = 0.8, minStopwords = 1))
+      TextFunctions.withGopherFilter(docs(s, dir).withColumn("t2", t2), "t2",
+          minTokens = 30, maxTokens = 100000, minMeanLen = 3.0,
+          maxMeanLen = 4.5, maxSymbolRatio = 0.1, minAlphaRatio = 0.8,
+          minStopwords = 1)
         .select(col("doc_id"), col("f.keep").as("keep"),
           col("f.reasons").as("reasons"))
     }): Q,

@@ -225,6 +225,23 @@ object TextFunctions {
       array_join(fails, ",").as("reasons"))
   }
 
+  /** DataFrame-staged [[gopherFilter]]: materializes the token array
+    * ONCE per row before the rules reference it (~4 references; same
+    * no-CSE-for-interpreted-HOFs reason as
+    * [[withRepetitionFeatures]] — CollapseProject keeps the staging).
+    */
+  def withGopherFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       minTokens: Int = 50, maxTokens: Int = 100000,
+                       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                       maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+                       minStopwords: Int = 2,
+                       out: String = "f"): org.apache.spark.sql.DataFrame =
+    df.withColumn("_graft_tk", wsTokens(normalize(col(textCol))))
+      .withColumn(out, gopherFilterTok(col("_graft_tk"), col(textCol),
+        minTokens, maxTokens, minMeanLen, maxMeanLen, maxSymbolRatio,
+        minAlphaRatio, minStopwords))
+      .drop("_graft_tk")
+
   /** Language ID by stopword-overlap heuristic: score each candidate
     * language by the fraction of tokens in its stopword list, pick the
     * argmax (ties → first in [[langs]] order). n-gram-free but O(1)

@@ -108,6 +108,22 @@ class Round5cSpec extends AnyFunSuite {
     assert(got(5L)._2.contains("alpha") && got(5L)._2.contains("stopword"))
   }
 
+  test("withGopherFilter stages the tokenizer once and matches the inline form") {
+    val df = Seq((1L, "the data and that table have rows with text of words be"),
+      (2L, "xx yy zz")).toDF("doc_id", "text")
+    val staged = TextFunctions.withGopherFilter(df, "text", minTokens = 5)
+      .select(col("doc_id"), col("f.keep"), col("f.reasons"))
+    val inline = df.select(col("doc_id"),
+        TextFunctions.gopherFilter(col("text"), minTokens = 5).as("f"))
+      .select(col("doc_id"), col("f.keep"), col("f.reasons"))
+    assert(staged.collect().toSeq == inline.collect().toSeq)
+    val n = "regexp_replace".r.findAllIn(
+      staged.queryExecution.optimizedPlan.toString).size
+    // normalize appears once in the staged token column + once for the
+    // raw-text symbol rule
+    assert(n <= 3, s"tokenizer duplicated $n times — staging was collapsed")
+  }
+
   // ---- int8 quantization ----------------------------------------------
 
   private lazy val vecs = Seq(
