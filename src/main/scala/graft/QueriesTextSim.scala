@@ -552,9 +552,9 @@ object QueriesTextSim {
     // ties + sequential folds make the formula engine-portable
     // term-by-term.
     ("q_embed_quant", ((s, dir) => {
-      val e = emb(s, dir)
-        .withColumn("v", transform(col("embedding"), _.cast("double")))
-        .withColumn("q", Similarity.quantizeInt8(col("v")))
+      val e = Similarity.withQuantizedInt8(
+        emb(s, dir).withColumn("v", transform(col("embedding"), _.cast("double"))),
+        "v")
       e.select(col("vec_id"),
         round(col("q.scale"), 6).as("scale"),
         round(Similarity.quantError(col("v"), col("q")), 5).as("rel_err"))
@@ -580,9 +580,10 @@ object QueriesTextSim {
     // codes — proves search quality survives the compression the 100 TB
     // store would actually serve from.
     ("q_ann_quant_topk", ((s, dir) => {
-      val e = emb(s, dir)
-        .withColumn("v", transform(col("embedding"), _.cast("double")))
-        .withColumn("v", Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))))
+      val e = Similarity.withQuantizedInt8(
+          emb(s, dir).withColumn("v", transform(col("embedding"), _.cast("double"))),
+          "v")
+        .withColumn("v", Similarity.dequantizeInt8(col("q"))).drop("q")
       val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
       Similarity.bruteForceTopK(e, queries, "vec_id", "v", k = 5)
         .select(col("query_id"), col("neighbor_id"), round(col("sim"), 3).as("sim"),

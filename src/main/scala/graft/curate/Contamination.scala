@@ -63,7 +63,7 @@ object Contamination {
     val bg = if (broadcastBench) broadcast(bg0) else bg0
     grams(corpus, idCol, textCol, n, hashGrams)
       .join(bg, Seq("gram"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id").as(idCol))
       .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
   }
 
@@ -76,16 +76,17 @@ object Contamination {
                    hashGrams: Boolean = false): DataFrame =
     ngramOverlap(corpus, bench, idCol, textCol, n, broadcastBench, hashGrams)
       .filter(col("n_hits") >= minHits)
-      .select(col("doc_id").as(idCol))
+      .select(col(idCol))
 
   /** The corpus with contaminated documents removed (anti join — the
     * kept side's text never shuffles).
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 13, minHits: Int = 1,
+                    broadcastBench: Boolean = true,
                     hashGrams: Boolean = false): DataFrame =
     corpus.join(
       contaminated(corpus, bench, idCol, textCol, n, minHits,
-        broadcastBench = true, hashGrams = hashGrams),
+        broadcastBench, hashGrams),
       Seq(idCol), "left_anti")
 }

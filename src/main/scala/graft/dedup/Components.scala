@@ -59,59 +59,84 @@ object Components {
     * `Scale.planKey` pattern): a pipeline typically reads the SAME
     * candidate-pair list twice — once for the cluster view, once to
     * prune to representatives — and the O(log n)-round job should run
-    * once, not per reader. [[clearCheckpoints]] drops the memo.
+    * once, not per reader. Same staleness contract as
+    * `Dedup.clearBases`' base cache: the key is the PLAN, so if the
+    * underlying files are overwritten within one session (incremental
+    * corpus growth), call [[clearCheckpoints]] before re-labeling or
+    * the stale labeling is served. Concurrent first calls for one key
+    * block on a single computation (`computeIfAbsent`), so the
+    * multi-round job never runs twice.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
     val key = System.identityHashCode(edges.sparkSession).toString + ":" +
       edges.queryExecution.analyzed.semanticHash().toString + ":" +
       edges.columns.mkString(",") + ":" + srcCol + ":" + dstCol
-    memo.getOrElseUpdate(key, compute(edges, srcCol, dstCol, maxIter))
+    memo.computeIfAbsent(key, _ => compute(edges, srcCol, dstCol, maxIter))
   }
 
+  /** Runs the star-contraction loop. Every frame this persists is
+    * either unpersisted before return or (on success) handed to the
+    * pinned registry; the finally block releases whatever was live
+    * when a mid-loop Spark failure unwound the stack, so a transient
+    * job error cannot strand MEMORY_AND_DISK blocks with no handle.
+    */
   private def compute(edges: DataFrame, srcCol: String, dstCol: String,
                       maxIter: Int): DataFrame = {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
 
-    // The ONLY evaluation of the upstream pair pipeline.
-    var (base, fp) = materialize(e0.distinct())
-    var cur = base
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIter) {
-      val (next, nfp) = materialize(smallStar(largeStar(cur)))
-      if (cur ne base) cur.unpersist()
-      cur = next
-      converged = nfp == fp
-      fp = nfp
-      it += 1
-    }
-    if (!converged) {
-      cur.unpersist(); base.unpersist()
-      throw new IllegalStateException(
-        s"connectedComponents: no fixpoint after $maxIter rounds — " +
-          "result would be silently non-minimal; raise maxIter")
-    }
+    var base: DataFrame = null
+    var cur: DataFrame = null
+    var res: DataFrame = null
+    try {
+      // The ONLY evaluation of the upstream pair pipeline.
+      val (b, fp0) = materialize(e0.distinct())
+      base = b; cur = b
+      var fp = fp0
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val (next, nfp) = materialize(smallStar(largeStar(cur)))
+        if (cur ne base) cur.unpersist()
+        cur = next
+        converged = nfp == fp
+        fp = nfp
+        it += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxIter rounds — " +
+            "result would be silently non-minimal; raise maxIter")
 
-    // At the fixpoint the edge list is a star: (v, root) for every
-    // non-root v. Roots appear only on the dst side → component = id.
-    // All nodes of the ORIGINAL graph come from the persisted base (the
-    // star list omits isolated roots' self-rows).
-    val nodes = base.select(col("src").as("id"))
-      .union(base.select(col("dst").as("id"))).distinct()
-    val roots = cur.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("component"))
-    val res = nodes.join(roots, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    // The labeling is materialized — the star intermediates can go now;
-    // only the (id, component) result stays pinned (until clearCheckpoints).
-    base.unpersist(); if (cur ne base) cur.unpersist()
-    track(res)
-    res
+      // At the fixpoint the edge list is a star: (v, root) for every
+      // non-root v. Roots appear only on the dst side → component = id.
+      // All nodes of the ORIGINAL graph come from the persisted base
+      // (the star list omits isolated roots' self-rows).
+      val nodes = base.select(col("src").as("id"))
+        .union(base.select(col("dst").as("id"))).distinct()
+      val roots = cur.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("component"))
+      res = nodes.join(roots, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      res.count()
+      // The labeling is materialized — the star intermediates can go
+      // now; only the (id, component) result stays pinned (until
+      // clearCheckpoints).
+      track(res)
+      val out = res
+      res = null // success: the finally block must not release it
+      out
+    } finally {
+      // base + final star list are released on BOTH paths (once res is
+      // materialized they are dead weight); res only when an exception
+      // kept it from being returned.
+      if (res != null) res.unpersist()
+      if (cur != null && (cur ne base)) cur.unpersist()
+      if (base != null) base.unpersist()
+    }
   }
 
   /** Keep exactly one document per near-dup component: rows whose id is
@@ -183,7 +208,10 @@ object Components {
   // persisted and memoized (several pipeline stages re-read the same
   // labeling). Session-scoped registries so a long-lived session can
   // reclaim them once results are consumed.
-  private val memo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // ConcurrentHashMap, not TrieMap: computeIfAbsent is compute-ONCE
+  // (concurrent first callers for a key block instead of racing the
+  // multi-round labeling job twice and stranding the loser's blocks).
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
   private val pinned = new scala.collection.mutable.ArrayBuffer[DataFrame]
   private def track(df: DataFrame): Unit = pinned.synchronized { pinned += df }
 

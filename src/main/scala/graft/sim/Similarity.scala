@@ -273,9 +273,21 @@ object Similarity {
     * floor(x+0.5) (not round()) so the Spark and oracle sides share one
     * exactly-specified tie rule; an all-zero vector gets scale=0 and an
     * all-zero code.
+    *
+    * NOTE the inline form embeds the O(dim) scale subtree inside the
+    * per-element code lambda (HOFs run interpreted — no codegen CSE),
+    * making it O(dim²) per row. Fine for composing small expressions;
+    * for a real corpus pass use [[withQuantizedInt8]], which stages the
+    * scale in its own projection first (the `withGopherFilter` /
+    * `withRepetitionFeatures` pattern).
     */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = array_max(transform(vec, x => abs(x))) / lit(127.0)
+  def quantizeInt8(vec: Column): Column =
+    quantizeInt8Scaled(vec, array_max(transform(vec, x => abs(x))) / lit(127.0))
+
+  /** [[quantizeInt8]] with the scale provided as a (cheap) column —
+    * the staged building block.
+    */
+  private def quantizeInt8Scaled(vec: Column, scale: Column): Column = {
     val code = when(scale > 0,
       transform(vec, x =>
         greatest(least(floor(x / scale + lit(0.5)), lit(127.0)), lit(-127.0))
@@ -283,6 +295,18 @@ object Similarity {
       .otherwise(transform(vec, _ => lit(0)))
     struct(scale.as("scale"), code.as("code"))
   }
+
+  /** DataFrame-staged [[quantizeInt8]]: materializes the per-vector
+    * scale ONCE per row in its own projection before the code lambda
+    * references it dim times — O(dim) per row instead of the inline
+    * form's O(dim²). This is the corpus-scale entry point.
+    */
+  def withQuantizedInt8(df: DataFrame, vecCol: String,
+                        out: String = "q"): DataFrame =
+    df.withColumn("_graft_qscale",
+        array_max(transform(col(vecCol), x => abs(x))) / lit(127.0))
+      .withColumn(out, quantizeInt8Scaled(col(vecCol), col("_graft_qscale")))
+      .drop("_graft_qscale")
 
   /** Reconstruct the double vector from a [[quantizeInt8]] struct. */
   def dequantizeInt8(q: Column): Column =

@@ -207,8 +207,9 @@ object TextFunctions {
     val alphaRatio = when(nTok > 0,
       size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nTok).otherwise(0.0)
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val nStop = size(array_intersect(array_distinct(toks),
-      array(gopherStops.map(lit): _*)))
+    // array_intersect already de-duplicates, so its size IS the
+    // distinct-stopword count
+    val nStop = size(array_intersect(toks, array(gopherStops.map(lit): _*)))
     val fails = concat(
       when(nTok < minTokens || nTok > maxTokens, array(lit("tokens")))
         .otherwise(array().cast("array<string>")),

@@ -168,6 +168,17 @@ class Round5cSpec extends AnyFunSuite {
     }
   }
 
+  test("withQuantizedInt8 stages the scale once and matches the inline form") {
+    val staged = Similarity.withQuantizedInt8(vecs, "v")
+      .select(col("vec_id"), col("q"))
+    val inline = vecs.select(col("vec_id"),
+      Similarity.quantizeInt8(col("v")).as("q"))
+    assert(staged.collect().toSeq == inline.collect().toSeq)
+    val n = "array_max".r.findAllIn(
+      staged.queryExecution.optimizedPlan.toString).size
+    assert(n <= 2, s"scale subtree duplicated $n times — staging was collapsed")
+  }
+
   // ---- PII scrubbing + host extraction --------------------------------
 
   test("phone and IP scrubbing mask the matches and only the matches") {
