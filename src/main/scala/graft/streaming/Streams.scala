@@ -160,6 +160,46 @@ object Streams {
              how: String = "left"): DataFrame =
     stream.join(broadcast(dim), on, how)
 
+  // ---- streaming curation gates ---------------------------------------
+
+  /** Streaming quality gate: per-row Gopher filter (stateless — no
+    * watermark, no state store; the filter is a narrow map). Documents
+    * failing any rule are dropped; the reasons audit column stays on
+    * the survivors' rows for downstream accounting. The streaming twin
+    * of `q_quality_filter`.
+    */
+  def qualityFilterStream(docs: DataFrame, textCol: String,
+                          minTokens: Int = 50, maxTokens: Int = 100000,
+                          minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1,
+                          minAlphaRatio: Double = 0.8,
+                          minStopwords: Int = 2): DataFrame =
+    graft.text.TextFunctions.withGopherFilter(docs, textCol, minTokens,
+        maxTokens, minMeanLen, maxMeanLen, maxSymbolRatio, minAlphaRatio,
+        minStopwords)
+      .filter(col("f.keep"))
+
+  /** Streaming decontamination gate: drop any in-flight document that
+    * shares a word n-gram with the static benchmark set — the
+    * streaming twin of `Contamination.decontaminate`.
+    *
+    * The hit-detection needs doc→gram explode, a semi join against the
+    * benchmark grams, and an anti join back onto the documents; that
+    * last step is a stream-STREAM anti join, which Structured
+    * Streaming does not support. The production shape is therefore
+    * `foreachBatch`: each micro-batch is a plain batch frame, the
+    * oracle-proven batch operator runs unchanged (benchmark grams
+    * broadcast, batch text never shuffles), and the sink sees only
+    * clean documents. Stateless — no watermark, no state store.
+    */
+  def decontaminatedWriter(docs: DataFrame, bench: DataFrame, idCol: String,
+                           textCol: String, n: Int = 13,
+                           sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.curate.Contamination.decontaminate(
+        batch, bench, idCol, textCol, n))
+    }
+
   // ---- stateful as-of enrichment (flatMapGroupsWithState) --------------
 
   case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp,

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Round-5 session 3: streaming curation gates — stateless quality
+  * filter and foreachBatch decontamination.
+  */
+class StreamingCurateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val good = "the data and that table have rows with text of " +
+    "words be plain english flowing on for long enough to pass"
+
+  test("qualityFilterStream drops failing docs in-flight, keeps the audit column") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val out = Streams.qualityFilterStream(ms.toDF(), "text", minTokens = 10)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("quality_stream").start()
+    try {
+      ms.addData(
+        Doc(1, ts("2024-01-01 10:00:00"), good),
+        Doc(2, ts("2024-01-01 10:00:01"), "too short"),
+        Doc(3, ts("2024-01-01 10:00:02"), good + " still fine"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, f.reasons FROM quality_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 3L))
+      assert(rows.values.forall(_ == ""))
+    } finally q.stop()
+  }
+
+  test("decontaminatedWriter removes benchmark-overlapping docs per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bench = Seq((100L, "the quick brown fox benchmark item"))
+      .toDF("doc_id", "text")
+    val ms = MemoryStream[Doc]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sink: DataFrame => Unit = b =>
+      seen.synchronized { seen ++= b.select("doc_id").as[Long].collect() }
+    val q = Streams.decontaminatedWriter(ms.toDF(), bench, "doc_id", "text",
+      n = 3, sink = sink).start()
+    try {
+      ms.addData(
+        Doc(1, ts("2024-01-01 10:00:00"), "contains the quick brown fox phrase"),
+        Doc(2, ts("2024-01-01 10:00:01"), "totally unrelated clean document text"))
+      q.processAllAvailable()
+      ms.addData(
+        Doc(3, ts("2024-01-01 10:00:02"), "another clean one passes through"),
+        Doc(4, ts("2024-01-01 10:00:03"), "quick brown fox appears here too"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == Set(2L, 3L),
+        "docs sharing a 3-gram with the benchmark must be dropped")
+    } finally q.stop()
+  }
+}
