@@ -445,6 +445,27 @@ object QueriesTextSim {
              |FROM corpus c JOIN bench b ON c.gram = b.gram
              |GROUP BY 1""".stripMargin)),
 
+    // ---- FUZZY contamination (near-dup tier) ---------------------------
+    // Corpus docs that are MinHash near-dups of a benchmark doc —
+    // catches paraphrased eval items the exact n-gram tier misses.
+    // Whole pipeline oracle-adjudicated via the portable-LSH mirror.
+    ("q_contamination_fuzzy", ((s, dir) => {
+      val d = docs(s, dir)
+      graft.curate.Contamination.fuzzyOverlap(
+          d.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(37)) === 0),
+          "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          round(max(col("jaccard")), 4).as("max_jac"))
+    }): Q,
+      Some(s"""SELECT doc_id, count(*) AS n_matches, round(max(jaccard), 4) AS max_jac
+              |FROM (
+              |  SELECT CASE WHEN idA % 37 = 0 THEN idB ELSE idA END AS doc_id, jaccard
+              |  FROM ($minhashOracle) t
+              |  WHERE (idA % 37 = 0) <> (idB % 37 = 0))
+              |GROUP BY 1""".stripMargin)),
+
     // ---- vocabulary stats: top-k tokens per language -------------------
     // Tokenizer-prep shape: map-side explode → partial-agg'd (lang,
     // token) counts → one per-lang top-k window. Deterministic tiebreak

@@ -89,4 +89,40 @@ object Contamination {
       contaminated(corpus, bench, idCol, textCol, n, minHits,
         broadcastBench, hashGrams),
       Seq(idCol), "left_anti")
+
+  /** FUZZY contamination: corpus documents that are MinHash near-dups
+    * of a benchmark document (paraphrased/reformatted eval items that
+    * exact n-gram overlap misses — the second tier of a real
+    * decontamination pass). Returns one row per (corpus doc, bench
+    * doc) near-dup pair: (idCol, bench_id, jaccard).
+    *
+    * Composition, not new machinery: the two sides union (ids MUST be
+    * globally unique across both — document ids usually are), the
+    * oracle-proven LSH pipeline (`Dedup.minhashPairsPortable`) lists
+    * candidate pairs, and two broadcast id-joins orient each pair
+    * cross-side (same-side pairs — ordinary intra-corpus near-dups —
+    * are dropped). Scale shape is the pair pipeline's: banding
+    * shuffles slim (id, band, hash) rows, buckets capped; the bench id
+    * set broadcasts.
+    */
+  def fuzzyOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, k: Int = 3, numHashes: Int = 32,
+                   bands: Int = 8, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
+    val all = corpus.select(col(idCol), col(textCol))
+      .unionByName(bench.select(col(idCol), col(textCol)))
+    val pairs = graft.dedup.Dedup.minhashPairsPortable(
+      all, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+    val aSide = broadcast(bench.select(col(idCol).as("idA")).distinct()
+      .withColumn("_aBench", lit(true)))
+    val bSide = broadcast(bench.select(col(idCol).as("idB")).distinct()
+      .withColumn("_bBench", lit(true)))
+    pairs.join(aSide, Seq("idA"), "left").join(bSide, Seq("idB"), "left")
+      .withColumn("_aB", coalesce(col("_aBench"), lit(false)))
+      .withColumn("_bB", coalesce(col("_bBench"), lit(false)))
+      .filter(col("_aB") =!= col("_bB"))
+      .select(when(col("_aB"), col("idB")).otherwise(col("idA")).as(idCol),
+        when(col("_aB"), col("idA")).otherwise(col("idB")).as("bench_id"),
+        col("jaccard"))
+  }
 }

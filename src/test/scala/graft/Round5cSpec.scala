@@ -59,6 +59,25 @@ class Round5cSpec extends AnyFunSuite {
     assert(exact.collect().toSet == hashed.collect().toSet)
   }
 
+  test("fuzzyOverlap orients pairs corpus→bench and drops same-side pairs") {
+    val rep = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus2 = Seq(
+      (1L, rep),                                  // near-dup of bench 100
+      (2L, rep + " extra"),                       // near-dup of bench 100 + of 1
+      (3L, "completely different corpus content about spark physical plans"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((100L, rep), (101L, "unrelated benchmark question text"))
+      .toDF("doc_id", "text")
+    val got = graft.curate.Contamination.fuzzyOverlap(
+        corpus2, bench2, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // corpus-side id first, bench id second; the 1-2 same-side pair is
+    // dropped even though it IS a near-dup pair
+    assert(got.contains((1L, 100L)))
+    assert(got.forall { case (c, b) => Set(1L, 2L, 3L)(c) && Set(100L, 101L)(b) })
+    graft.dedup.Dedup.clearBases()
+  }
+
   // ---- domain caps -----------------------------------------------------
 
   test("capPerKey keeps at most n per key, deterministically across reorderings") {
