@@ -445,6 +445,110 @@ object QueriesTextSim {
              |FROM corpus c JOIN bench b ON c.gram = b.gram
              |GROUP BY 1""".stripMargin)),
 
+    // ---- flagship: end-to-end curation pipeline ------------------------
+    // quality gate → URL scrub → canonical dedup → decontamination →
+    // domain cap → per-lang corpus stats. Every stage is the
+    // oracle-proven operator; the oracle chains the same mirrors.
+    ("q_curation_pipeline", ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(37)) === 0)
+      val base = d.filter(pmod(col("doc_id"), lit(37)) =!= 0)
+        .withColumn("t2", concat(col("text"), lit(" see https://d"),
+          pmod(col("doc_id"), lit(20)).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string")))
+      val quality = TextFunctions.withGopherFilter(base, "t2", minTokens = 30,
+          maxTokens = 100000, minMeanLen = 3.0, maxMeanLen = 5.2,
+          maxSymbolRatio = 0.1, minAlphaRatio = 0.8, minStopwords = 1)
+        .filter(col("f.keep"))
+        .withColumn("clean", TextFunctions.scrubUrls(col("t2")))
+        .withColumn("host", TextFunctions.urlHost(col("t2")))
+      val deduped = quality
+        .withColumn("cfp", md5(TextFunctions.canonicalize(col("clean"))))
+        .withColumn("occ", row_number().over(
+          Window.partitionBy("cfp").orderBy(col("doc_id").asc)))
+        .filter(col("occ") === 1)
+      val decon = graft.curate.Contamination.decontaminate(deduped,
+        bench.select(col("doc_id"), col("text").as("clean")),
+        "doc_id", "clean", n = 3)
+      val capped = graft.curate.Sampling.capPerKey(decon, col("host"),
+        col("clean"), 3, col("doc_id"))
+      capped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("clean"))).cast("long").as("total_tokens"))
+    }): Q,
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang,
+             |    text || ' see https://d' || (doc_id % 20)::VARCHAR ||
+             |      '.example.com/p/' || doc_id::VARCHAR AS t2
+             |  FROM documents WHERE doc_id % 37 <> 0),
+             |tkd AS (
+             |  SELECT doc_id, lang, t2,
+             |    string_split_regex(trim(regexp_replace(lower(trim(t2)), '\s+', ' ', 'g')),
+             |                       '\s+') AS tk
+             |  FROM base),
+             |f AS (
+             |  SELECT doc_id, lang, t2,
+             |    len(tk)::DOUBLE AS n_tok,
+             |    CASE WHEN len(tk) > 0
+             |      THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk)
+             |      ELSE 0.0 END AS mean_len,
+             |    CASE WHEN len(tk) > 0 THEN
+             |      ((length(t2) - length(replace(t2, '#', ''))) +
+             |       len(regexp_extract_all(t2, '\.\.\.')))::DOUBLE / len(tk)
+             |      ELSE 0.0 END AS symbol_ratio,
+             |    CASE WHEN len(tk) > 0
+             |      THEN len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(tk)
+             |      ELSE 0.0 END AS alpha_ratio,
+             |    len(list_intersect(tk, ['the','be','to','of','and','that','have','with'])) AS n_stop
+             |  FROM tkd),
+             |q AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(t2, 'https?://[^\s]+', '<URL>', 'g') AS clean,
+             |    regexp_extract(t2, 'https?://([^/\s]+)', 1) AS host
+             |  FROM f
+             |  WHERE n_tok >= 30 AND n_tok <= 100000
+             |    AND mean_len >= 3.0 AND mean_len <= 5.2 AND symbol_ratio <= 0.1
+             |    AND alpha_ratio >= 0.8 AND n_stop >= 1),
+             |dd AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(clean),
+             |        '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')))
+             |      ORDER BY doc_id) AS occ
+             |    FROM q) WHERE occ = 1),
+             |bg AS (
+             |  SELECT DISTINCT unnest(
+             |    CASE WHEN len(tk) >= 3
+             |         THEN list_distinct(list_transform(range(0, len(tk) - 2),
+             |                i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
+             |         ELSE [] END) AS gram
+             |  FROM (SELECT string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                                  '\s+') AS tk
+             |        FROM documents WHERE doc_id % 37 = 0)),
+             |hits AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT doc_id, unnest(
+             |      CASE WHEN len(tk) >= 3
+             |           THEN list_distinct(list_transform(range(0, len(tk) - 2),
+             |                  i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
+             |           ELSE [] END) AS gram
+             |    FROM (SELECT doc_id,
+             |            string_split_regex(trim(regexp_replace(lower(trim(clean)), '\s+', ' ', 'g')),
+             |                               '\s+') AS tk
+             |          FROM dd)) c
+             |  JOIN bg USING (gram)),
+             |decon AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+             |capped AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY host
+             |      ORDER BY ('0x'||substr(md5(coalesce(clean,'')),1,15))::BIGINT ASC,
+             |               doc_id ASC) AS rk
+             |    FROM decon) WHERE rk <= 3)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(len(string_split_regex(trim(clean), '\s+'))) AS BIGINT) AS total_tokens
+             |FROM capped GROUP BY lang""".stripMargin)),
+
     // ---- FUZZY contamination (near-dup tier) ---------------------------
     // Corpus docs that are MinHash near-dups of a benchmark doc —
     // catches paraphrased eval items the exact n-gram tier misses.
