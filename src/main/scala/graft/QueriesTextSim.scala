@@ -570,6 +570,23 @@ object QueriesTextSim {
               |  WHERE (idA % 37 = 0) <> (idB % 37 = 0))
               |GROUP BY 1""".stripMargin)),
 
+    // ---- token-entropy curation signal ---------------------------------
+    // Unigram Shannon entropy per doc: low = degenerate/repeated, high
+    // = noise. Two map-side-combinable aggs, no window, no O(n²) HOF.
+    ("q_entropy", ((s, dir) =>
+      TextFunctions.tokenEntropy(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("entropy"), 4).as("entropy"))): Q,
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                              '\s+')) AS tk
+             |  FROM documents),
+             |c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+             |FROM c GROUP BY 1""".stripMargin)),
+
     // ---- vocabulary stats: top-k tokens per language -------------------
     // Tokenizer-prep shape: map-side explode → partial-agg'd (lang,
     // token) counts → one per-lang top-k window. Deterministic tiebreak

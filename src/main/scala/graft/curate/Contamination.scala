@@ -34,9 +34,17 @@ object Contamination {
     */
   private def grams(df: DataFrame, idCol: String, textCol: String,
                     n: Int, hashed: Boolean): DataFrame = {
-    val g = df.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextFunctions.ngramsOf(
-        TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))), n)))
+    // Stage the token array in its own projection: ngramsOf references
+    // its input once per OUTPUT gram (interpreted HOFs get no codegen
+    // CSE), so an inlined tokenizer would re-split every document
+    // O(tokens) times — the withGopherFilter/withRepetitionFeatures
+    // staging pattern, load-bearing here (~4x on the contamination
+    // queries at sf0.1).
+    val staged = df.select(col(idCol).as("doc_id"),
+      TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
+        .as("_graft_tk"))
+    val g = staged.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.ngramsOf(col("_graft_tk"), n)))
         .as("gram"))
     if (hashed) g.select(col("doc_id"), xxhash64(col("gram")).as("gram")) else g
   }

@@ -243,6 +243,33 @@ object TextFunctions {
         minAlphaRatio, minStopwords))
       .drop("_graft_tk")
 
+  /** Per-document unigram (token) Shannon entropy in bits — low values
+    * flag degenerate/gibberish documents (one token repeated), high
+    * values flag random noise; a standard curation signal alongside
+    * the repetition ratios.
+    *
+    * Computed with the identity H = log2(N) − (Σ c·log2 c)/N over
+    * per-token counts, as two map-side-combinable aggregations
+    * (explode → (doc, token) counts → per-doc fold). That is the
+    * 100 TB shape: no per-row O(tokens²) HOF scan, no window, both
+    * exchanges keyed on the doc id. Returns (idCol, n_tokens,
+    * entropy).
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(wsTokens(normalize(col(textCol)))).as("_graft_tok"))
+    val counts = toks.groupBy(col(idCol), col("_graft_tok"))
+      .agg(count(lit(1)).as("_graft_c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("_graft_c")).as("n_tokens"),
+        sum(col("_graft_c").cast("double") * log(2.0, col("_graft_c").cast("double")))
+          .as("_graft_clogc"))
+      .select(col(idCol), col("n_tokens"),
+        (log(2.0, col("n_tokens").cast("double")) -
+          col("_graft_clogc") / col("n_tokens").cast("double")).as("entropy"))
+  }
+
   /** Language ID by stopword-overlap heuristic: score each candidate
     * language by the fraction of tokens in its stopword list, pick the
     * argmax (ties → first in [[langs]] order). n-gram-free but O(1)
