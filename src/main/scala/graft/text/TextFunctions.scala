@@ -122,6 +122,13 @@ object TextFunctions {
   /** Word n-grams of a token array. `sequence(0, k)` with k < 0
     * generates a DESCENDING range — the short-doc case is guarded
     * explicitly.
+    *
+    * PERFORMANCE: pass a MATERIALIZED token column (stage
+    * `wsTokens(normalize(text))` in its own projection first), not the
+    * tokenizer expression itself — the lambda references `toks` once
+    * per output gram and interpreted HOFs get no codegen CSE, so an
+    * inlined tokenizer re-splits the document O(tokens) times
+    * (measured 4-9× on the contamination queries).
     */
   def ngramsOf(toks: Column, n: Int): Column = {
     require(n >= 2, s"ngramsOf: n must be >= 2, got $n")
