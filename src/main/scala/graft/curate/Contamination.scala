@@ -65,10 +65,24 @@ object Contamination {
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int = 13,
                    broadcastBench: Boolean = true,
-                   hashGrams: Boolean = false): DataFrame = {
-    val bg0 = grams(bench, idCol, textCol, n, hashGrams)
-      .select(col("gram")).distinct()
-    val bg = if (broadcastBench) broadcast(bg0) else bg0
+                   hashGrams: Boolean = false): DataFrame =
+    ngramOverlapAgainst(corpus, benchGramSet(bench, idCol, textCol, n, hashGrams),
+      idCol, textCol, n, broadcastBench, hashGrams)
+
+  /** The benchmark's distinct n-gram set — precompute (and persist)
+    * once when the same benchmark gates many corpora or every
+    * micro-batch of a stream, instead of re-deriving it per call.
+    */
+  def benchGramSet(bench: DataFrame, idCol: String, textCol: String,
+                   n: Int = 13, hashGrams: Boolean = false): DataFrame =
+    grams(bench, idCol, textCol, n, hashGrams).select(col("gram")).distinct()
+
+  /** [[ngramOverlap]] against a pre-built [[benchGramSet]]. */
+  def ngramOverlapAgainst(corpus: DataFrame, benchGrams: DataFrame,
+                          idCol: String, textCol: String, n: Int = 13,
+                          broadcastBench: Boolean = true,
+                          hashGrams: Boolean = false): DataFrame = {
+    val bg = if (broadcastBench) broadcast(benchGrams) else benchGrams
     grams(corpus, idCol, textCol, n, hashGrams)
       .join(bg, Seq("gram"))
       .groupBy(col("doc_id").as(idCol))
@@ -104,33 +118,37 @@ object Contamination {
     * decontamination pass). Returns one row per (corpus doc, bench
     * doc) near-dup pair: (idCol, bench_id, jaccard).
     *
-    * Composition, not new machinery: the two sides union (ids MUST be
-    * globally unique across both — document ids usually are), the
-    * oracle-proven LSH pipeline (`Dedup.minhashPairsPortable`) lists
-    * candidate pairs, and two broadcast id-joins orient each pair
-    * cross-side (same-side pairs — ordinary intra-corpus near-dups —
-    * are dropped). Scale shape is the pair pipeline's: banding
-    * shuffles slim (id, band, hash) rows, buckets capped; the bench id
-    * set broadcasts.
+    * Composition, not new machinery: each side's ids are tagged with a
+    * side marker (struct(side, id) — so corpus doc 5 and bench doc 5
+    * can never collide), the two sides union, and the oracle-proven
+    * LSH pipeline (`Dedup.minhashPairsPortable`) lists candidate
+    * pairs with a CROSS-SIDE pre-filter: intra-corpus near-dup
+    * candidates (boilerplate, mirrors — the overwhelming majority at
+    * scale) are discarded from the side tags alone, BEFORE the pair
+    * dedup shuffle and the shingle-fetch + exact-Jaccard verify stage
+    * ever see them. Banding still shuffles only slim (id, band, hash)
+    * rows; buckets stay capped.
+    *
+    * The union's shingle+signature base is session-memoized like every
+    * LSH caller's (repeated calls on the same corpus/bench pair reuse
+    * it); release with `Dedup.clearBases()` when done with a corpus.
     */
   def fuzzyOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, numHashes: Int = 32,
                    bands: Int = 8, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
-    val all = corpus.select(col(idCol), col(textCol))
-      .unionByName(bench.select(col(idCol), col(textCol)))
-    val pairs = graft.dedup.Dedup.minhashPairsPortable(
-      all, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
-    val aSide = broadcast(bench.select(col(idCol).as("idA")).distinct()
-      .withColumn("_aBench", lit(true)))
-    val bSide = broadcast(bench.select(col(idCol).as("idB")).distinct()
-      .withColumn("_bBench", lit(true)))
-    pairs.join(aSide, Seq("idA"), "left").join(bSide, Seq("idB"), "left")
-      .withColumn("_aB", coalesce(col("_aBench"), lit(false)))
-      .withColumn("_bB", coalesce(col("_bBench"), lit(false)))
-      .filter(col("_aB") =!= col("_bB"))
-      .select(when(col("_aB"), col("idB")).otherwise(col("idA")).as(idCol),
-        when(col("_aB"), col("idA")).otherwise(col("idB")).as("bench_id"),
+    def tag(df: DataFrame, side: Int) = df.select(
+      struct(lit(side).as("side"), col(idCol).as("orig")).as(idCol),
+      col(textCol))
+    val all = tag(corpus, 0).unionByName(tag(bench, 1))
+    val crossOnly = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      a.getField("side") =!= b.getField("side")
+    graft.dedup.Dedup.minhashPairsPortable(
+        all, idCol, textCol, k, numHashes, bands, threshold, maxBucket,
+        pairFilter = Some(crossOnly))
+      .select(
+        when(col("idA.side") === 0, col("idA.orig")).otherwise(col("idB.orig")).as(idCol),
+        when(col("idA.side") === 0, col("idB.orig")).otherwise(col("idA.orig")).as("bench_id"),
         col("jaccard"))
   }
 }

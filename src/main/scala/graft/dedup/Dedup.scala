@@ -141,7 +141,8 @@ object Dedup {
     */
   def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                           threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+                           threshold: Double = 0.5, maxBucket: Int = 1000,
+                           pairFilter: Option[(Column, Column) => Column] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Session-scoped memoized persist (the Scale.planKey pattern):
     // several pipeline queries share one corpus's shingle+signature base
@@ -164,10 +165,15 @@ object Dedup {
         struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val buckets = cappedBuckets(banded, Seq("band", "bh"), "id", maxBucket)
-    val pairs = buckets
+    // pairFilter prunes candidates BEFORE the dedup shuffle and the
+    // (expensive) shingle-fetch joins + exact Jaccard — e.g. the fuzzy
+    // contamination tier keeps only cross-side pairs, so intra-corpus
+    // near-dups never reach the verify stage.
+    val pairs0 = buckets
       .select(explode(col("ids")).as("idA"), col("ids"))
       .select(col("idA"), explode(col("ids")).as("idB"))
       .filter(col("idA") < col("idB"))
+    val pairs = pairFilter.fold(pairs0)(f => pairs0.filter(f(col("idA"), col("idB"))))
       .dropDuplicates("idA", "idB")
     val shA = base.select(col("id").as("idA"), col("sh").as("shA"))
     val shB = base.select(col("id").as("idB"), col("sh").as("shB"))

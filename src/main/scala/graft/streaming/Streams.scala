@@ -163,21 +163,26 @@ object Streams {
   // ---- streaming curation gates ---------------------------------------
 
   /** Streaming quality gate: per-row Gopher filter (stateless — no
-    * watermark, no state store; the filter is a narrow map). Documents
-    * failing any rule are dropped; the reasons audit column stays on
-    * the survivors' rows for downstream accounting. The streaming twin
-    * of `q_quality_filter`.
+    * watermark, no state store; the filter is a narrow map). With the
+    * default `keepAll=false`, documents failing any rule are dropped
+    * (survivors' `f.reasons` is "" by construction); pass
+    * `keepAll=true` to keep EVERY row annotated — the form a
+    * drop-audit report needs, since the non-empty reasons ride the
+    * rows the filter would remove. The streaming twin of
+    * `q_quality_filter`.
     */
   def qualityFilterStream(docs: DataFrame, textCol: String,
                           minTokens: Int = 50, maxTokens: Int = 100000,
                           minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                           maxSymbolRatio: Double = 0.1,
                           minAlphaRatio: Double = 0.8,
-                          minStopwords: Int = 2): DataFrame =
-    graft.text.TextFunctions.withGopherFilter(docs, textCol, minTokens,
-        maxTokens, minMeanLen, maxMeanLen, maxSymbolRatio, minAlphaRatio,
-        minStopwords)
-      .filter(col("f.keep"))
+                          minStopwords: Int = 2,
+                          keepAll: Boolean = false): DataFrame = {
+    val annotated = graft.text.TextFunctions.withGopherFilter(docs, textCol,
+      minTokens, maxTokens, minMeanLen, maxMeanLen, maxSymbolRatio,
+      minAlphaRatio, minStopwords)
+    if (keepAll) annotated else annotated.filter(col("f.keep"))
+  }
 
   /** Streaming decontamination gate: drop any in-flight document that
     * shares a word n-gram with the static benchmark set — the
@@ -194,11 +199,22 @@ object Streams {
     */
   def decontaminatedWriter(docs: DataFrame, bench: DataFrame, idCol: String,
                            textCol: String, n: Int = 13,
-                           sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                           sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // The benchmark's distinct gram set is static: build + persist it
+    // ONCE here, not per micro-batch (a seconds-granularity trigger
+    // would otherwise re-tokenize the whole eval suite forever).
+    // Blocks materialize on the first batch; unpersist after stopping
+    // the query if the session lives on.
+    val bg = graft.curate.Contamination
+      .benchGramSet(bench, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      sink(graft.curate.Contamination.decontaminate(
-        batch, bench, idCol, textCol, n))
+      val dirty = graft.curate.Contamination
+        .ngramOverlapAgainst(batch, bg, idCol, textCol, n)
+        .select(col(idCol))
+      sink(batch.join(dirty, Seq(idCol), "left_anti"))
     }
+  }
 
   // ---- stateful as-of enrichment (flatMapGroupsWithState) --------------
 

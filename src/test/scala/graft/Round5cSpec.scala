@@ -68,14 +68,31 @@ class Round5cSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val bench2 = Seq((100L, rep), (101L, "unrelated benchmark question text"))
       .toDF("doc_id", "text")
-    val got = graft.curate.Contamination.fuzzyOverlap(
-        corpus2, bench2, "doc_id", "text", k = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // corpus-side id first, bench id second; the 1-2 same-side pair is
-    // dropped even though it IS a near-dup pair
-    assert(got.contains((1L, 100L)))
-    assert(got.forall { case (c, b) => Set(1L, 2L, 3L)(c) && Set(100L, 101L)(b) })
-    graft.dedup.Dedup.clearBases()
+    try {
+      val got = graft.curate.Contamination.fuzzyOverlap(
+          corpus2, bench2, "doc_id", "text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // corpus-side id first, bench id second; the 1-2 same-side pair is
+      // dropped even though it IS a near-dup pair
+      assert(got.contains((1L, 100L)))
+      assert(got.forall { case (c, b) => Set(1L, 2L, 3L)(c) && Set(100L, 101L)(b) })
+    } finally graft.dedup.Dedup.clearBases()
+  }
+
+  test("fuzzyOverlap is safe when corpus and bench reuse the same id values") {
+    val rep = "the quick brown fox jumps over the lazy dog again and again today"
+    // id 1 exists on BOTH sides, for DIFFERENT documents — the side tag
+    // must keep them apart (plain-id union would conflate them)
+    val corpus2 = Seq((1L, rep), (2L, "nothing in common with anything here"))
+      .toDF("doc_id", "text")
+    val bench2 = Seq((1L, rep), (2L, "some other benchmark question entirely"))
+      .toDF("doc_id", "text")
+    try {
+      val got = graft.curate.Contamination.fuzzyOverlap(
+          corpus2, bench2, "doc_id", "text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L)), s"expected the cross-side pair only, got $got")
+    } finally graft.dedup.Dedup.clearBases()
   }
 
   // ---- domain caps -----------------------------------------------------
