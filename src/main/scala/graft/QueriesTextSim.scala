@@ -891,6 +891,21 @@ object QueriesTextSim {
     }): Q,
       Some(kmeansIvfSampledOracle)),
 
+    // ---- product quantization: per-subspace sampled codebooks ----------
+    // 2 subspaces × 4 centroids, fit on the mod-4 sample with 2 Lloyd
+    // rounds each; every vector gets its (pq_c0, pq_c1) code tuple.
+    // The oracle unrolls BOTH subspace fits — the entire PQ training +
+    // assignment path is hash-adjudicated.
+    ("q_ann_pq", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val cbs = Similarity.pqFitMod(e, "vec_id", "embedding", dim = 64,
+        mSub = 2, k = 4, sampleMod = 4, iters = 2)
+      Similarity.pqAssign(e, "embedding", cbs, dim = 64)
+        .groupBy(col("pq_c0"), col("pq_c1")).agg(count(lit(1)).as("n"))
+    }): Q,
+      Some(pqOracle)),
+
     // ---- embedding near-dup pairs (LSH buckets + exact cosine) ---------
     ("q_cosine_pairs", ((s, dir) => {
       val e = emb(s, dir)
@@ -1237,6 +1252,48 @@ object QueriesTextSim {
        |${update("u3", "a3", "c2", "c3")},
        |${assign("af", "e", "c3")}
        |SELECT cid::INT AS ivf_cell, count(*) AS n FROM af GROUP BY 1""".stripMargin
+  }
+
+  /** PQ mirror: two independent sampled-Lloyd chains (one per
+    * subspace, suffix `_0`/`_1`), each the exact structure of
+    * [[kmeansIvfSampledOracle]] but over `list_slice`d vectors
+    * (DuckDB's list_slice is begin/END-inclusive, vs Spark's
+    * start/LENGTH), joined on vec_id for the final code-tuple counts.
+    */
+  private def pqOracle: String = {
+    val scale = 1L << 20
+    val (mSub, k, iters, dim) = (2, 4, 2, 64)
+    val subLen = dim / mSub
+    def assign(a: String, rel: String, c: String) =
+      s"""$a AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |  FROM $rel e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, exs: String, cPrev: String, c: String) =
+      s"""$u AS (SELECT $a.cid, ex.d,
+         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
+         |  FROM $a JOIN $exs ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
+         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
+         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
+         |  ON n.cid = $cPrev.cid)""".stripMargin
+    def chain(j: Int): String = {
+      val off = j * subLen
+      val slices = Seq(
+        s"ef_$j AS (SELECT vec_id, list_slice(v, ${off + 1}, ${off + subLen}) AS v FROM e)",
+        s"es_$j AS (SELECT vec_id, v FROM ef_$j WHERE vec_id % 4 = 0)",
+        s"exs_$j AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM es_$j)",
+        s"""c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+           |       FROM es_$j ORDER BY vec_id LIMIT $k)""".stripMargin)
+      val rounds = (1 to iters).flatMap { i =>
+        Seq(assign(s"a${i}_$j", s"es_$j", s"c${i - 1}_$j"),
+          update(s"u${i}_$j", s"a${i}_$j", s"exs_$j", s"c${i - 1}_$j", s"c${i}_$j"))
+      }
+      (slices ++ rounds :+ assign(s"af_$j", s"ef_$j", s"c${iters}_$j")).mkString(",\n")
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${(0 until mSub).map(chain).mkString(",\n")}
+       |SELECT af_0.cid::INT AS pq_c0, af_1.cid::INT AS pq_c1, count(*) AS n
+       |FROM af_0 JOIN af_1 USING (vec_id) GROUP BY 1, 2""".stripMargin
   }
 
   /** Signature text for the random-hyperplane LSH: bit b = sign of the

@@ -261,6 +261,50 @@ object Similarity {
     df.withColumn("ivf_cell", best.getField("cid"))
   }
 
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** Product-quantization codebooks: the vector is cut into `mSub`
+    * equal subspaces and each gets its own k-centroid quantizer, fit
+    * with the SAME oracle-adjudicable sampled Lloyd loop as the IVF
+    * coarse quantizer ([[kmeansFitMod]]: fit on `id % sampleMod == 0`,
+    * seeds = lowest-id sampled vectors). Returns one codebook per
+    * subspace; only mSub·k·(dim/mSub) = k·dim doubles ever reach the
+    * driver — independent of corpus size, the 100 TB fit shape.
+    *
+    * PQ completes the ANN compression ladder (brute → LSH → IVF →
+    * int8 → PQ): mSub log2(k)-bit codes per vector instead of 8·dim
+    * bytes (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011).
+    */
+  def pqFitMod(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               mSub: Int, k: Int, sampleMod: Int,
+               iters: Int = 3): Seq[Seq[Seq[Double]]] = {
+    require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
+    val subLen = dim / mSub
+    (0 until mSub).map { j =>
+      val sliced = df.withColumn("_graft_sub",
+        slice(col(vecCol), j * subLen + 1, subLen))
+      kmeansFitMod(sliced, idCol, "_graft_sub", k, sampleMod, iters)
+    }
+  }
+
+  /** Assign every vector its PQ code tuple: one `pq_c<j>` column per
+    * subspace (argmax-similarity centroid, broadcast codebooks, narrow
+    * map — no shuffle).
+    */
+  def pqAssign(df: DataFrame, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]], dim: Int): DataFrame = {
+    val mSub = codebooks.size
+    require(mSub > 0 && dim % mSub == 0, s"bad codebook count $mSub for dim $dim")
+    val subLen = dim / mSub
+    codebooks.zipWithIndex.foldLeft(df) { case (acc, (cb, j)) =>
+      ivfAssign(acc.withColumn("_graft_sub",
+          slice(col(vecCol), j * subLen + 1, subLen)), "_graft_sub", cb)
+        .withColumnRenamed("ivf_cell", s"pq_c$j")
+        .drop("_graft_sub")
+    }
+  }
+
   // ---- int8 scalar quantization (embedding compression) ---------------
 
   /** Per-vector symmetric int8 quantization of a double-array column:

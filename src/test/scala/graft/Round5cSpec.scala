@@ -215,6 +215,25 @@ class Round5cSpec extends AnyFunSuite {
     assert(n <= 2, s"scale subtree duplicated $n times — staging was collapsed")
   }
 
+  // ---- product quantization -------------------------------------------
+
+  test("pqFitMod/pqAssign: per-subspace codes in range, identical dup vectors share codes") {
+    val dim = 8
+    val data = (0L until 40L).map { i =>
+      (i, (0 until dim).map(d => math.sin(i.toDouble * (d + 1) % 7)).toSeq)
+    } :+ (99L, (0 until dim).map(d => math.sin(3.0 * (d + 1) % 7)).toSeq)
+    val df = data.toDF("vec_id", "v")
+    val cbs = graft.sim.Similarity.pqFitMod(df, "vec_id", "v", dim = dim,
+      mSub = 2, k = 3, sampleMod = 2, iters = 2)
+    assert(cbs.size == 2 && cbs.forall(cb => cb.size == 3 && cb.forall(_.size == dim / 2)))
+    val codes = graft.sim.Similarity.pqAssign(df, "v", cbs, dim = dim)
+      .select(col("vec_id"), col("pq_c0"), col("pq_c1"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(codes.values.forall { case (a, b) => a >= 0 && a < 3 && b >= 0 && b < 3 })
+    // vec 99 is an exact duplicate of vec 3 → identical code tuple
+    assert(codes(99L) == codes(3L))
+  }
+
   // ---- PII scrubbing + host extraction --------------------------------
 
   test("phone and IP scrubbing mask the matches and only the matches") {
