@@ -906,6 +906,33 @@ object QueriesTextSim {
     }): Q,
       Some(pqOracle)),
 
+    // ---- ADC search over the PQ tier -----------------------------------
+    // Asymmetric distance: RAW queries vs code-reconstructed corpus
+    // (the lookup a PQ index actually serves). Codebooks are broadcast
+    // literals; reconstruction is a narrow map.
+    ("q_ann_pq_search", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val cbs = Similarity.pqFitMod(e, "vec_id", "embedding", dim = 64,
+        mSub = 2, k = 4, sampleMod = 4, iters = 2)
+      def cbLit(j: Int) = array(cbs(j).map(c => array(c.map(lit): _*)): _*)
+      val rec = Similarity.pqAssign(e, "embedding", cbs, dim = 64)
+        .withColumn("rv", concat(element_at(cbLit(0), col("pq_c0") + 1),
+          element_at(cbLit(1), col("pq_c1") + 1)))
+        .select(col("vec_id"), col("rv"))
+      val q = broadcast(e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val scored = rec.crossJoin(q)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", Similarity.cosine(col("rv"), col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("sim"), 3).as("sim"), col("rk"))
+    }): Q,
+      Some(pqSearchOracle)),
+
     // ---- embedding near-dup pairs (LSH buckets + exact cosine) ---------
     ("q_cosine_pairs", ((s, dir) => {
       val e = emb(s, dir)
@@ -1260,7 +1287,35 @@ object QueriesTextSim {
     * (DuckDB's list_slice is begin/END-inclusive, vs Spark's
     * start/LENGTH), joined on vec_id for the final code-tuple counts.
     */
-  private def pqOracle: String = {
+  private def pqOracle: String =
+    s"""WITH ${pqChains()}
+       |SELECT af_0.cid::INT AS pq_c0, af_1.cid::INT AS pq_c1, count(*) AS n
+       |FROM af_0 JOIN af_1 USING (vec_id) GROUP BY 1, 2""".stripMargin
+
+  /** ADC search mirror: reconstruct each corpus vector from its two
+    * subspace centroids (`rv`), score raw queries against the
+    * reconstructions.
+    */
+  private def pqSearchOracle: String =
+    s"""WITH ${pqChains()},
+       |rec AS (
+       |  SELECT af_0.vec_id, list_concat(x.cv, y.cv) AS rv
+       |  FROM af_0 JOIN af_1 USING (vec_id)
+       |  JOIN c2_0 x ON x.cid = af_0.cid JOIN c2_1 y ON y.cid = af_1.cid),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2))
+       |SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
+       |  SELECT q.query_id, r.vec_id AS neighbor_id,
+       |    list_cosine_similarity(r.rv, q.qv) AS sim,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(r.rv, q.qv) DESC, r.vec_id ASC) AS rk
+       |  FROM rec r CROSS JOIN q WHERE r.vec_id <> q.query_id)
+       |WHERE rk <= 5""".stripMargin
+
+  /** The shared per-subspace sampled-Lloyd CTE chains (suffix `_j`),
+    * ending in full-corpus assignments `af_j` with final codebooks
+    * `c<iters>_j`.
+    */
+  private def pqChains(): String = {
     val scale = 1L << 20
     val (mSub, k, iters, dim) = (2, 4, 2, 64)
     val subLen = dim / mSub
@@ -1290,10 +1345,8 @@ object QueriesTextSim {
       }
       (slices ++ rounds :+ assign(s"af_$j", s"ef_$j", s"c${iters}_$j")).mkString(",\n")
     }
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |${(0 until mSub).map(chain).mkString(",\n")}
-       |SELECT af_0.cid::INT AS pq_c0, af_1.cid::INT AS pq_c1, count(*) AS n
-       |FROM af_0 JOIN af_1 USING (vec_id) GROUP BY 1, 2""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${(0 until mSub).map(chain).mkString(",\n")}""".stripMargin
   }
 
   /** Signature text for the random-hyperplane LSH: bit b = sign of the
