@@ -198,13 +198,24 @@ object TextFunctions {
       maxSymbolRatio, minAlphaRatio, minStopwords)
   }
 
+  /** NULL-document guard for the quality rules: a null text yields a
+    * null token array, null comparisons make every rule's `when` fall
+    * through to its pass branch, and the junk row sails through the
+    * filter. Coalescing to an empty array routes nulls to the tokens
+    * rule (0 < minTokens → dropped), which is what a curation gate
+    * wants.
+    */
+  private def nullSafeToks(toks: Column): Column =
+    coalesce(toks, array().cast("array<string>"))
+
   /** [[gopherFilter]] over a pre-materialized token array (staged form:
     * tokenize once, feed every consumer).
     */
-  def gopherFilterTok(toks: Column, text: Column, minTokens: Int,
+  def gopherFilterTok(toks0: Column, text: Column, minTokens: Int,
                       maxTokens: Int, minMeanLen: Double, maxMeanLen: Double,
                       maxSymbolRatio: Double, minAlphaRatio: Double,
                       minStopwords: Int): Column = {
+    val toks = nullSafeToks(toks0)
     val nTok = size(toks).cast("double")
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
     val meanLen = when(nTok > 0, sumLen / nTok).otherwise(0.0)

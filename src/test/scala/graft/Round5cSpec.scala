@@ -144,6 +144,19 @@ class Round5cSpec extends AnyFunSuite {
     assert(got(5L)._2.contains("alpha") && got(5L)._2.contains("stopword"))
   }
 
+  test("gopherFilter drops null and empty documents (no null-comparison pass-through)") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFunctions.gopherFilter(col("text"), minTokens = 5).as("f"))
+      .select(col("doc_id"), col("f.keep"), col("f.reasons"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    got.foreach { case (id, (keep, reasons)) =>
+      assert(!keep, s"doc $id must not pass the quality gate")
+      assert(reasons.contains("tokens"), s"doc $id reasons: $reasons")
+    }
+  }
+
   test("withGopherFilter stages the tokenizer once and matches the inline form") {
     val df = Seq((1L, "the data and that table have rows with text of words be"),
       (2L, "xx yy zz")).toDF("doc_id", "text")
