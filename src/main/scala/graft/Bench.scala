@@ -87,7 +87,9 @@ object Bench {
       "q_dedup_minhash", "q_dedup_prune", "q_embed_topk", "q_ann_ivf",
       "q_ann_ivf_sampled", "q_cosine_pairs", "q_langid", "q_token_count",
       "q_sample_hash", "q_token_pack", "q_doc_chunks", "q_quantiles",
-      "q_asof_salted", "q_quantiles_approx")
+      "q_asof_salted", "q_quantiles_approx",
+      "q_curation_pipeline", "q_contamination", "q_quality_filter",
+      "q_domain_cap", "q_ann_pq")
     val warmByName = results.map { case (k, _, w) => k -> w }.toMap
     val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
