@@ -906,6 +906,26 @@ object QueriesTextSim {
     }): Q,
       Some(pqOracle)),
 
+    // ---- residual IVF+PQ (the FAISS IVFPQ index shape) -----------------
+    // Coarse quantizer assigns cells; PQ codebooks are fit on the
+    // RESIDUALS (v − centroid[cell]) — same PQ budget, far lower
+    // reconstruction error. Output = occupancy of (cell, code-tuple).
+    ("q_ann_ivfpq", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val coarse = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 4,
+        m = 4, iters = 2)
+      val resid = Similarity.residuals(
+        Similarity.ivfAssign(e, "embedding", coarse), "embedding", "ivf_cell",
+        coarse)
+      val cbs = Similarity.pqFitMod(resid, "vec_id", "res", dim = 64,
+        mSub = 2, k = 4, sampleMod = 4, iters = 2)
+      Similarity.pqAssign(resid, "res", cbs, dim = 64)
+        .groupBy(col("ivf_cell"), col("pq_c0"), col("pq_c1"))
+        .agg(count(lit(1)).as("n"))
+    }): Q,
+      Some(ivfPqOracle)),
+
     // ---- ADC search over the PQ tier -----------------------------------
     // Asymmetric distance: RAW queries vs code-reconstructed corpus
     // (the lookup a PQ index actually serves). Codebooks are broadcast
@@ -1288,16 +1308,57 @@ object QueriesTextSim {
     * start/LENGTH), joined on vec_id for the final code-tuple counts.
     */
   private def pqOracle: String =
-    s"""WITH ${pqChains()}
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqChains()}
        |SELECT af_0.cid::INT AS pq_c0, af_1.cid::INT AS pq_c1, count(*) AS n
        |FROM af_0 JOIN af_1 USING (vec_id) GROUP BY 1, 2""".stripMargin
+
+  /** Residual IVF+PQ mirror: the sampled coarse fit (suffix-free `c*`
+    * CTEs, 2 rounds), residual relation `r`, then the shared
+    * per-subspace PQ chains reading from `r`.
+    */
+  private def ivfPqOracle: String = {
+    val scale = 1L << 20
+    def assign(a: String, rel: String, c: String) =
+      s"""$a AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+         |  FROM $rel e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def update(u: String, a: String, exs: String, cPrev: String, c: String) =
+      s"""$u AS (SELECT $a.cid, ex.d,
+         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
+         |  FROM $a JOIN $exs ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
+         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
+         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
+         |  ON n.cid = $cPrev.cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ces AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
+       |cexs AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM ces),
+       |cc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |       FROM ces ORDER BY vec_id LIMIT 4),
+       |${assign("ca1", "ces", "cc0")},
+       |${update("cu1", "ca1", "cexs", "cc0", "cc1")},
+       |${assign("ca2", "ces", "cc1")},
+       |${update("cu2", "ca2", "cexs", "cc1", "cc2")},
+       |${assign("caf", "e", "cc2")},
+       |r AS (SELECT e.vec_id, list_transform(range(1, len(e.v) + 1),
+       |        i -> e.v[i] - c.cv[i]) AS v
+       |      FROM e JOIN caf ON caf.vec_id = e.vec_id
+       |      JOIN cc2 c ON c.cid = caf.cid),
+       |${pqChains(src = "r")}
+       |SELECT caf.cid::INT AS ivf_cell, af_0.cid::INT AS pq_c0,
+       |  af_1.cid::INT AS pq_c1, count(*) AS n
+       |FROM caf JOIN af_0 USING (vec_id) JOIN af_1 USING (vec_id)
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
 
   /** ADC search mirror: reconstruct each corpus vector from its two
     * subspace centroids (`rv`), score raw queries against the
     * reconstructions.
     */
   private def pqSearchOracle: String =
-    s"""WITH ${pqChains()},
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${pqChains()},
        |rec AS (
        |  SELECT af_0.vec_id, list_concat(x.cv, y.cv) AS rv
        |  FROM af_0 JOIN af_1 USING (vec_id)
@@ -1312,10 +1373,12 @@ object QueriesTextSim {
        |WHERE rk <= 5""".stripMargin
 
   /** The shared per-subspace sampled-Lloyd CTE chains (suffix `_j`),
-    * ending in full-corpus assignments `af_j` with final codebooks
-    * `c<iters>_j`.
+    * reading (vec_id, v) from `src` and ending in full-corpus
+    * assignments `af_j` with final codebooks `c<iters>_j`. Callers
+    * must define `src` (raw vectors for plain PQ, residuals for
+    * IVF+PQ).
     */
-  private def pqChains(): String = {
+  private def pqChains(src: String = "e"): String = {
     val scale = 1L << 20
     val (mSub, k, iters, dim) = (2, 4, 2, 64)
     val subLen = dim / mSub
@@ -1334,7 +1397,7 @@ object QueriesTextSim {
     def chain(j: Int): String = {
       val off = j * subLen
       val slices = Seq(
-        s"ef_$j AS (SELECT vec_id, list_slice(v, ${off + 1}, ${off + subLen}) AS v FROM e)",
+        s"ef_$j AS (SELECT vec_id, list_slice(v, ${off + 1}, ${off + subLen}) AS v FROM $src)",
         s"es_$j AS (SELECT vec_id, v FROM ef_$j WHERE vec_id % 4 = 0)",
         s"exs_$j AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM es_$j)",
         s"""c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -1345,8 +1408,7 @@ object QueriesTextSim {
       }
       (slices ++ rounds :+ assign(s"af_$j", s"ef_$j", s"c${iters}_$j")).mkString(",\n")
     }
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |${(0 until mSub).map(chain).mkString(",\n")}""".stripMargin
+    (0 until mSub).map(chain).mkString(",\n")
   }
 
   /** Signature text for the random-hyperplane LSH: bit b = sign of the

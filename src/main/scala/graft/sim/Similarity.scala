@@ -246,8 +246,8 @@ object Similarity {
     * of `centroids` (a small broadcast list), search only within the
     * probe's cell. Centroids come from any upstream sampling pass.
     */
-  def ivfAssign(df: DataFrame, vecCol: String,
-                centroids: Seq[Seq[Double]]): DataFrame = {
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
+                out: String = "ivf_cell"): DataFrame = {
     val cents = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), array(c.map(lit): _*).as("vec"))
     }: _*)
@@ -258,7 +258,7 @@ object Similarity {
         when(s > acc.getField("sim"),
           struct(cent.getField("cid").as("cid"), s.as("sim"))).otherwise(acc)
       })
-    df.withColumn("ivf_cell", best.getField("cid"))
+    df.withColumn(out, best.getField("cid"))
   }
 
   // ---- product quantization (PQ) --------------------------------------
@@ -298,11 +298,26 @@ object Similarity {
     require(mSub > 0 && dim % mSub == 0, s"bad codebook count $mSub for dim $dim")
     val subLen = dim / mSub
     codebooks.zipWithIndex.foldLeft(df) { case (acc, (cb, j)) =>
+      // named output directly — renaming a fresh "ivf_cell" would
+      // clobber a coarse-cell column already on the frame (IVF+PQ)
       ivfAssign(acc.withColumn("_graft_sub",
-          slice(col(vecCol), j * subLen + 1, subLen)), "_graft_sub", cb)
-        .withColumnRenamed("ivf_cell", s"pq_c$j")
+          slice(col(vecCol), j * subLen + 1, subLen)), "_graft_sub", cb,
+          out = s"pq_c$j")
         .drop("_graft_sub")
     }
+  }
+
+  /** Residual of each vector against its coarse cell's centroid
+    * (v − centroid[cell]) — what IVF+PQ quantizes: residuals are much
+    * lower-energy than raw vectors, so the same PQ budget buys far
+    * less reconstruction error (Jégou 2011 §IV). Broadcast-literal
+    * centroids, narrow map.
+    */
+  def residuals(df: DataFrame, vecCol: String, cellCol: String,
+                centroids: Seq[Seq[Double]], out: String = "res"): DataFrame = {
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    df.withColumn(out, zip_with(col(vecCol),
+      element_at(centLit, col(cellCol) + 1), (a, b) => a - b))
   }
 
   // ---- int8 scalar quantization (embedding compression) ---------------

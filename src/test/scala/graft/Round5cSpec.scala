@@ -247,6 +247,21 @@ class Round5cSpec extends AnyFunSuite {
     assert(codes(99L) == codes(3L))
   }
 
+  test("residuals: v − centroid[cell], and residual + centroid round-trips to v") {
+    val cents = Seq(Seq(1.0, 2.0), Seq(-1.0, 0.5))
+    val df = Seq((0L, Seq(1.5, 2.5)), (1L, Seq(-0.5, 0.0))).toDF("vec_id", "v")
+    val assigned = graft.sim.Similarity.ivfAssign(df, "v", cents)
+    val got = graft.sim.Similarity.residuals(assigned, "v", "ivf_cell", cents)
+      .select(col("vec_id"), col("ivf_cell"), col("res"), col("v"))
+      .collect()
+    got.foreach { r =>
+      val cell = r.getInt(1)
+      val res = r.getSeq[Double](2); val v = r.getSeq[Double](3)
+      res.zip(v).zip(cents(cell)).foreach { case ((rr, vv), cc) =>
+        assert(math.abs(rr - (vv - cc)) < 1e-12) }
+    }
+  }
+
   // ---- PII scrubbing + host extraction --------------------------------
 
   test("phone and IP scrubbing mask the matches and only the matches") {
