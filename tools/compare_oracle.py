@@ -95,6 +95,18 @@ def main(sf, out):
         else:
             print(f"FAIL {name}: col '{bad[0]}': {bad[1]}")
             n_fail += 1
+    # A query that THREW during Verify never creates its dump dir and
+    # would otherwise vanish from this report entirely (found the hard
+    # way: a failing new query "passed" as 156/156). On a full run,
+    # flag every oracle with no dump as FAIL; when most dirs are absent
+    # this was a `Verify <sf> <out> <subset>` run — note, don't fail.
+    missing = sorted(set(oracles) - set(dumped))
+    if missing and len(dumped) >= len(oracles) // 2:
+        for name in missing:
+            print(f"FAIL {name}: no dump directory (query threw in Verify?)")
+        n_fail += len(missing)
+    elif missing:
+        print(f"(subset run: {len(missing)} oracle queries not dumped)")
     print(f"\n{n_ok} ok, {n_fail} fail (strict driver-hash mode)")
     return 1 if n_fail else 0
 
