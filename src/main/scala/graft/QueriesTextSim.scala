@@ -379,8 +379,8 @@ object QueriesTextSim {
              |  FROM documents),
              |t AS (
              |  SELECT doc_id, text,
-             |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
-             |                       '\s+') AS tk
+             |    coalesce(string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                                '\s+'), []) AS tk
              |  FROM d2),
              |f AS (
              |  SELECT doc_id,
@@ -1238,32 +1238,36 @@ object QueriesTextSim {
     * ties break to the lowest cell id (mirroring ivfAssign's strict-
     * greater scan). Empty cells keep the previous centroid (COALESCE).
     */
-  private def kmeansIvfOracle: String = {
-    val scale = 1L << 20
-    def assign(a: String, c: String) =
-      s"""$a AS (SELECT vec_id, cid FROM (
-         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
-         |  FROM e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
-    def update(u: String, a: String, cPrev: String, c: String) =
-      s"""$u AS (SELECT $a.cid, ex.d,
-         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
-         |  FROM $a JOIN ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
-         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
-         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
-         |  ON n.cid = $cPrev.cid)""".stripMargin
+  // ---- shared Lloyd-iteration SQL (ONE copy; four oracles compose it:
+  // full fit, sampled fit, PQ subspace chains, residual IVF+PQ — a
+  // tie-break or scaling fix here fixes every mirror at once) ----------
+  private val lloydScale = 1L << 20
+  private def lloydAssign(a: String, rel: String, c: String): String =
+    s"""$a AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
+       |  FROM $rel e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+  private def lloydUpdate(u: String, a: String, exs: String, cPrev: String,
+                          c: String): String =
+    s"""$u AS (SELECT $a.cid, ex.d,
+       |  (sum(CAST(round(ex.x * $lloydScale) AS BIGINT))::DOUBLE / $lloydScale) / count(*) AS val
+       |  FROM $a JOIN $exs ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
+       |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
+       |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
+       |  ON n.cid = $cPrev.cid)""".stripMargin
+
+  private def kmeansIvfOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM e),
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
-       |${assign("a1", "c0")},
-       |${update("u1", "a1", "c0", "c1")},
-       |${assign("a2", "c1")},
-       |${update("u2", "a2", "c1", "c2")},
-       |${assign("a3", "c2")},
-       |${update("u3", "a3", "c2", "c3")},
-       |${assign("af", "c3")}
+       |${lloydAssign("a1", "e", "c0")},
+       |${lloydUpdate("u1", "a1", "ex", "c0", "c1")},
+       |${lloydAssign("a2", "e", "c1")},
+       |${lloydUpdate("u2", "a2", "ex", "c1", "c2")},
+       |${lloydAssign("a3", "e", "c2")},
+       |${lloydUpdate("u3", "a3", "ex", "c2", "c3")},
+       |${lloydAssign("af", "e", "c3")}
        |SELECT cid::INT AS ivf_cell, count(*) AS n FROM af GROUP BY 1""".stripMargin
-  }
 
   /** kmeansFitMod + ivfAssign mirror: identical scaled-integer Lloyd
     * structure to [[kmeansIvfOracle]], but the fit relations (`es`,
@@ -1272,34 +1276,20 @@ object QueriesTextSim {
     * matching kmeansFitMod's collect order). Only the final assignment
     * `af` touches the full corpus.
     */
-  private def kmeansIvfSampledOracle: String = {
-    val scale = 1L << 20
-    def assign(a: String, rel: String, c: String) =
-      s"""$a AS (SELECT vec_id, cid FROM (
-         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
-         |  FROM $rel e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
-    def update(u: String, a: String, cPrev: String, c: String) =
-      s"""$u AS (SELECT $a.cid, ex.d,
-         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
-         |  FROM $a JOIN exs ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
-         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
-         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
-         |  ON n.cid = $cPrev.cid)""".stripMargin
+  private def kmeansIvfSampledOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |es AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
        |exs AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM es),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
        |       FROM es ORDER BY vec_id LIMIT 4),
-       |${assign("a1", "es", "c0")},
-       |${update("u1", "a1", "c0", "c1")},
-       |${assign("a2", "es", "c1")},
-       |${update("u2", "a2", "c1", "c2")},
-       |${assign("a3", "es", "c2")},
-       |${update("u3", "a3", "c2", "c3")},
-       |${assign("af", "e", "c3")}
+       |${lloydAssign("a1", "es", "c0")},
+       |${lloydUpdate("u1", "a1", "exs", "c0", "c1")},
+       |${lloydAssign("a2", "es", "c1")},
+       |${lloydUpdate("u2", "a2", "exs", "c1", "c2")},
+       |${lloydAssign("a3", "es", "c2")},
+       |${lloydUpdate("u3", "a3", "exs", "c2", "c3")},
+       |${lloydAssign("af", "e", "c3")}
        |SELECT cid::INT AS ivf_cell, count(*) AS n FROM af GROUP BY 1""".stripMargin
-  }
 
   /** PQ mirror: two independent sampled-Lloyd chains (one per
     * subspace, suffix `_0`/`_1`), each the exact structure of
@@ -1318,29 +1308,16 @@ object QueriesTextSim {
     * per-subspace PQ chains reading from `r`.
     */
   private def ivfPqOracle: String = {
-    val scale = 1L << 20
-    def assign(a: String, rel: String, c: String) =
-      s"""$a AS (SELECT vec_id, cid FROM (
-         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
-         |  FROM $rel e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
-    def update(u: String, a: String, exs: String, cPrev: String, c: String) =
-      s"""$u AS (SELECT $a.cid, ex.d,
-         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
-         |  FROM $a JOIN $exs ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
-         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
-         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
-         |  ON n.cid = $cPrev.cid)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ces AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
        |cexs AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM ces),
        |cc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
        |       FROM ces ORDER BY vec_id LIMIT 4),
-       |${assign("ca1", "ces", "cc0")},
-       |${update("cu1", "ca1", "cexs", "cc0", "cc1")},
-       |${assign("ca2", "ces", "cc1")},
-       |${update("cu2", "ca2", "cexs", "cc1", "cc2")},
-       |${assign("caf", "e", "cc2")},
+       |${lloydAssign("ca1", "ces", "cc0")},
+       |${lloydUpdate("cu1", "ca1", "cexs", "cc0", "cc1")},
+       |${lloydAssign("ca2", "ces", "cc1")},
+       |${lloydUpdate("cu2", "ca2", "cexs", "cc1", "cc2")},
+       |${lloydAssign("caf", "e", "cc2")},
        |r AS (SELECT e.vec_id, list_transform(range(1, len(e.v) + 1),
        |        i -> e.v[i] - c.cv[i]) AS v
        |      FROM e JOIN caf ON caf.vec_id = e.vec_id
@@ -1362,7 +1339,8 @@ object QueriesTextSim {
        |rec AS (
        |  SELECT af_0.vec_id, list_concat(x.cv, y.cv) AS rv
        |  FROM af_0 JOIN af_1 USING (vec_id)
-       |  JOIN c2_0 x ON x.cid = af_0.cid JOIN c2_1 y ON y.cid = af_1.cid),
+       |  JOIN c${pqIters}_0 x ON x.cid = af_0.cid
+       |  JOIN c${pqIters}_1 y ON y.cid = af_1.cid),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2))
        |SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
        |  SELECT q.query_id, r.vec_id AS neighbor_id,
@@ -1378,22 +1356,16 @@ object QueriesTextSim {
     * must define `src` (raw vectors for plain PQ, residuals for
     * IVF+PQ).
     */
+  // Shared PQ geometry: pqChains' chain structure and every consumer
+  // referencing its CTE names (e.g. the final codebooks `c<pqIters>_j`
+  // in pqSearchOracle) derive from these — never hardcode the round
+  // count at a use site.
+  private val pqIters = 2
+  private val pqSub = 2
+
   private def pqChains(src: String = "e"): String = {
-    val scale = 1L << 20
-    val (mSub, k, iters, dim) = (2, 4, 2, 64)
-    val subLen = dim / mSub
-    def assign(a: String, rel: String, c: String) =
-      s"""$a AS (SELECT vec_id, cid FROM (
-         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC) AS rn
-         |  FROM $rel e CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
-    def update(u: String, a: String, exs: String, cPrev: String, c: String) =
-      s"""$u AS (SELECT $a.cid, ex.d,
-         |  (sum(CAST(round(ex.x * $scale) AS BIGINT))::DOUBLE / $scale) / count(*) AS val
-         |  FROM $a JOIN $exs ex ON ex.vec_id = $a.vec_id GROUP BY $a.cid, ex.d),
-         |$c AS (SELECT $cPrev.cid, COALESCE(n.cv, $cPrev.cv) AS cv FROM $cPrev
-         |  LEFT JOIN (SELECT cid, list(val ORDER BY d) AS cv FROM $u GROUP BY cid) n
-         |  ON n.cid = $cPrev.cid)""".stripMargin
+    val (k, dim) = (4, 64)
+    val subLen = dim / pqSub
     def chain(j: Int): String = {
       val off = j * subLen
       val slices = Seq(
@@ -1402,13 +1374,13 @@ object QueriesTextSim {
         s"exs_$j AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM es_$j)",
         s"""c0_$j AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
            |       FROM es_$j ORDER BY vec_id LIMIT $k)""".stripMargin)
-      val rounds = (1 to iters).flatMap { i =>
-        Seq(assign(s"a${i}_$j", s"es_$j", s"c${i - 1}_$j"),
-          update(s"u${i}_$j", s"a${i}_$j", s"exs_$j", s"c${i - 1}_$j", s"c${i}_$j"))
+      val rounds = (1 to pqIters).flatMap { i =>
+        Seq(lloydAssign(s"a${i}_$j", s"es_$j", s"c${i - 1}_$j"),
+          lloydUpdate(s"u${i}_$j", s"a${i}_$j", s"exs_$j", s"c${i - 1}_$j", s"c${i}_$j"))
       }
-      (slices ++ rounds :+ assign(s"af_$j", s"ef_$j", s"c${iters}_$j")).mkString(",\n")
+      (slices ++ rounds :+ lloydAssign(s"af_$j", s"ef_$j", s"c${pqIters}_$j")).mkString(",\n")
     }
-    (0 until mSub).map(chain).mkString(",\n")
+    (0 until pqSub).map(chain).mkString(",\n")
   }
 
   /** Signature text for the random-hyperplane LSH: bit b = sign of the

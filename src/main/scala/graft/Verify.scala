@@ -28,6 +28,10 @@ object Verify {
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a plan-build throw happens BEFORE overwrite clears the target:
+        // drop any stale dump from a previous run into the same outDir,
+        // or a per-dir comparator would silently pass on old data
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // stdout, not just stderr: a throwing query creates no dump dir and
@@ -51,5 +55,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 }

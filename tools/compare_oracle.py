@@ -101,7 +101,12 @@ def main(sf, out):
     # flag every oracle with no dump as FAIL; when most dirs are absent
     # this was a `Verify <sf> <out> <subset>` run — note, don't fail.
     missing = sorted(set(oracles) - set(dumped))
-    if missing and len(dumped) >= len(oracles) // 2:
+    if not dumped:
+        # zero dumps is never a legitimate subset run — it means Verify
+        # itself failed wholesale (bad sf dir, crash before any write)
+        print("FAIL: no query dumps at all — Verify produced nothing")
+        n_fail += max(1, len(missing))
+    elif missing and len(dumped) >= len(oracles) // 2:
         for name in missing:
             print(f"FAIL {name}: no dump directory (query threw in Verify?)")
         n_fail += len(missing)
