@@ -281,11 +281,21 @@ object Similarity {
                iters: Int = 3): Seq[Seq[Seq[Double]]] = {
     require(dim % mSub == 0, s"dim $dim not divisible into $mSub subspaces")
     val subLen = dim / mSub
-    (0 until mSub).map { j =>
-      val sliced = df.withColumn("_graft_sub",
-        slice(col(vecCol), j * subLen + 1, subLen))
-      kmeansFitMod(sliced, idCol, "_graft_sub", k, sampleMod, iters)
+    // The subspace fits are independent Lloyd loops — submit them from
+    // separate driver threads so their jobs interleave on the cluster
+    // instead of serializing mSub × iters barriers (each fit is
+    // deterministic on its own, so concurrency cannot change results).
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until mSub).map { j =>
+      Future {
+        val sliced = df.withColumn("_graft_sub",
+          slice(col(vecCol), j * subLen + 1, subLen))
+        kmeansFitMod(sliced, idCol, "_graft_sub", k, sampleMod, iters)
+      }
     }
+    fits.map(Await.result(_, Duration.Inf))
   }
 
   /** Assign every vector its PQ code tuple: one `pq_c<j>` column per
