@@ -926,6 +926,41 @@ object QueriesTextSim {
     }): Q,
       Some(ivfPqOracle)),
 
+    // ---- ADC search over the residual IVF+PQ index ---------------------
+    // Reconstruction = coarse centroid + per-subspace residual
+    // centroids; raw queries score against it (the full IVFPQ lookup).
+    ("q_ann_ivfpq_search", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val coarse = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 4,
+        m = 4, iters = 2)
+      val resid = Similarity.residuals(
+        Similarity.ivfAssign(e, "embedding", coarse), "embedding", "ivf_cell",
+        coarse)
+      val cbs = Similarity.pqFitMod(resid, "vec_id", "res", dim = 64,
+        mSub = 2, k = 4, sampleMod = 4, iters = 2)
+      val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+      def cbLit(j: Int) = array(cbs(j).map(c => array(c.map(lit): _*)): _*)
+      val rec = Similarity.pqAssign(resid, "res", cbs, dim = 64)
+        .withColumn("rv", zip_with(
+          element_at(coarseLit, col("ivf_cell") + 1),
+          concat(element_at(cbLit(0), col("pq_c0") + 1),
+            element_at(cbLit(1), col("pq_c1") + 1)),
+          (a, b) => a + b))
+        .select(col("vec_id"), col("rv"))
+      val q = broadcast(e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val scored = rec.crossJoin(q)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", Similarity.cosine(col("rv"), col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("sim"), 3).as("sim"), col("rk"))
+    }): Q,
+      Some(ivfPqSearchOracle)),
+
     // ---- ADC search over the PQ tier -----------------------------------
     // Asymmetric distance: RAW queries vs code-reconstructed corpus
     // (the lookup a PQ index actually serves). Codebooks are broadcast
@@ -1307,8 +1342,11 @@ object QueriesTextSim {
     * CTEs, 2 rounds), residual relation `r`, then the shared
     * per-subspace PQ chains reading from `r`.
     */
-  private def ivfPqOracle: String = {
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Coarse sampled fit + residual relation + PQ chains over residuals
+    * — the WITH body shared by the IVF+PQ occupancy and search mirrors.
+    */
+  private def ivfPqChains: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ces AS (SELECT vec_id, v FROM e WHERE vec_id % 4 = 0),
        |cexs AS (SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v)+1)) AS d FROM ces),
        |cc0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -1322,12 +1360,39 @@ object QueriesTextSim {
        |        i -> e.v[i] - c.cv[i]) AS v
        |      FROM e JOIN caf ON caf.vec_id = e.vec_id
        |      JOIN cc2 c ON c.cid = caf.cid),
-       |${pqChains(src = "r")}
+       |${pqChains(src = "r")}""".stripMargin
+
+  private def ivfPqOracle: String =
+    s"""WITH $ivfPqChains
        |SELECT caf.cid::INT AS ivf_cell, af_0.cid::INT AS pq_c0,
        |  af_1.cid::INT AS pq_c1, count(*) AS n
        |FROM caf JOIN af_0 USING (vec_id) JOIN af_1 USING (vec_id)
        |GROUP BY 1, 2, 3""".stripMargin
-  }
+
+  /** IVF+PQ ADC search mirror: reconstruction = coarse centroid +
+    * concatenated residual-subspace centroids, scored against raw
+    * queries.
+    */
+  private def ivfPqSearchOracle: String =
+    s"""WITH $ivfPqChains,
+       |reccb AS (
+       |  SELECT caf.vec_id, cc.cv AS ccv, list_concat(x.cv, y.cv) AS rcv
+       |  FROM caf JOIN cc2 cc ON cc.cid = caf.cid
+       |  JOIN af_0 ON af_0.vec_id = caf.vec_id
+       |  JOIN c${pqIters}_0 x ON x.cid = af_0.cid
+       |  JOIN af_1 ON af_1.vec_id = caf.vec_id
+       |  JOIN c${pqIters}_1 y ON y.cid = af_1.cid),
+       |rec AS (SELECT vec_id,
+       |  list_transform(range(1, len(ccv) + 1), i -> ccv[i] + rcv[i]) AS rv
+       |  FROM reccb),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2))
+       |SELECT query_id, neighbor_id, round(sim, 3) AS sim, rk FROM (
+       |  SELECT q.query_id, r.vec_id AS neighbor_id,
+       |    list_cosine_similarity(r.rv, q.qv) AS sim,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(r.rv, q.qv) DESC, r.vec_id ASC) AS rk
+       |  FROM rec r CROSS JOIN q WHERE r.vec_id <> q.query_id)
+       |WHERE rk <= 5""".stripMargin
 
   /** ADC search mirror: reconstruct each corpus vector from its two
     * subspace centroids (`rv`), score raw queries against the
