@@ -610,6 +610,49 @@ object QueriesTextSim {
              |  FROM c)
              |WHERE rk <= 5""".stripMargin)),
 
+    // ---- deterministic train/valid/test split --------------------------
+    // Content-hash ranges: a doc's split never changes across runs,
+    // partitionings, or corpus growth (eval-set stability).
+    ("q_split", ((s, dir) =>
+      graft.curate.Sampling.assignSplit(docs(s, dir), col("text"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))): Q,
+      Some("""SELECT CASE WHEN h < 8000 THEN 'train'
+             |            WHEN h < 9000 THEN 'valid' ELSE 'test' END AS split,
+             |  lang, count(*) AS n
+             |FROM (SELECT lang,
+             |        ('0x'||substr(md5(coalesce(text,'')),1,15))::BIGINT % 10000 AS h
+             |      FROM documents)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // ---- token-budget corpus mixing ------------------------------------
+    // Target token shares per source + a budget → deterministic
+    // per-source sampling rates; under-resourced sources cap at 1.
+    ("q_mix", ((s, dir) =>
+      graft.curate.Sampling.mixToTokenTargets(docs(s, dir), col("text"),
+          "source", TextFunctions.tokenCount(col("text")),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          budgetTokens = 2000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("kept_tokens"))): Q,
+      Some("""WITH tok AS (SELECT source, text,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt,
+             |    ('0x'||substr(md5(coalesce(text,'')),1,15))::BIGINT % 10000 AS h
+             |  FROM documents),
+             |tot AS (SELECT source, sum(nt) AS avail FROM tok GROUP BY 1),
+             |thr AS (SELECT t.source,
+             |    CAST(round(least(1.0::DOUBLE,
+             |      (v.share::DOUBLE * 2000::DOUBLE) / t.avail::DOUBLE) * 10000) AS BIGINT) AS thr
+             |  FROM tot t
+             |  JOIN (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) v(source, share)
+             |    ON v.source = t.source)
+             |SELECT tok.source, count(*) AS n_docs,
+             |  sum(tok.nt)::BIGINT AS kept_tokens
+             |FROM tok JOIN thr ON thr.source = tok.source
+             |WHERE tok.h < thr.thr
+             |GROUP BY 1""".stripMargin)),
+
     // ---- deterministic content-hash sampling (curation) -----------------
     // The keep/drop decision is a pure function of md5(text): stable
     // across runs, partitionings, and corpus growth — and therefore

@@ -60,6 +60,61 @@ object Sampling {
       .drop("_graft_thr")
   }
 
+  /** Token-budget corpus mixing: given target token SHARES per source
+    * (the "data mixture" a training run specifies) and a total token
+    * budget, derive each source's deterministic sampling rate
+    * (min(1, share·budget / available-tokens)) and apply it as a
+    * content-hash filter. One partial aggregation computes the
+    * per-source token totals — a handful of rows to the driver
+    * regardless of corpus size — then the filter is the narrow
+    * map-side [[stratifiedHashSample]]. Sources absent from `targets`
+    * are dropped (rate 0).
+    *
+    * An under-resourced source (available < share·budget) caps at
+    * rate 1 — it contributes everything it has, and the realized mix
+    * shifts proportionally; callers wanting hard proportions should
+    * shrink `budgetTokens` to what the scarcest source supports.
+    */
+  def mixToTokenTargets(df: DataFrame, key: Column, sourceCol: String,
+                        tokens: Column, targets: Map[String, Double],
+                        budgetTokens: Long, denom: Long = 10000L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0),
+      "targets must be non-negative shares")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokens.cast("long")).as("_graft_tot"))
+      .collect() // driver-small by construction: one row per source
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = targets.map { case (s, share) =>
+      val avail = totals.getOrElse(s, 0L).toDouble
+      s -> (if (avail <= 0) 0.0
+            else math.min(1.0, share * budgetTokens / avail))
+    }
+    stratifiedHashSample(df, key, sourceCol, rates, default = 0.0, denom)
+  }
+
+  /** Deterministic train/validation/test assignment: the content hash
+    * of `key` lands in [0, denom) and `fractions` carve it into
+    * consecutive ranges — same document ⇒ same split on every run,
+    * every partitioning, and every corpus growth (a doc added later
+    * can never move an existing doc across splits, the property that
+    * keeps eval sets stable). Returns `df` + a split-label column.
+    */
+  def assignSplit(df: DataFrame, key: Column,
+                  fractions: Seq[(String, Double)],
+                  out: String = "split", denom: Long = 10000L): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be non-negative and sum to 1, got $fractions")
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * denom)
+    }.tail
+    val h = contentId(key) % denom
+    val expr = fractions.zip(bounds).foldRight(lit(fractions.last._1)) {
+      case (((label, _), hi), elseC) => when(h < hi, lit(label)).otherwise(elseC)
+    }
+    df.withColumn(out, expr)
+  }
+
   /** Keep at most `n` rows per key (C4-style domain caps: no single
     * host dominates the corpus). Survivors are chosen by content hash
     * — deterministic across runs/partitionings, and unbiased w.r.t.

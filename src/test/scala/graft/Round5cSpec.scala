@@ -116,6 +116,49 @@ class Round5cSpec extends AnyFunSuite {
     assert(small.count() == 4)
   }
 
+  test("assignSplit: stable under reordering and growth, fractions validated") {
+    val df = (1L to 200L).map(i => (i, s"document body $i")).toDF("id", "text")
+    val split = graft.curate.Sampling.assignSplit(df, col("text"),
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val m1 = split.select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1.values.toSet.subsetOf(Set("train", "valid", "test")))
+    // reordering and adding rows never move an existing doc
+    val grown = ((1L to 200L) ++ (900L to 950L)).reverse
+      .map(i => (i, s"document body $i")).toDF("id", "text")
+    val m2 = graft.curate.Sampling.assignSplit(grown, col("text"),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 200L).forall(i => m1(i) == m2(i)))
+    intercept[IllegalArgumentException] {
+      graft.curate.Sampling.assignSplit(df, col("text"),
+        Seq("train" -> 0.8, "valid" -> 0.1))
+    }
+  }
+
+  test("mixToTokenTargets: rates track shares, cap at 1, drop untargeted sources") {
+    val df = (1L to 300L).map { i =>
+      (i, s"s${i % 3}", ("tok " * (1 + (i % 5).toInt)).trim)
+    }.toDF("id", "source", "text")
+    val toks = size(split(col("text"), " "))
+    // huge budget: every targeted source caps at rate 1 (kept whole)
+    val all = graft.curate.Sampling.mixToTokenTargets(df, col("text"),
+      "source", toks, Map("s0" -> 0.5, "s1" -> 0.5), budgetTokens = 1000000L)
+    val bySrc = all.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("s0" -> 100L, "s1" -> 100L), s"got $bySrc") // s2 dropped
+    // small budget: roughly proportional downsample, deterministic
+    val small = graft.curate.Sampling.mixToTokenTargets(df, col("text"),
+      "source", toks, Map("s0" -> 0.5, "s1" -> 0.5), budgetTokens = 200L)
+    val n1 = small.count()
+    assert(n1 > 0 && n1 < 200, s"expected a real downsample, kept $n1")
+    assert(small.select("id").as[Long].collect().toSet ==
+      graft.curate.Sampling.mixToTokenTargets(df.orderBy(col("id").desc),
+        col("text"), "source", toks, Map("s0" -> 0.5, "s1" -> 0.5),
+        budgetTokens = 200L).select("id").as[Long].collect().toSet)
+  }
+
   // ---- gopher quality filter ------------------------------------------
 
   test("gopherFilter fails the right rules with the right reason labels") {
