@@ -991,15 +991,10 @@ object QueriesTextSim {
             element_at(cbLit(1), col("pq_c1") + 1)),
           (a, b) => a + b))
         .select(col("vec_id"), col("rv"))
-      val q = broadcast(e.filter(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val scored = rec.crossJoin(q)
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", Similarity.cosine(col("rv"), col("qv")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.topKAgainst(rec, "vec_id", "rv", q, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 3).as("sim"), col("rk"))
     }): Q,
       Some(ivfPqSearchOracle)),
@@ -1018,15 +1013,10 @@ object QueriesTextSim {
         .withColumn("rv", concat(element_at(cbLit(0), col("pq_c0") + 1),
           element_at(cbLit(1), col("pq_c1") + 1)))
         .select(col("vec_id"), col("rv"))
-      val q = broadcast(e.filter(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val scored = rec.crossJoin(q)
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", Similarity.cosine(col("rv"), col("qv")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.topKAgainst(rec, "vec_id", "rv", q, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 3).as("sim"), col("rk"))
     }): Q,
       Some(pqSearchOracle)),
@@ -1381,11 +1371,8 @@ object QueriesTextSim {
        |SELECT af_0.cid::INT AS pq_c0, af_1.cid::INT AS pq_c1, count(*) AS n
        |FROM af_0 JOIN af_1 USING (vec_id) GROUP BY 1, 2""".stripMargin
 
-  /** Residual IVF+PQ mirror: the sampled coarse fit (suffix-free `c*`
-    * CTEs, 2 rounds), residual relation `r`, then the shared
-    * per-subspace PQ chains reading from `r`.
-    */
-  /** Coarse sampled fit + residual relation + PQ chains over residuals
+  /** Coarse sampled fit (suffix-free `c*` CTEs, 2 rounds) + residual
+    * relation `r` + the shared per-subspace PQ chains reading from `r`
     * — the WITH body shared by the IVF+PQ occupancy and search mirrors.
     */
   private def ivfPqChains: String =

@@ -80,10 +80,14 @@ object Sampling {
                         budgetTokens: Long, denom: Long = 10000L): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ >= 0),
       "targets must be non-negative shares")
+    require(targets.values.sum <= 1.0 + 1e-9,
+      s"shares sum to ${targets.values.sum} > 1 — together they would " +
+        "overshoot budgetTokens; shares are fractions OF the budget")
     val totals = df.groupBy(col(sourceCol))
       .agg(sum(tokens.cast("long")).as("_graft_tot"))
       .collect() // driver-small by construction: one row per source
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap // all-null tokens → 0
     val rates = targets.map { case (s, share) =>
       val avail = totals.getOrElse(s, 0L).toDouble
       s -> (if (avail <= 0) 0.0
@@ -108,11 +112,15 @@ object Sampling {
     val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
       acc + math.round(f * denom)
     }.tail
-    val h = contentId(key) % denom
+    // stage the hash once — embedding contentId in every CASE branch
+    // would re-md5 the key up to n_fractions times per row
+    val h = col("_graft_h")
     val expr = fractions.zip(bounds).foldRight(lit(fractions.last._1)) {
       case (((label, _), hi), elseC) => when(h < hi, lit(label)).otherwise(elseC)
     }
-    df.withColumn(out, expr)
+    df.withColumn("_graft_h", contentId(key) % denom)
+      .withColumn(out, expr)
+      .drop("_graft_h")
   }
 
   /** Keep at most `n` rows per key (C4-style domain caps: no single

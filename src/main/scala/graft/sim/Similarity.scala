@@ -32,13 +32,19 @@ object Similarity {
     * be broadcastable.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("_qvec")))
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(q)
+                     vecCol: String, k: Int): DataFrame =
+    topKAgainst(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), k)
+
+  /** Shared top-k scoring core: broadcast (query_id, qv) rows against
+    * a (idCol, vecCol) corpus — also the ADC path, where `corpus`
+    * carries RECONSTRUCTED vectors and the queries stay raw.
+    */
+  def topKAgainst(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("sim", cosine(col(vecCol), col("_qvec")))
+      .withColumn("sim", cosine(col(vecCol), col("qv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol).asc)
     scored.withColumn("rk", row_number().over(w))
@@ -285,14 +291,19 @@ object Similarity {
     // separate driver threads so their jobs interleave on the cluster
     // instead of serializing mSub × iters barriers (each fit is
     // deterministic on its own, so concurrency cannot change results).
-    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.{Await, Future, ExecutionContext, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val fits = (0 until mSub).map { j =>
       Future {
-        val sliced = df.withColumn("_graft_sub",
-          slice(col(vecCol), j * subLen + 1, subLen))
-        kmeansFitMod(sliced, idCol, "_graft_sub", k, sampleMod, iters)
+        // blocking{}: each fit parks its thread in collect() — tell the
+        // fork-join pool to compensate so the fits stay parallel even
+        // on a small driver (and never starve co-tenant tasks)
+        blocking {
+          val sliced = df.withColumn("_graft_sub",
+            slice(col(vecCol), j * subLen + 1, subLen))
+          kmeansFitMod(sliced, idCol, "_graft_sub", k, sampleMod, iters)
+        }
       }
     }
     fits.map(Await.result(_, Duration.Inf))
