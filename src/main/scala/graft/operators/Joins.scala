@@ -47,13 +47,32 @@ object Joins {
         .filter(col("_graft_rn") === 1)
         .drop("_graft_rn")
     } else {
-      val probeId = "_graft_probe_id"
-      val iId = i.withColumn(probeId, monotonically_increasing_id())
-      val joined = equi(x, iId, on, "right")
-      val w = Window.partitionBy(col(probeId)).orderBy(ord: _*)
-      joined.withColumn("_graft_rn", row_number().over(w))
-        .filter(col("_graft_rn") === 1)
-        .drop("_graft_rn", probeId)
+      // Probe identity WITHOUT a generated id (monotonically_increasing_id
+      // renumbers when a non-deterministic source recomputes a partition —
+      // task retry, AQE replan — splitting a match group across probe ids
+      // and emitting duplicate/missing rows). Same dedupe-count-explode
+      // pattern as [[overlapMult]]: dedupe i to distinct rows carrying
+      // their multiplicity, pick one x row per distinct probe row via
+      // min_by/max_by, and explode the multiplicity back. Exact-duplicate
+      // probe rows match the same x set and pick the same x row, so this
+      // reproduces one-output-row-per-physical-probe-row exactly, and
+      // every step is deterministic under retries and re-planning.
+      val cnt = "_graft_mxn"
+      val iCols = i.columns.toSeq
+      val iDistinct = i.groupBy(iCols.map(col): _*).agg(count(lit(1)).as(cnt))
+      val joined = equi(x, iDistinct, on, "right")
+      val xPayload = x.columns.filterNot(on.contains).toSeq
+      // i's non-key columns may have been i_-prefixed by the clash rule
+      val iSide = joined.columns.filterNot(xPayload.contains).toSeq
+      val iRest = iSide.filterNot(c => on.contains(c) || c == cnt)
+      val pickVal = struct(xPayload.map(col): _*)
+      val key = struct(ord.map(_.expr).map(e => new Column(e.children.head)): _*)
+      val pick = if (mult == "first") min_by(pickVal, key) else max_by(pickVal, key)
+      joined.groupBy(iSide.map(col): _*)
+        .agg(pick.as("_graft_m"))
+        .withColumn("_graft_dup", explode(sequence(lit(1L), col(cnt))))
+        .select((on.map(col) ++ xPayload.map(p => col(s"_graft_m.$p").as(p))
+          ++ iRest.map(col)): _*)
     }
   }
 
