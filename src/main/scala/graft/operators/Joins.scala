@@ -32,6 +32,11 @@ object Joins {
     * direction comes from mult) within the match group. `"error"`
     * becomes a cardinality assertion the caller can run via
     * [[assertNoDup]].
+    *
+    * Limitation (shared with [[overlapMult]]): the `probeUnique=false`
+    * tier groups `i` by all its columns, so map-typed probe columns are
+    * not supported there (Spark maps are not grouping keys); pass
+    * `probeUnique=true` or pre-encode maps (e.g. `to_json`) first.
     */
   def mult(x: DataFrame, i: DataFrame, on: Seq[String], mult: String,
            order: Seq[Column], probeUnique: Boolean = false): DataFrame = {
@@ -57,7 +62,11 @@ object Joins {
       // probe rows match the same x set and pick the same x row, so this
       // reproduces one-output-row-per-physical-probe-row exactly, and
       // every step is deterministic under retries and re-planning.
-      val cnt = "_graft_mxn"
+      // Internal count column: pick a name absent from BOTH inputs so
+      // equi's clash rule can never i_-prefix it out from under us.
+      val taken = (x.columns ++ i.columns).toSet
+      val cnt = Iterator.from(0).map(n => s"_graft_mxn$n")
+        .find(c => !taken.contains(c) && !taken.contains(s"i_$c")).get
       val iCols = i.columns.toSeq
       val iDistinct = i.groupBy(iCols.map(col): _*).agg(count(lit(1)).as(cnt))
       val joined = equi(x, iDistinct, on, "right")
@@ -66,7 +75,9 @@ object Joins {
       val iSide = joined.columns.filterNot(xPayload.contains).toSeq
       val iRest = iSide.filterNot(c => on.contains(c) || c == cnt)
       val pickVal = struct(xPayload.map(col): _*)
-      val key = struct(ord.map(_.expr).map(e => new Column(e.children.head)): _*)
+      // Bare order columns; direction comes from min_by vs max_by below
+      // (same pattern as multAgg).
+      val key = struct(order: _*)
       val pick = if (mult == "first") min_by(pickVal, key) else max_by(pickVal, key)
       joined.groupBy(iSide.map(col): _*)
         .agg(pick.as("_graft_m"))
