@@ -683,6 +683,17 @@ object QueriesTextSim {
         k = 3, numHashes = 32, bands = 8, threshold = 0.5)): Q,
       Some(minhashOracle)),
 
+    // ---- LSH bucket-cap audit ------------------------------------------
+    // The buckets a maxBucket cap would DROP (band, bh, n_ids) — the
+    // "no silent caps" contract: a pipeline runs this alongside
+    // minhashPairsPortable to see which boilerplate clusters the cap
+    // silenced. maxBucket=1 here so the oracle adjudicates non-trivial
+    // output on the synthetic corpus (production uses the default 1000).
+    ("q_dedup_oversized", ((s, dir) =>
+      Dedup.minhashOversizedPortable(docs(s, dir), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, maxBucket = 1)): Q,
+      Some(oversizedOracle(1))),
+
     // ---- SimHash signatures (portable md5 token hashes) ----------------
     ("q_simhash", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1231,7 +1242,11 @@ object QueriesTextSim {
     * band hashes → capped buckets → distinct candidate pairs → exact
     * shingle-set jaccard ≥ threshold. Constants match PortableHash.
     */
-  private def minhashOracle: String = {
+  /** Shared banding prefix (toks → shingles → signature → banded) of the
+    * portable minhash mirror; [[minhashOracle]] and [[oversizedOracle]]
+    * both compose it, so a hash-constant fix here fixes both.
+    */
+  private def minhashBandedCtes: String = {
     val maskA = "288230376151711743"   // 2^58-1
     val mask40 = "1099511627775"       // 2^40-1
     val maskB = "9007199254740991"     // 2^53-1
@@ -1260,7 +1275,11 @@ object QueriesTextSim {
        |  FROM toks),
        |sig AS (SELECT id, sh, $sigTerms AS sig FROM shl),
        |banded AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""$minhashBandedCtes,
        |sizes AS (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT a.id AS idA, b.id AS idB
@@ -1273,7 +1292,14 @@ object QueriesTextSim {
        |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
        |  FROM cand JOIN shl x ON x.id = cand.idA JOIN shl y ON y.id = cand.idB)
        |SELECT idA, idB, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
-  }
+
+  /** Mirror of `Dedup.minhashOversizedPortable`: the LSH buckets a
+    * `maxBucket` cap would drop, with their membership counts.
+    */
+  private def oversizedOracle(maxBucket: Int): String =
+    s"""$minhashBandedCtes
+       |SELECT band, bh, count(*) AS n_ids FROM banded
+       |GROUP BY 1, 2 HAVING count(*) > $maxBucket""".stripMargin
 
   /** StubCodec mirror: payload = UTF-8 bytes of `text`, so DuckDB's
     * md5(text) hashes the exact bytes the Arrow codec sees; feature i's

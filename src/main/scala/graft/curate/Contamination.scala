@@ -137,10 +137,7 @@ object Contamination {
                    textCol: String, k: Int = 3, numHashes: Int = 32,
                    bands: Int = 8, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
-    def tag(df: DataFrame, side: Int) = df.select(
-      struct(lit(side).as("side"), col(idCol).as("orig")).as(idCol),
-      col(textCol))
-    val all = tag(corpus, 0).unionByName(tag(bench, 1))
+    val all = fuzzyTagged(corpus, bench, idCol, textCol)
     val crossOnly = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       a.getField("side") =!= b.getField("side")
     graft.dedup.Dedup.minhashPairsPortable(
@@ -150,5 +147,32 @@ object Contamination {
         when(col("idA.side") === 0, col("idA.orig")).otherwise(col("idB.orig")).as(idCol),
         when(col("idA.side") === 0, col("idB.orig")).otherwise(col("idA.orig")).as("bench_id"),
         col("jaccard"))
+  }
+
+  /** Audit twin of [[fuzzyOverlap]]: the LSH buckets its `maxBucket`
+    * cap would DROP — (band, bh, n_ids). A mega-bucket here can HIDE
+    * CONTAMINATION (an eval item buried in a boilerplate cluster never
+    * reaches the verify stage), so a decontamination pass must check
+    * this is empty — or treat every corpus doc in a dropped bucket as
+    * suspect — before trusting a clean fuzzyOverlap result.
+    */
+  def fuzzyOversized(corpus: DataFrame, bench: DataFrame, idCol: String,
+                     textCol: String, k: Int = 3, numHashes: Int = 32,
+                     bands: Int = 8, maxBucket: Int = 1000): DataFrame =
+    graft.dedup.Dedup.minhashOversizedPortable(
+      fuzzyTagged(corpus, bench, idCol, textCol), idCol, textCol,
+      k, numHashes, bands, maxBucket)
+
+  /** Shared side-tagged union: struct(side, orig) ids so corpus doc 5
+    * and bench doc 5 can never collide — and [[fuzzyOverlap]] /
+    * [[fuzzyOversized]] build the IDENTICAL plan, so the session-
+    * memoized shingle+signature base is computed once for both.
+    */
+  private def fuzzyTagged(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    def tag(df: DataFrame, side: Int) = df.select(
+      struct(lit(side).as("side"), col(idCol).as("orig")).as(idCol),
+      col(textCol))
+    tag(corpus, 0).unionByName(tag(bench, 1))
   }
 }

@@ -143,27 +143,8 @@ object Dedup {
                            k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                            threshold: Double = 0.5, maxBucket: Int = 1000,
                            pairFilter: Option[(Column, Column) => Column] = None): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // Session-scoped memoized persist (the Scale.planKey pattern):
-    // several pipeline queries share one corpus's shingle+signature base
-    // (pair listing, pruning, ...) — without the registry each call
-    // pinned a fresh MEMORY_AND_DISK copy for the session's lifetime.
-    val baseKey = s"${baseKeyOf(df)}:$idCol:$textCol:$k:$numHashes"
-    val base = portableBaseCache.getOrElseUpdate(baseKey,
-      df.select(col(idCol).as("id"), col(textCol).as("text"))
-        .withColumn("sh", graft.plans.PortableShingles(
-          TextFunctions.wsTokens(TextFunctions.normalize(col("text"))), k))
-        .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
-        .drop("text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def bandHash(b: Int): Column =
-      (1 until rowsPerBand).foldLeft(element_at(col("sig"), b * rowsPerBand + 1)) {
-        (acc, j) => portableRot(acc).bitwiseXOR(element_at(col("sig"), b * rowsPerBand + j + 1))
-      }
-    val banded = base
-      .select(col("id"), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val base = portableBase(df, idCol, textCol, k, numHashes)
+    val banded = portableBandedOf(base, numHashes, bands)
     val buckets = cappedBuckets(banded, Seq("band", "bh"), "id", maxBucket)
     // pairFilter prunes candidates BEFORE the dedup shuffle and the
     // (expensive) shingle-fetch joins + exact Jaccard — e.g. the fuzzy
@@ -181,6 +162,72 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), col("jaccard"))
+  }
+
+  /** Session-scoped memoized persist (the Scale.planKey pattern):
+    * several pipeline queries share one corpus's shingle+signature base
+    * (pair listing, pruning, oversized-bucket audit, ...) — without the
+    * registry each call pinned a fresh MEMORY_AND_DISK copy for the
+    * session's lifetime.
+    */
+  private def portableBase(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, numHashes: Int): DataFrame = {
+    val baseKey = s"${baseKeyOf(df)}:$idCol:$textCol:$k:$numHashes"
+    portableBaseCache.getOrElseUpdate(baseKey,
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .withColumn("sh", graft.plans.PortableShingles(
+          TextFunctions.wsTokens(TextFunctions.normalize(col("text"))), k))
+        .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
+        .drop("text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Slim (id, band, bh) banding of a [[portableBase]]: only those three
+    * columns travel through the explode+shuffle — never the shingle or
+    * signature arrays.
+    */
+  private def portableBandedOf(base: DataFrame, numHashes: Int,
+                               bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def bandHash(b: Int): Column =
+      (1 until rowsPerBand).foldLeft(element_at(col("sig"), b * rowsPerBand + 1)) {
+        (acc, j) => portableRot(acc).bitwiseXOR(element_at(col("sig"), b * rowsPerBand + j + 1))
+      }
+    base
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** The LSH buckets the portable minhash pipeline would DROP at
+    * `maxBucket` — (band, bh, n_ids), one row per oversized bucket.
+    * Run it with the same parameters as [[minhashPairsPortable]] to see
+    * WHICH signature buckets the cap silenced (a giant boilerplate
+    * cluster is the most dedup-worthy content in the corpus; this query
+    * is how a pipeline finds it and acts, instead of silently keeping
+    * every copy).
+    */
+  def minhashOversizedPortable(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                               maxBucket: Int = 1000): DataFrame =
+    oversizedBuckets(
+      portableBandedOf(portableBase(df, idCol, textCol, k, numHashes), numHashes, bands),
+      Seq("band", "bh"), maxBucket)
+
+  /** [[minhashOversizedPortable]] twin for the xxhash64 kernel family
+    * [[minhashPairs]] uses — same (band, bh, n_ids) audit contract.
+    */
+  def minhashOversized(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                       maxBucket: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = df.select(col(idCol).as("id"),
+        graft.plans.MinHashSignature(graft.plans.ShingleHashes(
+          TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))), k),
+          numHashes).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    oversizedBuckets(banded, Seq("band", "bh"), maxBucket)
   }
 
   // Keyed like Scale.planKey — session identity + analyzed semanticHash +
@@ -224,6 +271,15 @@ object Dedup {
     * pass 2 semi-joins eligible keys, then collects. Both passes hash on
     * the same keys, so AQE/exchange reuse keeps this at ~one extra
     * count-shuffle of the slim (keys, id) projection.
+    *
+    * The cap is NOT silent: every caller has an `*Oversized` audit twin
+    * built on [[oversizedBuckets]] that reports exactly which buckets a
+    * given cap drops. (An in-plan `Dataset.observe` metric was rejected
+    * for this: when the capped branch materializes empty — the fully-
+    * collapsed case the audit exists for — AQE's empty-relation
+    * propagation replaces the subtree and the CollectMetrics node never
+    * reaches the final plan, so the observation silently reports
+    * nothing. A separate slim count job is deterministic under AQE.)
     */
   private[graft] def cappedBuckets(banded: DataFrame, keys: Seq[String],
                                    idCol: String, maxBucket: Int): DataFrame = {
@@ -235,6 +291,20 @@ object Dedup {
       .groupBy(keys.map(col): _*)
       .agg(collect_list(col(idCol)).as("ids"))
   }
+
+  /** The buckets [[cappedBuckets]] would DROP at `maxBucket`, as data:
+    * one row per oversized bucket with its key columns and `n_ids`
+    * membership. Same slim count aggregation as the cap itself (never
+    * materializes the bucket), so it is safe to run at any scale. A
+    * dropped mega-bucket is exactly the boilerplate cluster most worth
+    * deduping, so pipelines should alert on a non-empty audit and
+    * either raise the cap or pre-filter the offending content.
+    */
+  private[graft] def oversizedBuckets(banded: DataFrame, keys: Seq[String],
+                                      maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
 
   /** C4-style global unit dedup (Raffel et al. 2020 §2.2 "we discard
     * all but one of any three-sentence span occurring more than once"):

@@ -81,14 +81,31 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates share the signature
     * bucket → equi join on signature, then exact cosine within bucket.
     * Recall is tunable by nBits (fewer bits = bigger buckets).
+    *
+    * `maxBucket` caps the CORPUS side of the signature join: a skewed
+    * embedding distribution (near-constant vectors, zero-padded rows)
+    * can put a huge fraction of the corpus in one signature bucket, and
+    * the raw equi join then goes quadratic on it. Signatures whose
+    * corpus population exceeds the cap are excluded — queries landing
+    * there get no candidates from that bucket (fall back to
+    * [[bruteForceTopK]] or re-bucket with more bits for them). The cap
+    * is surfaced, not silent: [[lshOversized]] with the same parameters
+    * reports exactly which signature buckets it dropped.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dim: Int, nBits: Int, k: Int): DataFrame = {
+              vecCol: String, dim: Int, nBits: Int, k: Int,
+              maxBucket: Int = 1000): DataFrame = {
     val sig = lshSignature(col(vecCol), dim, nBits)
     val c = corpus.select(col(idCol), col(vecCol)).withColumn("_sig", sig)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
       .withColumn("_sig", lshSignature(col("_qvec"), dim, nBits))
-    val scored = c.join(q, Seq("_sig"))
+    // Count pass over the slim (_sig) projection; the semi join admits
+    // only sane buckets to the candidate join (same shape as
+    // Dedup.cappedBuckets — count → semi-join, never materializing an
+    // oversized bucket).
+    val eligible = c.groupBy(col("_sig")).agg(count(lit(1)).as("_graft_n"))
+      .filter(col("_graft_n") <= maxBucket).select("_sig")
+    val scored = c.join(eligible, Seq("_sig"), "left_semi").join(q, Seq("_sig"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
     val w = Window.partitionBy(col("query_id"))
@@ -108,11 +125,7 @@ object Similarity {
                   nBits: Int, threshold: Double, tables: Int = 2,
                   maxBucket: Int = 1000): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = (0 until tables).map { t =>
-      base.withColumn("_sig", concat_ws("|", lit(t.toString),
-        lshSignatureOffset(col("vec"), dim, nBits, t * nBits)))
-        .select(col("id"), col("_sig"))
-    }.reduce(_ unionByName _)
+    val banded = cosineBanded(base, dim, nBits, tables)
     // Cap enforced before materialization (count → semi-join → collect);
     // see Dedup.cappedBuckets for why a post-collect filter is an OOM trap.
     val buckets = graft.dedup.Dedup.cappedBuckets(banded, Seq("_sig"), "id", maxBucket)
@@ -128,6 +141,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("idA"), col("idB"), col("sim"))
   }
+
+  /** Shared multi-table banding of [[cosinePairs]] / [[cosineOversized]]:
+    * one slim (id, _sig) row per signature table.
+    */
+  private def cosineBanded(base: DataFrame, dim: Int, nBits: Int,
+                           tables: Int): DataFrame =
+    (0 until tables).map { t =>
+      base.withColumn("_sig", concat_ws("|", lit(t.toString),
+        lshSignatureOffset(col("vec"), dim, nBits, t * nBits)))
+        .select(col("id"), col("_sig"))
+    }.reduce(_ unionByName _)
+
+  /** Audit twin of [[cosinePairs]]: the signature buckets its
+    * `maxBucket` cap would DROP — (sig, n_ids) across all tables. A
+    * dropped bucket is a cluster of near-constant embeddings that
+    * silently KEEPS all its near-duplicates; alert on non-empty.
+    */
+  def cosineOversized(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, nBits: Int, tables: Int = 2,
+                      maxBucket: Int = 1000): DataFrame =
+    graft.dedup.Dedup.oversizedBuckets(
+        cosineBanded(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+          dim, nBits, tables),
+        Seq("_sig"), maxBucket)
+      .select(col("_sig").as("sig"), col("n_ids"))
+
+  /** Audit twin of [[lshTopK]]: the CORPUS signature buckets its
+    * `maxBucket` cap excludes from the candidate join — (sig, n_ids).
+    * Queries whose signature lands here got no candidates; route them
+    * to [[bruteForceTopK]] or re-bucket with more bits.
+    */
+  def lshOversized(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, nBits: Int, maxBucket: Int = 1000): DataFrame =
+    graft.dedup.Dedup.oversizedBuckets(
+        corpus.select(col(idCol).as("id"),
+          lshSignature(col(vecCol), dim, nBits).as("_sig")),
+        Seq("_sig"), maxBucket)
+      .select(col("_sig").as("sig"), col("n_ids"))
 
   /** IVF top-k search (nprobe=1): assign corpus AND queries to their
     * nearest centroid cell, then brute-force cosine ONLY within the

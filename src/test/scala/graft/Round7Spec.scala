@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.dedup.Dedup
 import graft.operators.Joins
+import graft.sim.Similarity
 
 /** Round-7: finish the mult=first/last dedupe-count-explode rewrite to its
   * "done" bar — duplicate physical probe rows, multi-column order, and
@@ -66,5 +68,86 @@ class Round7Spec extends AnyFunSuite {
     val ic = i.withColumn("_graft_mxn0", lit(2))
     val out2 = Joins.mult(x, ic, Seq("k"), "first", Seq($"s1", $"s2"))
     assert(out2.count() == 2 && out2.columns.contains("_graft_mxn0"))
+  }
+
+  // ---- LSH bucket caps are surfaced, not silent ------------------------
+
+  // 6 near-identical boilerplate docs: every band bucket holds all 6,
+  // so a maxBucket=3 cap drops every bucket — the exact "giant
+  // boilerplate cluster survives dedup" hazard the audit must report.
+  private lazy val boiler = (0L until 6L).map(i =>
+    (i, "the same boilerplate footer text repeated on every page"))
+    .toDF("doc_id", "text")
+
+  test("minhash cap: dropped mega-bucket is listed by the oversized audit") {
+    val pairs = Dedup.minhashPairsPortable(boiler, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5, maxBucket = 3)
+    assert(pairs.count() == 0) // capped away — and that fact is visible:
+    // identical text → identical signature → all 8 bands collapse to
+    // 8 buckets of 6 members each
+    val over = Dedup.minhashOversizedPortable(boiler, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, maxBucket = 3)
+      .select($"band", $"n_ids").orderBy($"band")
+      .as[(Int, Long)].collect()
+    assert(over.toSeq == (0 until 8).map(b => (b, 6L)))
+    // xxhash twin reports the same shape
+    val overX = Dedup.minhashOversized(boiler, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, maxBucket = 3)
+      .select($"band", $"n_ids").orderBy($"band")
+      .as[(Int, Long)].collect()
+    assert(overX.toSeq == (0 until 8).map(b => (b, 6L)))
+  }
+
+  test("minhash cap: clean corpus reports an empty oversized audit") {
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    assert(Dedup.minhashOversizedPortable(distinctDocs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, maxBucket = 3).count() == 0)
+  }
+
+  test("fuzzyOverlap cap: mega-bucket that could hide contamination is audited") {
+    val text = "the same boilerplate footer text repeated on every page"
+    val corpus = (0L until 6L).map(i => (i, text)).toDF("doc_id", "text")
+    val bench = Seq((100L, text)).toDF("doc_id", "text")
+    val hits = graft.curate.Contamination.fuzzyOverlap(corpus, bench,
+      "doc_id", "text", maxBucket = 3)
+    // the contaminated docs are NOT flagged (bucket over cap) — but the
+    // audit says so instead of silently passing the corpus as clean
+    assert(hits.count() == 0)
+    val over = graft.curate.Contamination.fuzzyOversized(corpus, bench,
+      "doc_id", "text", maxBucket = 3)
+    assert(over.count() == 8) // 7 docs per band bucket, all 8 bands over cap
+    assert(over.select(max($"n_ids")).as[Long].head() == 7L)
+  }
+
+  test("lshTopK cap: degenerate signature bucket is excluded and audited") {
+    val vec = (0 until 8).map(_.toDouble / 8)
+    val corpus = (0L until 6L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L)
+    val out = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      dim = 8, nBits = 2, k = 3, maxBucket = 4)
+    assert(out.count() == 0) // the 6-member bucket exceeded the cap
+    val over = Similarity.lshOversized(corpus, "vec_id", "embedding",
+      dim = 8, nBits = 2, maxBucket = 4).as[(String, Long)].collect()
+    assert(over.length == 1 && over.head._2 == 6L)
+    // same data under the default cap: bucket join works, 3 neighbors
+    val ok = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      dim = 8, nBits = 2, k = 3)
+    assert(ok.count() == 3)
+  }
+
+  test("cosinePairs cap is audited by cosineOversized") {
+    val vec = (0 until 8).map(_.toDouble / 8)
+    val corpus = (0L until 6L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(corpus, "vec_id", "embedding",
+      dim = 8, nBits = 2, threshold = 0.9, tables = 2, maxBucket = 3)
+    assert(pairs.count() == 0)
+    // 2 tables × 1 bucket of 6 each
+    val over = Similarity.cosineOversized(corpus, "vec_id", "embedding",
+      dim = 8, nBits = 2, tables = 2, maxBucket = 3)
+      .as[(String, Long)].collect()
+    assert(over.length == 2 && over.forall(_._2 == 6L))
   }
 }
