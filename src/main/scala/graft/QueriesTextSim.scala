@@ -981,8 +981,9 @@ object QueriesTextSim {
       Some(ivfPqOracle)),
 
     // ---- ADC search over the residual IVF+PQ index ---------------------
-    // Reconstruction = coarse centroid + per-subspace residual
-    // centroids; raw queries score against it (the full IVFPQ lookup).
+    // Per-query distance TABLES (coarse centroid + residual codeword
+    // folded in), scored by mSub lookups per (row, query) — no
+    // per-pair reconstruction or O(dim) cosine (the full IVFPQ lookup).
     ("q_ann_ivfpq_search", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
@@ -993,40 +994,31 @@ object QueriesTextSim {
         coarse)
       val cbs = Similarity.pqFitMod(resid, "vec_id", "res", dim = 64,
         mSub = 2, k = 4, sampleMod = 4, iters = 2)
-      val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
-      def cbLit(j: Int) = array(cbs(j).map(c => array(c.map(lit): _*)): _*)
-      val rec = Similarity.pqAssign(resid, "res", cbs, dim = 64)
-        .withColumn("rv", zip_with(
-          element_at(coarseLit, col("ivf_cell") + 1),
-          concat(element_at(cbLit(0), col("pq_c0") + 1),
-            element_at(cbLit(1), col("pq_c1") + 1)),
-          (a, b) => a + b))
-        .select(col("vec_id"), col("rv"))
+      val coded = Similarity.pqAssign(resid, "res", cbs, dim = 64)
+        .select(col("vec_id"), col("ivf_cell"), col("pq_c0"), col("pq_c1"))
       val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Similarity.topKAgainst(rec, "vec_id", "rv", q, k = 5)
+      Similarity.pqAdcTopK(coded, "vec_id", cbs, q, k = 5,
+          coarse = Some(("ivf_cell", coarse)))
         .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 3).as("sim"), col("rk"))
     }): Q,
       Some(ivfPqSearchOracle)),
 
     // ---- ADC search over the PQ tier -----------------------------------
-    // Asymmetric distance: RAW queries vs code-reconstructed corpus
-    // (the lookup a PQ index actually serves). Codebooks are broadcast
-    // literals; reconstruction is a narrow map.
+    // Asymmetric distance: RAW queries vs PQ codes via per-query lookup
+    // tables (the lookup a PQ index actually serves). Tables are
+    // broadcast literals; scoring is mSub element_at calls per pair.
     ("q_ann_pq_search", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
       val cbs = Similarity.pqFitMod(e, "vec_id", "embedding", dim = 64,
         mSub = 2, k = 4, sampleMod = 4, iters = 2)
-      def cbLit(j: Int) = array(cbs(j).map(c => array(c.map(lit): _*)): _*)
-      val rec = Similarity.pqAssign(e, "embedding", cbs, dim = 64)
-        .withColumn("rv", concat(element_at(cbLit(0), col("pq_c0") + 1),
-          element_at(cbLit(1), col("pq_c1") + 1)))
-        .select(col("vec_id"), col("rv"))
+      val coded = Similarity.pqAssign(e, "embedding", cbs, dim = 64)
+        .select(col("vec_id"), col("pq_c0"), col("pq_c1"))
       val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Similarity.topKAgainst(rec, "vec_id", "rv", q, k = 5)
+      Similarity.pqAdcTopK(coded, "vec_id", cbs, q, k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 3).as("sim"), col("rk"))
     }): Q,

@@ -379,6 +379,88 @@ object Similarity {
     }
   }
 
+  /** ADC (asymmetric distance computation) top-k over a PQ-coded
+    * corpus: the classic PQ search trick (Jégou et al., TPAMI 2011 §V).
+    * Scoring a corpus row against a query only depends on the row's
+    * code tuple (and coarse cell for IVF+PQ), so instead of
+    * reconstructing a dim-length vector per row and running an O(dim)
+    * cosine per (row, query) pair, precompute at plan-build time:
+    *
+    *  - per subspace, a query-INDEPENDENT table of squared sub-
+    *    reconstruction norms — one shared `sqrt` per corpus row,
+    *    reused by every query (disjoint subspaces: ‖rv‖² = Σ_j ‖sub_j‖²);
+    *  - per (query, subspace), a table of `q_sub · sub-reconstruction`
+    *    dot products (queries are driver-small, the same broadcast
+    *    contract as [[topKAgainst]]).
+    *
+    * Each (row, query) score is then mSub table lookups + a divide —
+    * O(mSub) instead of O(dim) work, with identical cosine semantics
+    * to scoring against the reconstructed vectors. Tables are literal
+    * arrays (mSub·nCells·k doubles — thousands, not millions), so they
+    * ride the plan like the codebooks do; no shuffle, no extra join.
+    *
+    * `coded` carries `pq_c<j>` columns from [[pqAssign]]; pass
+    * `coarse = Some((cellCol, centroids))` for the residual IVF+PQ
+    * index, where reconstruction = coarse centroid + residual codeword.
+    */
+  def pqAdcTopK(coded: DataFrame, idCol: String,
+                codebooks: Seq[Seq[Seq[Double]]],
+                queries: DataFrame, k: Int,
+                coarse: Option[(String, Seq[Seq[Double]])] = None): DataFrame = {
+    val mSub = codebooks.size
+    val kCodes = codebooks.head.size
+    val subLen = codebooks.head.head.size
+    val nCells = coarse.map(_._2.size).getOrElse(1)
+    // sub-reconstruction for (subspace j, cell c, code t)
+    def base(j: Int, c: Int, t: Int): Seq[Double] = coarse match {
+      case Some((_, cents)) =>
+        cents(c).slice(j * subLen, (j + 1) * subLen)
+          .zip(codebooks(j)(t)).map { case (a, b) => a + b }
+      case None => codebooks(j)(t)
+    }
+    def flat(f: (Int, Int) => Double): Array[Double] =
+      (for (c <- 0 until nCells; t <- 0 until kCodes) yield f(c, t)).toArray
+    def tableLit(a: Array[Double]) = array(a.map(lit).toSeq: _*)
+    // 1-based flattened (cell, code) index per subspace
+    val idxCols = (0 until mSub).map { j =>
+      val codeIdx = coarse match {
+        case Some((cellCol, _)) => col(cellCol) * kCodes + col(s"pq_c$j")
+        case None => col(s"pq_c$j")
+      }
+      (codeIdx + lit(1)).cast("int")
+    }
+    val rnorm2 = (0 until mSub).map { j =>
+      val t = flat((c, u) => base(j, c, u).foldLeft(0.0)((acc, x) => acc + x * x))
+      element_at(tableLit(t), idxCols(j))
+    }.reduce(_ + _)
+    val perQuery = queries.select(col("query_id"), col("qv")).collect().map { r =>
+      val qv = r.getSeq[Double](1)
+      val qnorm = math.sqrt(qv.foldLeft(0.0)((acc, x) => acc + x * x))
+      val dot = (0 until mSub).map { j =>
+        val qSub = qv.slice(j * subLen, (j + 1) * subLen)
+        val t = flat((c, u) => qSub.zip(base(j, c, u))
+          .foldLeft(0.0)((acc, p) => acc + p._1 * p._2))
+        element_at(tableLit(t), idxCols(j))
+      }.reduce(_ + _)
+      val sim = if (qnorm > 0)
+        when(col("_graft_rnorm") > 0, dot / (lit(qnorm) * col("_graft_rnorm")))
+          .otherwise(lit(0.0))
+      else lit(0.0)
+      struct(lit(r.get(0)).as("query_id"), sim.as("sim"))
+    }
+    val scored = coded
+      .withColumn("_graft_rnorm", sqrt(rnorm2))
+      .select(col(idCol), explode(array(perQuery.toSeq: _*)).as("_graft_s"))
+      .select(col(idCol), col("_graft_s.query_id").as("query_id"),
+        col("_graft_s.sim").as("sim"))
+      .filter(col(idCol) =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"), col("rk"))
+  }
+
   /** Residual of each vector against its coarse cell's centroid
     * (v − centroid[cell]) — what IVF+PQ quantizes: residuals are much
     * lower-energy than raw vectors, so the same PQ budget buys far

@@ -138,6 +138,54 @@ class Round7Spec extends AnyFunSuite {
     assert(ok.count() == 3)
   }
 
+  // ---- ADC distance tables ---------------------------------------------
+
+  test("pqAdcTopK matches reconstruct-and-cosine scoring, flat and IVF+PQ") {
+    val vecs = (0L until 12L).map(i =>
+      (i, (0 until 8).map(d => ((i * 7 + d * 3) % 11).toDouble / 11)))
+    val e = vecs.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" < 2L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def norm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+      df.select($"query_id", $"neighbor_id", round($"sim", 9).as("sim"), $"rk")
+        .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+
+    // flat PQ
+    val cbs = Similarity.pqFitMod(e, "vec_id", "embedding", dim = 8,
+      mSub = 2, k = 2, sampleMod = 2, iters = 2)
+    val coded = Similarity.pqAssign(e, "embedding", cbs, dim = 8)
+    def cbLit(j: Int) = array(cbs(j).map(c => array(c.map(lit): _*)): _*)
+    val rec = coded.withColumn("rv",
+        concat(element_at(cbLit(0), $"pq_c0" + 1),
+          element_at(cbLit(1), $"pq_c1" + 1)))
+      .select($"vec_id", $"rv")
+    val adc = Similarity.pqAdcTopK(
+      coded.select($"vec_id", $"pq_c0", $"pq_c1"), "vec_id", cbs, q, k = 3)
+    assert(norm(adc) == norm(Similarity.topKAgainst(rec, "vec_id", "rv", q, 3)))
+
+    // residual IVF+PQ
+    val coarse = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 2,
+      m = 2, iters = 2)
+    val resid = Similarity.residuals(
+      Similarity.ivfAssign(e, "embedding", coarse), "embedding", "ivf_cell",
+      coarse)
+    val rcbs = Similarity.pqFitMod(resid, "vec_id", "res", dim = 8,
+      mSub = 2, k = 2, sampleMod = 2, iters = 2)
+    val rcoded = Similarity.pqAssign(resid, "res", rcbs, dim = 8)
+    val coarseLit = array(coarse.map(c => array(c.map(lit): _*)): _*)
+    def rcbLit(j: Int) = array(rcbs(j).map(c => array(c.map(lit): _*)): _*)
+    val rrec = rcoded.withColumn("rv", zip_with(
+        element_at(coarseLit, $"ivf_cell" + 1),
+        concat(element_at(rcbLit(0), $"pq_c0" + 1),
+          element_at(rcbLit(1), $"pq_c1" + 1)),
+        (a, b) => a + b))
+      .select($"vec_id", $"rv")
+    val radc = Similarity.pqAdcTopK(
+      rcoded.select($"vec_id", $"ivf_cell", $"pq_c0", $"pq_c1"), "vec_id",
+      rcbs, q, k = 3, coarse = Some(("ivf_cell", coarse)))
+    assert(norm(radc) == norm(Similarity.topKAgainst(rrec, "vec_id", "rv", q, 3)))
+  }
+
   test("cosinePairs cap is audited by cosineOversized") {
     val vec = (0 until 8).map(_.toDouble / 8)
     val corpus = (0L until 6L).map(i => (i, vec)).toDF("vec_id", "embedding")
