@@ -275,18 +275,34 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * integer↔double stays allowed, as the reference coerces those.
     */
   def join(i: DT, on: Seq[String], how: String = "inner",
-           nullSafe: Boolean = false, strict: Boolean = false): DT = {
+           nullSafe: Boolean = false, strict: Boolean = false,
+           rounding: Int = 0): DT = {
     if (strict) graft.functions.StrictTypes.checkJoinTypes(df, i.df, on)
-    if (!nullSafe) DT(Joins.equi(df, i.df, on, how))
+    // setNumericRounding as a join knob (man/setNumericRounding.Rd;
+    // the reference rounds inside bmerge's comparison, src/bmerge.c:12):
+    // round the last `rounding` bytes off every DOUBLE key's significand
+    // on BOTH sides, so keys differing only below the threshold compare
+    // equal. The output key columns carry the rounded representative
+    // (one visible value per equivalence class) — keep an unrounded
+    // copy as a non-key column if the raw value matters downstream.
+    val (x, y) =
+      if (rounding == 0) (df, i.df)
+      else (roundDoubleKeys(df, on, rounding), roundDoubleKeys(i.df, on, rounding))
+    if (!nullSafe) DT(Joins.equi(x, y, on, how))
     else {
-      val clashes = i.df.columns.filter(c => df.columns.contains(c) && !on.contains(c))
-      val renamed = clashes.foldLeft(i.df)((d, c) => d.withColumnRenamed(c, s"i_$c"))
-      val cond = on.map(c => df(c) <=> renamed(c)).reduce(_ && _)
-      val joined = df.join(renamed, cond, how)
+      val clashes = y.columns.filter(c => x.columns.contains(c) && !on.contains(c))
+      val renamed = clashes.foldLeft(y)((d, c) => d.withColumnRenamed(c, s"i_$c"))
+      val cond = on.map(c => x(c) <=> renamed(c)).reduce(_ && _)
+      val joined = x.join(renamed, cond, how)
       // collapse the duplicated join columns like a USING join
       DT(on.foldLeft(joined)((d, c) => d.drop(renamed(c))))
     }
   }
+
+  private def roundDoubleKeys(d: DataFrame, on: Seq[String], bytes: Int): DataFrame =
+    on.filter(c => d.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+      .foldLeft(d)((acc, c) =>
+        acc.withColumn(c, graft.plans.RoundMantissa(col(c), bytes)))
 
   def joinExpr(i: DT, cond: Column, how: String = "inner"): DT =
     DT(df.join(i.df, cond, how))

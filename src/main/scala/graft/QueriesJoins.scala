@@ -110,6 +110,53 @@ object QueriesJoins {
              |      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
              |WHERE rn = 1""".stripMargin)),
 
+    // ---- setNumericRounding join knob (man/setNumericRounding.Rd) ------
+    // Two copies of the same prices, one perturbed by a relative 1e-14
+    // (well below the 2-byte significand granule ≈ 1.5e-11): a plain
+    // double-equality join finds nothing; rounding=2 joins them. The
+    // oracle reproduces the mantissa rounding with exact power-of-two
+    // arithmetic (scale to an integer significand, round-half-up on the
+    // low 16 bits, scale back), so the rounded doubles hash-match
+    // bit-for-bit.
+    ("q_join_rounded", ((s, dir) => {
+      val base = dt(s, dir, "lineitem")
+        .selectNames("l_orderkey", "l_linenumber", "l_extendedprice")
+        .setNames("l_extendedprice" -> "price")(col("l_orderkey") < 400)
+      val perturbed = DT(base.df.withColumn("price",
+        col("price") * (lit(1.0) + lit(1e-14))))
+      base.join(perturbed, Seq("l_orderkey", "l_linenumber", "price"),
+          rounding = 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("price")).df
+    }): Q,
+      Some {
+        val g = 1L << 16
+        def rounded(v: String) =
+          s"""(WITH t AS (SELECT $v AS v),
+             |ex AS (SELECT v, CAST(floor(log2(abs(v))) AS BIGINT) AS e0 FROM t),
+             |ec AS (SELECT v, CASE WHEN pow(2, e0 + 1) <= abs(v) THEN e0 + 1
+             |                      WHEN pow(2, e0) > abs(v) THEN e0 - 1
+             |                      ELSE e0 END AS e FROM ex),
+             |mt AS (SELECT v, e, CAST(abs(v) * pow(2, 52 - e) AS BIGINT) AS m FROM ec),
+             |rr AS (SELECT v, e, m, ((m + ${g / 2}) // $g) * $g AS r FROM mt),
+             |fin AS (SELECT CASE WHEN NOT isfinite(sign(v) * r * pow(2, e - 52))
+             |                    THEN sign(v) * ((m // $g) * $g) * pow(2, e - 52)
+             |                    ELSE sign(v) * r * pow(2, e - 52) END AS res
+             |        FROM rr)
+             |SELECT CASE WHEN $v = 0 OR NOT isfinite($v) THEN $v ELSE res END
+             |FROM fin)""".stripMargin
+        s"""WITH base AS (
+           |  SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+           |  FROM lineitem WHERE l_orderkey < 400),
+           |pert AS (SELECT l_orderkey, l_linenumber,
+           |           price * (1.0 + 1e-14) AS price FROM base),
+           |ra AS (SELECT l_orderkey, l_linenumber, ${rounded("price")} AS price
+           |       FROM base),
+           |rb AS (SELECT l_orderkey, l_linenumber, ${rounded("price")} AS price
+           |       FROM pert)
+           |SELECT l_orderkey, l_linenumber, price
+           |FROM ra JOIN rb USING (l_orderkey, l_linenumber, price)""".stripMargin
+      }),
+
     // ---- by=.EACHI grouped join-aggregate (R/data.table.R:573) ---------
     ("q_eachi", ((s, dir) =>
       dt(s, dir, "customer")

@@ -138,6 +138,25 @@ class Round7Spec extends AnyFunSuite {
     assert(ok.count() == 3)
   }
 
+  // ---- setNumericRounding join knob ------------------------------------
+
+  test("join rounding=2 matches doubles differing below the significand granule") {
+    val a = Seq((1, 100.0), (2, 2.5), (3, -7.25)).toDF("k", "v")
+    val b = Seq((1, 100.0 * (1 + 1e-14)), (2, 2.5 * (1 + 1e-14)),
+      (3, -7.25 * (1 + 1e-14)), (4, 9.0)).toDF("k", "v")
+    // plain double equality: perturbed keys never match
+    assert(DT(a).join(DT(b), Seq("k", "v"), "inner").df.count() == 0)
+    val joined = DT(a).join(DT(b), Seq("k", "v"), "inner", rounding = 2).df
+    assert(joined.count() == 3)
+    // output carries the rounded representative: re-rounding is a no-op
+    val vs = joined.select($"v").as[Double].collect().toSet
+    val reRounded = joined.select(
+      graft.plans.RoundMantissa($"v", 2).as("v")).as[Double].collect().toSet
+    assert(vs == reRounded)
+    // non-double keys are untouched by the rounding path
+    assert(DT(a).join(DT(b), Seq("k"), "inner", rounding = 2).df.count() == 3)
+  }
+
   // ---- ADC distance tables ---------------------------------------------
 
   test("pqAdcTopK matches reconstruct-and-cosine scoring, flat and IVF+PQ") {
