@@ -308,6 +308,40 @@ object QueriesJoins {
         .crossJoin(dt(s, dir, "nation").selectNames("n_name")).df): Q,
       Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
 
+    // ---- mergelist with per-step on=/how=/mult= (R/mergelist.R:284) ----
+    // Step 1 joins lineitem on orderkey with mult="first" (one
+    // lexicographic-representative line per order); step 2 joins
+    // customer on a DIFFERENT key (custkey) with how="left". The oracle
+    // mirrors mult="first" as a row_number window over the same payload
+    // order.
+    ("q_mergelist_steps", ((s, dir) => {
+      val t1 = dt(s, dir, "orders").selectNames("o_orderkey", "o_custkey")
+        .setNames("o_orderkey" -> "orderkey", "o_custkey" -> "custkey")(
+          col("orderkey") < 1000)
+      val t2 = dt(s, dir, "lineitem")
+        .selectNames("l_orderkey", "l_linenumber", "l_extendedprice")
+        .setNames("l_orderkey" -> "orderkey", "l_linenumber" -> "linenumber",
+          "l_extendedprice" -> "price")
+      val t3 = dt(s, dir, "customer").selectNames("c_custkey", "c_name")
+        .setNames("c_custkey" -> "custkey", "c_name" -> "name")
+      Joins.mergelistSteps(Seq(t1.df, t2.df, t3.df), Seq(
+          Joins.MergeStep(Seq("orderkey"), "inner", "first"),
+          Joins.MergeStep(Seq("custkey"), "left")))
+        .select(col("orderkey"), col("custkey"), col("linenumber"),
+          round(col("price"), 3).as("price"), col("name"))
+    }): Q,
+      Some("""WITH t1 AS (SELECT o_orderkey AS orderkey, o_custkey AS custkey
+             |            FROM orders WHERE o_orderkey < 1000),
+             |t2 AS (SELECT orderkey, linenumber, price FROM (
+             |  SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+             |    l_extendedprice AS price,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber, l_extendedprice) AS rn
+             |  FROM lineitem) WHERE rn = 1),
+             |t3 AS (SELECT c_custkey AS custkey, c_name AS name FROM customer)
+             |SELECT orderkey, custkey, linenumber, round(price, 3) AS price, name
+             |FROM t1 JOIN t2 USING (orderkey) LEFT JOIN t3 USING (custkey)""".stripMargin)),
+
     // ---- mergelist fold (R/mergelist.R:260) ----------------------------
     ("q_mergelist", ((s, dir) =>
       dt(s, dir, "supplier")

@@ -595,16 +595,52 @@ object Joins {
     y.columns.filter(c => x.columns.contains(c) && !keep.contains(c))
       .foldLeft(y)((d, c) => d.withColumnRenamed(c, s"i_$c"))
 
-  /** mergelist / setmergelist (R/mergelist.R:260-352): fold a list of
-    * tables with one join spec per step (left/inner/full/right/semi/
-    * anti/cross). Catalyst reorders/broadcasts each step from stats.
+  /** One fold step of [[mergelistSteps]] (mirrors the reference's
+    * per-pair resolution in R/mergelist.R:260-352): its own key list
+    * (`on` empty = natural join on the columns shared at that step),
+    * join kind, and mult.
+    *
+    * mult (R/mergelist.R:293: error/all/first/last) applies to the
+    * incoming RHS table: "error" asserts it is unique on the step keys;
+    * "first"/"last" reduce it to one row per key BEFORE the join. The
+    * reference picks by physical row order; distributed rows have no
+    * stable order, so the representative is the lexicographic min/max
+    * of the RHS's non-key columns (in column order) — deterministic
+    * under retries/replans, and a single map-side-combined min/max
+    * aggregation at scale.
     */
-  def mergelist(dfs: Seq[DataFrame], on: Seq[String],
-                how: Seq[String]): DataFrame = {
-    require(dfs.size >= 2 && how.size == dfs.size - 1,
-      "mergelist: need N tables and N-1 join kinds")
-    dfs.tail.zip(how).foldLeft(dfs.head) { case (acc, (next, h)) =>
-      h match {
+  final case class MergeStep(on: Seq[String] = Nil, how: String = "inner",
+                             mult: String = "all")
+
+  /** mergelist with per-step `on=`/`how=`/`mult=` — the reference's
+    * full signature, where each argument may be a list with one entry
+    * per pair (R/mergelist.R:284-318). Catalyst reorders/broadcasts
+    * each step from stats.
+    */
+  def mergelistSteps(dfs: Seq[DataFrame], steps: Seq[MergeStep]): DataFrame = {
+    require(dfs.size >= 2 && steps.size == dfs.size - 1,
+      "mergelist: need N tables and N-1 join steps")
+    dfs.tail.zip(steps).foldLeft(dfs.head) { case (acc, (next0, st)) =>
+      val on = if (st.on.nonEmpty || st.how == "cross") st.on
+               else acc.columns.intersect(next0.columns).toSeq
+      require(st.how == "cross" || on.nonEmpty,
+        s"mergelist: no join columns for how=${st.how} (no shared names and no on=)")
+      val next = st.mult match {
+        case "all" => next0
+        case "error" => assertNoDup(next0, on); next0
+        case m @ ("first" | "last") =>
+          val payload = next0.columns.filterNot(on.contains).toSeq
+          if (payload.isEmpty) next0.dropDuplicates(on)
+          else {
+            val pick = struct(payload.map(col): _*)
+            val agg0 = if (m == "first") min(pick) else max(pick)
+            next0.groupBy(on.map(col): _*).agg(agg0.as("_graft_m"))
+              .select((on.map(col) ++ payload.map(p => col(s"_graft_m.$p").as(p))): _*)
+          }
+        case other => throw new IllegalArgumentException(
+          s"mergelist: mult must be all/error/first/last, got $other")
+      }
+      st.how match {
         case "cross" => acc.crossJoin(next)
         case "semi"  => acc.join(next, on, "left_semi")
         case "anti"  => acc.join(next, on, "left_anti")
@@ -612,6 +648,13 @@ object Joins {
       }
     }
   }
+
+  /** mergelist / setmergelist with one shared key list (the common
+    * call shape). Per-pair keys/mult: [[mergelistSteps]].
+    */
+  def mergelist(dfs: Seq[DataFrame], on: Seq[String],
+                how: Seq[String]): DataFrame =
+    mergelistSteps(dfs, how.map(h => MergeStep(on, h)))
 
   /** allow.cartesian guard (R/data.table.R:925-935): pre-flight
     * cardinality check — estimate the join explosion from per-key counts

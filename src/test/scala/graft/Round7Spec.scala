@@ -138,6 +138,57 @@ class Round7Spec extends AnyFunSuite {
     assert(ok.count() == 3)
   }
 
+  // ---- mergelist per-step on=/how=/mult= -------------------------------
+
+  test("mergelistSteps: heterogeneous keys, natural-join default, per-step mult") {
+    val orders = Seq((1, 10), (2, 20), (3, 30)).toDF("orderkey", "custkey")
+    val lines = Seq((1, 1, "a"), (1, 2, "b"), (2, 1, "c"))
+      .toDF("orderkey", "linenumber", "tag")
+    val cust = Seq((10, "X"), (20, "Y")).toDF("custkey", "name")
+    val out = Joins.mergelistSteps(Seq(orders, lines, cust), Seq(
+        Joins.MergeStep(Seq("orderkey"), "inner", "first"),
+        Joins.MergeStep(Seq("custkey"), "left")))
+      .orderBy($"orderkey")
+      .select($"orderkey", $"linenumber", $"tag", $"name").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), Option(r.getString(3))))
+    // mult=first keeps line 1 per order; order 3 has no lines (inner);
+    // custkey 30 would have no name (left) but is gone with order 3
+    assert(out.toSeq == Seq((1, 1, "a", Some("X")), (2, 1, "c", Some("Y"))))
+    // empty on= resolves to the shared column names at that step
+    val nat = Joins.mergelistSteps(Seq(orders, cust), Seq(Joins.MergeStep()))
+    assert(nat.count() == 2 && nat.columns.toSeq == Seq("custkey", "orderkey", "name"))
+    // mult="error" rejects a duplicate-keyed RHS
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(orders, lines),
+        Seq(Joins.MergeStep(Seq("orderkey"), "inner", "error")))
+    }
+    // shared-key wrapper is the steps form with one spec per pair
+    val legacy = Joins.mergelist(Seq(orders, cust), Seq("custkey"), Seq("inner"))
+    assert(legacy.count() == 2)
+  }
+
+  // ---- dcast default-aggregate resolution ------------------------------
+
+  test("dcastAuto: unique combos pivot values; duplicates default to length or error") {
+    val unique = Seq((1, "a", 5.0), (1, "b", 6.0), (2, "a", 7.0))
+      .toDF("id", "k", "v")
+    val u = graft.operators.Reshape.dcastAuto(unique, Seq("id"), "k", "v")
+      .orderBy($"id").collect()
+    assert(u.map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
+      Seq((1, Some(5.0), Some(6.0)), (2, Some(7.0), None)))
+    val dup = unique.union(Seq((1, "a", 9.0)).toDF("id", "k", "v"))
+    // default: reference behavior — warn and pivot the CELL COUNT
+    val d = graft.operators.Reshape.dcastAuto(dup, Seq("id"), "k", "v")
+      .orderBy($"id").collect()
+    assert(d.map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
+      Seq((1, Some(2L), Some(1L)), (2, Some(1L), None)))
+    // strict: error instead of silently counting
+    intercept[IllegalArgumentException] {
+      graft.operators.Reshape.dcastAuto(dup, Seq("id"), "k", "v",
+        onDuplicates = "error")
+    }
+  }
+
   // ---- setNumericRounding join knob ------------------------------------
 
   test("join rounding=2 matches doubles differing below the significand granule") {
