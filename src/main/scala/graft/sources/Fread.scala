@@ -301,6 +301,14 @@ object Fread {
           f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim
         !fields.exists(f => scala.util.Try(unquote(f).toDouble).isSuccess)
     }
+    // Spark 4's CSV source validates `encoding` against a fixed charset
+    // list (us-ascii/iso-8859-1/utf-8/utf-16*/utf-32). Anything else the
+    // JVM knows (GB18030, Big5, Shift_JIS, ...) goes through the
+    // transcode tier: decode the file's bytes with the JVM charset into
+    // a lines Dataset, then run the SAME CSV parse over it — per-FILE
+    // parallel (one exotic-charset file is not byte-splittable anyway).
+    val exoticCharset = !Set("us-ascii", "iso-8859-1", "utf-8", "utf-16",
+      "utf-16be", "utf-16le", "utf-32").contains(opts.encoding.toLowerCase)
     // DataFrameReader is MUTABLE (schema()/option() return this) — build
     // a fresh one per parse so the type-bump probe can't pollute the
     // inferring reader
@@ -313,7 +321,8 @@ object Fread {
         // na.string ('' parses as null for non-string types regardless);
         // remaining tokens are nulled by the post-parse pass below
         .option("nullValue", opts.naStrings.find(_.nonEmpty).getOrElse(""))
-        .option("encoding", opts.encoding)
+        // lines arriving via the transcode tier are already decoded
+        .option("encoding", if (exoticCharset) "UTF-8" else opts.encoding)
         .option("timeZone", opts.tz)
         .option("mode", "PERMISSIVE")
         .option("multiLine", opts.multiLine)
@@ -326,11 +335,26 @@ object Fread {
                          .option("samplingRatio", opts.samplingRatio)
       }
     }
+    // Decode tier for charsets outside Spark's CSV list: binaryFile
+    // load (distributed across files), whole-file JVM-charset decode,
+    // line split. multiLine (quoted embedded newlines) is not supported
+    // here — the line split would cut through them.
+    def decodedLines(): org.apache.spark.sql.Dataset[String] = {
+      require(!opts.multiLine,
+        s"fread: multiLine=TRUE is not supported with encoding=${opts.encoding} " +
+          "(outside Spark's CSV charset list); transcode the file first")
+      spark.read.format("binaryFile").load(path)
+        .select(col("content"))
+        .as(org.apache.spark.sql.Encoders.BINARY)
+        .flatMap(b => new String(b, opts.encoding).split("\r?\n").iterator.drop(opts.skip))(
+          org.apache.spark.sql.Encoders.STRING)
+    }
     // skip= has no Spark CSV option: drop the first N physical lines via
     // a text pre-pass (zipWithIndex follows file order), then parse the
     // remaining lines as CSV.
     def runCsv(schema: Option[StructType]): DataFrame =
-      if (opts.skip > 0) {
+      if (exoticCharset) mkReader(schema).csv(decodedLines())
+      else if (opts.skip > 0) {
         val lines = spark.read.textFile(path).rdd.zipWithIndex()
           .filter(_._2 >= opts.skip).map(_._1)
         mkReader(schema).csv(

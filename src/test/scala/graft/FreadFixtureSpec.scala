@@ -164,6 +164,17 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
 
   private val fx = "/root/reference/inst/tests"
 
+  test("GB18030 file: 4-byte GB18030 BOM is stripped from the header (gb18030.txt)") {
+    // the fixture's first 4 bytes (84 31 95 33) are U+FEFF in GB18030 —
+    // decode with the right charset, then the generic BOM strip applies
+    val df = Fread.fread(spark, s"$fx/gb18030.txt",
+      FreadOptions(encoding = "GB18030"))
+    assert(df.columns.toSeq == Seq("x", "y", "z"))
+    assert(df.count() == 1)
+    val r = df.head()
+    assert((0 until 3).forall(r.isNullAt)) // the ,, row is all-empty
+  }
+
   test("UTF-16 LE/BE files parse with explicit encoding (BOM included)") {
     for ((f, enc) <- Seq("utf16le.txt" -> "UTF-16LE", "utf16be.txt" -> "UTF-16BE")) {
       // multiLine forces a whole-file univocity parse: Hadoop's line
