@@ -138,6 +138,28 @@ class Round7Spec extends AnyFunSuite {
     assert(ok.count() == 3)
   }
 
+  // ---- per-corpus base eviction ----------------------------------------
+
+  test("clearBases(df) evicts ONE corpus's persisted bases; clearBases() all") {
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val d1 = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val d2 = Seq((1L, "one two three four"), (2L, "five six seven eight"))
+      .toDF("doc_id", "text")
+    Dedup.clearBases() // isolate from other suites' leftovers
+    val base0 = persisted
+    Dedup.minhashPairsPortable(d1, "doc_id", "text").count()
+    Dedup.minhashPairsPortable(d2, "doc_id", "text").count()
+    assert(persisted == base0 + 2)
+    // re-running d1 reuses its memoized base — no third persist
+    Dedup.minhashPairsPortable(d1, "doc_id", "text").count()
+    assert(persisted == base0 + 2)
+    Dedup.clearBases(Some(d1))
+    assert(persisted == base0 + 1) // d2's base survives
+    Dedup.clearBases()
+    assert(persisted == base0)
+  }
+
   // ---- mergelist per-step on=/how=/mult= -------------------------------
 
   test("mergelistSteps: heterogeneous keys, natural-join default, per-step mult") {
