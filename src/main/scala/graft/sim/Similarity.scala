@@ -241,16 +241,17 @@ object Similarity {
     */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 iters: Int = 4, scale: Long = 1L << 20,
-                fitSample: Double = 1.0): Seq[Seq[Double]] = {
-    // Lloyd rounds run on a (seeded, deterministic) sample — centroid
-    // quality needs only a representative subset; the full corpus is
-    // touched once by the caller's final assignment.
-    val fit = if (fitSample < 1.0) df.sample(withReplacement = false, fitSample, seed = 42L)
-              else df
-    val seeds: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    lloyd(fit, vecCol, seeds, iters, scale)
-  }
+                fitSample: Double = 1.0): Seq[Seq[Double]] =
+    memoFit(df, s"kmeansFit:$idCol:$vecCol:$k:$iters:$scale:$fitSample") {
+      // Lloyd rounds run on a (seeded, deterministic) sample — centroid
+      // quality needs only a representative subset; the full corpus is
+      // touched once by the caller's final assignment.
+      val fit = if (fitSample < 1.0) df.sample(withReplacement = false, fitSample, seed = 42L)
+                else df
+      val seeds: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      lloyd(fit, vecCol, seeds, iters, scale)
+    }
 
   /** [[kmeansFit]] whose Lloyd rounds run on a DETERMINISTIC mod-`m`
     * sample (`id % m == 0`) with seeds drawn from the same sample.
@@ -261,12 +262,36 @@ object Similarity {
     */
   def kmeansFitMod(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    m: Int, iters: Int = 4,
-                   scale: Long = 1L << 20): Seq[Seq[Double]] = {
-    val fit = df.filter(col(idCol) % m === 0)
-    val seeds: Seq[Seq[Double]] = fit.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
-    lloyd(fit, vecCol, seeds, iters, scale)
+                   scale: Long = 1L << 20): Seq[Seq[Double]] =
+    memoFit(df, s"kmeans:$idCol:$vecCol:$k:$m:$iters:$scale") {
+      val fit = df.filter(col(idCol) % m === 0)
+      val seeds: Seq[Seq[Double]] = fit.orderBy(col(idCol)).limit(k)
+        .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      lloyd(fit, vecCol, seeds, iters, scale)
+    }
+
+  // ---- fit memoization -------------------------------------------------
+  // An index-build + search pipeline trains the SAME codebooks twice
+  // (occupancy query, then ADC search; or repeated searches against one
+  // corpus): each deterministic fit is a driver-side Lloyd loop of
+  // cluster JOBS, so recomputing it per call costs whole job rounds.
+  // Session-scoped registry keyed like Dedup's base cache (session
+  // identity + analyzed semanticHash + column list + fit params); the
+  // cached value is a driver-local Seq (k×dim doubles — no cluster
+  // state), so clearFits() is plain map removal and there is nothing to
+  // unpersist. Entries are tiny; a long-lived session sweeping many
+  // corpora should still clearFits() between corpora.
+  private val fitCache = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
+  private def memoFit[T <: AnyRef](df: DataFrame, tag: String)(body: => T): T = {
+    val key = System.identityHashCode(df.sparkSession).toString + ":" +
+      df.queryExecution.analyzed.semanticHash().toString + ":" +
+      df.columns.mkString(",") + ":" + tag
+    fitCache.getOrElseUpdate(key, body).asInstanceOf[T]
   }
+
+  /** Forget every memoized kmeans/PQ fit (mirrors `Dedup.clearBases`). */
+  def clearFits(): Unit = fitCache.clear()
 
   /** Shared Lloyd loop: assignment is a broadcast argmax map over `fit`,
     * the update a posexplode + groupBy(cell, dim); only k×dim aggregate

@@ -230,6 +230,23 @@ class Round7Spec extends AnyFunSuite {
     assert(DT(a).join(DT(b), Seq("k"), "inner", rounding = 2).df.count() == 3)
   }
 
+  // ---- fit memoization -------------------------------------------------
+
+  test("kmeansFitMod memoizes per (plan, params); clearFits forgets") {
+    val e = (0L until 12L).map(i =>
+      (i, (0 until 8).map(d => ((i * 5 + d) % 7).toDouble))).toDF("vec_id", "embedding")
+    Similarity.clearFits()
+    val f1 = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 2, m = 2, iters = 2)
+    val f2 = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 2, m = 2, iters = 2)
+    assert(f1 eq f2) // second call is the cached driver-local Seq
+    // different params miss the cache but still agree with a fresh fit
+    val f3 = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 2, m = 2, iters = 3)
+    assert(!(f1 eq f3))
+    Similarity.clearFits()
+    val f4 = Similarity.kmeansFitMod(e, "vec_id", "embedding", k = 2, m = 2, iters = 2)
+    assert(!(f1 eq f4) && f1 == f4) // recomputed, deterministic-equal
+  }
+
   // ---- ADC distance tables ---------------------------------------------
 
   test("pqAdcTopK matches reconstruct-and-cosine scoring, flat and IVF+PQ") {
