@@ -819,6 +819,22 @@ object QueriesTextSim {
     }): Q,
       Some(annLshOracle)),
 
+    // ---- LSH ANN with exact fallback for capped buckets ----------------
+    // maxBucket=50 is small enough that real buckets exceed it at every
+    // test SF: those queries brute-force the corpus, the rest keep the
+    // bucket join — full recall either way, and the oracle mirrors the
+    // cap split exactly.
+    ("q_ann_lsh_fallback", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      Similarity.lshTopKWithFallback(e, queries, "vec_id", "embedding",
+        dim = 64, nBits = 4, k = 5, maxBucket = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
+    }): Q,
+      Some(annLshFallbackOracle)),
+
     // ---- IVF coarse quantization (ANN scale path #2) -------------------
     // Deterministic seed centroids (4 lowest vec_ids) ⇒ the assignment
     // argmax is SQL-expressible; the kmeans-fitted variant below
@@ -1518,6 +1534,33 @@ object QueriesTextSim {
        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
        |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
        |      FROM sc)
+       |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
+       |FROM r WHERE rk <= 5""".stripMargin
+
+  /** lshTopKWithFallback mirror: queries in eligible buckets keep the
+    * signature join; queries whose corpus bucket exceeds the cap score
+    * against the whole corpus. Disjoint by query, so ranking the union
+    * per query matches Spark's rank-within-each-path union.
+    */
+  private def annLshFallbackOracle: String =
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT vec_id, v, ${lshSigSql("v", 0, 4)} AS sig FROM c),
+       |z AS (SELECT sig, count(*) AS n FROM s GROUP BY 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, sig FROM s
+       |      WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |lsh AS (SELECT q.query_id, s2.vec_id AS neighbor_id,
+       |          list_cosine_similarity(s2.v, q.qv) AS sim
+       |        FROM s s2 JOIN q ON s2.sig = q.sig AND s2.vec_id <> q.query_id
+       |        JOIN z ON z.sig = q.sig WHERE z.n <= 50),
+       |fbq AS (SELECT q.query_id, q.qv FROM q
+       |        JOIN z ON z.sig = q.sig WHERE z.n > 50),
+       |fb AS (SELECT fbq.query_id, s2.vec_id AS neighbor_id,
+       |         list_cosine_similarity(s2.v, fbq.qv) AS sim
+       |       FROM s s2 CROSS JOIN fbq WHERE s2.vec_id <> fbq.query_id),
+       |u AS (SELECT * FROM lsh UNION ALL SELECT * FROM fb),
+       |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+       |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+       |      FROM u)
        |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
        |FROM r WHERE rk <= 5""".stripMargin
 

@@ -167,6 +167,30 @@ object Similarity {
         Seq("_sig"), maxBucket)
       .select(col("_sig").as("sig"), col("n_ids"))
 
+  /** [[lshTopK]] with an EXACT fallback for the queries its corpus-side
+    * bucket cap starves: a query whose signature bucket exceeded
+    * `maxBucket` gets no LSH candidates, so here exactly those queries
+    * re-route through brute-force cosine against the full corpus — the
+    * [[topKAgainst]] shape, linear in corpus size and only for the few
+    * affected queries (queries are driver-small/broadcast by contract).
+    * Every query therefore returns top-k with full recall: common
+    * queries pay the cheap bucket join, degenerate-bucket queries pay
+    * the exact price instead of silently losing results.
+    */
+  def lshTopKWithFallback(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, dim: Int, nBits: Int, k: Int,
+                          maxBucket: Int = 1000): DataFrame = {
+    val capped = lshTopK(corpus, queries, idCol, vecCol, dim, nBits, k, maxBucket)
+    val over = lshOversized(corpus, idCol, vecCol, dim, nBits, maxBucket)
+      .select(col("sig").as("_sig"))
+    val fbq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("_sig", lshSignature(col("qv"), dim, nBits))
+      .join(over, Seq("_sig"), "left_semi")
+      .drop("_sig")
+    capped.unionByName(
+      topKAgainst(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, fbq, k))
+  }
+
   /** Audit twin of [[lshTopK]]: the CORPUS signature buckets its
     * `maxBucket` cap excludes from the candidate join — (sig, n_ids).
     * Queries whose signature lands here got no candidates; route them

@@ -295,6 +295,28 @@ class Round7Spec extends AnyFunSuite {
     assert(norm(radc) == norm(Similarity.topKAgainst(rrec, "vec_id", "rv", q, 3)))
   }
 
+  test("lshTopKWithFallback: starved queries brute-force, others keep the bucket join") {
+    val vecA = (0 until 8).map(_.toDouble / 8 + 0.1)
+    val vecB = vecA.map(-_) // negated → every hyperplane sign flips
+    val corpus = ((0L until 6L).map(i => (i, vecA)) ++
+      Seq(10L, 11L, 12L).map(i => (i, vecB))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(0L, 10L))
+    val out = Similarity.lshTopKWithFallback(corpus, queries, "vec_id",
+      "embedding", dim = 8, nBits = 2, k = 3, maxBucket = 4)
+    val byQ = out.select($"query_id", $"neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // query 0's 6-member bucket is over the cap → exact fallback still
+    // returns its k=3 identical-vector neighbors
+    assert(byQ(0L).subsetOf(Set(1L, 2L, 3L, 4L, 5L)) && byQ(0L).size == 3)
+    // query 10's 3-member bucket is under the cap → LSH path, both
+    // same-bucket neighbors and nothing from the other cluster
+    assert(byQ(10L) == Set(11L, 12L))
+    // plain lshTopK starves query 0 entirely
+    assert(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      dim = 8, nBits = 2, k = 3, maxBucket = 4)
+      .filter($"query_id" === 0L).count() == 0)
+  }
+
   test("cosinePairs cap is audited by cosineOversized") {
     val vec = (0 until 8).map(_.toDouble / 8)
     val corpus = (0L until 6L).map(i => (i, vec)).toDF("vec_id", "embedding")
