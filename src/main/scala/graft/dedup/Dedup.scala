@@ -143,25 +143,39 @@ object Dedup {
                            k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                            threshold: Double = 0.5, maxBucket: Int = 1000,
                            pairFilter: Option[(Column, Column) => Column] = None): DataFrame = {
+    val baseKey = portableBaseKey(df, idCol, textCol, k, numHashes)
     val base = portableBase(df, idCol, textCol, k, numHashes)
-    val banded = portableBandedOf(base, numHashes, bands)
-    val buckets = cappedBuckets(banded, Seq("band", "bh"), "id", maxBucket)
-    // pairFilter prunes candidates BEFORE the dedup shuffle and the
-    // (expensive) shingle-fetch joins + exact Jaccard — e.g. the fuzzy
-    // contamination tier keeps only cross-side pairs, so intra-corpus
-    // near-dups never reach the verify stage.
-    val pairs0 = buckets
-      .select(explode(col("ids")).as("idA"), col("ids"))
-      .select(col("idA"), explode(col("ids")).as("idB"))
-      .filter(col("idA") < col("idB"))
-    val pairs = pairFilter.fold(pairs0)(f => pairs0.filter(f(col("idA"), col("idB"))))
-      .dropDuplicates("idA", "idB")
-    val shA = base.select(col("id").as("idA"), col("sh").as("shA"))
-    val shB = base.select(col("id").as("idB"), col("sh").as("shB"))
-    pairs.join(shA, "idA").join(shB, "idB")
-      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("idA"), col("idB"), col("jaccard"))
+    def build: DataFrame = {
+      val banded = portableBandedOf(base, numHashes, bands)
+      val buckets = cappedBuckets(banded, Seq("band", "bh"), "id", maxBucket)
+      // pairFilter prunes candidates BEFORE the dedup shuffle and the
+      // (expensive) shingle-fetch joins + exact Jaccard — e.g. the fuzzy
+      // contamination tier keeps only cross-side pairs, so intra-corpus
+      // near-dups never reach the verify stage.
+      val pairs0 = buckets
+        .select(explode(col("ids")).as("idA"), col("ids"))
+        .select(col("idA"), explode(col("ids")).as("idB"))
+        .filter(col("idA") < col("idB"))
+      val pairs = pairFilter.fold(pairs0)(f => pairs0.filter(f(col("idA"), col("idB"))))
+        .dropDuplicates("idA", "idB")
+      val shA = base.select(col("id").as("idA"), col("sh").as("shA"))
+      val shB = base.select(col("id").as("idB"), col("sh").as("shB"))
+      pairs.join(shA, "idA").join(shB, "idB")
+        .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("idA"), col("idB"), col("jaccard"))
+    }
+    // The verified pair list is what every downstream dedup step
+    // consumes — pruning, clustering, representative-keep all walk the
+    // SAME pairs. Memoize it persisted (near-dup pairs are a tiny
+    // fraction of the corpus), keyed under the corpus's base prefix so
+    // clearBases evicts base and pairs together. pairFilter is an
+    // opaque closure — those calls (the fuzzy contamination tier)
+    // build fresh.
+    if (pairFilter.nonEmpty) build
+    else portableBaseCache.getOrElseUpdate(
+      s"$baseKey:pairs:$bands:$threshold:$maxBucket",
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Session-scoped memoized persist (the Scale.planKey pattern):
@@ -170,9 +184,13 @@ object Dedup {
     * registry each call pinned a fresh MEMORY_AND_DISK copy for the
     * session's lifetime.
     */
+  private def portableBaseKey(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, numHashes: Int): String =
+    s"${baseKeyOf(df)}:$idCol:$textCol:$k:$numHashes"
+
   private def portableBase(df: DataFrame, idCol: String, textCol: String,
                            k: Int, numHashes: Int): DataFrame = {
-    val baseKey = s"${baseKeyOf(df)}:$idCol:$textCol:$k:$numHashes"
+    val baseKey = portableBaseKey(df, idCol, textCol, k, numHashes)
     portableBaseCache.getOrElseUpdate(baseKey,
       df.select(col(idCol).as("id"), col(textCol).as("text"))
         .withColumn("sh", graft.plans.PortableShingles(

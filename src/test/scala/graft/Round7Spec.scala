@@ -148,14 +148,16 @@ class Round7Spec extends AnyFunSuite {
       .toDF("doc_id", "text")
     Dedup.clearBases() // isolate from other suites' leftovers
     val base0 = persisted
-    Dedup.minhashPairsPortable(d1, "doc_id", "text").count()
+    // each corpus pins a shingle+signature base AND its verified pairs
+    val p1 = Dedup.minhashPairsPortable(d1, "doc_id", "text")
+    p1.count()
     Dedup.minhashPairsPortable(d2, "doc_id", "text").count()
-    assert(persisted == base0 + 2)
-    // re-running d1 reuses its memoized base — no third persist
-    Dedup.minhashPairsPortable(d1, "doc_id", "text").count()
-    assert(persisted == base0 + 2)
+    assert(persisted == base0 + 4)
+    // re-running d1 reuses BOTH memos — same DataFrame, no new persist
+    assert(Dedup.minhashPairsPortable(d1, "doc_id", "text") eq p1)
+    assert(persisted == base0 + 4)
     Dedup.clearBases(Some(d1))
-    assert(persisted == base0 + 1) // d2's base survives
+    assert(persisted == base0 + 2) // d2's base + pairs survive
     Dedup.clearBases()
     assert(persisted == base0)
   }
