@@ -951,6 +951,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_pq_search: ADC tables replace per-pair reconstruction") {
+    // widen field rendering so the scoring Project's expressions print
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
+    val p = try plan("q_ann_pq_search")
+    finally spark.conf.set("spark.sql.debug.maxToStringFields", "25")
+    // scoring = element_at lookups into literal distance tables; the
+    // code-ASSIGNMENT subtree still dots against the codebooks, but the
+    // per-(row, query) reconstruction (concat of codebook slices fed to
+    // a dim-length kernel) must be gone
+    assert(p.contains("element_at"), s"expected ADC table lookups:\n$p")
+    assert(!p.toLowerCase.contains("zip_with"),
+      s"per-pair vector reconstruction crept back:\n$p")
+  }
+
+  test("q_ann_lsh: corpus bucket cap plans as a LeftSemi before the candidate join") {
+    val p = plan("q_ann_lsh")
+    assert(p.contains("LeftSemi"),
+      s"bucket-cap semi join missing — candidate join is uncapped:\n$p")
+  }
+
+  test("q_mergelist_steps: mult=first is an aggregation, not a window") {
+    val p = plan("q_mergelist_steps")
+    assert(!p.contains("Window"),
+      s"per-step mult must reduce via min_by-style aggregation:\n$p")
+    assert(p.contains("Aggregate"), s"expected the mult aggregation:\n$p")
+  }
+
+  test("q_dedup_minhash: memoized pair list serves from the persisted cache") {
+    // the Verify/bench session computes pairs once; every later call —
+    // pruning, clustering, reps — must reuse the in-memory relation
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"pair list not served from cache:\n$p")
+  }
+
   test("frank random: deterministic tie-break, all ranks distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
