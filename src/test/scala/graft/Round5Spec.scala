@@ -107,17 +107,18 @@ class Round5Spec extends AnyFunSuite {
       "clearBases() must unpersist every registered base")
   }
 
-  test("clearBases(df) evicts only that corpus's base") {
+  test("clearBases(df) evicts only that corpus's base (+its memoized pairs)") {
     graft.dedup.Dedup.clearBases()
     val base = spark.sparkContext.getPersistentRDDs.size
     val a = (0 until 20).map(i => (i.toLong, s"corpus a doc $i")).toDF("doc_id", "text")
     val b = (0 until 20).map(i => (i.toLong, s"corpus b doc $i")).toDF("doc_id", "text")
     graft.dedup.Dedup.minhashPairsPortable(a, "doc_id", "text").count()
     graft.dedup.Dedup.minhashPairsPortable(b, "doc_id", "text").count()
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 2)
+    // per corpus: the shingle/signature base AND the verified pair list
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 4)
     graft.dedup.Dedup.clearBases(Some(a))
-    assert(spark.sparkContext.getPersistentRDDs.size == base + 1,
-      "clearBases(a) must drop exactly a's base")
+    assert(spark.sparkContext.getPersistentRDDs.size == base + 2,
+      "clearBases(a) must drop exactly a's base and pairs")
     graft.dedup.Dedup.clearBases()
     assert(spark.sparkContext.getPersistentRDDs.size == base)
   }
