@@ -288,7 +288,42 @@ object Fread {
       optsY.copy(colClasses = Some(StructType(optsY.colClasses.get.fields.map(f =>
         if (f.dataType == DoubleType) StructField(f.name, StringType, nullable = true) else f))))
     } else optsY
-    lazy val line1 = firstLine(spark, path, opts.skip)   // fetched at most once
+    // Spark 4's CSV source validates `encoding` against a fixed charset
+    // list (us-ascii/iso-8859-1/utf-8/utf-16*/utf-32). Anything else the
+    // JVM knows (GB18030, Big5, Shift_JIS, ...) goes through the
+    // transcode tier below: decode the file's bytes with the JVM
+    // charset into a lines Dataset, then run the SAME CSV parse over it.
+    val exoticCharset = !Set("us-ascii", "iso-8859-1", "utf-8", "utf-16",
+      "utf-16be", "utf-16le", "utf-32").contains(opts.encoding.toLowerCase)
+    // Decode tier: binaryFile load, whole-file JVM-charset decode, line
+    // split. multiLine (quoted embedded newlines) is unsupported here —
+    // the line split would cut through them. The reference's fread
+    // reads ONE file per call (R/fread.R:37 `file=` is scalar), and the
+    // lines-Dataset CSV parse strips exactly one global header — so the
+    // tier requires a single input file rather than silently treating a
+    // second file's header row as data.
+    def decodedLines(): org.apache.spark.sql.Dataset[String] = {
+      require(!opts.multiLine,
+        s"fread: multiLine=TRUE is not supported with encoding=${opts.encoding} " +
+          "(outside Spark's CSV charset list); transcode the file first")
+      val bin = spark.read.format("binaryFile").load(path)
+      val files = bin.inputFiles
+      require(files.length == 1,
+        s"fread: encoding=${opts.encoding} (transcode tier) reads ONE file " +
+          s"per call like the reference's fread; got ${files.length}: " +
+          files.take(3).mkString(", "))
+      bin.select(col("content"))
+        .as(org.apache.spark.sql.Encoders.BINARY)
+        .flatMap(b => new String(b, opts.encoding).split("\r?\n").iterator.drop(opts.skip))(
+          org.apache.spark.sql.Encoders.STRING)
+    }
+    // First line: sniffing sep/header from a UTF-8 head read would see
+    // mojibake for exotic charsets whose trail bytes collide with ASCII
+    // sep candidates ('|' sits inside the GBK/Big5 trail-byte range) —
+    // decode with the real charset there
+    lazy val line1 =                                     // fetched at most once
+      if (exoticCharset) decodedLines().head(1).headOption.getOrElse("")
+      else firstLine(spark, path, opts.skip)
     val sep = if (opts.sep == "auto") sniffSepFrom(line1) else opts.sep
     require(opts.dec == "." || opts.dec != sep,
       s"dec='${opts.dec}' cannot equal sep='$sep'")
@@ -301,14 +336,6 @@ object Fread {
           f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim
         !fields.exists(f => scala.util.Try(unquote(f).toDouble).isSuccess)
     }
-    // Spark 4's CSV source validates `encoding` against a fixed charset
-    // list (us-ascii/iso-8859-1/utf-8/utf-16*/utf-32). Anything else the
-    // JVM knows (GB18030, Big5, Shift_JIS, ...) goes through the
-    // transcode tier: decode the file's bytes with the JVM charset into
-    // a lines Dataset, then run the SAME CSV parse over it — per-FILE
-    // parallel (one exotic-charset file is not byte-splittable anyway).
-    val exoticCharset = !Set("us-ascii", "iso-8859-1", "utf-8", "utf-16",
-      "utf-16be", "utf-16le", "utf-32").contains(opts.encoding.toLowerCase)
     // DataFrameReader is MUTABLE (schema()/option() return this) — build
     // a fresh one per parse so the type-bump probe can't pollute the
     // inferring reader
@@ -334,20 +361,6 @@ object Fread {
         case None    => r.option("inferSchema", true)
                          .option("samplingRatio", opts.samplingRatio)
       }
-    }
-    // Decode tier for charsets outside Spark's CSV list: binaryFile
-    // load (distributed across files), whole-file JVM-charset decode,
-    // line split. multiLine (quoted embedded newlines) is not supported
-    // here — the line split would cut through them.
-    def decodedLines(): org.apache.spark.sql.Dataset[String] = {
-      require(!opts.multiLine,
-        s"fread: multiLine=TRUE is not supported with encoding=${opts.encoding} " +
-          "(outside Spark's CSV charset list); transcode the file first")
-      spark.read.format("binaryFile").load(path)
-        .select(col("content"))
-        .as(org.apache.spark.sql.Encoders.BINARY)
-        .flatMap(b => new String(b, opts.encoding).split("\r?\n").iterator.drop(opts.skip))(
-          org.apache.spark.sql.Encoders.STRING)
     }
     // skip= has no Spark CSV option: drop the first N physical lines via
     // a text pre-pass (zipWithIndex follows file order), then parse the

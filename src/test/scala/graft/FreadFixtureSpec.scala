@@ -175,6 +175,33 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
     assert((0 until 3).forall(r.isNullAt)) // the ,, row is all-empty
   }
 
+  test("GB18030 with non-ASCII header: sep sniff decodes with the real charset") {
+    // GBK trail bytes include ASCII '|' (0x7C) — a UTF-8 head read
+    // would see spurious '|' and mis-sniff the separator
+    val dir = java.nio.file.Files.createTempDirectory("fread-gb").toFile
+    val f = new java.io.File(dir, "zh.csv")
+    val content = "姓名,年龄\n张三,30\n李四,25\n"
+    java.nio.file.Files.write(f.toPath, content.getBytes("GB18030"))
+    val df = Fread.fread(spark, f.getAbsolutePath,
+      FreadOptions(encoding = "GB18030"))
+    assert(df.columns.toSeq == Seq("姓名", "年龄"))
+    val rows = df.orderBy(col("年龄"))
+      .collect().map(r => (r.getString(0), r.get(1).toString))
+    assert(rows.toSeq == Seq(("李四", "25"), ("张三", "30")))
+  }
+
+  test("transcode tier reads ONE file per call, like the reference's fread") {
+    val dir = java.nio.file.Files.createTempDirectory("fread-gb2").toFile
+    for (n <- Seq("a.csv", "b.csv"))
+      java.nio.file.Files.write(new java.io.File(dir, n).toPath,
+        "x,y\n1,2\n".getBytes("GB18030"))
+    val e = intercept[IllegalArgumentException] {
+      Fread.fread(spark, dir.getAbsolutePath,
+        FreadOptions(encoding = "GB18030", header = "true", sep = ",")).count()
+    }
+    assert(e.getMessage.contains("ONE file"))
+  }
+
   test("UTF-16 LE/BE files parse with explicit encoding (BOM included)") {
     for ((f, enc) <- Seq("utf16le.txt" -> "UTF-16LE", "utf16be.txt" -> "UTF-16BE")) {
       // multiLine forces a whole-file univocity parse: Hadoop's line
