@@ -200,12 +200,15 @@ class Round7Spec extends AnyFunSuite {
       .orderBy($"id").collect()
     assert(u.map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
       Seq((1, Some(5.0), Some(6.0)), (2, Some(7.0), None)))
-    val dup = unique.union(Seq((1, "a", 9.0)).toDF("id", "k", "v"))
-    // default: reference behavior — warn and pivot the CELL COUNT
+    // duplicates INCLUDING a null cell value: length() counts NA rows
+    // too (count(lit(1)), not count(v)), and missing combos fill with
+    // length(empty) = 0 per the reference's fill semantics
+    val dup = unique.union(Seq((1, "a", Double.NaN)).toDF("id", "k", "v")
+      .select($"id", $"k", when($"v".isNaN, lit(null)).otherwise($"v").as("v")))
     val d = graft.operators.Reshape.dcastAuto(dup, Seq("id"), "k", "v")
       .orderBy($"id").collect()
-    assert(d.map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)))).toSeq ==
-      Seq((1, Some(2L), Some(1L)), (2, Some(1L), None)))
+    assert(d.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1, 2L, 1L), (2, 1L, 0L)))
     // strict: error instead of silently counting
     intercept[IllegalArgumentException] {
       graft.operators.Reshape.dcastAuto(dup, Seq("id"), "k", "v",
