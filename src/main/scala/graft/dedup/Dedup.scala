@@ -107,9 +107,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Slim banding: only (id, band, bandHash) travels through the
     // explode+shuffle — never the shingle arrays.
-    val banded = base
-      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val banded = xxhashBandedOf(base, bands, rowsPerBand)
     // One hash aggregation per bucket; singleton buckets (the vast
     // majority) die here, degenerate buckets are capped, and candidate
     // pairs are generated bucket-locally — no self-join shuffle at all.
@@ -173,9 +171,7 @@ object Dedup {
     // opaque closure — those calls (the fuzzy contamination tier)
     // build fresh.
     if (pairFilter.nonEmpty) build
-    else portableBaseCache.getOrElseUpdate(
-      s"$baseKey:pairs:$bands:$threshold:$maxBucket",
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else cachePersisted(s"$baseKey:pairs:$bands:$threshold:$maxBucket", build)
   }
 
   /** Session-scoped memoized persist (the Scale.planKey pattern):
@@ -189,16 +185,29 @@ object Dedup {
     s"${baseKeyOf(df)}:$idCol:$textCol:$k:$numHashes"
 
   private def portableBase(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, numHashes: Int): DataFrame = {
-    val baseKey = portableBaseKey(df, idCol, textCol, k, numHashes)
-    portableBaseCache.getOrElseUpdate(baseKey,
+                           k: Int, numHashes: Int): DataFrame =
+    cachePersisted(portableBaseKey(df, idCol, textCol, k, numHashes),
       df.select(col(idCol).as("id"), col(textCol).as("text"))
         .withColumn("sh", graft.plans.PortableShingles(
           TextFunctions.wsTokens(TextFunctions.normalize(col("text"))), k))
         .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
-        .drop("text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        .drop("text"))
+
+  /** Register `df` persisted under `key` — RACE-SAFE, unlike a naive
+    * TrieMap.getOrElseUpdate whose by-name op can run on two threads
+    * with the loser left persisted but unregistered (a MEMORY_AND_DISK
+    * leak no clearBases could ever evict; driver-side parallelism is
+    * real here — the PQ subspace fits run from Futures). putIfAbsent
+    * decides the winner; the loser unpersists its still-lazy copy.
+    */
+  private def cachePersisted(key: String, df: => DataFrame): DataFrame =
+    portableBaseCache.get(key).getOrElse {
+      val fresh = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      portableBaseCache.putIfAbsent(key, fresh) match {
+        case Some(existing) => fresh.unpersist(); existing
+        case None => fresh
+      }
+    }
 
   /** Slim (id, band, bh) banding of a [[portableBase]]: only those three
     * columns travel through the explode+shuffle — never the shingle or
@@ -232,19 +241,28 @@ object Dedup {
       portableBandedOf(portableBase(df, idCol, textCol, k, numHashes), numHashes, bands),
       Seq("band", "bh"), maxBucket)
 
+  /** Shared slim (id, band, bh) banding of an (id, sig) frame for the
+    * xxhash64 kernel family — [[minhashPairs]] and [[minhashOversized]]
+    * MUST band identically or the audit reports the wrong buckets.
+    */
+  private def xxhashBandedOf(base: DataFrame, bands: Int,
+                             rowsPerBand: Int): DataFrame =
+    base
+      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
   /** [[minhashOversizedPortable]] twin for the xxhash64 kernel family
     * [[minhashPairs]] uses — same (band, bh, n_ids) audit contract.
     */
   def minhashOversized(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                        maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val banded = df.select(col(idCol).as("id"),
+    val banded = xxhashBandedOf(
+      df.select(col(idCol).as("id"),
         graft.plans.MinHashSignature(graft.plans.ShingleHashes(
           TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))), k),
-          numHashes).as("sig"))
-      .select(col("id"), explode(lshBands(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+          numHashes).as("sig")),
+      bands, numHashes / bands)
     oversizedBuckets(banded, Seq("band", "bh"), maxBucket)
   }
 
