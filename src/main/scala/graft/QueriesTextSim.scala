@@ -1523,14 +1523,20 @@ object QueriesTextSim {
       s"CASE WHEN list_dot_product($vecExpr, $plane) >= 0 THEN '1' ELSE '0' END"
     }.mkString("(", " || ", ")")
 
+  /** Mirrors lshTopK INCLUDING its default corpus-side bucket cap
+    * (maxBucket=1000): without the z.n filter the two engines diverge
+    * as soon as any signature bucket outgrows the cap at a larger SF.
+    */
   private def annLshOracle: String =
     s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |s AS (SELECT vec_id, v, ${lshSigSql("v", 0, 4)} AS sig FROM c),
+       |z AS (SELECT sig, count(*) AS n FROM s GROUP BY 1),
        |q AS (SELECT vec_id AS query_id, v AS qv, sig FROM s
        |      WHERE vec_id IN (0, 1, 2, 3, 4)),
        |sc AS (SELECT q.query_id, s.vec_id AS neighbor_id,
        |         list_cosine_similarity(s.v, q.qv) AS sim
-       |       FROM s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id),
+       |       FROM s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id
+       |       JOIN z ON z.sig = q.sig WHERE z.n <= 1000),
        |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
        |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
        |      FROM sc)

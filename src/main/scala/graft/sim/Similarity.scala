@@ -95,19 +95,34 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, dim: Int, nBits: Int, k: Int,
               maxBucket: Int = 1000): DataFrame = {
-    val sig = lshSignature(col(vecCol), dim, nBits)
-    val c = corpus.select(col(idCol), col(vecCol)).withColumn("_sig", sig)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
-      .withColumn("_sig", lshSignature(col("_qvec"), dim, nBits))
+    val c = lshSigned(corpus, idCol, vecCol, dim, nBits)
+    val q = lshSignedQueries(queries, idCol, vecCol, dim, nBits)
     // Count pass over the slim (_sig) projection; the semi join admits
     // only sane buckets to the candidate join (same shape as
     // Dedup.cappedBuckets — count → semi-join, never materializing an
     // oversized bucket).
-    val eligible = c.groupBy(col("_sig")).agg(count(lit(1)).as("_graft_n"))
-      .filter(col("_graft_n") <= maxBucket).select("_sig")
+    val eligible = lshBucketCounts(c).filter(col("_graft_n") <= maxBucket)
+      .select("_sig")
     val scored = c.join(eligible, Seq("_sig"), "left_semi").join(q, Seq("_sig"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
+    lshRank(scored, idCol, k)
+  }
+
+  private def lshSigned(corpus: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, nBits: Int): DataFrame =
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("_sig", lshSignature(col(vecCol), dim, nBits))
+
+  private def lshSignedQueries(queries: DataFrame, idCol: String,
+                               vecCol: String, dim: Int, nBits: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qvec"))
+      .withColumn("_sig", lshSignature(col("_qvec"), dim, nBits))
+
+  private def lshBucketCounts(c: DataFrame): DataFrame =
+    c.groupBy(col("_sig")).agg(count(lit(1)).as("_graft_n"))
+
+  private def lshRank(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol).asc)
     scored.withColumn("rk", row_number().over(w))
@@ -173,22 +188,38 @@ object Similarity {
     * re-route through brute-force cosine against the full corpus — the
     * [[topKAgainst]] shape, linear in corpus size and only for the few
     * affected queries (queries are driver-small/broadcast by contract).
-    * Every query therefore returns top-k with full recall: common
-    * queries pay the cheap bucket join, degenerate-bucket queries pay
-    * the exact price instead of silently losing results.
+    * The cap therefore costs no recall: common queries pay the cheap
+    * bucket join, degenerate-bucket queries pay the exact price instead
+    * of silently losing results. (A query hashing to a bucket with NO
+    * corpus rows still returns nothing — that is LSH's inherent recall
+    * gap, not the cap's; use more tables/fewer bits or
+    * [[bruteForceTopK]] for guaranteed-k lookups.)
+    *
+    * The signed corpus and its per-bucket counts are built ONCE and
+    * shared by the eligible semi-join and the fallback-query routing —
+    * one signature pass, one count aggregation.
     */
   def lshTopKWithFallback(corpus: DataFrame, queries: DataFrame, idCol: String,
                           vecCol: String, dim: Int, nBits: Int, k: Int,
                           maxBucket: Int = 1000): DataFrame = {
-    val capped = lshTopK(corpus, queries, idCol, vecCol, dim, nBits, k, maxBucket)
-    val over = lshOversized(corpus, idCol, vecCol, dim, nBits, maxBucket)
-      .select(col("sig").as("_sig"))
-    val fbq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("_sig", lshSignature(col("qv"), dim, nBits))
-      .join(over, Seq("_sig"), "left_semi")
-      .drop("_sig")
-    capped.unionByName(
-      topKAgainst(corpus.select(col(idCol), col(vecCol)), idCol, vecCol, fbq, k))
+    val c = lshSigned(corpus, idCol, vecCol, dim, nBits)
+    val q = lshSignedQueries(queries, idCol, vecCol, dim, nBits)
+    val counts = lshBucketCounts(c)
+    val eligible = counts.filter(col("_graft_n") <= maxBucket).select("_sig")
+    val over = counts.filter(col("_graft_n") > maxBucket).select("_sig")
+    val lshScored = c.join(eligible, Seq("_sig"), "left_semi")
+      .join(q, Seq("_sig"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("_qvec")))
+      .select(col(idCol), col("query_id"), col("sim"))
+    val fbq = q.join(over, Seq("_sig"), "left_semi").drop("_sig")
+    val fbScored = c.drop("_sig").crossJoin(broadcast(fbq))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("sim", cosine(col(vecCol), col("_qvec")))
+      .select(col(idCol), col("query_id"), col("sim"))
+    // queries are disjoint across the two paths, so one global rank
+    // equals rank-within-each-path
+    lshRank(lshScored.unionByName(fbScored), idCol, k)
   }
 
   /** Audit twin of [[lshTopK]]: the CORPUS signature buckets its
@@ -198,11 +229,9 @@ object Similarity {
     */
   def lshOversized(corpus: DataFrame, idCol: String, vecCol: String,
                    dim: Int, nBits: Int, maxBucket: Int = 1000): DataFrame =
-    graft.dedup.Dedup.oversizedBuckets(
-        corpus.select(col(idCol).as("id"),
-          lshSignature(col(vecCol), dim, nBits).as("_sig")),
-        Seq("_sig"), maxBucket)
-      .select(col("_sig").as("sig"), col("n_ids"))
+    lshBucketCounts(lshSigned(corpus, idCol, vecCol, dim, nBits))
+      .filter(col("_graft_n") > maxBucket)
+      .select(col("_sig").as("sig"), col("_graft_n").as("n_ids"))
 
   /** IVF top-k search (nprobe=1): assign corpus AND queries to their
     * nearest centroid cell, then brute-force cosine ONLY within the
