@@ -1054,6 +1054,62 @@ object QueriesTextSim {
     }): Q,
       Some(cosinePairsOracle)),
 
+    // ---- SemDeDup pairs: kmeans-cell semantic near-dups ----------------
+    // (Abbas et al. 2023, arXiv:2303.09540) Cells are the candidate
+    // buckets — disjoint by construction, assignment argmax-mirrored in
+    // SQL like q_ann_ivf; the [2, maxCell] cell cap is mirrored too so
+    // both engines drop the same degenerate cells at any SF. The raw
+    // table has no pair above cosine 0.6, so every 10th embedding gets
+    // a PLANTED near-duplicate twin (first coordinate +0.01, id +1e6,
+    // mirrored in SQL) — giving the dedup a real duplicate population
+    // at every SF instead of a vacuously-empty result.
+    ("q_semdedup_pairs", ((s, dir) => {
+      val (corpus, centroids) = semdedupCorpus(s, dir)
+      Similarity.semanticPairs(corpus, "vec_id", "embedding", centroids,
+        threshold = 0.8)
+        .select(col("idA"), col("idB"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"))
+    }): Q,
+      Some(s"""$semanticCellsSql,
+              |p AS (SELECT x.vec_id AS idA, y.vec_id AS idB,
+              |        list_cosine_similarity(ex.v, ey.v) AS sim
+              |      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              |      JOIN el ON el.cid = x.cid
+              |      JOIN e ex ON ex.vec_id = x.vec_id
+              |      JOIN e ey ON ey.vec_id = y.vec_id)
+              |SELECT idA, idB, round(sim, 3) + 0.0 AS sim
+              |FROM p WHERE sim >= 0.8""".stripMargin)),
+
+    // ---- SemDeDup keep-one: components over semantic pairs -------------
+    // Pairwise pruning is not transitive (chain A≈B≈C would drop B AND
+    // C); the oracle walks the same pair list with the recursive-CTE
+    // component mirror and keeps min(component) per group — every
+    // planted twin's component collapses to its original.
+    ("q_semdedup_reps", ((s, dir) => {
+      val (corpus, centroids) = semdedupCorpus(s, dir)
+      Similarity.semanticDedup(corpus, "vec_id", "embedding", centroids,
+        threshold = 0.8)
+        .select(col("vec_id"))
+    }): Q,
+      Some(s"""${semanticCellsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |p AS (SELECT x.vec_id AS idA, y.vec_id AS idB
+              |      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              |      JOIN el ON el.cid = x.cid
+              |      JOIN e ex ON ex.vec_id = x.vec_id
+              |      JOIN e ey ON ey.vec_id = y.vec_id
+              |      WHERE list_cosine_similarity(ex.v, ey.v) >= 0.8),
+              |edges AS (SELECT idA AS s, idB AS d FROM p
+              |          UNION SELECT idB AS s, idA AS d FROM p),
+              |r(id, reach) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT r.id, g.d FROM r JOIN edges g ON g.s = r.reach)
+              |SELECT vec_id FROM e
+              |WHERE vec_id NOT IN (
+              |  SELECT id FROM (SELECT id, min(reach) AS component
+              |                  FROM r GROUP BY id)
+              |  WHERE component <> id)""".stripMargin)),
+
     // ---- multimodal-ish: opaque binary metadata -------------------------
     ("q_binary_meta", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1585,4 +1641,46 @@ object QueriesTextSim {
        |p AS (SELECT idA, idB, list_cosine_similarity(x.v, y.v) AS sim
        |      FROM cand JOIN e x ON x.id = cand.idA JOIN e y ON y.id = cand.idB)
        |SELECT idA, idB, round(sim, 3) AS sim FROM p WHERE sim >= 0.8""".stripMargin
+
+  /** Shared SemDeDup query input: embeddings (as double) UNION a
+    * planted near-duplicate twin of every 10th vector (first coordinate
+    * nudged +0.01, id offset +1e6), plus the four lowest-id ORIGINAL
+    * vectors as centroids. [[semanticCellsSql]] mirrors the planting.
+    */
+  private def semdedupCorpus(s: SparkSession, dir: String)
+      : (DataFrame, Seq[Seq[Double]]) = {
+    val e = emb(s, dir)
+      .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      .select(col("vec_id"), col("embedding"))
+    val planted = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.01)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val centroids = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    (e.unionByName(planted), centroids)
+  }
+
+  /** Shared SemDeDup oracle prefix: the planted-twin corpus, argmax
+    * cell assignment against the four lowest-id original embeddings as
+    * centroids (the q_ann_ivf mirror), and the [2, maxCell] eligibility
+    * filter matching `cappedBuckets`.
+    */
+  private def semanticCellsSql: String =
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |e AS (SELECT vec_id, v FROM e0
+      |      UNION ALL
+      |      SELECT vec_id + 1000000, list_concat([v[1] + 0.01], v[2:])
+      |      FROM e0 WHERE vec_id % 10 = 0),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 4),
+      |sc AS (SELECT e.vec_id, c.cid,
+      |         list_cosine_similarity(e.v, c.cv) AS csim
+      |       FROM e CROSS JOIN c),
+      |a AS (SELECT vec_id, cid FROM (
+      |        SELECT vec_id, cid, row_number() OVER
+      |          (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      |        FROM sc) WHERE rn = 1),
+      |el AS (SELECT cid FROM (SELECT cid, count(*) AS n FROM a GROUP BY 1)
+      |       WHERE n BETWEEN 2 AND 1000)""".stripMargin
 }

@@ -396,6 +396,70 @@ object Similarity {
     df.withColumn(out, best.getField("cid"))
   }
 
+  // ---- SemDeDup: semantic dedup over embedding clusters ---------------
+
+  /** SemDeDup-style near-duplicate PAIRS (Abbas et al. 2023,
+    * arXiv:2303.09540 — "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): kmeans cells are the candidate
+    * buckets. Every vector is assigned to its nearest centroid
+    * ([[ivfAssign]] — broadcast argmax, zero shuffle), pair generation
+    * is CELL-local through the capped count → semi-join → collect shape
+    * (cells are disjoint, so unlike multi-table LSH no pair dedup is
+    * needed), and candidates are verified with exact cosine.
+    *
+    * 100 TB shape: centroids come from [[kmeansFitMod]] (sampled Lloyd,
+    * k×dim driver rows per round) with k sized so cells average well
+    * under `maxCell` — the paper runs k≈11k over 100M embeddings.
+    * Nothing here is quadratic in the corpus: the assignment is a map,
+    * the cap bounds every collected bucket, and only (id, cell) rows
+    * travel through the bucket shuffle — the vectors rejoin by id
+    * afterwards. The cap is audited, never silent: alert on a non-empty
+    * [[semanticOversized]] and raise k (finer cells), not the cap.
+    */
+  def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double,
+                    maxCell: Int = 1000): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assigned = ivfAssign(base, "vec", centroids)
+      .select(col("id"), col("ivf_cell"))
+    val buckets = graft.dedup.Dedup.cappedBuckets(
+      assigned, Seq("ivf_cell"), "id", maxCell)
+    val pairs = buckets
+      .select(explode(col("ids")).as("idA"), col("ids"))
+      .select(col("idA"), explode(col("ids")).as("idB"))
+      .filter(col("idA") < col("idB"))
+    val va = base.select(col("id").as("idA"), col("vec").as("_va"))
+    val vb = base.select(col("id").as("idB"), col("vec").as("_vb"))
+    pairs.join(va, "idA").join(vb, "idB")
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("idA"), col("idB"), col("sim"))
+  }
+
+  /** Audit twin of [[semanticPairs]]: the kmeans cells its `maxCell`
+    * cap would DROP — (ivf_cell, n_ids). A dropped cell is a dense
+    * semantic cluster that silently KEEPS all its near-duplicates;
+    * alert on non-empty and refit with a larger k (finer cells).
+    */
+  def semanticOversized(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Double]],
+                        maxCell: Int = 1000): DataFrame =
+    graft.dedup.Dedup.oversizedBuckets(
+      ivfAssign(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", centroids).select(col("id"), col("ivf_cell")),
+      Seq("ivf_cell"), maxCell)
+
+  /** SemDeDup keep-one: transitive closure of [[semanticPairs]] via
+    * connected components (pairwise pruning is not transitive — on a
+    * chain A≈B≈C it drops both B and C), keeping the min-id
+    * representative of every semantic-duplicate component.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double,
+                    maxCell: Int = 1000): DataFrame =
+    graft.dedup.Components.keepRepresentatives(corpus, idCol,
+      semanticPairs(corpus, idCol, vecCol, centroids, threshold, maxCell))
+
   // ---- product quantization (PQ) --------------------------------------
 
   /** Product-quantization codebooks: the vector is cut into `mSub`

@@ -334,4 +334,38 @@ class Round7Spec extends AnyFunSuite {
       .as[(String, Long)].collect()
     assert(over.length == 2 && over.forall(_._2 == 6L))
   }
+
+  // Two well-separated directions; ids 0/1/2 nearly collinear (chain of
+  // near-dups), 10/11 along the other axis, 20 alone in cell 0's shadow.
+  private lazy val semCorpus = Seq(
+    0L -> Seq(1.0, 0.0, 0.0, 0.0), 1L -> Seq(0.999, 0.03, 0.0, 0.0),
+    2L -> Seq(0.995, 0.06, 0.0, 0.0), 10L -> Seq(0.0, 0.0, 1.0, 0.0),
+    11L -> Seq(0.0, 0.0, 0.999, 0.04), 20L -> Seq(0.6, 0.8, 0.0, 0.0)
+  ).toDF("vec_id", "embedding")
+  private lazy val semCents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+
+  test("semanticPairs: cell-local cosine pairs, no cross-cell candidates") {
+    val p = Similarity.semanticPairs(semCorpus, "vec_id", "embedding",
+      semCents, threshold = 0.99)
+    val got = p.select($"idA", $"idB").as[(Long, Long)].collect().toSet
+    // within cell 0: 0≈1, 1≈2, 0≈2 all ≥ .99; 20 is in cell 0 but far;
+    // within cell 1: 10≈11; NO pair ever crosses cells
+    assert(got == Set((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L)))
+  }
+
+  test("semanticDedup keeps one representative per component; cap is audited") {
+    val kept = Similarity.semanticDedup(semCorpus, "vec_id", "embedding",
+      semCents, threshold = 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    // component {0,1,2} → min id 0; {10,11} → 10; 20 unpaired stays
+    assert(kept == Set(0L, 10L, 20L))
+    // a maxCell below cell 0's size drops it from pair generation but
+    // surfaces it in the audit twin (never silent)
+    val starved = Similarity.semanticPairs(semCorpus, "vec_id", "embedding",
+      semCents, threshold = 0.99, maxCell = 3)
+    assert(starved.select($"idA").as[Long].collect().toSet == Set(10L))
+    val over = Similarity.semanticOversized(semCorpus, "vec_id", "embedding",
+      semCents, maxCell = 3).as[(Int, Long)].collect()
+    assert(over.toSeq == Seq((0, 4L)))
+  }
 }
