@@ -1110,6 +1110,61 @@ object QueriesTextSim {
               |                  FROM r GROUP BY id)
               |  WHERE component <> id)""".stripMargin)),
 
+    // ---- duplicate spans: winnowed substring fingerprints --------------
+    // (Schleimer et al. SIGMOD 2003 winnowing; re-expresses the
+    // suffix-array substring dedup of arXiv:2107.06499 distributively.)
+    // Every 20th document gets a planted twin (id +1e6) whose text is a
+    // marker head + the original's first 400 chars — the shared content
+    // sits at a DIFFERENT offset in the twin, so only offset-independent
+    // fingerprint selection can pair them. Window-min selection, the
+    // [k, w] guarantee band, and the planting are all mirrored in SQL.
+    ("q_span_dup", ((s, dir) =>
+      graft.dedup.Dedup.duplicateSpans(spanCorpus(s, dir), "doc_id", "text",
+        k = 20, w = 8)): Q,
+      Some(s"""$spanSelectSql
+              |SELECT span_fp, count(DISTINCT doc_id) AS n_docs
+              |FROM sel GROUP BY span_fp
+              |HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    ("q_span_docs", ((s, dir) =>
+      graft.dedup.Dedup.spanFlaggedDocs(spanCorpus(s, dir), "doc_id", "text",
+        k = 20, w = 8)): Q,
+      Some(s"""$spanSelectSql
+              |SELECT DISTINCT doc_id FROM sel
+              |WHERE span_fp IN (
+              |  SELECT span_fp FROM sel GROUP BY span_fp
+              |  HAVING count(DISTINCT doc_id) >= 2)""".stripMargin)),
+
+    // ---- DSIR importance weighting (arXiv:2302.03169) ------------------
+    // Raw distribution = all documents; target = the English subset.
+    // Hashed unigram+bigram buckets (portable md5, B=256), add-one
+    // smoothing, per-doc log-ratio sum — every stage mirrored in SQL.
+    ("q_dsir_weights", ((s, dir) => {
+      val d = docs(s, dir)
+      graft.curate.Dsir.importanceWeights(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", buckets = 256)
+        .select(col("doc_id"),
+          (round(col("logw"), 3) + lit(0.0)).as("logw"))
+    }): Q,
+      Some(s"""$dsirWeightsSql
+              |SELECT doc_id, round(logw, 3) + 0.0 AS logw FROM w""".stripMargin)),
+
+    // Top-100 selection: ranking on the ROUNDED weight (ties broken by
+    // doc_id) so the engines' summation-order ulp differences cannot
+    // flip the cut line.
+    ("q_dsir_top", ((s, dir) => {
+      val d = docs(s, dir)
+      graft.curate.Dsir.importanceWeights(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", buckets = 256)
+        .select(col("doc_id"),
+          (round(col("logw"), 3) + lit(0.0)).as("logw"))
+        .orderBy(col("logw").desc, col("doc_id")).limit(100)
+    }): Q,
+      Some(s"""$dsirWeightsSql
+              |SELECT doc_id, logw FROM (
+              |  SELECT doc_id, round(logw, 3) + 0.0 AS logw FROM w)
+              |ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin)),
+
     // ---- multimodal-ish: opaque binary metadata -------------------------
     ("q_binary_meta", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1641,6 +1696,82 @@ object QueriesTextSim {
        |p AS (SELECT idA, idB, list_cosine_similarity(x.v, y.v) AS sim
        |      FROM cand JOIN e x ON x.id = cand.idA JOIN e y ON y.id = cand.idB)
        |SELECT idA, idB, round(sim, 3) AS sim FROM p WHERE sim >= 0.8""".stripMargin
+
+  /** Shared DSIR oracle: unigram+bigram buckets (portable 60-bit md5
+    * hash mod 256) per doc, add-one-smoothed log-probs for the raw
+    * corpus and the English target subset over ALL 256 buckets, and the
+    * per-doc log-ratio sum. Every doc has >= 1 gram (an empty text
+    * tokenizes to one empty token in both engines), so the final join
+    * loses nothing.
+    */
+  private def dsirWeightsSql: String =
+    """WITH tk AS (SELECT doc_id, lang,
+      |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+      |                       '\s+') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, lang, unnest(t) AS gram FROM tk
+      |      UNION ALL
+      |      SELECT doc_id, lang,
+      |        unnest(CASE WHEN len(t) >= 2
+      |          THEN list_transform(range(0, len(t) - 1),
+      |                 i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+      |          ELSE [] END) AS gram
+      |      FROM tk),
+      |b AS (SELECT doc_id, lang,
+      |        (('0x' || substr(md5(gram), 1, 15))::BIGINT % 256)::INT AS bucket
+      |      FROM g),
+      |rc AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+      |tc AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en' GROUP BY 1),
+      |rt AS (SELECT count(*) AS n FROM b),
+      |tt AS (SELECT count(*) AS n FROM b WHERE lang = 'en'),
+      |ab AS (SELECT unnest(range(0, 256))::INT AS bucket),
+      |d AS (SELECT ab.bucket,
+      |        ln((coalesce(tc.c, 0) + 1)::DOUBLE / (tt.n + 256)) -
+      |        ln((coalesce(rc.c, 0) + 1)::DOUBLE / (rt.n + 256)) AS diff
+      |      FROM ab LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket),
+      |           rt, tt),
+      |w AS (SELECT b.doc_id, sum(d.diff) AS logw
+      |      FROM b JOIN d USING (bucket) GROUP BY 1)""".stripMargin
+
+  /** Shared duplicate-span query input: documents UNION a planted twin
+    * of every 20th doc (id +1e6) carrying the original's first 400
+    * chars behind a marker head — same raw substring, different offset.
+    */
+  private def spanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("PLANTED HEAD "), substring(col("text"), 1, 400))
+          .as("text")))
+  }
+
+  /** Shared duplicate-span oracle prefix: the planted-twin corpus,
+    * canonicalization, 20-char window hashes (portable 60-bit md5
+    * prefix), and the winnowing selection — min hash of each run of 8
+    * consecutive windows, distinct per doc, runs clipped to full width
+    * exactly like `winnowFingerprints` (docs with fewer than 8 windows
+    * select nothing).
+    */
+  private def spanSelectSql: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents),
+      |d AS (SELECT doc_id, text FROM d0
+      |      UNION ALL
+      |      SELECT doc_id + 1000000, 'PLANTED HEAD ' || substr(text, 1, 400)
+      |      FROM d0 WHERE doc_id % 20 = 0),
+      |c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |        '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g')) AS t FROM d),
+      |g0 AS (SELECT doc_id, t,
+      |         unnest(range(1, greatest(length(t) - 18, 1))) AS i FROM c),
+      |g AS (SELECT doc_id, i,
+      |        ('0x' || substr(md5(substr(t, i, 20)), 1, 15))::BIGINT AS h
+      |      FROM g0),
+      |m AS (SELECT doc_id, i,
+      |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+      |          AS span_fp,
+      |        count(*) OVER (PARTITION BY doc_id) AS n_g
+      |      FROM g),
+      |sel AS (SELECT DISTINCT doc_id, span_fp FROM m WHERE i <= n_g - 7)""".stripMargin
 
   /** Shared SemDeDup query input: embeddings (as double) UNION a
     * planted near-duplicate twin of every 10th vector (first coordinate

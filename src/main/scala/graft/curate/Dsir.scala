@@ -1,0 +1,137 @@
+package graft.curate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** DSIR-style data selection via importance resampling (Xie et al.
+  * 2023, arXiv:2302.03169 — "Data Selection for Language Models via
+  * Importance Resampling"): score every raw document by how much more
+  * likely its hashed n-gram features are under a TARGET distribution
+  * (e.g. curated/high-quality text) than under the RAW distribution,
+  * then keep the top of the importance ranking.
+  *
+  * 100 TB shape: both distributions reduce to a `buckets`-row count
+  * table (one aggregation each, map-side combined), their log-ratio is
+  * broadcast, and per-document scoring is one more aggregation keyed
+  * by doc id — no pairwise anything, no model weights. All hashing is
+  * the portable 60-bit md5 prefix, so a SQL oracle replays every
+  * bucket assignment and weight bit-for-bit.
+  */
+object Dsir {
+
+  /** Hashed n-gram feature buckets of a document: unigram and bigram
+    * tokens of the normalized text, each hashed to [0, buckets) with
+    * the portable md5 token hash (non-negative, so `% buckets` is safe
+    * in any engine). The paper's feature space, sized by `buckets`.
+    */
+  def gramBuckets(text: Column, buckets: Int): Column =
+    gramBucketsFromTokens(
+      TextFunctions.wsTokens(TextFunctions.normalize(text)), buckets)
+
+  /** [[gramBuckets]] over an already-tokenized column. `toks` should be
+    * an ATTRIBUTE: the bigram lambda reads it per element, and an
+    * inline regexp-split tree gets no CSE under interpreted HOFs — the
+    * one-Column [[gramBuckets]] convenience is O(tokens²) regexp evals
+    * per document, this staged form O(tokens).
+    */
+  def gramBucketsFromTokens(toks: Column, buckets: Int): Column = {
+    require(buckets > 0, s"gramBuckets: buckets must be positive, got $buckets")
+    val bis = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bis),
+      g => (TextFunctions.md5Token60(g) % buckets).cast("int"))
+  }
+
+  /** Per-document staged (doc_id?, bucket) grams: tokenization
+    * materialized in its own projection, then the hashed gram buckets
+    * exploded (outer, so zero-gram documents keep a null-bucket row
+    * when `outer` — used by the weight join's left side).
+    */
+  private def docBuckets(df: DataFrame, textCol: String, buckets: Int,
+                         idCol: Option[String]): DataFrame = {
+    val staged = df.withColumn("_toks",
+      TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))))
+    val b = gramBucketsFromTokens(col("_toks"), buckets)
+    idCol match {
+      case Some(id) => staged.select(col(id).as("doc_id"),
+        explode_outer(b).as("bucket"))
+      case None => staged.select(explode(b).as("bucket"))
+    }
+  }
+
+  /** Add-one-smoothed bucket log-probabilities of a corpus: exactly
+    * `buckets` rows (bucket, logp) with
+    * logp = ln((count + 1) / (total + buckets)), so unseen buckets
+    * score finite. The total is a driver-side scalar (a fit, like the
+    * kmeans codebooks); the count table is one aggregation.
+    */
+  def bucketLogProbs(df: DataFrame, textCol: String,
+                     buckets: Int = 1024): DataFrame = {
+    val s = df.sparkSession
+    val counts = docBuckets(df, textCol, buckets, idCol = None)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(coalesce(sum(col("c")), lit(0L))).collect()(0).getLong(0)
+    s.range(buckets).select(col("id").cast("int").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (total + buckets).toDouble).as("logp"))
+  }
+
+  /** DSIR importance log-weight per document:
+    * logw(doc) = Σ_grams [logp_target(bucket) − logp_raw(bucket)],
+    * with p_raw fit on `corpus` itself and p_target on `target`.
+    * The bucket→diff table (`buckets` rows) joins broadcast; the only
+    * data-sized shuffle is the per-doc sum. Documents with zero grams
+    * keep logw = 0 (never silently dropped).
+    */
+  def importanceWeights(corpus: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        buckets: Int = 1024): DataFrame = {
+    val diff = bucketLogProbs(target, targetTextCol, buckets)
+      .withColumnRenamed("logp", "_lt")
+      .join(bucketLogProbs(corpus, textCol, buckets)
+        .withColumnRenamed("logp", "_lr"), Seq("bucket"))
+      .select(col("bucket"), (col("_lt") - col("_lr")).as("_d"))
+    docBuckets(corpus, textCol, buckets, idCol = Some(idCol))
+      .join(broadcast(diff), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(coalesce(sum(col("_d")), lit(0.0)).as("logw"))
+  }
+
+  /** Deterministic Gumbel perturbation of a log-weight — the paper's
+    * gumbel-top-k resampling made reproducible: uniform u from the
+    * portable hash of (id, seed), g = −ln(−ln(u)). Ranking perturbed
+    * weights samples WITHOUT replacement ∝ softmax(logw).
+    */
+  def gumbelPerturb(logw: Column, id: Column, seed: Int): Column = {
+    val u = (TextFunctions.md5Token60(concat(id.cast("string"),
+      lit(":"), lit(seed.toString))) + 1).cast("double") /
+      (1L << 60).toDouble
+    logw - log(-log(u))
+  }
+
+  /** Top-`n` documents by importance weight (ties broken by id, so the
+    * selection is total-ordered and reproducible). At 100 TB, prefer
+    * thresholding logw at an approximate quantile over a global
+    * sort-limit; this exact variant is the adjudicable baseline.
+    */
+  def resampleTop(corpus: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String, n: Int,
+                  buckets: Int = 1024, gumbelSeed: Option[Int] = None)
+      : DataFrame = {
+    val w = importanceWeights(corpus, idCol, textCol, target,
+      targetTextCol, buckets)
+    val scored = gumbelSeed match {
+      case Some(s) => w.withColumn("_rank",
+        gumbelPerturb(col("logw"), col("doc_id"), s))
+      case None => w.withColumn("_rank", col("logw"))
+    }
+    scored.orderBy(col("_rank").desc, col("doc_id")).limit(n)
+      .select(col("doc_id"), col("logw"))
+  }
+}

@@ -416,4 +416,105 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- duplicate spans: winnowed substring fingerprints ---------------
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * "Winnowing: Local Algorithms for Document Fingerprinting") of a
+    * pre-canonicalized text column: hash every k-char window, then keep
+    * the minimum hash of each run of `w` consecutive window hashes,
+    * distinct per document. Guarantee: any substring of length
+    * >= k + w - 1 shared by two documents contributes at least one
+    * COMMON fingerprint, regardless of its offset in either document —
+    * the property fixed-stride sampling lacks. Documents shorter than
+    * k + w - 1 canonical chars yield no fingerprints (documented, same
+    * rule both engines).
+    *
+    * The per-window hash is the portable 60-bit md5 prefix
+    * ([[TextFunctions.md5Token60]] shape), so an external engine
+    * replays the selection bit-for-bit. This one-Column convenience
+    * composes [[winnowHashes]] inside [[winnowSelect]], whose run
+    * lambdas re-evaluate the hash array per run (interpreted HOFs get
+    * no CSE) — O(L²) md5 evals per document. Fine for ad-hoc use on
+    * short strings; any data path MUST stage the two phases as
+    * separate projections instead (see `docSpans`), which is O(L·w).
+    *
+    * 100 TB shape: everything here is a per-row projection (no
+    * shuffle); the selected density is ~2/(w+1), so downstream
+    * explodes ship ~2L/(w+1) 8-byte fingerprints per L-char document —
+    * versus L suffix pointers for the reference suffix-array approach
+    * (arXiv:2107.06499) that this operator re-expresses distributively.
+    */
+  def winnowFingerprints(text: Column, k: Int = 20, w: Int = 8): Column =
+    winnowSelect(winnowHashes(text, k), w)
+
+  /** Stage 1 of winnowing: the k-char window hashes of `text`, one per
+    * offset, empty when the text is shorter than k. O(L) md5 evals —
+    * ALWAYS materialize this array as its own column before feeding it
+    * to [[winnowSelect]]: interpreted HOFs get no codegen CSE, so a
+    * `slice` lambda referencing this expression inline re-evaluates
+    * every md5 per run and the pipeline goes O(L·w) → O(L²).
+    */
+  def winnowHashes(text: Column, k: Int): Column = {
+    require(k > 0, s"winnowHashes: k=$k must be positive")
+    val nGrams = length(text) - (k - 1)         // windows of FULL width k
+    when(nGrams >= 1,
+      transform(sequence(lit(1), nGrams),
+        i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
+          .cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Stage 2 of winnowing: minimum of each w-run of window hashes,
+    * distinct. `hashes` should be an ATTRIBUTE (see [[winnowHashes]]);
+    * then each run's `slice` is an O(w) array read.
+    */
+  def winnowSelect(hashes: Column, w: Int): Column = {
+    require(w > 0, s"winnowSelect: w=$w must be positive")
+    val nRuns = size(hashes) - (w - 1)          // winnowing runs
+    when(nRuns >= 1,
+      array_distinct(transform(sequence(lit(1), nRuns),
+        j => array_min(slice(hashes, j, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** (doc_id, span_fp) pairs for a corpus, with canonicalization and
+    * the window-hash array each staged in their own projection (the
+    * O(L·w) shape — see [[winnowHashes]]).
+    */
+  private def docSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int): DataFrame =
+    df.withColumn("_ct", TextFunctions.canonicalize(col(textCol)))
+      .withColumn("_wh", winnowHashes(col("_ct"), k))
+      .select(col(idCol).as("doc_id"),
+        explode(winnowSelect(col("_wh"), w)).as("span_fp"))
+
+  /** Corpus-wide duplicated spans: (span_fp, n_docs) for every winnowed
+    * fingerprint appearing in at least `minDocs` DISTINCT documents.
+    * One hash aggregation on 8-byte keys; count_distinct's expanded
+    * first phase is bounded by the fingerprint density (~2/(w+1) per
+    * char), not the text volume.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 20, w: Int = 8, minDocs: Int = 2): DataFrame =
+    docSpans(df, idCol, textCol, k, w)
+      .groupBy(col("span_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Documents sharing at least one duplicated span with ANOTHER
+    * document — the removal candidate list of substring-level dedup.
+    * Semi-join against [[duplicateSpans]] keys (cross-doc only, so a
+    * span repeated WITHIN one document never flags it).
+    */
+  def spanFlaggedDocs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 20, w: Int = 8): DataFrame = {
+    val spans = docSpans(df, idCol, textCol, k, w)
+    val dup = spans.groupBy(col("span_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_fp"))
+    spans.join(dup, Seq("span_fp"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
 }

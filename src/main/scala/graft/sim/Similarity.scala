@@ -303,6 +303,7 @@ object Similarity {
                 else df
       val seeds: Seq[Seq[Double]] = df.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      require(seeds.nonEmpty, "kmeansFit: no seed vectors (empty corpus?)")
       lloyd(fit, vecCol, seeds, iters, scale)
     }
 
@@ -320,6 +321,8 @@ object Similarity {
       val fit = df.filter(col(idCol) % m === 0)
       val seeds: Seq[Seq[Double]] = fit.orderBy(col(idCol)).limit(k)
         .select(col(vecCol)).collect().map(_.getSeq[Double](0).toSeq).toSeq
+      require(seeds.nonEmpty,
+        s"kmeansFitMod: no seed vectors (empty mod-$m sample?)")
       lloyd(fit, vecCol, seeds, iters, scale)
     }
 
@@ -383,6 +386,9 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
                 out: String = "ivf_cell"): DataFrame = {
+    // an empty list would leave the aggregate's init accumulator in
+    // place and silently assign cell -1 to EVERY row — refuse instead
+    require(centroids.nonEmpty, "ivfAssign: empty centroid list")
     val cents = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cid"), array(c.map(lit): _*).as("vec"))
     }: _*)
@@ -611,6 +617,7 @@ object Similarity {
     */
   def residuals(df: DataFrame, vecCol: String, cellCol: String,
                 centroids: Seq[Seq[Double]], out: String = "res"): DataFrame = {
+    require(centroids.nonEmpty, "residuals: empty centroid list")
     val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
     df.withColumn(out, zip_with(col(vecCol),
       element_at(centLit, col(cellCol) + 1), (a, b) => a - b))

@@ -368,4 +368,63 @@ class Round7Spec extends AnyFunSuite {
       semCents, maxCell = 3).as[(Int, Long)].collect()
     assert(over.toSeq == Seq((0, 4L)))
   }
+
+  test("winnowing: shared substring pairs docs at ANY offset; short docs none") {
+    // k=5, w=3 → any shared canonical substring of >= 7 chars must
+    // contribute a common fingerprint (SIGMOD 2003 guarantee)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      1L -> ("AAAA BBBB " + shared),            // shared text, offset 10
+      2L -> (shared + " CCCC DDDD"),            // shared text, offset 0
+      3L -> "zz ww qq vv kk pp mm nn zz ww qq", // disjoint alphabet
+      4L -> "tiny"                              // < k+w-1 canonical chars
+    ).toDF("doc_id", "text")
+    val flagged = graft.dedup.Dedup.spanFlaggedDocs(df, "doc_id", "text",
+      k = 5, w = 3).as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L))
+    val dups = graft.dedup.Dedup.duplicateSpans(df, "doc_id", "text",
+      k = 5, w = 3).select($"n_docs").as[Long].collect()
+    assert(dups.nonEmpty && dups.forall(_ == 2L))
+  }
+
+  test("winnowing: WITHIN-doc repetition alone never flags a doc") {
+    val rep = Seq(5L -> "xyzzy abcde xyzzy abcde xyzzy abcde")
+      .toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.spanFlaggedDocs(rep, "doc_id", "text",
+      k = 5, w = 3).count() == 0)
+    // but duplicateSpans(minDocs=1) still surfaces the repeated span
+    val within = graft.dedup.Dedup.duplicateSpans(rep, "doc_id", "text",
+      k = 5, w = 3, minDocs = 1)
+    assert(within.count() > 0)
+  }
+
+  test("dsir: target-like docs outrank off-target docs; empty doc survives") {
+    import graft.curate.Dsir
+    val corpus = Seq(
+      1L -> "alpha beta alpha beta gamma", 2L -> "alpha gamma beta alpha",
+      3L -> "zulu yankee xray zulu", 4L -> "zulu xray yankee", 5L -> ""
+    ).toDF("doc_id", "text")
+    val target = Seq(10L -> "alpha beta gamma alpha", 11L -> "beta alpha gamma")
+      .toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text",
+      target, "text", buckets = 64)
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L)) // nothing silently dropped
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+    val top = Dsir.resampleTop(corpus, "doc_id", "text", target, "text",
+      n = 2, buckets = 64).select($"doc_id").as[Long].collect().toSet
+    assert(top == Set(1L, 2L))
+  }
+
+  test("dsir: bucket log-probs are a distribution; gumbel is seeded-stable") {
+    import graft.curate.Dsir
+    val df = Seq(1L -> "a b c a b", 2L -> "c d e").toDF("doc_id", "text")
+    val mass = Dsir.bucketLogProbs(df, "text", buckets = 64)
+      .agg(sum(exp($"logp"))).as[Double].collect()(0)
+    assert(math.abs(mass - 1.0) < 1e-9) // add-one smoothing normalizes
+    def topWith(seed: Int) = Dsir.resampleTop(df, "doc_id", "text",
+      df, "text", n = 1, buckets = 64, gumbelSeed = Some(seed))
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(topWith(7) == topWith(7)) // same seed → same sample
+  }
 }
