@@ -22,8 +22,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every table's footer + JIT the scan path.
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // Warmup: touch every table's footer + JIT the scan path. Guarded so
+    // one unloadable table degrades to slower first timings for its
+    // queries instead of zeroing out the entire bench (round-7 rc:1 was
+    // exactly this: an events-loader analysis error in this loop).
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
+    }
 
     // db-benchmark convention, hardened against run-to-run jitter: one
     // cold run (absorbs per-query-shape whole-stage-codegen JIT), then

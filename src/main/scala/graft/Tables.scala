@@ -28,18 +28,29 @@ object Tables {
   }
 
   private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // raw long (spark.sql.legacy.parquet.nanosAsLong). The generator
-    // emits µs-precision values (ns % 1000 == 0), so ns DIV 1000 →
-    // timestamp_micros is lossless. Integer division keeps the full 64
-    // bits (a double round-trip would lose precision above 2^53).
+    // events.ts is TIMESTAMP(NANOS) parquet. How Spark surfaces that has
+    // changed across versions/confs: with nanosAsLong it reads as a raw
+    // long of nanos; Spark 4 ignores that conf and reads natively as
+    // timestamp_ntz. The generator emits µs-precision values, so both
+    // paths are lossless — but the loader must dispatch on the TYPE THE
+    // READ ACTUALLY PRODUCED, not assume one encoding (cf. fread's
+    // type-bump-and-re-read resilience, /root/reference/src/fread.c:126).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      df.schema("ts").dataType match {
+        case LongType =>
+          // legacy nanos-as-long: ns DIV 1000 keeps full 64-bit precision
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampType => df
+        case _ =>
+          // timestamp_ntz (Spark 4 native nanos read) or anything else
+          // castable: normalize to session-TZ timestamp
+          df.withColumn("ts", col("ts").cast(TimestampType))
+      }
+    } else df
   }
 
   /** All tables as a name -> DataFrame map (plans only, nothing is read). */
