@@ -1165,6 +1165,24 @@ object QueriesTextSim {
               |  SELECT doc_id, round(logw, 3) + 0.0 AS logw FROM w)
               |ORDER BY logw DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // The 100 TB selection tier: at-least-100 docs via the largest
+    // rounded-weight threshold keeping >= 100 — a bounded value
+    // histogram + running count, no global sort of the corpus. The
+    // oracle replays histogram, cumulative count, threshold, and cut.
+    ("q_dsir_select", ((s, dir) => {
+      val d = docs(s, dir)
+      graft.curate.Dsir.selectAtLeast(d, "doc_id", "text",
+        d.filter(col("lang") === "en"), "text", n = 100, buckets = 256)
+    }): Q,
+      Some(s"""$dsirWeightsSql,
+              |r AS (SELECT doc_id, round(logw, 3) + 0.0 AS lw FROM w),
+              |h AS (SELECT lw, count(*) AS c FROM r GROUP BY 1),
+              |cu AS (SELECT lw, sum(c) OVER (ORDER BY lw DESC) AS cum FROM h),
+              |t AS (SELECT coalesce(
+              |        (SELECT max(lw) FROM cu WHERE cum >= 100),
+              |        '-infinity'::DOUBLE) AS thr)
+              |SELECT doc_id, lw AS logw FROM r, t WHERE lw >= thr""".stripMargin)),
+
     // ---- multimodal-ish: opaque binary metadata -------------------------
     ("q_binary_meta", ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1746,14 +1764,17 @@ object QueriesTextSim {
   }
 
   /** Shared duplicate-span oracle prefix: the planted-twin corpus,
-    * canonicalization, 20-char window hashes (portable 60-bit md5
-    * prefix), and the winnowing selection — min hash of each run of 8
-    * consecutive windows, distinct per doc, runs clipped to full width
-    * exactly like `winnowFingerprints` (docs with fewer than 8 windows
-    * select nothing).
+    * canonicalization, 20-char window Karp-Rabin polynomial hashes
+    * (Σ codepoint·B^j mod 2^61−1, computed DEFINITIONALLY per window
+    * with HUGEINT intermediates — the Spark side rolls the identical
+    * polynomial in O(1) per char, graft.plans.WinnowHash), and the
+    * winnowing selection — min hash of each run of 8 consecutive
+    * windows, distinct per doc, runs clipped to full width exactly
+    * like `winnowFingerprints` (docs with fewer than 8 windows select
+    * nothing).
     */
   private def spanSelectSql: String =
-    """WITH d0 AS (SELECT doc_id, text FROM documents),
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
       |d AS (SELECT doc_id, text FROM d0
       |      UNION ALL
       |      SELECT doc_id + 1000000, 'PLANTED HEAD ' || substr(text, 1, 400)
@@ -1763,7 +1784,10 @@ object QueriesTextSim {
       |g0 AS (SELECT doc_id, t,
       |         unnest(range(1, greatest(length(t) - 18, 1))) AS i FROM c),
       |g AS (SELECT doc_id, i,
-      |        ('0x' || substr(md5(substr(t, i, 20)), 1, 15))::BIGINT AS h
+      |        (list_sum(list_transform(range(0, 20),
+      |           j -> unicode(substr(t, (i + j)::INT, 1))::HUGEINT *
+      |                (${graft.plans.WinnowHash.powTableSql(20)})[j + 1]))
+      |         % 2305843009213693951)::BIGINT AS h
       |      FROM g0),
       |m AS (SELECT doc_id, i,
       |        min(h) OVER (PARTITION BY doc_id ORDER BY i

@@ -115,10 +115,51 @@ object Dsir {
     logw - log(-log(u))
   }
 
+  /** At-least-`n` selection by importance weight via a VALUE-HISTOGRAM
+    * threshold — the 100 TB tier [[resampleTop]]'s scaladoc promises:
+    * no global sort of the data, no driver-side collect.
+    *
+    * Weights are rounded to `decimals` (the histogram granularity), so
+    * the distinct-value table is bounded by the logw RANGE × 10^decimals
+    * (tiny — thousands of rows at any corpus size), not the corpus.
+    * Threshold t = the LARGEST rounded weight v such that
+    * |{docs : logw >= v}| >= n (all weights when the corpus has fewer
+    * than n docs); kept = every doc with logw >= t, so the result has
+    * >= n docs and is closed under weight ties — deterministic,
+    * engine-portable semantics (a SQL oracle replays the same
+    * histogram + running count), unlike an ε-approximate quantile cut.
+    *
+    * Plan shape: per-value aggregation (map-side combined) → running
+    * count over the small histogram (single-partition window, BY
+    * DESIGN small) → broadcast the one-row threshold back over the
+    * weights. Two data-sized exchanges total, both keyed aggregations.
+    */
+  def selectAtLeast(corpus: DataFrame, idCol: String, textCol: String,
+                    target: DataFrame, targetTextCol: String, n: Int,
+                    buckets: Int = 1024, decimals: Int = 3): DataFrame = {
+    require(n > 0, s"selectAtLeast: n must be positive, got $n")
+    val w = importanceWeights(corpus, idCol, textCol, target,
+      targetTextCol, buckets)
+      // +0.0 normalizes -0.0 so the rounded value hashes identically
+      .select(col("doc_id"), (round(col("logw"), decimals) + lit(0.0)).as("logw"))
+    val hist = w.groupBy(col("logw")).agg(count(lit(1)).as("_c"))
+    val cum = hist.withColumn("_cum",
+      sum(col("_c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("logw").desc)))
+    val thr = cum.filter(col("_cum") >= n)
+      .agg(coalesce(max(col("logw")),
+        lit(Double.NegativeInfinity)).as("_thr"))
+    w.crossJoin(broadcast(thr))
+      .filter(col("logw") >= col("_thr"))
+      .select(col("doc_id"), col("logw"))
+  }
+
   /** Top-`n` documents by importance weight (ties broken by id, so the
-    * selection is total-ordered and reproducible). At 100 TB, prefer
-    * thresholding logw at an approximate quantile over a global
-    * sort-limit; this exact variant is the adjudicable baseline.
+    * selection is total-ordered and reproducible). The global
+    * sort-limit is fine for n in the thousands (per-partition top-n +
+    * one final partition); for 100 TB selection runs use
+    * [[selectAtLeast]], which thresholds on a bounded value histogram
+    * instead of sorting the corpus.
     */
   def resampleTop(corpus: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String, n: Int,

@@ -430,14 +430,16 @@ object Dedup {
     * k + w - 1 canonical chars yield no fingerprints (documented, same
     * rule both engines).
     *
-    * The per-window hash is the portable 60-bit md5 prefix
-    * ([[TextFunctions.md5Token60]] shape), so an external engine
-    * replays the selection bit-for-bit. This one-Column convenience
-    * composes [[winnowHashes]] inside [[winnowSelect]], whose run
-    * lambdas re-evaluate the hash array per run (interpreted HOFs get
-    * no CSE) — O(L²) md5 evals per document. Fine for ad-hoc use on
-    * short strings; any data path MUST stage the two phases as
-    * separate projections instead (see `docSpans`), which is O(L·w).
+    * The per-window hash is the Karp-Rabin polynomial hash mod 2^61−1
+    * of the window's code points ([[graft.plans.WinnowHash]]) — the
+    * paper's own rolling construction — computed together with the
+    * run-min selection in ONE O(L) native pass per document
+    * ([[graft.plans.WinnowFingerprintsExpr]]). The round-7 form
+    * (one md5 digest per character position) was the measured scale
+    * wart: 10 s warm at sf0.1 for q_span_docs, cost per input byte.
+    * The oracle replays the identical polynomial definitionally
+    * (per-window Σ cp·B^j mod M with 128-bit intermediates), so the
+    * fingerprints stay bit-identical cross-engine.
     *
     * 100 TB shape: everything here is a per-row projection (no
     * shuffle); the selected density is ~2/(w+1), so downstream
@@ -446,48 +448,23 @@ object Dedup {
     * (arXiv:2107.06499) that this operator re-expresses distributively.
     */
   def winnowFingerprints(text: Column, k: Int = 20, w: Int = 8): Column =
-    winnowSelect(winnowHashes(text, k), w)
+    graft.plans.WinnowFingerprintsExpr(text, k, w)
 
-  /** Stage 1 of winnowing: the k-char window hashes of `text`, one per
-    * offset, empty when the text is shorter than k. O(L) md5 evals —
-    * ALWAYS materialize this array as its own column before feeding it
-    * to [[winnowSelect]]: interpreted HOFs get no codegen CSE, so a
-    * `slice` lambda referencing this expression inline re-evaluates
-    * every md5 per run and the pipeline goes O(L·w) → O(L²).
+  /** All k-char window polynomial hashes of `text`, one per offset
+    * (stage 1 alone, for diagnostics/specs; the span path uses the
+    * fused [[winnowFingerprints]]).
     */
-  def winnowHashes(text: Column, k: Int): Column = {
-    require(k > 0, s"winnowHashes: k=$k must be positive")
-    val nGrams = length(text) - (k - 1)         // windows of FULL width k
-    when(nGrams >= 1,
-      transform(sequence(lit(1), nGrams),
-        i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
-          .cast("long")))
-      .otherwise(array().cast("array<bigint>"))
-  }
+  def winnowHashes(text: Column, k: Int): Column =
+    graft.plans.WindowPolyHashesExpr(text, k)
 
-  /** Stage 2 of winnowing: minimum of each w-run of window hashes,
-    * distinct. `hashes` should be an ATTRIBUTE (see [[winnowHashes]]);
-    * then each run's `slice` is an O(w) array read.
-    */
-  def winnowSelect(hashes: Column, w: Int): Column = {
-    require(w > 0, s"winnowSelect: w=$w must be positive")
-    val nRuns = size(hashes) - (w - 1)          // winnowing runs
-    when(nRuns >= 1,
-      array_distinct(transform(sequence(lit(1), nRuns),
-        j => array_min(slice(hashes, j, lit(w))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
-
-  /** (doc_id, span_fp) pairs for a corpus, with canonicalization and
-    * the window-hash array each staged in their own projection (the
-    * O(L·w) shape — see [[winnowHashes]]).
+  /** (doc_id, span_fp) pairs for a corpus: canonicalize, then the
+    * fused one-pass winnow per document.
     */
   private def docSpans(df: DataFrame, idCol: String, textCol: String,
                        k: Int, w: Int): DataFrame =
     df.withColumn("_ct", TextFunctions.canonicalize(col(textCol)))
-      .withColumn("_wh", winnowHashes(col("_ct"), k))
       .select(col(idCol).as("doc_id"),
-        explode(winnowSelect(col("_wh"), w)).as("span_fp"))
+        explode(winnowFingerprints(col("_ct"), k, w)).as("span_fp"))
 
   /** Corpus-wide duplicated spans: (span_fp, n_docs) for every winnowed
     * fingerprint appearing in at least `minDocs` DISTINCT documents.
