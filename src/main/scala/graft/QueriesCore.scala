@@ -148,16 +148,29 @@ object QueriesCore {
 
     // ---- approx-quantile tier (exact=false knob on Funcs.quantileAgg) --
     // The 100 TB path: Greenwald-Khanna sketch, O(1/ε) memory per group
-    // vs exact percentile's per-group value map. No oracle SQL on
-    // purpose: DuckDB has no GK mirror, so the driver records the
-    // rows-only check; the bounded-error guarantee vs the exact tier is
-    // proven in Round5Spec instead.
-    ("q_quantiles_approx", ((s, dir) =>
+    // vs exact percentile's per-group value map. DuckDB has no GK
+    // mirror, so the sketch VALUES can't be hash-compared — instead the
+    // query adjudicates the rank-error GUARANTEE through the hash gate:
+    // Spark co-computes the exact interpolated quantiles at p ± 0.001
+    // (GK accuracy 10000 → ε = 1e-4, 10× headroom) and emits whether
+    // each sketch value lands inside its bracket; the oracle asserts
+    // every group must read true. A sketch drifting out of tolerance
+    // flips the boolean and fails the hash. (The exact co-computation
+    // exists only for adjudication — the production knob returns the
+    // sketch alone.)
+    ("q_quantiles_approx", ((s, dir) => {
+      def inBracket(p: Double): org.apache.spark.sql.Column = {
+        val a = Funcs.quantileAgg(col("l_quantity"), p, exact = false)
+          .cast("double")
+        a.between(expr(s"percentile(l_quantity, ${p - 0.001})"),
+          expr(s"percentile(l_quantity, ${p + 0.001})"))
+      }
       dt(s, dir, "lineitem").df.groupBy(col("l_returnflag"))
-        .agg(Funcs.quantileAgg(col("l_quantity"), 0.25, exact = false).cast("double").as("q25"),
-          Funcs.quantileAgg(col("l_quantity"), 0.5, exact = false).cast("double").as("q50"),
-          Funcs.quantileAgg(col("l_quantity"), 0.75, exact = false).cast("double").as("q75"))): Q,
-      None),
+        .agg(inBracket(0.25).as("ok25"), inBracket(0.5).as("ok50"),
+          inBracket(0.75).as("ok75"))
+    }): Q,
+      Some("""SELECT l_returnflag, true AS ok25, true AS ok50, true AS ok75
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- round.IDate to week/month/quarter/year (R/IDateTime.R:99) -----
     // Outputs stay TIMESTAMP-typed (l_shipdate is a timestamp; both
@@ -276,15 +289,22 @@ object QueriesCore {
     // The 100 TB cardinality path: count_distinct's expanded first-phase
     // shuffle carries one row per distinct (group, value) pair;
     // approx_count_distinct keeps a fixed-size register set per group.
-    // No oracle SQL on purpose: DuckDB's approx_count_distinct is a
-    // different HLL implementation, so the driver records the rows-only
-    // check; the ≤rsd error bound vs the exact tier is proven in
-    // Round5Spec.
+    // DuckDB's HLL is a different implementation, so the sketch VALUE
+    // can't be hash-compared — the query adjudicates the rsd GUARANTEE
+    // instead: Spark co-computes the exact cardinality (adjudication
+    // only; the production knob returns the sketch alone) and emits
+    // whether the estimate sits within 3·rsd = 15% of it; the oracle
+    // asserts exact cardinality AND all-true. An HLL regression flips
+    // the boolean and fails the hash.
     ("q_uniqueN_approx", ((s, dir) =>
       dt(s, dir, "lineitem").groupAgg(Seq(col("l_returnflag")),
-        Seq(Funcs.uniqueNAgg(col("l_partkey"), exact = false).as("u"),
-          count(lit(1)).as("n"))).df): Q,
-      None),
+        Seq(countDistinct(col("l_partkey")).as("u_exact"),
+          (abs(Funcs.uniqueNAgg(col("l_partkey"), exact = false)
+              .cast("double") / countDistinct(col("l_partkey")) - 1.0)
+            <= 0.15).as("ok"))).df): Q,
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS u_exact,
+             |  true AS ok
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- unique() (R/duplicated.R:1) -----------------------------------
     ("q_distinct", ((s, dir) =>

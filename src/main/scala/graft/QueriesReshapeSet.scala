@@ -356,6 +356,27 @@ object QueriesReshapeSet {
              |UNION ALL
              |SELECT l_orderkey, l_linenumber, 'p', '1', round(l_extendedprice, 3) FROM lineitem
              |UNION ALL
-             |SELECT l_orderkey, l_linenumber, 'p', '2', round(l_discount, 3) FROM lineitem""".stripMargin))
+             |SELECT l_orderkey, l_linenumber, 'p', '2', round(l_discount, 3) FROM lineitem""".stripMargin)),
+
+    // ---- melt measure(fun=) type dispatch (R/fmelt.R:133-153) ----------
+    // The per-group conversion function turns the captured yr label
+    // into a typed INT dim column ("1" -> 1), the measurev fun.list
+    // form; value columns split by the value.name group as usual.
+    ("q_melt_measure_fun", ((s, dir) =>
+      Reshape.meltMeasureN(
+        dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("amount_y1"), col("l_extendedprice").as("amount_y2"),
+          col("l_discount").as("rate_y1"), col("l_tax").as("rate_y2")),
+        idVars = Seq("l_orderkey", "l_linenumber"),
+        pattern = "^(amount|rate)_y(\\d+)$",
+        groupNames = Seq("value.name", "yr"),
+        convert = Map("yr" -> ((sfx: String) => sfx.toInt)))
+        .withColumn("amount", round(col("amount"), 3))
+        .withColumn("rate", round(col("rate"), 3))): Q,
+      Some("""SELECT l_orderkey, l_linenumber, 1 AS yr,
+             |  round(l_quantity, 3) AS amount, round(l_discount, 3) AS rate FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 2,
+             |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin))
   )
 }

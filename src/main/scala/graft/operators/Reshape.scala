@@ -119,7 +119,8 @@ object Reshape {
     * captured dim. [[meltMeasurePattern]] is the 2-group special case.
     */
   def meltMeasureN(df: DataFrame, idVars: Seq[String], pattern: String,
-                   groupNames: Seq[String], valueName: String = "value"): DataFrame = {
+                   groupNames: Seq[String], valueName: String = "value",
+                   convert: Map[String, String => Any] = Map.empty): DataFrame = {
     val re = pattern.r
     require(re.pattern.matcher("").groupCount() == groupNames.size,
       s"measure(): pattern '$pattern' has ${re.pattern.matcher("").groupCount()} " +
@@ -130,17 +131,79 @@ object Reshape {
       re.findFirstMatchIn(c).map(m => (groupNames.indices.map(g => m.group(g + 1)), c))
     }
     require(matched.nonEmpty, s"measure(pattern='$pattern') matched no columns")
+    meltMeasureParsed(df, idVars, matched, groupNames, valueName, convert,
+      s"pattern='$pattern'")
+  }
+
+  /** melt(measure.vars = measure(sep=, fun=)) N-group form
+    * (R/fmelt.R:107-122, measurev's sep branch): split measure names
+    * on the LITERAL `sep` into exactly groupNames.size parts; columns
+    * splitting to a different count are ignored (the reference melts
+    * only `vector.lengths == n.groups` columns). Group naming,
+    * "value.name" multi-value dispatch, and per-group `convert`
+    * functions behave exactly as in [[meltMeasureN]].
+    */
+  def meltMeasureSepN(df: DataFrame, idVars: Seq[String], sep: String,
+                      groupNames: Seq[String], valueName: String = "value",
+                      convert: Map[String, String => Any] = Map.empty): DataFrame = {
+    require(groupNames.distinct.size == groupNames.size,
+      s"measure(): duplicate group names in ${groupNames.mkString(",")}")
+    val matched = df.columns.filterNot(idVars.contains).toSeq.flatMap { c =>
+      val parts = c.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+      if (parts.size == groupNames.size) Some((parts, c)) else None
+    }
+    require(matched.nonEmpty,
+      s"measure(sep='$sep') matched no columns with ${groupNames.size} parts")
+    meltMeasureParsed(df, idVars, matched, groupNames, valueName, convert,
+      s"sep='$sep'")
+  }
+
+  /** Shared measure() tail: apply per-group conversion functions
+    * (measure(fun=), R/fmelt.R:133-153 — each captured label vector
+    * may be converted, e.g. "1"/"2" → int 1/2; all-null conversions
+    * and post-conversion group collisions are errors, and a converted
+    * "value.name" must stay string), then build the dim structs.
+    */
+  private def meltMeasureParsed(df: DataFrame, idVars: Seq[String],
+                                matched0: Seq[(Seq[String], String)],
+                                groupNames: Seq[String], valueName: String,
+                                convert: Map[String, String => Any],
+                                what: String): DataFrame = {
+    convert.keys.foreach(k => require(groupNames.contains(k),
+      s"measure($what): conversion for unknown group '$k'"))
+    // apply measure(fun=) conversions per group, with the reference's
+    // validation: a group converting to ALL nulls is an error, mixed
+    // result types are an error, and value.name must remain character
+    val matched = matched0.map { case (gs, c) =>
+      (groupNames.zip(gs).map { case (g, v) =>
+        convert.get(g).map(f => f(v)).getOrElse(v)
+      }, c)
+    }
+    groupNames.zipWithIndex.foreach { case (g, gi) =>
+      if (convert.contains(g)) {
+        val vs = matched.map(_._1(gi)).filter(_ != null)
+        require(vs.nonEmpty,
+          s"measure($what): conversion for group '$g' returned all nulls")
+        require(vs.map(_.getClass).distinct.size == 1,
+          s"measure($what): conversion for group '$g' returned mixed types")
+        if (g == "value.name") require(vs.head.isInstanceOf[String],
+          s"measure($what): value.name conversion must return strings")
+      }
+    }
+    matched.groupBy(_._1).find(_._2.size > 1).foreach { case (k, cs) =>
+      throw new IllegalArgumentException(
+        s"measure($what): columns ${cs.map(_._2).mkString(", ")} all parse " +
+          s"to $k after conversion — change the conversion functions")
+    }
     val vnIdx = groupNames.indexOf("value.name")
     val dimIdx = groupNames.indices.filterNot(_ == vnIdx)
     val dimNames = dimIdx.map(groupNames)
     // (dim values, value-column name, source column)
+    if (vnIdx >= 0) require(matched.forall(_._1(vnIdx) != null),
+      s"measure($what): value.name labels must be non-null strings")
     val parsed = matched.map { case (gs, c) =>
-      (dimIdx.map(gs), if (vnIdx >= 0) gs(vnIdx) else valueName, c)
-    }
-    parsed.groupBy(p => (p._1, p._2)).find(_._2.size > 1).foreach { case (k, cs) =>
-      throw new IllegalArgumentException(
-        s"measure(pattern='$pattern'): columns ${cs.map(_._3).mkString(", ")} " +
-          s"all parse to $k — anchor the pattern or add a distinguishing group")
+      (dimIdx.map(gs),
+        if (vnIdx >= 0) gs(vnIdx).asInstanceOf[String] else valueName, c)
     }
     val combos = parsed.map(_._1).distinct.sortBy(_.mkString("\u0000"))
     val valueNames = parsed.map(_._2).distinct
