@@ -1139,27 +1139,28 @@ object QueriesTextSim {
     // Raw distribution = all documents; target = the English subset.
     // Hashed unigram+bigram buckets (portable md5, B=256), add-one
     // smoothing, per-doc log-ratio sum — every stage mirrored in SQL.
-    ("q_dsir_weights", ((s, dir) => {
-      val d = docs(s, dir)
-      graft.curate.Dsir.importanceWeights(d, "doc_id", "text",
-        d.filter(col("lang") === "en"), "text", buckets = 256)
+    // All three queries run the SUBSET fast path (target = the en
+    // slice of the corpus): one combined count fit, log-ratio diffs
+    // back as a 256-double literal, scoring as a projection-local
+    // array aggregate — no per-doc shuffle. Identical math to the
+    // general importanceWeights, so the oracle is unchanged.
+    ("q_dsir_weights", ((s, dir) =>
+      graft.curate.Dsir.importanceWeightsSubset(docs(s, dir), "doc_id",
+        "text", col("lang") === "en", buckets = 256)
         .select(col("doc_id"),
-          (round(col("logw"), 3) + lit(0.0)).as("logw"))
-    }): Q,
+          (round(col("logw"), 3) + lit(0.0)).as("logw"))): Q,
       Some(s"""$dsirWeightsSql
               |SELECT doc_id, round(logw, 3) + 0.0 AS logw FROM w""".stripMargin)),
 
     // Top-100 selection: ranking on the ROUNDED weight (ties broken by
     // doc_id) so the engines' summation-order ulp differences cannot
     // flip the cut line.
-    ("q_dsir_top", ((s, dir) => {
-      val d = docs(s, dir)
-      graft.curate.Dsir.importanceWeights(d, "doc_id", "text",
-        d.filter(col("lang") === "en"), "text", buckets = 256)
+    ("q_dsir_top", ((s, dir) =>
+      graft.curate.Dsir.importanceWeightsSubset(docs(s, dir), "doc_id",
+        "text", col("lang") === "en", buckets = 256)
         .select(col("doc_id"),
           (round(col("logw"), 3) + lit(0.0)).as("logw"))
-        .orderBy(col("logw").desc, col("doc_id")).limit(100)
-    }): Q,
+        .orderBy(col("logw").desc, col("doc_id")).limit(100)): Q,
       Some(s"""$dsirWeightsSql
               |SELECT doc_id, logw FROM (
               |  SELECT doc_id, round(logw, 3) + 0.0 AS logw FROM w)
@@ -1169,11 +1170,10 @@ object QueriesTextSim {
     // rounded-weight threshold keeping >= 100 — a bounded value
     // histogram + running count, no global sort of the corpus. The
     // oracle replays histogram, cumulative count, threshold, and cut.
-    ("q_dsir_select", ((s, dir) => {
-      val d = docs(s, dir)
-      graft.curate.Dsir.selectAtLeast(d, "doc_id", "text",
-        d.filter(col("lang") === "en"), "text", n = 100, buckets = 256)
-    }): Q,
+    ("q_dsir_select", ((s, dir) =>
+      graft.curate.Dsir.selectAtLeastW(
+        graft.curate.Dsir.importanceWeightsSubset(docs(s, dir), "doc_id",
+          "text", col("lang") === "en", buckets = 256), n = 100)): Q,
       Some(s"""$dsirWeightsSql,
               |r AS (SELECT doc_id, round(logw, 3) + 0.0 AS lw FROM w),
               |h AS (SELECT lw, count(*) AS c FROM r GROUP BY 1),

@@ -88,6 +88,12 @@ object Dsir {
     * The bucket→diff table (`buckets` rows) joins broadcast; the only
     * data-sized shuffle is the per-doc sum. Documents with zero grams
     * keep logw = 0 (never silently dropped).
+    *
+    * This general form accepts ANY target distribution DataFrame. When
+    * the target is a FILTERED SUBSET of the corpus (the common "score
+    * raw data against its curated slice" use), prefer
+    * [[importanceWeightsSubset]]: one tokenization pass instead of
+    * three and zero data-sized shuffles instead of one.
     */
   def importanceWeights(corpus: DataFrame, idCol: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
@@ -101,6 +107,53 @@ object Dsir {
       .join(broadcast(diff), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(coalesce(sum(col("_d")), lit(0.0)).as("logw"))
+  }
+
+  /** [[importanceWeights]] fast path for target = corpus rows matching
+    * `targetFilter` — identical math, radically cheaper plan:
+    *
+    *  - TWO tokenization/bucketing passes — one for the combined count
+    *    fit, one for scoring — where the general form runs three
+    *    (target fit, raw fit, per-doc scoring);
+    *  - both count tables from ONE aggregation (`count_if(targetFilter)`
+    *    alongside `count(*)` per bucket);
+    *  - the 2·`buckets` log-prob diff values collect to the driver (a
+    *    fit, like the kmeans codebooks — KBs at any corpus size) and
+    *    come back as ONE literal array, so per-doc scoring is a
+    *    projection-local `aggregate` over each document's gram-bucket
+    *    array: logw needs NO join and NO per-doc shuffle at all.
+    *
+    * Net data-sized work: one explode+count aggregation. At 100 TB the
+    * general form's per-doc sum shuffles every gram row; this shuffles
+    * nothing row-sized.
+    */
+  def importanceWeightsSubset(corpus: DataFrame, idCol: String,
+                              textCol: String, targetFilter: Column,
+                              buckets: Int = 1024): DataFrame = {
+    val staged = corpus.withColumn("_toks",
+      TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))))
+      .withColumn("_b", gramBucketsFromTokens(col("_toks"), buckets))
+    val counts = staged
+      .select(explode(col("_b")).as("bucket"), targetFilter.as("_t"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"), count(when(col("_t"), 1)).as("tc"))
+      .collect()
+    val rawC = new Array[Long](buckets)
+    val tgtC = new Array[Long](buckets)
+    counts.foreach { r =>
+      rawC(r.getInt(0)) = r.getLong(1); tgtC(r.getInt(0)) = r.getLong(2)
+    }
+    val rawTotal = rawC.sum + buckets
+    val tgtTotal = tgtC.sum + buckets
+    // add-one-smoothed log-ratio per bucket, identical to the joined
+    // bucketLogProbs difference in the general form
+    val diffArr = Array.tabulate(buckets)(b =>
+      math.log((tgtC(b) + 1).toDouble / tgtTotal) -
+        math.log((rawC(b) + 1).toDouble / rawTotal))
+    val diffLit = array(diffArr.map(lit(_)): _*)
+    staged.select(col(idCol).as("doc_id"),
+      aggregate(col("_b"), lit(0.0),
+        (acc, b) => acc + element_at(diffLit, b + 1)).as("logw"))
   }
 
   /** Deterministic Gumbel perturbation of a log-weight — the paper's
@@ -136,12 +189,20 @@ object Dsir {
     */
   def selectAtLeast(corpus: DataFrame, idCol: String, textCol: String,
                     target: DataFrame, targetTextCol: String, n: Int,
-                    buckets: Int = 1024, decimals: Int = 3): DataFrame = {
+                    buckets: Int = 1024, decimals: Int = 3): DataFrame =
+    selectAtLeastW(importanceWeights(corpus, idCol, textCol, target,
+      targetTextCol, buckets), n, decimals)
+
+  /** [[selectAtLeast]] over a precomputed (doc_id, logw) weight table —
+    * compose with [[importanceWeightsSubset]] when the target is a
+    * corpus subset.
+    */
+  def selectAtLeastW(weights: DataFrame, n: Int,
+                     decimals: Int = 3): DataFrame = {
     require(n > 0, s"selectAtLeast: n must be positive, got $n")
-    val w = importanceWeights(corpus, idCol, textCol, target,
-      targetTextCol, buckets)
-      // +0.0 normalizes -0.0 so the rounded value hashes identically
-      .select(col("doc_id"), (round(col("logw"), decimals) + lit(0.0)).as("logw"))
+    // +0.0 normalizes -0.0 so the rounded value hashes identically
+    val w = weights.select(col("doc_id"),
+      (round(col("logw"), decimals) + lit(0.0)).as("logw"))
     val hist = w.groupBy(col("logw")).agg(count(lit(1)).as("_c"))
     val cum = hist.withColumn("_cum",
       sum(col("_c")).over(org.apache.spark.sql.expressions.Window

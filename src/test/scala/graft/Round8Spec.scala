@@ -60,6 +60,25 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("dsir subset fast path == general importanceWeights on a subset target") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"), (2L, "dog runs fast", "en"),
+      (3L, "111 222 333", "xx"), (4L, "", "xx"),
+      (5L, "the the the", "en"), (6L, "mixed 111 cat", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val general = graft.curate.Dsir.importanceWeights(docs, "doc_id", "text",
+      docs.filter($"lang" === "en"), "text", buckets = 32)
+      .select($"doc_id", round($"logw", 9).as("w"))
+      .as[(Long, Double)].collect().toMap
+    val fast = graft.curate.Dsir.importanceWeightsSubset(docs, "doc_id",
+      "text", $"lang" === "en", buckets = 32)
+      .select($"doc_id", round($"logw", 9).as("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(fast.keySet == general.keySet)
+    for ((k, v) <- general)
+      assert(math.abs(fast(k) - v) < 1e-9, s"doc $k: ${fast(k)} vs $v")
+  }
+
   test("dsir selectAtLeast keeps >= n docs, closed under weight ties") {
     // corpus: 6 en-like docs, 6 digit docs; target = the en-like half
     val docs = (0 until 6).map(i => (i.toLong, "the cat sat on the mat", "en")) ++
