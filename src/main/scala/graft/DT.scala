@@ -294,8 +294,25 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       val renamed = clashes.foldLeft(y)((d, c) => d.withColumnRenamed(c, s"i_$c"))
       val cond = on.map(c => x(c) <=> renamed(c)).reduce(_ && _)
       val joined = x.join(renamed, cond, how)
-      // collapse the duplicated join columns like a USING join
-      DT(on.foldLeft(joined)((d, c) => d.drop(renamed(c))))
+      how match {
+        case "left_semi" | "leftsemi" | "semi" | "left_anti" | "leftanti" | "anti" =>
+          DT(joined) // only x's columns survive a semi/anti join
+        case _ =>
+          // Collapse the duplicated join columns like a USING join. On
+          // the outer sides the key must come from whichever side
+          // matched: x(c) is null for unmatched probe rows of a
+          // right/full join, so a bare drop(renamed(c)) would null out
+          // their keys (and an NA key that genuinely matched — both
+          // sides null — stays null under coalesce, correctly).
+          val keyFromBoth = Set("right", "rightouter", "right_outer",
+            "full", "fullouter", "full_outer", "outer")
+          val keyCols = on.map { c =>
+            (if (keyFromBoth(how)) coalesce(x(c), renamed(c)) else x(c)).as(c)
+          }
+          val xRest = x.columns.filterNot(on.contains).map(c => x(c))
+          val iRest = renamed.columns.filterNot(on.contains).map(c => renamed(c))
+          DT(joined.select(keyCols ++ xRest ++ iRest: _*))
+      }
     }
   }
 
@@ -326,8 +343,9 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
 
   /** Rolling / as-of join (roll=, src/bmerge.c:13-17). */
   def asofJoin(i: DT, by: Seq[String], on: String,
-               roll: Joins.Roll = Joins.Locf, valueCols: Seq[String] = Nil): DT =
-    DT(Joins.asof(df, i.df, by, on, roll, valueCols))
+               roll: Joins.Roll = Joins.Locf, valueCols: Seq[String] = Nil,
+               tieBreak: Seq[String] = Nil): DT =
+    DT(Joins.asof(df, i.df, by, on, roll, valueCols, tieBreak = tieBreak))
 
   /** Skew-safe as-of join tier (power-law `by` keys): identical results
     * for every roll, time-bucketed so no task sorts a whole hot key —

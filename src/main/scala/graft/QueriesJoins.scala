@@ -51,6 +51,30 @@ object QueriesJoins {
              |FULL JOIN (SELECT * FROM customer WHERE c_acctbal < 0) c
              |ON o_custkey = c_custkey""".stripMargin)),
 
+    // ---- NA-joins-NA full outer (tests.Rraw 918/919, src/bmerge.c: NA
+    // and NaN are ordinary joinable key values; SQL's null-never-matches
+    // is the opt-OUT). Null keys are synthesized from custkey/nationkey
+    // so both sides carry them; the oracle's IS NOT DISTINCT FROM is
+    // DuckDB's spelling of <=>. The output key coalesces across sides —
+    // null only for key values that were genuinely NA on both.
+    ("q_join_na", ((s, dir) => {
+      val x = dt(s, dir, "customer").df.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_custkey") % 5).as("dep"))
+      val y = dt(s, dir, "nation").df.select(col("n_nationkey").as("nk"),
+        when(col("n_nationkey") % 6 === 0, lit(null))
+          .otherwise(col("n_nationkey") % 5).as("dep"))
+      DT(x).join(DT(y), Seq("dep"), "full", nullSafe = true).df
+    }): Q,
+      Some("""WITH x AS (SELECT c_custkey AS id,
+             |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 5 END AS dep
+             |  FROM customer),
+             |y AS (SELECT n_nationkey AS nk,
+             |  CASE WHEN n_nationkey % 6 = 0 THEN NULL ELSE n_nationkey % 5 END AS dep
+             |  FROM nation)
+             |SELECT coalesce(x.dep, y.dep) AS dep, x.id, y.nk
+             |FROM x FULL JOIN y ON x.dep IS NOT DISTINCT FROM y.dep""".stripMargin)),
+
     // ---- not-join DT[!i] (R/data.table.R:764) --------------------------
     ("q_join_anti", ((s, dir) =>
       dt(s, dir, "customer")

@@ -152,7 +152,8 @@ object QueriesReshapeSet {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- dcast general fun.aggregate LIST: 2 value.vars × 2 fns --------
-    // (R/fcast.R:126 list form; Spark names columns <pivot>_<aggAlias>)
+    // (R/fcast.R:115-126 list form; columns follow the reference's
+    // <value.var>_<fun>_<pivotValue> convention via dcastMulti's rename)
     ("q_dcast_multifns", ((s, dir) =>
       Reshape.dcastMulti(dt(s, dir, "lineitem").df,
         lhs = Seq("l_returnflag"), rhs = "l_linestatus",
@@ -162,12 +163,12 @@ object QueriesReshapeSet {
           "qty_avg" -> round(avg(col("l_quantity")), 3),
           "price_sum" -> round(sum(col("l_extendedprice")), 3)))): Q,
       Some("""SELECT l_returnflag,
-             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F_qty_sum,
-             |  round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F_qty_avg,
-             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 3) AS F_price_sum,
-             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O_qty_sum,
-             |  round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O_qty_avg,
-             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 3) AS O_price_sum
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS qty_sum_F,
+             |  round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS qty_avg_F,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 3) AS price_sum_F,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS qty_sum_O,
+             |  round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS qty_avg_O,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 3) AS price_sum_O
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- rbindlist(fill=TRUE, idcol) (src/rbindlist.c) -----------------

@@ -158,41 +158,59 @@ object Joins {
   private val tag = "_graft_src"        // 0 = x (reference), 1 = i (probe)
   private val onX = "_graft_on_x"       // x's on-value carried for limit/nearest
 
+  private val tbPrefix = "_graft_tb_"   // x-side tie-break columns
+
   private def asofUnion(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
-                        valueColsIn: Seq[String]): AsofUnion = {
+                        valueColsIn: Seq[String],
+                        tieBreak: Seq[String] = Nil): AsofUnion = {
     val valueCols =
       if (valueColsIn.nonEmpty) valueColsIn
-      else x.columns.filterNot(c => by.contains(c) || c == on).toSeq
+      else x.columns.filterNot(c => by.contains(c) || c == on || tieBreak.contains(c)).toSeq
     val iCols = i.columns.toSeq
     // Internal aliases keep value columns distinct from same-named i
     // columns (the normal as-of shape: both sides carry e.g. "value");
     // clashing outputs get the reference-style x_ prefix.
     val aliases = valueCols.indices.map(k => s"_graft_v_$k")
     val outNames = valueCols.map(v => if (iCols.contains(v)) s"x_$v" else v)
+    val tbAliases = tieBreak.indices.map(k => s"$tbPrefix$k")
     // Align schemas: i columns ++ aliased value columns ++ bookkeeping.
     val xAligned = x.select(
       (by.map(col) ++ Seq(col(on)) ++
         iCols.filterNot(c => by.contains(c) || c == on).map(c => lit(null).cast(i.schema(c).dataType).as(c)) ++
-        valueCols.zip(aliases).map { case (v, a) => col(v).as(a) } :+
+        valueCols.zip(aliases).map { case (v, a) => col(v).as(a) } ++
+        tieBreak.zip(tbAliases).map { case (t, a) => col(t).as(a) } :+
         col(on).as(onX) :+ lit(0).as(tag)): _*)
     val iAligned = i.select(
       (by.map(col) ++ Seq(col(on)) ++
         iCols.filterNot(c => by.contains(c) || c == on).map(col) ++
-        valueCols.zip(aliases).map { case (v, a) => lit(null).cast(x.schema(v).dataType).as(a) } :+
+        valueCols.zip(aliases).map { case (v, a) => lit(null).cast(x.schema(v).dataType).as(a) } ++
+        tieBreak.zip(tbAliases).map { case (t, a) => lit(null).cast(x.schema(t).dataType).as(a) } :+
         lit(null).cast(x.schema(on).dataType).as(onX) :+ lit(1).as(tag)): _*)
     AsofUnion(xAligned.unionByName(iAligned), iCols, aliases.toSeq, outNames)
   }
 
+  /** As-of join. `tieBreak`: x-side columns ordering duplicate `on`
+    * values within a (by, on) tie — the reference's bmerge returns the
+    * LAST x row in table order for a roll match (src/bmerge.c binary
+    * search lands on the upper bound of a run of duplicate key values),
+    * so with `tieBreak = Seq(rowOrderCol)` LOCF carries the value of the
+    * last duplicate and NOCB the first, exactly bmerge's rule. Without
+    * it, duplicate (by, on) x rows tie nondeterministically (Spark
+    * window sort is not stable across retries/replans).
+    */
   def asof(x: DataFrame, i: DataFrame, by: Seq[String], on: String,
            roll: Roll, valueColsIn: Seq[String] = Nil,
-           rollends: Option[(Boolean, Boolean)] = None): DataFrame = {
-    val AsofUnion(u, iCols, aliases, outNames) = asofUnion(x, i, by, on, valueColsIn)
+           rollends: Option[(Boolean, Boolean)] = None,
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    val AsofUnion(u, iCols, aliases, outNames) =
+      asofUnion(x, i, by, on, valueColsIn, tieBreak)
 
+    val tbOrder = tieBreak.indices.map(k => col(s"$tbPrefix$k").asc)
     val wBack = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(on).asc, col(tag).asc)
+      .orderBy(col(on).asc +: col(tag).asc +: tbOrder: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wFwd = Window.partitionBy(by.map(col): _*)
-      .orderBy(col(on).asc, col(tag).desc)
+      .orderBy(col(on).asc +: col(tag).desc +: tbOrder: _*)
       .rowsBetween(0, Window.unboundedFollowing)
 
     def filled(d: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,

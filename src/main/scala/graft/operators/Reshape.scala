@@ -283,18 +283,31 @@ object Reshape {
   }
 
   /** dcast with a LIST of named aggregates (fun.aggregate = list(...),
-    * R/fcast.R:126): one output column per (pivot value × aggregate),
-    * named `<value>_<aggName>` — NOTE Spark drops the agg alias when
-    * exactly one aggregate is given (columns are then the bare pivot
-    * values, same as plain dcast), so the convention applies for 2+.
+    * R/fcast.R:115-126 construct_funs): one output column per (pivot
+    * value × aggregate). The reference names these
+    * `<value.var>_<fun>_<pivotValue>` (fun name first, pivot level
+    * last, joined by sep) — callers pass agg names as `<value>_<fun>`
+    * and `referenceNames=true` (default) renames Spark's native
+    * `<pivotValue>_<aggName>` accordingly. Spark drops the agg alias
+    * when exactly one aggregate is given (columns are then the bare
+    * pivot values, same as plain dcast and same as the reference's
+    * single-fun form), so the convention applies for 2+.
     */
   def dcastMulti(df: DataFrame, lhs: Seq[String], rhs: String,
-                 values: Seq[String], aggs: Seq[(String, Column)]): DataFrame = {
+                 values: Seq[String], aggs: Seq[(String, Column)],
+                 referenceNames: Boolean = true, sep: String = "_"): DataFrame = {
     require(aggs.nonEmpty)
     val named = aggs.map { case (n, c) => c.as(n) }
-    df.groupBy(lhs.map(col): _*)
+    val wide = df.groupBy(lhs.map(col): _*)
       .pivot(rhs, values)
       .agg(named.head, named.tail: _*)
+    if (!referenceNames || aggs.size == 1) wide
+    else {
+      // Positional rename — pivot emits lhs ++ (per value, per agg), so
+      // no fragile parsing of underscores inside pivot values or names.
+      val out = lhs ++ values.flatMap(v => aggs.map { case (n, _) => s"$n$sep$v" })
+      wide.toDF(out: _*)
+    }
   }
 
   /** dcast(drop=FALSE): complete the LHS key domain via a cross join of
@@ -425,12 +438,88 @@ object Reshape {
       .drop(lhs.map(c => s"_graft_$c"): _*)
   }
 
-  /** rbindlist(fill=TRUE, idcol=) (src/rbindlist.c): N-way concat with
-    * column union, missing → null, optional provenance column.
+  /** The reference's rbindlist type-promotion ladder (src/rbindlist.c:5,
+    * combineFactorLevels/getMaxType: logical < integer < integer64 <
+    * double < character; anything atomic promotes to character at the
+    * top). Spark's unionByName only applies SQL implicit casts — it
+    * REFUSES boolean+int and numeric+string unions the reference
+    * accepts — so [[rbindlist]] computes the promoted type per column
+    * with this lattice and casts each input up front. Date < timestamp
+    * mirrors the reference's IDate→POSIXct promotion; arrays promote
+    * element-wise (list columns).
     */
-  def rbindlist(dfs: Seq[DataFrame], fill: Boolean = true,
+  private[operators] def promoteType(a: org.apache.spark.sql.types.DataType,
+                                     b: org.apache.spark.sql.types.DataType,
+                                     at: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def intRank(t: DataType): Int = t match {
+      case BooleanType => 0
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    def isAtomic(t: DataType): Boolean =
+      intRank(t) >= 0 || t == FloatType || t == DoubleType || t == StringType ||
+        t == DateType || t == TimestampType || t.isInstanceOf[DecimalType]
+    (a, b) match {
+      case _ if a == b => a
+      case (NullType, t) => t
+      case (t, NullType) => t
+      case (StringType, t) if isAtomic(t) => StringType
+      case (t, StringType) if isAtomic(t) => StringType
+      case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+      case (DoubleType, t) if intRank(t) >= 0 || t == FloatType => DoubleType
+      case (t, DoubleType) if intRank(t) >= 0 || t == FloatType => DoubleType
+      // float + {long, decimal} would truncate: go to double like the
+      // reference (which has no float at all — double is its REALSXP)
+      case (FloatType, LongType) | (LongType, FloatType) => DoubleType
+      case (FloatType, t) if intRank(t) >= 0 => FloatType
+      case (t, FloatType) if intRank(t) >= 0 => FloatType
+      case _ if intRank(a) >= 0 && intRank(b) >= 0 =>
+        if (intRank(a) >= intRank(b)) a else b
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        ArrayType(promoteType(ea, eb, at), na || nb)
+      case _ => throw new IllegalArgumentException(
+        s"rbindlist: cannot promote column '$at' across types $a and $b " +
+          "(the reference's ladder covers atomic and list columns only)")
+    }
+  }
+
+  /** Cast every column of every input to its promoted common type
+    * (computed across the inputs that carry it — fill=TRUE absentees
+    * don't vote, they arrive as typed nulls from unionByName).
+    */
+  private def promoteAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    val target = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    dfs.foreach(_.schema.fields.foreach { f =>
+      target(f.name) = target.get(f.name)
+        .map(promoteType(_, f.dataType, f.name)).getOrElse(f.dataType)
+    })
+    dfs.map { d =>
+      val needs = d.schema.fields.filter(f => target(f.name) != f.dataType)
+      if (needs.isEmpty) d
+      else d.select(d.columns.map { c =>
+        if (target(c) != d.schema(c).dataType) col(c).cast(target(c)).as(c)
+        else col(c)
+      }.toSeq: _*)
+    }
+  }
+
+  /** rbindlist(fill=TRUE, idcol=) (src/rbindlist.c): N-way concat with
+    * column union, missing → null, optional provenance column. Columns
+    * whose types differ across inputs are promoted via [[promoteType]]
+    * before the union (the reference's getMaxType pass).
+    */
+  def rbindlist(dfs0: Seq[DataFrame], fill: Boolean = true,
                 idcol: Option[String] = None,
                 useNames: Boolean = true): DataFrame = {
+    // Promote each shared column to the reference ladder's common type.
+    // (For useNames=false the promotion applies after positional
+    // renaming below — recompute there; here only the named path.)
+    val dfs = if (!useNames) dfs0 else promoteAll(dfs0)
     require(useNames || !fill || dfs.map(_.columns.length).distinct.size == 1,
       "rbindlist(use.names=FALSE, fill=TRUE) needs equal column counts " +
         "(the reference errors here too, R/rbindlist.R)")
@@ -439,11 +528,11 @@ object Reshape {
       else {
         // use.names=FALSE: bind BY POSITION under the first table's names
         val names = dfs.head.columns.toSeq
-        dfs.map { d =>
+        promoteAll(dfs.map { d =>
           require(d.columns.length == names.length,
             s"rbindlist(use.names=FALSE): ${d.columns.length} cols vs ${names.length}")
           d.toDF(names: _*)
-        }
+        })
       }
     val tagged = idcol match {
       case Some(name) => positional.zipWithIndex.map { case (d, i) =>

@@ -95,4 +95,172 @@ class Round8Spec extends AnyFunSuite {
       df.filter($"lang" === "en"), "text", n = 100, buckets = 64)
     assert(all.count() == 12)
   }
+
+  // ---- reference-test ports (round-7 verdict item 7) ---------------------
+
+  // tests.Rraw 918/919 (#2453): NA in a double join column is an ordinary
+  // joinable value to bmerge; unmatched NA keys survive outer joins with
+  // their key intact.
+  private lazy val naX = Seq(
+    ("Joh", Option.empty[Double]), ("Raf", Some(31.0)), ("Jon", Some(33.0)),
+    ("Ste", Some(33.0)), ("Rob", Some(34.0)), ("Smi", Some(34.0)))
+    .toDF("name", "depID")
+  private lazy val naY = Seq((31.0, "Sal"), (33.0, "Eng"), (34.0, "Cle"), (35.0, "Mar"))
+    .toDF("depID", "depName")
+
+  test("NA join keys: Y[X] keeps the NA probe row with its null key (tests.Rraw 918)") {
+    // Y[X]: every X row drives the result — right join in x=Y orientation
+    val out = DT(naY).join(DT(naX), Seq("depID"), "right", nullSafe = true)
+      .df.orderBy($"name").select($"name", $"depID", $"depName")
+      .as[(String, Option[Double], Option[String])].collect().toSeq
+    assert(out == Seq(
+      ("Joh", None, None), ("Jon", Some(33.0), Some("Eng")),
+      ("Raf", Some(31.0), Some("Sal")), ("Rob", Some(34.0), Some("Cle")),
+      ("Smi", Some(34.0), Some("Cle")), ("Ste", Some(33.0), Some("Eng"))))
+  }
+
+  test("NA join keys: X[Y] right join carries i-side keys for unmatched probes (tests.Rraw 919)") {
+    val out = DT(naX).join(DT(naY), Seq("depID"), "right", nullSafe = true)
+      .df.orderBy($"depID", $"name").select($"depID", $"name", $"depName")
+      .as[(Double, Option[String], String)].collect().toSeq
+    // depID 35.0 has no X match: before the round-8 collapse fix its key
+    // column came out null (x side only); bmerge keeps 35 (test 919's
+    // last row is depID=35, name=NA, depName="Mar")
+    assert(out == Seq(
+      (31.0, Some("Raf"), "Sal"), (33.0, Some("Jon"), "Eng"),
+      (33.0, Some("Ste"), "Eng"), (34.0, Some("Rob"), "Cle"),
+      (34.0, Some("Smi"), "Cle"), (35.0, None, "Mar")))
+  }
+
+  test("NA join keys: NA matches NA across sides; semi join admits the NA row") {
+    val y2 = naY.unionByName(
+      Seq((Option.empty[Double], "Unk")).toDF("depID", "depName"))
+    val full = DT(naX).join(DT(y2), Seq("depID"), "full", nullSafe = true).df
+    val johRow = full.filter($"name" === "Joh")
+      .select($"depID", $"depName").as[(Option[Double], String)].collect().toSeq
+    assert(johRow == Seq((None, "Unk"))) // NA<=>NA matched, key stays null
+    val semi = DT(naX).join(DT(y2), Seq("depID"), "left_semi", nullSafe = true)
+      .df.select($"name").as[String].collect().toSet
+    assert(semi == Set("Joh", "Raf", "Jon", "Ste", "Rob", "Smi"))
+    val anti = DT(naX).join(DT(y2), Seq("depID"), "left_anti", nullSafe = true)
+      .df.count()
+    assert(anti == 0)
+  }
+
+  // bmerge's roll with duplicate on-values: binary search lands at the
+  // END of a run of duplicates, so LOCF carries the LAST duplicate in
+  // table order (and NOCB the first). tieBreak pins that order.
+  test("roll join duplicate on-values: LOCF carries the last duplicate, NOCB the first") {
+    import graft.operators.Joins
+    val x = Seq(("a", 1.0, 1L, 10.0), ("a", 1.0, 2L, 20.0), ("a", 3.0, 3L, 30.0))
+      .toDF("id", "ts", "seq", "v")
+    val i = Seq(("a", 0.5), ("a", 1.0), ("a", 2.0), ("a", 3.5)).toDF("id", "ts")
+    val locf = Joins.asof(x, i, Seq("id"), "ts", Joins.Locf, tieBreak = Seq("seq"))
+      .orderBy($"ts").select($"ts", $"v").as[(Double, Option[Double])].collect().toSeq
+    assert(locf == Seq((0.5, None), (1.0, Some(20.0)), (2.0, Some(20.0)), (3.5, Some(30.0))))
+    val nocb = Joins.asof(x, i, Seq("id"), "ts", Joins.Nocb, tieBreak = Seq("seq"))
+      .orderBy($"ts").select($"ts", $"v").as[(Double, Option[Double])].collect().toSeq
+    assert(nocb == Seq((0.5, Some(10.0)), (1.0, Some(10.0)), (2.0, Some(30.0)), (3.5, None)))
+  }
+
+  // src/rbindlist.c getMaxType: logical < integer < integer64 < double <
+  // character; date < timestamp; list columns promote element-wise.
+  test("rbindlist type-promotion ladder") {
+    import org.apache.spark.sql.types._
+    def vType(dfs: org.apache.spark.sql.DataFrame*) =
+      Reshape.rbindlist(dfs.toSeq).schema("v").dataType
+    val b = Seq((1, true)).toDF("id", "v")
+    val i = Seq((2, 5)).toDF("id", "v")
+    val l = Seq((3, 7L)).toDF("id", "v")
+    val d = Seq((4, 1.5)).toDF("id", "v")
+    val s = Seq((5, "x")).toDF("id", "v")
+    assert(vType(b, i) == IntegerType)
+    assert(vType(i, l) == LongType)
+    assert(vType(b, l, d) == DoubleType)
+    assert(vType(i, d, s) == StringType)
+    // logical promotes through the whole ladder as 0/1
+    val vals = Reshape.rbindlist(Seq(b, i)).orderBy($"id")
+      .select($"v").as[Int].collect().toSeq
+    assert(vals == Seq(1, 5))
+    // date < timestamp
+    val dt1 = Seq((1, java.sql.Date.valueOf("2024-01-02"))).toDF("id", "v")
+    val ts1 = Seq((2, java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))).toDF("id", "v")
+    assert(vType(dt1, ts1) == TimestampType)
+    // list columns promote element-wise
+    val ai = Seq((1, Seq(1, 2))).toDF("id", "v")
+    val ad = Seq((2, Seq(1.5))).toDF("id", "v")
+    assert(vType(ai, ad) == ArrayType(DoubleType, containsNull = false))
+    // non-promotable pair errors with the column name
+    val st = Seq((1, (1, 2))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] { vType(st, i) }
+    assert(e.getMessage.contains("'v'"))
+  }
+
+  // R/fcast.R:115-126 construct_funs: multi-fun dcast columns are named
+  // <value.var>_<fun>_<pivotValue>.
+  test("dcast multi-fun column naming follows the reference convention") {
+    val df = Seq(("a", "F", 1.0, 10.0), ("a", "O", 2.0, 20.0), ("b", "F", 3.0, 30.0))
+      .toDF("k", "st", "qty", "price")
+    val wide = Reshape.dcastMulti(df, Seq("k"), "st", Seq("F", "O"),
+      Seq("qty_sum" -> sum($"qty"), "price_sum" -> sum($"price")))
+    assert(wide.columns.toSeq ==
+      Seq("k", "qty_sum_F", "price_sum_F", "qty_sum_O", "price_sum_O"))
+    val row = wide.filter($"k" === "a").select($"qty_sum_F", $"price_sum_O")
+      .as[(Double, Double)].collect().head
+    assert(row == ((1.0, 20.0)))
+    // single aggregate keeps the bare pivot-value names (both engines)
+    val one = Reshape.dcastMulti(df, Seq("k"), "st", Seq("F", "O"),
+      Seq("qty_sum" -> sum($"qty")))
+    assert(one.columns.toSeq == Seq("k", "F", "O"))
+    // referenceNames=false keeps Spark's native <pivot>_<agg> names
+    val native = Reshape.dcastMulti(df, Seq("k"), "st", Seq("F", "O"),
+      Seq("qty_sum" -> sum($"qty"), "price_sum" -> sum($"price")),
+      referenceNames = false)
+    assert(native.columns.toSeq ==
+      Seq("k", "F_qty_sum", "F_price_sum", "O_qty_sum", "O_price_sum"))
+  }
+
+  // ---- loader contract: both events ts encodings (verdict item 6) --------
+
+  // /root/testdata regenerated mid-round-7 with a new events encoding and
+  // the then-loader died at analysis, darkening 20 queries. Lock the
+  // contract: raw long nanos AND native timestamp_ntz parquet both load
+  // as session-TZ timestamps with identical values.
+  test("Tables.load events: long-nanos and timestamp_ntz fixtures agree") {
+    import org.apache.spark.sql.types.TimestampType
+    val tmp = java.nio.file.Files.createTempDirectory("graft_enc").toFile.getAbsolutePath
+    val micros = Seq(1700000000123456L, 1700000100987654L)
+    val base = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us * 1000L, 10L + i, "click", 1.0 * i) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    base.write.parquet(s"$tmp/long/events.parquet")
+    base.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      .write.parquet(s"$tmp/ntz/events.parquet")
+    val a = Tables.load(spark, s"$tmp/long", "events")
+    val b = Tables.load(spark, s"$tmp/ntz", "events")
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(b.schema("ts").dataType == TimestampType)
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"event_id").select(unix_micros($"ts")).as[Long].collect().toSeq
+    assert(vals(a) == micros)
+    assert(vals(b) == micros)
+  }
+
+  // fwrite sep2 list columns survive a CSV round-trip (R/fwrite.R sep2)
+  test("fwrite sep2 list column round-trips through fread + split") {
+    import graft.sources.Fread
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sep2").toFile.getAbsolutePath
+    val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d")), (3L, Seq.empty[String]))
+      .toDF("id", "tags")
+    Fread.fwrite(df, s"$tmp/out", Fread.FwriteOptions(sep2 = "|"))
+    // an empty list writes as the empty field — decode "" (or null)
+    // back to the empty array, the same ambiguity the reference accepts
+    val back = Fread.fread(spark, s"$tmp/out")
+      .withColumn("tags",
+        when($"tags".isNull || length($"tags") === 0, array().cast("array<string>"))
+          .otherwise(split($"tags", "\\|")))
+      .orderBy($"id")
+    val rows = back.select($"id", $"tags").as[(Long, Seq[String])].collect().toSeq
+    assert(rows == Seq((1L, Seq("a", "b", "c")), (2L, Seq("d")), (3L, Seq())))
+  }
 }
