@@ -77,8 +77,7 @@ object QueriesTextSim {
 
     // ---- language ID heuristic (stopword-ratio argmax) ------------------
     ("q_langid", ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+      TextFunctions.withLangId(docs(s, dir), "text")
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))): Q,
       Some(langidOracle)),
 

@@ -133,27 +133,82 @@ object Dsir {
     val staged = corpus.withColumn("_toks",
       TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))))
       .withColumn("_b", gramBucketsFromTokens(col("_toks"), buckets))
-    val counts = staged
-      .select(explode(col("_b")).as("bucket"), targetFilter.as("_t"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("c"), count(when(col("_t"), 1)).as("tc"))
-      .collect()
-    val rawC = new Array[Long](buckets)
-    val tgtC = new Array[Long](buckets)
-    counts.foreach { r =>
-      rawC(r.getInt(0)) = r.getLong(1); tgtC(r.getInt(0)) = r.getLong(2)
+    // The count fit is EAGER (it collects `buckets` rows, but scans the
+    // whole corpus to produce them) — memoize it per (session, corpus
+    // plan, text, filter, buckets) like the kmeans/PQ fits, or every
+    // query that composes on these weights re-pays a full
+    // tokenize+aggregate pass at plan-build time.
+    val diffArr = memoFit(corpus, s"$textCol:${filterKey(targetFilter)}:$buckets") {
+      val counts = staged
+        .select(explode(col("_b")).as("bucket"), targetFilter.as("_t"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("c"), count(when(col("_t"), 1)).as("tc"))
+        .collect()
+      val rawC = new Array[Long](buckets)
+      val tgtC = new Array[Long](buckets)
+      counts.foreach { r =>
+        rawC(r.getInt(0)) = r.getLong(1); tgtC(r.getInt(0)) = r.getLong(2)
+      }
+      val rawTotal = rawC.sum + buckets
+      val tgtTotal = tgtC.sum + buckets
+      // add-one-smoothed log-ratio per bucket, identical to the joined
+      // bucketLogProbs difference in the general form
+      Array.tabulate(buckets)(b =>
+        math.log((tgtC(b) + 1).toDouble / tgtTotal) -
+          math.log((rawC(b) + 1).toDouble / rawTotal))
     }
-    val rawTotal = rawC.sum + buckets
-    val tgtTotal = tgtC.sum + buckets
-    // add-one-smoothed log-ratio per bucket, identical to the joined
-    // bucketLogProbs difference in the general form
-    val diffArr = Array.tabulate(buckets)(b =>
-      math.log((tgtC(b) + 1).toDouble / tgtTotal) -
-        math.log((rawC(b) + 1).toDouble / rawTotal))
-    val diffLit = array(diffArr.map(lit(_)): _*)
-    staged.select(col(idCol).as("doc_id"),
+    val diffLit = array(diffArr.map(lit(_)).toSeq: _*)
+    val scored = staged.select(col(idCol).as("doc_id"),
       aggregate(col("_b"), lit(0.0),
         (acc, b) => acc + element_at(diffLit, b + 1)).as("logw"))
+    // The (doc_id, logw) table is one row per document — persist it so
+    // the selection tiers composing on the same weights (ranked top-n,
+    // histogram threshold, downstream mixing) share ONE scoring pass
+    // instead of re-tokenizing the corpus each.
+    cachePersisted(weightKey(corpus,
+      s"$idCol:$textCol:${filterKey(targetFilter)}:$buckets"), scored)
+  }
+
+  // Session-scoped memo of the count fits (the Similarity.memoFit
+  // pattern): values are tiny driver arrays, not Spark state, so
+  // clearFits drops them directly — persisted weight tables are
+  // unpersisted alongside.
+  private val fitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  private val weightCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def filterKey(c: Column): String = c.toString
+
+  private def weightKey(df: DataFrame, tag: String): String =
+    System.identityHashCode(df.sparkSession).toString + ":" +
+      df.queryExecution.analyzed.semanticHash().toString + ":" +
+      df.columns.mkString(",") + ":" + tag
+
+  private def memoFit(df: DataFrame, tag: String)
+                     (body: => Array[Double]): Array[Double] =
+    fitCache.getOrElseUpdate(weightKey(df, tag), body)
+
+  /** Race-safe persisted memo (the Dedup.cachePersisted pattern):
+    * putIfAbsent decides the winner; the loser unpersists its still-lazy
+    * copy so no MEMORY_AND_DISK registration can leak.
+    */
+  private def cachePersisted(key: String, df: => DataFrame): DataFrame =
+    weightCache.get(key).getOrElse {
+      val fresh = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      weightCache.putIfAbsent(key, fresh) match {
+        case Some(existing) => fresh.unpersist(); existing
+        case None => fresh
+      }
+    }
+
+  /** Forget every memoized count fit and unpersist the weight tables
+    * (mirrors `Similarity.clearFits`).
+    */
+  def clearFits(): Unit = {
+    fitCache.clear()
+    weightCache.values.foreach(_.unpersist())
+    weightCache.clear()
   }
 
   /** Deterministic Gumbel perturbation of a log-weight — the paper's

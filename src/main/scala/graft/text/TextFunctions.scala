@@ -292,9 +292,13 @@ object TextFunctions {
     * language by the fraction of tokens in its stopword list, pick the
     * argmax (ties → first in [[langs]] order). n-gram-free but O(1)
     * per token and fully vectorized.
+    *
+    * `toks` should be an ATTRIBUTE (use [[withLangId]] or stage the
+    * tokens yourself): TokenSetCount is CodegenFallback, so an inline
+    * tokenize subtree gets NO common-subexpression elimination and
+    * re-runs the regexp split once per candidate language.
     */
-  def langIdHeuristic(text: Column): Column = {
-    val toks = wsTokens(text)
+  def langIdFromTokens(toks: Column): Column = {
     val scores = langs.zipWithIndex.map { case ((lang, stops), idx) =>
       struct(
         (graft.plans.TokenSetCount(toks, stops).cast("double") /
@@ -305,6 +309,22 @@ object TextFunctions {
     // array_max on structs compares field-by-field: (score, prio, lang).
     array_max(array(scores: _*)).getField("lang")
   }
+
+  /** One-Column convenience — tokenizes INLINE, so each candidate
+    * language re-evaluates the split (see [[langIdFromTokens]]); fine
+    * for ad-hoc use, wrong in a hot path.
+    */
+  def langIdHeuristic(text: Column): Column = langIdFromTokens(wsTokens(text))
+
+  /** Staged language ID: tokens materialized in their own projection,
+    * the score argmax referencing the attribute — ONE tokenize per row
+    * regardless of how many candidate languages score it.
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 out: String = "lang_pred"): org.apache.spark.sql.DataFrame =
+    df.withColumn("_graft_lang_toks", wsTokens(col(textCol)))
+      .withColumn(out, langIdFromTokens(col("_graft_lang_toks")))
+      .drop("_graft_lang_toks")
 
   // ---- scrubbing / masking (lightweight PII + markup cleaning) --------
   // Patterns stay inside the RE2-compatible subset (no lookaround, no

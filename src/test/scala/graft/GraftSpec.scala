@@ -853,7 +853,9 @@ class DcastMultiSpec extends AnyFunSuite {
       .toDF("k", "st", "v")
     val out = graft.operators.Reshape.dcastMulti(df, Seq("k"), "st",
       Seq("F", "O"), Seq("s" -> sum($"v"), "n" -> count(lit(1))))
-    assert(out.columns.toSeq == Seq("k", "F_s", "F_n", "O_s", "O_n"))
+    // reference naming (<agg>_<pivot>, R/fcast.R construct_funs) is the
+    // round-8 default; Round8Spec covers the referenceNames=false opt-out
+    assert(out.columns.toSeq == Seq("k", "s_F", "n_F", "s_O", "n_O"))
     val a = out.filter($"k" === "a").head()
     assert(a.getDouble(1) == 1.0 && a.getLong(2) == 1L &&
       a.getDouble(3) == 2.0 && a.getLong(4) == 1L)
