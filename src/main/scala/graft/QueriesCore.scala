@@ -285,6 +285,24 @@ object QueriesCore {
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS u, count(*) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- uniqueN counts NA as a value (R/duplicated.R:102 na.rm=FALSE;
+    // SQL COUNT(DISTINCT) drops nulls — the oracle adds the has-null
+    // indicator the same way uniqueNAgg does) -------------------------
+    ("q_uniqueN_na", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("k", when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 100))
+        .groupBy(col("o_orderstatus"))
+        .agg(Funcs.uniqueNAgg(col("k")).as("u"), count(lit(1)).as("n"))): Q,
+      Some("""SELECT o_orderstatus,
+             |  count(DISTINCT k) +
+             |    CASE WHEN count(*) > count(k) THEN 1 ELSE 0 END AS u,
+             |  count(*) AS n
+             |FROM (SELECT o_orderstatus,
+             |        CASE WHEN o_orderkey % 11 = 0 THEN NULL
+             |             ELSE o_orderkey % 100 END AS k
+             |      FROM orders) GROUP BY o_orderstatus""".stripMargin)),
+
     // ---- uniqueN approximate tier (exact=false knob, HLL++ sketch) ----
     // The 100 TB cardinality path: count_distinct's expanded first-phase
     // shuffle carries one row per distinct (group, value) pair;

@@ -91,8 +91,15 @@ object Funcs {
     * aggregate, relative error ≤ `rsd` — the tier a real 100 TB run
     * should use for cardinality estimates.
     */
-  def uniqueNAgg(c: Column, exact: Boolean = true, rsd: Double = 0.05): Column =
-    if (exact) count_distinct(c) else approx_count_distinct(c, rsd)
+  def uniqueNAgg(c: Column, exact: Boolean = true, rsd: Double = 0.05,
+                 naRm: Boolean = false): Column = {
+    val base = if (exact) count_distinct(c) else approx_count_distinct(c, rsd)
+    // uniqueN(na.rm=FALSE) counts NA as a distinct value
+    // (R/duplicated.R:102; tests.Rraw uniqueN batteries) — SQL's
+    // COUNT(DISTINCT) drops nulls, so add the has-null indicator back.
+    if (naRm) base
+    else base + coalesce(max(when(c.isNull, lit(1L)).otherwise(lit(0L))), lit(0L))
+  }
 
   /** %like% — regex match (R/like.R:4). */
   def like(x: Column, pattern: String): Column = x.rlike(pattern)

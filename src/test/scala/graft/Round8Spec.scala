@@ -263,4 +263,17 @@ class Round8Spec extends AnyFunSuite {
     val rows = back.select($"id", $"tags").as[(Long, Seq[String])].collect().toSeq
     assert(rows == Seq((1L, Seq("a", "b", "c")), (2L, Seq("d")), (3L, Seq())))
   }
+
+  // uniqueN(na.rm=FALSE) counts NA as a distinct value (R/duplicated.R:102)
+  test("uniqueNAgg counts NA as a value; na.rm=TRUE drops it") {
+    import graft.functions.Funcs
+    val df = Seq(("a", Some(1)), ("a", Some(1)), ("a", None), ("a", None),
+      ("b", Some(2)), ("b", Some(3))).toDF("g", "v")
+    val out = df.groupBy($"g").agg(
+      Funcs.uniqueNAgg($"v").as("u"),
+      Funcs.uniqueNAgg($"v", naRm = true).as("u_rm"))
+      .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    // group a: values {1, NA} -> 2 with NA counted, 1 without
+    assert(out == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+  }
 }
