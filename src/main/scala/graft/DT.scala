@@ -438,6 +438,23 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
 
   // ---- sort / limit (§2.6) ---------------------------------------------
   def setorder(cols: Column*): DT = DT(df.orderBy(cols: _*), key)
+
+  /** setorder with the reference's NA placement (src/forder.c:53
+    * nalast: 0 = first, the DEFAULT, in BOTH sort directions): Spark
+    * ties the null position to the direction (asc → first, desc →
+    * last), so a bare `desc` silently moves NA to the end where forder
+    * keeps it at the front. `cols` are (name, ascending) pairs;
+    * `naLast=true` mirrors na.last=TRUE (NA last in both directions).
+    */
+  def setorderNa(cols: Seq[(String, Boolean)], naLast: Boolean = false): DT = {
+    val ord = cols.map { case (c, asc) => (asc, naLast) match {
+      case (true, false)  => col(c).asc_nulls_first
+      case (true, true)   => col(c).asc_nulls_last
+      case (false, false) => col(c).desc_nulls_first
+      case (false, true)  => col(c).desc_nulls_last
+    }}
+    DT(df.orderBy(ord: _*), key)
+  }
   def head(n: Int): DT = DT(df.limit(n))
 
   /** top-k per group: `DT[order(o), head(.SD, k), by]` idiom. */

@@ -497,6 +497,25 @@ object QueriesCore {
       Some("""SELECT o_orderkey, round(o_totalprice, 3) AS o_totalprice FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
 
+    // ---- forder NA placement (src/forder.c:53 nalast=0: NA FIRST in
+    // BOTH directions — Spark's bare desc would put nulls last). The
+    // driver hash ignores row order, so the semantics are adjudicated
+    // through the limit: with NA-first the null-keyed rows occupy the
+    // top slots and survive the cut. ------------------------------------
+    ("q_sort_na", ((s, dir) =>
+      DT(dt(s, dir, "orders").df
+          .withColumn("k", when(col("o_orderkey") % 97 === 0, lit(null))
+            .otherwise(round(col("o_totalprice"), 3))))
+        .setorderNa(Seq("k" -> false, "o_orderkey" -> true))
+        .head(120)
+        .select(col("o_orderkey"), col("k")).df): Q,
+      Some("""SELECT o_orderkey, k FROM (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+             |         ELSE round(o_totalprice, 3) END AS k
+             |  FROM orders)
+             |ORDER BY k DESC NULLS FIRST, o_orderkey ASC LIMIT 120""".stripMargin)),
+
     // ---- top-k per group (ghead idiom, src/gsumm.c:1004) ---------------
     ("q_topk", ((s, dir) =>
       dt(s, dir, "orders")

@@ -276,4 +276,16 @@ class Round8Spec extends AnyFunSuite {
     // group a: values {1, NA} -> 2 with NA counted, 1 without
     assert(out == Seq(("a", 2L, 1L), ("b", 2L, 2L)))
   }
+
+  // src/forder.c:53 nalast=0: NA sorts FIRST in BOTH directions by
+  // default; na.last=TRUE puts it last in both.
+  test("setorderNa: NA first in both directions by default, last with naLast") {
+    val df = Seq((1, Some(5.0)), (2, None: Option[Double]), (3, Some(1.0)))
+      .toDF("id", "v")
+    def ids(d: DT) = d.df.select($"id").as[Int].collect().toSeq
+    assert(ids(DT(df).setorderNa(Seq("v" -> true))) == Seq(2, 3, 1))
+    assert(ids(DT(df).setorderNa(Seq("v" -> false))) == Seq(2, 1, 3))
+    assert(ids(DT(df).setorderNa(Seq("v" -> true), naLast = true)) == Seq(3, 1, 2))
+    assert(ids(DT(df).setorderNa(Seq("v" -> false), naLast = true)) == Seq(1, 3, 2))
+  }
 }
