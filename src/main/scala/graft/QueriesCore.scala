@@ -66,6 +66,25 @@ object QueriesCore {
         Seq(col("o_orderkey"), col("o_orderstatus"))).df): Q,
       Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus NOT IN ('F')")),
 
+    // ---- %chin%/%notin% NA semantics (src/chmatch.c: match-based, so
+    // the result is NEVER NA — an NA probe matches an NA in the set and
+    // misses otherwise; the output columns land in the hash so the SQL
+    // IN's null-propagation would fail the oracle) ----------------------
+    ("q_chin_na", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("st", when(col("o_orderkey") % 13 === 0, lit(null))
+          .otherwise(col("o_orderstatus")))
+        .select(col("o_orderkey"),
+          Funcs.chin(col("st"), Seq("F", null)).as("in_f_na"),
+          Funcs.notin(col("st"), Seq("F")).as("not_f"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN st IS NULL THEN TRUE ELSE st IN ('F') END AS in_f_na,
+             |  CASE WHEN st IS NULL THEN TRUE ELSE st NOT IN ('F') END AS not_f
+             |FROM (SELECT o_orderkey,
+             |        CASE WHEN o_orderkey % 13 = 0 THEN NULL
+             |             ELSE o_orderstatus END AS st
+             |      FROM orders)""".stripMargin)),
+
     // ---- %inrange% (R/between.R:76) ------------------------------------
     ("q_inrange", ((s, dir) =>
       dt(s, dir, "events")(Funcs.inrange(col("value"),

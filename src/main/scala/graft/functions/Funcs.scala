@@ -113,9 +113,22 @@ object Funcs {
   /** %chin% — fast string membership (src/chmatch.c; interning is an
     * execution detail — Catalyst compiles IN-lists to hash sets).
     */
-  def chin(x: Column, values: Seq[String]): Column = x.isin(values: _*)
+  def chin(x: Column, values: Seq[String]): Column =
+    matchIn(x, values.asInstanceOf[Seq[Any]])
   /** %notin% (R/notin.R). */
-  def notin(x: Column, values: Seq[Any]): Column = !x.isin(values: _*)
+  def notin(x: Column, values: Seq[Any]): Column = !matchIn(x, values)
+
+  /** match()-based membership: %in%/%chin% NEVER return NA (R's match
+    * maps no-match to nomatch=FALSE and matches NA to NA), unlike SQL
+    * IN which null-propagates — `NA %chin% set` is TRUE iff the set
+    * holds NA, and a null probe never poisons %notin% to null.
+    */
+  private def matchIn(x: Column, values: Seq[Any]): Column = {
+    val nonNull = values.filterNot(_ == null)
+    val naInSet = values.exists(_ == null)
+    when(x.isNull, lit(naInSet))
+      .otherwise(if (nonNull.isEmpty) lit(false) else x.isin(nonNull: _*))
+  }
 
   /** %inrange% (R/between.R:76): x falls in ANY [lo,hi] interval of a
     * small literal interval set. For a table-valued interval side use a

@@ -288,4 +288,20 @@ class Round8Spec extends AnyFunSuite {
     assert(ids(DT(df).setorderNa(Seq("v" -> true), naLast = true)) == Seq(3, 1, 2))
     assert(ids(DT(df).setorderNa(Seq("v" -> false), naLast = true)) == Seq(1, 3, 2))
   }
+
+  // src/chmatch.c: %chin%/%notin% are match-based — never NA. An NA
+  // probe matches an NA in the set (TRUE) and misses otherwise (FALSE).
+  test("chin/notin never return NA; NA probe matches NA in the set") {
+    import graft.functions.Funcs
+    val df = Seq((1, Some("a")), (2, None: Option[String]), (3, Some("b")))
+      .toDF("id", "s")
+    val out = df.select($"id",
+      Funcs.chin($"s", Seq("a")).as("c1"),
+      Funcs.chin($"s", Seq("a", null)).as("c2"),
+      Funcs.notin($"s", Seq("a")).as("n1"))
+      .orderBy($"id").as[(Int, Boolean, Boolean, Boolean)].collect().toSeq
+    // no null anywhere in the three result columns
+    assert(out == Seq((1, true, true, false), (2, false, true, true),
+      (3, false, false, true)))
+  }
 }
