@@ -66,6 +66,33 @@ object QueriesCore {
         Seq(col("o_orderkey"), col("o_orderstatus"))).df): Q,
       Some("SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus NOT IN ('F')")),
 
+    // ---- GForce na.rm=FALSE (src/gsumm.c): any NA in the group makes
+    // the aggregate NA — sum(c(1, NA)) is NA in R, 1 in SQL. Synthesized
+    // nulls ensure some groups trip the rule and some don't. ------------
+    ("q_gforce_na", ((s, dir) =>
+      dt(s, dir, "lineitem").df
+        .withColumn("q", when(col("l_orderkey") === 53, lit(null))
+          .otherwise(col("l_quantity")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(Funcs.sumNa(col("q")), 3).as("s"),
+          round(Funcs.meanNa(col("q")), 3).as("m"),
+          round(Funcs.minNa(col("q")), 3).as("mn"),
+          round(Funcs.sumNa(col("q"), naRm = true), 3).as("s_rm"),
+          count(lit(1)).as("n"))): Q,
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CASE WHEN count(*) > count(q) THEN NULL
+             |       ELSE round(sum(q), 3) END AS s,
+             |  CASE WHEN count(*) > count(q) THEN NULL
+             |       ELSE round(avg(q), 3) END AS m,
+             |  CASE WHEN count(*) > count(q) THEN NULL
+             |       ELSE round(min(q), 3) END AS mn,
+             |  round(sum(q), 3) AS s_rm,
+             |  count(*) AS n
+             |FROM (SELECT l_returnflag, l_linestatus,
+             |        CASE WHEN l_orderkey = 53 THEN NULL
+             |             ELSE l_quantity END AS q
+             |      FROM lineitem) GROUP BY 1, 2""".stripMargin)),
+
     // ---- %chin%/%notin% NA semantics (src/chmatch.c: match-based, so
     // the result is NEVER NA — an NA probe matches an NA in the set and
     // misses otherwise; the output columns land in the hash so the SQL

@@ -56,6 +56,30 @@ object Funcs {
       .otherwise((lower.isNull || lo) && (upper.isNull || hi))
   }
 
+  // ---- GForce na.rm=FALSE defaults (src/gsumm.c gsum/gmean/gmin/...) --
+
+  /** R aggregates default na.rm=FALSE: ANY NA in the group makes the
+    * aggregate NA (`sum(c(1, NA))` is NA), where SQL aggregates always
+    * skip nulls. `aggNa(fn)(c)` wraps a SQL aggregate with the
+    * reference rule; pass naRm=true for the SQL/na.rm=TRUE behavior.
+    * One extra null-count per group — partial-aggregated map-side like
+    * the aggregate itself, no plan-shape change.
+    */
+  private def withNaRule(c: Column, agg: Column, naRm: Boolean): Column =
+    if (naRm) agg
+    else when(count(when(c.isNull, lit(1))) > 0, lit(null)).otherwise(agg)
+
+  def sumNa(c: Column, naRm: Boolean = false): Column = withNaRule(c, sum(c), naRm)
+  def meanNa(c: Column, naRm: Boolean = false): Column = withNaRule(c, avg(c), naRm)
+  def minNa(c: Column, naRm: Boolean = false): Column = withNaRule(c, min(c), naRm)
+  def maxNa(c: Column, naRm: Boolean = false): Column = withNaRule(c, max(c), naRm)
+  def prodNa(c: Column, naRm: Boolean = false): Column =
+    withNaRule(c, product(c), naRm)
+  def sdNa(c: Column, naRm: Boolean = false): Column =
+    withNaRule(c, stddev_samp(c), naRm)
+  def varNa(c: Column, naRm: Boolean = false): Column =
+    withNaRule(c, var_samp(c), naRm)
+
   // ---- quantiles (gmedian/gquantile, src/gsumm.c:869) -----------------
 
   /** Grouped-quantile aggregate with an explicit exactness knob.

@@ -304,4 +304,21 @@ class Round8Spec extends AnyFunSuite {
     assert(out == Seq((1, true, true, false), (2, false, true, true),
       (3, false, false, true)))
   }
+
+  // src/gsumm.c na.rm=FALSE default: any NA in the group -> aggregate NA
+  test("sumNa/meanNa/minNa: NA poisons the group unless naRm") {
+    import graft.functions.Funcs
+    val df = Seq(("a", Some(1.0)), ("a", None), ("b", Some(2.0)), ("b", Some(3.0)))
+      .toDF("g", "v")
+    val out = df.groupBy($"g").agg(
+      Funcs.sumNa($"v").as("s"), Funcs.meanNa($"v").as("m"),
+      Funcs.minNa($"v").as("mn"), Funcs.maxNa($"v").as("mx"),
+      Funcs.sumNa($"v", naRm = true).as("s_rm"))
+      .orderBy($"g")
+      .as[(String, Option[Double], Option[Double], Option[Double],
+           Option[Double], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("a", None, None, None, None, Some(1.0)),
+      ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
+  }
 }
