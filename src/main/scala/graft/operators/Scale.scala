@@ -68,6 +68,28 @@ object Scale {
       df.queryExecution.analyzed.semanticHash().toString + ":" +
       df.columns.mkString(",")
 
+  /** setkey's CLUSTER-PERSISTENT form (SURVEY §2.6 "persisted sorted
+    * copy"; R/setkey.R's sorted attribute made durable): write the
+    * table bucketed + per-bucket-sorted by the key into the session
+    * catalog. Scans of the saved table report hash-clustered
+    * outputPartitioning over the key, so keyed JOINS between two
+    * tables bucketed the same way and keyed GROUP BYs plan with ZERO
+    * Exchange — at 100 TB the shuffle this deletes is the dominant
+    * cost of every repeated keyed pipeline, which is exactly the
+    * workload setkey exists for. Unlike [[setIndex]]'s session-cached
+    * range-sorted copy, the bucketed table survives the session and is
+    * shared by every reader of the catalog.
+    */
+  def setKeyBucketed(df: DataFrame, table: String, cols: Seq[String],
+                     buckets: Int = 32): DataFrame = {
+    require(cols.nonEmpty, "setKeyBucketed needs at least one key column")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+
   /** setindex(): build (or reuse) the sorted cached copy for `cols`. */
   def setIndex(df: DataFrame, cols: Seq[String]): DataFrame =
     indexRegistry.getOrElseUpdate((planKey(df), cols),

@@ -321,4 +321,44 @@ class Round8Spec extends AnyFunSuite {
       ("a", None, None, None, None, Some(1.0)),
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
+
+  // setkey's cluster-persistent form: both sides bucketed+sorted by the
+  // key -> the keyed join and the keyed groupBy plan with ZERO shuffle
+  // (the SURVEY §4.1 "key reuse" claim, locked on the physical plan).
+  test("setKeyBucketed: co-bucketed join and keyed groupBy run without Exchange") {
+    import graft.operators.Scale
+    val a = (1 to 2000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong % 97, s"n$i")).toDF("k", "nb")
+    val ta = Scale.setKeyBucketed(a, "r8_bkt_a", Seq("k"), buckets = 8)
+    val tb = Scale.setKeyBucketed(b, "r8_bkt_b", Seq("k"), buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a non-broadcast join and a literal plan (no AQE re-write)
+      // so the lock reads the static physical plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        val plan = df.queryExecution.executedPlan
+        plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      }
+      val joined = ta.join(tb, Seq("k"))
+      assert(exchanges(joined) == 0,
+        s"co-bucketed join must not shuffle:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+      val agg = ta.groupBy($"k").agg(sum($"va").as("s"))
+      assert(exchanges(agg) == 0,
+        s"keyed groupBy on a bucketed table must not shuffle:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == 97)
+      // control: the same join UNBUCKETED does shuffle (the lock means something)
+      assert(exchanges(a.join(b, Seq("k"))) > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS r8_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS r8_bkt_b")
+    }
+  }
 }
