@@ -40,6 +40,24 @@ object QueriesReshapeSet {
              |  round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // ---- dcast keeps NA as its own pivot level (R/fcast.R: NA is a
+    // dcast column; SQL pivot silently drops null pivot keys) ------------
+    ("q_dcast_na", ((s, dir) =>
+      Reshape.dcast(dt(s, dir, "lineitem").df
+          .withColumn("ls", when(col("l_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("l_linestatus"))),
+        lhs = Seq("l_returnflag"), rhs = "ls", valueVar = "l_quantity",
+        aggFn = c => round(sum(c), 3), values = Seq("F", "O", "NA"),
+        naLevel = true)): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN ls = 'F' THEN l_quantity END), 3) AS F,
+             |  round(sum(CASE WHEN ls = 'O' THEN l_quantity END), 3) AS O,
+             |  round(sum(CASE WHEN ls IS NULL THEN l_quantity END), 3) AS "NA"
+             |FROM (SELECT l_returnflag, l_quantity,
+             |        CASE WHEN l_orderkey % 7 = 0 THEN NULL
+             |             ELSE l_linestatus END AS ls
+             |      FROM lineitem) GROUP BY l_returnflag""".stripMargin)),
+
     // ---- dcast(subset=) (R/fcast.R:171-175) ----------------------------
     ("q_dcast_subset", ((s, dir) =>
       Reshape.dcastSubset(dt(s, dir, "lineitem").df,

@@ -233,9 +233,18 @@ object Reshape {
     * Spark skips the extra distinct-values job — always pass it at scale.
     * drop=FALSE (keep empty key combos) is [[dcastComplete]].
     */
-  def dcast(df: DataFrame, lhs: Seq[String], rhs: String, valueVar: String,
+  /** `naLevel=true` keeps an NA formula-RHS value as its own "NA"
+    * output column, the reference's behavior (R/fcast.R keeps NA as a
+    * dcast level; SQL pivot drops null pivot keys) — the null rhs is
+    * relabelled "NA" before the pivot, so pass it in `values` too when
+    * pinning the column set.
+    */
+  def dcast(df0: DataFrame, lhs: Seq[String], rhs: String, valueVar: String,
             aggFn: Column => Column, values: Seq[String] = Nil,
-            fill: Option[Column] = None): DataFrame = {
+            fill: Option[Column] = None, naLevel: Boolean = false): DataFrame = {
+    val df = if (naLevel)
+      df0.withColumn(rhs, coalesce(col(rhs).cast("string"), lit("NA")))
+    else df0
     val g = df.groupBy(lhs.map(col): _*)
     val p = if (values.nonEmpty) g.pivot(rhs, values) else g.pivot(rhs)
     val wide = p.agg(aggFn(col(valueVar)))
