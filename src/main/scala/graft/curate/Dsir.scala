@@ -133,13 +133,34 @@ object Dsir {
     val staged = corpus.withColumn("_toks",
       TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))))
       .withColumn("_b", gramBucketsFromTokens(col("_toks"), buckets))
-    // The count fit is EAGER (it collects `buckets` rows, but scans the
-    // whole corpus to produce them) — memoize it per (session, corpus
-    // plan, text, filter, buckets) like the kmeans/PQ fits, or every
-    // query that composes on these weights re-pays a full
-    // tokenize+aggregate pass at plan-build time.
-    val diffArr = memoFit(corpus, s"$textCol:${filterKey(targetFilter)}:$buckets") {
-      val counts = staged
+    val diffArr = fitDiff(corpus, textCol, targetFilter, buckets)
+    val diffLit = array(diffArr.map(lit(_)).toSeq: _*)
+    val scored = staged.select(col(idCol).as("doc_id"),
+      aggregate(col("_b"), lit(0.0),
+        (acc, b) => acc + element_at(diffLit, b + 1)).as("logw"))
+    // The (doc_id, logw) table is one row per document — persist it so
+    // the selection tiers composing on the same weights (ranked top-n,
+    // histogram threshold, downstream mixing) share ONE scoring pass
+    // instead of re-tokenizing the corpus each.
+    cachePersisted(weightKey(corpus,
+      s"$idCol:$textCol:${filterKey(targetFilter)}:$buckets"), scored)
+  }
+
+  /** The bucket log-ratio FIT of a (corpus, target-subset) pair: one
+    * `buckets`-length array, memoized per (session, corpus plan,
+    * filter, buckets) like the kmeans/PQ codebooks. The fit is EAGER
+    * (it collects `buckets` rows, but scans the whole corpus to
+    * produce them) — memoization means every weight/selection query
+    * composing on the same fit pays the scan once per session, and the
+    * array is small enough to hand to a streaming scorer
+    * (`Streams.dsirScoreStream`) as a broadcast literal.
+    */
+  def fitDiff(corpus: DataFrame, textCol: String, targetFilter: Column,
+              buckets: Int = 1024): Array[Double] =
+    memoFit(corpus, s"$textCol:${filterKey(targetFilter)}:$buckets") {
+      val counts = corpus.withColumn("_toks",
+          TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))))
+        .withColumn("_b", gramBucketsFromTokens(col("_toks"), buckets))
         .select(explode(col("_b")).as("bucket"), targetFilter.as("_t"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("c"), count(when(col("_t"), 1)).as("tc"))
@@ -157,17 +178,6 @@ object Dsir {
         math.log((tgtC(b) + 1).toDouble / tgtTotal) -
           math.log((rawC(b) + 1).toDouble / rawTotal))
     }
-    val diffLit = array(diffArr.map(lit(_)).toSeq: _*)
-    val scored = staged.select(col(idCol).as("doc_id"),
-      aggregate(col("_b"), lit(0.0),
-        (acc, b) => acc + element_at(diffLit, b + 1)).as("logw"))
-    // The (doc_id, logw) table is one row per document — persist it so
-    // the selection tiers composing on the same weights (ranked top-n,
-    // histogram threshold, downstream mixing) share ONE scoring pass
-    // instead of re-tokenizing the corpus each.
-    cachePersisted(weightKey(corpus,
-      s"$idCol:$textCol:${filterKey(targetFilter)}:$buckets"), scored)
-  }
 
   // Session-scoped memo of the count fits (the Similarity.memoFit
   // pattern): values are tiny driver arrays, not Spark state, so

@@ -184,6 +184,33 @@ object Streams {
     if (keepAll) annotated else annotated.filter(col("f.keep"))
   }
 
+  /** Streaming DSIR scoring gate: score in-flight documents by the
+    * importance log-weight of their hashed n-gram buckets against a
+    * PRE-FIT bucket diff array (fit on a static raw corpus + target via
+    * `Dsir.importanceWeightsSubset`'s count fit — re-fit offline on
+    * whatever cadence drift demands, like the kmeans codebooks). The
+    * scoring itself is a stateless projection — tokenize, bucket,
+    * sum the broadcast literal array — so it runs on a stream with no
+    * watermark and no state store; `minLogw` turns it into a keep-gate.
+    */
+  def dsirScoreStream(docs: DataFrame, textCol: String,
+                      diff: Array[Double],
+                      minLogw: Option[Double] = None,
+                      out: String = "logw"): DataFrame = {
+    val buckets = diff.length
+    val staged = docs.withColumn("_graft_toks",
+      graft.text.TextFunctions.wsTokens(
+        graft.text.TextFunctions.normalize(col(textCol))))
+      .withColumn("_graft_b",
+        graft.curate.Dsir.gramBucketsFromTokens(col("_graft_toks"), buckets))
+    val diffLit = array(diff.map(lit(_)).toSeq: _*)
+    val scored = staged.withColumn(out,
+      aggregate(col("_graft_b"), lit(0.0),
+        (acc, b) => acc + element_at(diffLit, b + 1)))
+      .drop("_graft_toks", "_graft_b")
+    minLogw.fold(scored)(t => scored.filter(col(out) >= t))
+  }
+
   /** Streaming decontamination gate: drop any in-flight document that
     * shares a word n-gram with the static benchmark set — the
     * streaming twin of `Contamination.decontaminate`.

@@ -63,4 +63,49 @@ class StreamingCurateSpec extends AnyFunSuite {
         "docs sharing a 3-gram with the benchmark must be dropped")
     } finally q.stop()
   }
+
+  test("dsirScoreStream: stream scores equal the batch scorer; minLogw gates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // static corpus: en-like target slice vs digit noise
+    val corpus = ((0 until 6).map(i => (i.toLong, "the cat sat on the mat", "en")) ++
+      (6 until 12).map(i => (i.toLong, "111 222 333 444 555", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val diff = graft.curate.Dsir.fitDiff(corpus, "text", $"lang" === "en",
+      buckets = 64)
+    val batch = graft.curate.Dsir.importanceWeightsSubset(corpus, "doc_id",
+      "text", $"lang" === "en", buckets = 64)
+      .as[(Long, Double)].collect().toMap
+    val ms = MemoryStream[Doc]
+    val out = Streams.dsirScoreStream(ms.toDF(), "text", diff)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream").start()
+    try {
+      ms.addData(
+        Doc(20, ts("2024-01-01 10:00:00"), "the cat sat on the mat"),
+        Doc(21, ts("2024-01-01 10:00:01"), "111 222 333 444 555"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, logw FROM dsir_stream")
+        .as[(Long, Double)].collect().toMap
+      // stream scoring reproduces the batch weights bit-for-bit
+      assert(math.abs(rows(20L) - batch(0L)) < 1e-12)
+      assert(math.abs(rows(21L) - batch(6L)) < 1e-12)
+      assert(rows(20L) > rows(21L), "target-like text must score higher")
+    } finally q.stop()
+    // the gate form drops below-threshold docs in-flight
+    val ms2 = MemoryStream[Doc]
+    val gated = Streams.dsirScoreStream(ms2.toDF(), "text", diff,
+      minLogw = Some(0.0))
+    val q2 = gated.writeStream.outputMode("append")
+      .format("memory").queryName("dsir_gated").start()
+    try {
+      ms2.addData(
+        Doc(30, ts("2024-01-01 10:00:00"), "the cat sat on the mat"),
+        Doc(31, ts("2024-01-01 10:00:01"), "111 222 333 444 555"))
+      q2.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM dsir_gated").as[Long].collect().toSet
+      assert(kept == Set(30L))
+    } finally q2.stop()
+  }
 }
