@@ -497,9 +497,16 @@ object Similarity {
       Future {
         // blocking{}: each fit parks its thread in collect() — tell the
         // fork-join pool to compensate so the fits stay parallel even
-        // on a small driver (and never starve co-tenant tasks)
+        // on a small driver (and never starve co-tenant tasks).
+        // isolateLambdas: the futures' plans share `df`'s subtree —
+        // including any higher-order-function lambdas (the residual
+        // path's zip_with) whose per-row value lives in a mutable slot
+        // on the shared expression instance; concurrent driver-side
+        // interpreted eval (ConvertToLocalRelation on small inputs)
+        // races on it and intermittently corrupts assignments.
         blocking {
-          val sliced = df.withColumn("_graft_sub",
+          val safe = org.apache.spark.sql.GraftSqlBridge.isolateLambdas(df)
+          val sliced = safe.withColumn("_graft_sub",
             slice(col(vecCol), j * subLen + 1, subLen))
           kmeansFitMod(sliced, idCol, "_graft_sub", k, sampleMod, iters)
         }

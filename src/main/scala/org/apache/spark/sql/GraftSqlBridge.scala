@@ -10,6 +10,34 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Re-root `df` on a copy of its analyzed plan whose NamedLambdaVariable
+    * instances are FRESH (same exprId, new value slot). Catalyst lambda
+    * variables carry their per-row value in a mutable field on the
+    * expression INSTANCE, so two concurrent driver-side interpreted
+    * evaluations of plans sharing a higher-order-function subtree (e.g.
+    * parallel fits derived from one frame, each folded locally by
+    * ConvertToLocalRelation) race on that slot and corrupt results.
+    * The identity-memoized rewrite keeps each lambda's occurrences in
+    * `arguments` and the function body pointing at ONE shared copy, so
+    * resolution is preserved while instances are no longer shared
+    * ACROSS the derived plans.
+    */
+  def isolateLambdas(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.NamedLambdaVariable
+    val memo = new java.util.IdentityHashMap[NamedLambdaVariable, NamedLambdaVariable]()
+    val plan = df.queryExecution.analyzed.transformAllExpressions {
+      case l: NamedLambdaVariable =>
+        var fresh = memo.get(l)
+        if (fresh == null) {
+          fresh = l.copy(value = new java.util.concurrent.atomic.AtomicReference[Any]())
+          memo.put(l, fresh)
+        }
+        fresh
+    }
+    classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[classic.SparkSession], plan)
+  }
+
   /** Column names referenced by a predicate, resolved against `df`
     * (an unresolved Spark-4 Column wraps ColumnNodes, not catalyst
     * expressions, so the names only exist after analysis). Used by the
