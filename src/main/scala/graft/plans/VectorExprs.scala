@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * ANN oracles rely on).
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -30,6 +30,27 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
     s
   }
+
+  // Real codegen (not CodegenFallback): one fallback expression demotes
+  // its ENTIRE stage out of whole-stage codegen, and the dot product
+  // sits inside every cosine of the ANN/semdedup hot paths.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotProduct =
@@ -50,8 +71,7 @@ object DotProduct {
   */
 case class TokenSetCount(child: org.apache.spark.sql.catalyst.expressions.Expression,
                          words: Seq[String])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
@@ -72,6 +92,37 @@ case class TokenSetCount(child: org.apache.spark.sql.catalyst.expressions.Expres
       i += 1
     }
     count
+  }
+
+  // Real codegen — the set probe runs per token per document in the
+  // quality/langid paths; a fallback here would demote whole stages.
+  // The prebuilt HashSet ships into generated code as a reference obj.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // raw type: the generated code compiles under Janino, which has no
+    // generics support
+    val setRef = ctx.addReferenceObj("graftWordSet", wordSet,
+      "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val tok = ctx.freshName("tok")
+      s"""
+         |int $n = $arr.numElements();
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $tok = $arr.getUTF8String($i);
+         |    if ($tok != null && $setRef.contains(
+         |        $tok.toString().toLowerCase(java.util.Locale.ROOT))) $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(

@@ -322,6 +322,30 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // DotProduct/TokenSetCount ship real doGenCode now (a CodegenFallback
+  // expression demotes its whole stage out of whole-stage codegen) —
+  // pin generated-path values against hand-computed ones.
+  test("DotProduct and TokenSetCount codegen path matches interpreted values") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0), Seq("The", "cat", "and", "dog")),
+      (2L, Seq(0.0, 0.0), Seq(1.0, 1.0), Seq[String]()),
+      (3L, Seq(2.0), Seq(3.0, 9.0), Seq("AND", "the", "the")))
+      .toDF("id", "a", "b", "toks")
+    val out = df.select($"id",
+      graft.plans.DotProduct($"a", $"b").as("dot"),
+      graft.plans.TokenSetCount($"toks", Seq("the", "and")).as("c"))
+      .orderBy($"id").as[(Long, Double, Int)].collect().toSeq
+    // row 3: length-mismatched arrays dot over the shorter prefix
+    assert(out == Seq((1L, 32.0, 2), (2L, 0.0, 0), (3L, 6.0, 3)))
+    // null input arrays -> null results through the null-safe codegen
+    val withNull = Seq((1L, Option(Seq(1.0)), Option(Seq(2.0))),
+      (2L, None: Option[Seq[Double]], Option(Seq(2.0))))
+      .toDF("id", "a", "b")
+      .select($"id", graft.plans.DotProduct($"a", $"b").as("dot"))
+      .orderBy($"id").as[(Long, Option[Double])].collect().toSeq
+    assert(withNull == Seq((1L, Some(2.0)), (2L, None)))
+  }
+
   // setkey's cluster-persistent form: both sides bucketed+sorted by the
   // key -> the keyed join and the keyed groupBy plan with ZERO shuffle
   // (the SURVEY §4.1 "key reuse" claim, locked on the physical plan).
