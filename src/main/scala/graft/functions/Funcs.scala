@@ -133,6 +133,14 @@ object Funcs {
   def ilike(x: Column, pattern: String): Column = x.rlike("(?i)" + pattern)
   /** %flike% — fixed (literal substring). */
   def flike(x: Column, pattern: String): Column = x.contains(pattern)
+  /** %plike% — Perl-compatible regex (R/like.R:24 grepl(perl=TRUE)).
+    * Java's regex engine IS PCRE-flavored (lookaround, \d/\w classes,
+    * lazy quantifiers, named groups), so this lowers to the same rlike;
+    * the alias exists so reference code ports 1:1. NOTE unlike %like%,
+    * patterns here may exceed the RE2 subset — keep %plike% out of
+    * oracle-adjudicated queries (DuckDB's RE2 cannot mirror it).
+    */
+  def plike(x: Column, pattern: String): Column = x.rlike(pattern)
 
   /** %chin% — fast string membership (src/chmatch.c; interning is an
     * execution detail — Catalyst compiles IN-lists to hash sets).

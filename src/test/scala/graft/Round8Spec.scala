@@ -322,6 +322,19 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // %plike% (R/like.R:24 perl=TRUE): Java regex is PCRE-flavored, so
+  // lookaround works where %like%'s RE2-portable subset would not.
+  test("plike supports perl-style lookaround") {
+    import graft.functions.Funcs
+    val df = Seq((1, "foobar"), (2, "foo"), (3, "bar")).toDF("id", "s")
+    val out = df.filter(Funcs.plike($"s", "foo(?=bar)"))
+      .select($"id").as[Int].collect().toSeq
+    assert(out == Seq(1))
+    val neg = df.filter(Funcs.plike($"s", "^(?!foo).*"))
+      .select($"id").as[Int].collect().toSeq
+    assert(neg == Seq(3))
+  }
+
   // DotProduct/TokenSetCount ship real doGenCode now (a CodegenFallback
   // expression demotes its whole stage out of whole-stage codegen) —
   // pin generated-path values against hand-computed ones.
