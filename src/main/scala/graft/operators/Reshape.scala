@@ -556,14 +556,41 @@ object Reshape {
     * is already null).
     */
   def tstrsplit(df: DataFrame, c: String, pattern: String, n: Int,
-                names: Seq[String] = Nil, keep: Seq[Int] = Nil): DataFrame = {
+                names: Seq[String] = Nil, keep: Seq[Int] = Nil,
+                typeConvert: Boolean = false): DataFrame = {
     val parts = split(col(c), pattern)
     val idxs = if (keep.nonEmpty) keep else (1 to n).toSeq
     val outNames = if (names.nonEmpty) names else idxs.map(i => s"V$i")
-    idxs.zip(outNames).foldLeft(df) { case (d, (i, nm)) =>
+    val withCols = idxs.zip(outNames).foldLeft(df) { case (d, (i, nm)) =>
       // get() (0-based) is null past the end — fill=NA semantics, and
       // safe under ANSI mode where getItem/element_at would throw.
       d.withColumn(nm, get(parts, lit(i - 1)))
+    }
+    if (!typeConvert) withCols
+    else {
+      // tstrsplit(type.convert=TRUE) (R/transpose.R:26 → utils::
+      // type.convert per split column): a column whose every non-null
+      // part parses as a number becomes numeric — integer when every
+      // value parses losslessly as one, double otherwise. The probe is
+      // one slim aggregate over try_cast nulls (same pass fread's
+      // type-bump re-read uses); mixed columns stay string.
+      // "" (an empty split part) is NA to type.convert, not a value
+      val cleaned = outNames.foldLeft(withCols)((d, nm) =>
+        d.withColumn(nm, when(col(nm) === "", lit(null)).otherwise(col(nm))))
+      val probeCols = outNames.flatMap(nm => Seq(
+        count(col(nm)).as(s"_n_$nm"),
+        count(expr(s"try_cast(`$nm` AS BIGINT)")).as(s"_i_$nm"),
+        count(expr(s"try_cast(`$nm` AS DOUBLE)")).as(s"_d_$nm")))
+      val probe = cleaned.agg(probeCols.head, probeCols.tail: _*).head()
+      outNames.foldLeft(cleaned) { (d, nm) =>
+        val nAll = probe.getAs[Long](s"_n_$nm")
+        val nInt = probe.getAs[Long](s"_i_$nm")
+        val nDbl = probe.getAs[Long](s"_d_$nm")
+        if (nAll == 0) d
+        else if (nInt == nAll) d.withColumn(nm, col(nm).cast("bigint"))
+        else if (nDbl == nAll) d.withColumn(nm, col(nm).cast("double"))
+        else d
+      }
     }
   }
 

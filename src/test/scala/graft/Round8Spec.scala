@@ -322,6 +322,20 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // tstrsplit(type.convert=TRUE): a split column whose every non-null
+  // part parses numerically becomes numeric (R/transpose.R:26).
+  test("tstrsplit type.convert: lossless-int, double, and mixed columns") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1, "7:1.5:x"), (2, "8:2:y"), (3, "9::z")).toDF("id", "s")
+    val out = Reshape.tstrsplit(df, "s", ":", 3, typeConvert = true)
+    assert(out.schema("V1").dataType == LongType)
+    assert(out.schema("V2").dataType == DoubleType)   // "2" + "1.5" -> double
+    assert(out.schema("V3").dataType == StringType)   // x/y/z stay string
+    val r = out.orderBy($"id").select($"V1", $"V2", $"V3")
+      .as[(Long, Option[Double], String)].collect().toSeq
+    assert(r == Seq((7L, Some(1.5), "x"), (8L, Some(2.0), "y"), (9L, None, "z")))
+  }
+
   // %plike% (R/like.R:24 perl=TRUE): Java regex is PCRE-flavored, so
   // lookaround works where %like%'s RE2-portable subset would not.
   test("plike supports perl-style lookaround") {
