@@ -51,8 +51,13 @@ object Windows {
   def shift(c: Column, n: Int, by: Seq[String], order: Seq[Column],
             fill: Column = lit(null), allowGlobal: Boolean = false): Column = {
     val w = spec(by, order, allowGlobal, "shift")
-    if (n >= 0) coalesce(lag(c, n).over(w), fill)
-    else coalesce(lead(c, -n).over(w), fill)
+    // fill applies ONLY to out-of-range positions (src/shift.c: the
+    // fill value pads the vacated slots); a coalesce over the lagged
+    // value would also overwrite NAs already IN the data, which shift
+    // must carry through unchanged. lag/lead's native default fires
+    // exactly when the offset row does not exist.
+    if (n >= 0) lag(c, n, fill).over(w)
+    else lead(c, -n, fill).over(w)
   }
 
   /** shift(type="cyclic") (src/shift.c:25-28): wrap around within the

@@ -322,6 +322,24 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // src/shift.c: fill pads only the VACATED positions; NAs already in
+  // the data pass through (coalesce-style filling would overwrite them).
+  test("shift fill pads only out-of-range slots, interior NA passes through") {
+    import graft.operators.Windows
+    val df = Seq((1, Some(10.0)), (2, None: Option[Double]), (3, Some(30.0)))
+      .toDF("id", "v")
+    val out = df.select($"id",
+      Windows.shift($"v", 1, Nil, Seq($"id".asc), fill = lit(0.0),
+        allowGlobal = true).as("lag1"),
+      Windows.shift($"v", -1, Nil, Seq($"id".asc), fill = lit(-1.0),
+        allowGlobal = true).as("lead1"))
+      .orderBy($"id")
+      .as[(Int, Option[Double], Option[Double])].collect().toSeq
+    // row 3's lag is row 2's genuine NA -> stays NA; row 1 vacated -> 0
+    assert(out == Seq(
+      (1, Some(0.0), None), (2, Some(10.0), Some(30.0)), (3, None, Some(-1.0))))
+  }
+
   // tstrsplit(type.convert=TRUE): a split column whose every non-null
   // part parses numerically becomes numeric (R/transpose.R:26).
   test("tstrsplit type.convert: lossless-int, double, and mixed columns") {
