@@ -15,6 +15,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.shingleHashesDesc)
     e.injectFunction(GraftExtensions.minhashDesc)
+    e.injectFunction(GraftExtensions.dotDesc)
+    e.injectFunction(GraftExtensions.simhashDesc)
+    e.injectFunction(GraftExtensions.tokenSetCountDesc)
+    e.injectFunction(GraftExtensions.roundMantissaDesc)
   }
 }
 
@@ -38,13 +42,50 @@ object GraftExtensions {
     new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
     (args: Seq[Expression]) => MinHashSignature(args.head, intArg(args(1), "numHashes")))
 
-  /** Register on an already-built session (e.g. the driver's). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_hashes",
-      args => ShingleHashes(args.head, intArg(args(1), "k")), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      args => MinHashSignature(args.head, intArg(args(1), "numHashes")), "built-in")
+  private def stringsArg(e: Expression, name: String): Seq[String] = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+      s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$name must be a comma-separated string literal, got $other")
   }
+
+  val dotDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (args: Seq[Expression]) => DotProduct(args.head, args(1)))
+
+  val simhashDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[PortableSimHash].getName, "graft_simhash"),
+    (args: Seq[Expression]) => PortableSimHash(args.head))
+
+  val tokenSetCountDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_token_set_count"),
+    new ExpressionInfo(classOf[TokenSetCount].getName, "graft_token_set_count"),
+    (args: Seq[Expression]) =>
+      TokenSetCount(args.head, stringsArg(args(1), "words")))
+
+  val roundMantissaDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_round_mantissa"),
+    new ExpressionInfo(classOf[RoundMantissa].getName, "graft_round_mantissa"),
+    (args: Seq[Expression]) => RoundMantissa(args.head, intArg(args(1), "bytes")))
+
+  private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingle_hashes" ->
+      ((args: Seq[Expression]) => ShingleHashes(args.head, intArg(args(1), "k"))),
+    "graft_minhash" ->
+      ((args: Seq[Expression]) => MinHashSignature(args.head, intArg(args(1), "numHashes"))),
+    "graft_dot" -> ((args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    "graft_simhash" -> ((args: Seq[Expression]) => PortableSimHash(args.head)),
+    "graft_token_set_count" ->
+      ((args: Seq[Expression]) => TokenSetCount(args.head, stringsArg(args(1), "words"))),
+    "graft_round_mantissa" ->
+      ((args: Seq[Expression]) => RoundMantissa(args.head, intArg(args(1), "bytes"))))
+
+  /** Register on an already-built session (e.g. the driver's). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -322,6 +322,24 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // SQL face of the custom expressions (SURVEY §4.2): every graft
+  // kernel is callable from spark.sql after registerAll/register.
+  test("SQL functions: graft_dot, graft_simhash, graft_token_set_count, graft_round_mantissa") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  graft_token_set_count(array('the', 'cat', 'AND'), 'the,and') AS c,
+        |  graft_round_mantissa(1.0000000000000002d, 1) AS rm,
+        |  graft_simhash(array('a', 'b')) AS sh""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)
+    assert(r.getDouble(2) == 1.0)
+    // simhash value is pinned by PortableHashSpec batteries; here just
+    // assert it is deterministic across two invocations
+    val again = spark.sql("SELECT graft_simhash(array('a', 'b'))").head().getLong(0)
+    assert(r.getLong(3) == again)
+  }
+
   // src/shift.c: fill pads only the VACATED positions; NAs already in
   // the data pass through (coalesce-style filling would overwrite them).
   test("shift fill pads only out-of-range slots, interior NA passes through") {
