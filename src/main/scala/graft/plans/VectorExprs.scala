@@ -134,3 +134,96 @@ object TokenSetCount {
   def apply(tokens: Column, words: Seq[String]): Column =
     GraftSqlBridge.column(TokenSetCount(GraftSqlBridge.expression(tokens), words))
 }
+
+/** Nearest-centroid argmax by cosine: the assignment kernel of the
+  * IVF / kmeans / PQ / SemDeDup paths. Reproduces EXACTLY the HOF
+  * formulation it replaces (`aggregate` over a centroid struct array
+  * with `when(s > acc.sim, ...)`): cosine = dot/(|x||c|) with the
+  * zero-norm → 0.0 rule, dot over the shorter prefix, norms over each
+  * full vector, STRICT > so ties keep the earliest centroid, and an
+  * empty centroid list is refused upstream. One JVM call per row with
+  * precomputed centroid norms, instead of per-centroid Catalyst struct
+  * churn under the interpreted HOF — same values, so the Lloyd-
+  * assignment SQL oracles stay bit-identical.
+  */
+case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val centArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val centNorm: Array[Double] =
+    centArr.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    var xs = 0.0
+    var i = 0
+    while (i < nx) { val v = x.getDouble(i); xs += v * v; i += 1 }
+    val na = math.sqrt(xs)
+    var bestId = -1
+    var bestSim = -2.0
+    var c = 0
+    while (c < centArr.length) {
+      val cent = centArr(c)
+      val n = math.min(nx, cent.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x.getDouble(i) * cent(i); i += 1 }
+      val nb = centNorm(c)
+      val sim = if (na > 0 && nb > 0) dot / (na * nb) else 0.0
+      if (sim > bestSim) { bestSim = sim; bestId = c }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val centsRef = ctx.addReferenceObj("graftCents", centArr, "double[][]")
+    val normsRef = ctx.addReferenceObj("graftCentNorms", centNorm, "double[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      val nx = ctx.freshName("nx"); val xs = ctx.freshName("xs")
+      val na = ctx.freshName("na"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val n = ctx.freshName("n"); val sim = ctx.freshName("sim")
+      val bestId = ctx.freshName("bestId"); val bestSim = ctx.freshName("bestSim")
+      val cent = ctx.freshName("cent"); val v = ctx.freshName("v")
+      s"""
+         |int $nx = $x.numElements();
+         |double $xs = 0.0;
+         |for (int $i = 0; $i < $nx; $i++) {
+         |  double $v = $x.getDouble($i); $xs += $v * $v;
+         |}
+         |double $na = java.lang.Math.sqrt($xs);
+         |int $bestId = -1;
+         |double $bestSim = -2.0;
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cent = $centsRef[$c];
+         |  int $n = java.lang.Math.min($nx, $cent.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $dot += $x.getDouble($i) * $cent[$i]; }
+         |  double $sim = ($na > 0 && $normsRef[$c] > 0) ? $dot / ($na * $normsRef[$c]) : 0.0;
+         |  if ($sim > $bestSim) { $bestSim = $sim; $bestId = $c; }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def apply(vec: Column, cents: Seq[Seq[Double]]): Column =
+    GraftSqlBridge.column(NearestCentroid(GraftSqlBridge.expression(vec), cents))
+}

@@ -386,20 +386,13 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
                 out: String = "ivf_cell"): DataFrame = {
-    // an empty list would leave the aggregate's init accumulator in
-    // place and silently assign cell -1 to EVERY row — refuse instead
+    // an empty list would assign cell -1 to EVERY row — refuse instead
     require(centroids.nonEmpty, "ivfAssign: empty centroid list")
-    val cents = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cid"), array(c.map(lit): _*).as("vec"))
-    }: _*)
-    val best = aggregate(cents,
-      struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
-      (acc, cent) => {
-        val s = cosine(col(vecCol), cent.getField("vec"))
-        when(s > acc.getField("sim"),
-          struct(cent.getField("cid").as("cid"), s.as("sim"))).otherwise(acc)
-      })
-    df.withColumn(out, best.getField("cid"))
+    // Native argmax kernel (one tight loop per row, precomputed centroid
+    // norms) — bit-identical to the interpreted `aggregate` over a
+    // centroid struct array it replaces (see NearestCentroid scaladoc),
+    // so the Lloyd-assignment SQL oracles are unaffected.
+    df.withColumn(out, graft.plans.NearestCentroid(col(vecCol), centroids))
   }
 
   // ---- SemDeDup: semantic dedup over embedding clusters ---------------
