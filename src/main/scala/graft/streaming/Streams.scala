@@ -152,6 +152,81 @@ object Streams {
       }
   }
 
+  case class CellDoc(doc_id: Long, ts: java.sql.Timestamp, cell: Int,
+                     vec: Seq[Double])
+  case class SemPair(idA: Long, idB: Long, cell: Int, sim: Double)
+  case class CellState(docs: List[(Long, Seq[Double])], lastTsMillis: Long,
+                       saturated: Boolean)
+
+  /** Streaming SemDeDup gate: semantic near-duplicate PAIRS between
+    * in-flight documents, cross-batch — the streaming twin of
+    * `Similarity.semanticPairs`. The kmeans centroids are a PRE-FIT
+    * broadcast literal (the batch `kmeansFitMod`, re-fit offline on
+    * whatever cadence drift demands); cell ASSIGNMENT is the stateless
+    * native argmax, and state is keyed BY CELL, so only same-cell
+    * vectors ever compare — the batch operator's no-all-pairs shape
+    * carried into the state store. Per-cell state holds recent vectors
+    * with a TTL and a saturation cap (a hot cell stops accumulating
+    * instead of growing without bound, mirroring the batch maxCell
+    * audit). Emits one row per (earlier doc, later doc) pair with
+    * cosine >= threshold.
+    */
+  def semDedupPairsStream(docs: DataFrame, idCol: String, tsCol: String,
+                          vecCol: String, centroids: Seq[Seq[Double]],
+                          threshold: Double, watermark: String,
+                          stateTtlMillis: Long, maxCell: Int = 100)
+      : org.apache.spark.sql.Dataset[SemPair] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val assigned = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        graft.plans.NearestCentroid(col(vecCol), centroids).as("cell"),
+        col(vecCol).as("vec"))
+      .withWatermark("ts", watermark)
+      .as[CellDoc]
+    assigned.groupByKey(_.cell)
+      .flatMapGroupsWithState[CellState, SemPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (cell: Int, it: Iterator[CellDoc], state: GroupState[CellState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            var st = state.getOption.getOrElse(CellState(Nil, 0L, saturated = false))
+            val out = Seq.newBuilder[SemPair]
+            sorted.foreach { d =>
+              if (!st.saturated && !st.docs.exists(_._1 == d.doc_id)) {
+                st.docs.foreach { case (prevId, prevVec) =>
+                  val s = cos(prevVec, d.vec)
+                  if (s >= threshold)
+                    out += (if (prevId < d.doc_id) SemPair(prevId, d.doc_id, cell, s)
+                            else SemPair(d.doc_id, prevId, cell, s))
+                }
+                val grown = (d.doc_id, d.vec) :: st.docs
+                st = CellState(grown, math.max(st.lastTsMillis, d.ts.getTime),
+                  saturated = grown.size > maxCell)
+              } else {
+                st = st.copy(lastTsMillis = math.max(st.lastTsMillis, d.ts.getTime))
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.lastTsMillis + stateTtlMillis,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-static enrichment: join each streaming row against a static
     * dimension (broadcast by Catalyst when small) — the streaming
     * counterpart of the keyed equi join x[i].

@@ -64,6 +64,41 @@ class StreamingCurateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  case class VDoc(doc_id: Long, ts: java.sql.Timestamp, vec: Seq[Double])
+
+  test("semDedupPairsStream: cross-batch same-cell near-dups, different cells never pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two well-separated centroids; vectors near each
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val ms = MemoryStream[VDoc]
+    val out = Streams.semDedupPairsStream(ms.toDF(), "doc_id", "ts", "vec",
+      cents, threshold = 0.95, watermark = "10 seconds",
+      stateTtlMillis = 3600 * 1000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sem_stream").start()
+    try {
+      ms.addData(
+        VDoc(1, ts("2024-01-01 10:00:00"), Seq(1.0, 0.01)),
+        VDoc(2, ts("2024-01-01 10:00:01"), Seq(0.01, 1.0)))
+      q.processAllAvailable()
+      // batch 2: doc 3 is a near-twin of doc 1 (same cell, cross-batch);
+      // doc 4 sits in cell 0 but angled away enough to miss threshold
+      ms.addData(
+        VDoc(3, ts("2024-01-01 10:00:02"), Seq(0.99, 0.02)),
+        VDoc(4, ts("2024-01-01 10:00:03"), Seq(0.8, 0.45)))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT idA, idB, cell FROM sem_stream")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(pairs.contains((1L, 3L, 0)))
+      // doc 2 lives in the other cell: never compared with 1/3/4
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+      // doc 4 compared but under threshold
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    } finally q.stop()
+  }
+
   test("dsirScoreStream: stream scores equal the batch scorer; minLogw gates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
