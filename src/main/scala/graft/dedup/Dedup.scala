@@ -458,13 +458,19 @@ object Dedup {
     graft.plans.WindowPolyHashesExpr(text, k)
 
   /** (doc_id, span_fp) pairs for a corpus: canonicalize, then the
-    * fused one-pass winnow per document.
+    * fused one-pass winnow per document. Session-memoized persisted
+    * (the shingle-base pattern): the span listing and the flagged-doc
+    * semi-join both consume this projection, and the winnow pass is
+    * O(text bytes) per call — fingerprints are ~2/(w+1) per char, so
+    * the persisted table is a small fraction of the corpus. clearBases
+    * evicts it with the corpus's other derived bases.
     */
   private def docSpans(df: DataFrame, idCol: String, textCol: String,
                        k: Int, w: Int): DataFrame =
-    df.withColumn("_ct", TextFunctions.canonicalize(col(textCol)))
-      .select(col(idCol).as("doc_id"),
-        explode(winnowFingerprints(col("_ct"), k, w)).as("span_fp"))
+    cachePersisted(s"${baseKeyOf(df)}:spans:$idCol:$textCol:$k:$w",
+      df.withColumn("_ct", TextFunctions.canonicalize(col(textCol)))
+        .select(col(idCol).as("doc_id"),
+          explode(winnowFingerprints(col("_ct"), k, w)).as("span_fp")))
 
   /** Corpus-wide duplicated spans: (span_fp, n_docs) for every winnowed
     * fingerprint appearing in at least `minDocs` DISTINCT documents.
