@@ -322,6 +322,20 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // src/bmerge.c: NA and NaN are DISTINCT joinable double key values.
+  // Mapping: NA -> null (matches under nullSafe's <=>), NaN -> NaN
+  // (Spark's NaN semantics make all NaN equal in joins/grouping) — so
+  // a nullSafe join reproduces the reference's double-key behavior.
+  test("double join keys: NA matches NA, NaN matches NaN, and they never cross-match") {
+    val x = Seq(("na", Option.empty[Double]), ("nan", Some(Double.NaN)),
+      ("one", Some(1.0))).toDF("xtag", "k")
+    val y = Seq(("NA", Option.empty[Double]), ("NAN", Some(Double.NaN)),
+      ("ONE", Some(1.0))).toDF("ytag", "k")
+    val out = DT(x).join(DT(y), Seq("k"), "inner", nullSafe = true)
+      .df.select($"xtag", $"ytag").as[(String, String)].collect().toSet
+    assert(out == Set(("na", "NA"), ("nan", "NAN"), ("one", "ONE")))
+  }
+
   // SQL face of the custom expressions (SURVEY §4.2): every graft
   // kernel is callable from spark.sql after registerAll/register.
   test("SQL functions: graft_dot, graft_simhash, graft_token_set_count, graft_round_mantissa") {
