@@ -238,6 +238,37 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     DT(renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
        key.map(k => renames.toMap.getOrElse(k, k)))
 
+  /** split.data.table(by=) (R/split.R): the table partitioned into a
+    * map of sub-tables keyed by the by-columns' stringified value
+    * tuples (null → "NA", matching the reference's factor level). The
+    * returned frames are filter views — nothing materializes until
+    * each is used. Driver-side key list, so the domain must be small
+    * (the reference returns an in-memory list of tables too;
+    * `maxGroups` guards a mistaken high-cardinality split). The 100 TB
+    * form is [[writeSplit]]: a partitioned write, one directory per
+    * key, no driver materialization.
+    */
+  def splitBy(cols: Seq[String], maxGroups: Int = 1000): Map[Seq[String], DT] = {
+    val keys = df.select(cols.map(col): _*).distinct().limit(maxGroups + 1).collect()
+    require(keys.length <= maxGroups,
+      s"splitBy: more than $maxGroups distinct key tuples — use writeSplit " +
+        "(partitioned write) for high-cardinality splits")
+    keys.map { r =>
+      val vals = cols.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("NA"))
+      val cond = cols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }.reduce(_ && _)
+      vals -> DT(df.filter(cond))
+    }.toMap
+  }
+
+  /** split.data.table's cluster form: write one parquet directory per
+    * key tuple (`path/c1=v1/...`). Readers get partition pruning for
+    * free — the scalable analog of a list of sub-tables.
+    */
+  def writeSplit(path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** setcolorder() */
   def setColOrder(first: String*): DT = {
     val rest = df.columns.filterNot(first.contains)

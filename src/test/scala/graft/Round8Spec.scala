@@ -322,6 +322,27 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // split.data.table(by=) (R/split.R): map of sub-tables + the
+  // partitioned-write cluster form.
+  test("splitBy: per-key sub-tables incl. NA key; writeSplit round-trips with pruning") {
+    val df = Seq((1, Some("a"), 10), (2, Some("a"), 20), (3, Some("b"), 30),
+      (4, None: Option[String], 40)).toDF("id", "g", "v")
+    val parts = DT(df).splitBy(Seq("g"))
+    assert(parts.keySet == Set(Seq("a"), Seq("b"), Seq("NA")))
+    assert(parts(Seq("a")).df.count() == 2)
+    assert(parts(Seq("NA")).df.select($"id").as[Int].collect().toSeq == Seq(4))
+    intercept[IllegalArgumentException] {
+      DT(df).splitBy(Seq("id"), maxGroups = 2)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split").toFile.getAbsolutePath
+    DT(df.filter($"g".isNotNull)).writeSplit(s"$tmp/out", Seq("g"))
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 3)
+    // partition pruning: the g=b filter reads only that directory
+    val pruned = back.filter($"g" === "b")
+    assert(pruned.count() == 1)
+  }
+
   // src/bmerge.c: NA and NaN are DISTINCT joinable double key values.
   // Mapping: NA -> null (matches under nullSafe's <=>), NaN -> NaN
   // (Spark's NaN semantics make all NaN equal in joins/grouping) — so
