@@ -322,6 +322,25 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // Plan locks: the native kernels stay inside whole-stage codegen —
+  // a CodegenFallback would demote the Project stage entirely.
+  test("DotProduct and NearestCentroid evaluate inside WholeStageCodegen") {
+    // parquet-backed input: a tiny LocalRelation would be constant-folded
+    // by the optimizer before any stage forms
+    val df = Tables.load(spark, SparkTestSession.sfDir, "embeddings")
+    def codegenStages(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }.size
+    val dot = df.select(graft.plans.DotProduct($"embedding", $"embedding").as("d"))
+    assert(codegenStages(dot) > 0, dot.queryExecution.executedPlan.toString)
+    val assign = graft.sim.Similarity.ivfAssign(df, "embedding",
+      Seq(Seq.fill(8)(1.0), Seq.fill(8)(-1.0)))
+    assert(codegenStages(assign) > 0, assign.queryExecution.executedPlan.toString)
+    assert(assign.queryExecution.executedPlan.toString
+      .toLowerCase.contains("nearestcentroid"))
+  }
+
   // split.data.table(by=) (R/split.R): map of sub-tables + the
   // partitioned-write cluster form.
   test("splitBy: per-key sub-tables incl. NA key; writeSplit round-trips with pruning") {
