@@ -199,6 +199,30 @@ object QueriesWindows {
              |WINDOW w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- froll algo="fast": O(1)-per-row prefix-difference rolling sum
+    // (src/froll.c:13-24) — the big-window tier; Spark's sliding frame
+    // re-aggregates O(n) per row. Cents-scaled integers so the prefix
+    // difference is exact and the oracle's plain windowed sum matches
+    // bit-for-bit. ------------------------------------------------------
+    ("q_froll_fast", ((s, dir) => {
+      // o_orderkey is unique, so the window order is total — lineitem's
+      // (orderkey, linenumber) is NOT unique in the synthetic data and
+      // would leave the frames engine-ambiguous
+      val df = dt(s, dir, "orders").df
+        .withColumn("pc", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      Windows.frollFast(df, "rs", "sum", col("pc"), 30,
+        Seq("o_orderstatus"), Seq(col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("rs"))
+    }): Q,
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CASE WHEN row_number() OVER
+             |         (PARTITION BY o_orderstatus ORDER BY o_orderkey) >= 30
+             |       THEN CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER
+             |            (PARTITION BY o_orderstatus ORDER BY o_orderkey
+             |             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+             |  END AS rs
+             |FROM orders""".stripMargin)),
+
     // ---- frollsum align="center" ---------------------------------------
     ("q_froll_center", ((s, dir) =>
       dt(s, dir, "orders").df

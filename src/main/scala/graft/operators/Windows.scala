@@ -253,6 +253,47 @@ object Windows {
     else when(count(c).over(w) === n, core)
   }
 
+  /** froll(algo="fast") tier for sum/mean: O(1) work per row regardless
+    * of window width, via prefix sums — rollsum(i) = cumsum(i) −
+    * cumsum(i−n), with a parallel prefix NULL count enforcing the same
+    * na.rm=FALSE and partial rules as [[froll]]. Spark's sliding frame
+    * re-aggregates O(n) per row (aggregates have no retract), so the
+    * builtin path is O(rows·n) — fine at n=7, the bottleneck at
+    * n=10 000 (a month of minutes); this tier is the big-window form.
+    * Both window passes share one partitioning+sort (same spec → no
+    * extra exchange). Exact on integral data; on doubles the prefix
+    * difference reorders FP summation (reference algo="fast" accepts
+    * the same — its docs call it "undefined rounding"), so scale
+    * doubles to integers where bit parity matters (src/froll.c:13-24).
+    */
+  def frollFast(df: DataFrame, out: String, fn: String, c: Column, n: Int,
+                by: Seq[String], order: Seq[Column],
+                partial: Boolean = false,
+                allowGlobal: Boolean = false): DataFrame = {
+    require(fn == "sum" || fn == "mean", s"frollFast supports sum|mean, got $fn")
+    require(n > 0, s"frollFast: n must be positive, got $n")
+    val wCum = spec(by, order, allowGlobal, "frollFast")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLag = spec(by, order, allowGlobal, "frollFast")
+    val staged = df
+      .withColumn("_graft_cs", sum(coalesce(c, lit(0))).over(wCum))
+      .withColumn("_graft_ns", sum(when(c.isNull, 1L).otherwise(0L)).over(wCum))
+      .withColumn("_graft_rn", count(lit(1)).over(wCum))
+    val sumW = col("_graft_cs") -
+      coalesce(lag(col("_graft_cs"), n).over(wLag), lit(0))
+    val nullW = col("_graft_ns") -
+      coalesce(lag(col("_graft_ns"), n).over(wLag), lit(0L))
+    val width = if (partial) least(col("_graft_rn"), lit(n.toLong)) else lit(n.toLong)
+    val full = if (partial) lit(true) else col("_graft_rn") >= n
+    val value = fn match {
+      case "sum"  => sumW
+      case "mean" => sumW.cast("double") / width.cast("double")
+    }
+    staged
+      .withColumn(out, when(full && nullW === 0, value))
+      .drop("_graft_cs", "_graft_ns", "_graft_rn")
+  }
+
   /** frollapply analog: expose the raw n-row frame as an array column the
     * caller transforms with higher-order functions (the codegen-friendly
     * stand-in for an arbitrary window closure).

@@ -322,6 +322,34 @@ class Round8Spec extends AnyFunSuite {
       ("b", Some(5.0), Some(2.5), Some(2.0), Some(3.0), Some(5.0))))
   }
 
+  // froll algo="fast" (src/froll.c:13-24): prefix-difference rolling
+  // sum/mean must agree with the per-frame aggregate on integral data
+  // under the same na.rm=FALSE and partial rules.
+  test("frollFast == froll for sum and mean, incl. interior nulls and partial") {
+    import graft.operators.Windows
+    val df = ((1 to 10).map(i => ("a", i, Some(i.toLong))) ++
+      Seq(("a", 11, None), ("a", 12, Some(5L))) ++
+      (1 to 4).map(i => ("b", i, Some(i * 10L))))
+      .toDF("g", "t", "v")
+    for (partial <- Seq(false, true)) {
+      val slow = df.withColumn("s",
+        Windows.froll("sum", $"v", 3, Seq("g"), Seq($"t".asc), partial = partial))
+        .withColumn("m",
+          Windows.froll("mean", $"v", 3, Seq("g"), Seq($"t".asc), partial = partial))
+      val fast = Windows.frollFast(
+        Windows.frollFast(df, "s", "sum", $"v", 3, Seq("g"), Seq($"t".asc),
+          partial = partial),
+        "m", "mean", $"v", 3, Seq("g"), Seq($"t".asc), partial = partial)
+      val a = slow.orderBy($"g", $"t")
+        .select($"g", $"t", $"s".cast("double"), $"m".cast("double"))
+        .as[(String, Int, Option[Double], Option[Double])].collect().toSeq
+      val b = fast.orderBy($"g", $"t")
+        .select($"g", $"t", $"s".cast("double"), $"m".cast("double"))
+        .as[(String, Int, Option[Double], Option[Double])].collect().toSeq
+      assert(a == b, s"partial=$partial")
+    }
+  }
+
   // Plan locks: the native kernels stay inside whole-stage codegen —
   // a CodegenFallback would demote the Project stage entirely.
   test("DotProduct and NearestCentroid evaluate inside WholeStageCodegen") {
