@@ -682,6 +682,21 @@ object QueriesTextSim {
         k = 3, numHashes = 32, bands = 8, threshold = 0.5)): Q,
       Some(minhashOracle)),
 
+    // ---- incremental dedup: ingest batch vs existing corpus ------------
+    // Daily-ingest LSH shape: docs with doc_id % 7 == 0 arrive as the new
+    // batch, the rest are the standing corpus; a batch doc is reported
+    // with every base near-dup it collides with. The oracle reuses the
+    // full-corpus banding CTEs and splits sides by the same predicate —
+    // banding is per-doc, so union-then-split ≡ band-each-side.
+    ("q_dedup_incremental", ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashIncrementalPortable(
+        d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+    }): Q,
+      Some(incrementalOracle)),
+
     // ---- LSH bucket-cap audit ------------------------------------------
     // The buckets a maxBucket cap would DROP (band, bh, n_ids) — the
     // "no silent caps" contract: a pipeline runs this alongside
@@ -1428,6 +1443,29 @@ object QueriesTextSim {
        |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
        |  FROM cand JOIN shl x ON x.id = cand.idA JOIN shl y ON y.id = cand.idB)
        |SELECT idA, idB, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  /** Mirror of `Dedup.minhashIncrementalPortable` with base = doc_id % 7
+    * <> 0 and batch = doc_id % 7 = 0: band the whole corpus with the
+    * shared CTEs, split by side, cap base buckets, verify cross-side
+    * candidates with exact Jaccard.
+    */
+  private def incrementalOracle: String =
+    s"""$minhashBandedCtes,
+       |baseb AS (SELECT * FROM banded WHERE id % 7 <> 0),
+       |newb  AS (SELECT * FROM banded WHERE id % 7 = 0),
+       |bucket AS (SELECT band, bh, count(*) AS n FROM baseb
+       |           GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT n.id AS new_id, b.id AS dup_of
+       |  FROM newb n JOIN baseb b ON n.band = b.band AND n.bh = b.bh
+       |  JOIN bucket s ON s.band = n.band AND s.bh = n.bh),
+       |j AS (
+       |  SELECT new_id, dup_of,
+       |    len(list_intersect(x.sh, y.sh))::DOUBLE /
+       |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+       |  FROM cand JOIN shl x ON x.id = cand.new_id
+       |            JOIN shl y ON y.id = cand.dup_of)
+       |SELECT new_id, dup_of, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
 
   /** Mirror of `Dedup.minhashOversizedPortable`: the LSH buckets a
     * `maxBucket` cap would drop, with their membership counts.

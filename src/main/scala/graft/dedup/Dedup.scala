@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -240,6 +240,101 @@ object Dedup {
     oversizedBuckets(
       portableBandedOf(portableBase(df, idCol, textCol, k, numHashes), numHashes, bands),
       Seq("band", "bh"), maxBucket)
+
+  // ---- incremental dedup: new batch vs an existing corpus -------------
+
+  /** Near-dup matches of a NEW ingest batch against an EXISTING corpus —
+    * the daily-ingest shape of LSH dedup: the corpus's banding is built
+    * once (memoized here; persisted to parquet via [[saveBandIndex]] for
+    * cross-session reuse) and each arriving batch only pays for its own
+    * shingling plus one (band, bh) join against the index.
+    *
+    * Output: (new_id, dup_of, jaccard) — every batch doc paired with
+    * every base doc sharing an LSH bucket whose exact shingle Jaccard
+    * clears `threshold`. A batch doc absent from the output is novel.
+    * Intra-batch duplicates are deliberately NOT reported here — run
+    * [[minhashPairsPortable]] on the batch for those (the two calls
+    * share the batch's memoized shingle base, so nothing is recomputed).
+    *
+    * `maxBucket` caps the BASE side of each bucket (a boilerplate
+    * cluster in the corpus would otherwise fan every matching batch doc
+    * into thousands of verify pairs); dropped buckets are exactly the
+    * ones [[minhashOversizedPortable]] on the base corpus reports — run
+    * it alongside for the no-silent-caps audit.
+    *
+    * 100 TB shape: the index is (id, band, bh) + (id, sh) — slim columns
+    * only, no text. The single shuffle is the (band, bh) join; a daily
+    * batch is orders of magnitude smaller than the corpus, so AQE
+    * broadcasts the batch side and the base index streams through
+    * map-side. With [[saveBandIndex]]'s parquet layout the corpus is
+    * never re-shingled.
+    */
+  def minhashIncrementalPortable(base: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.5,
+                                 maxBucket: Int = 1000): DataFrame = {
+    val baseB = portableBase(base, idCol, textCol, k, numHashes)
+    val batchB = portableBase(batch, idCol, textCol, k, numHashes)
+    incrementalPairs(
+      baseB.select(col("id"), col("sh")),
+      portableBandedOf(baseB, numHashes, bands),
+      batchB, portableBandedOf(batchB, numHashes, bands),
+      threshold, maxBucket)
+  }
+
+  /** Persist a corpus's LSH index to parquet: `path/shingles` = (id, sh),
+    * `path/banded` = (id, band, bh). Fit once per corpus version; every
+    * later [[minhashIncrementalIndexed]] call reads these instead of
+    * re-shingling the corpus. (id, band, bh) is all the join needs, so
+    * index size is O(corpus × bands) longs, not O(corpus text).
+    */
+  def saveBandIndex(df: DataFrame, idCol: String, textCol: String,
+                    path: String, k: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8): Unit = {
+    val b = portableBase(df, idCol, textCol, k, numHashes)
+    b.select(col("id"), col("sh")).write.mode("overwrite").parquet(s"$path/shingles")
+    portableBandedOf(b, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/banded")
+  }
+
+  /** [[minhashIncrementalPortable]] against a [[saveBandIndex]]-written
+    * index — the corpus never leaves parquet. Same output contract;
+    * a spec pins equality with the DataFrame form.
+    */
+  def minhashIncrementalIndexed(spark: SparkSession, indexPath: String,
+                                batch: DataFrame, idCol: String, textCol: String,
+                                k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                                threshold: Double = 0.5,
+                                maxBucket: Int = 1000): DataFrame = {
+    val batchB = portableBase(batch, idCol, textCol, k, numHashes)
+    incrementalPairs(
+      spark.read.parquet(s"$indexPath/shingles"),
+      spark.read.parquet(s"$indexPath/banded"),
+      batchB, portableBandedOf(batchB, numHashes, bands),
+      threshold, maxBucket)
+  }
+
+  /** Shared candidate→verify tail of the incremental family: bucket the
+    * base banding (capped), join the batch banding, verify candidates
+    * with exact Jaccard over the two shingle sets.
+    */
+  private def incrementalPairs(baseSh: DataFrame, baseBanded: DataFrame,
+                               batchB: DataFrame, batchBanded: DataFrame,
+                               threshold: Double, maxBucket: Int): DataFrame = {
+    val buckets = baseBanded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("base_ids"))
+      .filter(size(col("base_ids")) <= maxBucket)
+    val cand = batchBanded.join(buckets, Seq("band", "bh"))
+      .select(col("id").as("new_id"), explode(col("base_ids")).as("dup_of"))
+      .dropDuplicates("new_id", "dup_of")
+    val shN = batchB.select(col("id").as("new_id"), col("sh").as("shA"))
+    val shB = baseSh.select(col("id").as("dup_of"), col("sh").as("shB"))
+    cand.join(shN, "new_id").join(shB, "dup_of")
+      .withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), col("jaccard"))
+  }
 
   /** Shared slim (id, band, bh) banding of an (id, sig) frame for the
     * xxhash64 kernel family — [[minhashPairs]] and [[minhashOversized]]

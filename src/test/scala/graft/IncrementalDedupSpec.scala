@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Incremental (batch-vs-corpus) minhash dedup: the parquet-index path
+  * must agree with the DataFrame path, matches must be cross-side only,
+  * and the base-bucket cap must drop exactly the audited buckets.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // A corpus with a boilerplate cluster (ids 1..4 near-identical), a
+  // novel doc, and a batch carrying one near-dup of the cluster plus one
+  // novel doc. Texts are long enough that 3-gram shingles overlap hard.
+  private def base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+    (3L, "the quick brown fox jumps over the lazy dog again and once more"),
+    (4L, "an entirely different document about spark catalyst planning rules"),
+    (5L, "yet another unrelated text concerning rolling window aggregates")
+  ).toDF("doc_id", "text")
+
+  private def batch = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog again and again"),
+    (101L, "completely novel content that matches nothing in the corpus at all")
+  ).toDF("doc_id", "text")
+
+  test("batch near-dup of the cluster is matched; novel doc is not") {
+    val out = Dedup.minhashIncrementalPortable(base, batch, "doc_id", "text")
+      .orderBy($"new_id", $"dup_of")
+      .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._1 == 100L), s"novel doc matched: $out")
+    assert(out.map(_._2).contains(1L))
+    // cross-side only: no base-base or batch-batch ids in either column
+    assert(out.forall { case (n, d) => n >= 100L && d < 100L })
+  }
+
+  test("indexed path == DataFrame path after save/load round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    Dedup.saveBandIndex(base, "doc_id", "text", dir)
+    val direct = Dedup.minhashIncrementalPortable(base, batch, "doc_id", "text")
+      .orderBy($"new_id", $"dup_of")
+      .as[(Long, Long, Double)].collect().toSeq
+    val indexed = Dedup.minhashIncrementalIndexed(spark, dir, batch, "doc_id", "text")
+      .orderBy($"new_id", $"dup_of")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(indexed == direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("maxBucket caps the base side: capped run drops the oversized bucket's matches") {
+    // cap of 1 drops every base bucket holding the 3-doc cluster, so the
+    // cluster match disappears while buckets of size 1 survive
+    val capped = Dedup.minhashIncrementalPortable(base, batch, "doc_id", "text",
+        maxBucket = 1)
+      .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq
+    val uncapped = Dedup.minhashIncrementalPortable(base, batch, "doc_id", "text")
+      .select($"new_id", $"dup_of").collect()
+    assert(capped.size < uncapped.length)
+    // and the dropped buckets are exactly what the base-corpus audit reports
+    val audited = Dedup.minhashOversizedPortable(base, "doc_id", "text", maxBucket = 1)
+      .count()
+    assert(audited > 0)
+  }
+
+  test("no self-pairs when a batch doc id collides with a base doc id") {
+    // same id on both sides (re-ingest): match is still reported — the
+    // caller decides identity policy; engine must not silently drop it
+    val b2 = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashIncrementalPortable(base, b2, "doc_id", "text")
+      .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq
+    assert(out.contains((1L, 1L)))
+  }
+}
