@@ -1282,6 +1282,21 @@ object QueriesTextSim {
     }): Q,
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 
+    // ---- JSONL roundtrip (training-data interchange format) ------------
+    // Write documents as JSON lines, read back under an explicit schema
+    // (the 100 TB contract: no inference scan), adjudicate content parity
+    // against the parquet original.
+    ("q_jsonl_roundtrip", ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = "/tmp/graft_jsonl_rt"
+      graft.sources.Fread.fwriteJsonl(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("text")), out)
+      graft.sources.Fread.freadJsonl(s, out, schema = Some(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))))
+    }): Q,
+      Some("SELECT doc_id, lang, text FROM documents")),
+
     // ---- multimodal decode plumbing (portable md5 stub codec) ----------
     // Runs the ARROW batch path under the oracle: payload → md5 → affine
     // feature family (PortableHash constants), mirrored bit-for-bit in

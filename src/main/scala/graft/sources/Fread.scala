@@ -589,4 +589,40 @@ object Fread {
     spark.read.parquet(path)
   def fwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** JSON-lines reader — the de-facto interchange format of LLM training
+    * corpora (one JSON object per line; no reference analog, extension
+    * surface like freadParquet). Spark's native json source: schema
+    * inference is a separate sampling pass over the data, so at 100 TB
+    * ALWAYS pass `schema` (or `sampleRatio` < 1 to bound the inference
+    * scan); splittable per-line parallelism either way. Corrupt lines
+    * land in `_corrupt_record` instead of failing the job (mode
+    * PERMISSIVE) unless `failFast`.
+    */
+  def freadJsonl(spark: SparkSession, path: String,
+                 schema: Option[StructType] = None,
+                 sampleRatio: Double = 1.0,
+                 failFast: Boolean = false): DataFrame = {
+    var r = spark.read
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    schema match {
+      case Some(s) => r = r.schema(s)
+      case None    => r = r.option("samplingRatio", sampleRatio)
+    }
+    r.json(path)
+  }
+
+  /** JSON-lines writer (one object per line, gzip optional — line-split
+    * JSONL stays splittable uncompressed; gzip trades that for bytes).
+    * `ignoreNulls=false` keeps explicit nulls so round-trips preserve
+    * schema on readers that infer from the first lines.
+    */
+  def fwriteJsonl(df: DataFrame, path: String, compress: String = "none",
+                  ignoreNulls: Boolean = false): Unit = {
+    var w = df.write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", ignoreNulls)
+    if (compress == "gzip") w = w.option("compression", "gzip")
+    w.json(path)
+  }
 }
