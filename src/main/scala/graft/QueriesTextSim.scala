@@ -885,26 +885,28 @@ object QueriesTextSim {
         .select(col("query_id"), col("neighbor_id"),
           (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
     }): Q,
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
-             |sc AS (SELECT e.vec_id, c.cid,
-             |         list_cosine_similarity(e.v, c.cv) AS csim
-             |       FROM e CROSS JOIN c),
-             |a AS (SELECT vec_id, cid FROM (
-             |        SELECT vec_id, cid, row_number() OVER
-             |          (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
-             |        FROM sc) WHERE rn = 1),
-             |q AS (SELECT vec_id AS query_id, cid FROM a WHERE vec_id IN (0, 1, 2)),
-             |s2 AS (SELECT q.query_id, a.vec_id AS neighbor_id,
-             |         list_cosine_similarity(x.v, y.v) AS sim
-             |       FROM a JOIN q ON a.cid = q.cid AND a.vec_id <> q.query_id
-             |       JOIN e x ON x.vec_id = a.vec_id
-             |       JOIN e y ON y.vec_id = q.query_id),
-             |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
-             |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
-             |      FROM s2)
-             |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
-             |FROM r WHERE rk <= 5""".stripMargin)),
+      Some(ivfSearchOracle)),
+
+    // ---- IVF search through a PERSISTED index --------------------------
+    // Same search as q_ann_ivf_search, but the centroids make a parquet
+    // round-trip (saveIvfIndex → loadIvfIndex) first — the fit-once /
+    // serve-many contract a 100 TB store runs on, adjudicated by the
+    // identical oracle (doubles pass through parquet bit-exactly).
+    ("q_ann_ivf_persisted", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val centroids = e.filter(col("vec_id") < 4).orderBy(col("vec_id"))
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      val idx = "/tmp/graft_ivf_idx"
+      Similarity.saveIvfIndex(s, idx, centroids)
+      val loaded = Similarity.loadIvfIndex(s, idx)
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.ivfTopK(e, queries, "vec_id", "embedding", loaded, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
+    }): Q,
+      Some(ivfSearchOracle)),
 
     // ---- IVF multi-probe search (nprobe=2: recall recovers near cell
     // boundaries at ~2× the candidate cost) ------------------------------
@@ -1458,6 +1460,33 @@ object QueriesTextSim {
        |      len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
        |  FROM cand JOIN shl x ON x.id = cand.idA JOIN shl y ON y.id = cand.idB)
        |SELECT idA, idB, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+
+  /** IVF top-k search mirror (centroids = embeddings vec_id < 4, queries
+    * = vec_id 0-2, k = 5) — shared by `q_ann_ivf_search` (in-memory fit)
+    * and `q_ann_ivf_persisted` (parquet round-tripped fit): persistence
+    * is value-exact, so one oracle adjudicates both paths.
+    */
+  private def ivfSearchOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |sc AS (SELECT e.vec_id, c.cid,
+      |         list_cosine_similarity(e.v, c.cv) AS csim
+      |       FROM e CROSS JOIN c),
+      |a AS (SELECT vec_id, cid FROM (
+      |        SELECT vec_id, cid, row_number() OVER
+      |          (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+      |        FROM sc) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, cid FROM a WHERE vec_id IN (0, 1, 2)),
+      |s2 AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+      |         list_cosine_similarity(x.v, y.v) AS sim
+      |       FROM a JOIN q ON a.cid = q.cid AND a.vec_id <> q.query_id
+      |       JOIN e x ON x.vec_id = a.vec_id
+      |       JOIN e y ON y.vec_id = q.query_id),
+      |r AS (SELECT query_id, neighbor_id, sim, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+      |      FROM s2)
+      |SELECT query_id, neighbor_id, round(sim, 3) + 0.0 AS sim, rk
+      |FROM r WHERE rk <= 5""".stripMargin
 
   /** Mirror of `Dedup.minhashIncrementalPortable` with base = doc_id % 7
     * <> 0 and batch = doc_id % 7 = 0: band the whole corpus with the

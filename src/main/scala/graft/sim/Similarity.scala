@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -687,4 +687,47 @@ object Similarity {
     val den = aggregate(transform(vec, x => x * x), lit(0.0), (acc, x) => acc + x)
     when(den > 0, sqrt(num / den)).otherwise(lit(0.0))
   }
+
+  // ---- fitted-index persistence ---------------------------------------
+  // A 100 TB ANN store fits its coarse quantizer and PQ codebooks ONCE
+  // per corpus version, then serves every later session/batch from the
+  // saved model — re-running Lloyd per session would re-scan the corpus
+  // for a model that is k×dim driver-side doubles. Layout is plain
+  // parquet (one row per centroid / per subspace codeword), so the index
+  // is inspectable with any reader and diffable across versions.
+
+  /** Write IVF centroids to `path/ivf` as (cell, vec). */
+  def saveIvfIndex(spark: SparkSession, path: String,
+                   centroids: Seq[Seq[Double]]): Unit = {
+    require(centroids.nonEmpty, "saveIvfIndex: empty centroid list")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cell", "vec").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/ivf")
+  }
+
+  /** Read IVF centroids back in cell order — inverse of [[saveIvfIndex]],
+    * bit-exact (doubles pass through parquet unchanged).
+    */
+  def loadIvfIndex(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/ivf").orderBy(col("cell"))
+      .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** Write PQ codebooks to `path/pq` as (subspace, code, vec). */
+  def savePqIndex(spark: SparkSession, path: String,
+                  codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    require(codebooks.nonEmpty, "savePqIndex: empty codebook list")
+    import spark.implicits._
+    (for ((cb, j) <- codebooks.zipWithIndex; (v, c) <- cb.zipWithIndex)
+      yield (j, c, v))
+      .toDF("subspace", "code", "vec").repartition(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/pq")
+  }
+
+  /** Inverse of [[savePqIndex]]: codebooks in (subspace, code) order. */
+  def loadPqIndex(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$path/pq").orderBy(col("subspace"), col("code"))
+      .select(col("subspace"), col("vec")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toSeq).toSeq)
 }
