@@ -315,6 +315,30 @@ object Dedup {
       threshold, maxBucket)
   }
 
+  /** Un-memoized portable shingle+band projection: every input row gains
+    * `sh`, `band`, `bh` (one output row per (doc, band)). The streaming
+    * twin of [[portableBase]] + [[portableBandedOf]] (a stream cannot
+    * persist()); batch callers should prefer the memoized pair.
+    */
+  private[graft] def portableBandedProjection(df: DataFrame,
+                                              textCol: String, k: Int,
+                                              numHashes: Int, bands: Int): DataFrame = {
+    val base = df
+      .withColumn("sh", graft.plans.PortableShingles(
+        TextFunctions.wsTokens(TextFunctions.normalize(col(textCol))), k))
+      .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
+    val rowsPerBand = numHashes / bands
+    def bandHash(b: Int): Column =
+      (1 until rowsPerBand).foldLeft(element_at(col("sig"), b * rowsPerBand + 1)) {
+        (acc, j) => portableRot(acc).bitwiseXOR(element_at(col("sig"), b * rowsPerBand + j + 1))
+      }
+    base
+      .withColumn("bb", explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandHash(b).as("bh"))): _*)))
+      .withColumn("band", col("bb.band")).withColumn("bh", col("bb.bh"))
+      .drop("bb", "sig")
+  }
+
   /** Shared candidate→verify tail of the incremental family: bucket the
     * base banding (capped), join the batch banding, verify candidates
     * with exact Jaccard over the two shingle sets.

@@ -158,6 +158,52 @@ object Streams {
   case class CellState(docs: List[(Long, Seq[Double])], lastTsMillis: Long,
                        saturated: Boolean)
 
+  /** Streaming dedup against a PERSISTED corpus index
+    * ([[graft.dedup.Dedup.saveBandIndex]]): each in-flight doc is
+    * shingled/banded with the portable kernels and stream-static joined
+    * to the index's capped (band, bh) buckets; candidates are verified
+    * with exact Jaccard against the index's shingle table. Emits
+    * (new_id, ts, dup_of, jaccard) for every stream doc near-duplicating
+    * a corpus doc — the ingest-firehose twin of
+    * [[graft.dedup.Dedup.minhashIncrementalIndexed]].
+    *
+    * Stateless except pair dedup: one doc's `bands` rows can match the
+    * same base doc in several bands, so duplicate pairs are dropped with
+    * `dropDuplicatesWithinWatermark` — all of a doc's bands carry ONE
+    * event time, so the watermark bound is exact, and state is (pair
+    * key) × watermark window, never the corpus. The index sides are
+    * batch DataFrames: Spark replans the scan per micro-batch, so an
+    * index overwritten by a nightly re-fit is picked up without
+    * restarting the stream.
+    */
+  def dedupAgainstIndexStream(docs: DataFrame, idCol: String, tsCol: String,
+                              textCol: String, indexPath: String,
+                              watermark: String, k: Int = 3,
+                              numHashes: Int = 32, bands: Int = 8,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val banded = graft.dedup.Dedup.portableBandedProjection(
+        docs, textCol, k, numHashes, bands)
+      .select(col(idCol).as("new_id"), col(tsCol).as("ts"),
+        col("sh"), col("band"), col("bh"))
+      .withWatermark("ts", watermark)
+    val buckets = spark.read.parquet(s"$indexPath/banded")
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("base_ids"))
+      .filter(size(col("base_ids")) <= maxBucket)
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+      .select(col("id").as("dup_of"), col("sh").as("shB"))
+    banded.join(buckets, Seq("band", "bh"))
+      .select(col("new_id"), col("ts"), col("sh"),
+        explode(col("base_ids")).as("dup_of"))
+      .dropDuplicatesWithinWatermark("new_id", "dup_of")
+      .join(idxSh, Seq("dup_of"))
+      .withColumn("jaccard", graft.dedup.Dedup.jaccard(col("sh"), col("shB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ts"), col("dup_of"), col("jaccard"))
+  }
+
   /** Streaming SemDeDup gate: semantic near-duplicate PAIRS between
     * in-flight documents, cross-batch — the streaming twin of
     * `Similarity.semanticPairs`. The kmeans centroids are a PRE-FIT
