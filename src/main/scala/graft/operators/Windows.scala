@@ -183,8 +183,14 @@ object Windows {
             by: Seq[String], out: String,
             allowGlobal: Boolean = false): DataFrame = {
     val w = spec(by, order, allowGlobal, "rleid")
+    // lag(lit) is null ONLY on the first row — which must open run 1
+    // even when its value is NULL (an NA-NA comparison alone would
+    // score it 0 and start the ids at 0; reference rleid.c counts runs
+    // from 1 and treats consecutive NAs as one run)
+    val firstRow = lag(lit(1), 1).over(w).isNull
     val changed = cols.map(c =>
-      when(lag(col(c), 1).over(w).isNull && col(c).isNull, 0)
+      when(firstRow, 1)
+        .when(lag(col(c), 1).over(w).isNull && col(c).isNull, 0)
         .when(lag(col(c), 1).over(w) === col(c), 0)
         .otherwise(1)).reduce(greatest(_, _))
     val wCum = w.rowsBetween(Window.unboundedPreceding, 0)

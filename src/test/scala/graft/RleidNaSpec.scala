@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Windows
+
+/** rleid NA-run parity with the reference (src/rleid.c): consecutive NAs
+  * are ONE run, and ids start at 1 even when the first value is NA (the
+  * lag-based form scored the first row 0 before this was pinned).
+  */
+class RleidNaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("leading NA run opens run 1; NA-NA continues a run; NA↔value breaks it") {
+    val df = Seq((1, None: Option[String]), (2, None), (3, Some("a")),
+      (4, Some("a")), (5, None), (6, Some("a")))
+      .toDF("o", "v")
+    val out = Windows.rleid(df, Seq("v"), Seq($"o".asc), Nil, "rid", allowGlobal = true)
+      .orderBy($"o").select($"rid").as[Long].collect().toSeq
+    assert(out == Seq(1L, 1L, 2L, 2L, 3L, 4L))
+  }
+
+  test("per-group: every group's first row opens run 1, NA or not") {
+    val df = Seq(("g1", 1, None: Option[Int]), ("g1", 2, Some(7)),
+      ("g2", 1, Some(7)), ("g2", 2, None), ("g2", 3, None))
+      .toDF("g", "o", "v")
+    val out = Windows.rleid(df, Seq("v"), Seq($"o".asc), Seq("g"), "rid")
+      .orderBy($"g", $"o").select($"rid").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 1L, 2L, 2L))
+  }
+}
