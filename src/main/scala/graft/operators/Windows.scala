@@ -440,12 +440,19 @@ object Windows {
     * short series.
     */
   def cum(fn: String, c: Column, by: Seq[String], order: Seq[Column],
-          allowGlobal: Boolean = false): Column = {
+          allowGlobal: Boolean = false, naRm: Boolean = false): Column = {
     val w = spec(by, order, allowGlobal, "cum").rowsBetween(Window.unboundedPreceding, 0)
+    // Reference default (base-R cumsum/cummin/cummax in j): an NA poisons
+    // every position from itself onward. SQL window aggs skip NULLs, so
+    // the poison is restored with a prefix null-count guard; naRm=true
+    // opts into the skip-NULLs SQL semantics.
+    def poisoned(agg: Column): Column =
+      if (naRm) agg
+      else when(count(c).over(w) < count(lit(1)).over(w), lit(null)).otherwise(agg)
     fn match {
-      case "sum" => sum(c).over(w)
-      case "min" => min(c).over(w)
-      case "max" => max(c).over(w)
+      case "sum" => poisoned(sum(c).over(w))
+      case "min" => poisoned(min(c).over(w))
+      case "max" => poisoned(max(c).over(w))
       case "prod" =>
         val x = c.cast("double")
         // null in prefix → null (reference cumprod propagates NA)

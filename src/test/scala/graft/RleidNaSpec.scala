@@ -30,3 +30,39 @@ class RleidNaSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L, 1L, 2L, 2L))
   }
 }
+
+/** Cumulative-fn NA parity: base-R cumsum/cummin/cummax propagate NA from
+  * the first NA onward; naRm=true restores SQL skip-NULL semantics.
+  */
+class CumNaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def df = Seq((1, Some(2.0)), (2, None: Option[Double]), (3, Some(5.0)))
+    .toDF("o", "v")
+
+  test("cumsum poisons from the first NA onward by default") {
+    val out = df.withColumn("cs",
+        Windows.cum("sum", $"v", Nil, Seq($"o".asc), allowGlobal = true))
+      .orderBy($"o").select($"cs").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(2.0), None, None))
+  }
+
+  test("naRm=true skips NULLs like SQL running sum") {
+    val out = df.withColumn("cs",
+        Windows.cum("sum", $"v", Nil, Seq($"o".asc), allowGlobal = true, naRm = true))
+      .orderBy($"o").select($"cs").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(2.0), Some(2.0), Some(7.0)))
+  }
+
+  test("cummin/cummax poison identically") {
+    val outMin = df.withColumn("cm",
+        Windows.cum("min", $"v", Nil, Seq($"o".asc), allowGlobal = true))
+      .orderBy($"o").select($"cm").as[Option[Double]].collect().toSeq
+    assert(outMin == Seq(Some(2.0), None, None))
+    val outMax = df.withColumn("cm",
+        Windows.cum("max", $"v", Nil, Seq($"o".asc), allowGlobal = true))
+      .orderBy($"o").select($"cm").as[Option[Double]].collect().toSeq
+    assert(outMax == Seq(Some(2.0), None, None))
+  }
+}
