@@ -298,6 +298,24 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/banded")
   }
 
+  /** Append a (typically just-deduplicated) batch into a
+    * [[saveBandIndex]]-written index — the maintenance half of the
+    * ingest loop: match with [[minhashIncrementalIndexed]], keep the
+    * novel docs, append them so TOMORROW's batch dedups against today's.
+    * Parquet append only touches the new files; the corpus is never
+    * rewritten. Caller contract: append each batch once (ids already in
+    * the index produce duplicate index rows, which only cost bucket
+    * slots — matches are deduped downstream).
+    */
+  def appendToBandIndex(batch: DataFrame, idCol: String, textCol: String,
+                        path: String, k: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): Unit = {
+    val b = portableBase(batch, idCol, textCol, k, numHashes)
+    b.select(col("id"), col("sh")).write.mode("append").parquet(s"$path/shingles")
+    portableBandedOf(b, numHashes, bands)
+      .write.mode("append").parquet(s"$path/banded")
+  }
+
   /** [[minhashIncrementalPortable]] against a [[saveBandIndex]]-written
     * index — the corpus never leaves parquet. Same output contract;
     * a spec pins equality with the DataFrame form.

@@ -68,6 +68,23 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(audited > 0)
   }
 
+  test("ingest loop: append day-1 novel docs, day-2 batch matches them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_loop").toString
+    Dedup.saveBandIndex(base, "doc_id", "text", dir)
+    // day 1: doc 101 is novel → append it
+    val day1 = batch.filter($"doc_id" === 101L)
+    val m1 = Dedup.minhashIncrementalIndexed(spark, dir, day1, "doc_id", "text")
+    assert(m1.count() == 0)
+    Dedup.appendToBandIndex(day1, "doc_id", "text", dir)
+    // day 2: a re-post of doc 101 must now match the GROWN index
+    val day2 = Seq(
+      (200L, "completely novel content that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    val m2 = Dedup.minhashIncrementalIndexed(spark, dir, day2, "doc_id", "text")
+      .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq
+    assert(m2.contains((200L, 101L)), s"day-2 batch must match appended doc: $m2")
+  }
+
   test("no self-pairs when a batch doc id collides with a base doc id") {
     // same id on both sides (re-ingest): match is still reported — the
     // caller decides identity policy; engine must not silently drop it
