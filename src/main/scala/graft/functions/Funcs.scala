@@ -37,6 +37,14 @@ object Funcs {
     */
   def nafill(c: Column, fill: Column): Column = coalesce(c, fill)
 
+  /** nafill(nan=NA) building block (src/nafill.c nan_is_na): map NaN to
+    * null so the nafill/locf/nocb family treats it as missing — compose
+    * as `nafill(nanAsNa(c), fill)` / `nafillLocf(nanAsNa(c), ...)`.
+    * R's NaN ≠ NA distinction survives otherwise (SQL comparisons and
+    * window aggregates treat NaN as an ordinary — maximal — double).
+    */
+  def nanAsNa(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+
   // ---- predicates (R/between.R, R/like.R, R/notin.R) ------------------
 
   /** between(x, lower, upper, incbounds=TRUE) — vectorized bounds. */

@@ -66,3 +66,27 @@ class CumNaSpec extends AnyFunSuite {
     assert(outMax == Seq(Some(2.0), None, None))
   }
 }
+
+/** nafill(nan=NA) parity: NaN maps to null so const/locf fills see it. */
+class NanAsNaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{lit, when}
+
+  test("nanAsNa turns NaN into null; nafill then fills both") {
+    val df = Seq((1, 1.0), (2, Double.NaN), (3, 3.0)).toDF("o", "v")
+      .withColumn("v", when($"o" === 3, lit(null)).otherwise($"v"))
+    val out = df.withColumn("f",
+        graft.functions.Funcs.nafill(graft.functions.Funcs.nanAsNa($"v"), lit(-1.0)))
+      .orderBy($"o").select($"f").as[Double].collect().toSeq
+    assert(out == Seq(1.0, -1.0, -1.0))
+  }
+
+  test("locf carries past a NaN treated as missing") {
+    val df = Seq((1, 5.0), (2, Double.NaN), (3, 7.0)).toDF("o", "v")
+    val out = df.withColumn("f", graft.operators.Windows.nafillLocf(
+        graft.functions.Funcs.nanAsNa($"v"), Nil, Seq($"o".asc), allowGlobal = true))
+      .orderBy($"o").select($"f").as[Double].collect().toSeq
+    assert(out == Seq(5.0, 5.0, 7.0))
+  }
+}
