@@ -988,6 +988,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pair list not served from cache:\n$p")
   }
 
+  test("q_dedup_incremental: one hash exchange buckets the base; batch joins in") {
+    val p = plan("q_dedup_incremental")
+    // the base bucket aggregation (collect_list per band,bh) is the only
+    // structural shuffle; candidate + shingle joins must not add
+    // corpus-wide exchanges of their own at this scale (broadcast/AQE)
+    assert(p.contains("collect_list"), s"bucket aggregation missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
+      s"batch side should broadcast against the bucketed base:\n$p")
+  }
+
   test("frank random: deterministic tie-break, all ranks distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
