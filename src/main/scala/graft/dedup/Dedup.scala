@@ -298,6 +298,45 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/banded")
   }
 
+  /** [[saveBandIndex]]'s CLUSTER-PERSISTENT form (the
+    * [[graft.operators.Scale.setKeyBucketed]] pattern): the banding is
+    * written into the session catalog bucketed + sorted by (band, bh),
+    * so [[minhashIncrementalBucketed]]'s per-bucket aggregation scans
+    * with hash-clustered outputPartitioning and plans with ZERO
+    * Exchange on the corpus side — at 100 TB the corpus banding
+    * shuffle is the dominant per-batch cost this deletes. Shingles are
+    * bucketed by id for the verify join.
+    */
+  def saveBandIndexBucketed(df: DataFrame, idCol: String, textCol: String,
+                            table: String, k: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8, buckets: Int = 32): Unit = {
+    val b = portableBase(df, idCol, textCol, k, numHashes)
+    b.select(col("id"), col("sh"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${table}_shingles")
+    portableBandedOf(b, numHashes, bands)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(s"${table}_banded")
+  }
+
+  /** [[minhashIncrementalIndexed]] against a [[saveBandIndexBucketed]]
+    * catalog index — same output contract, corpus-side shuffle-free.
+    */
+  def minhashIncrementalBucketed(spark: SparkSession, table: String,
+                                 batch: DataFrame, idCol: String, textCol: String,
+                                 k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.5,
+                                 maxBucket: Int = 1000): DataFrame = {
+    val batchB = portableBase(batch, idCol, textCol, k, numHashes)
+    incrementalPairs(
+      spark.table(s"${table}_shingles"),
+      spark.table(s"${table}_banded"),
+      batchB, portableBandedOf(batchB, numHashes, bands),
+      threshold, maxBucket)
+  }
+
   /** Append a (typically just-deduplicated) batch into a
     * [[saveBandIndex]]-written index — the maintenance half of the
     * ingest loop: match with [[minhashIncrementalIndexed]], keep the

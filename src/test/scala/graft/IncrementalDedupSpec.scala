@@ -85,6 +85,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(m2.contains((200L, 101L)), s"day-2 batch must match appended doc: $m2")
   }
 
+  test("bucketed catalog index: same matches, zero corpus-side exchange") {
+    Dedup.saveBandIndexBucketed(base, "doc_id", "text", "inc_idx_spec", buckets = 4)
+    try {
+      val direct = Dedup.minhashIncrementalPortable(base, batch, "doc_id", "text")
+        .orderBy($"new_id", $"dup_of").as[(Long, Long, Double)].collect().toSeq
+      val bucketed = Dedup.minhashIncrementalBucketed(spark, "inc_idx_spec",
+          batch, "doc_id", "text")
+        .orderBy($"new_id", $"dup_of").as[(Long, Long, Double)].collect().toSeq
+      assert(bucketed == direct && direct.nonEmpty)
+      // the (band, bh) bucket aggregation must consume the table's
+      // bucketing instead of shuffling the corpus banding
+      val agg = spark.table("inc_idx_spec_banded")
+        .groupBy($"band", $"bh").agg(count(lit(1)).as("n"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed banding still shuffles:\n$p")
+    } finally spark.sql("DROP TABLE IF EXISTS inc_idx_spec_shingles") ::
+      spark.sql("DROP TABLE IF EXISTS inc_idx_spec_banded") :: Nil
+  }
+
   test("no self-pairs when a batch doc id collides with a base doc id") {
     // same id on both sides (re-ingest): match is still reported — the
     // caller decides identity policy; engine must not silently drop it
