@@ -488,6 +488,31 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   }
   def head(n: Int): DT = DT(df.limit(n))
 
+  /** R head/tail semantics incl. NEGATIVE n (head(DT, -k) = all but the
+    * LAST k rows; tail(DT, -k) = all but the FIRST k). DataFrames have
+    * no row order, so both take the explicit order the reference gets
+    * implicitly — the row-number-subset doctrine (§2.2 documented
+    * diff). Positive tail / negative head need the total row count (one
+    * slim count job); negative tail is a pure offset, no action.
+    */
+  def headOrdered(n: Int, order: Seq[Column]): DT = {
+    require(order.nonEmpty, "headOrdered needs an explicit order")
+    if (n >= 0) DT(df.orderBy(order: _*).limit(n))
+    else {
+      val keep = df.count() + n
+      if (keep <= 0) DT(df.limit(0)) else DT(df.orderBy(order: _*).limit(keep.toInt))
+    }
+  }
+
+  /** See [[headOrdered]]. */
+  def tailOrdered(n: Int, order: Seq[Column]): DT = {
+    require(order.nonEmpty, "tailOrdered needs an explicit order")
+    if (n >= 0) {
+      val skip = (df.count() - n).max(0L)
+      DT(df.orderBy(order: _*).offset(skip.toInt))
+    } else DT(df.orderBy(order: _*).offset(-n))
+  }
+
   /** top-k per group: `DT[order(o), head(.SD, k), by]` idiom. */
   def topK(by: Seq[String], order: Seq[Column], k: Int,
            allowGlobal: Boolean = false): DT =

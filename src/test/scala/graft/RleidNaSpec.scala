@@ -90,3 +90,29 @@ class NanAsNaSpec extends AnyFunSuite {
     assert(out == Seq(5.0, 5.0, 7.0))
   }
 }
+
+/** R head/tail with negative n (all-but-last / all-but-first) under the
+  * explicit-order doctrine.
+  */
+class HeadTailNegSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def dt = DT(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"))
+    .toDF("o", "v"))
+  private def vals(d: DT): Seq[String] =
+    d.df.orderBy(col("o")).select(col("v")).as[String].collect().toSeq
+
+  test("head(-2) drops the last 2; tail(-2) drops the first 2") {
+    assert(vals(dt.headOrdered(-2, Seq(col("o").asc))) == Seq("a", "b", "c"))
+    assert(vals(dt.tailOrdered(-2, Seq(col("o").asc))) == Seq("c", "d", "e"))
+  }
+
+  test("positive forms agree with limit/offset; overshoot clamps") {
+    assert(vals(dt.headOrdered(2, Seq(col("o").asc))) == Seq("a", "b"))
+    assert(vals(dt.tailOrdered(2, Seq(col("o").asc))) == Seq("d", "e"))
+    assert(vals(dt.headOrdered(-9, Seq(col("o").asc))) == Seq.empty)
+    assert(vals(dt.tailOrdered(9, Seq(col("o").asc))) == Seq("a", "b", "c", "d", "e"))
+  }
+}
