@@ -122,6 +122,33 @@ object QueriesWindows {
              |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
              |      FROM events)""".stripMargin)),
 
+    // ---- .GRP group counter (R/data.table.R dogroups) ------------------
+    // scale shape: dense_rank runs over the DISTINCT key set only and
+    // broadcast-joins back — the data never funnels into one partition
+    ("q_grp", ((s, dir) =>
+      Windows.grp(dt(s, dir, "events").df, Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("grp").cast("long").as("grp"))): Q,
+      Some("""SELECT event_id, event_type,
+             |  dense_rank() OVER (ORDER BY event_type ASC) AS grp
+             |FROM events""".stripMargin)),
+
+    // ---- froll with VECTOR n (frollmean(x, n=c(3, 7))) -----------------
+    ("q_froll_vector", ((s, dir) =>
+      Windows.frollN(dt(s, dir, "events").df, "m", "mean", col("value"),
+          Seq(3, 7), Seq("user_id"), Seq(col("ts").asc, col("event_id").asc))
+        .select(col("event_id"), round(col("m3"), 3).as("m3"),
+          round(col("m7"), 3).as("m7"))): Q,
+      Some("""SELECT event_id,
+             |  CASE WHEN count(value) OVER w3 = 3
+             |       THEN round(avg(value) OVER w3, 3) END AS m3,
+             |  CASE WHEN count(value) OVER w7 = 7
+             |       THEN round(avg(value) OVER w7, 3) END AS m7
+             |FROM events
+             |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             |       w7 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- rowid within dup group (R/data.table.R:3267) ------------------
     ("q_rowid", ((s, dir) =>
       Windows.rowid(dt(s, dir, "events").df, Seq("user_id", "event_type"),

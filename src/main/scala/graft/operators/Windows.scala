@@ -60,6 +60,34 @@ object Windows {
     else lead(c, -n, fill).over(w)
   }
 
+  /** .GRP (R/data.table.R dogroups): the 1-based group counter in the
+    * sorted order of the `by` values. A dense_rank over the full table
+    * would funnel every row through ONE partition — instead the DISTINCT
+    * key set (n_groups rows, the thing that must be small for .GRP to
+    * mean anything) is ranked alone and broadcast-joined back; the data
+    * never shuffles.
+    */
+  def grp(df: DataFrame, by: Seq[String], out: String = "grp"): DataFrame = {
+    require(by.nonEmpty, "grp needs group columns")
+    val keys = df.select(by.map(col): _*).distinct()
+      .withColumn(out,
+        dense_rank().over(Window.orderBy(by.map(c => col(c).asc): _*)))
+    df.join(broadcast(keys), by)
+  }
+
+  /** froll with VECTOR n (R frollmean(x, n=c(2, 5)) returns one result
+    * per window width): one output column `<prefix><n>` per width, all
+    * widths sharing the single window sort.
+    */
+  def frollN(df: DataFrame, prefix: String, fn: String, c: Column, ns: Seq[Int],
+             by: Seq[String], order: Seq[Column], align: String = "right",
+             partial: Boolean = false, allowGlobal: Boolean = false): DataFrame = {
+    require(ns.nonEmpty, "frollN needs at least one window width")
+    ns.foldLeft(df)((acc, n) =>
+      acc.withColumn(s"$prefix$n",
+        froll(fn, c, n, by, order, align, partial, allowGlobal)))
+  }
+
   /** shift(type="cyclic") (src/shift.c:25-28): wrap around within the
     * partition via modular row-number arithmetic + an equi self-join on
     * (group, target row) — no partition-sized arrays.
