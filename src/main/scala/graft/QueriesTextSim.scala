@@ -682,6 +682,21 @@ object QueriesTextSim {
         k = 3, numHashes = 32, bands = 8, threshold = 0.5)): Q,
       Some(minhashOracle)),
 
+    // ---- Unicode NFC canonicalization (dedup pre-pass) -----------------
+    // Decomposed combining marks are injected deterministically (e +
+    // U+0301 after every 'x') so the normalizer has real work on BOTH
+    // engines; the oracle's nfc_normalize must compose them identically.
+    ("q_unicode_nfc", ((s, dir) => {
+      val decomposed = regexp_replace(col("text"), "x", "e\u0301")
+      docs(s, dir).select(col("doc_id"),
+        graft.plans.UnicodeNormalize.nfc(decomposed).as("norm"),
+        length(graft.plans.UnicodeNormalize.nfc(decomposed)).as("n_chars"))
+    }): Q,
+      Some("""SELECT doc_id,
+             |  nfc_normalize(regexp_replace(text, 'x', 'e' || chr(769), 'g')) AS norm,
+             |  length(nfc_normalize(regexp_replace(text, 'x', 'e' || chr(769), 'g'))) AS n_chars
+             |FROM documents""".stripMargin)),
+
     // ---- incremental dedup: ingest batch vs existing corpus ------------
     // Daily-ingest LSH shape: docs with doc_id % 7 == 0 arrive as the new
     // batch, the rest are the standing corpus; a batch doc is reported

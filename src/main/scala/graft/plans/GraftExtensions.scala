@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simhashDesc)
     e.injectFunction(GraftExtensions.tokenSetCountDesc)
     e.injectFunction(GraftExtensions.roundMantissaDesc)
+    e.injectFunction(GraftExtensions.unicodeNormalizeDesc)
   }
 }
 
@@ -70,6 +71,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[RoundMantissa].getName, "graft_round_mantissa"),
     (args: Seq[Expression]) => RoundMantissa(args.head, intArg(args(1), "bytes")))
 
+  private def stringArg(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
+  }
+
+  val unicodeNormalizeDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_normalize"),
+    new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+    (args: Seq[Expression]) =>
+      UnicodeNormalize(args.head, stringArg(args(1), "form")))
+
   private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_shingle_hashes" ->
       ((args: Seq[Expression]) => ShingleHashes(args.head, intArg(args(1), "k"))),
@@ -80,7 +93,9 @@ object GraftExtensions {
     "graft_token_set_count" ->
       ((args: Seq[Expression]) => TokenSetCount(args.head, stringsArg(args(1), "words"))),
     "graft_round_mantissa" ->
-      ((args: Seq[Expression]) => RoundMantissa(args.head, intArg(args(1), "bytes"))))
+      ((args: Seq[Expression]) => RoundMantissa(args.head, intArg(args(1), "bytes"))),
+    "graft_normalize" ->
+      ((args: Seq[Expression]) => UnicodeNormalize(args.head, stringArg(args(1), "form"))))
 
   /** Register on an already-built session (e.g. the driver's). */
   def register(spark: SparkSession): Unit =
