@@ -38,6 +38,16 @@ object TextFunctions {
   def canonicalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]", " "), " +", " "))
 
+  /** [[canonicalize]] with a Unicode NFKC pre-pass: composes combining
+    * marks AND folds width/ligature compatibility variants before the
+    * ASCII squeeze, so "ｆｕｌｌ" and "full", or decomposed and composed
+    * accents, land on ONE dedup key. The stronger tier for web corpora;
+    * kept separate because the plain form is the oracle-mirrored one
+    * (DuckDB has nfc_normalize but no NFKC).
+    */
+  def canonicalizeUnicode(text: Column): Column =
+    canonicalize(graft.plans.UnicodeNormalize.nfkc(text))
+
   /** Document fingerprint: md5 of the normalized text (content-defined
     * identity for exact dedup).
     */

@@ -45,3 +45,20 @@ class NormalizeSpec extends AnyFunSuite {
     }
   }
 }
+
+/** canonicalizeUnicode: NFKC pre-pass + ASCII squeeze = one dedup key
+  * across encoding variants.
+  */
+class CanonicalizeUnicodeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fullwidth / ligature / decomposed variants share a canonical key") {
+    val df = Seq("full text", "ｆｕｌｌ text", "fulﬂ text short")
+      .toDF("t")
+    val keys = df.select(graft.text.TextFunctions.canonicalizeUnicode($"t").as("k"))
+      .as[String].collect().toSeq
+    assert(keys(0) == keys(1), s"fullwidth must fold: $keys")
+    assert(keys(2) == "fulfl text short", s"ligature must fold to its letters: $keys")
+  }
+}
