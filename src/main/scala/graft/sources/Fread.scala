@@ -342,7 +342,10 @@ object Fread {
     def mkReader(schema: Option[StructType]) = {
       val r = spark.read
         .option("sep", sep)
-        .option("quote", opts.quote)
+        // fread(quote=""): disable quote processing entirely (a quote
+        // char is then ordinary data) — Spark's disable convention is
+        // the NUL character
+        .option("quote", if (opts.quote.isEmpty) "\u0000" else opts.quote)
         .option("escape", opts.escape)
         // Spark CSV supports ONE null token: prefer the first NON-empty
         // na.string ('' parses as null for non-string types regardless);
@@ -551,7 +554,8 @@ object Fread {
     }
     var w = df.write.mode(if (opts.append) SaveMode.Append else SaveMode.Overwrite)
       .option("sep", opts.sep)
-      .option("quote", opts.quote)
+      // fwrite(quote=FALSE) parity: empty quote disables quoting
+      .option("quote", if (opts.quote.isEmpty) "\u0000" else opts.quote)
       .option("escape", opts.escape)
       .option("nullValue", opts.na)
       .option("header", opts.header)

@@ -64,3 +64,28 @@ class JsonlSpec extends AnyFunSuite {
     assert(back.filter($"lang".isNull).select($"id").as[Long].collect().toSeq == Seq(2L))
   }
 }
+
+/** fread/fwrite quote="" parity: quoting disabled — a quote char is
+  * ordinary data on both sides.
+  */
+class QuoteDisableSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("quote=\"\" reads embedded quote chars as data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_noquote").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d.csv"),
+      "a,b\n1,he said \"hi\" loudly\n2,\"unclosed\n".getBytes("UTF-8"))
+    val got = Fread.fread(spark, dir, Fread.FreadOptions(quote = "", sep = ","))
+      .orderBy($"a").select($"b").as[String].collect().toSeq
+    assert(got == Seq("he said \"hi\" loudly", "\"unclosed"))
+  }
+
+  test("fwrite quote=\"\" emits fields verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_noquote_w").toString
+    Fread.fwrite(Seq((1, "say \"hi\"")).toDF("a", "b"), dir,
+      Fread.FwriteOptions(quote = ""))
+    val raw = spark.read.text(dir).as[String].collect().filter(_.startsWith("1"))
+    assert(raw.head == "1,say \"hi\"")
+  }
+}
