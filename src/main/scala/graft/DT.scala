@@ -141,6 +141,34 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def set(assignments: (String, Column)*): DT =
     DT(df.withColumns(assignments.toMap), key)
 
+  /** setnafill(x, type, fill, cols) (src/nafill.c setnafillR): fill NAs
+    * in the SELECTED columns in one pass — type "const" (per-column
+    * fill value, recycled if one is given), or ordered "locf"/"nocb"
+    * over `order` within `by` (all columns share the one window sort).
+    * Returns a new DT (immutable-plan break, like every `set*`).
+    */
+  def setnafill(cols: Seq[String], typ: String = "const",
+                fill: Seq[Column] = Seq(lit(0)),
+                order: Seq[Column] = Nil, by: Seq[String] = Nil,
+                allowGlobal: Boolean = false): DT = {
+    require(cols.nonEmpty, "setnafill needs at least one column")
+    val fills =
+      if (fill.size == 1) Seq.fill(cols.size)(fill.head)
+      else { require(fill.size == cols.size,
+        s"setnafill: ${fill.size} fill values for ${cols.size} columns"); fill }
+    val assigns: Seq[(String, Column)] = typ match {
+      case "const" => cols.zip(fills).map { case (c, f) =>
+        c -> coalesce(col(c), f) }
+      case "locf" => cols.map(c =>
+        c -> Windows.nafillLocf(col(c), by, order, allowGlobal))
+      case "nocb" => cols.map(c =>
+        c -> Windows.nafillNocb(col(c), by, order, allowGlobal))
+      case other => throw new IllegalArgumentException(
+        s"setnafill: type must be const/locf/nocb, got '$other'")
+    }
+    DT(df.withColumns(assigns.toMap), key)
+  }
+
   /** `DT[i, name := expr]` — sub-assign: update only rows matching `i`,
     * keep the old value elsewhere (reference keeps unmatched rows
     * untouched, src/assign.c).

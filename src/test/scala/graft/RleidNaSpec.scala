@@ -116,3 +116,42 @@ class HeadTailNegSpec extends AnyFunSuite {
     assert(vals(dt.tailOrdered(9, Seq(col("o").asc))) == Seq("a", "b", "c", "d", "e"))
   }
 }
+
+/** setnafill multi-column pass: const with recycled/per-column fills,
+  * ordered locf sharing one window sort.
+  */
+class SetnafillSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def dt = DT(Seq(
+    (1, Some(1.0), Some(10.0)), (2, None: Option[Double], None: Option[Double]),
+    (3, Some(3.0), None)).toDF("o", "a", "b"))
+
+  test("const: one fill recycles over all columns; per-column list applies in order") {
+    val r1 = dt.setnafill(Seq("a", "b"), "const", Seq(lit(-1.0)))
+      .df.orderBy(col("o")).select(col("a"), col("b"))
+      .as[(Double, Double)].collect().toSeq
+    assert(r1 == Seq((1.0, 10.0), (-1.0, -1.0), (3.0, -1.0)))
+    val r2 = dt.setnafill(Seq("a", "b"), "const", Seq(lit(-1.0), lit(-2.0)))
+      .df.orderBy(col("o")).select(col("a"), col("b"))
+      .as[(Double, Double)].collect().toSeq
+    assert(r2 == Seq((1.0, 10.0), (-1.0, -2.0), (3.0, -2.0)))
+  }
+
+  test("locf fills both columns along the order") {
+    val r = dt.setnafill(Seq("a", "b"), "locf", order = Seq(col("o").asc),
+        allowGlobal = true)
+      .df.orderBy(col("o")).select(col("a"), col("b"))
+      .as[(Double, Double)].collect().toSeq
+    assert(r == Seq((1.0, 10.0), (1.0, 10.0), (3.0, 10.0)))
+  }
+
+  test("mismatched fill count and bad type are refused") {
+    intercept[IllegalArgumentException] {
+      dt.setnafill(Seq("a", "b"), "const", Seq(lit(1), lit(2), lit(3)))
+    }
+    intercept[IllegalArgumentException] { dt.setnafill(Seq("a"), "nope") }
+  }
+}
