@@ -303,6 +303,23 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     DT(df.select((first ++ rest).map(col): _*), key)
   }
 
+  /** setcolorder(neworder, before=/after=) (R/setcolorder.R): move the
+    * named columns to sit immediately before/after an anchor column,
+    * preserving their own relative order.
+    */
+  def setColOrderAt(cols: Seq[String], before: Option[String] = None,
+                    after: Option[String] = None): DT = {
+    require(before.isDefined != after.isDefined,
+      "setColOrderAt: give exactly one of before= / after=")
+    val anchor = before.orElse(after).get
+    require(df.columns.contains(anchor), s"setColOrderAt: no column '$anchor'")
+    require(!cols.contains(anchor), "setColOrderAt: anchor cannot be moved")
+    val rest = df.columns.filterNot(cols.contains).toSeq
+    val i = rest.indexOf(anchor) + (if (after.isDefined) 1 else 0)
+    val (pre, post) = rest.splitAt(i)
+    DT(df.select((pre ++ cols ++ post).map(col): _*), key)
+  }
+
   // ---- key (physical ordering / co-location) ---------------------------
   /** setkey() analog: range-partition by the key then sort within
     * partitions — the distributed equivalent of the reference's physical

@@ -155,3 +155,26 @@ class SetnafillSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { dt.setnafill(Seq("a"), "nope") }
   }
 }
+
+/** setcolorder before=/after= anchored moves. */
+class SetColOrderAtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dt = DT(Seq((1, 2, 3, 4)).toDF("a", "b", "c", "d"))
+
+  test("before/after move preserves relative order of the moved block") {
+    assert(dt.setColOrderAt(Seq("d", "b"), before = Some("a"))
+      .df.columns.toSeq == Seq("d", "b", "a", "c"))
+    assert(dt.setColOrderAt(Seq("a", "c"), after = Some("d"))
+      .df.columns.toSeq == Seq("b", "d", "a", "c"))
+  }
+
+  test("error paths: both/neither anchors, moving the anchor") {
+    intercept[IllegalArgumentException] { dt.setColOrderAt(Seq("a")) }
+    intercept[IllegalArgumentException] {
+      dt.setColOrderAt(Seq("a"), before = Some("b"), after = Some("c")) }
+    intercept[IllegalArgumentException] {
+      dt.setColOrderAt(Seq("a"), before = Some("a")) }
+  }
+}
