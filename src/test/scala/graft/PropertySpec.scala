@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Windows
+
+/** Property-based equivalence: the distributed kernels against tiny
+  * driver-side reference models on RANDOM inputs (seeded by scalacheck;
+  * failures shrink to a minimal counterexample). Each property runs the
+  * full Catalyst plan per sample, so sizes stay small — the value is
+  * the input-space coverage, not volume.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // plain scalacheck runner (no scalatestplus bridge in the offline
+  // dep set): 25 samples per property, fixed seed for reproducibility
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(25)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // optional doubles incl. nulls, short vectors
+  private val optDoubleGen: Gen[Option[Double]] =
+    Gen.frequency(4 -> Gen.choose(-100.0, 100.0).map(Some(_)),
+                  1 -> Gen.const(None))
+  private val seriesGen: Gen[List[Option[Double]]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, optDoubleGen))
+
+  test("froll sum == sliding reference model (na.rm=FALSE, partial both ways)") {
+    import spark.implicits._
+    check(forAll(seriesGen, Gen.choose(1, 5), Gen.oneOf(true, false)) {
+      (xs: List[Option[Double]], n: Int, partial: Boolean) =>
+        val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("o", "v")
+        val got = df.withColumn("r",
+            Windows.froll("sum", $"v", n, Nil, Seq($"o".asc),
+              partial = partial, allowGlobal = true))
+          .orderBy($"o").select($"r").as[Option[Double]].collect().toSeq
+        val want = xs.indices.map { i =>
+          val lo = math.max(0, i - n + 1)
+          val win = xs.slice(lo, i + 1)
+          val full = win.size == n
+          if (win.exists(_.isEmpty) || (!partial && !full)) None
+          else Some(win.flatten.sum)
+        }
+        val ok = got.zip(want).forall {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case (None, None) => true
+          case _ => false
+        }
+        Prop(ok) :| s"xs=$xs n=$n partial=$partial got=$got want=$want"
+    })
+  }
+
+  test("rleid == scan reference model incl. NA runs") {
+    import spark.implicits._
+    val valGen: Gen[Option[String]] =
+      Gen.frequency(3 -> Gen.oneOf("a", "b").map(Some(_)), 1 -> Gen.const(None))
+    check(forAll(Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, valGen))) {
+      (xs: List[Option[String]]) =>
+        val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("o", "v")
+        val got = Windows.rleid(df, Seq("v"), Seq($"o".asc), Nil, "rid",
+            allowGlobal = true)
+          .orderBy($"o").select($"rid").as[Long].collect().toSeq
+        var run = 0L
+        var prev: Option[Option[String]] = None
+        val want = xs.map { cur =>
+          if (!prev.contains(cur)) run += 1   // NA==NA continues a run
+          prev = Some(cur)
+          run
+        }
+        Prop(got == want) :| s"xs=$xs got=$got want=$want"
+    })
+  }
+
+  test("shift(n) == drop/pad reference model, both directions") {
+    import spark.implicits._
+    check(forAll(seriesGen, Gen.choose(-3, 3)) {
+      (xs: List[Option[Double]], n: Int) =>
+        val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("o", "v")
+        val got = df.withColumn("s",
+            Windows.shift($"v", n, Nil, Seq($"o".asc), allowGlobal = true))
+          .orderBy($"o").select($"s").as[Option[Double]].collect().toSeq
+        val want = xs.indices.map { i =>
+          val j = i - n
+          if (j < 0 || j >= xs.size) None else xs(j)
+        }
+        Prop(got == want) :| s"xs=$xs n=$n got=$got want=$want"
+    })
+  }
+}
