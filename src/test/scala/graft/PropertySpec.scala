@@ -95,3 +95,64 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** As-of join vs a driver-side scan model on random (group, time, value)
+  * tables — LOCF, NOCB and Nearest, distinct on-values per side+group
+  * (tie-break order is pinned by its own Round8Spec battery).
+  */
+class AsofPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.Joins
+
+  // one group, distinct int times each side, small tables
+  private val sideGen: Gen[List[(Int, Double)]] =
+    Gen.choose(0, 6).flatMap(n =>
+      Gen.pick(n, 0 to 20).flatMap(ts =>
+        Gen.listOfN(n, Gen.choose(-50.0, 50.0)).map(vs => ts.toList.zip(vs))))
+
+  test("asof LOCF/NOCB/Nearest == scan model") {
+    import spark.implicits._
+    check(forAll(sideGen, sideGen, Gen.oneOf("locf", "nocb", "nearest")) {
+      (xs: List[(Int, Double)], is: List[(Int, Double)], mode: String) =>
+        val x = xs.map { case (t, v) => ("g", t, v) }.toDF("g", "t", "xv")
+        val i = is.zipWithIndex.map { case ((t, _), k) => (k.toLong, "g", t) }
+          .toDF("id", "g", "t")
+        val roll = mode match {
+          case "locf" => Joins.Locf
+          case "nocb" => Joins.Nocb
+          case _      => Joins.Nearest
+        }
+        val got = Joins.asof(x, i, Seq("g"), "t", roll, Seq("xv"))
+          .orderBy($"id").select($"xv").as[Option[Double]].collect().toSeq
+        val want = is.map { case (t, _) =>
+          val before = xs.filter(_._1 <= t)
+          val after = xs.filter(_._1 >= t)
+          mode match {
+            case "locf" => before.sortBy(_._1).lastOption.map(_._2)
+            case "nocb" => after.sortBy(_._1).headOption.map(_._2)
+            case _ =>
+              // nearest: min |dt|; tie -> the EARLIER (LOCF) side
+              if (xs.isEmpty) None
+              else Some(xs.minBy(p => (math.abs(p._1 - t), p._1 > t))._2)
+          }
+        }
+        val ok = got.size == want.size && got.zip(want).forall {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case (None, None) => true
+          case _ => false
+        }
+        Prop(ok) :| s"mode=$mode xs=$xs is=$is got=$got want=$want"
+    })
+  }
+}
