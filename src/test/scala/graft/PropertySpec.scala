@@ -156,3 +156,70 @@ class AsofPropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** foverlaps(type=any/within) vs the quadratic model; melt→dcast
+  * round-trip identity on random wide tables.
+  */
+class OverlapReshapePropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(15)
+      .withInitialSeed(org.scalacheck.rng.Seed(11L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.{Joins, Reshape}
+
+  private val ivGen: Gen[List[(Int, Int)]] =
+    Gen.choose(0, 5).flatMap(n => Gen.listOfN(n,
+      for { s <- Gen.choose(0, 15); len <- Gen.choose(0, 5) } yield (s, s + len)))
+
+  test("overlap any/within == quadratic model (auto-binned path)") {
+    import spark.implicits._
+    check(forAll(ivGen, ivGen, Gen.oneOf("any", "within")) {
+      (xs: List[(Int, Int)], ys: List[(Int, Int)], typ: String) =>
+        val x = xs.zipWithIndex.map { case ((s, e), k) => (k.toLong, s, e) }
+          .toDF("xid", "xs", "xe")
+        val y = ys.zipWithIndex.map { case ((s, e), k) => (k.toLong, s, e) }
+          .toDF("yid", "ys", "ye")
+        val got = Joins.overlap(x, y, Nil, "xs", "xe", "ys", "ye", typ)
+          .select($"xid", $"yid").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (xi, xk) <- xs.zipWithIndex
+          (yi, yk) <- ys.zipWithIndex
+          hit = typ match {
+            case "any"    => xi._1 <= yi._2 && yi._1 <= xi._2
+            case "within" => xi._1 >= yi._1 && xi._2 <= yi._2
+          }
+          if hit
+        } yield (xk.toLong, yk.toLong)).toSet
+        Prop(got == want) :| s"typ=$typ xs=$xs ys=$ys got=$got want=$want"
+    })
+  }
+
+  test("melt then dcast(first) reconstructs the wide table") {
+    import spark.implicits._
+    val rowGen = for {
+      a <- Gen.choose(-9.0, 9.0); b <- Gen.choose(-9.0, 9.0)
+      c <- Gen.choose(-9.0, 9.0)
+    } yield (a, b, c)
+    check(forAll(Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, rowGen))) {
+      (rows: List[(Double, Double, Double)]) =>
+        val wide = rows.zipWithIndex.map { case ((a, b, c), i) => (i, a, b, c) }
+          .toDF("id", "a", "b", "c")
+        val long = Reshape.melt(wide, Seq("id"), Seq("a", "b", "c"))
+        val back = Reshape.dcast(long, Seq("id"), "variable", "value",
+            first(_), values = Seq("a", "b", "c"))
+          .orderBy($"id")
+        val got = back.select($"id", $"a", $"b", $"c")
+          .as[(Int, Double, Double, Double)].collect().toSeq
+        val want = rows.zipWithIndex.map { case ((a, b, c), i) => (i, a, b, c) }
+        Prop(got == want) :| s"rows=$rows got=$got"
+    })
+  }
+}
