@@ -223,3 +223,51 @@ class OverlapReshapePropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** frank ties enum vs a driver-side rank model on random values with
+  * heavy tie probability.
+  */
+class FrankPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(13L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.Windows
+
+  test("min/max/dense/first/average agree with the model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // values from a tiny domain -> many ties
+    val xsGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 3)))
+    check(forAll(xsGen, Gen.oneOf("min", "max", "dense", "first", "average")) {
+      (xs: List[Int], ties: String) =>
+        val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("o", "v")
+        val got = Windows.frank(df, Seq(col("v").asc), Seq(col("v")), ties,
+            Nil, "rk", appearance = Seq(col("o").asc), allowGlobal = true)
+          .orderBy(col("o")).select(col("rk").cast("double"))
+          .as[Double].collect().toSeq
+        val sortedIdx = xs.zipWithIndex.sortBy { case (v, i) => (v, i) }
+        val pos = sortedIdx.zipWithIndex.map { case ((_, i), p) => i -> (p + 1) }.toMap
+        val want = xs.zipWithIndex.map { case (v, i) =>
+          val tiedPos = xs.zipWithIndex.filter(_._1 == v).map(p => pos(p._2))
+          ties match {
+            case "min"     => tiedPos.min.toDouble
+            case "max"     => tiedPos.max.toDouble
+            case "dense"   => xs.distinct.sorted.indexOf(v) + 1.0
+            case "first"   => pos(i).toDouble
+            case "average" => tiedPos.sum.toDouble / tiedPos.size
+          }
+        }
+        Prop(got == want) :| s"ties=$ties xs=$xs got=$got want=$want"
+    })
+  }
+}
