@@ -271,3 +271,44 @@ class FrankPropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** Set-op multiset (all=TRUE) semantics vs count-based models. */
+class SetOpsPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(17L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.SetOps
+
+  private val bagGen: Gen[List[Int]] =
+    Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.choose(0, 3)))
+
+  test("fintersect/fsetdiff all=TRUE follow min/subtract multiplicity") {
+    import spark.implicits._
+    check(forAll(bagGen, bagGen) { (xs: List[Int], ys: List[Int]) =>
+      val x = xs.toDF("v"); val y = ys.toDF("v")
+      def counts(s: Seq[Int]) = s.groupBy(identity).view.mapValues(_.size).toMap
+      val cx = counts(xs); val cy = counts(ys)
+      val gotI = counts(SetOps.fintersect(x, y, all = true).as[Int].collect().toSeq)
+      val wantI = cx.flatMap { case (v, n) =>
+        val m = math.min(n, cy.getOrElse(v, 0)); if (m > 0) Some(v -> m) else None }
+      val gotD = counts(SetOps.fsetdiff(x, y, all = true).as[Int].collect().toSeq)
+      val wantD = cx.flatMap { case (v, n) =>
+        val m = n - cy.getOrElse(v, 0); if (m > 0) Some(v -> m) else None }
+      val gotU = counts(SetOps.funion(x, y, all = true).as[Int].collect().toSeq)
+      val wantU = (cx.keySet ++ cy.keySet).flatMap { v =>
+        val m = cx.getOrElse(v, 0) + cy.getOrElse(v, 0)
+        if (m > 0) Some(v -> m) else None }.toMap
+      Prop(gotI == wantI && gotD == wantD && gotU == wantU) :|
+        s"xs=$xs ys=$ys I:$gotI/$wantI D:$gotD/$wantD U:$gotU/$wantU"
+    })
+  }
+}
