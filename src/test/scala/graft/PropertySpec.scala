@@ -175,9 +175,11 @@ class OverlapReshapePropertySpec extends AnyFunSuite {
   import org.scalacheck.Prop.forAll
   import graft.operators.{Joins, Reshape}
 
+  // negative starts included: the binned path's floor-division bin ids
+  // must stay correct left of zero
   private val ivGen: Gen[List[(Int, Int)]] =
     Gen.choose(0, 5).flatMap(n => Gen.listOfN(n,
-      for { s <- Gen.choose(0, 15); len <- Gen.choose(0, 5) } yield (s, s + len)))
+      for { s <- Gen.choose(-12, 15); len <- Gen.choose(0, 5) } yield (s, s + len)))
 
   test("overlap any/within == quadratic model (auto-binned path)") {
     import spark.implicits._
