@@ -310,6 +310,12 @@ object Dedup {
   def saveBandIndexBucketed(df: DataFrame, idCol: String, textCol: String,
                             table: String, k: Int = 3, numHashes: Int = 32,
                             bands: Int = 8, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    // a FRESH session's metastore doesn't know a previous session's
+    // tables, but their warehouse directories persist — clear both or
+    // saveAsTable dies with LOCATION_ALREADY_EXISTS on session restart
+    graft.operators.Scale.dropTableAndLocation(spark, s"${table}_shingles")
+    graft.operators.Scale.dropTableAndLocation(spark, s"${table}_banded")
     val b = portableBase(df, idCol, textCol, k, numHashes)
     b.select(col("id"), col("sh"))
       .write.mode("overwrite").format("parquet")

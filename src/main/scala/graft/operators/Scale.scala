@@ -83,11 +83,31 @@ object Scale {
   def setKeyBucketed(df: DataFrame, table: String, cols: Seq[String],
                      buckets: Int = 32): DataFrame = {
     require(cols.nonEmpty, "setKeyBucketed needs at least one key column")
+    dropTableAndLocation(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .saveAsTable(table)
     df.sparkSession.table(table)
+  }
+
+  /** Drop `table` AND its warehouse directory. A FRESH session (new
+    * derby metastore) does not know tables a previous session wrote —
+    * but their directories still sit under spark.sql.warehouse.dir, and
+    * saveAsTable then fails with LOCATION_ALREADY_EXISTS (mode
+    * "overwrite" can only replace a table the catalog knows about).
+    * Every bucketed-table writer must call this first so catalog
+    * indexes survive session restarts — the round-7 events-loader
+    * lesson applied to the warehouse: never assume this session made
+    * the on-disk state.
+    */
+  private[graft] def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
+                                          table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 
   /** setindex(): build (or reuse) the sorted cached copy for `cols`. */

@@ -105,6 +105,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS inc_idx_spec_banded") :: Nil
   }
 
+  test("bucketed save survives an ORPHAN warehouse directory (fresh-metastore restart)") {
+    // a new session's metastore doesn't know tables an old session
+    // wrote, but their directories persist under warehouse.dir —
+    // reproduce that state with an orphan dir and no catalog entry
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val orphan = new org.apache.hadoop.fs.Path(warehouse, "inc_idx_orphan_shingles")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    spark.sql("DROP TABLE IF EXISTS inc_idx_orphan_shingles")
+    spark.sql("DROP TABLE IF EXISTS inc_idx_orphan_banded")
+    try {
+      Dedup.saveBandIndexBucketed(base, "doc_id", "text", "inc_idx_orphan", buckets = 2)
+      val m = Dedup.minhashIncrementalBucketed(spark, "inc_idx_orphan",
+        batch, "doc_id", "text")
+      assert(m.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_idx_orphan_shingles")
+      spark.sql("DROP TABLE IF EXISTS inc_idx_orphan_banded")
+    }
+  }
+
   test("no self-pairs when a batch doc id collides with a base doc id") {
     // same id on both sides (re-ingest): match is still reported — the
     // caller decides identity policy; engine must not silently drop it
