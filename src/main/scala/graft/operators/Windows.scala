@@ -72,7 +72,11 @@ object Windows {
     val keys = df.select(by.map(col): _*).distinct()
       .withColumn(out,
         dense_rank().over(Window.orderBy(by.map(c => col(c).asc): _*)))
-    df.join(broadcast(keys), by)
+    // NULL-SAFE join: an NA group is a GROUP (reference by= semantics);
+    // a plain equi join would silently drop its rows' counters
+    val aliased = keys.select((by.map(c => col(c).as(s"_graft_g_$c")) :+ col(out)): _*)
+    val cond = by.map(c => col(c) <=> col(s"_graft_g_$c")).reduce(_ && _)
+    df.join(broadcast(aliased), cond).drop(by.map(c => s"_graft_g_$c"): _*)
   }
 
   /** froll with VECTOR n (R frollmean(x, n=c(2, 5)) returns one result

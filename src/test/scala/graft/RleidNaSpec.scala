@@ -178,3 +178,19 @@ class SetColOrderAtSpec extends AnyFunSuite {
       dt.setColOrderAt(Seq("a"), before = Some("a")) }
   }
 }
+
+/** .GRP: NA group keys are groups; counter follows sorted key order. */
+class GrpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("NA group gets its own counter (nulls first in sort order)") {
+    val df = Seq((1, Some("b")), (2, None: Option[String]), (3, Some("a")),
+      (4, None), (5, Some("b"))).toDF("o", "g")
+    val out = graft.operators.Windows.grp(df, Seq("g"))
+      .orderBy(col("o")).select(col("grp")).as[Int].collect().toSeq
+    // sorted groups: null(1) < "a"(2) < "b"(3)
+    assert(out == Seq(3, 1, 2, 1, 3))
+  }
+}
