@@ -314,3 +314,48 @@ class SetOpsPropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** nafill locf/nocb/const vs scan models on random null-heavy series. */
+class NafillPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(19L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.Windows
+
+  private val xsGen: Gen[List[Option[Double]]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(1 -> Gen.choose(-9.0, 9.0).map(Some(_)),
+                    1 -> Gen.const(None))))
+
+  test("locf == carry-forward scan; nocb == reversed locf; const == getOrElse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    check(forAll(xsGen) { (xs: List[Option[Double]]) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("o", "v")
+      val locf = df.withColumn("f",
+          Windows.nafillLocf(col("v"), Nil, Seq(col("o").asc), allowGlobal = true))
+        .orderBy(col("o")).select(col("f")).as[Option[Double]].collect().toSeq
+      val wantL = xs.scanLeft(None: Option[Double])((acc, v) => v.orElse(acc)).tail
+      val nocb = df.withColumn("f",
+          Windows.nafillNocb(col("v"), Nil, Seq(col("o").asc), allowGlobal = true))
+        .orderBy(col("o")).select(col("f")).as[Option[Double]].collect().toSeq
+      val wantN = xs.reverse.scanLeft(None: Option[Double])((acc, v) => v.orElse(acc))
+        .tail.reverse
+      val const = df.withColumn("f",
+          graft.functions.Funcs.nafill(col("v"), lit(0.5)))
+        .orderBy(col("o")).select(col("f")).as[Double].collect().toSeq
+      val wantC = xs.map(_.getOrElse(0.5))
+      Prop(locf == wantL && nocb == wantN && const == wantC) :|
+        s"xs=$xs locf=$locf/$wantL nocb=$nocb/$wantN const=$const/$wantC"
+    })
+  }
+}
