@@ -183,7 +183,7 @@ class OverlapReshapePropertySpec extends AnyFunSuite {
 
   test("overlap any/within == quadratic model (auto-binned path)") {
     import spark.implicits._
-    check(forAll(ivGen, ivGen, Gen.oneOf("any", "within")) {
+    check(forAll(ivGen, ivGen, Gen.oneOf("any", "within", "start", "end", "equal")) {
       (xs: List[(Int, Int)], ys: List[(Int, Int)], typ: String) =>
         val x = xs.zipWithIndex.map { case ((s, e), k) => (k.toLong, s, e) }
           .toDF("xid", "xs", "xe")
@@ -197,6 +197,9 @@ class OverlapReshapePropertySpec extends AnyFunSuite {
           hit = typ match {
             case "any"    => xi._1 <= yi._2 && yi._1 <= xi._2
             case "within" => xi._1 >= yi._1 && xi._2 <= yi._2
+            case "start"  => xi._1 == yi._1
+            case "end"    => xi._2 == yi._2
+            case "equal"  => xi._1 == yi._1 && xi._2 == yi._2
           }
           if hit
         } yield (xk.toLong, yk.toLong)).toSet
