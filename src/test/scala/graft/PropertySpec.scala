@@ -362,3 +362,55 @@ class NafillPropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** dcast(sum, fill=) vs a group-model on random long tables with
+  * missing (lhs, rhs) combinations.
+  */
+class DcastPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def check(prop: org.scalacheck.Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(20)
+      .withInitialSeed(org.scalacheck.rng.Seed(23L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.Reshape
+
+  private val rowsGen: Gen[List[(Int, String, Double)]] =
+    Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
+      id <- Gen.choose(0, 3)
+      p  <- Gen.oneOf("x", "y", "z")
+      v  <- Gen.choose(-9.0, 9.0)
+    } yield (id, p, v)))
+
+  test("dcast sum + fill=0 == grouped-sum model over all pivot levels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum, lit}
+    check(forAll(rowsGen) { (rows: List[(Int, String, Double)]) =>
+      val df = rows.toDF("id", "p", "v")
+      val wide = Reshape.dcast(df, Seq("id"), "p", "v", sum(_),
+          values = Seq("x", "y", "z"), fill = Some(lit(0.0)))
+        .orderBy(col("id"))
+      val got = wide.select(col("id"), col("x"), col("y"), col("z"))
+        .as[(Int, Double, Double, Double)].collect().toSeq
+      val ids = rows.map(_._1).distinct.sorted
+      val want = ids.map { id =>
+        def s(p: String) = {
+          val vs = rows.filter(r => r._1 == id && r._2 == p).map(_._3)
+          vs.sum   // empty -> 0.0 == the fill
+        }
+        (id, s("x"), s("y"), s("z"))
+      }
+      val ok = got.size == want.size && got.zip(want).forall { case (g, w) =>
+        g._1 == w._1 && math.abs(g._2 - w._2) < 1e-9 &&
+          math.abs(g._3 - w._3) < 1e-9 && math.abs(g._4 - w._4) < 1e-9
+      }
+      Prop(ok) :| s"rows=$rows got=$got want=$want"
+    })
+  }
+}
