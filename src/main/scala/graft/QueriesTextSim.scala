@@ -1136,6 +1136,36 @@ object QueriesTextSim {
               |SELECT idA, idB, round(sim, 3) + 0.0 AS sim
               |FROM p WHERE sim >= 0.8""".stripMargin)),
 
+    // ---- incremental SemDeDup: embedding batch vs persisted cell index -
+    // The planted twins arrive as the "new batch"; the originals are the
+    // persisted corpus (saveCellIndex: centroids + assigned (id, cell,
+    // vec) parquet). Each twin must surface against its original via the
+    // SAVED state only — the embedding half of the daily ingest loop.
+    ("q_semdedup_incr", ((s, dir) => {
+      val (all, centroids) = semdedupCorpus(s, dir)
+      val corpus = all.filter(col("vec_id") < 1000000L)
+      val batch = all.filter(col("vec_id") >= 1000000L)
+      val idx = s"/tmp/graft_cell_idx_${math.abs(dir.hashCode)}"
+      Similarity.saveCellIndex(corpus, "vec_id", "embedding", centroids, idx)
+      Similarity.semIncremental(s, idx, batch, "vec_id", "embedding",
+        threshold = 0.8)
+        .select(col("new_id"), col("dup_of"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"))
+    }): Q,
+      Some(s"""$semanticCellsSql,
+              |corp AS (SELECT vec_id, cid FROM a WHERE vec_id < 1000000),
+              |newb AS (SELECT vec_id, cid FROM a WHERE vec_id >= 1000000),
+              |ok AS (SELECT cid FROM (SELECT cid, count(*) AS n FROM corp
+              |       GROUP BY 1) WHERE n <= 1000),
+              |p AS (SELECT n.vec_id AS new_id, x.vec_id AS dup_of,
+              |        list_cosine_similarity(en.v, ex.v) AS sim
+              |      FROM newb n JOIN corp x ON n.cid = x.cid
+              |      JOIN ok ON ok.cid = n.cid
+              |      JOIN e en ON en.vec_id = n.vec_id
+              |      JOIN e ex ON ex.vec_id = x.vec_id)
+              |SELECT new_id, dup_of, round(sim, 3) + 0.0 AS sim
+              |FROM p WHERE sim >= 0.8""".stripMargin)),
+
     // ---- SemDeDup keep-one: components over semantic pairs -------------
     // Pairwise pruning is not transitive (chain A≈B≈C would drop B AND
     // C); the oracle walks the same pair list with the recursive-CTE

@@ -448,6 +448,50 @@ object Similarity {
         "vec", centroids).select(col("id"), col("ivf_cell")),
       Seq("ivf_cell"), maxCell)
 
+  /** Persist the SemDeDup corpus state: `path/ivf` = the centroids
+    * ([[saveIvfIndex]] layout) and `path/cells` = the assigned corpus
+    * (id, cell, vec). The embedding twin of
+    * [[graft.dedup.Dedup.saveBandIndex]] — fit + assign once per corpus
+    * version, dedup every later ingest batch against it.
+    */
+  def saveCellIndex(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], path: String): Unit = {
+    saveIvfIndex(df.sparkSession, path, centroids)
+    ivfAssign(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", centroids, out = "cell")
+      .select(col("id"), col("cell"), col("vec"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/cells")
+  }
+
+  /** Incremental SemDeDup: a NEW batch of embeddings vs a
+    * [[saveCellIndex]]-persisted corpus — assign each batch vector to
+    * its cell with the SAVED centroids (broadcast argmax, zero
+    * shuffle), join cell-locally against the stored corpus vectors
+    * (per-cell corpus membership capped + auditable via
+    * [[semanticOversized]] on the corpus), verify with exact cosine.
+    * Output: (new_id, dup_of, sim) — cross-side only; a batch doc
+    * absent from the output is semantically novel. Run
+    * [[semanticPairs]] on the batch alone for intra-batch dups.
+    */
+  def semIncremental(spark: SparkSession, indexPath: String, batch: DataFrame,
+                     idCol: String, vecCol: String, threshold: Double,
+                     maxCell: Int = 1000): DataFrame = {
+    val centroids = loadIvfIndex(spark, indexPath)
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxCell).select(col("cell"))
+    val corpus = cells.join(counts, Seq("cell"))
+      .select(col("cell"), col("id").as("dup_of"), col("vec").as("_vb"))
+    val assigned = ivfAssign(
+        batch.select(col(idCol).as("new_id"), col(vecCol).as("vec")),
+        "vec", centroids, out = "cell")
+      .select(col("cell"), col("new_id"), col("vec").as("_va"))
+    assigned.join(corpus, Seq("cell"))
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("dup_of"), col("sim"))
+  }
+
   /** SemDeDup keep-one: transitive closure of [[semanticPairs]] via
     * connected components (pairwise pruning is not transitive — on a
     * chain A≈B≈C it drops both B and C), keeping the min-id

@@ -41,3 +41,30 @@ class IndexPersistSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Incremental SemDeDup against the persisted cell index: twins match
+  * their originals, novel vectors pass, and index reload is enough.
+  */
+class SemIncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("batch twin matches its original through the saved index; orthogonal vector is novel") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 0.0, 0.0))).toDF("id", "vec")
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cellidx").toString
+    Similarity.saveCellIndex(corpus, "id", "vec", cents, dir)
+    val batch = Seq(
+      (100L, Seq(0.99, 0.01, 0.0, 0.0)),   // ≈ id 1 / 3
+      (101L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("id", "vec")
+    val out = Similarity.semIncremental(spark, dir, batch, "id", "vec",
+        threshold = 0.9)
+      .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq
+    assert(out.nonEmpty && out.forall(_._1 == 100L), s"novel vector matched: $out")
+    assert(out.map(_._2).toSet.subsetOf(Set(1L, 3L)))
+  }
+}
