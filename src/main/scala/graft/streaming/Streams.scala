@@ -204,6 +204,37 @@ object Streams {
       .select(col("new_id"), col("ts"), col("dup_of"), col("jaccard"))
   }
 
+  /** Streaming semantic dedup against a PERSISTED cell index
+    * ([[graft.sim.Similarity.saveCellIndex]]): each in-flight embedding
+    * is assigned to its kmeans cell with the saved centroids (broadcast
+    * native argmax — stateless), stream-static joined to the stored
+    * corpus vectors of that cell (capped per cell), and verified with
+    * exact cosine. FULLY stateless — cells are disjoint, so each
+    * (stream doc, corpus doc) pair arises exactly once; no watermark
+    * state needed. Emits (new_id, ts, dup_of, sim). The batch twin is
+    * [[graft.sim.Similarity.semIncremental]]; a nightly index overwrite
+    * is picked up per micro-batch without restarting the stream.
+    */
+  def semDedupAgainstIndexStream(docs: DataFrame, idCol: String, tsCol: String,
+                                 vecCol: String, indexPath: String,
+                                 threshold: Double,
+                                 maxCell: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val centroids = graft.sim.Similarity.loadIvfIndex(spark, indexPath)
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxCell).select(col("cell"))
+    val corpus = cells.join(counts, Seq("cell"))
+      .select(col("cell"), col("id").as("dup_of"), col("vec").as("_vb"))
+    val assigned = docs.select(col(idCol).as("new_id"), col(tsCol).as("ts"),
+        col(vecCol).as("_va"),
+        graft.plans.NearestCentroid(col(vecCol), centroids).as("cell"))
+    assigned.join(corpus, Seq("cell"))
+      .withColumn("sim", graft.sim.Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("ts"), col("dup_of"), col("sim"))
+  }
+
   /** Streaming SemDeDup gate: semantic near-duplicate PAIRS between
     * in-flight documents, cross-batch — the streaming twin of
     * `Similarity.semanticPairs`. The kmeans centroids are a PRE-FIT

@@ -54,3 +54,49 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+/** Streaming semantic dedup vs the persisted cell index: stream output
+  * equals the batch semIncremental result, stateless.
+  */
+class StreamingSemIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  case class Vec(doc_id: Long, ts: java.sql.Timestamp, vec: Seq[Double])
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("stream matches == batch semIncremental; novel vector passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sim.Similarity
+
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.9, 0.1, 0.0, 0.0))).toDF("id", "vec")
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val idx = java.nio.file.Files.createTempDirectory("graft_scellidx").toString
+    Similarity.saveCellIndex(corpus, "id", "vec", cents, idx)
+
+    val ms = MemoryStream[Vec]
+    val out = graft.streaming.Streams.semDedupAgainstIndexStream(
+      ms.toDF(), "doc_id", "ts", "vec", idx, threshold = 0.9)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sem_idx_stream").start()
+    try {
+      ms.addData(
+        Vec(100L, ts("2024-01-01 10:00:00"), Seq(0.99, 0.01, 0.0, 0.0)),
+        Vec(101L, ts("2024-01-01 10:00:01"), Seq(0.0, 0.0, 1.0, 0.0)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT new_id, dup_of FROM sem_idx_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val batch = Similarity.semIncremental(spark, idx,
+          Seq((100L, Seq(0.99, 0.01, 0.0, 0.0)),
+              (101L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("id", "vec"),
+          "id", "vec", threshold = 0.9)
+        .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == batch && got.nonEmpty, s"stream $got vs batch $batch")
+      assert(got.forall(_._1 == 100L))
+    } finally q.stop()
+  }
+}
