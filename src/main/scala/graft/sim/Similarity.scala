@@ -463,6 +463,23 @@ object Similarity {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/cells")
   }
 
+  /** Fold a (typically just-screened) batch into a [[saveCellIndex]]
+    * index: assign with the SAVED centroids, parquet-append to
+    * `path/cells` — tomorrow's batch then dedups against today's
+    * (the [[graft.dedup.Dedup.appendToBandIndex]] twin). Centroids are
+    * NOT refit here; re-run the offline fit + [[saveCellIndex]] when
+    * drift warrants (cells only ever grow between refits, so watch the
+    * [[semanticOversized]] audit).
+    */
+  def appendToCellIndex(spark: SparkSession, indexPath: String,
+                        batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = loadIvfIndex(spark, indexPath)
+    ivfAssign(batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", centroids, out = "cell")
+      .select(col("id"), col("cell"), col("vec"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexPath/cells")
+  }
+
   /** Incremental SemDeDup: a NEW batch of embeddings vs a
     * [[saveCellIndex]]-persisted corpus — assign each batch vector to
     * its cell with the SAVED centroids (broadcast argmax, zero

@@ -68,3 +68,28 @@ class SemIncrementalSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet.subsetOf(Set(1L, 3L)))
   }
 }
+
+/** Cell-index ingest loop: append day-1 novel vectors, day-2 re-post
+  * matches the grown index.
+  */
+class CellIndexLoopSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("two-day loop through the appended cell index") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    val corpus = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "vec")
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val idx = java.nio.file.Files.createTempDirectory("graft_cellloop").toString
+    Similarity.saveCellIndex(corpus, "id", "vec", cents, idx)
+    // day 1: orthogonal vector is novel -> append it
+    val day1 = Seq((100L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    assert(Similarity.semIncremental(spark, idx, day1, "id", "vec", 0.9).count() == 0)
+    Similarity.appendToCellIndex(spark, idx, day1, "id", "vec")
+    // day 2: a re-post of day-1's vector must match the GROWN index
+    val day2 = Seq((200L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    val m = Similarity.semIncremental(spark, idx, day2, "id", "vec", 0.9)
+      .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq
+    assert(m == Seq((200L, 100L)), s"day-2 must match appended vector: $m")
+  }
+}
