@@ -542,10 +542,17 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     */
   def headOrdered(n: Int, order: Seq[Column]): DT = {
     require(order.nonEmpty, "headOrdered needs an explicit order")
-    if (n >= 0) DT(df.orderBy(order: _*).limit(n))
+    if (n >= 0) DT(df.orderBy(order: _*).limit(n), key)
     else {
       val keep = df.count() + n
-      if (keep <= 0) DT(df.limit(0)) else DT(df.orderBy(order: _*).limit(keep.toInt))
+      // limit() takes an Int: beyond Int.MaxValue the cast would silently
+      // overflow negative. Fail loudly — "all but the last k" of a
+      // >2^31-row frame needs the row_number formulation, not a limit.
+      require(keep <= Int.MaxValue,
+        s"headOrdered(n=$n) would keep $keep rows — beyond limit()'s Int " +
+          "range; use a row_number filter for frames this large")
+      if (keep <= 0) DT(df.limit(0), key)
+      else DT(df.orderBy(order: _*).limit(keep.toInt), key)
     }
   }
 
@@ -554,8 +561,11 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     require(order.nonEmpty, "tailOrdered needs an explicit order")
     if (n >= 0) {
       val skip = (df.count() - n).max(0L)
-      DT(df.orderBy(order: _*).offset(skip.toInt))
-    } else DT(df.orderBy(order: _*).offset(-n))
+      require(skip <= Int.MaxValue,
+        s"tailOrdered(n=$n) would skip $skip rows — beyond offset()'s Int " +
+          "range; use a row_number filter for frames this large")
+      DT(df.orderBy(order: _*).offset(skip.toInt), key)
+    } else DT(df.orderBy(order: _*).offset(-n), key)
   }
 
   /** top-k per group: `DT[order(o), head(.SD, k), by]` idiom. */

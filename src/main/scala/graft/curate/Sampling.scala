@@ -83,11 +83,21 @@ object Sampling {
     require(targets.values.sum <= 1.0 + 1e-9,
       s"shares sum to ${targets.values.sum} > 1 — together they would " +
         "overshoot budgetTokens; shares are fractions OF the budget")
-    val totals = df.groupBy(col(sourceCol))
-      .agg(sum(tokens.cast("long")).as("_graft_tot"))
-      .collect() // driver-small by construction: one row per source
-      .map(r => r.getString(0) ->
-        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap // all-null tokens → 0
+    // The totals aggregation is an EAGER fit: un-memoized it re-runs a
+    // full corpus pass at every evaluation of any composing query (the
+    // Dsir-count lesson — a bench-visible constant and, in a notebook,
+    // a silent per-cell re-aggregation). Memoize per (session, corpus
+    // plan, grouping/token exprs); clearFits() drops the memo when the
+    // corpus is rewritten in-session.
+    val totals = totalsCache.getOrElseUpdate(
+      System.identityHashCode(df.sparkSession).toString + ":" +
+        df.queryExecution.analyzed.semanticHash().toString + ":" +
+        sourceCol + ":" + tokens.toString,
+      df.groupBy(col(sourceCol))
+        .agg(sum(tokens.cast("long")).as("_graft_tot"))
+        .collect() // driver-small by construction: one row per source
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap) // all-null tokens → 0
     val rates = targets.map { case (s, share) =>
       val avail = totals.getOrElse(s, 0L).toDouble
       s -> (if (avail <= 0) 0.0
@@ -95,6 +105,23 @@ object Sampling {
     }
     stratifiedHashSample(df, key, sourceCol, rates, default = 0.0, denom)
   }
+
+  // Session-scoped memo of the per-source token totals (tiny driver
+  // maps, not Spark state — the Dsir.fitCache pattern). The key is the
+  // corpus plan + grouping exprs, NOT targets/budget: those only scale
+  // the derived rates, so every mixture over one corpus shares one fit.
+  private val totalsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+
+  /** Test/visibility hook: whether a totals fit for this corpus+exprs is
+    * already memoized (mirrors Dsir's memo observability).
+    */
+  private[graft] def totalsFitCount: Int = totalsCache.size
+
+  /** Forget every memoized token-totals fit (mirrors `Dsir.clearFits`) —
+    * call between corpus rewrites in one session.
+    */
+  def clearFits(): Unit = totalsCache.clear()
 
   /** Deterministic train/validation/test assignment: the content hash
     * of `key` lands in [0, denom) and `fractions` carve it into

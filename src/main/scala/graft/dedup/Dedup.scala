@@ -421,6 +421,11 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("dup_of"), col("jaccard"))
+      // A double-appended index id carries duplicate (id, sh) rows in
+      // baseSh, which would multiply verify-join output rows even though
+      // candidates are deduped. Final dedup is on the MATCH list — tiny
+      // relative to the corpus — so the corpus side stays shuffle-free.
+      .dropDuplicates("new_id", "dup_of")
   }
 
   /** Shared slim (id, band, bh) banding of an (id, sig) frame for the
@@ -459,6 +464,21 @@ object Dedup {
 
   private val portableBaseCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Keys of the currently-memoized persisted bases/pairs — the OWNED
+    * set tests must assert on. `sparkContext.getPersistentRDDs` is a
+    * global counter that ContextCleaner decrements asynchronously as
+    * earlier suites' unreferenced cached plans are GC'd, so any
+    * assertion on its size is nondeterministic across a full test run.
+    */
+  private[graft] def persistedKeys: Set[String] = portableBaseCache.keySet.toSet
+
+  /** Snapshot of the memoized frames themselves (key -> cached plan);
+    * `frame.storageLevel` reads CacheManager synchronously, so eviction
+    * can be asserted per owned frame.
+    */
+  private[graft] def persistedFrames: Map[String, DataFrame] =
+    portableBaseCache.toMap
 
   /** Unpersist + forget memoized shingle/signature bases — for `df`'s
     * corpus only, or every base (mirrors Scale.clearIndexes; without it

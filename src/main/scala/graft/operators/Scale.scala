@@ -103,11 +103,26 @@ object Scale {
     */
   private[graft] def dropTableAndLocation(spark: org.apache.spark.sql.SparkSession,
                                           table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    // Only unqualified names: a qualified/custom-location table's guessed
+    // warehouse path could belong to an UNRELATED default-db table.
+    require(!table.contains("."),
+      s"dropTableAndLocation takes an unqualified default-database name, got $table")
+    val fullName = s"`default`.`$table`"
+    // When the catalog knows the table, delete its ACTUAL location (the
+    // catalog is the source of truth — never guess while an authority
+    // exists); the warehouse-path guess is only for true orphans (a
+    // fresh metastore meeting a stale warehouse directory).
+    val loc: org.apache.hadoop.fs.Path =
+      if (spark.catalog.tableExists(fullName))
+        new org.apache.hadoop.fs.Path(
+          new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $fullName")
+            .filter(col("col_name") === "Location")
+            .select(col("data_type")).head().getString(0)))
+      else new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    spark.sql(s"DROP TABLE IF EXISTS $fullName")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** setindex(): build (or reuse) the sorted cached copy for `cols`. */

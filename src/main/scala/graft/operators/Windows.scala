@@ -487,17 +487,28 @@ object Windows {
       case "max" => poisoned(max(c).over(w))
       case "prod" =>
         val x = c.cast("double")
-        // null in prefix → null (reference cumprod propagates NA)
+        // null in prefix → null (reference cumprod propagates NA);
+        // naRm=true opts into skip-NULL like the sum/min/max branches
+        // (null only when the prefix has no non-null values — SQL agg
+        // parity), so naRm behaves uniformly across the cum family.
         val sawNull = count(x).over(w) < count(lit(1)).over(w)
         val zeros = sum(when(x === 0.0, 1).otherwise(0)).over(w)
         val negs = sum(when(x < 0.0, 1).otherwise(0)).over(w)
         val logMag = sum(when(x =!= 0.0, log(abs(x)))).over(w)
-        when(sawNull, lit(null).cast("double"))
-          .when(zeros > 0, lit(0.0))
+        val body = when(zeros > 0, lit(0.0))
           .otherwise(when(negs % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
             exp(coalesce(logMag, lit(0.0))))
+        if (naRm) when(count(x).over(w) === 0, lit(null).cast("double")).otherwise(body)
+        else when(sawNull, lit(null).cast("double")).otherwise(body)
       case "prod_exact" =>
-        aggregate(collect_list(c).over(w), lit(1.0), (a, x) => a * x.cast("double"))
+        // collect_list drops nulls, so the sequential multiply alone
+        // would silently behave as naRm=true — the poison guard must be
+        // explicit here, exactly like the log-space branch.
+        val listed =
+          aggregate(collect_list(c).over(w), lit(1.0), (a, x) => a * x.cast("double"))
+        if (naRm) when(count(c).over(w) === 0, lit(null).cast("double")).otherwise(listed)
+        else when(count(c).over(w) < count(lit(1)).over(w),
+          lit(null).cast("double")).otherwise(listed)
       case other => throw new IllegalArgumentException(s"cum fn=$other")
     }
   }

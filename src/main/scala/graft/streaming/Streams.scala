@@ -172,9 +172,14 @@ object Streams {
     * `dropDuplicatesWithinWatermark` — all of a doc's bands carry ONE
     * event time, so the watermark bound is exact, and state is (pair
     * key) × watermark window, never the corpus. The index sides are
-    * batch DataFrames: Spark replans the scan per micro-batch, so an
-    * index overwritten by a nightly re-fit is picked up without
-    * restarting the stream.
+    * batch DataFrames whose FILE LISTING is captured at stream
+    * definition (InMemoryFileIndex): a nightly re-fit that overwrites
+    * the index is NOT picked up in-flight — new files are invisible and
+    * deleting listed files fails the running query. Restart the stream
+    * from its checkpoint after an index overwrite (cheap: all state is
+    * watermark-bounded pair dedup); appends via
+    * [[graft.dedup.Dedup.appendToBandIndex]] likewise need a restart to
+    * be seen.
     */
   def dedupAgainstIndexStream(docs: DataFrame, idCol: String, tsCol: String,
                               textCol: String, indexPath: String,
@@ -212,8 +217,12 @@ object Streams {
     * exact cosine. FULLY stateless — cells are disjoint, so each
     * (stream doc, corpus doc) pair arises exactly once; no watermark
     * state needed. Emits (new_id, ts, dup_of, sim). The batch twin is
-    * [[graft.sim.Similarity.semIncremental]]; a nightly index overwrite
-    * is picked up per micro-batch without restarting the stream.
+    * [[graft.sim.Similarity.semIncremental]]. NOTE: the centroids are
+    * collected ONCE at stream definition and the cell table's file
+    * listing is captured in the plan — a nightly index re-fit is NOT
+    * picked up in-flight (stale centroids against re-assigned cells
+    * would silently mismatch). Restart the (stateless) stream from its
+    * checkpoint after any index overwrite.
     */
   def semDedupAgainstIndexStream(docs: DataFrame, idCol: String, tsCol: String,
                                  vecCol: String, indexPath: String,
