@@ -53,7 +53,12 @@ object Bench {
         if (s.size % 2 == 1) s(s.size / 2)
         else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional positional args = query-name filter for targeted
+    // profiling runs (the driver invokes with no args → full sweep).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(name, fn)
       // failed runs (-1) are excluded from the median so a transient
       // flake can't masquerade as a fast duration; all-failed → -1
@@ -81,8 +86,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"queries":$detail,"sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
-    java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
+    // filtered profiling runs must not clobber the full-sweep detail
+    if (args.isEmpty) {
+      val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
+    } else println(detailJson)
 
     // db-benchmark-shaped headline subset: core aggs/joins/windows/reshape
     // plus the LLM-pipeline flagships. Kept well under the tail budget.

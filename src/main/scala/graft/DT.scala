@@ -342,16 +342,20 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   }
 
   // ---- joins (§2.3) ----------------------------------------------------
-  /** Equi join. `nullSafe=true` matches the reference's NA-joins-NA
-    * semantics (src/bmerge.c: NA/NaN are joinable values) via `<=>`;
-    * default follows SQL semantics (null keys never match).
+  /** Equi join. DEFAULT `nullSafe=true` matches the reference's
+    * NA-joins-NA semantics (src/bmerge.c:10-12: NA/NaN are ordinary
+    * joinable key values) via `<=>` — the one place SQL semantics would
+    * silently return different rows from the same data.table query.
+    * `nullSafe=false` opts into SQL's null-never-matches. No plan cost:
+    * Catalyst's ExtractEquiJoinKeys accepts EqualNullSafe as a hash-join
+    * key, so both defaults plan the same shuffled/broadcast hash join.
     * `strict=true` applies the reference's bmerge coercion matrix
     * (R/bmerge.R:93-160): errors on cross-class key types (string vs
     * numeric, boolean vs anything) instead of Catalyst's silent cast;
     * integer↔double stays allowed, as the reference coerces those.
     */
   def join(i: DT, on: Seq[String], how: String = "inner",
-           nullSafe: Boolean = false, strict: Boolean = false,
+           nullSafe: Boolean = true, strict: Boolean = false,
            rounding: Int = 0): DT = {
     if (strict) graft.functions.StrictTypes.checkJoinTypes(df, i.df, on)
     // setNumericRounding as a join knob (man/setNumericRounding.Rd;
@@ -368,25 +372,33 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     else {
       val clashes = y.columns.filter(c => x.columns.contains(c) && !on.contains(c))
       val renamed = clashes.foldLeft(y)((d, c) => d.withColumnRenamed(c, s"i_$c"))
-      val cond = on.map(c => x(c) <=> renamed(c)).reduce(_ && _)
-      val joined = x.join(renamed, cond, how)
+      // Alias both sides and resolve through the alias qualifier:
+      // attribute-ref conditions (x(c) <=> renamed(c)) break on
+      // SELF-joins — both sides of x[x-derived] share attribute ids and
+      // Catalyst's DetectAmbiguousSelfJoin refuses the plan.
+      val xa = x.alias("_graft_x")
+      val ia = renamed.alias("_graft_i")
+      def xc(c: String) = col(s"_graft_x.`$c`")
+      def ic(c: String) = col(s"_graft_i.`$c`")
+      val cond = on.map(c => xc(c) <=> ic(c)).reduce(_ && _)
+      val joined = xa.join(ia, cond, how)
       how match {
         case "left_semi" | "leftsemi" | "semi" | "left_anti" | "leftanti" | "anti" =>
           DT(joined) // only x's columns survive a semi/anti join
         case _ =>
           // Collapse the duplicated join columns like a USING join. On
           // the outer sides the key must come from whichever side
-          // matched: x(c) is null for unmatched probe rows of a
-          // right/full join, so a bare drop(renamed(c)) would null out
+          // matched: x's key is null for unmatched probe rows of a
+          // right/full join, so a bare drop of i's key would null out
           // their keys (and an NA key that genuinely matched — both
           // sides null — stays null under coalesce, correctly).
           val keyFromBoth = Set("right", "rightouter", "right_outer",
             "full", "fullouter", "full_outer", "outer")
           val keyCols = on.map { c =>
-            (if (keyFromBoth(how)) coalesce(x(c), renamed(c)) else x(c)).as(c)
+            (if (keyFromBoth(how)) coalesce(xc(c), ic(c)) else xc(c)).as(c)
           }
-          val xRest = x.columns.filterNot(on.contains).map(c => x(c))
-          val iRest = renamed.columns.filterNot(on.contains).map(c => renamed(c))
+          val xRest = x.columns.filterNot(on.contains).map(c => xc(c))
+          val iRest = renamed.columns.filterNot(on.contains).map(c => ic(c))
           DT(joined.select(keyCols ++ xRest ++ iRest: _*))
       }
     }

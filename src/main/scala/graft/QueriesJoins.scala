@@ -75,6 +75,29 @@ object QueriesJoins {
              |SELECT coalesce(x.dep, y.dep) AS dep, x.id, y.nk
              |FROM x FULL JOIN y ON x.dep IS NOT DISTINCT FROM y.dep""".stripMargin)),
 
+    // ---- NA-joins-NA is the DEFAULT (round-9 decision) -----------------
+    // Same synthesized null keys as q_join_na but through DT.join's
+    // DEFAULT path (no nullSafe argument): since round 9 the default is
+    // the reference's bmerge semantics, so the two NA rows must MATCH.
+    // Left join so the kept key is x's (null only for x's genuine NAs).
+    ("q_join_na_default", ((s, dir) => {
+      val x = dt(s, dir, "customer").df.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_custkey") % 5).as("dep"))
+      val y = dt(s, dir, "nation").df.select(col("n_nationkey").as("nk"),
+        when(col("n_nationkey") % 6 === 0, lit(null))
+          .otherwise(col("n_nationkey") % 5).as("dep"))
+      DT(x).join(DT(y), Seq("dep"), "left").df
+    }): Q,
+      Some("""WITH x AS (SELECT c_custkey AS id,
+             |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey % 5 END AS dep
+             |  FROM customer),
+             |y AS (SELECT n_nationkey AS nk,
+             |  CASE WHEN n_nationkey % 6 = 0 THEN NULL ELSE n_nationkey % 5 END AS dep
+             |  FROM nation)
+             |SELECT x.dep AS dep, x.id, y.nk
+             |FROM x LEFT JOIN y ON x.dep IS NOT DISTINCT FROM y.dep""".stripMargin)),
+
     // ---- not-join DT[!i] (R/data.table.R:764) --------------------------
     ("q_join_anti", ((s, dir) =>
       dt(s, dir, "customer")

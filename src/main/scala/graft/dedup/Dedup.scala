@@ -278,9 +278,11 @@ object Dedup {
     val batchB = portableBase(batch, idCol, textCol, k, numHashes)
     incrementalPairs(
       baseB.select(col("id"), col("sh")),
-      portableBandedOf(baseB, numHashes, bands),
+      cappedBucketsFor(
+        s"${portableBaseKey(base, idCol, textCol, k, numHashes)}:buckets:$bands:$maxBucket",
+        portableBandedOf(baseB, numHashes, bands), maxBucket),
       batchB, portableBandedOf(batchB, numHashes, bands),
-      threshold, maxBucket)
+      threshold)
   }
 
   /** Persist a corpus's LSH index to parquet: `path/shingles` = (id, sh),
@@ -296,6 +298,7 @@ object Dedup {
     b.select(col("id"), col("sh")).write.mode("overwrite").parquet(s"$path/shingles")
     portableBandedOf(b, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/banded")
+    evictIndexBuckets(s"path=$path")
   }
 
   /** [[saveBandIndex]]'s CLUSTER-PERSISTENT form (the
@@ -325,6 +328,7 @@ object Dedup {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(s"${table}_banded")
+    evictIndexBuckets(s"tbl=$table")
   }
 
   /** [[minhashIncrementalIndexed]] against a [[saveBandIndexBucketed]]
@@ -338,9 +342,11 @@ object Dedup {
     val batchB = portableBase(batch, idCol, textCol, k, numHashes)
     incrementalPairs(
       spark.table(s"${table}_shingles"),
-      spark.table(s"${table}_banded"),
+      cappedBucketsFor(
+        s"idxbuckets:tbl=$table:${System.identityHashCode(spark)}:$bands:$maxBucket",
+        spark.table(s"${table}_banded"), maxBucket),
       batchB, portableBandedOf(batchB, numHashes, bands),
-      threshold, maxBucket)
+      threshold)
   }
 
   /** Append a (typically just-deduplicated) batch into a
@@ -359,6 +365,7 @@ object Dedup {
     b.select(col("id"), col("sh")).write.mode("append").parquet(s"$path/shingles")
     portableBandedOf(b, numHashes, bands)
       .write.mode("append").parquet(s"$path/banded")
+    evictIndexBuckets(s"path=$path")
   }
 
   /** [[minhashIncrementalPortable]] against a [[saveBandIndex]]-written
@@ -373,9 +380,11 @@ object Dedup {
     val batchB = portableBase(batch, idCol, textCol, k, numHashes)
     incrementalPairs(
       spark.read.parquet(s"$indexPath/shingles"),
-      spark.read.parquet(s"$indexPath/banded"),
+      cappedBucketsFor(
+        s"idxbuckets:path=$indexPath:${System.identityHashCode(spark)}:$bands:$maxBucket",
+        spark.read.parquet(s"$indexPath/banded"), maxBucket),
       batchB, portableBandedOf(batchB, numHashes, bands),
-      threshold, maxBucket)
+      threshold)
   }
 
   /** Un-memoized portable shingle+band projection: every input row gains
@@ -406,12 +415,38 @@ object Dedup {
     * base banding (capped), join the batch banding, verify candidates
     * with exact Jaccard over the two shingle sets.
     */
-  private def incrementalPairs(baseSh: DataFrame, baseBanded: DataFrame,
+  /** The corpus side of an incremental search, aggregated to capped
+    * (band, bh, base_ids) buckets and MEMOIZED persisted under
+    * `memoKey`: the aggregation is index-version-invariant, so without
+    * the memo every repeated search in a session (bench reps, a
+    * notebook matching several batches against one nightly index)
+    * re-scans and re-groups the whole corpus banding — the dominant
+    * per-call cost once the index itself is static. The memo key is the
+    * caller's contract: plan-prefixed for DataFrame corpora (evicted by
+    * clearBases(df)), path/table-tagged for persisted indexes (evicted
+    * explicitly on overwrite/append). One daily batch per session pays
+    * exactly the old cost; every later call is a cached scan.
+    */
+  private def cappedBucketsFor(memoKey: String, banded: DataFrame,
+                               maxBucket: Int): DataFrame =
+    cachePersisted(memoKey,
+      banded.groupBy(col("band"), col("bh"))
+        .agg(collect_list(col("id")).as("base_ids"))
+        .filter(size(col("base_ids")) <= maxBucket))
+
+  /** Evict the memoized bucket aggregations of a persisted index —
+    * called by every writer that changes the index's on-disk state
+    * (overwrite OR append), so a stale in-session memo can never serve
+    * a post-append search.
+    */
+  private def evictIndexBuckets(tag: String): Unit =
+    portableBaseCache.keys.filter(_.startsWith(s"idxbuckets:$tag:")).foreach {
+      k => portableBaseCache.remove(k).foreach(_.unpersist())
+    }
+
+  private def incrementalPairs(baseSh: DataFrame, buckets: DataFrame,
                                batchB: DataFrame, batchBanded: DataFrame,
-                               threshold: Double, maxBucket: Int): DataFrame = {
-    val buckets = baseBanded.groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("base_ids"))
-      .filter(size(col("base_ids")) <= maxBucket)
+                               threshold: Double): DataFrame = {
     val cand = batchBanded.join(buckets, Seq("band", "bh"))
       .select(col("id").as("new_id"), explode(col("base_ids")).as("dup_of"))
       .dropDuplicates("new_id", "dup_of")
@@ -521,11 +556,16 @@ object Dedup {
     */
   private[graft] def cappedBuckets(banded: DataFrame, keys: Seq[String],
                                    idCol: String, maxBucket: Int): DataFrame = {
-    val eligible = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("_graft_n"))
+    // One Exchange, not two: the per-bucket count runs as a WINDOW over
+    // the bucket partitioning, the [2, maxBucket] eligibility filters in
+    // place, and the collect_list aggregation reuses the window's
+    // hash-partitioning (Catalyst plans no second Exchange). The old
+    // counts → left_semi → collect shape shuffled the banded rows twice.
+    // Per-key window state is O(1) (a count), so the skew profile is
+    // identical to the collect_list that follows either way.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    banded.withColumn("_graft_n", count(lit(1)).over(w))
       .filter(col("_graft_n").between(2, maxBucket))
-      .select(keys.map(col): _*)
-    banded.join(eligible, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(collect_list(col(idCol)).as("ids"))
   }

@@ -110,7 +110,9 @@ object Joins {
   /** mult="error": fail when any probe row matches more than one x row. */
   def assertNoDup(x: DataFrame, on: Seq[String]): Unit = {
     val dups = x.groupBy(on.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    require(dups == 0, s"mult='error': duplicate matches on ${on.mkString(",")}")
+    // message parity with src/bmerge.c:417
+    require(dups == 0,
+      s"mult='error' and multiple matches during merge (on=${on.mkString(",")})")
   }
 
   // ---- as-of / rolling join -------------------------------------------
@@ -270,13 +272,27 @@ object Joins {
           .select((iCols.map(col) ++
             aliases.zip(outNames).map { case (a, o) => when(within, col(a + "_b")).as(o) }): _*)
       case Nearest =>
+        // Reference default rollends for nearest is c(TRUE,TRUE)
+        // (R/data.table.R:524): both extremes extrapolate. With an end
+        // disabled, a probe beyond that extreme gets NO match
+        // (src/bmerge.c:297-309: the extreme branches fire only when
+        // rollends[k]).
+        val (reStart, reEnd) = rollends.getOrElse((true, true))
         val f = filled(filled(u, wBack, last(_, ignoreNulls = true), "_b"),
                        wFwd, first(_, ignoreNulls = true), "_f")
+        val beforeFirst = col(onX + "_b").isNull // probe precedes every x
+        val afterLast = col(onX + "_f").isNull   // probe follows every x
         val pick = nearestPick(col(on), col(onX + "_b"), col(onX + "_f")) _
         f.filter(col(tag) === 1)
           .select((iCols.map(col) ++
             aliases.zip(outNames).map { case (a, o) =>
-              pick(col(a + "_b"), col(a + "_f")).as(o) }): _*)
+              val base = pick(col(a + "_b"), col(a + "_f"))
+              val withStart = if (reStart) base
+                              else when(beforeFirst, lit(null)).otherwise(base)
+              val withEnd = if (reEnd) withStart
+                            else when(afterLast, lit(null)).otherwise(withStart)
+              withEnd.as(o)
+            }): _*)
     }
     result
   }
@@ -430,9 +446,28 @@ object Joins {
     * plans SMJ/SHJ on the equi keys with the range as join condition.
     * For low-cardinality `by` at scale use [[overlapBinned]].
     */
-  def overlap(x: DataFrame, y: DataFrame, by: Seq[String],
+  /** Reference parity (R/foverlaps.R:58-73): NA interval ends are
+    * REFUSED, with the reference's message. Implemented as a runtime
+    * assertion fused into the range-column projection (raise_error on
+    * the first offending row, evaluated for every input row because the
+    * guarded columns feed the join condition) — zero extra pass, unlike
+    * the reference's eager driver-side anyNA scan.
+    */
+  private def guardNaRanges(df: DataFrame, s: String, e: String,
+                            side: String): DataFrame = {
+    def guard(c: String, role: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"NA values in data.table $side '$role' column: '$c'. All rows with " +
+          "NA values in the range columns must be removed for foverlaps() to work.")))
+        .otherwise(col(c))
+    df.withColumn(s, guard(s, "start")).withColumn(e, guard(e, "end"))
+  }
+
+  def overlap(x0: DataFrame, y0: DataFrame, by: Seq[String],
               xStart: String, xEnd: String, yStart: String, yEnd: String,
               typ: String = "any", autoBin: Boolean = true): DataFrame = {
+    val x = guardNaRanges(x0, xStart, xEnd, "x")
+    val y = guardNaRanges(y0, yStart, yEnd, "y")
     if (by.isEmpty && autoBin) {
       // No equi keys ⇒ the naive plan is a broadcast-nested-loop join
       // (quadratic). Route through the binned equi join with a bin
@@ -487,9 +522,13 @@ object Joins {
     * Shuffle volume ∝ data × (interval span / binWidth) — pick binWidth
     * near the median interval length (SURVEY.md §4.2 item 3).
     */
-  def overlapBinned(x: DataFrame, y: DataFrame, by: Seq[String],
+  def overlapBinned(x0: DataFrame, y0: DataFrame, by: Seq[String],
                     xStart: String, xEnd: String, yStart: String, yEnd: String,
                     binWidth: Long, typ: String = "any"): DataFrame = {
+    // same NA-range refusal as [[overlap]] for direct callers (a second
+    // wrap from the overlap() route is a no-op on non-null values)
+    val x = guardNaRanges(x0, xStart, xEnd, "x")
+    val y = guardNaRanges(y0, yStart, yEnd, "y")
     val bin = "_graft_bin"
     val xb = x.withColumn(bin, explode(sequence(
         floor(col(xStart).cast("double") / binWidth).cast("long"),

@@ -346,8 +346,36 @@ object Similarity {
     fitCache.getOrElseUpdate(key, body).asInstanceOf[T]
   }
 
-  /** Forget every memoized kmeans/PQ fit (mirrors `Dedup.clearBases`). */
-  def clearFits(): Unit = fitCache.clear()
+  // Persisted-DataFrame memo (the Dedup.cachePersisted pattern, race-
+  // safe via putIfAbsent): currently holds the capped corpus side of
+  // [[semIncremental]] per (session, indexPath, maxCell) — without it
+  // every search in a session re-reads and re-counts the whole cell
+  // table. Evicted by the writers that change the index on disk.
+  private val persistedCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def cachePersisted(key: String, df: => DataFrame): DataFrame =
+    persistedCache.get(key).getOrElse {
+      val fresh = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedCache.putIfAbsent(key, fresh) match {
+        case Some(existing) => fresh.unpersist(); existing
+        case None => fresh
+      }
+    }
+
+  private def evictPersisted(tagPrefix: String): Unit =
+    persistedCache.keys.filter(_.startsWith(tagPrefix)).foreach { k =>
+      persistedCache.remove(k).foreach(_.unpersist())
+    }
+
+  /** Forget every memoized kmeans/PQ fit and unpersist the cached
+    * corpus frames (mirrors `Dedup.clearBases`).
+    */
+  def clearFits(): Unit = {
+    fitCache.clear()
+    persistedCache.keys.foreach(k =>
+      persistedCache.remove(k).foreach(_.unpersist()))
+  }
 
   /** Shared Lloyd loop: assignment is a broadcast argmax map over `fit`,
     * the update a posexplode + groupBy(cell, dim); only k×dim aggregate
@@ -409,30 +437,49 @@ object Similarity {
     * 100 TB shape: centroids come from [[kmeansFitMod]] (sampled Lloyd,
     * k×dim driver rows per round) with k sized so cells average well
     * under `maxCell` — the paper runs k≈11k over 100M embeddings.
-    * Nothing here is quadratic in the corpus: the assignment is a map,
-    * the cap bounds every collected bucket, and only (id, cell) rows
-    * travel through the bucket shuffle — the vectors rejoin by id
-    * afterwards. The cap is audited, never silent: alert on a non-empty
-    * [[semanticOversized]] and raise k (finer cells), not the cap.
+    * Nothing here is quadratic in the corpus: the assignment is a map
+    * and the cap bounds every collected bucket. Each row carries its
+    * (id, vec, norm) struct through the ONE cell shuffle and pairs are
+    * generated + cosine-verified inside the exploded bucket with no
+    * post-shuffle join at all. Carrying the vector costs dim×8 B/row in
+    * that single shuffle, but the alternative — slim (id, cell) rows
+    * with two vector-rejoin hash joins — shuffles the full corpus TWICE
+    * more on the join build sides and shuffles the (potentially ≫
+    * corpus) pair list by id: strictly more bytes and two more stages.
+    * Per-cell memory is bounded by maxCell × dim doubles (~0.5 MB at
+    * the defaults). Norms are computed once per ROW, not per pair — the
+    * per-pair work is the single cross dot product. The cap is audited,
+    * never silent: alert on a non-empty [[semanticOversized]] and raise
+    * k (finer cells), not the cap.
     */
   def semanticPairs(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], threshold: Double,
                     maxCell: Int = 1000): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val assigned = ivfAssign(base, "vec", centroids)
-      .select(col("id"), col("ivf_cell"))
-    val buckets = graft.dedup.Dedup.cappedBuckets(
-      assigned, Seq("ivf_cell"), "id", maxCell)
-    val pairs = buckets
-      .select(explode(col("ids")).as("idA"), col("ids"))
-      .select(col("idA"), explode(col("ids")).as("idB"))
-      .filter(col("idA") < col("idB"))
-    val va = base.select(col("id").as("idA"), col("vec").as("_va"))
-    val vb = base.select(col("id").as("idB"), col("vec").as("_vb"))
-    pairs.join(va, "idA").join(vb, "idB")
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .select(col("ivf_cell"),
+        struct(col("id"), col("vec"),
+          sqrt(graft.plans.DotProduct(col("vec"), col("vec"))).as("norm")).as("m"))
+    // one Exchange: window count → [2, maxCell] eligibility in place →
+    // collect_list reuses the window's partitioning (no second shuffle)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ivf_cell"))
+    val buckets = assigned
+      .withColumn("_graft_n", count(lit(1)).over(w))
+      .filter(col("_graft_n").between(2, maxCell))
+      .groupBy(col("ivf_cell")).agg(collect_list(col("m")).as("ms"))
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      // same value tree as [[cosine]] (dot/(sqrt·sqrt), zero-norm → 0)
+      // with the norms staged — bit-identical to the SQL oracle
+      .withColumn("sim",
+        when(col("a.norm") > 0 && col("b.norm") > 0,
+          graft.plans.DotProduct(col("a.vec"), col("b.vec")) /
+            (col("a.norm") * col("b.norm")))
+          .otherwise(lit(0.0)))
       .filter(col("sim") >= threshold)
-      .select(col("idA"), col("idB"), col("sim"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"), col("sim"))
   }
 
   /** Audit twin of [[semanticPairs]]: the kmeans cells its `maxCell`
@@ -461,6 +508,7 @@ object Similarity {
         "vec", centroids, out = "cell")
       .select(col("id"), col("cell"), col("vec"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/cells")
+    evictPersisted(s"cellcorpus:$path:")
   }
 
   /** Fold a (typically just-screened) batch into a [[saveCellIndex]]
@@ -478,6 +526,7 @@ object Similarity {
         "vec", centroids, out = "cell")
       .select(col("id"), col("cell"), col("vec"))
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexPath/cells")
+    evictPersisted(s"cellcorpus:$indexPath:")
   }
 
   /** Incremental SemDeDup: a NEW batch of embeddings vs a
@@ -494,17 +543,30 @@ object Similarity {
                      idCol: String, vecCol: String, threshold: Double,
                      maxCell: Int = 1000): DataFrame = {
     val centroids = loadIvfIndex(spark, indexPath)
-    val cells = spark.read.parquet(s"$indexPath/cells")
-    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxCell).select(col("cell"))
-    val corpus = cells.join(counts, Seq("cell"))
-      .select(col("cell"), col("id").as("dup_of"), col("vec").as("_vb"))
+    // The capped corpus side is index-version-invariant: memoize it
+    // persisted per (session, path, maxCell) so repeated searches in a
+    // session skip the cell-table re-read + re-count (the
+    // Dedup.cappedBucketsFor twin); writers evict on overwrite/append.
+    val corpus = cachePersisted(
+      s"cellcorpus:$indexPath:${System.identityHashCode(spark)}:$maxCell", {
+        val cells = spark.read.parquet(s"$indexPath/cells")
+        val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxCell).select(col("cell"))
+        // norms staged per ROW (not per pair) — see semanticPairs
+        cells.join(counts, Seq("cell"))
+          .select(col("cell"), col("id").as("dup_of"), col("vec").as("_vb"),
+            sqrt(graft.plans.DotProduct(col("vec"), col("vec"))).as("_naB"))
+      })
     val assigned = ivfAssign(
         batch.select(col(idCol).as("new_id"), col(vecCol).as("vec")),
         "vec", centroids, out = "cell")
-      .select(col("cell"), col("new_id"), col("vec").as("_va"))
+      .select(col("cell"), col("new_id"), col("vec").as("_va"),
+        sqrt(graft.plans.DotProduct(col("vec"), col("vec"))).as("_naA"))
     assigned.join(corpus, Seq("cell"))
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .withColumn("sim",
+        when(col("_naA") > 0 && col("_naB") > 0,
+          graft.plans.DotProduct(col("_va"), col("_vb")) / (col("_naA") * col("_naB")))
+          .otherwise(lit(0.0)))
       .filter(col("sim") >= threshold)
       .select(col("new_id"), col("dup_of"), col("sim"))
   }
@@ -765,14 +827,24 @@ object Similarity {
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/ivf")
+    fitCache.keys.filter(_.startsWith(s"ivfcents:$path:"))
+      .foreach(fitCache.remove)
   }
 
   /** Read IVF centroids back in cell order — inverse of [[saveIvfIndex]],
-    * bit-exact (doubles pass through parquet unchanged).
+    * bit-exact (doubles pass through parquet unchanged). SESSION-
+    * MEMOIZED per (path, session): every search path loads the same
+    * k×dim doubles, so un-memoized each call paid a parquet-read job.
+    * [[saveIvfIndex]] in this session invalidates; an overwrite by an
+    * EXTERNAL process is not seen until clearFits() — the same contract
+    * as every other fit memo here.
     */
   def loadIvfIndex(spark: SparkSession, path: String): Seq[Seq[Double]] =
-    spark.read.parquet(s"$path/ivf").orderBy(col("cell"))
-      .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    fitCache.getOrElseUpdate(
+      s"ivfcents:$path:${System.identityHashCode(spark)}",
+      spark.read.parquet(s"$path/ivf").orderBy(col("cell"))
+        .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq)
+      .asInstanceOf[Seq[Seq[Double]]]
 
   /** Write PQ codebooks to `path/pq` as (subspace, code, vec). */
   def savePqIndex(spark: SparkSession, path: String,

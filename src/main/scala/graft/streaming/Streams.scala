@@ -233,13 +233,19 @@ object Streams {
     val cells = spark.read.parquet(s"$indexPath/cells")
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxCell).select(col("cell"))
+    // norms staged per ROW (not per pair) — see Similarity.semanticPairs
     val corpus = cells.join(counts, Seq("cell"))
-      .select(col("cell"), col("id").as("dup_of"), col("vec").as("_vb"))
+      .select(col("cell"), col("id").as("dup_of"), col("vec").as("_vb"),
+        sqrt(graft.plans.DotProduct(col("vec"), col("vec"))).as("_naB"))
     val assigned = docs.select(col(idCol).as("new_id"), col(tsCol).as("ts"),
         col(vecCol).as("_va"),
+        sqrt(graft.plans.DotProduct(col(vecCol), col(vecCol))).as("_naA"),
         graft.plans.NearestCentroid(col(vecCol), centroids).as("cell"))
     assigned.join(corpus, Seq("cell"))
-      .withColumn("sim", graft.sim.Similarity.cosine(col("_va"), col("_vb")))
+      .withColumn("sim",
+        when(col("_naA") > 0 && col("_naB") > 0,
+          graft.plans.DotProduct(col("_va"), col("_vb")) / (col("_naA") * col("_naB")))
+          .otherwise(lit(0.0)))
       .filter(col("sim") >= threshold)
       .select(col("new_id"), col("ts"), col("dup_of"), col("sim"))
   }

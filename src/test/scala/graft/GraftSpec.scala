@@ -367,10 +367,10 @@ class ScaleEdgeSpec extends AnyFunSuite {
   test("nullSafe join matches reference NA-joins-NA semantics") {
     val x = Seq((Some(1), "x1"), (None, "xNA")).toDF("k", "xv")
     val i = Seq((Some(1), "i1"), (None, "iNA")).toDF("k", "iv")
-    val sqlSem = DT(x).join(DT(i), Seq("k"), "inner").df
-    assert(sqlSem.count() == 1)   // null key drops
-    val dtSem = DT(x).join(DT(i), Seq("k"), "inner", nullSafe = true).df
-    assert(dtSem.count() == 2)    // NA matches NA like the reference
+    val sqlSem = DT(x).join(DT(i), Seq("k"), "inner", nullSafe = false).df
+    assert(sqlSem.count() == 1)   // SQL opt-OUT: null key drops
+    val dtSem = DT(x).join(DT(i), Seq("k"), "inner").df
+    assert(dtSem.count() == 2)    // DEFAULT: NA matches NA like the reference
   }
 
   test("rbindlist promotes int to double like reference type promotion") {

@@ -413,4 +413,70 @@ class DcastPropertySpec extends AnyFunSuite {
       Prop(ok) :| s"rows=$rows got=$got want=$want"
     })
   }
+
+  // ---- joins vs a driver-side nested-loop model (round-9 item 7):
+  // random inputs INCLUDING null keys and duplicate on-values — the
+  // suite that makes the NA-join default question mechanical.
+
+  private val joinKeyGen: Gen[Option[Int]] =
+    Gen.frequency(3 -> Gen.choose(0, 3).map(Some(_)), 1 -> Gen.const(None))
+  private val joinSideGen: Gen[List[Option[Int]]] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, joinKeyGen))
+
+  test("equi join == nested-loop model: NA-match default AND SQL opt-out, inner/left, dup keys") {
+    import spark.implicits._
+    check(forAll(joinSideGen, joinSideGen, Gen.oneOf("inner", "left"),
+        Gen.oneOf(true, false)) {
+      (xs: List[Option[Int]], is: List[Option[Int]], how: String, ns: Boolean) =>
+        val x = xs.zipWithIndex.map { case (k, i) => (i, k) }.toDF("xid", "k")
+        val i = is.zipWithIndex.map { case (k, j) => (j, k) }.toDF("iid", "k")
+        val got = DT(x).join(DT(i), Seq("k"), how, nullSafe = ns).df
+          .select($"xid", $"iid").as[(Int, Option[Int])].collect().toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+        def m(a: Option[Int], b: Option[Int]): Boolean =
+          if (ns) a == b else a.nonEmpty && a == b
+        val inner = for {
+          (xk, xi) <- xs.zipWithIndex; (ik, ij) <- is.zipWithIndex if m(xk, ik)
+        } yield (xi, Some(ij): Option[Int])
+        val want = (how match {
+          case "inner" => inner
+          case "left" => xs.zipWithIndex.flatMap { case (xk, xi) =>
+            val ms = inner.filter(_._1 == xi)
+            if (ms.nonEmpty) ms else Seq((xi, None: Option[Int]))
+          }
+        }).groupBy(identity).view.mapValues(_.size).toMap
+        Prop(got == want) :| s"xs=$xs is=$is how=$how ns=$ns got=$got want=$want"
+    })
+  }
+
+  test("default equi join keeps the NA-matched key value (reference parity)") {
+    import spark.implicits._
+    check(forAll(joinSideGen, joinSideGen) {
+      (xs: List[Option[Int]], is: List[Option[Int]]) =>
+        val x = xs.zipWithIndex.map { case (k, i) => (i, k) }.toDF("xid", "k")
+        val i = is.zipWithIndex.map { case (k, j) => (j, k) }.toDF("iid", "k")
+        val got = DT(x).join(DT(i), Seq("k"), "inner").df
+          .select($"xid", $"k").as[(Int, Option[Int])].collect().toSeq
+        // every output row's key equals ITS x row's key (null included)
+        Prop(got.forall { case (xi, k) => xs(xi) == k }) :|
+          s"xs=$xs is=$is got=$got"
+    })
+  }
+
+  test("non-equi theta join == quadratic filter model (null operands never match)") {
+    import spark.implicits._
+    check(forAll(joinSideGen, joinSideGen) {
+      (xs: List[Option[Int]], is: List[Option[Int]]) =>
+        val x = xs.zipWithIndex.map { case (k, i) => (i, k) }.toDF("xid", "xk")
+        val i = is.zipWithIndex.map { case (k, j) => (j, k) }.toDF("iid", "ik")
+        val got = DT(x).joinExpr(DT(i), col("xk") < col("ik"), "inner").df
+          .select($"xid", $"iid").as[(Int, Int)].collect().toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val want = (for {
+          (xk, xi) <- xs.zipWithIndex; (ik, ij) <- is.zipWithIndex
+          if xk.nonEmpty && ik.nonEmpty && xk.get < ik.get
+        } yield (xi, ij)).groupBy(identity).view.mapValues(_.size).toMap
+        Prop(got == want) :| s"xs=$xs is=$is got=$got want=$want"
+    })
+  }
 }

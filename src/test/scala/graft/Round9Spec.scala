@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
-import graft.operators.Windows
+import graft.operators.{Joins, Windows}
 
 /** Round-9: judge + advisor items. The fix specs here pin (a) the
   * mixToTokenTargets totals-fit memo, (b) cum() naRm parity across the
@@ -103,6 +103,81 @@ class Round9Spec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out.head.getLong(0) == 10L && out.head.getLong(1) == 1L)
     Dedup.clearBases()
+  }
+
+  // ---- reference edge-case ports (round-9 item 6) ----------------------
+
+  test("roll=nearest tie-break picks the LOWER value (src/bmerge.c: LOWDIST <= UPPDIST)") {
+    // probe t=15 sits exactly between x at 10 and 20 → reference rolls LOW
+    val x = Seq((1, 10, "lo"), (1, 20, "hi")).toDF("g", "t", "v")
+    val i = Seq((1, 15), (1, 5), (1, 25)).toDF("g", "t")
+    val out = Joins.asof(x, i, Seq("g"), "t", Joins.Nearest, Seq("v"))
+      .orderBy($"t").select($"t", $"v").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    // default rollends c(TRUE,TRUE): both extremes extrapolate
+    assert(out.toSeq == Seq(5 -> "lo", 15 -> "lo", 25 -> "hi"))
+  }
+
+  test("roll=nearest honors rollends: a disabled end stops extrapolating") {
+    val x = Seq((1, 10, "lo"), (1, 20, "hi")).toDF("g", "t", "v")
+    val i = Seq((1, 5), (1, 15), (1, 25)).toDF("g", "t")
+    def run(re: (Boolean, Boolean)) =
+      Joins.asof(x, i, Seq("g"), "t", Joins.Nearest, Seq("v"), rollends = Some(re))
+        .orderBy($"t").select($"t", $"v").collect()
+        .map(r => r.getInt(0) -> Option(r.getString(1))).toSeq
+    assert(run((false, true)) ==
+      Seq(5 -> None, 15 -> Some("lo"), 25 -> Some("hi")))
+    assert(run((true, false)) ==
+      Seq(5 -> Some("lo"), 15 -> Some("lo"), 25 -> None))
+    assert(run((false, false)) ==
+      Seq(5 -> None, 15 -> Some("lo"), 25 -> None))
+  }
+
+  test("mult='error' raises with the reference's message (src/bmerge.c:417)") {
+    val dup = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Joins.assertNoDup(dup, Seq("k"))
+    }
+    assert(ex.getMessage.contains("mult='error' and multiple matches during merge"))
+  }
+
+  test("foverlaps refuses NA interval ends with the reference's message (R/foverlaps.R:58-73)") {
+    val x = Seq((1, Some(5), Some(10)), (2, None, Some(4)))
+      .toDF("id", "s", "e")
+    val y = Seq((9, 1, 20)).toDF("yid", "ys", "ye")
+    val ex = intercept[Exception] {
+      Joins.overlap(x, y, Nil, "s", "e", "ys", "ye").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains(
+      "All rows with NA values in the range columns must be removed")),
+      s"got: ${msgs(ex).mkString(" | ")}")
+    // clean ranges still join (type='equal' included)
+    val xc = Seq((1, 5, 10)).toDF("id", "s", "e")
+    val yc = Seq((9, 5, 10), (8, 5, 11)).toDF("yid", "ys", "ye")
+    val eq = Joins.overlap(xc, yc, Nil, "s", "e", "ys", "ye", typ = "equal")
+    assert(eq.select($"yid").as[Int].collect().toSeq == Seq(9))
+  }
+
+  // ---- NA-join default plan lock ---------------------------------------
+
+  test("DT.join default (nullSafe) still plans a hash/merge join — no nested loop") {
+    // The round-9 default flip to <=> must not degrade the plan:
+    // ExtractEquiJoinKeys accepts EqualNullSafe, so the join stays a
+    // broadcast/shuffled hash (or sort-merge) join at any size.
+    val x = (1 to 100).map(i => (i, if (i % 7 == 0) None else Some(i % 5)))
+      .toDF("xid", "k")
+    val y = (1 to 50).map(j => (j, if (j % 6 == 0) None else Some(j % 5)))
+      .toDF("yid", "k")
+    val joined = DT(x).join(DT(y), Seq("k"), "inner").df
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"null-safe default fell off the equi-join path:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"null-safe default planned a nested loop:\n$plan")
+    joined.count() // and it executes
   }
 
   // ---- headOrdered / tailOrdered ---------------------------------------
