@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 
 /** fread / fwrite parity surface (SURVEY.md §2.1).
   *
@@ -515,10 +515,12 @@ object Fread {
       na: String = "",
       header: Boolean = true,
       compress: String = "none",        // none|gzip (reference compress=)
-      dateTimeAs: String = "ISO",       // ISO | squash | epoch (R/fwrite.R:1-17)
+      dateTimeAs: String = "ISO",       // ISO | squash | epoch | write.csv (R/fwrite.R:8)
       sep2: String = "|",               // list/array column joiner (fwrite sep2)
       append: Boolean = false,          // fwrite(append=TRUE)
-      bom: Boolean = false)             // fwrite(bom=TRUE)
+      bom: Boolean = false,             // fwrite(bom=TRUE)
+      logical01: Boolean = false,       // fwrite(logical01): booleans as 1/0 (R/fwrite.R:6)
+      yaml: Boolean = false)            // fwrite(yaml=TRUE): csvy front matter (R/fwrite.R:13)
 
   /** fwrite(x, file): distributed CSV write — partitioned output is the
     * cluster analog of the reference's per-thread buffers
@@ -532,6 +534,9 @@ object Fread {
       "fwrite: bom=TRUE cannot combine with compress=gzip")
     require(!(opts.bom && opts.append),
       "fwrite: bom=TRUE cannot combine with append=TRUE")
+    require(!(opts.yaml && (opts.append || opts.compress == "gzip")),
+      "fwrite: yaml=TRUE cannot combine with append or gzip (csvy is a " +
+        "single plaintext file with one front-matter block)")
     var df = df0
     df0.schema.fields.foreach { f =>
       val c = col(f.name)
@@ -540,18 +545,31 @@ object Fread {
         case _: ArrayType =>
           df = df.withColumn(f.name, concat_ws(opts.sep2, transform(c, _.cast("string"))))
         case TimestampType => opts.dateTimeAs match {
-          case "squash" => df = df.withColumn(f.name, date_format(c, "yyyyMMddHHmmss"))
-          case "epoch"  => df = df.withColumn(f.name, unix_seconds(c))
-          case _        => ()
+          case "squash"    => df = df.withColumn(f.name, date_format(c, "yyyyMMddHHmmss"))
+          case "epoch"     => df = df.withColumn(f.name, unix_seconds(c))
+          // write.csv parity (R/fwrite.R:8): as.character's space-
+          // separated local form, not ISO's 'T'
+          case "write.csv" => df = df.withColumn(f.name, date_format(c, "yyyy-MM-dd HH:mm:ss"))
+          case _           => ()
         }
         case DateType => opts.dateTimeAs match {
           case "squash" => df = df.withColumn(f.name, date_format(c, "yyyyMMdd"))
           case "epoch"  => df = df.withColumn(f.name, datediff(c, lit("1970-01-01").cast("date")))
           case _        => ()
         }
+        // logical columns: TRUE/FALSE like the reference (Spark's CSV
+        // default is lowercase), or 1/0 under logical01; null → na
+        case BooleanType =>
+          df = df.withColumn(f.name,
+            if (opts.logical01) c.cast("int")
+            else when(c, lit("TRUE")).when(!c, lit("FALSE")))
         case _ => ()
       }
     }
+    // csvy is a one-file format: a single part keeps exactly one
+    // front-matter block + one header in the file (also what the
+    // reference writes — fwrite is single-file by construction)
+    if (opts.yaml) df = df.coalesce(1)
     var w = df.write.mode(if (opts.append) SaveMode.Append else SaveMode.Overwrite)
       .option("sep", opts.sep)
       // fwrite(quote=FALSE) parity: empty quote disables quoting
@@ -561,13 +579,56 @@ object Fread {
       .option("header", opts.header)
     if (opts.compress == "gzip") w = w.option("compression", "gzip")
     w.csv(path)
-    if (opts.bom) prependBom(df0.sparkSession, path)
+    if (opts.yaml)
+      prependBytes(df0.sparkSession, path,
+        csvyFrontMatter(df0, opts).getBytes("UTF-8"))
+    if (opts.bom)
+      prependBytes(df0.sparkSession, path,
+        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
   }
 
-  /** fwrite(bom=TRUE): prepend EF BB BF to every part file (streamed
-    * copy + rename — no driver-side buffering of file contents).
+  /** The `---`-fenced YAML block [[csvyHeader]] reads back: field
+    * names + the WRITTEN types (logical01 booleans land as integer,
+    * squash datetimes as string, epoch as integer — recording the
+    * post-transform type is what makes the round-trip re-typed
+    * correctly), plus the dialect keys the writer actually used.
     */
-  private def prependBom(spark: SparkSession, path: String): Unit = {
+  private def csvyFrontMatter(df0: DataFrame, opts: FwriteOptions): String = {
+    def typeName(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integer"
+      case FloatType | DoubleType | _: DecimalType       => "number"
+      case BooleanType => if (opts.logical01) "integer" else "boolean"
+      case DateType => opts.dateTimeAs match {
+        case "squash" => "string"
+        case "epoch"  => "integer"
+        case _        => "date"
+      }
+      case TimestampType => opts.dateTimeAs match {
+        case "squash" => "string"
+        case "epoch"  => "integer"
+        case _        => "datetime"
+      }
+      case _ => "string"
+    }
+    val fields = df0.schema.fields.map(f =>
+      s"  - name: ${f.name}\n    type: ${typeName(f.dataType)}").mkString("\n")
+    s"""---
+       |schema:
+       |  fields:
+       |$fields
+       |dialect:
+       |  delimiter: "${opts.sep}"
+       |  header: ${opts.header}
+       |---
+       |""".stripMargin
+  }
+
+  /** Prepend `prefix` to every part file (streamed copy + rename — no
+    * driver-side buffering of file contents). Serves fwrite(bom=TRUE)
+    * and the csvy front-matter stamp (yaml=TRUE writes ONE part).
+    */
+  private def prependBytes(spark: SparkSession, path: String,
+                           prefix: Array[Byte]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
@@ -575,7 +636,7 @@ object Fread {
       .foreach { f =>
         val tmp = new org.apache.hadoop.fs.Path(f.getPath.getParent, f.getPath.getName + ".bom")
         val out = fs.create(tmp, true)
-        out.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+        out.write(prefix)
         val in = fs.open(f.getPath)
         val buf = new Array[Byte](1 << 20)
         var n = in.read(buf)

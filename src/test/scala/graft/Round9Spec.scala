@@ -180,6 +180,119 @@ class Round9Spec extends AnyFunSuite {
     joined.count() // and it executes
   }
 
+  // ---- bucketed-index query-path plan lock (round-9 item 5) ------------
+
+  test("bucketed band-index bucket aggregation plans with ZERO Exchange") {
+    // SetIndexSpec locks the setkey path; this locks the SEARCH path's
+    // corpus side: the (band, bh)-bucketed catalog scan carries hash-
+    // clustered outputPartitioning, so the per-bucket collect_list
+    // aggregates with no shuffle at all. This is the plan the memoized
+    // cappedBucketsFor materializes on its first (and only) run — the
+    // 2.77 s round-8 warm cost of q_dedup_incr_bucketed was this
+    // aggregation re-running at every rep, not a shuffle.
+    val tbl = "graft_r9_planlock"
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    Dedup.saveBandIndexBucketed(docs, "doc_id", "text", tbl)
+    val agg = spark.table(s"${tbl}_banded")
+      .groupBy($"band", $"bh")
+      .agg(collect_list($"id").as("base_ids"))
+    agg.count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed corpus aggregation shuffled:\n$plan")
+    // and the full search against it still matches the planted dup
+    val batch = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    Dedup.clearBases()
+    val out = Dedup.minhashIncrementalBucketed(spark, tbl, batch,
+      "doc_id", "text").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 1L), (10L, 3L)))
+    Dedup.clearBases()
+    graft.operators.Scale.dropTableAndLocation(spark, s"${tbl}_shingles")
+    graft.operators.Scale.dropTableAndLocation(spark, s"${tbl}_banded")
+  }
+
+  test("index-buckets memo: second search reuses the aggregation; append evicts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r9_memo").toString
+    val base = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    Dedup.clearBases()
+    Dedup.saveBandIndex(base, "doc_id", "text", tmp)
+    Dedup.minhashIncrementalIndexed(spark, tmp, batch, "doc_id", "text").count()
+    val afterFirst = Dedup.persistedKeys.filter(_.startsWith("idxbuckets:"))
+    assert(afterFirst.size == 1)
+    Dedup.minhashIncrementalIndexed(spark, tmp, batch, "doc_id", "text").count()
+    assert(Dedup.persistedKeys.filter(_.startsWith("idxbuckets:")) == afterFirst)
+    // appending to the index must evict the memo (stale buckets would
+    // miss every match against the appended docs)
+    Dedup.appendToBandIndex(
+      Seq((3L, "lambda mu nu xi omicron")).toDF("doc_id", "text"),
+      "doc_id", "text", tmp)
+    assert(Dedup.persistedKeys.filter(_.startsWith("idxbuckets:")).isEmpty)
+    val batch2 = Seq((11L, "lambda mu nu xi omicron")).toDF("doc_id", "text")
+    val out = Dedup.minhashIncrementalIndexed(spark, tmp, batch2,
+      "doc_id", "text").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 3L)
+    Dedup.clearBases()
+  }
+
+  // ---- fwrite round-trips: logical01, write.csv datetimes, csvy --------
+
+  test("fwrite logical01 writes 1/0; default writes TRUE/FALSE (R/fwrite.R:6)") {
+    import graft.sources.Fread
+    val df = Seq((1L, Some(true)), (2L, Some(false)), (3L, None: Option[Boolean]))
+      .toDF("id", "flag")
+    val p01 = java.nio.file.Files.createTempDirectory("graft_l01").toString + "/out"
+    Fread.fwrite(df, p01, Fread.FwriteOptions(logical01 = true, na = "NA"))
+    val raw01 = spark.read.text(p01).as[String].collect().toSet
+    assert(raw01.contains("1,1") && raw01.contains("2,0") && raw01.contains("3,NA"),
+      s"got $raw01")
+    val pTf = java.nio.file.Files.createTempDirectory("graft_tf").toString + "/out"
+    Fread.fwrite(df, pTf, Fread.FwriteOptions(na = "NA"))
+    val rawTf = spark.read.text(pTf).as[String].collect().toSet
+    assert(rawTf.contains("1,TRUE") && rawTf.contains("2,FALSE") && rawTf.contains("3,NA"),
+      s"got $rawTf")
+  }
+
+  test("fwrite dateTimeAs=write.csv renders space-separated local form (R/fwrite.R:8)") {
+    import graft.sources.Fread
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-03-05 06:07:08")))
+      .toDF("id", "ts")
+    val p = java.nio.file.Files.createTempDirectory("graft_wcsv").toString + "/out"
+    Fread.fwrite(df, p, Fread.FwriteOptions(dateTimeAs = "write.csv"))
+    val raw = spark.read.text(p).as[String].collect().toSet
+    assert(raw.contains("1,2024-03-05 06:07:08"), s"got $raw")
+  }
+
+  test("fwrite(yaml=TRUE) emits csvy front matter that fread(yaml=TRUE) round-trips") {
+    import graft.sources.Fread
+    val df = Seq(
+      (1L, "alpha", 1.5, true, java.sql.Date.valueOf("2024-01-02")),
+      (2L, "beta, with comma", 2.5, false, java.sql.Date.valueOf("2024-03-04")))
+      .toDF("id", "name", "score", "flag", "d")
+    val p = java.nio.file.Files.createTempDirectory("graft_csvy").toString + "/out"
+    Fread.fwrite(df, p, Fread.FwriteOptions(yaml = true))
+    // front matter parses: names + written types + dialect
+    val h = Fread.csvyHeader(spark, p)
+    assert(h.schema.map(_.fieldNames.toSeq).contains(
+      Seq("id", "name", "score", "flag", "d")))
+    assert(h.sep.contains(",") && h.header.contains(true) && h.skipLines > 0)
+    // and the full read reconstructs values AND types
+    val back = Fread.fread(spark, p, Fread.FreadOptions(yaml = true))
+      .orderBy($"id")
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("score").dataType.typeName == "double")
+    assert(back.schema("flag").dataType.typeName == "boolean")
+    assert(back.schema("d").dataType.typeName == "date")
+    val rows = back.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "alpha" && rows(1).getString(1) == "beta, with comma")
+    assert(rows(0).getBoolean(3) && !rows(1).getBoolean(3))
+    assert(rows(1).getDate(4).toString == "2024-03-04")
+  }
+
   // ---- headOrdered / tailOrdered ---------------------------------------
 
   test("headOrdered/tailOrdered propagate the DT key") {

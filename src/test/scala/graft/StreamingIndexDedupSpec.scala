@@ -53,6 +53,48 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
       assert(got.distinct.size == got.size)
     } finally q.stop()
   }
+
+  test("restart from checkpoint mid-corpus: no duplicate and no lost matches") {
+    // The batch ingest loop is spec-locked across session restarts
+    // (IngestSpec); this is the STREAMING twin: kill the query after
+    // batch 1, enqueue batch 2 while it is down, restart from the same
+    // checkpoint, and require exactly-once output across the restart —
+    // the dropDuplicatesWithinWatermark state and source offsets must
+    // both restore.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = Seq((1L, dupText), (2L, dupText + "!")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ridx").toString
+    Dedup.saveBandIndex(base, "doc_id", "text", idx)
+    val sink = java.nio.file.Files.createTempDirectory("graft_rsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rckpt").toString
+
+    val ms = MemoryStream[Doc]
+    def start() = Streams.dedupAgainstIndexStream(ms.toDF(), "doc_id", "ts",
+        "text", idx, watermark = "10 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sink).start()
+
+    val q1 = start()
+    ms.addData(Doc(100, ts("2024-01-01 10:00:00"), dupText))
+    q1.processAllAvailable()
+    q1.stop() // kill mid-corpus
+    // batch 2 arrives while the query is DOWN
+    ms.addData(Doc(102, ts("2024-01-01 10:00:05"), dupText))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(sink)
+        .select($"new_id", $"dup_of").as[(Long, Long)].collect().toSeq.sorted
+      // doc 100's matches exactly once (not re-emitted after restart),
+      // doc 102's matches exactly once (not lost while down)
+      assert(got == Seq((100L, 1L), (100L, 2L), (102L, 1L), (102L, 2L)),
+        s"across-restart output: $got")
+    } finally q2.stop()
+  }
 }
 
 /** Streaming semantic dedup vs the persisted cell index: stream output
