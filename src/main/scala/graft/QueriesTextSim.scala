@@ -579,11 +579,9 @@ object QueriesTextSim {
         .agg(count(lit(1)).as("n_matches"),
           round(max(col("jaccard")), 4).as("max_jac"))
     }): Q,
-      Some(s"""SELECT doc_id, count(*) AS n_matches, round(max(jaccard), 4) AS max_jac
-              |FROM (
-              |  SELECT CASE WHEN idA % 37 = 0 THEN idB ELSE idA END AS doc_id, jaccard
-              |  FROM ($minhashOracle) t
-              |  WHERE (idA % 37 = 0) <> (idB % 37 = 0))
+      Some(s"""SELECT dup_of AS doc_id, count(*) AS n_matches,
+              |  round(max(jaccard), 4) AS max_jac
+              |FROM (${incrementalOracleMod(37)}) t
               |GROUP BY 1""".stripMargin)),
 
     // ---- token-entropy curation signal ---------------------------------
@@ -1576,10 +1574,17 @@ object QueriesTextSim {
     * shared CTEs, split by side, cap base buckets, verify cross-side
     * candidates with exact Jaccard.
     */
-  private def incrementalOracle: String =
+  private def incrementalOracle: String = incrementalOracleMod(7)
+
+  /** Corpus-side-capped incremental LSH mirror, split by `id % mod` —
+    * shared by the incremental-dedup oracles (mod=7) and the fuzzy
+    * decontamination oracle (mod=37, which wraps it in a per-corpus-doc
+    * aggregation).
+    */
+  private def incrementalOracleMod(mod: Int): String =
     s"""$minhashBandedCtes,
-       |baseb AS (SELECT * FROM banded WHERE id % 7 <> 0),
-       |newb  AS (SELECT * FROM banded WHERE id % 7 = 0),
+       |baseb AS (SELECT * FROM banded WHERE id % $mod <> 0),
+       |newb  AS (SELECT * FROM banded WHERE id % $mod = 0),
        |bucket AS (SELECT band, bh, count(*) AS n FROM baseb
        |           GROUP BY 1, 2 HAVING count(*) <= 1000),
        |cand AS (

@@ -122,57 +122,42 @@ object Contamination {
     * side marker (struct(side, id) — so corpus doc 5 and bench doc 5
     * can never collide), the two sides union, and the oracle-proven
     * LSH pipeline (`Dedup.minhashPairsPortable`) lists candidate
-    * pairs with a CROSS-SIDE pre-filter: intra-corpus near-dup
-    * candidates (boilerplate, mirrors — the overwhelming majority at
-    * scale) are discarded from the side tags alone, BEFORE the pair
-    * dedup shuffle and the shingle-fetch + exact-Jaccard verify stage
-    * ever see them. Banding still shuffles only slim (id, band, hash)
-    * rows; buckets stay capped.
+    * the INCREMENTAL bucket join ([[graft.dedup.Dedup
+    * .minhashIncrementalPortable]] with bench as the batch): the corpus
+    * is banded once (memoized, like the daily-ingest index) and NEVER
+    * pairs with itself — intra-corpus boilerplate clusters, the
+    * overwhelming candidate majority at scale, simply cannot arise,
+    * where the old side-tagged union formulation enumerated them first
+    * and filtered after. At 100 TB the bench set is orders of magnitude
+    * smaller than the corpus, so AQE broadcasts it and the corpus
+    * streams map-side through the ONE banding aggregation (itself
+    * session-memoized, so repeated decontamination calls re-pay
+    * nothing). Sides stay separate frames, so equal corpus/bench id
+    * values can never collide or self-pair.
     *
-    * The union's shingle+signature base is session-memoized like every
-    * LSH caller's (repeated calls on the same corpus/bench pair reuse
-    * it); release with `Dedup.clearBases()` when done with a corpus.
+    * `maxBucket` caps the CORPUS side of each bucket (the incremental
+    * contract — the audit twin below mirrors it); release the memoized
+    * bases with `Dedup.clearBases()` when done with a corpus.
     */
   def fuzzyOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, numHashes: Int = 32,
                    bands: Int = 8, threshold: Double = 0.5,
-                   maxBucket: Int = 1000): DataFrame = {
-    val all = fuzzyTagged(corpus, bench, idCol, textCol)
-    val crossOnly = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      a.getField("side") =!= b.getField("side")
-    graft.dedup.Dedup.minhashPairsPortable(
-        all, idCol, textCol, k, numHashes, bands, threshold, maxBucket,
-        pairFilter = Some(crossOnly))
-      .select(
-        when(col("idA.side") === 0, col("idA.orig")).otherwise(col("idB.orig")).as(idCol),
-        when(col("idA.side") === 0, col("idB.orig")).otherwise(col("idA.orig")).as("bench_id"),
+                   maxBucket: Int = 1000): DataFrame =
+    graft.dedup.Dedup.minhashIncrementalPortable(
+        corpus, bench, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+      .select(col("dup_of").as(idCol), col("new_id").as("bench_id"),
         col("jaccard"))
-  }
 
-  /** Audit twin of [[fuzzyOverlap]]: the LSH buckets its `maxBucket`
-    * cap would DROP — (band, bh, n_ids). A mega-bucket here can HIDE
-    * CONTAMINATION (an eval item buried in a boilerplate cluster never
-    * reaches the verify stage), so a decontamination pass must check
-    * this is empty — or treat every corpus doc in a dropped bucket as
-    * suspect — before trusting a clean fuzzyOverlap result.
+  /** Audit twin of [[fuzzyOverlap]]: the CORPUS-side LSH buckets its
+    * `maxBucket` cap would DROP — (band, bh, n_ids). A mega-bucket here
+    * can HIDE CONTAMINATION (an eval item buried in a boilerplate
+    * cluster never reaches the verify stage), so a decontamination pass
+    * must check this is empty — or treat every corpus doc in a dropped
+    * bucket as suspect — before trusting a clean fuzzyOverlap result.
     */
   def fuzzyOversized(corpus: DataFrame, bench: DataFrame, idCol: String,
                      textCol: String, k: Int = 3, numHashes: Int = 32,
                      bands: Int = 8, maxBucket: Int = 1000): DataFrame =
     graft.dedup.Dedup.minhashOversizedPortable(
-      fuzzyTagged(corpus, bench, idCol, textCol), idCol, textCol,
-      k, numHashes, bands, maxBucket)
-
-  /** Shared side-tagged union: struct(side, orig) ids so corpus doc 5
-    * and bench doc 5 can never collide — and [[fuzzyOverlap]] /
-    * [[fuzzyOversized]] build the IDENTICAL plan, so the session-
-    * memoized shingle+signature base is computed once for both.
-    */
-  private def fuzzyTagged(corpus: DataFrame, bench: DataFrame,
-                          idCol: String, textCol: String): DataFrame = {
-    def tag(df: DataFrame, side: Int) = df.select(
-      struct(lit(side).as("side"), col(idCol).as("orig")).as(idCol),
-      col(textCol))
-    tag(corpus, 0).unionByName(tag(bench, 1))
-  }
+      corpus, idCol, textCol, k, numHashes, bands, maxBucket)
 }

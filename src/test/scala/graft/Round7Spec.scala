@@ -118,8 +118,10 @@ class Round7Spec extends AnyFunSuite {
     assert(hits.count() == 0)
     val over = graft.curate.Contamination.fuzzyOversized(corpus, bench,
       "doc_id", "text", maxBucket = 3)
-    assert(over.count() == 8) // 7 docs per band bucket, all 8 bands over cap
-    assert(over.select(max($"n_ids")).as[Long].head() == 7L)
+    // CORPUS-side audit (the incremental-formulation contract since
+    // round 9): 6 corpus docs per band bucket, all 8 bands over cap
+    assert(over.count() == 8)
+    assert(over.select(max($"n_ids")).as[Long].head() == 6L)
   }
 
   test("lshTopK cap: degenerate signature bucket is excluded and audited") {
