@@ -639,6 +639,22 @@ object QueriesTextSim {
              |      FROM documents)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- deterministic shuffle-and-shard export ------------------------
+    // Training-data "shuffle the corpus, write N shards": shard and
+    // in-shard position are pure functions of (seed, doc_id) — the
+    // identical permutation at any partitioning or scale.
+    ("q_shard", ((s, dir) =>
+      graft.curate.Sampling.shuffleShard(
+          docs(s, dir).select(col("doc_id")), col("doc_id"),
+          numShards = 8, seed = 42L)
+        .select(col("doc_id"), col("shard"), col("pos"))): Q,
+      Some("""WITH h AS (SELECT doc_id,
+             |    ('0x'||substr(md5('42|'||doc_id::VARCHAR),1,15))::BIGINT AS hh
+             |  FROM documents)
+             |SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+             |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS pos
+             |FROM h""".stripMargin)),
+
     // ---- token-budget corpus mixing ------------------------------------
     // Target token shares per source + a budget → deterministic
     // per-source sampling rates; under-resourced sources cap at 1.

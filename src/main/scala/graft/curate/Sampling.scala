@@ -150,6 +150,42 @@ object Sampling {
       .drop("_graft_h")
   }
 
+  /** Deterministic global shuffle-and-shard for training-data export:
+    * every row gets a `shard` in [0, numShards) and a 1-based `pos`
+    * within its shard, both pure functions of (seed, key) — the
+    * classic "shuffle the corpus, write N shards" step of a training
+    * pipeline, with no RNG state and no global sort. Re-running at any
+    * partitioning, scale, or cluster layout reproduces the identical
+    * permutation; changing `seed` draws an independent one.
+    *
+    * Shape at 100 TB: shard assignment is a narrow map-side
+    * expression; position assignment is ONE hash exchange on `shard`
+    * plus a per-shard sort (each task sorts corpus/numShards rows —
+    * pick numShards so a shard fits a task, exactly like choosing an
+    * output-file count). A writer that only needs sharded+shuffled
+    * files and not explicit positions can skip the window entirely:
+    * `df.repartition(numShards, col(shardOut))
+    *    .sortWithinPartitions(hash)` writes each shard in permuted
+    * order with zero window state.
+    *
+    * Ties: the 60-bit content hash makes collisions across distinct
+    * keys negligible, but `pos` still tiebreaks on `key` so equal
+    * hashes order deterministically.
+    */
+  def shuffleShard(df: DataFrame, key: Column, numShards: Int,
+                   seed: Long = 0L, shardOut: String = "shard",
+                   posOut: String = "pos"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val h = col("_graft_sh")
+    df.withColumn("_graft_sh",
+        contentId(concat_ws("|", lit(seed.toString), key.cast("string"))))
+      .withColumn(shardOut, (h % numShards).cast("int"))
+      .withColumn(posOut, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(shardOut)).orderBy(h.asc, key.asc)))
+      .drop("_graft_sh")
+  }
+
   /** Keep at most `n` rows per key (C4-style domain caps: no single
     * host dominates the corpus). Survivors are chosen by content hash
     * — deterministic across runs/partitionings, and unbiased w.r.t.

@@ -439,6 +439,14 @@ object Dedup {
     * (overwrite OR append), so a stale in-session memo can never serve
     * a post-append search.
     */
+  /** Forget the memoized bucket aggregation of the band index at
+    * `path` — for callers that know the on-disk index changed OUTSIDE
+    * this session's writers (a nightly refit by another job). This
+    * session's [[saveBandIndex]]/[[appendToBandIndex]] evict
+    * automatically; an external overwrite needs this targeted hook.
+    */
+  def evictIndex(path: String): Unit = evictIndexBuckets(s"path=$path")
+
   private def evictIndexBuckets(tag: String): Unit =
     portableBaseCache.keys.filter(_.startsWith(s"idxbuckets:$tag:")).foreach {
       k => portableBaseCache.remove(k).foreach(_.unpersist())

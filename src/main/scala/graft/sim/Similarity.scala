@@ -846,6 +846,19 @@ object Similarity {
         .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq)
       .asInstanceOf[Seq[Seq[Double]]]
 
+  /** Forget every session memo derived from the index at `path` — the
+    * centroid fit AND the capped cell-corpus frame. For callers that
+    * know the on-disk index changed OUTSIDE this session's writers
+    * (a nightly refit by another job): this session's writers evict
+    * automatically, an external overwrite needs this targeted hook (or
+    * the sledgehammer [[clearFits]]).
+    */
+  def evictIndexFits(path: String): Unit = {
+    fitCache.keys.filter(_.startsWith(s"ivfcents:$path:"))
+      .foreach(fitCache.remove)
+    evictPersisted(s"cellcorpus:$path:")
+  }
+
   /** Write PQ codebooks to `path/pq` as (subspace, code, vec). */
   def savePqIndex(spark: SparkSession, path: String,
                   codebooks: Seq[Seq[Seq[Double]]]): Unit = {

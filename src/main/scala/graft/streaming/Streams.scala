@@ -179,7 +179,8 @@ object Streams {
     * from its checkpoint after an index overwrite (cheap: all state is
     * watermark-bounded pair dedup); appends via
     * [[graft.dedup.Dedup.appendToBandIndex]] likewise need a restart to
-    * be seen.
+    * be seen. [[dedupAgainstIndexReloadingWriter]] trades a per-batch
+    * index scan for picking up re-fits WITHOUT a restart.
     */
   def dedupAgainstIndexStream(docs: DataFrame, idCol: String, tsCol: String,
                               textCol: String, indexPath: String,
@@ -209,6 +210,57 @@ object Streams {
       .select(col("new_id"), col("ts"), col("dup_of"), col("jaccard"))
   }
 
+  /** [[dedupAgainstIndexStream]] that PICKS UP nightly index re-fits
+    * without a stream restart: `foreachBatch` re-reads the index per
+    * micro-batch (a fresh read = a fresh file listing, so an overwrite
+    * or append by ANY process — this session or a nightly job — is
+    * visible at the next batch), evicting the session bucket memo
+    * first so the oracle-proven batch twin
+    * ([[graft.dedup.Dedup.minhashIncrementalIndexed]]) rebuilds from
+    * the new files. The trade against the stream-static form: every
+    * micro-batch pays one index scan + bucket aggregation instead of a
+    * cached join — right when the index refreshes on a cadence
+    * comparable to the trigger interval is long (minutes-hourly
+    * triggers against a nightly refit), wrong for sub-second triggers
+    * (keep the stream-static form and restart nightly). Stateless —
+    * the sink sees (new_id, dup_of, jaccard) per batch.
+    */
+  def dedupAgainstIndexReloadingWriter(docs: DataFrame, idCol: String,
+                                       textCol: String, indexPath: String,
+                                       k: Int = 3, numHashes: Int = 32,
+                                       bands: Int = 8, threshold: Double = 0.5,
+                                       maxBucket: Int = 1000)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.dedup.Dedup.evictIndex(indexPath)
+      sink(graft.dedup.Dedup.minhashIncrementalIndexed(
+        batch.sparkSession, indexPath, batch, idCol, textCol,
+        k, numHashes, bands, threshold, maxBucket))
+    }
+
+  /** [[semDedupAgainstIndexStream]] that PICKS UP nightly index
+    * re-fits without a stream restart — the semantic twin of
+    * [[dedupAgainstIndexReloadingWriter]]: per micro-batch, evict the
+    * session memos for `indexPath` (fresh centroid collect + fresh
+    * cell-table listing) and run the oracle-proven batch twin
+    * ([[graft.sim.Similarity.semIncremental]]). Re-assigned cells and
+    * new centroids are therefore consistent within every batch — the
+    * stale-centroids-vs-new-cells hazard of reloading only one side
+    * cannot arise. Same trade as the minhash form: one centroid
+    * collect + cell scan per batch.
+    */
+  def semDedupAgainstIndexReloadingWriter(docs: DataFrame, idCol: String,
+                                          vecCol: String, indexPath: String,
+                                          threshold: Double,
+                                          maxCell: Int = 1000)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sim.Similarity.evictIndexFits(indexPath)
+      sink(graft.sim.Similarity.semIncremental(
+        batch.sparkSession, indexPath, batch, idCol, vecCol,
+        threshold, maxCell))
+    }
+
   /** Streaming semantic dedup against a PERSISTED cell index
     * ([[graft.sim.Similarity.saveCellIndex]]): each in-flight embedding
     * is assigned to its kmeans cell with the saved centroids (broadcast
@@ -222,7 +274,9 @@ object Streams {
     * listing is captured in the plan — a nightly index re-fit is NOT
     * picked up in-flight (stale centroids against re-assigned cells
     * would silently mismatch). Restart the (stateless) stream from its
-    * checkpoint after any index overwrite.
+    * checkpoint after any index overwrite, or use
+    * [[semDedupAgainstIndexReloadingWriter]] to pay a per-batch reload
+    * instead.
     */
   def semDedupAgainstIndexStream(docs: DataFrame, idCol: String, tsCol: String,
                                  vecCol: String, indexPath: String,

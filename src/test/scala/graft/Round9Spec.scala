@@ -295,6 +295,32 @@ class Round9Spec extends AnyFunSuite {
 
   // ---- headOrdered / tailOrdered ---------------------------------------
 
+  // ---- shuffleShard ----------------------------------------------------
+
+  test("shuffleShard: per-shard positions are a contiguous 1..n permutation; deterministic; seed-sensitive") {
+    import graft.curate.Sampling
+    val df = (1 to 400).toDF("id")
+    val sh = Sampling.shuffleShard(df, col("id"), numShards = 4, seed = 7L)
+      .select(col("id"), col("shard"), col("pos"))
+    val rows = sh.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == 400 && rows.map(_._1).distinct.length == 400)
+    // contiguous 1..n positions inside every shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+    // every shard populated and no shard hogs the corpus (hash balance)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3) && sizes.values.max <= 200)
+    // identical permutation on re-evaluation
+    val again = sh.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // a different seed draws a different permutation
+    val other = Sampling.shuffleShard(df, col("id"), numShards = 4, seed = 8L)
+      .select(col("id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(other.sortBy(_._1).toSeq != rows.sortBy(_._1).toSeq)
+  }
+
   test("headOrdered/tailOrdered propagate the DT key") {
     val d = DT(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k"))
     assert(d.headOrdered(2, Seq($"k".asc)).key == Seq("k"))

@@ -12,6 +12,7 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class V(doc_id: Long, vec: Seq[Double])
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
   private val dupText = "the quick brown fox jumps over the lazy dog again and again"
 
@@ -94,6 +95,99 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
       assert(got == Seq((100L, 1L), (100L, 2L), (102L, 1L), (102L, 2L)),
         s"across-restart output: $got")
     } finally q2.stop()
+  }
+
+  test("reloading writer picks up an EXTERNAL index overwrite without a restart") {
+    // A nightly job (simulated with a raw filesystem copy no graft
+    // writer knows about) replaces the index while the query runs; the
+    // foreachBatch form must evict the session memo and re-read, so the
+    // very next batch matches against the NEW corpus. The stream-static
+    // form cannot do this — its file listing is frozen at definition.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val otherText =
+      "a completely separate corpus of words about gardens and rivers flowing south"
+    val idx = java.nio.file.Files.createTempDirectory("graft_relidx").toString
+    val idxV2 = java.nio.file.Files.createTempDirectory("graft_relidx2").toString
+    Dedup.saveBandIndex(Seq((1L, dupText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    Dedup.saveBandIndex(Seq((7L, otherText)).toDF("doc_id", "text"),
+      "doc_id", "text", idxV2)
+
+    def copyDir(from: String, to: String): Unit = {
+      import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+      val src = Paths.get(from); val dst = Paths.get(to)
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach((c: Path) => rm(c))
+        Files.deleteIfExists(p)
+      }
+      rm(dst)
+      Files.walk(src).forEach { (p: Path) =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[Doc]
+    val q = Streams.dedupAgainstIndexReloadingWriter(
+        ms.toDF(), "doc_id", "text", idx)( m =>
+      results ++= m.select($"new_id", $"dup_of").as[(Long, Long)].collect()
+    ).start()
+    try {
+      ms.addData(Doc(100, ts("2024-01-01 10:00:00"), dupText),
+                 Doc(101, ts("2024-01-01 10:00:01"), otherText))
+      q.processAllAvailable()
+      assert(results.toSet == Set((100L, 1L)),
+        s"v1 batch should match corpus v1 only: $results")
+
+      copyDir(idxV2, idx) // the external nightly refit
+      results.clear()
+      ms.addData(Doc(102, ts("2024-01-01 10:00:05"), dupText),
+                 Doc(103, ts("2024-01-01 10:00:06"), otherText))
+      q.processAllAvailable()
+      assert(results.toSet == Set((103L, 7L)),
+        s"post-refit batch should match corpus v2 only: $results")
+    } finally q.stop()
+  }
+
+  test("semantic reloading writer sees an in-session cell-index append at the next batch") {
+    // appendToCellIndex grows the corpus between micro-batches; the
+    // reloading writer re-reads per batch so the appended vector is
+    // matchable WITHOUT restarting — the stream-static form's frozen
+    // file listing would never see it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sim.Similarity
+
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val idx = java.nio.file.Files.createTempDirectory("graft_relcell").toString
+    Similarity.saveCellIndex(
+      Seq((1L, Seq(1.0, 0.0))).toDF("id", "vec"), "id", "vec", cents, idx)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ms = MemoryStream[V]
+    val q = Streams.semDedupAgainstIndexReloadingWriter(
+        ms.toDF(), "doc_id", "vec", idx, threshold = 0.9)( m =>
+      results ++= m.select($"new_id", $"dup_of").as[(Long, Long)].collect()
+    ).start()
+    try {
+      ms.addData(V(100L, Seq(0.0, 1.0)))
+      q.processAllAvailable()
+      assert(results.isEmpty, s"nothing near (0,1) in the v1 index: $results")
+
+      Similarity.appendToCellIndex(spark, idx,
+        Seq((2L, Seq(0.0, 1.0))).toDF("id", "vec"), "id", "vec")
+      ms.addData(V(101L, Seq(0.0, 1.0)))
+      q.processAllAvailable()
+      assert(results.toSet == Set((101L, 2L)),
+        s"appended vector must be matchable at the next batch: $results")
+    } finally q.stop()
   }
 }
 
