@@ -655,6 +655,55 @@ object QueriesTextSim {
              |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS pos
              |FROM h""".stripMargin)),
 
+    // ---- flagship: training-data EXPORT pipeline -----------------------
+    // The output half of the curation story: quality gate → stable
+    // train split → deterministic global shuffle into shards →
+    // fixed-token-budget sequence packing per shard. Every stage is a
+    // pure content-hash function, so the END-TO-END shard/pack layout
+    // is reproducible at any partitioning and adjudicated exactly.
+    ("q_export_pipeline", ((s, dir) => {
+      import graft.curate.{Packing, Sampling}
+      val nTok = TextFunctions.tokenCount(col("text"))
+      val quality = docs(s, dir).filter(nTok >= 10)
+      val train = Sampling.assignSplit(quality, col("text"),
+          Seq("train" -> 0.9, "valid" -> 0.1))
+        .filter(col("split") === "train")
+      val sharded = Sampling.shuffleShard(
+        train.select(col("doc_id"), col("text")), col("doc_id"),
+        numShards = 4, seed = 7L)
+      val packed = Packing.packByBudget(
+        sharded.withColumn("_n", TextFunctions.tokenCount(col("text"))),
+        col("_n"), budget = 4000L,
+        shard = Seq("shard"), order = Seq(col("pos")))
+      packed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("seq_id")) + 1).as("n_seqs"),
+          sum(col("_n").cast("long")).as("total_tokens"))
+    }): Q,
+      Some("""WITH q AS (
+             |  SELECT doc_id, text,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS nt,
+             |    ('0x'||substr(md5(coalesce(text,'')),1,15))::BIGINT % 10000 AS hs
+             |  FROM documents
+             |  WHERE len(string_split_regex(trim(text), '\s+')) >= 10),
+             |tr AS (
+             |  SELECT doc_id, nt,
+             |    ('0x'||substr(md5('7|'||doc_id::VARCHAR),1,15))::BIGINT AS hh
+             |  FROM q WHERE hs < 9000),
+             |sh AS (
+             |  SELECT doc_id, nt, CAST(hh % 4 AS INT) AS shard,
+             |    row_number() OVER (PARTITION BY hh % 4 ORDER BY hh, doc_id) AS pos
+             |  FROM tr),
+             |pk AS (
+             |  SELECT shard, nt,
+             |    CAST(floor(coalesce(sum(nt) OVER (PARTITION BY shard ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000.0)
+             |      AS BIGINT) AS seq_id
+             |  FROM sh)
+             |SELECT shard, count(*) AS n_docs, max(seq_id) + 1 AS n_seqs,
+             |  sum(nt)::BIGINT AS total_tokens
+             |FROM pk GROUP BY shard""".stripMargin)),
+
     // ---- token-budget corpus mixing ------------------------------------
     // Target token shares per source + a budget → deterministic
     // per-source sampling rates; under-resourced sources cap at 1.
