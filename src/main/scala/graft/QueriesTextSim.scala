@@ -461,6 +461,37 @@ object QueriesTextSim {
              |FROM corpus c JOIN bench b ON c.gram = b.gram
              |GROUP BY 1""".stripMargin)),
 
+    // ---- decontamination, bloom-prefiltered tier -----------------------
+    // Same EXACT semantics as q_contamination (bloom false positives
+    // die in the verify join; false negatives are impossible), so the
+    // oracle is shared verbatim — what changes is the 100 TB shape:
+    // a ~1 byte/gram broadcast and a map-side gate in place of a
+    // full-gram-set hash probe per corpus gram.
+    ("q_contamination_bloom", ((s, dir) => {
+      val d = docs(s, dir)
+      graft.curate.Contamination.ngramOverlapBloom(
+        d.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", n = 3)
+    }): Q,
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                       '\s+') AS tk
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) >= 3
+             |         THEN list_distinct(list_transform(range(0, len(tk) - 2),
+             |                i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
+             |         ELSE [] END AS gr
+             |  FROM t),
+             |bench AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 37 = 0),
+             |corpus AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 37 <> 0)
+             |SELECT c.doc_id, count(*) AS n_hits
+             |FROM corpus c JOIN bench b ON c.gram = b.gram
+             |GROUP BY 1""".stripMargin)),
+
     // ---- flagship: end-to-end curation pipeline ------------------------
     // quality gate → URL scrub → canonical dedup → decontamination →
     // domain cap → per-lang corpus stats. Every stage is the

@@ -295,6 +295,34 @@ class Round9Spec extends AnyFunSuite {
 
   // ---- headOrdered / tailOrdered ---------------------------------------
 
+  // ---- bloom-prefiltered decontamination -------------------------------
+
+  test("ngramOverlapBloom == ngramOverlap exactly; gate is in the plan; fit memoized") {
+    import graft.curate.Contamination
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma something else entirely here"),
+      (4L, "totally unrelated words nothing shared at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta"), (101L, "five six seven"))
+      .toDF("doc_id", "text")
+    Contamination.clearFits()
+    val exact = Contamination.ngramOverlap(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val bloom = Contamination.ngramOverlapBloom(corpus, bench, "doc_id", "text", n = 3)
+    val got = bloom.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == exact && got.nonEmpty, s"bloom $got vs exact $exact")
+    // the map-side gate is really in the plan
+    assert(bloom.queryExecution.executedPlan.toString.contains("might_contain"))
+    // second call reuses the ONE memoized driver-side filter build
+    assert(Contamination.bloomFitCount == 1)
+    Contamination.ngramOverlapBloom(corpus, bench, "doc_id", "text", n = 3).count()
+    assert(Contamination.bloomFitCount == 1)
+    Contamination.clearFits()
+    assert(Contamination.bloomFitCount == 0)
+  }
+
   // ---- shuffleShard ----------------------------------------------------
 
   test("shuffleShard: per-shard positions are a contiguous 1..n permutation; deterministic; seed-sensitive") {
