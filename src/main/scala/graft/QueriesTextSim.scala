@@ -655,6 +655,40 @@ object QueriesTextSim {
              |  FROM c)
              |WHERE rk <= 5""".stripMargin)),
 
+    // ---- count-min-sketch heavy hitters --------------------------------
+    // One-pass mergeable frequency sketch (d×w counters, cardinality-
+    // independent) bracket-checked against the exact top-20: CMS can
+    // only OVERestimate, and by at most eps·N with the configured
+    // confidence — the q_uniqueN_approx adjudication pattern. Seeded,
+    // so the booleans are deterministic.
+    ("q_cms_tokens", ((s, dir) => {
+      val toks = docs(s, dir).select(
+        explode(TextFunctions.wsTokens(TextFunctions.normalize(col("text"))))
+          .as("token"))
+      val cms = graft.functions.Sketches.cmsFit(toks, col("token"),
+        eps = 0.001, confidence = 0.99, seed = 42)
+      val slack = math.ceil(cms.totalCount * 0.001).toLong
+      // 20 driver-side probes of the collected sketch — the query-set
+      // side of a sketch is tiny by definition
+      val est = udf((t: String) => cms.estimateCount(t))
+      docs(s, dir).select(
+          explode(TextFunctions.wsTokens(TextFunctions.normalize(col("text"))))
+            .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token").asc).limit(20)
+        .withColumn("_est", est(col("token")))
+        .withColumn("ok", col("_est") >= col("n_exact") &&
+          col("_est") <= col("n_exact") + lit(slack))
+        .select(col("token"), col("n_exact"), col("ok"))
+    }): Q,
+      Some("""WITH tok AS (SELECT
+             |    unnest(string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                              '\s+')) AS token
+             |  FROM documents),
+             |c AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY 1)
+             |SELECT token, n_exact, true AS ok
+             |FROM c ORDER BY n_exact DESC, token ASC LIMIT 20""".stripMargin)),
+
     // ---- deterministic train/valid/test split --------------------------
     // Content-hash ranges: a doc's split never changes across runs,
     // partitionings, or corpus growth (eval-set stability).

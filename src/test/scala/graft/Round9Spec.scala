@@ -323,6 +323,32 @@ class Round9Spec extends AnyFunSuite {
     assert(Contamination.bloomFitCount == 0)
   }
 
+  // ---- count-min sketch ------------------------------------------------
+
+  test("cmsFit: estimates bound exact counts from above within eps*N; fit memoized") {
+    import graft.functions.Sketches
+    val rows = (1 to 300).map(i =>
+      if (i % 3 == 0) "common" else if (i % 7 == 0) "mid" else s"rare$i")
+    val df = rows.toDF("w")
+    Sketches.clearFits()
+    val cms = Sketches.cmsFit(df, col("w"), eps = 0.01, confidence = 0.99, seed = 1)
+    assert(cms.totalCount == 300L)
+    val exact = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val slack = math.ceil(300 * 0.01).toLong
+    for ((w, n) <- exact) {
+      val e = cms.estimateCount(w)
+      assert(e >= n && e <= n + slack, s"$w: est $e vs exact $n (slack $slack)")
+    }
+    assert(Sketches.cmsFitCount == 1)
+    Sketches.cmsFit(df, col("w"), eps = 0.01, confidence = 0.99, seed = 1)
+    assert(Sketches.cmsFitCount == 1)
+    // a different seed is a different fit (deterministic per seed)
+    val cms2 = Sketches.cmsFit(df, col("w"), eps = 0.01, confidence = 0.99, seed = 2)
+    assert(Sketches.cmsFitCount == 2 && cms2.totalCount == 300L)
+    Sketches.clearFits()
+    assert(Sketches.cmsFitCount == 0)
+  }
+
   // ---- shuffleShard ----------------------------------------------------
 
   test("shuffleShard: per-shard positions are a contiguous 1..n permutation; deterministic; seed-sensitive") {
