@@ -998,6 +998,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"batch side should broadcast against the bucketed base:\n$p")
   }
 
+  test("q_shard: the whole shuffle-shard assignment costs ONE exchange") {
+    val p = plan("q_shard")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 shuffle exchange, got $n:\n$p")
+    assert(p.contains("hashpartitioning(shard"), s"not partitioned by shard:\n$p")
+  }
+
+  test("q_export_pipeline: gate→split→shard→pack→agg reuse ONE shard exchange") {
+    val p = plan("q_export_pipeline")
+    // both windows AND the final groupBy(shard) must reuse the single
+    // hashpartitioning(shard) exchange — the property that makes the
+    // export pipeline one-shuffle at any corpus size
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 shuffle exchange, got $n:\n$p")
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+  }
+
+  test("q_contamination_bloom: map-side might_contain gate feeds a broadcast verify join") {
+    val p = plan("q_contamination_bloom")
+    assert(p.contains("might_contain"), s"bloom gate missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
+      s"verify join should broadcast the bench gram set:\n$p")
+  }
+
   test("frank random: deterministic tie-break, all ranks distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
