@@ -607,14 +607,41 @@ object Reshape {
       a.join(br, Seq(idCol), "inner")
     }
 
-  /** transpose() (src/transpose.c): flip a (small) table. Distributed
-    * tables have no row order, so an explicit ordering column is
-    * required; melt + pivot keeps it in plan land (no collect).
+  /** transpose() (src/transpose.c, R/transpose.Rd): flip a (small)
+    * table. Distributed tables have no row order, so an explicit
+    * ordering column is required; melt + pivot keeps it in plan land
+    * (the only driver-side state is pivot's own column domain).
+    *
+    * Reference knobs: `keepNames` = keep.names — the column holding
+    * the OLD column names (`None` drops them, the reference default;
+    * this engine's historical default keeps them as "column").
+    * `makeNames=true` = make.names=orderCol — the order column's
+    * VALUES become the new column names; `false` mirrors
+    * make.names=NULL: columns are V1..Vn in row (orderCol) order.
+    * `fill` is always-NA (missing cells are null); ignore.empty is
+    * R-list-specific, n/a.
     */
-  def transpose(df: DataFrame, orderCol: String): DataFrame = {
+  def transpose(df: DataFrame, orderCol: String,
+                keepNames: Option[String] = Some("column"),
+                makeNames: Boolean = true): DataFrame = {
     val measures = df.columns.filterNot(_ == orderCol).toSeq
     val long = melt(df, Seq(orderCol), measures, "_var", "_val")
-    long.groupBy(col("_var")).pivot(orderCol).agg(first(col("_val")))
-      .withColumnRenamed("_var", "column")
+    val base = long.groupBy(col("_var")).pivot(orderCol).agg(first(col("_val")))
+    val named =
+      if (makeNames) base
+      else {
+        // V1..Vn follow row order = orderCol order (explicit-order
+        // doctrine); the domain is driver-small by the same argument
+        // as pivot's own column-domain collect just above
+        val order = df.select(col(orderCol)).distinct().orderBy(col(orderCol))
+          .collect().map(_.get(0).toString)
+        order.zipWithIndex.foldLeft(base) { case (d, (v, i)) =>
+          d.withColumnRenamed(v, s"V${i + 1}")
+        }
+      }
+    keepNames match {
+      case Some(n) => named.withColumnRenamed("_var", n)
+      case None    => named.drop("_var")
+    }
   }
 }

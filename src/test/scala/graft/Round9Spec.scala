@@ -375,6 +375,26 @@ class Round9Spec extends AnyFunSuite {
     assert(other.sortBy(_._1).toSeq != rows.sortBy(_._1).toSeq)
   }
 
+  // ---- transpose keep.names / make.names -------------------------------
+
+  test("transpose: keep.names=None drops old names; make.names=false yields V1..Vn (R/transpose.Rd)") {
+    import graft.operators.Reshape
+    val df = Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("id", "a", "b")
+    // default (historical): old names kept as "column", new names = id values
+    val d0 = Reshape.transpose(df, "id")
+    assert(d0.columns.toSeq == Seq("column", "1", "2"))
+    // keep.names=NULL parity: the names column is dropped
+    val d1 = Reshape.transpose(df, "id", keepNames = None)
+    assert(d1.columns.toSeq == Seq("1", "2") && d1.count() == 2)
+    // make.names=NULL parity: V1..Vn in row (orderCol) order
+    val d2 = Reshape.transpose(df, "id", keepNames = Some("rn"), makeNames = false)
+    assert(d2.columns.toSeq == Seq("rn", "V1", "V2"))
+    val rows = d2.orderBy(col("rn")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows(0).getDouble(1) == 10.0 && rows(0).getDouble(2) == 20.0)
+    assert(rows(1).getDouble(1) == 100.0 && rows(1).getDouble(2) == 200.0)
+  }
+
   test("headOrdered/tailOrdered propagate the DT key") {
     val d = DT(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k"))
     assert(d.headOrdered(2, Seq($"k".asc)).key == Seq("k"))
