@@ -177,6 +177,25 @@ object QueriesCore {
              |  (date_part('dow', l_shipdate) + 1) AS dow
              |FROM lineitem""".stripMargin)),
 
+    // ---- IDateTime split + week/isoyear (R/IDateTime.R:186,382,390) ----
+    // week() is 7-day blocks from Jan 1 (yday %/% 7 + 1), NOT the ISO
+    // week; isoyear() is the year owning the ISO week (the week's
+    // Thursday's year) — DuckDB's isoyear builtin adjudicates the
+    // Thursday formula exactly, incl. the year-boundary days.
+    ("q_idatetime", ((s, dir) =>
+      dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+        Funcs.iDateTime(col("l_shipdate")).getField("idate").as("idate"),
+        Funcs.iDateTime(col("l_shipdate")).getField("itime").as("itime"),
+        Funcs.week(col("l_shipdate")).as("wk7"),
+        Funcs.isoyear(col("l_shipdate")).as("iso_yr"))): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_shipdate::DATE AS idate,
+             |  (hour(l_shipdate) * 3600 + minute(l_shipdate) * 60
+             |    + CAST(floor(second(l_shipdate)) AS INT)) AS itime,
+             |  (CAST(floor(dayofyear(l_shipdate) / 7.0) AS INT) + 1) AS wk7,
+             |  CAST(isoyear(l_shipdate) AS INT) AS iso_yr
+             |FROM lineitem""".stripMargin)),
+
     // ---- grouped quantiles (base quantile() in j via dogroups; the
     // gmedian kernel src/gsumm.c:869 is the 0.5 special case). Exact
     // linear-interpolated percentile == DuckDB quantile_cont; dyadic

@@ -132,6 +132,21 @@ object QueriesWindows {
              |  dense_rank() OVER (ORDER BY event_type ASC) AS grp
              |FROM events""".stripMargin)),
 
+    // ---- .NGRP total-group counter (R/data.table.R dogroups) -----------
+    // Same scale shape as .GRP: the distinct-key aggregation is the
+    // only shuffle and the 1-row count broadcasts back.
+    ("q_ngrp", ((s, dir) =>
+      Windows.ngrp(Windows.grp(dt(s, dir, "events").df, Seq("event_type")),
+          Seq("event_type"))
+        .select(col("event_id"), col("grp").cast("long").as("grp"),
+          col("ngrp"))): Q,
+      Some("""SELECT e.event_id,
+             |  dense_rank() OVER (ORDER BY e.event_type ASC) AS grp,
+             |  n.ngrp
+             |FROM events e
+             |CROSS JOIN (SELECT count(DISTINCT event_type) AS ngrp
+             |            FROM events) n""".stripMargin)),
+
     // ---- froll with VECTOR n (frollmean(x, n=c(3, 7))) -----------------
     ("q_froll_vector", ((s, dir) =>
       Windows.frollN(dt(s, dir, "events").df, "m", "mean", col("value"),

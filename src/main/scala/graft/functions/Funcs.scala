@@ -210,6 +210,25 @@ object Funcs {
     hour(c) * 3600 + minute(c) * 60 + second(c)
   /** as.IDate on a timestamp. */
   def idate(c: Column): Column = to_date(c)
+  /** IDateTime(x) (R/IDateTime.R:186): BOTH halves of a timestamp as a
+    * struct — `.idate` (the date) and `.itime` (seconds since
+    * midnight); select the fields to get the reference's two-column
+    * result.
+    */
+  def iDateTime(c: Column): Column =
+    struct(idate(c).as("idate"), itime(c).as("itime"))
+  /** week() (R/IDateTime.R:382): 7-day blocks counted from Jan 1 —
+    * yday %/% 7 + 1, NOT the ISO week ([[isoweek]] is).
+    */
+  def week(c: Column): Column =
+    floor(dayofyear(c).cast("double") / 7.0).cast("int") + 1
+  /** isoyear() (R/IDateTime.R:390): the year that OWNS the ISO week —
+    * the year of that week's Thursday (Jan 1-3 can belong to the
+    * previous ISO year, Dec 29-31 to the next). `weekday` is
+    * 0=Monday..6, so Thursday = date + (3 - weekday).
+    */
+  def isoyear(c: Column): Column =
+    year(date_add(to_date(c), lit(3) - weekday(c)))
 
   // ---- misc vector ops (src/vecseq.c, src/init.c) ---------------------
 

@@ -79,6 +79,19 @@ object Windows {
     df.join(broadcast(aliased), cond).drop(by.map(c => s"_graft_g_$c"): _*)
   }
 
+  /** .NGRP (R/data.table.R dogroups): the TOTAL number of groups,
+    * broadcast onto every row. Same scale shape as [[grp]]: the
+    * distinct-key aggregation is the only shuffle (of n_groups rows)
+    * and the 1-row count broadcasts back — the data never funnels.
+    * An all-NA key is a group, like the reference's by= (distinct
+    * keeps the null tuple).
+    */
+  def ngrp(df: DataFrame, by: Seq[String], out: String = "ngrp"): DataFrame = {
+    require(by.nonEmpty, "ngrp needs group columns")
+    val n = df.select(by.map(col): _*).distinct().agg(count(lit(1)).as(out))
+    df.crossJoin(broadcast(n))
+  }
+
   /** froll with VECTOR n (R frollmean(x, n=c(2, 5)) returns one result
     * per window width): one output column `<prefix><n>` per width, all
     * widths sharing the single window sort.
