@@ -184,12 +184,15 @@ object QueriesCore {
     // Thursday formula exactly, incl. the year-boundary days.
     ("q_idatetime", ((s, dir) =>
       dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
-        Funcs.iDateTime(col("l_shipdate")).getField("idate").as("idate"),
+        // IDate IS integer days since epoch in the reference
+        // (R/IDateTime.R storage) — adjudicate the integer form
+        datediff(Funcs.iDateTime(col("l_shipdate")).getField("idate"),
+          lit("1970-01-01")).as("idate"),
         Funcs.iDateTime(col("l_shipdate")).getField("itime").as("itime"),
         Funcs.week(col("l_shipdate")).as("wk7"),
         Funcs.isoyear(col("l_shipdate")).as("iso_yr"))): Q,
       Some("""SELECT l_orderkey, l_linenumber,
-             |  l_shipdate::DATE AS idate,
+             |  (l_shipdate::DATE - DATE '1970-01-01') AS idate,
              |  (hour(l_shipdate) * 3600 + minute(l_shipdate) * 60
              |    + CAST(floor(second(l_shipdate)) AS INT)) AS itime,
              |  (CAST(floor(dayofyear(l_shipdate) / 7.0) AS INT) + 1) AS wk7,
