@@ -1072,7 +1072,10 @@ object QueriesTextSim {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
       val centroids = seedCentroids(s, dir, e)
-      val idx = "/tmp/graft_ivf_idx"
+      // dir-hashed path: a second sf dir in ONE session must get its
+      // own save + centroid memo, not the first dir's (the file's
+      // per-(session, sf dir) memo contract)
+      val idx = "/tmp/graft_ivf_idx_" + math.abs(dir.hashCode).toString
       // fit-once contract: the save is the nightly index build, the
       // timed part is the search through the LOADED index
       bucketedIdxBuilt.getOrElseUpdate((System.identityHashCode(s), idx), {

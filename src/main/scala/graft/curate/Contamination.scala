@@ -105,6 +105,12 @@ object Contamination {
     * hashes, not strings), so bench/corpus agreement is exact by
     * construction. The driver-side filter build is session-memoized
     * per (bench plan, n, fpp) — eval suites gate many corpora.
+    * MEMO CAVEAT (shared with every fit memo here): the exactness
+    * guarantee is per bench VERSION. Rewriting the bench table's
+    * backing files in-session leaves the gate on the OLD filter while
+    * the verify join re-reads the new files — grams only in the new
+    * version would then be silently missed. Call [[clearFits]] after
+    * an in-session bench rewrite, exactly like Sampling/Dsir.
     */
   def ngramOverlapBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 13,
@@ -211,8 +217,10 @@ object Contamination {
     * cluster never reaches the verify stage), so a decontamination pass
     * must check this is empty — or treat every corpus doc in a dropped
     * bucket as suspect — before trusting a clean fuzzyOverlap result.
+    * The audit is CORPUS-side only (the incremental formulation caps
+    * only the corpus side of each bucket), so no bench frame is taken.
     */
-  def fuzzyOversized(corpus: DataFrame, bench: DataFrame, idCol: String,
+  def fuzzyOversized(corpus: DataFrame, idCol: String,
                      textCol: String, k: Int = 3, numHashes: Int = 32,
                      bands: Int = 8, maxBucket: Int = 1000): DataFrame =
     graft.dedup.Dedup.minhashOversizedPortable(

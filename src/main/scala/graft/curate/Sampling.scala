@@ -170,15 +170,23 @@ object Sampling {
     *
     * Ties: the 60-bit content hash makes collisions across distinct
     * keys negligible, but `pos` still tiebreaks on `key` so equal
-    * hashes order deterministically.
+    * hashes order deterministically. `key` should be UNIQUE per row
+    * (a doc id): rows sharing a key value (incl. several null-key
+    * rows, which hash like the empty string per [[contentId]]) share
+    * one hash, so their positions among THEMSELVES are arbitrary —
+    * interchangeable content gets interchangeable slots.
     */
   def shuffleShard(df: DataFrame, key: Column, numShards: Int,
                    seed: Long = 0L, shardOut: String = "shard",
                    posOut: String = "pos"): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val h = col("_graft_sh")
+    // coalesce BEFORE the concat: concat_ws silently drops null args,
+    // which would make a null key hash as the bare seed instead of
+    // following contentId's null-is-empty-string convention
     df.withColumn("_graft_sh",
-        contentId(concat_ws("|", lit(seed.toString), key.cast("string"))))
+        contentId(concat_ws("|", lit(seed.toString),
+          coalesce(key.cast("string"), lit("")))))
       .withColumn(shardOut, (h % numShards).cast("int"))
       .withColumn(posOut, row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -632,12 +632,17 @@ object Reshape {
       else {
         // V1..Vn follow row order = orderCol order (explicit-order
         // doctrine); the domain is driver-small by the same argument
-        // as pivot's own column-domain collect just above
+        // as pivot's own column-domain collect just above. ONE select
+        // projection, not chained renames: a value colliding with a
+        // generated V-name (orderCol = "B","V1") would make a rename
+        // chain hit two columns; and a null orderCol value pivots to
+        // the literal "null" column, matched here explicitly.
         val order = df.select(col(orderCol)).distinct().orderBy(col(orderCol))
-          .collect().map(_.get(0).toString)
-        order.zipWithIndex.foldLeft(base) { case (d, (v, i)) =>
-          d.withColumnRenamed(v, s"V${i + 1}")
-        }
+          .collect().map(r => if (r.isNullAt(0)) "null" else r.get(0).toString)
+        val vName = order.zipWithIndex
+          .map { case (v, i) => v -> s"V${i + 1}" }.toMap
+        base.select(base.columns.map(c =>
+          col(s"`$c`").as(vName.getOrElse(c, c))): _*)
       }
     keepNames match {
       case Some(n) => named.withColumnRenamed("_var", n)

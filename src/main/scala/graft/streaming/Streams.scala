@@ -233,9 +233,15 @@ object Streams {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       graft.dedup.Dedup.evictIndex(indexPath)
-      sink(graft.dedup.Dedup.minhashIncrementalIndexed(
+      // the batch twin memoizes the batch's shingle base PERSISTED,
+      // keyed on the per-batch plan — evict it after the sink or a
+      // long-running stream accumulates one pinned frame per
+      // micro-batch (the reason the stream-static form uses the
+      // un-memoized projection)
+      try sink(graft.dedup.Dedup.minhashIncrementalIndexed(
         batch.sparkSession, indexPath, batch, idCol, textCol,
         k, numHashes, bands, threshold, maxBucket))
+      finally graft.dedup.Dedup.clearBases(Some(batch))
     }
 
   /** [[semDedupAgainstIndexStream]] that PICKS UP nightly index

@@ -116,7 +116,7 @@ class Round7Spec extends AnyFunSuite {
     // the contaminated docs are NOT flagged (bucket over cap) — but the
     // audit says so instead of silently passing the corpus as clean
     assert(hits.count() == 0)
-    val over = graft.curate.Contamination.fuzzyOversized(corpus, bench,
+    val over = graft.curate.Contamination.fuzzyOversized(corpus,
       "doc_id", "text", maxBucket = 3)
     // CORPUS-side audit (the incremental-formulation contract since
     // round 9): 6 corpus docs per band bucket, all 8 bands over cap

@@ -395,6 +395,21 @@ class Round9Spec extends AnyFunSuite {
     assert(rows(1).getDouble(1) == 100.0 && rows(1).getDouble(2) == 200.0)
   }
 
+  test("transpose(makeNames=false): null order value and V-colliding values survive") {
+    import graft.operators.Reshape
+    // orderCol values "B" and "V1": a rename CHAIN would alias both
+    // onto V2; the select projection must not
+    val d = Seq(("B", 1.0), ("V1", 2.0)).toDF("k", "x")
+    val t = Reshape.transpose(d, "k", keepNames = Some("rn"), makeNames = false)
+    assert(t.columns.toSeq == Seq("rn", "V1", "V2"))
+    val r = t.collect().head
+    assert(r.getString(0) == "x" && r.getDouble(1) == 1.0 && r.getDouble(2) == 2.0)
+    // a null order value pivots to the "null" column and still renames
+    val dn = Seq((Some("a"), 1.0), (None, 2.0)).toDF("k", "x")
+    val tn = Reshape.transpose(dn, "k", keepNames = None, makeNames = false)
+    assert(tn.columns.toSeq == Seq("V1", "V2") && tn.count() == 1)
+  }
+
   test("headOrdered/tailOrdered propagate the DT key") {
     val d = DT(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), Seq("k"))
     assert(d.headOrdered(2, Seq($"k".asc)).key == Seq("k"))
