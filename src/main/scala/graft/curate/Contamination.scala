@@ -118,7 +118,7 @@ object Contamination {
     val benchGrams = benchGramSet(bench, idCol, textCol, n)
     val key = benchGrams.queryExecution.analyzed.semanticHash().toString +
       s":$n:$fpp:${System.identityHashCode(corpus.sparkSession)}"
-    val bytes = bloomCache.getOrElseUpdate(key, {
+    val bytes = bloomCache.getOrElsePut(key) {
       val hashes = benchGrams.select(xxhash64(col("gram")).as("h"))
         .collect().map(_.getLong(0))
       val bf = org.apache.spark.util.sketch.BloomFilter.create(
@@ -127,7 +127,7 @@ object Contamination {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
-    })
+    }
     import org.apache.spark.sql.GraftSqlBridge
     val g = grams(corpus, idCol, textCol, n, hashed = false)
     val gate = GraftSqlBridge.column(
@@ -143,8 +143,7 @@ object Contamination {
   // Session memo of serialized bench bloom filters (driver-side fit —
   // the Dsir/Sampling memo pattern; a bench set is reused across many
   // corpora and every bench rep).
-  private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Byte]]
+  private val bloomCache = new graft.SessionMemo[Array[Byte]]()
 
   /** Test/visibility hook: number of memoized bench bloom fits. */
   private[graft] def bloomFitCount: Int = bloomCache.size

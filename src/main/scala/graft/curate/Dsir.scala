@@ -179,14 +179,12 @@ object Dsir {
           math.log((rawC(b) + 1).toDouble / rawTotal))
     }
 
-  // Session-scoped memo of the count fits (the Similarity.memoFit
-  // pattern): values are tiny driver arrays, not Spark state, so
-  // clearFits drops them directly — persisted weight tables are
-  // unpersisted alongside.
-  private val fitCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
-  private val weightCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // Session-scoped memos ([[graft.SessionMemo]] — shared semantics with
+  // Dedup/Similarity/Sampling/Contamination/Sketches): fit values are
+  // tiny driver arrays, not Spark state; persisted weight tables are
+  // unpersisted on eviction.
+  private val fitCache = new graft.SessionMemo[Array[Double]]()
+  private val weightCache = new graft.SessionMemo[DataFrame](_.unpersist())
 
   private def filterKey(c: Column): String = c.toString
 
@@ -197,27 +195,17 @@ object Dsir {
 
   private def memoFit(df: DataFrame, tag: String)
                      (body: => Array[Double]): Array[Double] =
-    fitCache.getOrElseUpdate(weightKey(df, tag), body)
+    fitCache.getOrElsePut(weightKey(df, tag))(body)
 
-  /** Race-safe persisted memo (the Dedup.cachePersisted pattern):
-    * putIfAbsent decides the winner; the loser unpersists its still-lazy
-    * copy so no MEMORY_AND_DISK registration can leak.
-    */
   private def cachePersisted(key: String, df: => DataFrame): DataFrame =
-    weightCache.get(key).getOrElse {
-      val fresh = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      weightCache.putIfAbsent(key, fresh) match {
-        case Some(existing) => fresh.unpersist(); existing
-        case None => fresh
-      }
-    }
+    weightCache.getOrElsePut(key)(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Forget every memoized count fit and unpersist the weight tables
     * (mirrors `Similarity.clearFits`).
     */
   def clearFits(): Unit = {
     fitCache.clear()
-    weightCache.values.foreach(_.unpersist())
     weightCache.clear()
   }
 

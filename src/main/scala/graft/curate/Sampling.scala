@@ -89,12 +89,18 @@ object Sampling {
     // a silent per-cell re-aggregation). Memoize per (session, corpus
     // plan, grouping/token exprs); clearFits() drops the memo when the
     // corpus is rewritten in-session.
-    val totals = totalsCache.getOrElseUpdate(
+    // Keyed on the aggregation plan's OWN semanticHash (which embeds
+    // the corpus plan, grouping column and token expression — including
+    // UDF object identity): `tokens.toString` is not injective for
+    // UDF-backed columns (two different Scala UDFs over one column both
+    // stringify as `UDF(text)`), so stringly keys could silently reuse
+    // the wrong fit across token counters.
+    val totalsFrame = df.groupBy(col(sourceCol))
+      .agg(sum(tokens.cast("long")).as("_graft_tot"))
+    val totals = totalsCache.getOrElsePut(
       System.identityHashCode(df.sparkSession).toString + ":" +
-        df.queryExecution.analyzed.semanticHash().toString + ":" +
-        sourceCol + ":" + tokens.toString,
-      df.groupBy(col(sourceCol))
-        .agg(sum(tokens.cast("long")).as("_graft_tot"))
+        totalsFrame.queryExecution.analyzed.semanticHash().toString)(
+      totalsFrame
         .collect() // driver-small by construction: one row per source
         .map(r => r.getString(0) ->
           (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap) // all-null tokens → 0
@@ -110,8 +116,7 @@ object Sampling {
   // maps, not Spark state — the Dsir.fitCache pattern). The key is the
   // corpus plan + grouping exprs, NOT targets/budget: those only scale
   // the derived rates, so every mixture over one corpus shares one fit.
-  private val totalsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+  private val totalsCache = new graft.SessionMemo[Map[String, Long]]()
 
   /** Test/visibility hook: whether a totals fit for this corpus+exprs is
     * already memoized (mirrors Dsir's memo observability).

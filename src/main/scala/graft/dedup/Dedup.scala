@@ -193,21 +193,13 @@ object Dedup {
         .withColumn("sig", graft.plans.PortableMinHashSig(col("sh"), numHashes))
         .drop("text"))
 
-  /** Register `df` persisted under `key` — RACE-SAFE, unlike a naive
-    * TrieMap.getOrElseUpdate whose by-name op can run on two threads
-    * with the loser left persisted but unregistered (a MEMORY_AND_DISK
-    * leak no clearBases could ever evict; driver-side parallelism is
-    * real here — the PQ subspace fits run from Futures). putIfAbsent
-    * decides the winner; the loser unpersists its still-lazy copy.
+  /** Register `df` persisted under `key` — race/eviction semantics live
+    * in [[graft.SessionMemo]] (one implementation, shared with
+    * Similarity's persisted cell indexes and the fit memos).
     */
   private def cachePersisted(key: String, df: => DataFrame): DataFrame =
-    portableBaseCache.get(key).getOrElse {
-      val fresh = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      portableBaseCache.putIfAbsent(key, fresh) match {
-        case Some(existing) => fresh.unpersist(); existing
-        case None => fresh
-      }
-    }
+    portableBaseCache.getOrElsePut(key)(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Slim (id, band, bh) banding of a [[portableBase]]: only those three
     * columns travel through the explode+shuffle — never the shingle or
@@ -448,9 +440,7 @@ object Dedup {
   def evictIndex(path: String): Unit = evictIndexBuckets(s"path=$path")
 
   private def evictIndexBuckets(tag: String): Unit =
-    portableBaseCache.keys.filter(_.startsWith(s"idxbuckets:$tag:")).foreach {
-      k => portableBaseCache.remove(k).foreach(_.unpersist())
-    }
+    portableBaseCache.evictPrefix(s"idxbuckets:$tag:")
 
   private def incrementalPairs(baseSh: DataFrame, buckets: DataFrame,
                                batchB: DataFrame, batchBanded: DataFrame,
@@ -505,8 +495,7 @@ object Dedup {
       df.queryExecution.analyzed.semanticHash().toString + ":" +
       df.columns.mkString(",")
 
-  private val portableBaseCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val portableBaseCache = new graft.SessionMemo[DataFrame](_.unpersist())
 
   /** Keys of the currently-memoized persisted bases/pairs — the OWNED
     * set tests must assert on. `sparkContext.getPersistentRDDs` is a
@@ -514,14 +503,14 @@ object Dedup {
     * earlier suites' unreferenced cached plans are GC'd, so any
     * assertion on its size is nondeterministic across a full test run.
     */
-  private[graft] def persistedKeys: Set[String] = portableBaseCache.keySet.toSet
+  private[graft] def persistedKeys: Set[String] = portableBaseCache.keys
 
   /** Snapshot of the memoized frames themselves (key -> cached plan);
     * `frame.storageLevel` reads CacheManager synchronously, so eviction
     * can be asserted per owned frame.
     */
   private[graft] def persistedFrames: Map[String, DataFrame] =
-    portableBaseCache.toMap
+    portableBaseCache.snapshot
 
   /** Unpersist + forget memoized shingle/signature bases — for `df`'s
     * corpus only, or every base (mirrors Scale.clearIndexes; without it
@@ -529,14 +518,8 @@ object Dedup {
     * MEMORY_AND_DISK base forever).
     */
   def clearBases(df: Option[DataFrame] = None): Unit = df match {
-    case Some(d) =>
-      val prefix = baseKeyOf(d) + ":"
-      portableBaseCache.keys.filter(_.startsWith(prefix)).foreach { k =>
-        portableBaseCache.remove(k).foreach(_.unpersist())
-      }
-    case None =>
-      portableBaseCache.keys.foreach(k =>
-        portableBaseCache.remove(k).foreach(_.unpersist()))
+    case Some(d) => portableBaseCache.evictPrefix(baseKeyOf(d) + ":")
+    case None => portableBaseCache.clear()
   }
 
   /** 59-bit rotate-left-by-7 via mask-then-shift (no overflow anywhere;

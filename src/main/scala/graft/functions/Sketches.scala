@@ -33,17 +33,16 @@ object Sketches {
     val frame = df.select(c.cast("string").as("_graft_x"))
     val key = frame.queryExecution.analyzed.semanticHash().toString +
       s":$eps:$confidence:$seed:${System.identityHashCode(df.sparkSession)}"
-    cmsCache.getOrElseUpdate(key, {
+    cmsCache.getOrElsePut(key) {
       val bytes = frame
         .agg(count_min_sketch(col("_graft_x"), lit(eps), lit(confidence),
           lit(seed)).as("s"))
         .head().getAs[Array[Byte]](0)
       CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
-    })
+    }
   }
 
-  private val cmsCache =
-    scala.collection.concurrent.TrieMap.empty[String, CountMinSketch]
+  private val cmsCache = new graft.SessionMemo[CountMinSketch]()
 
   /** Test/visibility hook: number of memoized sketch fits. */
   private[graft] def cmsFitCount: Int = cmsCache.size

@@ -337,44 +337,35 @@ object Similarity {
   // state), so clearFits() is plain map removal and there is nothing to
   // unpersist. Entries are tiny; a long-lived session sweeping many
   // corpora should still clearFits() between corpora.
-  private val fitCache = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+  private val fitCache = new graft.SessionMemo[AnyRef]()
 
   private def memoFit[T <: AnyRef](df: DataFrame, tag: String)(body: => T): T = {
     val key = System.identityHashCode(df.sparkSession).toString + ":" +
       df.queryExecution.analyzed.semanticHash().toString + ":" +
       df.columns.mkString(",") + ":" + tag
-    fitCache.getOrElseUpdate(key, body).asInstanceOf[T]
+    fitCache.getOrElsePut(key)(body).asInstanceOf[T]
   }
 
-  // Persisted-DataFrame memo (the Dedup.cachePersisted pattern, race-
-  // safe via putIfAbsent): currently holds the capped corpus side of
+  // Persisted-DataFrame memo (same SessionMemo semantics as Dedup's
+  // base cache): currently holds the capped corpus side of
   // [[semIncremental]] per (session, indexPath, maxCell) — without it
   // every search in a session re-reads and re-counts the whole cell
   // table. Evicted by the writers that change the index on disk.
-  private val persistedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val persistedCache = new graft.SessionMemo[DataFrame](_.unpersist())
 
   private def cachePersisted(key: String, df: => DataFrame): DataFrame =
-    persistedCache.get(key).getOrElse {
-      val fresh = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persistedCache.putIfAbsent(key, fresh) match {
-        case Some(existing) => fresh.unpersist(); existing
-        case None => fresh
-      }
-    }
+    persistedCache.getOrElsePut(key)(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def evictPersisted(tagPrefix: String): Unit =
-    persistedCache.keys.filter(_.startsWith(tagPrefix)).foreach { k =>
-      persistedCache.remove(k).foreach(_.unpersist())
-    }
+    persistedCache.evictPrefix(tagPrefix)
 
   /** Forget every memoized kmeans/PQ fit and unpersist the cached
     * corpus frames (mirrors `Dedup.clearBases`).
     */
   def clearFits(): Unit = {
     fitCache.clear()
-    persistedCache.keys.foreach(k =>
-      persistedCache.remove(k).foreach(_.unpersist()))
+    persistedCache.clear()
   }
 
   /** Shared Lloyd loop: assignment is a broadcast argmax map over `fit`,
@@ -827,8 +818,7 @@ object Similarity {
     centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("cell", "vec").repartition(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$path/ivf")
-    fitCache.keys.filter(_.startsWith(s"ivfcents:$path:"))
-      .foreach(fitCache.remove)
+    fitCache.evictPrefix(s"ivfcents:$path:")
   }
 
   /** Read IVF centroids back in cell order — inverse of [[saveIvfIndex]],
@@ -840,8 +830,8 @@ object Similarity {
     * as every other fit memo here.
     */
   def loadIvfIndex(spark: SparkSession, path: String): Seq[Seq[Double]] =
-    fitCache.getOrElseUpdate(
-      s"ivfcents:$path:${System.identityHashCode(spark)}",
+    fitCache.getOrElsePut(
+      s"ivfcents:$path:${System.identityHashCode(spark)}")(
       spark.read.parquet(s"$path/ivf").orderBy(col("cell"))
         .select(col("vec")).collect().map(_.getSeq[Double](0).toSeq).toSeq)
       .asInstanceOf[Seq[Seq[Double]]]
@@ -854,8 +844,7 @@ object Similarity {
     * the sledgehammer [[clearFits]]).
     */
   def evictIndexFits(path: String): Unit = {
-    fitCache.keys.filter(_.startsWith(s"ivfcents:$path:"))
-      .foreach(fitCache.remove)
+    fitCache.evictPrefix(s"ivfcents:$path:")
     evictPersisted(s"cellcorpus:$path:")
   }
 
