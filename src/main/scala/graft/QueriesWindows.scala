@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Windows
+import graft.operators.{GlobalOrdered, Windows}
 
 /** Window / ordered operator queries (SURVEY.md §2.5). Every entry
   * orders by a unique key so results are deterministic across engines.
@@ -492,6 +492,130 @@ object QueriesWindows {
              |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
              |  w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ==== GLOBAL (by = Nil) ordered ops — the GlobalOrdered range-
+    // bucketed two-pass tier: per-bucket windows + broadcast prefix
+    // offsets, never a single-partition WindowExec (plan-locked in
+    // PlanShapeSpec). Exact-integer cents keep the FP hash stable where
+    // prefix sums would otherwise reassociate summation. ==============
+
+    // ---- global running sum (Windows.cum("sum") with by=Nil) -----------
+    ("q_cumsum_global", ((s, dir) =>
+      GlobalOrdered.cumsum(
+        dt(s, dir, "orders").df
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long")),
+        col("cents"), col("o_orderkey"), "cs")
+        .select(col("o_orderkey"), col("cs"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+             |    (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+             |FROM orders""".stripMargin)),
+
+    // ---- global running product: sign/zero tracking, exact ±1/0 --------
+    ("q_cumprod_global", ((s, dir) =>
+      GlobalOrdered.cumprod(
+        dt(s, dir, "orders").df
+          .withColumn("x", when(col("o_orderkey") % 97 === 0, 0.0)
+            .when(col("o_orderkey") % 2 === 0, 1.0).otherwise(-1.0)),
+        col("x"), col("o_orderkey"), "cp")
+        // +0.0 on both sides: DuckDB's sequential product reaches -0.0
+        // when a zero factor meets an odd sign count; the log-space
+        // form always emits +0.0
+        .select(col("o_orderkey"), (col("cp") + lit(0.0)).as("cp"))): Q,
+      Some("""SELECT o_orderkey,
+             |  product(CASE WHEN o_orderkey % 97 = 0 THEN 0.0::DOUBLE
+             |               WHEN o_orderkey % 2 = 0 THEN 1.0::DOUBLE
+             |               ELSE -1.0::DOUBLE END) OVER
+             |    (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) + 0.0 AS cp
+             |FROM orders""".stripMargin)),
+
+    // ---- global rleid: runs across the whole table ---------------------
+    ("q_rleid_global", ((s, dir) =>
+      GlobalOrdered.rleid(dt(s, dir, "events").df, Seq("event_type"),
+        col("event_id"), "run_id")
+        .select(col("event_id"), col("run_id"))): Q,
+      Some("""SELECT event_id,
+             |  CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+             |    OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+             |FROM (SELECT event_id, event_type,
+             |        lag(event_type) OVER (ORDER BY event_id) AS prev
+             |      FROM events)""".stripMargin)),
+
+    // ---- global frank min/dense/average over a heavy-ties column -------
+    ("q_frank_global", ((s, dir) => {
+      val base = dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+      val r1 = GlobalOrdered.frank(base, col("v"), desc = false, "min",
+        "true", "rk_min")
+      val r2 = GlobalOrdered.frank(r1, col("v"), desc = false, "dense",
+        "true", "rk_dense")
+      val r3 = GlobalOrdered.frank(r2, col("v"), desc = false, "average",
+        "true", "rk_avg")
+      r3.select(col("event_id"), col("rk_min").cast("long").as("rk_min"),
+        col("rk_dense").cast("long").as("rk_dense"),
+        col("rk_avg").cast("double").as("rk_avg"))
+    }): Q,
+      Some("""SELECT event_id,
+             |  rank() OVER (ORDER BY v ASC NULLS LAST) AS rk_min,
+             |  dense_rank() OVER (ORDER BY v ASC NULLS LAST) AS rk_dense,
+             |  (rank() OVER (ORDER BY v ASC NULLS LAST)
+             |    + (count(*) OVER (PARTITION BY v) - 1) / 2.0)::DOUBLE AS rk_avg
+             |FROM (SELECT event_id,
+             |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |      FROM events)""".stripMargin)),
+
+    // ---- global shift: phantom boundary rows feed lag/lead -------------
+    ("q_shift_global", ((s, dir) => {
+      val base = dt(s, dir, "orders").df
+      GlobalOrdered.shift(
+        GlobalOrdered.shift(base, col("o_totalprice"), 1, col("o_orderkey"),
+          "prev_price", fill = lit(0.0)),
+        col("o_totalprice"), -1, col("o_orderkey"), "next_price",
+        fill = lit(0.0))
+        .select(col("o_orderkey"), col("prev_price"), col("next_price"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  coalesce(lag(o_totalprice) OVER w, 0.0) AS prev_price,
+             |  coalesce(lead(o_totalprice) OVER w, 0.0) AS next_price
+             |FROM orders
+             |WINDOW w AS (ORDER BY o_orderkey)""".stripMargin)),
+
+    // ---- global rolling sum, exact cents, full-window semantics --------
+    ("q_froll_global", ((s, dir) =>
+      GlobalOrdered.froll(
+        dt(s, dir, "orders").df
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long")),
+        "s7", "sum", col("cents"), 7, col("o_orderkey"))
+        .select(col("o_orderkey"), col("s7"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w7 = 7
+             |       THEN CAST(sum(cents) OVER w7 AS BIGINT) END AS s7
+             |FROM (SELECT o_orderkey,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |      FROM orders)
+             |WINDOW w7 AS (ORDER BY o_orderkey
+             |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- global nafill locf + nocb across bucket boundaries ------------
+    ("q_nafill_global", ((s, dir) => {
+      val base = dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+      GlobalOrdered.nafillNocb(
+        GlobalOrdered.nafillLocf(base, col("v"), col("event_id"), "locf"),
+        col("v"), col("event_id"), "nocb")
+        .select(col("event_id"), col("locf"), col("nocb"))
+    }): Q,
+      Some("""SELECT event_id,
+             |  last_value(v IGNORE NULLS) OVER
+             |    (ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS locf,
+             |  first_value(v IGNORE NULLS) OVER
+             |    (ORDER BY event_id
+             |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nocb
+             |FROM (SELECT event_id,
+             |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |      FROM events)""".stripMargin))
   )
 }

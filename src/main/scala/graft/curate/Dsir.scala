@@ -257,9 +257,15 @@ object Dsir {
     val w = weights.select(col("doc_id"),
       (round(col("logw"), decimals) + lit(0.0)).as("logw"))
     val hist = w.groupBy(col("logw")).agg(count(lit(1)).as("_c"))
-    val cum = hist.withColumn("_cum",
-      sum(col("_c")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("logw").desc)))
+    // descending cumulative over the value histogram — through the
+    // GlobalOrdered bucketed two-pass (bucket = floor(−logw), a pure
+    // sort-monotone function: no quantile fit, no single-partition
+    // WindowExec even when the histogram outgrows one task)
+    val cum = graft.operators.GlobalOrdered.cumsumWith(hist, col("_c"),
+      col("logw"),
+      when(col("logw").isNull, lit(Double.MaxValue))
+        .otherwise(floor(-col("logw"))),
+      "_cum", asc = false)
     val thr = cum.filter(col("_cum") >= n)
       .agg(coalesce(max(col("logw")),
         lit(Double.NegativeInfinity)).as("_thr"))

@@ -1,0 +1,476 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scale-safe GLOBAL ordered operators — the `by = Nil` tier of the
+  * window family (SURVEY.md §2.5; reference src/forder.c's parallel
+  * radix + scan is the same two-pass idea).
+  *
+  * A naive `Window.orderBy(key)` with no partition funnels the WHOLE
+  * input through one task — correct, and fine for a 3-row
+  * post-aggregate frame, fatal at 100 TB. This tier keeps global-order
+  * semantics with bounded parallelism:
+  *
+  *  1. '''Bucket''' every row by a PURE FUNCTION of the order key
+  *     (range buckets from memoized approximate quantiles of the key).
+  *     Because the bucket is computable before any exchange, the
+  *     window's hash exchange on the bucket is the ONLY full-data
+  *     shuffle in the plan — there is no separate range exchange.
+  *     Equal keys always share a bucket, so tie blocks never split.
+  *  2. '''Per-bucket pass''': the ordinary partitioned window runs
+  *     inside each bucket (parallel, streaming frame).
+  *  3. '''Prefix offsets''': per-bucket partial aggregates (map-side
+  *     combined — only ≤`buckets` rows shuffle) are combined across
+  *     strictly-prior buckets with tiny broadcast self-joins — NO
+  *     global window anywhere, so the plan never carries a
+  *     single-partition WindowExec — and broadcast-joined back.
+  *
+  * Ops that need neighboring ROWS rather than prefix aggregates
+  * (shift, fixed-window froll) use '''phantom boundary rows''': the
+  * edge rows of each bucket are copied into the adjacent bucket,
+  * excluded from output after the windows are evaluated.
+  *
+  * Contracts (documented, spec-locked):
+  *  - The order key must cast to double (numerics, or dates/timestamps
+  *    pre-cast by the caller). Non-numeric global ordering has no
+  *    range-bucketable form here — see [[rownumByRange]] for the
+  *    any-type row-number fallback used by `Windows.grp`.
+  *  - Row-level outputs are only deterministic when the key is unique
+  *    per row (the same contract every oracled window query already
+  *    carries); prefix aggregates additionally assume it for
+  *    cross-engine FP agreement.
+  *  - Phantom ops (shift/froll) reach at most one bucket back/forward:
+  *    window widths must not exceed the smallest nonempty bucket
+  *    (bucket sizes are ~rows/buckets — millions at scale vs. n of a
+  *    handful; degenerate inputs belong on the partitioned tier).
+  *  - A massively-skewed key (one value = most rows) degenerates to
+  *    few buckets; global order over near-constant keys is inherently
+  *    sequential and the partitioned tier or a composite key is the
+  *    right answer there.
+  *
+  * Bounds are an eager, session-memoized fit (SessionMemo — same
+  * writer-eviction contract as every other fit memo): the quantile
+  * scan reads ONE column (parquet-pruned) once per (session, plan,
+  * buckets); bench reps and composed queries reuse it.
+  */
+object GlobalOrdered {
+
+  private[graft] val BKT = "_graft_gbkt"
+  private val PH = "_graft_phantom"
+
+  private val boundsCache = new graft.SessionMemo[Array[Double]]()
+
+  /** Test/visibility hook: number of memoized bounds fits. */
+  private[graft] def boundsFitCount: Int = boundsCache.size
+
+  /** Forget every memoized bucket-bounds fit — call between in-session
+    * rewrites of a corpus, like every other fit memo.
+    */
+  def clearFits(): Unit = boundsCache.clear()
+
+  private def boundsFor(df: DataFrame, key: Column, buckets: Int): Array[Double] = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val frame = df.select(key.cast("double").as("_graft_k"))
+    val memoKey = System.identityHashCode(df.sparkSession).toString + ":" +
+      frame.queryExecution.analyzed.semanticHash().toString + ":" + buckets
+    boundsCache.getOrElsePut(memoKey) {
+      frame.na.drop()
+        .stat.approxQuantile("_graft_k",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+    }
+  }
+
+  /** Bucket id as a pure expression over the key: the count of bounds
+    * strictly below (asc) / above (desc) the key, nulls pinned to the
+    * first or last bucket per the sort's null placement. Equal keys
+    * always map to one bucket, so no tie block ever spans buckets.
+    */
+  private def bucketCol(key: Column, bounds: Array[Double], asc: Boolean,
+                        nullsFirst: Boolean): Column = {
+    val k = key.cast("double")
+    val base =
+      if (asc) bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(k > lit(b), 1).otherwise(0))
+      else bounds.foldLeft(lit(0))((acc, b) =>
+        acc + when(k < lit(b), 1).otherwise(0))
+    when(key.isNull, lit(if (nullsFirst) 0 else bounds.length)).otherwise(base)
+  }
+
+  private def ordOf(key: Column, asc: Boolean, nullsFirst: Boolean): Column =
+    (asc, nullsFirst) match {
+      case (true, true)   => key.asc_nulls_first
+      case (true, false)  => key.asc_nulls_last
+      case (false, true)  => key.desc_nulls_first
+      case (false, false) => key.desc_nulls_last
+    }
+
+  /** df + the bucket column (asc defaults to Spark's nulls-first,
+    * desc to nulls-last, overridable for frank's na.last=).
+    */
+  private def prep(df: DataFrame, key: Column, asc: Boolean, buckets: Int,
+                   nullsFirst: Option[Boolean] = None): DataFrame = {
+    val nf = nullsFirst.getOrElse(asc)
+    df.withColumn(BKT, bucketCol(key, boundsFor(df, key, buckets), asc, nf))
+  }
+
+  /** Aggregates of `partials` over STRICTLY-PRIOR buckets, one row per
+    * bucket (left join: first bucket gets nulls). `partials` is tiny
+    * (≤buckets rows), so both the non-equi self-join and the final
+    * broadcast back to the data are broadcast-local.
+    */
+  private def priorsOf(partials: DataFrame, aggs: Column*): DataFrame =
+    partials.alias("a")
+      .join(broadcast(partials.alias("p")), col("p._b") < col("a._b"), "left")
+      .groupBy(col("a._b").as("_b"))
+      .agg(aggs.head, aggs.tail: _*)
+
+  private def joinPriors(b: DataFrame, priors: DataFrame): DataFrame =
+    b.join(broadcast(priors), col(BKT) === col("_b"), "left").drop("_b")
+
+  /** Null-tolerant add: null + x = x, x + null = x, null + null = null
+    * (each side is an already-aggregated partial; a missing side means
+    * "no rows", not poison — poison is tracked separately).
+    */
+  private def addNT(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+
+  // ---- cumulative sum (global tier of Windows.cum("sum")) -------------
+
+  /** Global running sum of `x` along `key` — semantics of
+    * `Windows.cum("sum", x, by = Nil, ...)` (NA-poison by default,
+    * naRm=true opts into skip-NULL SQL aggregation) without the
+    * single-partition WindowExec.
+    */
+  def cumsum(df: DataFrame, x: Column, key: Column, out: String,
+             asc: Boolean = true, naRm: Boolean = false,
+             buckets: Int = 32): DataFrame =
+    cumsumBucketed(prep(df, key, asc, buckets), x, key, out, asc, naRm)
+
+  /** [[cumsum]] with a CALLER-SUPPLIED bucket expression — any pure,
+    * sort-monotone function of the key (e.g. `floor(-logw)` for a
+    * descending cumulative over a histogram) stands in for the quantile
+    * fit: no eager bounds job at all. The bucket must be non-decreasing
+    * along the sort and null-safe (map null keys where the sort places
+    * them); bucket balance only affects parallelism, never correctness.
+    */
+  def cumsumWith(df: DataFrame, x: Column, key: Column, bucket: Column,
+                 out: String, asc: Boolean = true,
+                 naRm: Boolean = false): DataFrame =
+    cumsumBucketed(df.withColumn(BKT, bucket), x, key, out, asc, naRm)
+
+  private def cumsumBucketed(b: DataFrame, x: Column, key: Column,
+                             out: String, asc: Boolean,
+                             naRm: Boolean): DataFrame = {
+    val ord = ordOf(key, asc, nullsFirst = asc)
+    val wc = Window.partitionBy(col(BKT)).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val partials = b.groupBy(col(BKT).as("_b"))
+      .agg(sum(x).as("_ps"), count(x).as("_pnn"), count(lit(1)).as("_pn"))
+    val priors = priorsOf(partials,
+      sum(col("p._ps")).as("_ps"), sum(col("p._pnn")).as("_pnn"),
+      sum(col("p._pn")).as("_pn"))
+    val j = joinPriors(b, priors)
+    val within = sum(x).over(wc)
+    val value = addNT(col("_ps"), within)
+    val nnPfx = coalesce(col("_pnn"), lit(0L)) + count(x).over(wc)
+    val nPfx = coalesce(col("_pn"), lit(0L)) + count(lit(1)).over(wc)
+    val res =
+      if (naRm) when(nnPfx === 0, lit(null)).otherwise(value)
+      else when(nnPfx < nPfx, lit(null)).otherwise(value)
+    j.withColumn(out, res).drop(BKT, "_ps", "_pnn", "_pn")
+  }
+
+  // ---- cumulative product (global tier of Windows.cum("prod")) --------
+
+  /** Global running product along `key` — the log-space sign/zero/null
+    * tracked form of `Windows.cum("prod")`, with per-bucket partials
+    * (zero count, negative count, log-magnitude sum) combined across
+    * prior buckets.
+    */
+  def cumprod(df: DataFrame, x0: Column, key: Column, out: String,
+              asc: Boolean = true, naRm: Boolean = false,
+              buckets: Int = 32): DataFrame = {
+    val x = x0.cast("double")
+    val b = prep(df, key, asc, buckets)
+    val ord = ordOf(key, asc, nullsFirst = asc)
+    val wc = Window.partitionBy(col(BKT)).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val partials = b.groupBy(col(BKT).as("_b")).agg(
+      sum(when(x === 0.0, 1L).otherwise(0L)).as("_pz"),
+      sum(when(x < 0.0, 1L).otherwise(0L)).as("_pneg"),
+      sum(when(x =!= 0.0, log(abs(x)))).as("_plog"),
+      count(x).as("_pnn"), count(lit(1)).as("_pn"))
+    val priors = priorsOf(partials,
+      sum(col("p._pz")).as("_pz"), sum(col("p._pneg")).as("_pneg"),
+      sum(col("p._plog")).as("_plog"), sum(col("p._pnn")).as("_pnn"),
+      sum(col("p._pn")).as("_pn"))
+    val j = joinPriors(b, priors)
+    val zeros = coalesce(col("_pz"), lit(0L)) +
+      sum(when(x === 0.0, 1L).otherwise(0L)).over(wc)
+    val negs = coalesce(col("_pneg"), lit(0L)) +
+      sum(when(x < 0.0, 1L).otherwise(0L)).over(wc)
+    val logMag = addNT(col("_plog"), sum(when(x =!= 0.0, log(abs(x)))).over(wc))
+    val nnPfx = coalesce(col("_pnn"), lit(0L)) + count(x).over(wc)
+    val nPfx = coalesce(col("_pn"), lit(0L)) + count(lit(1)).over(wc)
+    val body = when(zeros > 0, lit(0.0))
+      .otherwise(when(negs % 2 === 0, lit(1.0)).otherwise(lit(-1.0)) *
+        exp(coalesce(logMag, lit(0.0))))
+    val res =
+      if (naRm) when(nnPfx === 0, lit(null).cast("double")).otherwise(body)
+      else when(nnPfx < nPfx, lit(null).cast("double")).otherwise(body)
+    j.withColumn(out, res).drop(BKT, "_pz", "_pneg", "_plog", "_pnn", "_pn")
+  }
+
+  // ---- frank (global tier of Windows.frankNa) -------------------------
+
+  /** Global frank over a single value column — ties min/dense/max/
+    * average/first with na.last handling, `Windows.frankNa` semantics
+    * for `by = Nil`. The value column doubles as the bucket key, so tie
+    * blocks stay whole and per-bucket ranks correct by prior-bucket
+    * row/distinct counts. `appearance` (needed for ties="first") must
+    * be unique per row.
+    */
+  def frank(df: DataFrame, value: Column, desc: Boolean, ties: String,
+            naLast: String, out: String, appearance: Seq[Column] = Nil,
+            buckets: Int = 32): DataFrame = {
+    val nullsFirst = naLast == "false"
+    val asc = !desc
+    val b = prep(df, value, asc, buckets, Some(nullsFirst))
+    val ord = ordOf(value, asc, nullsFirst)
+    val w = Window.partitionBy(col(BKT)).orderBy(ord)
+    val partials = b.groupBy(col(BKT).as("_b")).agg(
+      count(lit(1)).as("_pn"),
+      (countDistinct(value) +
+        max(when(value.isNull, 1).otherwise(0))).as("_pd"))
+    val priors = priorsOf(partials,
+      sum(col("p._pn")).as("_pn"), sum(col("p._pd")).as("_pd"))
+    val j = joinPriors(b, priors)
+    val rowOff = coalesce(col("_pn"), lit(0L))
+    val ranked = ties match {
+      case "min"   => j.withColumn(out, rank().over(w) + rowOff)
+      case "dense" => j.withColumn(out,
+        dense_rank().over(w) + coalesce(col("_pd"), lit(0L)))
+      case "first" =>
+        require(appearance.nonEmpty,
+          "global frank(ties=\"first\") needs unique `appearance` columns")
+        j.withColumn(out,
+          row_number().over(Window.partitionBy(col(BKT))
+            .orderBy(ord +: appearance: _*)) + rowOff)
+      case "max" =>
+        val tiePart = Window.partitionBy(col(BKT), value)
+        j.withColumn(out,
+          rank().over(w) + count(lit(1)).over(tiePart) - 1 + rowOff)
+      case "average" =>
+        val tiePart = Window.partitionBy(col(BKT), value)
+        j.withColumn(out,
+          rank().over(w) + (count(lit(1)).over(tiePart) - 1) / 2.0 + rowOff)
+      case other => throw new IllegalArgumentException(
+        s"global frank ties.method=$other (first|min|max|dense|average)")
+    }
+    val cleaned = ranked.drop(BKT, "_pn", "_pd")
+    if (naLast == "keep")
+      cleaned.withColumn(out, when(value.isNull, lit(null)).otherwise(col(out)))
+    else cleaned
+  }
+
+  // ---- rleid (global tier of Windows.rleid) ---------------------------
+
+  /** Global run-length id along `key` — per-bucket rleid plus a run
+    * count carried across buckets, with a −1 correction wherever a
+    * bucket's first row continues the previous nonempty bucket's last
+    * run (field-wise null-safe equality, NA==NA same run like the
+    * reference). All cross-bucket bookkeeping happens on the tiny
+    * partials frame.
+    */
+  def rleid(df: DataFrame, cols: Seq[String], key: Column, out: String,
+            asc: Boolean = true, buckets: Int = 32): DataFrame = {
+    require(cols.nonEmpty, "rleid needs value columns")
+    val b0 = prep(df, key, asc, buckets)
+    val within = Windows.rleid(b0, cols, Seq(ordOf(key, asc, asc)), Seq(BKT),
+      "_graft_rid")
+    val firstLast = cols.flatMap(c => Seq(
+      min_by(col(c), key).as(s"_f_$c"), max_by(col(c), key).as(s"_l_$c")))
+    val partials = within.groupBy(col(BKT).as("_b"))
+      .agg(max(col("_graft_rid")).as("_runs"), firstLast: _*)
+    // previous NONEMPTY bucket id per bucket (partials only has nonempty)
+    val prevId = partials.select(col("_b").as("_pb"))
+      .alias("a")
+      .join(broadcast(partials.select(col("_b").as("_qb")).alias("p")),
+        col("_qb") < col("_pb"), "left")
+      .groupBy(col("_pb")).agg(max(col("_qb")).as("_prev"))
+    // merge(b) = 1 when first(b) equals last(prev nonempty b), per-field
+    // null-safe (consecutive NA runs merge, reference uniqlist semantics)
+    val prevLast = partials.select(
+      (col("_b").as("_prevb") +: cols.map(c => col(s"_l_$c").as(s"_pl_$c"))): _*)
+    val merged = partials
+      .join(broadcast(prevId), col("_b") === col("_pb"))
+      .join(broadcast(prevLast), col("_prev") === col("_prevb"), "left")
+      .withColumn("_merge",
+        when(col("_prev").isNull, lit(0L)).otherwise(
+          when(cols.map(c => col(s"_f_$c") <=> col(s"_pl_$c")).reduce(_ && _),
+            lit(1L)).otherwise(lit(0L))))
+      .select(col("_b"), col("_runs"), col("_merge"))
+    // offset(b) = Σ_{b'<b} runs − Σ_{b'≤b} merge
+    val priors = priorsOf(merged,
+      sum(col("p._runs")).as("_pruns"), sum(col("p._merge")).as("_pmerge"))
+    val offsets = merged.join(broadcast(priors), "_b")
+      .select(col("_b"),
+        (coalesce(col("_pruns"), lit(0L)) - coalesce(col("_pmerge"), lit(0L)) -
+          col("_merge")).as("_off"))
+    within.join(broadcast(offsets), col(BKT) === col("_b"), "left")
+      .withColumn(out, col("_graft_rid") + coalesce(col("_off"), lit(0L)))
+      .drop(BKT, "_graft_rid", "_b", "_off")
+  }
+
+  // ---- nafill locf/nocb (global tier) ---------------------------------
+
+  /** Global last-non-null carried forward along `key`: within-bucket
+    * LOCF, with the carry-in from the nearest prior bucket that saw a
+    * non-null — per-bucket partial is max(struct(key, x)) over non-null
+    * x (struct max orders by key; null structs are skipped), so the
+    * carry needs no window at all.
+    */
+  def nafillLocf(df: DataFrame, x: Column, key: Column, out: String,
+                 buckets: Int = 32): DataFrame = {
+    val b = prep(df, key, asc = true, buckets)
+    val ord = ordOf(key, asc = true, nullsFirst = true)
+    val within = last(x, ignoreNulls = true)
+      .over(Window.partitionBy(col(BKT)).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val partials = b.groupBy(col(BKT).as("_b"))
+      .agg(max(when(x.isNotNull, struct(key.as("k"), x.as("v")))).as("_lastnn"))
+    val priors = priorsOf(partials, max(col("p._lastnn")).as("_carry"))
+    joinPriors(b, priors)
+      .withColumn(out, coalesce(within, col("_carry").getField("v")))
+      .drop(BKT, "_carry")
+  }
+
+  /** Global next-non-null carried backward — mirror of [[nafillLocf]]
+    * (min struct over FOLLOWING buckets).
+    */
+  def nafillNocb(df: DataFrame, x: Column, key: Column, out: String,
+                 buckets: Int = 32): DataFrame = {
+    val b = prep(df, key, asc = true, buckets)
+    val ord = ordOf(key, asc = true, nullsFirst = true)
+    val within = first(x, ignoreNulls = true)
+      .over(Window.partitionBy(col(BKT)).orderBy(ord)
+        .rowsBetween(0, Window.unboundedFollowing))
+    val partials = b.groupBy(col(BKT).as("_b"))
+      .agg(min(when(x.isNotNull, struct(key.as("k"), x.as("v")))).as("_firstnn"))
+    val followers = partials.alias("a")
+      .join(broadcast(partials.alias("p")), col("p._b") > col("a._b"), "left")
+      .groupBy(col("a._b").as("_b")).agg(min(col("p._firstnn")).as("_carry"))
+    joinPriors(b, followers)
+      .withColumn(out, coalesce(within, col("_carry").getField("v")))
+      .drop(BKT, "_carry")
+  }
+
+  // ---- phantom boundary machinery (shift / froll) ---------------------
+
+  /** df + bucket + phantom flag: the last `nBefore` rows of each bucket
+    * copied into the NEXT nonempty bucket and the first `nAfter` rows
+    * into the PREVIOUS, so ordinary per-bucket lag/lead/rolling frames
+    * see across the boundary. Phantom keys sort strictly outside the
+    * host bucket's real keys (no key value spans buckets), so ordering
+    * stays correct; callers filter `!PH` after the window.
+    */
+  private def phantomAugmented(b: DataFrame, key: Column, asc: Boolean,
+                               nBefore: Int, nAfter: Int): DataFrame = {
+    val ord = ordOf(key, asc, asc)
+    val real = b.withColumn(PH, lit(false))
+    if (nBefore <= 0 && nAfter <= 0) return real
+    val ids = b.select(col(BKT).as("_b")).distinct()
+    def neighbor(next: Boolean): DataFrame = {
+      val cmp = if (next) col("_ob") > col("_b") else col("_ob") < col("_b")
+      val pick = if (next) min(col("_ob")) else max(col("_ob"))
+      ids.alias("a")
+        .join(broadcast(ids.select(col("_b").as("_ob")).alias("p")), cmp, "left")
+        .groupBy(col("_b")).agg(pick.as("_dest"))
+    }
+    val w = Window.partitionBy(col(BKT)).orderBy(ord)
+    val wDesc = Window.partitionBy(col(BKT)).orderBy(Windows.flipOrder(ord))
+    def boundary(n: Int, next: Boolean): Option[DataFrame] =
+      if (n <= 0) None
+      else Some(b
+        .withColumn("_brn", row_number().over(if (next) wDesc else w))
+        .filter(col("_brn") <= n).drop("_brn")
+        .join(broadcast(neighbor(next)), col(BKT) === col("_b"))
+        .filter(col("_dest").isNotNull)
+        .withColumn(BKT, col("_dest")).drop("_b", "_dest")
+        .withColumn(PH, lit(true)))
+    Seq(boundary(nBefore, next = true), boundary(nAfter, next = false))
+      .flatten.foldLeft(real)((acc, ph) => acc.unionByName(ph))
+  }
+
+  /** Global shift along `key` — `Windows.shift(c, n, by = Nil, ...)`
+    * semantics via phantom boundary rows (|n| per bucket edge). The
+    * order key must be unique; |n| must not exceed the smallest
+    * nonempty bucket.
+    */
+  def shift(df: DataFrame, c: Column, n: Int, key: Column, out: String,
+            fill: Column = lit(null), asc: Boolean = true,
+            buckets: Int = 32): DataFrame = {
+    val b = prep(df, key, asc, buckets)
+    val aug = phantomAugmented(b, key, asc,
+      nBefore = math.max(n, 0), nAfter = math.max(-n, 0))
+    aug
+      .withColumn(out, Windows.shift(c, n, Seq(BKT),
+        Seq(ordOf(key, asc, asc)), fill))
+      .filter(!col(PH)).drop(BKT, PH)
+  }
+
+  /** Global fixed-window rolling aggregate — `Windows.froll` semantics
+    * for `by = Nil` via phantom boundary rows sized to the frame
+    * bounds. partial=true keeps reference partial-window semantics at
+    * the true global edges (the first bucket has no phantoms).
+    */
+  def froll(df: DataFrame, out: String, fn: String, c: Column, n: Int,
+            key: Column, align: String = "right", partial: Boolean = false,
+            asc: Boolean = true, buckets: Int = 32): DataFrame = {
+    val (nBefore, nAfter) = align match {
+      case "right"  => (n - 1, 0)
+      case "left"   => (0, n - 1)
+      case "center" => val before = (n - 1) / 2; (before, n - 1 - before)
+      case other    => throw new IllegalArgumentException(s"align=$other")
+    }
+    val b = prep(df, key, asc, buckets)
+    val aug = phantomAugmented(b, key, asc, nBefore, nAfter)
+    aug
+      .withColumn(out, Windows.froll(fn, c, n, Seq(BKT),
+        Seq(ordOf(key, asc, asc)), align, partial))
+      .filter(!col(PH)).drop(BKT, PH)
+  }
+
+  // ---- any-type global row number (used by Windows.grp) ---------------
+
+  /** Global 1-based row numbers along `order` for ANY orderable type —
+    * the fallback when the key has no numeric cast: range-repartition
+    * (Spark's own sampled bounds), sort within partitions, read the
+    * within-partition ordinal off `monotonically_increasing_id` (its
+    * low 33 bits count rows in scan order — the sorted order here),
+    * and add per-partition row counts accumulated over prior
+    * partitions with the same tiny-join machinery. ONE full-data
+    * exchange (the range repartition), no window at all.
+    *
+    * Rows that compare equal on all of `order` take arbitrary but
+    * stable-within-run positions (same caveat as every row_number).
+    */
+  def rownumByRange(df: DataFrame, order: Seq[Column], out: String,
+                    partitions: Int = 32): DataFrame = {
+    require(order.nonEmpty, "rownumByRange needs order columns")
+    val sorted = df.repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_graft_mid", monotonically_increasing_id())
+      .withColumn(BKT, spark_partition_id())
+    val counts = sorted.groupBy(col(BKT).as("_b")).agg(count(lit(1)).as("_c"))
+    val priors = priorsOf(counts, sum(col("p._c")).as("_pc"))
+    sorted.join(broadcast(priors), col(BKT) === col("_b"), "left")
+      .withColumn(out,
+        coalesce(col("_pc"), lit(0L)) +
+          (col("_graft_mid").bitwiseAND(lit((1L << 33) - 1))) + 1)
+      .drop(BKT, "_graft_mid", "_b", "_pc")
+  }
+}

@@ -18,7 +18,10 @@ import org.apache.spark.sql.expressions.{Window, WindowSpec}
   * the whole input — fine for a 3-row post-aggregate frame, fatal on
   * 100 TB. Every operator therefore REJECTS empty partition keys unless
   * the caller passes `allowGlobal = true`, making the scale hazard an
-  * explicit, greppable opt-in instead of a silent default.
+  * explicit, greppable opt-in instead of a silent default. For genuine
+  * whole-table ordered ops, use [[GlobalOrdered]] — the range-bucketed
+  * two-pass tier (per-bucket windows + broadcast prefix offsets) that
+  * keeps global semantics without any single-partition WindowExec.
   */
 object Windows {
 
@@ -65,13 +68,15 @@ object Windows {
     * would funnel every row through ONE partition — instead the DISTINCT
     * key set (n_groups rows, the thing that must be small for .GRP to
     * mean anything) is ranked alone and broadcast-joined back; the data
-    * never shuffles.
+    * never shuffles. The key-set ranking itself goes through
+    * [[GlobalOrdered.rownumByRange]] (row number == dense rank on a
+    * distinct frame), so even a large group domain never funnels into a
+    * single-partition WindowExec.
     */
   def grp(df: DataFrame, by: Seq[String], out: String = "grp"): DataFrame = {
     require(by.nonEmpty, "grp needs group columns")
-    val keys = df.select(by.map(col): _*).distinct()
-      .withColumn(out,
-        dense_rank().over(Window.orderBy(by.map(c => col(c).asc): _*)))
+    val keys = GlobalOrdered.rownumByRange(
+      df.select(by.map(col): _*).distinct(), by.map(c => col(c).asc), out)
     // NULL-SAFE join: an NA group is a GROUP (reference by= semantics);
     // a plain equi join would silently drop its rows' counters
     val aliased = keys.select((by.map(c => col(c).as(s"_graft_g_$c")) :+ col(out)): _*)
@@ -112,10 +117,18 @@ object Windows {
   def shiftCyclic(df: DataFrame, colName: String, n: Int, by: Seq[String],
                   order: Seq[Column], out: String,
                   allowGlobal: Boolean = false): DataFrame = {
-    val w = spec(by, order, allowGlobal, "shiftCyclic")
-    val part = if (by.isEmpty) Window.partitionBy() else Window.partitionBy(by.map(col): _*)
-    val withRn = df.withColumn("_graft_rn", row_number().over(w))
-      .withColumn("_graft_cnt", count(lit(1)).over(part))
+    requirePartitioned(by, allowGlobal, "shiftCyclic")
+    // global opt-in: row numbers via the range-partitioned two-pass tier
+    // and the total count via a 1-row broadcast — no single-partition
+    // WindowExec even when by=Nil
+    val withRn = if (by.isEmpty)
+      GlobalOrdered.rownumByRange(df, order, "_graft_rn")
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("_graft_cnt"))))
+    else df
+      .withColumn("_graft_rn",
+        row_number().over(Window.partitionBy(by.map(col): _*).orderBy(order: _*)))
+      .withColumn("_graft_cnt",
+        count(lit(1)).over(Window.partitionBy(by.map(col): _*)))
     val tgt = withRn.withColumn("_graft_target",
       ((col("_graft_rn") - 1 - n) % col("_graft_cnt") + col("_graft_cnt")) % col("_graft_cnt") + 1)
       .alias("t")
@@ -461,9 +474,13 @@ object Windows {
   def topK(df: DataFrame, by: Seq[String], order: Seq[Column], k: Int,
            allowGlobal: Boolean = false): DataFrame = {
     requirePartitioned(by, allowGlobal, "topK")
-    val w = if (by.isEmpty) Window.partitionBy().orderBy(order: _*)
-            else Window.partitionBy(by.map(col): _*).orderBy(order: _*)
-    df.withColumn("_graft_rn", row_number().over(w))
+    // global top-k is sort+limit: Spark plans TakeOrderedAndProject
+    // (per-partition top-k, driver merge of k rows) — genuinely
+    // scale-safe for small k, no single-partition WindowExec
+    if (by.isEmpty) df.orderBy(order: _*).limit(k)
+    else df
+      .withColumn("_graft_rn", row_number()
+        .over(Window.partitionBy(by.map(col): _*).orderBy(order: _*)))
       .filter(col("_graft_rn") <= k)
       .drop("_graft_rn")
   }

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GlobalOrdered, Windows}
+
+/** GlobalOrdered — the scale-safe `by = Nil` ordered-op tier. Every op
+  * is checked value-for-value against the naive single-partition global
+  * window on fixtures exercising ties, nulls, skew (duplicate bucket
+  * bounds), and both sort directions; the plan shape (no WindowExec
+  * without a partition spec) is locked in PlanShapeSpec.
+  */
+class GlobalOrderedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 200 rows, unique key k, ~30% null values, skewed tail (many equal
+  // keys would collapse buckets — covered separately below)
+  private def fixture: DataFrame = {
+    val rows = (1 to 200).map { i =>
+      val v: java.lang.Double = if (i % 7 == 0) null else (i % 13).toDouble
+      (i.toLong, v, s"g${i % 3}")
+    }
+    spark.createDataFrame(rows).toDF("k", "v", "s")
+  }
+
+  private def collectMap(df: DataFrame, key: String, out: String): Map[Long, Option[Any]] =
+    df.select(col(key), col(out)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+  test("cumsum matches the naive global window incl. NA poison, both naRm modes") {
+    val df = fixture
+    for (naRm <- Seq(false, true)) {
+      val tiered = GlobalOrdered.cumsum(df, col("v"), col("k"), "cs",
+        naRm = naRm, buckets = 8)
+      val naive = df.withColumn("cs",
+        Windows.cum("sum", col("v"), Nil, Seq(col("k").asc),
+          allowGlobal = true, naRm = naRm))
+      assert(collectMap(tiered, "k", "cs") == collectMap(naive, "k", "cs"))
+    }
+  }
+
+  test("cumsum desc order matches the naive flipped window") {
+    val df = fixture
+    val tiered = GlobalOrdered.cumsum(df, col("v"), col("k"), "cs",
+      asc = false, naRm = true, buckets = 8)
+    val naive = df.withColumn("cs",
+      Windows.cum("sum", col("v"), Nil, Seq(col("k").desc),
+        allowGlobal = true, naRm = true))
+    assert(collectMap(tiered, "k", "cs") == collectMap(naive, "k", "cs"))
+  }
+
+  test("cumprod tracks sign/zero/null across bucket boundaries") {
+    // ±1 pattern with zeros and nulls: exact in log space
+    val df = fixture.withColumn("x",
+      when(col("k") % 41 === 0, 0.0)
+        .when(col("v").isNull, lit(null).cast("double"))
+        .when(col("k") % 2 === 0, 1.0).otherwise(-1.0))
+    for (naRm <- Seq(false, true)) {
+      val tiered = GlobalOrdered.cumprod(df, col("x"), col("k"), "cp",
+        naRm = naRm, buckets = 8)
+      val naive = df.withColumn("cp",
+        Windows.cum("prod", col("x"), Nil, Seq(col("k").asc),
+          allowGlobal = true, naRm = naRm))
+      assert(collectMap(tiered, "k", "cp") == collectMap(naive, "k", "cp"))
+    }
+  }
+
+  test("frank min/dense/max/average/first match naive global ranks, ties included") {
+    val df = fixture // v has heavy ties (mod 13) and nulls
+    def naiveRank(ties: String): DataFrame =
+      Windows.frankNa(df, col("v"), desc = false, ties, Nil, "true", "rk",
+        appearance = Seq(col("k").asc), allowGlobal = true)
+    for (ties <- Seq("min", "dense", "max", "average", "first")) {
+      val tiered = GlobalOrdered.frank(df, col("v"), desc = false, ties,
+        "true", "rk", appearance = Seq(col("k").asc), buckets = 8)
+      val got = collectMap(tiered, "k", "rk")
+        .map { case (k, v) => k -> v.map(x => x.toString.toDouble) }
+      val want = collectMap(naiveRank(ties), "k", "rk")
+        .map { case (k, v) => k -> v.map(x => x.toString.toDouble) }
+      assert(got == want, s"ties=$ties")
+    }
+  }
+
+  test("frank naLast=keep nulls out; naLast=false ranks nulls first") {
+    val df = fixture
+    val kept = GlobalOrdered.frank(df, col("v"), desc = false, "min", "keep",
+      "rk", buckets = 8)
+    val naiveKept = Windows.frankNa(df, col("v"), desc = false, "min", Nil,
+      "keep", "rk", allowGlobal = true)
+    assert(collectMap(kept, "k", "rk") == collectMap(naiveKept, "k", "rk"))
+    val nf = GlobalOrdered.frank(df, col("v"), desc = false, "min", "false",
+      "rk", buckets = 8)
+    val naiveNf = Windows.frankNa(df, col("v"), desc = false, "min", Nil,
+      "false", "rk", allowGlobal = true)
+    assert(collectMap(nf, "k", "rk") == collectMap(naiveNf, "k", "rk"))
+  }
+
+  test("rleid matches the naive global runs incl. cross-bucket merges and NA runs") {
+    // s cycles g0,g1,g2 → runs of length 1; low-cardinality long runs too
+    val df = fixture.withColumn("s2",
+      when(col("k") <= 100, "a").otherwise(col("s")))
+      .withColumn("s2", when(col("v").isNull, lit(null)).otherwise(col("s2")))
+    val tiered = GlobalOrdered.rleid(df, Seq("s2"), col("k"), "rid", buckets = 8)
+    val naive = Windows.rleid(df, Seq("s2"), Seq(col("k").asc), Nil, "rid",
+      allowGlobal = true)
+    assert(collectMap(tiered, "k", "rid") == collectMap(naive, "k", "rid"))
+  }
+
+  test("shift lag and lead match the naive global shift, fill included") {
+    val df = fixture
+    for (n <- Seq(1, 3, -2)) {
+      val tiered = GlobalOrdered.shift(df, col("v"), n, col("k"), "sh",
+        fill = lit(-1.0), buckets = 8)
+      val naive = df.withColumn("sh",
+        Windows.shift(col("v"), n, Nil, Seq(col("k").asc), lit(-1.0),
+          allowGlobal = true))
+      assert(collectMap(tiered, "k", "sh") == collectMap(naive, "k", "sh"),
+        s"n=$n")
+    }
+  }
+
+  test("froll sum/mean match naive global rolling, partial both ways, all aligns") {
+    val df = fixture
+    for (align <- Seq("right", "center", "left"); partial <- Seq(false, true)) {
+      val tiered = GlobalOrdered.froll(df, "r", "mean", col("v"), 5,
+        col("k"), align, partial, buckets = 8)
+      val naive = df.withColumn("r",
+        Windows.froll("mean", col("v"), 5, Nil, Seq(col("k").asc), align,
+          partial, allowGlobal = true))
+      assert(collectMap(tiered, "k", "r") == collectMap(naive, "k", "r"),
+        s"align=$align partial=$partial")
+    }
+  }
+
+  test("nafill locf and nocb match the naive global carries across buckets") {
+    // long null stretch spanning several buckets: rows 50..150 null
+    val df = fixture.withColumn("v2",
+      when(col("k").between(50, 150), lit(null).cast("double")).otherwise(col("v")))
+    val locf = GlobalOrdered.nafillLocf(df, col("v2"), col("k"), "f", buckets = 8)
+    val naiveLocf = df.withColumn("f",
+      Windows.nafillLocf(col("v2"), Nil, Seq(col("k").asc), allowGlobal = true))
+    assert(collectMap(locf, "k", "f") == collectMap(naiveLocf, "k", "f"))
+    val nocb = GlobalOrdered.nafillNocb(df, col("v2"), col("k"), "f", buckets = 8)
+    val naiveNocb = df.withColumn("f",
+      Windows.nafillNocb(col("v2"), Nil, Seq(col("k").asc), allowGlobal = true))
+    assert(collectMap(nocb, "k", "f") == collectMap(naiveNocb, "k", "f"))
+  }
+
+  test("degenerate keys (massive ties) collapse buckets but stay correct") {
+    // only 3 distinct keys → ≤3 nonempty buckets whatever `buckets` is
+    val df = spark.createDataFrame(
+      (1 to 60).map(i => (i.toLong % 3, i.toDouble, i.toLong)))
+      .toDF("k", "v", "id")
+    val tiered = GlobalOrdered.cumsum(df, col("v"), col("k"), "cs", buckets = 8)
+    // ties make per-row sums order-dependent; compare only at tie-block
+    // boundaries (last row of each key block = sum over keys ≤ k)
+    val got = tiered.groupBy(col("k")).agg(max(col("cs")).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy(col("k")).agg(sum(col("v")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prefix = want.toSeq.sortBy(_._1).scanLeft((0L, 0.0)) {
+      case ((_, acc), (k, s)) => (k, acc + s)
+    }.tail.toMap
+    assert(got.keySet == prefix.keySet &&
+      got.forall { case (k, v) => math.abs(v - prefix(k)) < 1e-9 })
+  }
+
+  test("rownumByRange numbers any orderable type without a window") {
+    val df = spark.createDataFrame(
+      Seq(("b", 2L), ("a", 1L), ("c", 3L), ("aa", 4L), (null, 5L)))
+      .toDF("s", "id")
+    val got = GlobalOrdered.rownumByRange(df, Seq(col("s").asc), "rn")
+      .select(col("id"), col("rn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // asc nulls first: null, a, aa, b, c
+    assert(got == Map(5L -> 1L, 1L -> 2L, 4L -> 3L, 2L -> 4L, 3L -> 5L))
+    // plan carries no WindowExec at all
+    val plan = GlobalOrdered.rownumByRange(df, Seq(col("s").asc), "rn")
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+  }
+
+  test("bounds fits are session-memoized and evicted by clearFits") {
+    GlobalOrdered.clearFits()
+    val df = fixture
+    assert(GlobalOrdered.boundsFitCount == 0)
+    GlobalOrdered.cumsum(df, col("v"), col("k"), "cs", buckets = 8).count()
+    val n1 = GlobalOrdered.boundsFitCount
+    assert(n1 >= 1)
+    GlobalOrdered.cumsum(df, col("v"), col("k"), "cs", buckets = 8).count()
+    assert(GlobalOrdered.boundsFitCount == n1)
+    GlobalOrdered.clearFits()
+    assert(GlobalOrdered.boundsFitCount == 0)
+  }
+
+  test("grp/topK/shiftCyclic global paths carry no partitionless WindowExec") {
+    val df = fixture
+    def noGlobalWindow(d: DataFrame): Unit = {
+      val bad = d.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"partitionless WindowExec in:\n${d.queryExecution.executedPlan}")
+    }
+    val g = Windows.grp(df, Seq("s"))
+    noGlobalWindow(g)
+    assert(g.select("s", "grp").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("g0" -> 1L, "g1" -> 2L, "g2" -> 3L))
+    val t = Windows.topK(df, Nil, Seq(col("k").desc), 3, allowGlobal = true)
+    noGlobalWindow(t)
+    assert(t.select("k").collect().map(_.getLong(0)).toSet == Set(198L, 199L, 200L))
+    val sc = Windows.shiftCyclic(df.select("k", "v"), "v", 1, Nil,
+      Seq(col("k").asc), "w", allowGlobal = true)
+    noGlobalWindow(sc)
+    // wrap: row 1 gets row 200's value (200 % 7 != 0 → 200 % 13)
+    val m = sc.select(col("k"), col("w")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L) == Some((200 % 13).toDouble))
+    assert(m(2L) == Option[Any](if (1 % 7 == 0) null else (1 % 13).toDouble))
+  }
+}

@@ -1022,6 +1022,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"verify join should broadcast the bench gram set:\n$p")
   }
 
+  test("global ordered tier: NO partitionless WindowExec anywhere in the engine's plans") {
+    // the round-10 lock: every by=Nil ordered query routes through
+    // GlobalOrdered's range-bucketed two-pass tier — a WindowExec with
+    // an empty partition spec (the single-partition funnel the driver
+    // log warns about) must never appear
+    for (q <- Seq("q_cumsum_global", "q_cumprod_global", "q_rleid_global",
+        "q_frank_global", "q_shift_global", "q_froll_global",
+        "q_nafill_global", "q_grp", "q_ngrp", "q_topk")) {
+      val df = SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+      val bad = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q: single-partition WindowExec:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("q_cumsum_global: bucket windows cost ONE full-data exchange") {
+    // the only hashpartitioning over the data is the bucket exchange
+    // (the partials aggregation map-side combines to <=buckets rows, and
+    // prefix offsets travel by broadcast)
+    val p = plan("q_cumsum_global")
+    val full = "Exchange hashpartitioning\\(_graft_gbkt".r.findAllIn(p).length
+    assert(full >= 1, s"bucket exchange missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
+      s"prefix offsets should broadcast back:\n$p")
+  }
+
   test("frank random: deterministic tie-break, all ranks distinct") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
