@@ -189,13 +189,19 @@ object QueriesCore {
         datediff(Funcs.iDateTime(col("l_shipdate")).getField("idate"),
           lit("1970-01-01")).as("idate"),
         Funcs.iDateTime(col("l_shipdate")).getField("itime").as("itime"),
+        // both week() modes of the reference's in-flight migration
+        // (src/idatetime.c:148-173): legacy = current default,
+        // sequential = the announced future default — oracling both
+        // pins the formulas so the flip cannot strand us on one
         Funcs.week(col("l_shipdate")).as("wk7"),
+        Funcs.week(col("l_shipdate"), "sequential").as("wk7_seq"),
         Funcs.isoyear(col("l_shipdate")).as("iso_yr"))): Q,
       Some("""SELECT l_orderkey, l_linenumber,
              |  (l_shipdate::DATE - DATE '1970-01-01') AS idate,
              |  (hour(l_shipdate) * 3600 + minute(l_shipdate) * 60
              |    + CAST(floor(second(l_shipdate)) AS INT)) AS itime,
              |  (CAST(floor(dayofyear(l_shipdate) / 7.0) AS INT) + 1) AS wk7,
+             |  (CAST(floor((dayofyear(l_shipdate) - 1) / 7.0) AS INT) + 1) AS wk7_seq,
              |  CAST(isoyear(l_shipdate) AS INT) AS iso_yr
              |FROM lineitem""".stripMargin)),
 

@@ -217,11 +217,28 @@ object Funcs {
     */
   def iDateTime(c: Column): Column =
     struct(idate(c).as("idate"), itime(c).as("itime"))
-  /** week() (R/IDateTime.R:382): 7-day blocks counted from Jan 1 —
-    * yday %/% 7 + 1, NOT the ISO week ([[isoweek]] is).
+  /** week() (R/IDateTime.R:382, src/idatetime.c:148-173): 7-day blocks
+    * counted from Jan 1 — NOT the ISO week ([[isoweek]] is). The
+    * reference is mid-migration and computes BOTH forms:
+    *  - "legacy" (its CURRENT default, which it warns about):
+    *    `yday %/% 7 + 1` — week numbers advance every 7th day-of-year,
+    *    so week 1 has only 6 days (ydays 1-6);
+    *  - "sequential" (the ANNOUNCED future default,
+    *    `options(datatable.week = 'sequential')`):
+    *    `(yday - 1) %/% 7 + 1` — the first week always has 7 days
+    *    (Jan 7 is week 2 in legacy, week 1 in sequential).
+    * `mode` mirrors `options(datatable.week)`; the default here tracks
+    * the reference's shipping default and flips when theirs does. Both
+    * modes are oracled (q_idatetime) so the flip cannot drift silently.
     */
-  def week(c: Column): Column =
-    floor(dayofyear(c).cast("double") / 7.0).cast("int") + 1
+  def week(c: Column, mode: String = "legacy"): Column = mode match {
+    case "legacy" =>
+      floor(dayofyear(c).cast("double") / 7.0).cast("int") + 1
+    case "sequential" =>
+      floor((dayofyear(c) - 1).cast("double") / 7.0).cast("int") + 1
+    case other => throw new IllegalArgumentException(
+      s"week mode=$other (legacy|sequential, mirroring options(datatable.week))")
+  }
   /** isoyear() (R/IDateTime.R:390): the year that OWNS the ISO week —
     * the year of that week's Thursday (Jan 1-3 can belong to the
     * previous ISO year, Dec 29-31 to the next). `weekday` is

