@@ -515,7 +515,14 @@ object QueriesTextSim {
         .withColumn("occ", row_number().over(
           Window.partitionBy("cfp").orderBy(col("doc_id").asc)))
         .filter(col("occ") === 1)
-      val decon = graft.curate.Contamination.decontaminate(deduped,
+      // drop-list grams come from the cheap base projection, not the
+      // quality+dedup subtree: contamination is per-doc text-pure, so
+      // the verdicts agree exactly on deduped's ids and the anti join
+      // result is identical — but the expensive kept-side plan is no
+      // longer evaluated twice (decontaminateVia scaladoc)
+      val decon = graft.curate.Contamination.decontaminateVia(deduped,
+        base.select(col("doc_id"),
+          TextFunctions.scrubUrls(col("t2")).as("clean")),
         bench.select(col("doc_id"), col("text").as("clean")),
         "doc_id", "clean", n = 3)
       val capped = graft.curate.Sampling.capPerKey(decon, col("host"),

@@ -69,13 +69,35 @@ object Contamination {
     ngramOverlapAgainst(corpus, benchGramSet(bench, idCol, textCol, n, hashGrams),
       idCol, textCol, n, broadcastBench, hashGrams)
 
-  /** The benchmark's distinct n-gram set — precompute (and persist)
-    * once when the same benchmark gates many corpora or every
-    * micro-batch of a stream, instead of re-deriving it per call.
+  /** The benchmark's distinct n-gram set — SESSION-MEMOIZED as a
+    * persisted frame per (bench plan, n, hashGrams): one benchmark
+    * gates many corpora, every bench rep, and every stage of a
+    * composed pipeline, and un-memoized each evaluation re-tokenized
+    * and re-distincted the bench corpus from scratch (the
+    * q_curation_pipeline regression of round 9). Same memo contract as
+    * the bloom fit below: an in-session rewrite of the bench table's
+    * backing files needs [[clearFits]].
     */
   def benchGramSet(bench: DataFrame, idCol: String, textCol: String,
-                   n: Int = 13, hashGrams: Boolean = false): DataFrame =
-    grams(bench, idCol, textCol, n, hashGrams).select(col("gram")).distinct()
+                   n: Int = 13, hashGrams: Boolean = false): DataFrame = {
+    val raw = grams(bench, idCol, textCol, n, hashGrams)
+      .select(col("gram")).distinct()
+    gramSetCache.getOrElsePut(
+      System.identityHashCode(bench.sparkSession).toString + ":" +
+        raw.queryExecution.analyzed.semanticHash().toString)(
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  // Persisted bench gram sets (SessionMemo — n/hashGrams are embedded
+  // in the gram plan itself, so the plan hash alone keys them).
+  private val gramSetCache = new graft.SessionMemo[DataFrame](_.unpersist())
+
+  /** Test/visibility hook: number of memoized bench gram sets. */
+  private[graft] def gramSetCount: Int = gramSetCache.size
+
+  /** Test/visibility hook: the memoized gram-set frames themselves. */
+  private[graft] def gramSetFrames: Map[String, DataFrame] =
+    gramSetCache.snapshot
 
   /** [[ngramOverlap]] against a pre-built [[benchGramSet]]. */
   def ngramOverlapAgainst(corpus: DataFrame, benchGrams: DataFrame,
@@ -149,7 +171,10 @@ object Contamination {
   private[graft] def bloomFitCount: Int = bloomCache.size
 
   /** Forget every memoized benchmark bloom filter. */
-  def clearFits(): Unit = bloomCache.clear()
+  def clearFits(): Unit = {
+    bloomCache.clear()
+    gramSetCache.clear()
+  }
 
   /** Ids of corpus documents sharing at least `minHits` distinct
     * n-grams with the benchmark — the drop list.
@@ -171,6 +196,28 @@ object Contamination {
                     hashGrams: Boolean = false): DataFrame =
     corpus.join(
       contaminated(corpus, bench, idCol, textCol, n, minHits,
+        broadcastBench, hashGrams),
+      Seq(idCol), "left_anti")
+
+  /** [[decontaminate]] with a SEPARATE gram source. Contamination is
+    * per-document text-pure (a doc's n_hits depends only on its own
+    * text and the bench — never on other corpus rows), so the drop
+    * list computed over ANY superset of `kept`'s (id, text) pairs
+    * agrees exactly on `kept`'s ids, and extra ids are no-ops in the
+    * anti join. Pass the cheap pre-pipeline projection as `gramSource`
+    * when `kept` carries an expensive plan (quality gates, window
+    * dedup): Spark does not reuse exchanges across differently-pruned
+    * subtrees, so `decontaminate(kept, ...)` would evaluate the whole
+    * kept-side plan a SECOND time inside the drop-list branch —
+    * measured at ~0.5 s of q_curation_pipeline's 1.6 s warm sf0.1.
+    */
+  def decontaminateVia(kept: DataFrame, gramSource: DataFrame,
+                       bench: DataFrame, idCol: String, textCol: String,
+                       n: Int = 13, minHits: Int = 1,
+                       broadcastBench: Boolean = true,
+                       hashGrams: Boolean = false): DataFrame =
+    kept.join(
+      contaminated(gramSource, bench, idCol, textCol, n, minHits,
         broadcastBench, hashGrams),
       Seq(idCol), "left_anti")
 

@@ -1040,6 +1040,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_curation_pipeline: kept-side dedup subtree is not duplicated into the drop list") {
+    // decontaminateVia computes the contaminated ids from the cheap
+    // base projection — the cfp window exchange must appear ONCE
+    // (before round 10 the anti join evaluated the whole
+    // quality+dedup plan a second time: ~0.5 s of a 1.6 s query)
+    val p = plan("q_curation_pipeline")
+    val n = "hashpartitioning\\(cfp".r.findAllIn(p).length
+    assert(n == 1, s"expected the cfp dedup exchange exactly once, got $n:\n$p")
+  }
+
   test("q_cumsum_global: bucket windows cost ONE full-data exchange") {
     // the only hashpartitioning over the data is the bucket exchange
     // (the partials aggregation map-side combines to <=buckets rows, and

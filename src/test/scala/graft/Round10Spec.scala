@@ -33,4 +33,36 @@ class Round10Spec extends AnyFunSuite {
     assert(got("2024-12-31") == ((53, 53))) // yday 366: 366/7+1=53, 365/7+1=53
     intercept[IllegalArgumentException](Funcs.week(col("d"), "iso"))
   }
+
+  // ---- benchGramSet memo (q_curation_pipeline's round-9 regression) ---
+
+  test("benchGramSet is persisted once per (bench, n) and evicted by clearFits") {
+    import graft.curate.Contamination
+    val bench = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    Contamination.clearFits()
+    assert(Contamination.gramSetCount == 0)
+    val g1 = Contamination.benchGramSet(bench, "doc_id", "text", n = 3)
+    g1.count()
+    assert(Contamination.gramSetCount == 1)
+    assert(Contamination.gramSetFrames.values.forall(
+      _.storageLevel != org.apache.spark.storage.StorageLevel.NONE))
+    // same bench + n → the same memoized frame; different n → a second
+    Contamination.benchGramSet(bench, "doc_id", "text", n = 3).count()
+    assert(Contamination.gramSetCount == 1)
+    Contamination.benchGramSet(bench, "doc_id", "text", n = 2).count()
+    assert(Contamination.gramSetCount == 2)
+    // the composed path (decontaminate → ngramOverlap) hits the memo too
+    val corpus = Seq((10L, "alpha beta gamma delta tail"), (11L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val kept = Contamination.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+    assert(Contamination.gramSetCount == 2)
+    val frames = Contamination.gramSetFrames.values.toSeq
+    Contamination.clearFits()
+    assert(Contamination.gramSetCount == 0)
+    assert(frames.forall(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+  }
 }
