@@ -58,18 +58,39 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    // Machine-load guard: a loaded driver machine can record a rep at
+    // >10x its true cost (the round-9 official artifact carried
+    // q_dedup_exact at 11.8x — a judge cycle went to re-adjudicating
+    // it). Two defenses: (a) the 1-minute loadavg is recorded at sweep
+    // start/end so a contaminated artifact is self-describing; (b) any
+    // query whose warm reps disperse beyond 3x is re-measured with two
+    // extra reps, and flagged "noisy" if the dispersion survives.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def dispersed(xs: Seq[Double]): Boolean =
+      xs.nonEmpty && xs.max >= 0.05 && xs.max / math.max(xs.min, 0.005) > 3.0
+    val loadStart = loadavg()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timeOnce(name, fn)
       // failed runs (-1) are excluded from the median so a transient
       // flake can't masquerade as a fast duration; all-failed → -1
-      val ok = (1 to 3).map(_ => timeOnce(name, fn)).filter(_ >= 0)
-      val warm = if (ok.isEmpty) -1.0 else medianOf(ok)
-      (name, cold, warm)
+      var reps = (1 to 3).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+      var noisy = false
+      if (dispersed(reps)) {
+        reps = reps ++ (1 to 2).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+        noisy = dispersed(reps)
+      }
+      val warm = if (reps.isEmpty) -1.0 else medianOf(reps)
+      (name, cold, warm, noisy)
     }
+    val loadEnd = loadavg()
     // totals sum only successful runs; failures surface via `failed`
     val total = results.map(_._3).filter(_ >= 0).sum
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(r => r._2 < 0 || r._3 < 0)
+    val noisyCount = results.count(_._4)
     val median = medianOf(results.map(_._3).filter(_ >= 0))
 
     // Locale-pinned formatting: a comma-decimal default locale would
@@ -81,11 +102,12 @@ object Bench {
     // the last ~2000 chars of stdout, so a 119-entry map can never fit on
     // the final line (BENCH_r03.json came back parsed:null for exactly
     // this reason). The stdout line carries totals + a headline subset.
-    val detail = results.map { case (k, c, w) =>
-      "\"" + k + "\":{\"cold\":" + r3(c) + ",\"warm\":" + r3(w) + "}"
+    val detail = results.map { case (k, c, w, ns) =>
+      "\"" + k + "\":{\"cold\":" + r3(c) + ",\"warm\":" + r3(w) +
+        (if (ns) ",\"noisy\":true" else "") + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"queries":$detail,"sf":"$sfDir"}"""
     // filtered profiling runs must not clobber the full-sweep detail
     if (args.isEmpty) {
       val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
@@ -105,10 +127,10 @@ object Bench {
       "q_asof_salted", "q_quantiles_approx",
       "q_curation_pipeline", "q_contamination", "q_quality_filter",
       "q_domain_cap", "q_ann_pq")
-    val warmByName = results.map { case (k, _, w) => k -> w }.toMap
+    val warmByName = results.map { case (k, _, w, _) => k -> w }.toMap
     val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
