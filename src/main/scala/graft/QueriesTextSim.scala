@@ -492,6 +492,35 @@ object QueriesTextSim {
              |FROM corpus c JOIN bench b ON c.gram = b.gram
              |GROUP BY 1""".stripMargin)),
 
+    // ---- decontamination, DISTRIBUTED bloom build (round 10) ------------
+    // the giant-bench tier: the filter is built by BloomFilterAggregate
+    // (per-partition merge, only filter bytes reach the driver) — still
+    // EXACT, so it shares the same oracle as the exact/driver-bloom tiers
+    ("q_contamination_bloom_dist", ((s, dir) => {
+      val d = docs(s, dir)
+      graft.curate.Contamination.ngramOverlapBloomDistributed(
+        d.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", n = 3)
+    }): Q,
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+             |                       '\s+') AS tk
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(tk) >= 3
+             |         THEN list_distinct(list_transform(range(0, len(tk) - 2),
+             |                i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
+             |         ELSE [] END AS gr
+             |  FROM t),
+             |bench AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 37 = 0),
+             |corpus AS (SELECT doc_id, unnest(gr) AS gram FROM g WHERE doc_id % 37 <> 0)
+             |SELECT c.doc_id, count(*) AS n_hits
+             |FROM corpus c JOIN bench b ON c.gram = b.gram
+             |GROUP BY 1""".stripMargin)),
+
     // ---- flagship: end-to-end curation pipeline ------------------------
     // quality gate → URL scrub → canonical dedup → decontamination →
     // domain cap → per-lang corpus stats. Every stage is the

@@ -150,6 +150,57 @@ object Contamination {
       bf.writeTo(bos)
       bos.toByteArray
     }
+    bloomGated(corpus, benchGrams, bytes, idCol, textCol, n)
+  }
+
+  /** [[ngramOverlapBloom]] with a DISTRIBUTED filter build — the
+    * giant-benchmark tier. The driver variant above collects every
+    * bench gram hash (8 B/gram) to build the filter locally; here the
+    * filter is built by Catalyst's own `BloomFilterAggregate` (the
+    * runtime-row-filter kernel): per-partition filters merge map-side
+    * and ONLY the final filter bytes (≈1.2 B/gram at fpp 0.01) reach
+    * the driver. Both builds insert the same Spark-computed xxhash64
+    * longs, so the gate + verify join are byte-for-byte the exact
+    * semantics of the driver tier — results still share the exact
+    * n-gram oracle.
+    *
+    * `estimatedGrams` sizes the filter (`optimalNumOfBits(est, fpp)`);
+    * 0 (default) counts the memoized bench gram set first — one cheap
+    * job over the persisted set, paid once per session. Same memo +
+    * [[clearFits]] contract as the driver tier.
+    */
+  def ngramOverlapBloomDistributed(corpus: DataFrame, bench: DataFrame,
+                                   idCol: String, textCol: String,
+                                   n: Int = 13, fpp: Double = 0.01,
+                                   estimatedGrams: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val benchGrams = benchGramSet(bench, idCol, textCol, n)
+    val key = benchGrams.queryExecution.analyzed.semanticHash().toString +
+      s":$n:$fpp:dist:${System.identityHashCode(corpus.sparkSession)}"
+    val bytes = bloomCache.getOrElsePut(key) {
+      val est = math.max(
+        if (estimatedGrams > 0) estimatedGrams else benchGrams.count(), 1L)
+      val bits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(est, fpp)
+      val agg = GraftSqlBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            GraftSqlBridge.expression(xxhash64(col("gram"))),
+            GraftSqlBridge.expression(lit(est)),
+            GraftSqlBridge.expression(lit(bits)))
+          .toAggregateExpression())
+      benchGrams.agg(agg.as("bf")).head().getAs[Array[Byte]](0)
+    }
+    bloomGated(corpus, benchGrams, bytes, idCol, textCol, n)
+  }
+
+  /** Shared gate + verify tail of both bloom tiers: map-side native
+    * might_contain over the corpus grams, then the exact broadcast
+    * verify join (false positives die here — results are EXACT).
+    */
+  private def bloomGated(corpus: DataFrame, benchGrams: DataFrame,
+                         bytes: Array[Byte], idCol: String, textCol: String,
+                         n: Int): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     val g = grams(corpus, idCol, textCol, n, hashed = false)
     val gate = GraftSqlBridge.column(

@@ -65,4 +65,33 @@ class Round10Spec extends AnyFunSuite {
     assert(frames.forall(
       _.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
+
+  // ---- distributed bloom build (giant-bench tier) ----------------------
+
+  test("distributed bloom build == driver bloom == exact overlap; no gram collect") {
+    import graft.curate.Contamination
+    Contamination.clearFits()
+    val corpus = (1L to 200L).map(i =>
+      (i, s"doc $i alpha beta ${if (i % 5 == 0) "gamma delta shared tail" else s"unique $i words"}"))
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "gamma delta shared tail marker"),
+      (901L, "totally different eval item")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = norm(Contamination.ngramOverlap(corpus, bench, "doc_id", "text", n = 3))
+    val drv = norm(Contamination.ngramOverlapBloom(corpus, bench, "doc_id", "text", n = 3))
+    val dist = norm(Contamination.ngramOverlapBloomDistributed(
+      corpus, bench, "doc_id", "text", n = 3))
+    assert(exact.nonEmpty && exact == drv && exact == dist)
+    // an explicit estimate also works (no count job) and stays exact
+    Contamination.clearFits()
+    val dist2 = norm(Contamination.ngramOverlapBloomDistributed(
+      corpus, bench, "doc_id", "text", n = 3, estimatedGrams = 10000L))
+    assert(dist2 == exact)
+    // the distributed build's fit memoizes like the driver tier's
+    val fits = Contamination.bloomFitCount
+    norm(Contamination.ngramOverlapBloomDistributed(
+      corpus, bench, "doc_id", "text", n = 3, estimatedGrams = 10000L))
+    assert(Contamination.bloomFitCount == fits)
+  }
 }
