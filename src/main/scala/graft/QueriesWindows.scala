@@ -144,8 +144,11 @@ object QueriesWindows {
              |  dense_rank() OVER (ORDER BY e.event_type ASC) AS grp,
              |  n.ngrp
              |FROM events e
-             |CROSS JOIN (SELECT count(DISTINCT event_type) AS ngrp
-             |            FROM events) n""".stripMargin)),
+             |-- null-INCLUSIVE distinct count: ngrp counts an all-NA key
+             |-- as a group (reference by= semantics); count(DISTINCT c)
+             |-- would drop it and only agree on null-free data
+             |CROSS JOIN (SELECT count(*) AS ngrp FROM
+             |            (SELECT DISTINCT event_type FROM events)) n""".stripMargin)),
 
     // ---- froll with VECTOR n (frollmean(x, n=c(3, 7))) -----------------
     ("q_froll_vector", ((s, dir) =>

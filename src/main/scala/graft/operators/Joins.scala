@@ -451,21 +451,48 @@ object Joins {
     * assertion fused into the range-column projection (raise_error on
     * the first offending row, evaluated for every input row because the
     * guarded columns feed the join condition) — zero extra pass, unlike
-    * the reference's eager driver-side anyNA scan.
+    * the reference's eager driver-side anyNA scan. BEST-EFFORT by
+    * construction: an NA row REMOVED before evaluation (a caller filter
+    * pushed below the guard, partition pruning, an early limit) passes
+    * silently; `overlap(validate = true)` adds the reference's
+    * always-errors semantics via an eager pre-check.
     */
   private def guardNaRanges(df: DataFrame, s: String, e: String,
                             side: String): DataFrame = {
     def guard(c: String, role: String) =
-      when(col(c).isNull, raise_error(lit(
-        s"NA values in data.table $side '$role' column: '$c'. All rows with " +
-          "NA values in the range columns must be removed for foverlaps() to work.")))
+      when(col(c).isNull, raise_error(lit(naRangeMessage(side, role, c))))
         .otherwise(col(c))
     df.withColumn(s, guard(s, "start")).withColumn(e, guard(e, "end"))
   }
 
+  private def naRangeMessage(side: String, role: String, c: String): String =
+    s"NA values in data.table $side '$role' column: '$c'. All rows with " +
+      "NA values in the range columns must be removed for foverlaps() to work."
+
+  /** Eager strict-parity NA check (`overlap(validate = true)`): one
+    * cheap two-counter aggregation over the range columns BEFORE the
+    * join is planned, erroring like the reference's anyNA scan even for
+    * rows the lazy fused guard would never evaluate.
+    */
+  private def requireNoNaRanges(df: DataFrame, s: String, e: String,
+                                side: String): Unit = {
+    val r = df.agg(
+      sum(when(col(s).isNull, 1L).otherwise(0L)),
+      sum(when(col(e).isNull, 1L).otherwise(0L))).head()
+    if (!r.isNullAt(0) && r.getLong(0) > 0)
+      throw new IllegalArgumentException(naRangeMessage(side, "start", s))
+    if (!r.isNullAt(1) && r.getLong(1) > 0)
+      throw new IllegalArgumentException(naRangeMessage(side, "end", e))
+  }
+
   def overlap(x0: DataFrame, y0: DataFrame, by: Seq[String],
               xStart: String, xEnd: String, yStart: String, yEnd: String,
-              typ: String = "any", autoBin: Boolean = true): DataFrame = {
+              typ: String = "any", autoBin: Boolean = true,
+              validate: Boolean = false): DataFrame = {
+    if (validate) {
+      requireNoNaRanges(x0, xStart, xEnd, "x")
+      requireNoNaRanges(y0, yStart, yEnd, "y")
+    }
     val x = guardNaRanges(x0, xStart, xEnd, "x")
     val y = guardNaRanges(y0, yStart, yEnd, "y")
     if (by.isEmpty && autoBin) {

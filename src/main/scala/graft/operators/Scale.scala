@@ -112,14 +112,20 @@ object Scale {
     // catalog is the source of truth — never guess while an authority
     // exists); the warehouse-path guess is only for true orphans (a
     // fresh metastore meeting a stale warehouse directory).
-    val loc: org.apache.hadoop.fs.Path =
+    // headOption: a catalog entry without a Location row (e.g. a
+    // same-named VIEW) must fall back to the warehouse-path guess with
+    // the drop still issued, not die on a bare NoSuchElementException
+    val described: Option[String] =
       if (spark.catalog.tableExists(fullName))
-        new org.apache.hadoop.fs.Path(
-          new java.net.URI(spark.sql(s"DESCRIBE TABLE EXTENDED $fullName")
-            .filter(col("col_name") === "Location")
-            .select(col("data_type")).head().getString(0)))
-      else new org.apache.hadoop.fs.Path(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $fullName")
+          .filter(col("col_name") === "Location")
+          .select(col("data_type")).collect().headOption.map(_.getString(0))
+      else None
+    val loc: org.apache.hadoop.fs.Path = described match {
+      case Some(uri) => new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      case None => new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $fullName")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)

@@ -94,4 +94,26 @@ class Round10Spec extends AnyFunSuite {
       corpus, bench, "doc_id", "text", n = 3, estimatedGrams = 10000L))
     assert(Contamination.bloomFitCount == fits)
   }
+
+  // ---- foverlaps validate=true: eager NA refusal (advisor item) --------
+
+  test("overlap(validate=true) errors eagerly even when NA rows would never evaluate") {
+    import graft.operators.Joins
+    val x = Seq((1, 5, "a"), (10, 12, "b")).toDF("s", "e", "v")
+    val xNa = Seq((Option(1), Option(5), "a"), (Option(10), Option.empty[Int], "b"))
+      .toDF("s", "e", "v")
+    val y = Seq((2, 4)).toDF("ys", "ye")
+    // clean frames pass under validate
+    assert(Joins.overlap(x, y, Nil, "s", "e", "ys", "ye",
+      autoBin = false, validate = true).count() == 1)
+    // the lazy fused guard alone can be bypassed by a pushed filter
+    // that removes the NA row before evaluation; validate=true matches
+    // the reference's always-errors anyNA semantics
+    val ex = intercept[IllegalArgumentException] {
+      Joins.overlap(xNa, y, Nil, "s", "e", "ys", "ye",
+        autoBin = false, validate = true)
+    }
+    assert(ex.getMessage.contains("NA values in data.table x 'end' column: 'e'"))
+    assert(ex.getMessage.contains("must be removed for foverlaps() to work"))
+  }
 }
