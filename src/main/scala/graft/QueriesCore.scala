@@ -500,15 +500,18 @@ object QueriesCore {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // ---- shift vector-n with give.names (R/shift.R) --------------------
+    // shiftN generates the columns AND the reference's give.names names:
+    // lag with ns=(1, 2, -1) emits <col>_lag_1, <col>_lag_2, <col>_lead_1
+    // (negative n flips, #3223) — aliased here to the oracle's names
     ("q_shift_vector", ((s, dir) => {
       val w = Seq("o_custkey")
       val o = Seq(col("o_orderdate").asc, col("o_orderkey").asc)
-      dt(s, dir, "orders").df
-        .withColumn("price_lag_1", Windows.shift(col("o_totalprice"), 1, w, o))
-        .withColumn("price_lag_2", Windows.shift(col("o_totalprice"), 2, w, o))
-        .withColumn("price_lead_1", Windows.shift(col("o_totalprice"), -1, w, o))
-        .select(col("o_orderkey"), col("price_lag_1"), col("price_lag_2"),
-          col("price_lead_1"))
+      Windows.shiftN(dt(s, dir, "orders").df, Seq("o_totalprice"),
+          Seq(1, 2, -1), w, o)
+        .select(col("o_orderkey"),
+          col("o_totalprice_lag_1").as("price_lag_1"),
+          col("o_totalprice_lag_2").as("price_lag_2"),
+          col("o_totalprice_lead_1").as("price_lead_1"))
     }): Q,
       Some("""SELECT o_orderkey,
              |  lag(o_totalprice, 1) OVER w AS price_lag_1,

@@ -335,6 +335,24 @@ object QueriesJoins {
              |  AND c_acctbal <= p_retailprice + 10
              |GROUP BY p_partkey, p_brand""".stripMargin)),
 
+    // ---- foverlaps type="within" x mult="last" (R/foverlaps.R) ---------
+    ("q_overlap_within_mult", ((s, dir) => {
+      val x = DT(dt(s, dir, "part").df.select(col("p_partkey"), col("p_brand"),
+        (col("p_retailprice") - 1).as("xs"), (col("p_retailprice") + 1).as("xe")))
+      val y = DT(dt(s, dir, "customer").df.select(col("c_custkey"),
+        (col("c_acctbal") - 500).as("ys"), (col("c_acctbal") + 500).as("ye")))
+      // within: [xs, xe] inside [ys, ye]; mult=last keeps the
+      // greatest-(ys, ye) match; (ys, ye) move together here so the
+      // matched start is the max — tie-insensitive output columns only
+      x.overlapJoinMult(y, Nil, "xs", "xe", "ys", "ye", "within", mult = "last")
+        .df.select(col("p_partkey"), col("p_brand"), col("ys"))
+    }): Q,
+      Some("""SELECT p_partkey, p_brand, max(c_acctbal - 500) AS ys
+             |FROM part, customer
+             |WHERE p_retailprice - 1 >= c_acctbal - 500
+             |  AND p_retailprice + 1 <= c_acctbal + 500
+             |GROUP BY p_partkey, p_brand""".stripMargin)),
+
     // ---- foverlaps which=TRUE (id pairs only) --------------------------
     ("q_overlap_which", ((s, dir) => {
       val x = DT(dt(s, dir, "part").df.select(col("p_partkey"),

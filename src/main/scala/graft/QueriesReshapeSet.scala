@@ -311,6 +311,30 @@ object QueriesReshapeSet {
              |  ON d.l_returnflag = f.l_returnflag AND d.l_linestatus = f.l_linestatus
              |GROUP BY d.l_returnflag, d.l_linestatus""".stripMargin)),
 
+    // ---- dcast drop=FALSE x MULTIPLE value.var (R/fcast.R:217-226) -----
+    ("q_dcast_drop_multi", ((s, dir) => {
+      val f = dt(s, dir, "lineitem").df.filter(col("l_quantity") > 49)
+        .withColumn("yr", year(col("l_shipdate")).cast("string"))
+      Reshape.dcastCompleteMulti(f, Seq("l_returnflag", "l_linestatus"), "yr",
+        Seq("qty" -> round(sum(col("l_quantity")), 3),
+          "price" -> round(sum(col("l_extendedprice")), 3)),
+        values = Seq("1996", "1997"))
+    }): Q,
+      Some("""WITH f AS (SELECT l_returnflag, l_linestatus,
+             |             year(l_shipdate) AS yr, l_quantity, l_extendedprice
+             |           FROM lineitem WHERE l_quantity > 49),
+             |d AS (SELECT rf.l_returnflag, ls.l_linestatus
+             |      FROM (SELECT DISTINCT l_returnflag FROM f) rf
+             |      CROSS JOIN (SELECT DISTINCT l_linestatus FROM f) ls)
+             |SELECT d.l_returnflag, d.l_linestatus,
+             |  round(sum(CASE WHEN f.yr = 1996 THEN f.l_quantity END), 3) AS qty_1996,
+             |  round(sum(CASE WHEN f.yr = 1996 THEN f.l_extendedprice END), 3) AS price_1996,
+             |  round(sum(CASE WHEN f.yr = 1997 THEN f.l_quantity END), 3) AS qty_1997,
+             |  round(sum(CASE WHEN f.yr = 1997 THEN f.l_extendedprice END), 3) AS price_1997
+             |FROM d LEFT JOIN f
+             |  ON d.l_returnflag = f.l_returnflag AND d.l_linestatus = f.l_linestatus
+             |GROUP BY d.l_returnflag, d.l_linestatus""".stripMargin)),
+
     // ---- typed Aggregator UDAF (SURVEY.md §2.11) -----------------------
     ("q_wmean_udaf", ((s, dir) =>
       dt(s, dir, "lineitem").df

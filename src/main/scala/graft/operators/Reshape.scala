@@ -342,6 +342,32 @@ object Reshape {
     dcast(complete, lhs, rhs, valueVar, aggFn, vals)
   }
 
+  /** dcast(drop=FALSE) × MULTIPLE value.var (R/fcast.R:217-226 crossed
+    * with the multi-value naming of [[dcastMulti]]): the LHS key domain
+    * is completed cj_uniq-style (cross join of each LHS var's observed
+    * distinct values — every combination appears, observed or not), and
+    * every (value.var, rhs value) column materializes for every
+    * completed combo, null where unobserved. Name the aggs after their
+    * value vars (`"a" -> sum(col("a"))`) for the reference's
+    * `<value.var>_<rhs value>` columns.
+    */
+  def dcastCompleteMulti(df: DataFrame, lhs: Seq[String], rhs: String,
+                         aggs: Seq[(String, Column)],
+                         values: Seq[String] = Nil,
+                         sep: String = "_"): DataFrame = {
+    require(aggs.nonEmpty)
+    val domain = lhs.map(c => df.select(c).distinct())
+      .reduce(_.crossJoin(_))
+    val complete = domain.join(df, lhs, "left")
+    // same null-rhs note as dcastComplete: pin the pivot values to the
+    // observed non-null set so completion rows stay group-preserving
+    val vals =
+      if (values.nonEmpty) values
+      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
+        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    dcastMulti(complete, lhs, rhs, vals, aggs, referenceNames = true, sep)
+  }
+
   /** dcast(subset=) (R/fcast.R:171-175): filter the long input before
     * casting — the predicate pushes straight down to the scan.
     */
@@ -524,7 +550,31 @@ object Reshape {
     */
   def rbindlist(dfs0: Seq[DataFrame], fill: Boolean = true,
                 idcol: Option[String] = None,
-                useNames: Boolean = true): DataFrame = {
+                useNames: Boolean = true,
+                ignoreAttr: Boolean = false): DataFrame = {
+    // ignore.attr (src/rbindlist.c:334): the reference refuses to bind
+    // columns whose CLASS attributes differ (an IDate under an integer,
+    // units under a bare double) unless ignore.attr=TRUE. The Spark
+    // carrier of column attributes is the field Metadata — the check
+    // compares it across items per shared column name; the numeric
+    // PROMOTION ladder is orthogonal (the reference also promotes
+    // int→double by default) and stays on.
+    if (!ignoreAttr) {
+      val byName = scala.collection.mutable.LinkedHashMap
+        .empty[String, (org.apache.spark.sql.types.Metadata, Int)]
+      dfs0.zipWithIndex.foreach { case (d, i) =>
+        d.schema.fields.foreach { f =>
+          byName.get(f.name) match {
+            case None => byName(f.name) = (f.metadata, i)
+            case Some((m0, i0)) =>
+              require(m0 == f.metadata,
+                s"Class attribute on column '${f.name}' of item ${i + 1} does " +
+                  s"not match with column '${f.name}' of item ${i0 + 1}. You " +
+                  "can deactivate this safety-check by using ignore.attr=TRUE")
+          }
+        }
+      }
+    }
     // Promote each shared column to the reference ladder's common type.
     // (For useNames=false the promotion applies after positional
     // renaming below — recompute there; here only the named path.)

@@ -110,6 +110,46 @@ object Windows {
         froll(fn, c, n, by, order, align, partial, allowGlobal)))
   }
 
+  /** shift(give.names=TRUE) (R/shift.R:1-26): one output column per
+    * (input column, n), named with the reference's rules —
+    * `<col>_<type>_<n>`, columns outer and widths inner
+    * (`rep(nx, each=length(n))`):
+    *  - lag/lead FLIP for negative n (#3223): `shiftN(type="lag",
+    *    ns=Seq(-1))` emits `<col>_lead_1`;
+    *  - when type="lead" and `ns` mixes all three signs, n=0 is named
+    *    `lag_0` for consistency (#3832);
+    *  - type="shift" COMPUTES lag (src/shift.c:27 maps SHIFT to LAG)
+    *    but keeps its own name and never flips; "cyclic" likewise.
+    */
+  def shiftN(df: DataFrame, cols: Seq[String], ns: Seq[Int], by: Seq[String],
+             order: Seq[Column], typ: String = "lag",
+             fill: Column = lit(null),
+             allowGlobal: Boolean = false): DataFrame = {
+    require(cols.nonEmpty && ns.nonEmpty, "shiftN needs columns and widths")
+    require(Seq("lag", "lead", "shift", "cyclic").contains(typ),
+      s"shift type=$typ")
+    val mixedLead = typ == "lead" &&
+      ns.map(n => math.signum(n)).distinct.toSet == Set(-1, 0, 1)
+    def nameFor(c: String, n: Int): String = typ match {
+      case "shift" | "cyclic" => s"${c}_${typ}_$n"
+      case "lag" => if (n < 0) s"${c}_lead_${-n}" else s"${c}_lag_$n"
+      case "lead" =>
+        if (n < 0) s"${c}_lag_${-n}"
+        else if (n == 0 && mixedLead) s"${c}_lag_0"
+        else s"${c}_lead_$n"
+    }
+    // lag convention: shift(c, n) lags for n>0; lead(n) == lag(-n)
+    def effN(n: Int): Int = if (typ == "lead") -n else n
+    cols.foldLeft(df) { (acc, c) =>
+      ns.foldLeft(acc) { (acc2, n) =>
+        if (typ == "cyclic")
+          shiftCyclic(acc2, c, n, by, order, nameFor(c, n), allowGlobal)
+        else acc2.withColumn(nameFor(c, n),
+          shift(col(c), effN(n), by, order, fill, allowGlobal))
+      }
+    }
+  }
+
   /** shift(type="cyclic") (src/shift.c:25-28): wrap around within the
     * partition via modular row-number arithmetic + an equi self-join on
     * (group, target row) — no partition-sized arrays.

@@ -116,4 +116,109 @@ class Round10Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("NA values in data.table x 'end' column: 'e'"))
     assert(ex.getMessage.contains("must be removed for foverlaps() to work"))
   }
+
+  // ---- tests.Rraw tranche ---------------------------------------------
+
+  test("dcast drop=FALSE x multiple value.var: full combo grid, per-value columns") {
+    import graft.operators.Reshape
+    // (2, "q") is never observed; rhs value "y" never occurs with g1=2
+    val long = Seq(
+      (1, "p", "x", 10.0, 1.0), (1, "p", "y", 20.0, 2.0),
+      (1, "q", "x", 30.0, 3.0), (2, "p", "x", 40.0, 4.0))
+      .toDF("g1", "g2", "r", "a", "b")
+    val wide = Reshape.dcastCompleteMulti(long, Seq("g1", "g2"), "r",
+      Seq("a" -> sum(col("a")), "b" -> sum(col("b"))))
+    assert(wide.columns.toSet ==
+      Set("g1", "g2", "a_x", "b_x", "a_y", "b_y"))
+    assert(wide.count() == 4) // 2 x 2 completed combos (reference cj_uniq)
+    val m = wide.collect().map(r =>
+      (r.getInt(0), r.getString(1)) ->
+        Seq("a_x", "b_x", "a_y", "b_y").map(c => Option(r.getAs[Any](c)))).toMap
+    assert(m((1, "p")) == Seq(Some(10.0), Some(1.0), Some(20.0), Some(2.0)))
+    assert(m((1, "q")) == Seq(Some(30.0), Some(3.0), None, None))
+    assert(m((2, "p")) == Seq(Some(40.0), Some(4.0), None, None))
+    // the never-observed combo exists with every value column null
+    assert(m((2, "q")) == Seq(None, None, None, None))
+  }
+
+  test("rbindlist ignore.attr: metadata mismatch refused by default, bound when ignored") {
+    import graft.operators.Reshape
+    import org.apache.spark.sql.types.MetadataBuilder
+    val meta = new MetadataBuilder().putString("units", "seconds").build()
+    val d1 = Seq((1, 2.0)).toDF("k", "v")
+      .select(col("k"), col("v").as("v", meta))
+    val d2 = Seq((2, 3.0)).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException](
+      Reshape.rbindlist(Seq(d1, d2)))
+    assert(ex.getMessage.contains("Class attribute on column 'v' of item 2") &&
+      ex.getMessage.contains("ignore.attr=TRUE"))
+    val bound = Reshape.rbindlist(Seq(d1, d2), ignoreAttr = true)
+    assert(bound.count() == 2)
+    // matching attributes bind fine under the default check
+    assert(Reshape.rbindlist(Seq(d2, d2)).count() == 2)
+  }
+
+  test("foverlaps type=within x mult first/last/all against a quadratic model") {
+    import graft.operators.Joins
+    val x = Seq((1, 2, 4), (2, 5, 9), (3, 0, 10), (4, 7, 8))
+      .toDF("xid", "s", "e")
+    val y = Seq((1, 1, 5), (2, 4, 9), (3, 0, 12), (4, 6, 9))
+      .toDF("yid", "ys", "ye")
+    val xs = Seq((1, 2, 4), (2, 5, 9), (3, 0, 10), (4, 7, 8))
+    val yss = Seq((1, 1, 5), (2, 4, 9), (3, 0, 12), (4, 6, 9))
+    // model: within = ys <= s && e <= ye, y-match order (ys, ye)
+    val model: Map[Int, Seq[Int]] = xs.map { case (xid, s, e) =>
+      xid -> yss.filter { case (_, ys, ye) => ys <= s && e <= ye }
+        .sortBy { case (yid, ys, ye) => (ys, ye, yid) }.map(_._1)
+    }.toMap
+    def got(mult: String): Map[Int, Seq[Int]] =
+      Joins.overlapMult(x, y, Nil, "s", "e", "ys", "ye",
+        typ = "within", mult = mult)
+        .select("xid", "yid").collect()
+        .groupBy(_.getInt(0)).map { case (k, rs) =>
+          k -> rs.map(_.getInt(1)).toSeq.sorted }
+    assert(got("all") == model.filter(_._2.nonEmpty)
+      .map { case (k, v) => k -> v.sorted })
+    val first = Joins.overlapMult(x, y, Nil, "s", "e", "ys", "ye",
+      typ = "within", mult = "first").select("xid", "yid").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(first == model.collect { case (k, v) if v.nonEmpty => k -> v.head })
+    val last = Joins.overlapMult(x, y, Nil, "s", "e", "ys", "ye",
+      typ = "within", mult = "last").select("xid", "yid").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(last == model.collect { case (k, v) if v.nonEmpty => k -> v.last })
+  }
+
+  test("shift give.names parity: flip for negative n, lead-with-mixed-signs, shift keeps name") {
+    import graft.operators.Windows
+    val df = Seq((1, 1.0, 10.0), (2, 2.0, 20.0), (3, 3.0, 30.0))
+      .toDF("k", "a", "b")
+    val ord = Seq(col("k").asc)
+    // lag with ns=(1,-1): negative flips to lead_1 (#3223); two input
+    // columns name columns-outer, widths-inner (rep(nx, each=len(n)))
+    val lagged = Windows.shiftN(df, Seq("a", "b"), Seq(1, -1), Nil, ord,
+      typ = "lag", allowGlobal = true)
+    assert(lagged.columns.toSeq.drop(3) ==
+      Seq("a_lag_1", "a_lead_1", "b_lag_1", "b_lead_1"))
+    val r2 = lagged.filter(col("k") === 2).head()
+    assert(r2.getDouble(3) == 1.0 && r2.getDouble(4) == 3.0 &&
+      r2.getDouble(5) == 10.0 && r2.getDouble(6) == 30.0)
+    // lead with all three signs: n=0 is named lag_0 (#3832) and the
+    // negative n computes a LAG
+    val led = Windows.shiftN(df, Seq("a"), Seq(-1, 0, 1), Nil, ord,
+      typ = "lead", allowGlobal = true)
+    assert(led.columns.toSeq.drop(3) == Seq("a_lag_1", "a_lag_0", "a_lead_1"))
+    val l2 = led.filter(col("k") === 2).head()
+    assert(l2.getDouble(3) == 1.0 && l2.getDouble(4) == 2.0 &&
+      l2.getDouble(5) == 3.0)
+    // lead without mixed signs keeps lead_0
+    assert(Windows.shiftN(df, Seq("a"), Seq(0, 1), Nil, ord, typ = "lead",
+      allowGlobal = true).columns.contains("a_lead_0"))
+    // type="shift" computes lag but keeps its own name, no flip
+    val sh = Windows.shiftN(df, Seq("a"), Seq(1, -1), Nil, ord,
+      typ = "shift", allowGlobal = true)
+    assert(sh.columns.toSeq.drop(3) == Seq("a_shift_1", "a_shift_-1"))
+    val s2 = sh.filter(col("k") === 2).head()
+    assert(s2.getDouble(3) == 1.0 && s2.getDouble(4) == 3.0)
+  }
 }
