@@ -13,6 +13,27 @@ import org.apache.spark.sql.types.StructType
   */
 object Streams {
 
+  /** Switch this session's streaming state stores to RocksDB
+    * (`spark.sql.streaming.stateStore.providerClass`). The default
+    * HDFS-backed provider keeps each partition's state as an in-memory
+    * map with full-snapshot checkpoints — at real corpus scale the
+    * watermarked-dedup state (one entry per unique doc inside the
+    * horizon) outgrows executor heap, and its snapshot-restore logged
+    * warnings in the restart spec. RocksDB keeps state on local disk
+    * with incremental (changelog) checkpointing, the shape a
+    * 1000-executor deployment wants. Takes effect for queries STARTED
+    * after the call (each query snapshots the conf at start);
+    * [[useDefaultStateStore]] restores the built-in provider.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Restore the default (HDFS-backed) streaming state store provider. */
+  def useDefaultStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+
   /** readStream over a parquet directory with an explicit schema (stream
     * sources cannot infer). Use `maxFilesPerTrigger` to pace backfills.
     */

@@ -13,6 +13,9 @@ class Round10Spec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // class-level: method-local case classes have no Encoder
+  case class RDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
   // ---- week(mode=) migration (src/idatetime.c:148-173) ----------------
 
   test("week modes: the reference's own Jan-7 example and edge days") {
@@ -220,5 +223,44 @@ class Round10Spec extends AnyFunSuite {
     assert(sh.columns.toSeq.drop(3) == Seq("a_shift_1", "a_shift_-1"))
     val s2 = sh.filter(col("k") === 2).head()
     assert(s2.getDouble(3) == 1.0 && s2.getDouble(4) == 3.0)
+  }
+
+  // ---- RocksDB state store for the streaming gates (stretch) -----------
+
+  test("checkpoint-restart under the RocksDB state store: exactly-once dedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    Streams.useRocksDbStateStore(spark)
+    try {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      val sink = java.nio.file.Files.createTempDirectory("graft_rocks_sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toString
+      val ms = MemoryStream[RDoc]
+      def start() = Streams.dedupContentStream(ms.toDF(), "ts", "10 seconds", "text")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink).start()
+      val q1 = start()
+      ms.addData(RDoc(1, t("2024-01-01 10:00:00"), "alpha doc"),
+        RDoc(2, t("2024-01-01 10:00:01"), "alpha doc"), // dup of 1
+        RDoc(3, t("2024-01-01 10:00:02"), "beta doc"))
+      q1.processAllAvailable()
+      q1.stop() // kill mid-stream: RocksDB state must restore from ckpt
+      // while down: a dup of an ALREADY-SEEN doc (needs restored state
+      // to drop) and one novel doc
+      ms.addData(RDoc(4, t("2024-01-01 10:00:03"), "beta doc"),
+        RDoc(5, t("2024-01-01 10:00:04"), "gamma doc"))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val got = spark.read.parquet(sink).select("doc_id")
+          .collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == Seq(1L, 3L, 5L), s"across-restart dedup: $got")
+      } finally q2.stop()
+    } finally Streams.useDefaultStateStore(spark)
   }
 }
