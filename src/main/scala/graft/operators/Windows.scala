@@ -75,8 +75,10 @@ object Windows {
     */
   def grp(df: DataFrame, by: Seq[String], out: String = "grp"): DataFrame = {
     require(by.nonEmpty, "grp needs group columns")
+    // .GRP is INTEGER in the reference; rownumByRange counts in long
     val keys = GlobalOrdered.rownumByRange(
-      df.select(by.map(col): _*).distinct(), by.map(c => col(c).asc), out)
+        df.select(by.map(col): _*).distinct(), by.map(c => col(c).asc), out)
+      .withColumn(out, col(out).cast("int"))
     // NULL-SAFE join: an NA group is a GROUP (reference by= semantics);
     // a plain equi join would silently drop its rows' counters
     val aliased = keys.select((by.map(c => col(c).as(s"_graft_g_$c")) :+ col(out)): _*)

@@ -211,8 +211,8 @@ class GlobalOrderedSpec extends AnyFunSuite {
     val g = Windows.grp(df, Seq("s"))
     noGlobalWindow(g)
     assert(g.select("s", "grp").distinct().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
-      Map("g0" -> 1L, "g1" -> 2L, "g2" -> 3L))
+      .map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("g0" -> 1, "g1" -> 2, "g2" -> 3))
     val t = Windows.topK(df, Nil, Seq(col("k").desc), 3, allowGlobal = true)
     noGlobalWindow(t)
     assert(t.select("k").collect().map(_.getLong(0)).toSet == Set(198L, 199L, 200L))
