@@ -340,17 +340,17 @@ object QueriesJoins {
       val x = DT(dt(s, dir, "part").df.select(col("p_partkey"), col("p_brand"),
         (col("p_retailprice") - 1).as("xs"), (col("p_retailprice") + 1).as("xe")))
       val y = DT(dt(s, dir, "customer").df.select(col("c_custkey"),
-        (col("c_acctbal") - 500).as("ys"), (col("c_acctbal") + 500).as("ye")))
+        (col("c_acctbal") - 50).as("ys"), (col("c_acctbal") + 50).as("ye")))
       // within: [xs, xe] inside [ys, ye]; mult=last keeps the
       // greatest-(ys, ye) match; (ys, ye) move together here so the
       // matched start is the max — tie-insensitive output columns only
       x.overlapJoinMult(y, Nil, "xs", "xe", "ys", "ye", "within", mult = "last")
         .df.select(col("p_partkey"), col("p_brand"), col("ys"))
     }): Q,
-      Some("""SELECT p_partkey, p_brand, max(c_acctbal - 500) AS ys
+      Some("""SELECT p_partkey, p_brand, max(c_acctbal - 50) AS ys
              |FROM part, customer
-             |WHERE p_retailprice - 1 >= c_acctbal - 500
-             |  AND p_retailprice + 1 <= c_acctbal + 500
+             |WHERE p_retailprice - 1 >= c_acctbal - 50
+             |  AND p_retailprice + 1 <= c_acctbal + 50
              |GROUP BY p_partkey, p_brand""".stripMargin)),
 
     // ---- foverlaps which=TRUE (id pairs only) --------------------------
