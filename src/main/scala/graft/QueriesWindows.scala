@@ -420,6 +420,31 @@ object QueriesWindows {
              |WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- frollapply with an ARBITRARY JVM closure (R/frollapply.R FUN) -
+    // the full-generality tier: the same rolling range as q_frollapply,
+    // but computed by a Scala closure over the materialized frame —
+    // shares that query's oracle verbatim (same semantics, different
+    // execution tier, exactly like the bloom/exact pairs)
+    ("q_frollapply_udf", ((s, dir) => {
+      val f = (rows: Seq[org.apache.spark.sql.Row]) => {
+        val vs = rows.map(_.getDouble(0))
+        // mirror Spark round(x, 3): HALF_UP on the shortest decimal form
+        java.math.BigDecimal.valueOf(vs.max - vs.min)
+          .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      Windows.frollApplyF(dt(s, dir, "orders").df, "rng",
+        Seq("p" -> col("o_totalprice")), 4, Seq("o_custkey"), ordCols, f,
+        org.apache.spark.sql.types.DoubleType)
+        .select(col("o_orderkey"), col("rng"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w4 = 4
+             |       THEN round(max(o_totalprice) OVER w4 - min(o_totalprice) OVER w4, 3)
+             |  END AS rng
+             |FROM orders
+             |WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- frollapply over a MULTI-COLUMN frame (R/frollapply.R .SD) -----
     // Rolling 4-row weighted mean: the frame carries (price, qty) structs
     // — a closure over two columns, inexpressible with a single-column

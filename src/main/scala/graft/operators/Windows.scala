@@ -427,6 +427,42 @@ object Windows {
       .over(spec(by, order, allowGlobal, "frollWindowStructs").rowsBetween(lo, hi))
   }
 
+  /** frollapply with an ARBITRARY JVM closure over the `.SD` frame
+    * (R/frollapply.R — the reference's FUN takes the raw window): the
+    * n-row multi-column frame materializes as an array of structs
+    * ([[frollWindowStructs]]) and `f` receives it as a Seq of Rows,
+    * one call per output row. This is the full-generality tier — any
+    * Scala function, any frame shape — at Scala-UDF cost (no codegen,
+    * per-row serialization): prefer the higher-order-function forms
+    * ([[frollWindowArray]]/[[frollWindowStructs]] + `aggregate`/
+    * `transform`) whenever the fold is expressible; this exists for
+    * closures that are not. Rows with an incomplete frame yield null
+    * (reference partial=FALSE default); pass `partial=true` to hand
+    * short leading frames to `f` too.
+    */
+  def frollApplyF(df: DataFrame, out: String, cols: Seq[(String, Column)],
+                  n: Int, by: Seq[String], order: Seq[Column],
+                  f: Seq[org.apache.spark.sql.Row] => Any,
+                  returnType: org.apache.spark.sql.types.DataType,
+                  align: String = "right", partial: Boolean = false,
+                  allowGlobal: Boolean = false): DataFrame = {
+    require(n > 0, s"frollApplyF: n must be positive, got $n")
+    val frame = frollWindowStructs(cols, n, by, order, align, allowGlobal)
+    // ScalaUDF with no input encoders: the array<struct> argument
+    // arrives through the generic converters as a Seq[Row] — the shape
+    // TypeTag-reflected udf() cannot express (Row has no schema-for)
+    val fn = org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.ScalaUDF(
+        (a: Any) => f(a.asInstanceOf[Seq[org.apache.spark.sql.Row]]),
+        returnType,
+        Seq(org.apache.spark.sql.GraftSqlBridge.expression(frame)),
+        Nil, None, Some("graft_frollapply"), true, true))
+    val applied =
+      if (partial) fn
+      else when(size(frame) === n, fn)
+    df.withColumn(out, applied)
+  }
+
   /** Adaptive frollapply (src/frollapply.c × src/frolladaptive.c):
     * expose the PER-ROW-LENGTH frame as an array column the caller folds
     * with any higher-order function — [[frollWindowArray]]'s arbitrary-fn

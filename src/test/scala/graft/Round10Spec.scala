@@ -225,6 +225,41 @@ class Round10Spec extends AnyFunSuite {
     assert(s2.getDouble(3) == 1.0 && s2.getDouble(4) == 3.0)
   }
 
+  // ---- frollapply with an arbitrary JVM closure (missing #2) -----------
+
+  test("frollApplyF: arbitrary closure over the .SD frame, partial both ways") {
+    import graft.operators.Windows
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.DoubleType
+    val df = Seq((1, 1.0, 2.0), (2, 3.0, 1.0), (3, 5.0, 3.0), (4, 2.0, 4.0))
+      .toDF("k", "p", "q")
+    val ord = Seq(col("k").asc)
+    // a genuinely non-HOF closure: trimmed weighted mean after sorting
+    // the frame by a second column — nothing aggregate/transform express
+    val f = (rows: Seq[Row]) => {
+      val sorted = rows.map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._2)
+      val kept = if (sorted.size > 1) sorted.drop(1) else sorted // trim lowest-q
+      kept.map { case (p, q) => p * q }.sum / kept.map(_._2).sum
+    }
+    val out = Windows.frollApplyF(df, "twm", Seq("p" -> col("p"), "q" -> col("q")),
+      3, Nil, ord, f, DoubleType, allowGlobal = true)
+      .select(col("k"), col("twm")).collect()
+      .map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    // k=3: frame rows (1,2),(3,1),(5,3) sorted by q -> drop (3,1):
+    // (1*2 + 5*3)/(2+3) = 3.4 ; k=4: rows (3,1),(5,3),(2,4) drop (3,1):
+    // (5*3 + 2*4)/(3+4) = 23/7
+    assert(out(1) == None && out(2) == None)
+    assert(out(3).exists(v => math.abs(v.asInstanceOf[Double] - 3.4) < 1e-9))
+    assert(out(4).exists(v => math.abs(v.asInstanceOf[Double] - 23.0 / 7) < 1e-9))
+    // partial=true hands short leading frames to the closure
+    val part = Windows.frollApplyF(df, "twm", Seq("p" -> col("p"), "q" -> col("q")),
+      3, Nil, ord, f, DoubleType, partial = true, allowGlobal = true)
+      .select(col("k"), col("twm")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(part(1) - 1.0) < 1e-9) // 1-row frame kept whole
+    assert(math.abs(part(3) - 3.4) < 1e-9) // full frames agree with partial=false
+  }
+
   // ---- RocksDB state store for the streaming gates (stretch) -----------
 
   test("checkpoint-restart under the RocksDB state store: exactly-once dedup") {
