@@ -41,10 +41,10 @@ import org.apache.spark.sql.expressions.Window
   *    per row (the same contract every oracled window query already
   *    carries); prefix aggregates additionally assume it for
   *    cross-engine FP agreement.
-  *  - Phantom ops (shift/froll) reach at most one bucket back/forward:
-  *    window widths must not exceed the smallest nonempty bucket
-  *    (bucket sizes are ~rows/buckets — millions at scale vs. n of a
-  *    handful; degenerate inputs belong on the partitioned tier).
+  *  - Phantom ops (shift/froll) are exact for ANY bucket-size
+  *    distribution: the per-pair need computation forwards edge rows
+  *    across as many buckets as the window width requires (still
+  *    bounded by n rows per bucket pair on the tiny partials frame).
   *  - A massively-skewed key (one value = most rows) degenerates to
   *    few buckets; global order over near-constant keys is inherently
   *    sequential and the partitioned tier or a composite key is the
@@ -76,10 +76,15 @@ object GlobalOrdered {
     val memoKey = System.identityHashCode(df.sparkSession).toString + ":" +
       frame.queryExecution.analyzed.semanticHash().toString + ":" + buckets
     boundsCache.getOrElsePut(memoKey) {
-      frame.na.drop()
-        .stat.approxQuantile("_graft_k",
-          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        .distinct.sorted
+      // buckets=1 needs no bounds at all (and approxQuantile returns
+      // null for an empty probability array rather than an empty one)
+      if (buckets == 1) Array.empty[Double]
+      else {
+        val qs = frame.na.drop()
+          .stat.approxQuantile("_graft_k",
+            (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        if (qs == null) Array.empty[Double] else qs.distinct.sorted
+      }
     }
   }
 
@@ -370,45 +375,62 @@ object GlobalOrdered {
 
   // ---- phantom boundary machinery (shift / froll) ---------------------
 
-  /** df + bucket + phantom flag: the last `nBefore` rows of each bucket
-    * copied into the NEXT nonempty bucket and the first `nAfter` rows
-    * into the PREVIOUS, so ordinary per-bucket lag/lead/rolling frames
-    * see across the boundary. Phantom keys sort strictly outside the
-    * host bucket's real keys (no key value spans buckets), so ordering
-    * stays correct; callers filter `!PH` after the window.
+  /** df + bucket + phantom flag: edge rows of each bucket copied into
+    * the buckets whose frames need them, so ordinary per-bucket
+    * lag/lead/rolling frames see across boundaries. Reach is NOT
+    * limited to the adjacent bucket: from the tiny per-bucket counts
+    * frame, every ordered bucket pair (s, d) gets
+    * `need = n − rowsBetween(s, d)` — when positive, s's last (resp.
+    * first) `need` rows are copied into d. A bucket smaller than the
+    * window width therefore forwards rows it itself received nothing
+    * for, and the frames stay exact for ANY bucket-size distribution
+    * (property-locked in PropertySpec against drop/pad models).
+    * Phantom keys sort strictly outside the host bucket's real keys
+    * (no key value spans buckets), so ordering stays correct; callers
+    * filter `!PH` after the window.
     */
   private def phantomAugmented(b: DataFrame, key: Column, asc: Boolean,
                                nBefore: Int, nAfter: Int): DataFrame = {
     val ord = ordOf(key, asc, asc)
     val real = b.withColumn(PH, lit(false))
     if (nBefore <= 0 && nAfter <= 0) return real
-    val ids = b.select(col(BKT).as("_b")).distinct()
-    def neighbor(next: Boolean): DataFrame = {
-      val cmp = if (next) col("_ob") > col("_b") else col("_ob") < col("_b")
-      val pick = if (next) min(col("_ob")) else max(col("_ob"))
-      ids.alias("a")
-        .join(broadcast(ids.select(col("_b").as("_ob")).alias("p")), cmp, "left")
-        .groupBy(col("_b")).agg(pick.as("_dest"))
-    }
+    val counts = b.groupBy(col(BKT).as("_b")).agg(count(lit(1)).as("_c"))
+    // rows in buckets strictly between s and d, for every ordered
+    // nonempty pair — ≤ buckets² rows, all joins broadcast-tiny
+    val between = counts.select(col("_b").as("_s"))
+      .join(broadcast(counts.select(col("_b").as("_d"))), col("_d") > col("_s"))
+      .join(broadcast(counts.select(col("_b").as("_m"), col("_c").as("_mc"))),
+        col("_m") > col("_s") && col("_m") < col("_d"), "left")
+      .groupBy(col("_s"), col("_d"))
+      .agg(coalesce(sum(col("_mc")), lit(0L)).as("_between"))
     val w = Window.partitionBy(col(BKT)).orderBy(ord)
     val wDesc = Window.partitionBy(col(BKT)).orderBy(Windows.flipOrder(ord))
-    def boundary(n: Int, next: Boolean): Option[DataFrame] =
-      if (n <= 0) None
-      else Some(b
-        .withColumn("_brn", row_number().over(if (next) wDesc else w))
-        .filter(col("_brn") <= n).drop("_brn")
-        .join(broadcast(neighbor(next)), col(BKT) === col("_b"))
-        .filter(col("_dest").isNotNull)
-        .withColumn(BKT, col("_dest")).drop("_b", "_dest")
-        .withColumn(PH, lit(true)))
-    Seq(boundary(nBefore, next = true), boundary(nAfter, next = false))
+    def side(nEdge: Int, toLater: Boolean): Option[DataFrame] =
+      if (nEdge <= 0) None
+      else {
+        val need = between
+          .withColumn("_need", lit(nEdge.toLong) - col("_between"))
+          .filter(col("_need") > 0)
+          .select((if (toLater) col("_s") else col("_d")).as("_src"),
+            (if (toLater) col("_d") else col("_s")).as("_dest"),
+            col("_need"))
+        Some(b
+          .withColumn("_brn",
+            row_number().over(if (toLater) wDesc else w).cast("long"))
+          .join(broadcast(need),
+            col(BKT) === col("_src") && col("_brn") <= col("_need"))
+          .withColumn(BKT, col("_dest"))
+          .drop("_brn", "_src", "_dest", "_need")
+          .withColumn(PH, lit(true)))
+      }
+    Seq(side(nBefore, toLater = true), side(nAfter, toLater = false))
       .flatten.foldLeft(real)((acc, ph) => acc.unionByName(ph))
   }
 
   /** Global shift along `key` — `Windows.shift(c, n, by = Nil, ...)`
-    * semantics via phantom boundary rows (|n| per bucket edge). The
-    * order key must be unique; |n| must not exceed the smallest
-    * nonempty bucket.
+    * semantics via phantom boundary rows. The order key must be unique
+    * per row; any bucket-size distribution is exact (see
+    * [[phantomAugmented]]).
     */
   def shift(df: DataFrame, c: Column, n: Int, key: Column, out: String,
             fill: Column = lit(null), asc: Boolean = true,

@@ -479,4 +479,95 @@ class DcastPropertySpec extends AnyFunSuite {
         Prop(got == want) :| s"xs=$xs is=$is got=$got want=$want"
     })
   }
+
+  // ---- GlobalOrdered tier vs driver-side sequential models (round 10).
+  // Unique integer keys (global row outputs need a total order), random
+  // null patterns, random bucket counts 1..6 so bucket boundaries land
+  // everywhere relative to the data.
+
+  private val optDoubleGen2: Gen[Option[Double]] =
+    Gen.frequency(4 -> Gen.choose(-100.0, 100.0).map(Some(_)),
+                  1 -> Gen.const(None))
+  private val seriesGen2: Gen[List[Option[Double]]] =
+    Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, optDoubleGen2))
+  // keys derived from position INSIDE the property, so shrunk lists
+  // still satisfy the tier's unique-key contract
+  private def keyed(vs: List[Option[Double]]): List[(Long, Option[Double])] =
+    vs.zipWithIndex.map { case (v, i) => ((i * 7 + 3).toLong, v) }
+
+  test("GlobalOrdered.cumsum == sequential prefix model at any bucket count") {
+    import spark.implicits._
+    import graft.operators.GlobalOrdered
+    check(forAll(seriesGen2, Gen.choose(1, 6), Gen.oneOf(true, false)) {
+      (vs: List[Option[Double]], buckets: Int, naRm: Boolean) =>
+        val xs = keyed(vs)
+        val df = xs.toDF("k", "v")
+        val got = GlobalOrdered.cumsum(df, $"v", $"k", "cs",
+            naRm = naRm, buckets = buckets)
+          .orderBy($"k").select($"cs").as[Option[Double]].collect().toSeq
+        val want = xs.indices.map { i =>
+          val pfx = xs.take(i + 1).map(_._2)
+          val nn = pfx.flatten
+          if (naRm) { if (nn.isEmpty) None else Some(nn.sum) }
+          else { if (nn.size < pfx.size) None else Some(nn.sum) }
+        }
+        val ok = got.size == want.size && got.zip(want).forall {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case (a, b) => a == b
+        }
+        Prop(ok) :| s"xs=$xs buckets=$buckets naRm=$naRm got=$got want=$want"
+    })
+  }
+
+  test("GlobalOrdered.shift == drop/pad model across bucket boundaries") {
+    import spark.implicits._
+    import graft.operators.GlobalOrdered
+    check(forAll(seriesGen2, Gen.choose(-3, 3), Gen.choose(1, 4)) {
+      (vs: List[Option[Double]], n: Int, buckets: Int) =>
+        val xs = keyed(vs)
+        val df = xs.toDF("k", "v")
+        val got = GlobalOrdered.shift(df, $"v", n, $"k", "sh",
+            buckets = buckets)
+          .orderBy($"k").select($"sh").as[Option[Double]].collect().toSeq
+        val want = xs.indices.map { i =>
+          val j = i - n
+          if (j < 0 || j >= xs.size) None else xs(j)._2
+        }
+        Prop(got == want) :| s"xs=$xs n=$n buckets=$buckets got=$got want=$want"
+    })
+  }
+
+  test("GlobalOrdered.rleid and frank(dense) == sequential models with ties and nulls") {
+    import spark.implicits._
+    import graft.operators.GlobalOrdered
+    // low-cardinality values force runs and ties; nulls included
+    val lowCardGen: Gen[List[Option[Int]]] =
+      Gen.choose(1, 16).flatMap(n => Gen.listOfN(n,
+        Gen.frequency(4 -> Gen.choose(0, 2).map(Some(_)), 1 -> Gen.const(None))))
+    check(forAll(lowCardGen, Gen.choose(1, 4)) {
+      (vs: List[Option[Int]], buckets: Int) =>
+        val xs = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val df = xs.toDF("k", "v")
+        val gotR = GlobalOrdered.rleid(df, Seq("v"), $"k", "rid",
+            buckets = buckets)
+          .orderBy($"k").select($"rid").as[Long].collect().toSeq
+        val wantR = vs.indices.map { i =>
+          1L + vs.take(i + 1).sliding(2).count {
+            case List(a, b) => a != b
+            case _ => false
+          }
+        }
+        // frank dense asc nulls-last over the value column
+        val gotD = GlobalOrdered.frank(df, $"v", desc = false, "dense",
+            "true", "rk", buckets = buckets)
+          .orderBy($"k").select($"rk").as[Long].collect().toSeq
+        val sortedDistinct = vs.flatten.distinct.sorted
+        val wantD = vs.map {
+          case Some(x) => (sortedDistinct.indexOf(x) + 1).toLong
+          case None => (sortedDistinct.size + 1).toLong // null group last
+        }
+        Prop(gotR == wantR && gotD == wantD) :|
+          s"vs=$vs buckets=$buckets rleid=$gotR/$wantR dense=$gotD/$wantD"
+    })
+  }
 }
