@@ -145,12 +145,15 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * in the SELECTED columns in one pass — type "const" (per-column
     * fill value, recycled if one is given), or ordered "locf"/"nocb"
     * over `order` within `by` (all columns share the one window sort).
-    * Returns a new DT (immutable-plan break, like every `set*`).
+    * `nanIsNa` defaults true = the reference's `nan=NA`: NaN counts as
+    * missing. Returns a new DT (immutable-plan break, like every
+    * `set*`).
     */
   def setnafill(cols: Seq[String], typ: String = "const",
                 fill: Seq[Column] = Seq(lit(0)),
                 order: Seq[Column] = Nil, by: Seq[String] = Nil,
-                allowGlobal: Boolean = false): DT = {
+                allowGlobal: Boolean = false,
+                nanIsNa: Boolean = true): DT = {
     require(cols.nonEmpty, "setnafill needs at least one column")
     val fills =
       if (fill.size == 1) Seq.fill(cols.size)(fill.head)
@@ -158,11 +161,11 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
         s"setnafill: ${fill.size} fill values for ${cols.size} columns"); fill }
     val assigns: Seq[(String, Column)] = typ match {
       case "const" => cols.zip(fills).map { case (c, f) =>
-        c -> coalesce(col(c), f) }
+        c -> Windows.nafillConst(col(c), f, nanIsNa) }
       case "locf" => cols.map(c =>
-        c -> Windows.nafillLocf(col(c), by, order, allowGlobal))
+        c -> Windows.nafillLocf(col(c), by, order, allowGlobal, nanIsNa))
       case "nocb" => cols.map(c =>
-        c -> Windows.nafillNocb(col(c), by, order, allowGlobal))
+        c -> Windows.nafillNocb(col(c), by, order, allowGlobal, nanIsNa))
       case other => throw new IllegalArgumentException(
         s"setnafill: type must be const/locf/nocb, got '$other'")
     }

@@ -402,6 +402,57 @@ object QueriesWindows {
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
              |      FROM events)""".stripMargin)),
 
+    // ---- froll na.rm=TRUE (src/froll.c narm; froll.Rraw 6000.066) ------
+    // NA and NaN are both synthesized (no nulls/NaNs in the raw data)
+    // and both count as MISSING: mean averages the survivors, sum takes
+    // 0 on an all-missing full window, mean takes NaN (the driver hash
+    // stringifies double NULL and NaN identically, and the oracle
+    // mirrors the conventions explicitly anyway).
+    ("q_froll_narm", ((s, dir) =>
+      dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null))
+          .when(col("event_type") === "purchase", lit(Double.NaN))
+          .otherwise(col("value")))
+        .withColumn("m3", round(Windows.froll("mean", col("v"), 3,
+          Seq("user_id"), Seq(col("ts").asc, col("event_id").asc),
+          naRm = true), 3))
+        .withColumn("s3", round(Windows.froll("sum", col("v"), 3,
+          Seq("user_id"), Seq(col("ts").asc, col("event_id").asc),
+          naRm = true), 3))
+        .select(col("event_id"), col("m3"), col("s3"))): Q,
+      Some("""SELECT event_id,
+             |  CASE WHEN count(*) OVER w3 = 3
+             |       THEN round(coalesce(avg(v) OVER w3, 'NaN'::DOUBLE), 3) END AS m3,
+             |  CASE WHEN count(*) OVER w3 = 3
+             |       THEN round(coalesce(sum(v) OVER w3, 0.0), 3) END AS s3
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_type IN ('error', 'purchase') THEN NULL
+             |             ELSE value END AS v
+             |      FROM events)
+             |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+             |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- nafill nan=NA default (src/nafill.c nan_is_na) ----------------
+    // NaN values get carried OVER like NA under the reference default;
+    // the oracle nulls both synthesized shapes before its IGNORE NULLS
+    // carry, proving the engine's NaN handling equals SQL-null handling.
+    ("q_nafill_nan", ((s, dir) =>
+      dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null))
+          .when(col("event_type") === "purchase", lit(Double.NaN))
+          .otherwise(col("value")))
+        .withColumn("filled", Windows.nafillLocf(col("v"),
+          Seq("user_id"), Seq(col("ts").asc, col("event_id").asc)))
+        .select(col("event_id"), col("filled"))): Q,
+      Some("""SELECT event_id,
+             |  last_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS UNBOUNDED PRECEDING) AS filled
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_type IN ('error', 'purchase') THEN NULL
+             |             ELSE value END AS v
+             |      FROM events)""".stripMargin)),
+
     // ---- frollapply analog: window array + higher-order fn -------------
     // Range (max-min) over the trailing 4-row window.
     ("q_frollapply", ((s, dir) => {

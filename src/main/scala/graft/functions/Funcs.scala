@@ -32,18 +32,24 @@ object Funcs {
   /** fcoalesce(...): first non-null across columns. */
   def fcoalesce(cols: Column*): Column = coalesce(cols: _*)
 
-  /** nafill(type="const"). locf/nocb are ordered ops — see
-    * graft.operators.Windows.nafillLocf/nafillNocb.
+  /** nafill(type="const", nan=NA). locf/nocb are ordered ops — see
+    * graft.operators.Windows.nafillLocf/nafillNocb. The DEFAULT treats
+    * NaN as missing, matching the reference's `nan=NA` default
+    * (R/shift.R:29, src/nafill.c nan_is_na; locked by nafill.Rraw
+    * 1.19/1.21 analogs in Round10bSpec); `nanIsNa = false` is the
+    * reference's `nan=NaN` opt-out that keeps NaN as a value.
     */
-  def nafill(c: Column, fill: Column): Column = coalesce(c, fill)
+  def nafill(c: Column, fill: Column, nanIsNa: Boolean = true): Column =
+    coalesce(if (nanIsNa) nanAsNa(c) else c, fill)
 
   /** nafill(nan=NA) building block (src/nafill.c nan_is_na): map NaN to
-    * null so the nafill/locf/nocb family treats it as missing — compose
-    * as `nafill(nanAsNa(c), fill)` / `nafillLocf(nanAsNa(c), ...)`.
+    * null so null-aware aggregates treat it as missing. Type-aware
+    * native expression — identity on non-floating columns (ints,
+    * dates), so the nafill family stays usable on every reference type.
     * R's NaN ≠ NA distinction survives otherwise (SQL comparisons and
     * window aggregates treat NaN as an ordinary — maximal — double).
     */
-  def nanAsNa(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+  def nanAsNa(c: Column): Column = graft.plans.NanToNull(c)
 
   // ---- predicates (R/between.R, R/like.R, R/notin.R) ------------------
 

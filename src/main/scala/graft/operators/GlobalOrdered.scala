@@ -338,8 +338,9 @@ object GlobalOrdered {
     * x (struct max orders by key; null structs are skipped), so the
     * carry needs no window at all.
     */
-  def nafillLocf(df: DataFrame, x: Column, key: Column, out: String,
-                 buckets: Int = 32): DataFrame = {
+  def nafillLocf(df: DataFrame, xIn: Column, key: Column, out: String,
+                 buckets: Int = 32, nanIsNa: Boolean = true): DataFrame = {
+    val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
     val b = prep(df, key, asc = true, buckets)
     val ord = ordOf(key, asc = true, nullsFirst = true)
     val within = last(x, ignoreNulls = true)
@@ -356,8 +357,9 @@ object GlobalOrdered {
   /** Global next-non-null carried backward — mirror of [[nafillLocf]]
     * (min struct over FOLLOWING buckets).
     */
-  def nafillNocb(df: DataFrame, x: Column, key: Column, out: String,
-                 buckets: Int = 32): DataFrame = {
+  def nafillNocb(df: DataFrame, xIn: Column, key: Column, out: String,
+                 buckets: Int = 32, nanIsNa: Boolean = true): DataFrame = {
+    val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
     val b = prep(df, key, asc = true, buckets)
     val ord = ordOf(key, asc = true, nullsFirst = true)
     val within = first(x, ignoreNulls = true)

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 
+import graft.functions.Funcs
+
 /** Ordered / window operators (SURVEY.md §2.5).
   *
   * The reference's row order is physical (src/shift.c, src/froll.c);
@@ -105,11 +107,12 @@ object Windows {
     */
   def frollN(df: DataFrame, prefix: String, fn: String, c: Column, ns: Seq[Int],
              by: Seq[String], order: Seq[Column], align: String = "right",
-             partial: Boolean = false, allowGlobal: Boolean = false): DataFrame = {
+             partial: Boolean = false, allowGlobal: Boolean = false,
+             naRm: Boolean = false): DataFrame = {
     require(ns.nonEmpty, "frollN needs at least one window width")
     ns.foldLeft(df)((acc, n) =>
       acc.withColumn(s"$prefix$n",
-        froll(fn, c, n, by, order, align, partial, allowGlobal)))
+        froll(fn, c, n, by, order, align, partial, allowGlobal, naRm)))
   }
 
   /** shift(give.names=TRUE) (R/shift.R:1-26): one output column per
@@ -184,20 +187,27 @@ object Windows {
   }
 
   // ---- nafill (src/nafill.c) ------------------------------------------
+  // All three types default nanIsNa = true, the reference's `nan=NA`
+  // default (R/shift.R:29): NaN counts as missing and gets filled /
+  // carried over, while Inf/-Inf are ordinary values that DO carry
+  // (nafill.Rraw 1.18-1.22). `nanIsNa = false` mirrors `nan=NaN`.
 
-  def nafillConst(c: Column, fill: Column): Column = coalesce(c, fill)
+  def nafillConst(c: Column, fill: Column, nanIsNa: Boolean = true): Column =
+    coalesce(if (nanIsNa) Funcs.nanAsNa(c) else c, fill)
 
-  /** nafill(type="locf"): last non-null carried forward. */
+  /** nafill(type="locf"): last non-missing carried forward. */
   def nafillLocf(c: Column, by: Seq[String], order: Seq[Column],
-                 allowGlobal: Boolean = false): Column =
-    last(c, ignoreNulls = true)
+                 allowGlobal: Boolean = false,
+                 nanIsNa: Boolean = true): Column =
+    last(if (nanIsNa) Funcs.nanAsNa(c) else c, ignoreNulls = true)
       .over(spec(by, order, allowGlobal, "nafillLocf")
         .rowsBetween(Window.unboundedPreceding, 0))
 
-  /** nafill(type="nocb"): next non-null carried backward. */
+  /** nafill(type="nocb"): next non-missing carried backward. */
   def nafillNocb(c: Column, by: Seq[String], order: Seq[Column],
-                 allowGlobal: Boolean = false): Column =
-    first(c, ignoreNulls = true)
+                 allowGlobal: Boolean = false,
+                 nanIsNa: Boolean = true): Column =
+    first(if (nanIsNa) Funcs.nanAsNa(c) else c, ignoreNulls = true)
       .over(spec(by, order, allowGlobal, "nafillNocb")
         .rowsBetween(0, Window.unboundedFollowing))
 
@@ -331,32 +341,67 @@ object Windows {
     */
   def froll(fn: String, c: Column, n: Int, by: Seq[String], order: Seq[Column],
             align: String = "right", partial: Boolean = false,
-            allowGlobal: Boolean = false): Column = {
+            allowGlobal: Boolean = false, naRm: Boolean = false): Column = {
     val (lo, hi) = bounds(n, align)
     val w = spec(by, order, allowGlobal, "froll").rowsBetween(lo, hi)
-    val core = fn match {
-      case "sum"    => sum(c).over(w)
-      case "mean"   => avg(c).over(w)
-      case "min"    => min(c).over(w)
-      case "max"    => max(c).over(w)
-      case "sd"     => stddev_samp(c).over(w)
-      case "var"    => var_samp(c).over(w)
-      case "median" =>
-        val arr = array_sort(collect_list(c).over(w))
-        val sz = size(arr)
-        // collect_list drops nulls: an all-null frame is EMPTY and the
-        // even branch would index element 0 (SQL arrays are 1-based)
-        when(sz === 0, lit(null).cast("double"))
-          .when(sz % 2 === 1, element_at(arr, ((sz + 1) / 2).cast("int")).cast("double"))
-          .otherwise((element_at(arr, (sz / 2).cast("int")) +
-            element_at(arr, (sz / 2).cast("int") + 1)) / 2.0)
-      case "prod" =>
-        aggregate(collect_list(c).over(w), lit(1.0),
-          (acc, x) => acc * x.cast("double"))
-      case other => throw new IllegalArgumentException(s"froll fn=$other")
+    // na.rm=TRUE removes BOTH NA and NaN (src/froll.c ISNAN covers
+    // them jointly); the all-missing window takes R's empty-reduction
+    // value — sum 0, prod 1, mean/min/max/median NaN (froll.c
+    // PROD/SUM_WINDOW_STEP_VALUE `nc == k` branches, froll.Rraw
+    // 6000.066). The reference always emits double; the naRm tier
+    // matches that, while naRm=FALSE keeps Spark-native agg types for
+    // the established oracles.
+    val x = if (naRm) Funcs.nanAsNa(c) else c
+    def medianOf(src: Column, empty: Column): Column = {
+      val arr = array_sort(collect_list(src).over(w))
+      val sz = size(arr)
+      // collect_list drops nulls: an all-null frame is EMPTY and the
+      // even branch would index element 0 (SQL arrays are 1-based)
+      when(sz === 0, empty)
+        .when(sz % 2 === 1, element_at(arr, ((sz + 1) / 2).cast("int")).cast("double"))
+        .otherwise((element_at(arr, (sz / 2).cast("int")) +
+          element_at(arr, (sz / 2).cast("int") + 1)) / 2.0)
     }
-    if (partial) when(count(c).over(w) === count(lit(1)).over(w), core)
-    else when(count(c).over(w) === n, core)
+    val nan = lit(Double.NaN)
+    val core =
+      if (naRm) fn match {
+        case "sum"    => coalesce(sum(x).over(w).cast("double"), lit(0.0))
+        case "mean"   => coalesce(avg(x).over(w), nan)
+        case "min"    => coalesce(min(x).over(w).cast("double"), nan)
+        case "max"    => coalesce(max(x).over(w).cast("double"), nan)
+        case "sd"     => stddev_samp(x).over(w)
+        case "var"    => var_samp(x).over(w)
+        case "median" => medianOf(x, nan)
+        case "prod" =>
+          aggregate(collect_list(x).over(w), lit(1.0),
+            (acc, v) => acc * v.cast("double"))
+        case other => throw new IllegalArgumentException(s"froll fn=$other")
+      } else fn match {
+        case "sum"    => sum(c).over(w)
+        case "mean"   => avg(c).over(w)
+        // Spark's ordering ranks NaN above every double, so min/max
+        // silently SKIP/ADOPT it; the reference propagates NaN through
+        // any window containing one (wmax src/froll.c:499). Same for
+        // the sorted-array median. One extra frame count restores it.
+        case "min" | "max" | "median" =>
+          val nanCnt = count(c).over(w) - count(Funcs.nanAsNa(c)).over(w)
+          val raw = fn match {
+            case "min"    => min(c).over(w).cast("double")
+            case "max"    => max(c).over(w).cast("double")
+            case "median" => medianOf(c, lit(null).cast("double"))
+          }
+          when(nanCnt > 0, nan).otherwise(raw)
+        case "sd"     => stddev_samp(c).over(w)
+        case "var"    => var_samp(c).over(w)
+        case "prod" =>
+          aggregate(collect_list(c).over(w), lit(1.0),
+            (acc, v) => acc * v.cast("double"))
+        case other => throw new IllegalArgumentException(s"froll fn=$other")
+      }
+    val rows = count(lit(1)).over(w)
+    val present = if (naRm) rows else count(c).over(w)
+    if (partial) when(present === rows, core)
+    else when(present === n, core)
   }
 
   /** froll(algo="fast") tier for sum/mean: O(1) work per row regardless
