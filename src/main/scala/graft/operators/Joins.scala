@@ -693,36 +693,100 @@ object Joins {
     * under retries/replans, and a single map-side-combined min/max
     * aggregation at scale.
     */
-  final case class MergeStep(on: Seq[String] = Nil, how: String = "inner",
-                             mult: String = "all")
+  /** One fold step. `how` defaults to the reference's "left"
+    * (R/mergelist.R:347 match.arg order); `mult = "default"` resolves
+    * per-how exactly like `dtmerge` (R/mergelist.R:89-93):
+    * semi/anti → "last", cross → "all", left/right/inner/full →
+    * **"error"** — the reference REFUSES multiplying matches unless
+    * asked. `joinMany = false` is the `join.many`/allow.cartesian
+    * analog: refuse a many-to-many explosion under mult="all"
+    * (R/mergelist.R:120-124). `cols` selects the incoming table's
+    * payload (the reference's per-table `cols=` list — join keys are
+    * always kept, R/mergelist.R someCols).
+    */
+  final case class MergeStep(on: Seq[String] = Nil, how: String = "left",
+                             mult: String = "default",
+                             joinMany: Boolean = true,
+                             cols: Option[Seq[String]] = None)
+
+  /** mult resolution per how — dtmerge's switch (R/mergelist.R:89-93). */
+  def resolveMult(how: String, mult: String): String =
+    if (mult != "default") mult
+    else how match {
+      case "semi" | "anti" => "last"
+      case "cross"         => "all"
+      case _               => "error"
+    }
 
   /** mergelist with per-step `on=`/`how=`/`mult=` — the reference's
     * full signature, where each argument may be a list with one entry
     * per pair (R/mergelist.R:284-318). Catalyst reorders/broadcasts
     * each step from stats.
+    *
+    * Reference-parity guards (mergelist.Rraw 101.02/32-35, 102.631):
+    * cross needs zero-length on + mult="all" + join.many; semi/anti
+    * need mult != "all"; mult="error" checks BOTH sides for
+    * inner/full (the reference runs a void bmerge on the mirrored
+    * pair — R/mergelist.R:178-181) and mult="first"/"last" dedups
+    * BOTH sides for inner/full ("ensure symmetric join",
+    * R/mergelist.R:174-177).
     */
   def mergelistSteps(dfs: Seq[DataFrame], steps: Seq[MergeStep]): DataFrame = {
     require(dfs.size >= 2 && steps.size == dfs.size - 1,
       "mergelist: need N tables and N-1 join steps")
-    dfs.tail.zip(steps).foldLeft(dfs.head) { case (acc, (next0, st)) =>
+    dfs.tail.zip(steps).foldLeft(dfs.head) { case (acc0, (in0, st)) =>
+      val mult = resolveMult(st.how, st.mult)
+      if (st.how == "cross")
+        require(st.on.isEmpty && mult == "all" && st.joinMany,
+          "cross join must be used with zero-length on, mult='all', join.many=TRUE")
+      if (st.how == "semi" || st.how == "anti")
+        require(mult != "all",
+          "semi and anti joins must be used with mult!='all'")
       val on = if (st.on.nonEmpty || st.how == "cross") st.on
-               else acc.columns.intersect(next0.columns).toSeq
+               else acc0.columns.intersect(in0.columns).toSeq
       require(st.how == "cross" || on.nonEmpty,
         s"mergelist: no join columns for how=${st.how} (no shared names and no on=)")
-      val next = st.mult match {
-        case "all" => next0
-        case "error" => assertNoDup(next0, on); next0
-        case m @ ("first" | "last") =>
-          val payload = next0.columns.filterNot(on.contains).toSeq
-          if (payload.isEmpty) next0.dropDuplicates(on)
-          else {
-            val pick = struct(payload.map(col): _*)
-            val agg0 = if (m == "first") min(pick) else max(pick)
-            next0.groupBy(on.map(col): _*).agg(agg0.as("_graft_m"))
-              .select((on.map(col) ++ payload.map(p => col(s"_graft_m.$p").as(p))): _*)
+      val next0 = st.cols match {
+        case Some(cs) =>
+          val missing = cs.filterNot(in0.columns.contains)
+          require(missing.isEmpty,
+            s"mergelist: cols= specify columns not present in corresponding table: ${missing.mkString(",")}")
+          in0.select((on ++ cs.filterNot(on.contains)).map(col): _*)
+        case None => in0
+      }
+      val symmetric = st.how == "inner" || st.how == "full"
+      def firstLast(t: DataFrame, m: String): DataFrame = {
+        val payload = t.columns.filterNot(on.contains).toSeq
+        if (payload.isEmpty) t.dropDuplicates(on)
+        else {
+          val pick = struct(payload.map(col): _*)
+          val agg0 = if (m == "first") min(pick) else max(pick)
+          t.groupBy(on.map(col): _*).agg(agg0.as("_graft_m"))
+            .select((on.map(col) ++ payload.map(p => col(s"_graft_m.$p").as(p))): _*)
+        }
+      }
+      val (acc, next) = mult match {
+        case "all" =>
+          if (!st.joinMany && st.how != "cross" && st.how != "semi" && st.how != "anti") {
+            // join.many=FALSE: a many-to-many pair is a data-quality
+            // refusal (R/mergelist.R:120-124). Duplicated keys present
+            // on BOTH sides among the matching keys = explosion.
+            def dups(t: DataFrame) = t.groupBy(on.map(col): _*).count()
+              .filter(col("count") > 1).select(on.map(col): _*)
+            val m2m = dups(acc0).join(dups(next0), on).limit(1).count() > 0
+            require(!m2m,
+              "Joining resulted in many-to-many join. Perform quality check " +
+                "on your data, use mult!='all', or set join.many to allow rows explosion.")
           }
+          (acc0, next0)
+        case "error" =>
+          assertNoDup(next0, on)
+          if (symmetric) assertNoDup(acc0, on)
+          (acc0, next0)
+        case m @ ("first" | "last") =>
+          (if (symmetric) firstLast(acc0, m) else acc0, firstLast(next0, m))
         case other => throw new IllegalArgumentException(
-          s"mergelist: mult must be all/error/first/last, got $other")
+          s"'mult' must be one of [error, all, first, last], got $other")
       }
       st.how match {
         case "cross" => acc.crossJoin(next)
@@ -737,8 +801,8 @@ object Joins {
     * call shape). Per-pair keys/mult: [[mergelistSteps]].
     */
   def mergelist(dfs: Seq[DataFrame], on: Seq[String],
-                how: Seq[String]): DataFrame =
-    mergelistSteps(dfs, how.map(h => MergeStep(on, h)))
+                how: Seq[String], mult: String = "default"): DataFrame =
+    mergelistSteps(dfs, how.map(h => MergeStep(on, h, mult)))
 
   /** allow.cartesian guard (R/data.table.R:925-935): pre-flight
     * cardinality check — estimate the join explosion from per-key counts

@@ -298,4 +298,101 @@ class Round10Spec extends AnyFunSuite {
       } finally q2.stop()
     } finally Streams.useDefaultStateStore(spark)
   }
+
+  // ---- mergelist.Rraw tranche (R/mergelist.R parity) -------------------
+
+  test("mergelist mult defaults per how: left/inner/full/right refuse multiplying matches") {
+    import graft.operators.Joins
+    // 102.631: default mult is 'error' — dup division_id must refuse
+    val fact = Seq((1, 1), (2, 2)).toDF("id", "div")
+    val divDup = Seq((1, 10), (1, 11), (2, 20)).toDF("div", "region")
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(fact, divDup),
+        Seq(Joins.MergeStep(Seq("div")))).collect()
+    }
+    // 102.632: mult='all' opts into the explosion (3 rows here)
+    val all = Joins.mergelistSteps(Seq(fact, divDup),
+      Seq(Joins.MergeStep(Seq("div"), mult = "all")))
+    assert(all.count() == 3)
+    // semi/anti resolve mult='last' and never refuse dups
+    val semi = Joins.mergelistSteps(Seq(fact, divDup),
+      Seq(Joins.MergeStep(Seq("div"), "semi")))
+    assert(semi.count() == 2)
+  }
+
+  test("mergelist mult='error' checks BOTH sides for inner/full (101.38)") {
+    import graft.operators.Joins
+    // LHS has the dup, RHS unique: reference's full-join error covers it
+    val lhsDup = Seq((3, 1), (2, 2), (2, 3)).toDF("id1", "v1")
+    val rhsUniq = Seq((2, 2), (1, 3)).toDF("id1", "v2")
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(lhsDup, rhsUniq),
+        Seq(Joins.MergeStep(Seq("id1"), "full", "error"))).collect()
+    }
+    // but a LEFT join only asserts the RHS (bmerge checks only x)
+    val left = Joins.mergelistSteps(Seq(lhsDup, rhsUniq),
+      Seq(Joins.MergeStep(Seq("id1"), "left", "error")))
+    assert(left.count() == 3)
+  }
+
+  test("mergelist mult=first/last dedups BOTH sides for inner (R/mergelist.R:174)") {
+    import graft.operators.Joins
+    val l = Seq((1, "a1"), (1, "a2"), (2, "b1")).toDF("k", "lv")
+    val r = Seq((1, "x1"), (1, "x2"), (3, "z1")).toDF("k", "rv")
+    val first = Joins.mergelistSteps(Seq(l, r),
+        Seq(Joins.MergeStep(Seq("k"), "inner", "first")))
+      .orderBy($"k").collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    assert(first.toSeq == Seq((1, "a1", "x1")))
+    val last = Joins.mergelistSteps(Seq(l, r),
+        Seq(Joins.MergeStep(Seq("k"), "inner", "last")))
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    assert(last.toSeq == Seq((1, "a2", "x2")))
+  }
+
+  test("mergelist guards: cross arg combos, semi+all, join.many=FALSE m2m refusal") {
+    import graft.operators.Joins
+    val a = Seq(Tuple1(1)).toDF("x")
+    val b = Seq(Tuple1(1)).toDF("y")
+    // 101.02/32/33
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(a, b), Seq(Joins.MergeStep(Seq("y"), "cross")))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(a, b), Seq(Joins.MergeStep(Nil, "cross", "first")))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(a, b),
+        Seq(Joins.MergeStep(Nil, "cross", joinMany = false)))
+    }
+    assert(Joins.mergelistSteps(Seq(a, b),
+      Seq(Joins.MergeStep(Nil, "cross"))).count() == 1)
+    // 101.34/35
+    val k1 = Seq(Tuple1(1)).toDF("x")
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(k1, k1), Seq(Joins.MergeStep(Seq("x"), "semi", "all")))
+    }
+    // join.many=FALSE refuses a genuine many-to-many; 1:many passes
+    val dup = Seq((1, "p"), (1, "q")).toDF("k", "v")
+    val dup2 = Seq((1, "r"), (1, "s")).toDF("k", "w")
+    val uniq = Seq((1, "u")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(dup, dup2),
+        Seq(Joins.MergeStep(Seq("k"), "inner", "all", joinMany = false))).collect()
+    }
+    assert(Joins.mergelistSteps(Seq(dup, uniq),
+      Seq(Joins.MergeStep(Seq("k"), "inner", "all", joinMany = false))).count() == 2)
+  }
+
+  test("mergelist cols= selects the incoming table's payload, keys always kept (103.2x)") {
+    import graft.operators.Joins
+    val l = Seq((1, 10, 20), (2, 11, 21)).toDF("id1", "v1", "v2")
+    val r = Seq((2, 30, 40), (3, 31, 41)).toDF("id1", "v3", "v4")
+    val out = Joins.mergelistSteps(Seq(l, r),
+      Seq(Joins.MergeStep(Seq("id1"), "left", cols = Some(Seq("v3")))))
+    assert(out.columns.toSeq == Seq("id1", "v1", "v2", "v3"))
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(l, r),
+        Seq(Joins.MergeStep(Seq("id1"), "left", cols = Some(Seq("v5")))))
+    }
+  }
 }

@@ -192,9 +192,11 @@ class Round7Spec extends AnyFunSuite {
     // mult=first keeps line 1 per order; order 3 has no lines (inner);
     // custkey 30 would have no name (left) but is gone with order 3
     assert(out.toSeq == Seq((1, 1, "a", Some("X")), (2, 1, "c", Some("Y"))))
-    // empty on= resolves to the shared column names at that step
+    // empty on= resolves to the shared column names at that step; the
+    // default how is the reference's "left" (R/mergelist.R:347), so
+    // custkey 30 survives with a null name
     val nat = Joins.mergelistSteps(Seq(orders, cust), Seq(Joins.MergeStep()))
-    assert(nat.count() == 2 && nat.columns.toSeq == Seq("custkey", "orderkey", "name"))
+    assert(nat.count() == 3 && nat.columns.toSeq == Seq("custkey", "orderkey", "name"))
     // mult="error" rejects a duplicate-keyed RHS
     intercept[IllegalArgumentException] {
       Joins.mergelistSteps(Seq(orders, lines),
