@@ -560,21 +560,37 @@ object Windows {
     */
   def frollAdaptive(fn: String, c: Column, an: Column, maxN: Int,
                     by: Seq[String], order: Seq[Column],
-                    allowGlobal: Boolean = false): Column = {
-    val (frame, take, slicedS) =
-      adaptiveSlice(c, an, maxN, by, order, allowGlobal, "frollAdaptive")
-    val hasNull = exists(slicedS, s => s.getField("v").isNull)
+                    allowGlobal: Boolean = false,
+                    naRm: Boolean = false): Column = {
+    val cIn = if (naRm) Funcs.nanAsNa(c) else c
+    val (frame, take, slicedAll) =
+      adaptiveSlice(cIn, an, maxN, by, order, allowGlobal, "frollAdaptive")
+    val hasNull =
+      if (naRm) lit(false)
+      else exists(slicedAll, s => s.getField("v").isNull)
+    // na.rm=TRUE drops NA/NaN from the frame (src/frolladaptive.c narm);
+    // the surviving count feeds mean's divisor, and an all-missing
+    // window takes R's empty-reduction value like the fixed-window tier
+    val slicedS =
+      if (naRm) filter(slicedAll, s => s.getField("v").isNotNull) else slicedAll
     val sliced = transform(slicedS, s => s.getField("v"))
+    val takeEff = if (naRm) size(sliced).cast("double") else take
+    val emptyNaRm = naRm && true
+    def emptyDefault(v: Column, dflt: Column): Column =
+      if (emptyNaRm) when(size(sliced) === 0, dflt).otherwise(v) else v
     val res = fn match {
       case "sum"  => aggregate(sliced, lit(0.0), (a, x) => a + x.cast("double"))
-      case "mean" => aggregate(sliced, lit(0.0), (a, x) => a + x.cast("double")) / take
-      case "max"  => array_max(sliced)
-      case "min"  => array_min(sliced)
+      case "mean" => emptyDefault(
+        aggregate(sliced, lit(0.0), (a, x) => a + x.cast("double")) / takeEff,
+        lit(Double.NaN))
+      case "max"  => emptyDefault(array_max(sliced).cast("double"), lit(Double.NaN))
+      case "min"  => emptyDefault(array_min(sliced).cast("double"), lit(Double.NaN))
       case "prod" => aggregate(sliced, lit(1.0), (a, x) => a * x.cast("double"))
       case "median" =>
         val sorted = array_sort(sliced)
         val sz = size(sorted)
-        when(sz === 0, lit(null).cast("double"))
+        when(sz === 0,
+            (if (emptyNaRm) lit(Double.NaN) else lit(null)).cast("double"))
           .when(sz % 2 === 1, element_at(sorted, ((sz + 1) / 2).cast("int")).cast("double"))
           .otherwise((element_at(sorted, (sz / 2).cast("int")) +
             element_at(sorted, (sz / 2).cast("int") + 1)) / 2.0)

@@ -192,6 +192,25 @@ class NanParitySpec extends AnyFunSuite {
     assert(same(got, Seq(None, Some(NaN), Some(-Inf), Some(NaN), Some(Inf))))
   }
 
+  test("frollAdaptive na.rm=TRUE: NA skipped per-window (froll.Rraw 6000.219)") {
+    // frollsum(c(1:2,NA,4:10), rep(4,10), adaptive=TRUE, na.rm=TRUE)
+    val xs: Seq[Option[Double]] =
+      (Seq(Some(1.0), Some(2.0), None) ++ (4 to 10).map(i => Some(i.toDouble)))
+    val d = seqDF(xs).withColumn("an", lit(4))
+    val got = collectD(d.withColumn("r",
+      Windows.frollAdaptive("sum", $"v", $"an", 4, Nil, Seq($"k".asc),
+        allowGlobal = true, naRm = true)), "r")
+    assert(same(got, Seq(None, None, None, Some(7.0), Some(11.0), Some(15.0),
+      Some(22.0), Some(26.0), Some(30.0), Some(34.0))))
+    // NaN is dropped like NA; all-missing window → NaN for max
+    val ys: Seq[Option[Double]] = Seq(Some(1.0), Some(NaN), Some(3.0), None, None)
+    val d2 = seqDF(ys).withColumn("an", lit(2))
+    val gotM = collectD(d2.withColumn("r",
+      Windows.frollAdaptive("max", $"v", $"an", 3, Nil, Seq($"k".asc),
+        allowGlobal = true, naRm = true)), "r")
+    assert(same(gotM, Seq(None, Some(1.0), Some(3.0), Some(3.0), Some(NaN))))
+  }
+
   test("GlobalOrdered nafill treats NaN as missing across bucket boundaries") {
     import graft.operators.GlobalOrdered
     val d = seqDF(z).withColumn("k", $"k".cast("long"))
