@@ -765,6 +765,15 @@ object Joins {
             .select((on.map(col) ++ payload.map(p => col(s"_graft_m.$p").as(p))): _*)
         }
       }
+      // mult applies to the LOOKUP side — bmerge's x table: the RHS for
+      // a left join but the LHS for a right join (mergepair swaps
+      // join_from/join_to, R/mergelist.R:160-172; the SQLite tester in
+      // other.Rraw applies mult_one to "new rhs" = lhs for how=right) —
+      // and to BOTH sides for inner/full (symmetric-join rule).
+      val (multLeft, multRight) = st.how match {
+        case "right"            => (true, symmetric)
+        case _                  => (symmetric, true)
+      }
       val (acc, next) = mult match {
         case "all" =>
           if (!st.joinMany && st.how != "cross" && st.how != "semi" && st.how != "anti") {
@@ -780,11 +789,12 @@ object Joins {
           }
           (acc0, next0)
         case "error" =>
-          assertNoDup(next0, on)
-          if (symmetric) assertNoDup(acc0, on)
+          if (multRight) assertNoDup(next0, on)
+          if (multLeft) assertNoDup(acc0, on)
           (acc0, next0)
         case m @ ("first" | "last") =>
-          (if (symmetric) firstLast(acc0, m) else acc0, firstLast(next0, m))
+          (if (multLeft) firstLast(acc0, m) else acc0,
+           if (multRight) firstLast(next0, m) else next0)
         case other => throw new IllegalArgumentException(
           s"'mult' must be one of [error, all, first, last], got $other")
       }

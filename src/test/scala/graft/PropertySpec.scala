@@ -571,3 +571,92 @@ class DcastPropertySpec extends AnyFunSuite {
     })
   }
 }
+
+/** mergelist vs a sequential model of the reference's mergepair rules
+  * (R/mergelist.R; cross-checked there against SQLite in other.Rraw):
+  * mult=first/last dedups the lookup side — RHS for left, LHS for
+  * right, BOTH for inner/full — with our deterministic lexicographic
+  * representative; mult='error' refuses dups on exactly those sides.
+  */
+class MergelistPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.operators.Joins
+
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(40)
+      .withInitialSeed(org.scalacheck.rng.Seed(1042L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val sideGen: Gen[List[(Int, Int)]] =
+    Gen.choose(0, 6).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(1, 4), Gen.choose(0, 99))))
+
+  private def dedup(rows: List[(Int, Int)], m: String): List[(Int, Int)] =
+    rows.groupBy(_._1).map { case (k, vs) =>
+      k -> (if (m == "first") vs.map(_._2).min else vs.map(_._2).max)
+    }.toList
+
+  private def model(l: List[(Int, Int)], r: List[(Int, Int)],
+                    how: String, m: String): Set[(Int, Option[Int], Option[Int])] = {
+    val symmetric = how == "inner" || how == "full"
+    val (ld, rd) =
+      if (m == "all") (l, r)
+      else (if (symmetric || how == "right") dedup(l, m) else l,
+            if (symmetric || how != "right") dedup(r, m) else r)
+    val inner = for { (lk, lv) <- ld; (rk, rv) <- rd if lk == rk }
+      yield (lk, Some(lv): Option[Int], Some(rv): Option[Int])
+    val lOnly = ld.filterNot(x => rd.exists(_._1 == x._1))
+      .map(x => (x._1, Some(x._2): Option[Int], None: Option[Int]))
+    val rOnly = rd.filterNot(x => ld.exists(_._1 == x._1))
+      .map(x => (x._1, None: Option[Int], Some(x._2): Option[Int]))
+    (how match {
+      case "inner" => inner
+      case "left"  => inner ++ lOnly
+      case "right" => inner ++ rOnly
+      case "full"  => inner ++ lOnly ++ rOnly
+    }).toSet
+  }
+
+  test("mergelist == sequential mergepair model over how x mult") {
+    import spark.implicits._
+    val howGen = Gen.oneOf("left", "inner", "right", "full")
+    val multGen = Gen.oneOf("all", "first", "last")
+    check(forAll(sideGen, sideGen, howGen, multGen) {
+      (l: List[(Int, Int)], r: List[(Int, Int)], how: String, m: String) =>
+        val lhs = l.toDF("k", "lv")
+        val rhs = r.toDF("k", "rv")
+        val got = Joins.mergelistSteps(Seq(lhs, rhs),
+            Seq(Joins.MergeStep(Seq("k"), how, m)))
+          .select("k", "lv", "rv").collect()
+          .map(x => (x.getInt(0),
+            if (x.isNullAt(1)) None else Some(x.getInt(1)),
+            if (x.isNullAt(2)) None else Some(x.getInt(2)))).toSet
+        val want = model(l, r, how, m)
+        Prop(got == want) :| s"l=$l r=$r how=$how mult=$m got=$got want=$want"
+    })
+  }
+
+  test("mergelist mult='error' refuses dups on exactly the lookup side(s)") {
+    import spark.implicits._
+    val howGen = Gen.oneOf("left", "inner", "right", "full")
+    check(forAll(sideGen, sideGen, howGen) {
+      (l: List[(Int, Int)], r: List[(Int, Int)], how: String) =>
+        val symmetric = how == "inner" || how == "full"
+        def hasDup(rows: List[(Int, Int)]) =
+          rows.groupBy(_._1).exists(_._2.size > 1)
+        val shouldErr =
+          (if (symmetric) hasDup(l) || hasDup(r)
+           else if (how == "right") hasDup(l)
+           else hasDup(r))
+        val res = scala.util.Try {
+          Joins.mergelistSteps(Seq(l.toDF("k", "lv"), r.toDF("k", "rv")),
+            Seq(Joins.MergeStep(Seq("k"), how, "error"))).count()
+        }
+        Prop(res.isFailure == shouldErr) :|
+          s"l=$l r=$r how=$how failed=${res.isFailure} want=$shouldErr"
+    })
+  }
+}

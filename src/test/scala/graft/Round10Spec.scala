@@ -335,6 +335,29 @@ class Round10Spec extends AnyFunSuite {
     assert(left.count() == 3)
   }
 
+  test("mergelist mult applies to the LOOKUP side: LHS for how='right' (other.Rraw sql tester)") {
+    import graft.operators.Joins
+    val lhsDup = Seq((1, "a1"), (1, "a2"), (2, "b")).toDF("k", "lv")
+    val rhs = Seq((1, "x"), (3, "z")).toDF("k", "rv")
+    // right join: multiplying matches come from the LHS — default
+    // mult='error' must refuse them...
+    intercept[IllegalArgumentException] {
+      Joins.mergelistSteps(Seq(lhsDup, rhs),
+        Seq(Joins.MergeStep(Seq("k"), "right")))
+    }
+    // ...and mult='first' dedups the LHS, keeping every RHS row
+    val first = Joins.mergelistSteps(Seq(lhsDup, rhs),
+        Seq(Joins.MergeStep(Seq("k"), "right", "first")))
+      .orderBy($"k").collect()
+      .map(x => (x.getInt(0), Option(x.getString(1)), x.getString(2)))
+    assert(first.toSeq == Seq((1, Some("a1"), "x"), (3, None, "z")))
+    // while a dup RHS is fine for how='right' under the default
+    val rhsDup = Seq((1, "x1"), (1, "x2")).toDF("k", "rv")
+    val lhsU = Seq((1, "a")).toDF("k", "lv")
+    assert(Joins.mergelistSteps(Seq(lhsU, rhsDup),
+      Seq(Joins.MergeStep(Seq("k"), "right"))).count() == 2)
+  }
+
   test("mergelist mult=first/last dedups BOTH sides for inner (R/mergelist.R:174)") {
     import graft.operators.Joins
     val l = Seq((1, "a1"), (1, "a2"), (2, "b1")).toDF("k", "lv")
