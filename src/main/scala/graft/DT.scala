@@ -74,12 +74,19 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     */
   def groupingSetsAgg(keys: Seq[(String, Column)], sets: Seq[Seq[String]],
                       j: Seq[Column],
-                      labels: Map[String, Column] = Map.empty): DT = {
+                      labels: Map[String, Column] = Map.empty,
+                      id: Boolean = false): DT = {
     val keyNames = keys.map(_._1)
     require(sets.forall(_.forall(keyNames.contains)),
       s"sets must reference key names ${keyNames.mkString(",")}")
     require(labels.keySet.subsetOf(keyNames.toSet),
       "labels must reference key names")
+    // id=TRUE (R/groupingsets.R:124-161): a leading integer `grouping`
+    // column — the PostgreSQL bit mask the reference cites, a set bit
+    // per rolled-up by column, leftmost = MSB. That is exactly Spark's
+    // grouping_id() convention over the same key order.
+    require(!id || !df.columns.contains("grouping"),
+      "When using `id=TRUE` the 'x' data.table must not have a column named 'grouping'.")
     // computed keys become real columns FIRST (Catalyst collapses the
     // projection into the scan), then the sets reference plain columns —
     // expression-vs-alias matching inside groupingSets' set lists is
@@ -109,7 +116,11 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
         base.as(name)
       }
     }
-    DT(grouped.select(out: _*))
+    if (id) {
+      require(!grouped.columns.contains("grouping"),
+        "When using `id=TRUE` the 'j' expression must not evaluate to a column named 'grouping'.")
+      DT(grouped.select(col(gid).cast("int").as("grouping") +: out: _*))
+    } else DT(grouped.select(out: _*))
   }
 
   // ---- j: projection / compute ---------------------------------------

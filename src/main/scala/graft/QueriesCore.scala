@@ -465,6 +465,22 @@ object QueriesCore {
     // Expression keys (yr = year(o_orderdate)) and totals-row labels
     // (R/groupingsets.R:41-44,91-111): rolled-up slots show the label,
     // not NULL. One GROUPING SETS pass; labels are a gid-bit projection.
+    // ---- groupingsets id=TRUE (R/groupingsets.R:124-161): leading
+    // integer `grouping` bit-mask column, PostgreSQL convention — a set
+    // bit per rolled-up key, leftmost key = MSB -------------------------
+    ("q_groupingsets_id", ((s, dir) =>
+      dt(s, dir, "orders")
+        .groupingSetsAgg(
+          Seq("st" -> col("o_orderstatus"), "pr" -> col("o_orderpriority")),
+          Seq(Seq("st", "pr"), Seq("st"), Seq.empty),
+          Seq(count(lit(1)).as("n")),
+          id = true).df): Q,
+      Some("""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS grouping,
+             |  o_orderstatus AS st, o_orderpriority AS pr, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |                        (o_orderstatus), ())""".stripMargin)),
+
     ("q_groupingsets_expr", ((s, dir) =>
       dt(s, dir, "orders")
         .groupingSetsAgg(

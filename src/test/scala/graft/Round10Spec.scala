@@ -299,6 +299,31 @@ class Round10Spec extends AnyFunSuite {
     } finally Streams.useDefaultStateStore(spark)
   }
 
+  // ---- groupingsets id=TRUE (R/groupingsets.R:124-161) -----------------
+
+  test("groupingsets id=TRUE: leading grouping bit-mask column, name guards") {
+    val d = DT(Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3))
+      .toDF("g1", "g2", "v"))
+    val out = d.groupingSetsAgg(
+        Seq("g1" -> $"g1", "g2" -> $"g2"),
+        Seq(Seq("g1", "g2"), Seq("g1"), Seq.empty),
+        Seq(sum($"v").as("s")), id = true).df
+    assert(out.columns.head == "grouping")
+    val byId = out.collect().groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    // 0 = fully grouped (3 combos), 1 = g2 rolled up (2 rows), 3 = total
+    assert(byId == Map(0 -> 3, 1 -> 2, 3 -> 1))
+    // the reference refuses an input column named 'grouping' under id=TRUE
+    intercept[IllegalArgumentException] {
+      DT(Seq((1, 2)).toDF("grouping", "v"))
+        .groupingSetsAgg(Seq("v" -> $"v"), Seq(Seq("v")),
+          Seq(count(lit(1)).as("n")), id = true)
+    }
+    intercept[IllegalArgumentException] {
+      d.groupingSetsAgg(Seq("g1" -> $"g1"), Seq(Seq("g1")),
+        Seq(count(lit(1)).as("grouping")), id = true)
+    }
+  }
+
   // ---- mergelist.Rraw tranche (R/mergelist.R parity) -------------------
 
   test("mergelist mult defaults per how: left/inner/full/right refuse multiplying matches") {
