@@ -193,9 +193,22 @@ object Funcs {
   /** wday: 1=Sunday (reference convention == Spark's dayofweek). */
   def wday(c: Column): Column = dayofweek(c)
   def mday(c: Column): Column = dayofmonth(c)
-  /** yearmon/yearqtr: fractional year encodings (R/IDateTime.R). */
-  def yearmon(c: Column): Column = year(c) + (month(c) - 1) / lit(12.0)
-  def yearqtr(c: Column): Column = year(c) + (quarter(c) - 1) / lit(4.0)
+  /** yearmon/yearqtr: fractional year encodings; format="character"
+    * gives the reference's "2024M03" / "2024Q1" labels
+    * (R/IDateTime.R:413-435 sprintf "%dM%02d" / "%dQ%d").
+    */
+  def yearmon(c: Column, format: String = "numeric"): Column = format match {
+    case "numeric"   => year(c) + (month(c) - 1) / lit(12.0)
+    case "character" => format_string("%dM%02d", year(c), month(c))
+    case other => throw new IllegalArgumentException(
+      s"yearmon: format must be numeric/character, got '$other'")
+  }
+  def yearqtr(c: Column, format: String = "numeric"): Column = format match {
+    case "numeric"   => year(c) + (quarter(c) - 1) / lit(4.0)
+    case "character" => format_string("%dQ%d", year(c), quarter(c))
+    case other => throw new IllegalArgumentException(
+      s"yearqtr: format must be numeric/character, got '$other'")
+  }
   /** round.IDate-style truncation to week/month/quarter/year starts. */
   def roundDate(c: Column, unit: String): Column = date_trunc(unit, c)
   /** round.IDate proper (R/IDateTime.R:99): DATE-typed truncation. */

@@ -420,15 +420,24 @@ object Windows {
   def frollFast(df: DataFrame, out: String, fn: String, c: Column, n: Int,
                 by: Seq[String], order: Seq[Column],
                 partial: Boolean = false,
-                allowGlobal: Boolean = false): DataFrame = {
+                allowGlobal: Boolean = false,
+                naRm: Boolean = false): DataFrame = {
     require(fn == "sum" || fn == "mean", s"frollFast supports sum|mean, got $fn")
     require(n > 0, s"frollFast: n must be positive, got $n")
+    // na.rm=TRUE stays O(1)/row: the prefix sum already skips missing
+    // values (coalesce 0) and the running missing-count supplies mean's
+    // divisor; NaN is stripped BEFORE the prefix so it cannot poison
+    // every later window (an all-missing window → sum 0 / mean NaN,
+    // the same conventions as froll). naRm=FALSE keeps the NA-poison
+    // guard; a NaN under naRm=FALSE poisons the prefix tail — use the
+    // exact tier (froll) for reference NaN propagation there.
+    val x = if (naRm) Funcs.nanAsNa(c) else c
     val wCum = spec(by, order, allowGlobal, "frollFast")
       .rowsBetween(Window.unboundedPreceding, 0)
     val wLag = spec(by, order, allowGlobal, "frollFast")
     val staged = df
-      .withColumn("_graft_cs", sum(coalesce(c, lit(0))).over(wCum))
-      .withColumn("_graft_ns", sum(when(c.isNull, 1L).otherwise(0L)).over(wCum))
+      .withColumn("_graft_cs", sum(coalesce(x, lit(0))).over(wCum))
+      .withColumn("_graft_ns", sum(when(x.isNull, 1L).otherwise(0L)).over(wCum))
       .withColumn("_graft_rn", count(lit(1)).over(wCum))
     val sumW = col("_graft_cs") -
       coalesce(lag(col("_graft_cs"), n).over(wLag), lit(0))
@@ -436,12 +445,21 @@ object Windows {
       coalesce(lag(col("_graft_ns"), n).over(wLag), lit(0L))
     val width = if (partial) least(col("_graft_rn"), lit(n.toLong)) else lit(n.toLong)
     val full = if (partial) lit(true) else col("_graft_rn") >= n
-    val value = fn match {
-      case "sum"  => sumW
-      case "mean" => sumW.cast("double") / width.cast("double")
-    }
+    val value =
+      if (naRm) {
+        val present = width - nullW
+        fn match {
+          case "sum"  => sumW
+          case "mean" => when(present === 0, lit(Double.NaN))
+            .otherwise(sumW.cast("double") / present.cast("double"))
+        }
+      } else fn match {
+        case "sum"  => sumW
+        case "mean" => sumW.cast("double") / width.cast("double")
+      }
     staged
-      .withColumn(out, when(full && nullW === 0, value))
+      .withColumn(out,
+        if (naRm) when(full, value) else when(full && nullW === 0, value))
       .drop("_graft_cs", "_graft_ns", "_graft_rn")
   }
 

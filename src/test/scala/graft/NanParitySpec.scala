@@ -211,6 +211,25 @@ class NanParitySpec extends AnyFunSuite {
     assert(same(gotM, Seq(None, Some(1.0), Some(3.0), Some(3.0), Some(NaN))))
   }
 
+  test("frollFast na.rm=TRUE: O(1)-per-row prefix tier matches the exact tier") {
+    // same vectors as the fixed-window battery; NaN stripped pre-prefix
+    val xs: Seq[Option[Double]] =
+      Seq(Some(1.0), None, Some(NaN), Some(4.0), None, None, Some(7.0))
+    val d = seqDF(xs)
+    val fast = collectD(Windows.frollFast(d, "r", "mean", $"v", 3,
+      Nil, Seq($"k".asc), allowGlobal = true, naRm = true), "r")
+    val exact = collectD(d.withColumn("r",
+      Windows.froll("mean", $"v", 3, Nil, Seq($"k".asc),
+        allowGlobal = true, naRm = true)), "r")
+    assert(same(fast, exact), s"fast=$fast exact=$exact")
+    val fastSum = collectD(Windows.frollFast(d, "r", "sum", $"v", 3,
+      Nil, Seq($"k".asc), allowGlobal = true, naRm = true), "r")
+    val exactSum = collectD(d.withColumn("r",
+      Windows.froll("sum", $"v", 3, Nil, Seq($"k".asc),
+        allowGlobal = true, naRm = true)), "r")
+    assert(same(fastSum, exactSum), s"fast=$fastSum exact=$exactSum")
+  }
+
   test("GlobalOrdered nafill treats NaN as missing across bucket boundaries") {
     import graft.operators.GlobalOrdered
     val d = seqDF(z).withColumn("k", $"k".cast("long"))

@@ -299,6 +299,24 @@ class Round10Spec extends AnyFunSuite {
     } finally Streams.useDefaultStateStore(spark)
   }
 
+  // ---- yearmon/yearqtr character format (R/IDateTime.R:413-435) --------
+
+  test("yearmon/yearqtr format='character': the reference's sprintf labels") {
+    val d = Seq("2024-03-15", "2024-10-01").toDF("d")
+      .withColumn("d", to_date(col("d")))
+    val got = d.select(
+        Funcs.yearmon($"d", "character").as("ym"),
+        Funcs.yearqtr($"d", "character").as("yq"),
+        Funcs.yearmon($"d").as("ymn"),
+        Funcs.yearqtr($"d").as("yqn"))
+      .orderBy($"ym").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024M03", "2024Q1", 2024.0 + 2.0 / 12, 2024.0),
+      ("2024M10", "2024Q4", 2024.0 + 9.0 / 12, 2024.75)))
+    intercept[IllegalArgumentException](Funcs.yearmon($"d", "bad"))
+  }
+
   // ---- groupingsets id=TRUE (R/groupingsets.R:124-161) -----------------
 
   test("groupingsets id=TRUE: leading grouping bit-mask column, name guards") {
