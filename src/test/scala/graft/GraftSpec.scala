@@ -917,6 +917,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"skew-split bucket missing from the window partitioning:\n$p")
   }
 
+  test("q_groupingsets_id: one Expand + one aggregate pass, single exchange") {
+    val p = plan("q_groupingsets_id")
+    assert("Expand".r.findAllIn(p).size == 1, s"expected one Expand:\n$p")
+    val n = "Exchange".r.findAllIn(p).count(_ => true) -
+      "BroadcastExchange".r.findAllIn(p).count(_ => true)
+    assert(n == 1, s"grouping sets must cost ONE shuffle, got $n:\n$p")
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+  }
+
+  test("NanToNull stays inside whole-stage codegen (no CodegenFallback)") {
+    import spark.implicits._
+    // parquet-backed input so the optimizer cannot eagerly fold the
+    // local relation — the projection must actually codegen
+    val ev = graft.Tables.load(spark, SparkTestSession.sfDir, "events")
+      .select(graft.functions.Funcs.nanAsNa($"value").as("x"),
+        graft.functions.Funcs.nanAsNa($"event_id").as("id")) // int path: identity
+      .filter($"x" > 0)
+    val p = ev.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks WholeStageCodegen stages in the compact form
+    assert("\\*\\(1\\) Project \\[nantonull".r.findFirstIn(p).isDefined,
+      s"projection fell out of codegen:\n$p")
+    assert(ev.limit(5).collect().length > 0)
+  }
+
   test("q_pipeline: single shuffle through filter->join->agg->topk chain") {
     val p = plan("q_pipeline")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
