@@ -407,6 +407,35 @@ object QueriesJoins {
              |SELECT orderkey, custkey, linenumber, round(price, 3) AS price, name
              |FROM t1 JOIN t2 USING (orderkey) LEFT JOIN t3 USING (custkey)""".stripMargin)),
 
+    // ---- mergelist how="right": mult applies to the LHS lookup side ----
+    // (R/mergelist.R:160-172 join_from/join_to swap; other.Rraw SQLite
+    // tester). lineitem is the multi-match LHS — mult="first" reduces
+    // it to one lexicographic representative per orderkey, and every
+    // RHS (orders) row survives.
+    ("q_mergelist_right", ((s, dir) => {
+      val li = dt(s, dir, "lineitem")
+        .selectNames("l_orderkey", "l_linenumber", "l_extendedprice")
+        .setNames("l_orderkey" -> "orderkey", "l_linenumber" -> "linenumber",
+          "l_extendedprice" -> "price")
+      val ords = dt(s, dir, "orders").selectNames("o_orderkey", "o_orderstatus")
+        .setNames("o_orderkey" -> "orderkey", "o_orderstatus" -> "status")(
+          col("orderkey") < 2000)
+      Joins.mergelistSteps(Seq(li.df, ords.df), Seq(
+          Joins.MergeStep(Seq("orderkey"), "right", "first")))
+        .select(col("orderkey"), col("linenumber"),
+          round(col("price"), 3).as("price"), col("status"))
+    }): Q,
+      Some("""WITH li AS (SELECT orderkey, linenumber, price FROM (
+             |  SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+             |    l_extendedprice AS price,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber, l_extendedprice) AS rn
+             |  FROM lineitem) WHERE rn = 1),
+             |o AS (SELECT o_orderkey AS orderkey, o_orderstatus AS status
+             |      FROM orders WHERE o_orderkey < 2000)
+             |SELECT orderkey, linenumber, round(price, 3) AS price, status
+             |FROM li RIGHT JOIN o USING (orderkey)""".stripMargin)),
+
     // ---- mergelist fold (R/mergelist.R:260) ----------------------------
     ("q_mergelist", ((s, dir) =>
       dt(s, dir, "supplier")
