@@ -290,18 +290,29 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * form is [[writeSplit]]: a partitioned write, one directory per
     * key, no driver materialization.
     */
-  def splitBy(cols: Seq[String], maxGroups: Int = 1000): Map[Seq[String], DT] = {
+  def splitBy(cols: Seq[String], maxGroups: Int = 1000,
+              keepBy: Boolean = true,
+              sorted: Boolean = false): Map[Seq[String], DT] = {
     val keys = df.select(cols.map(col): _*).distinct().limit(maxGroups + 1).collect()
     require(keys.length <= maxGroups,
       s"splitBy: more than $maxGroups distinct key tuples — use writeSplit " +
         "(partitioned write) for high-cardinality splits")
-    keys.map { r =>
+    val entries = keys.map { r =>
       val vals = cols.indices.map(i => Option(r.get(i)).map(_.toString).getOrElse("NA"))
       val cond = cols.zipWithIndex.map { case (c, i) =>
         if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
       }.reduce(_ && _)
-      vals -> DT(df.filter(cond))
-    }.toMap
+      val part = df.filter(cond)
+      // keep.by=FALSE (R/data.table.R:2684): drop the split columns
+      // from each piece, like the reference
+      vals -> DT(if (keepBy) part else part.drop(cols: _*))
+    }
+    // sorted=TRUE orders the pieces by key tuple (the reference sorts
+    // the list names); preserved by ListMap iteration order
+    if (sorted)
+      scala.collection.immutable.ListMap(
+        entries.sortBy(_._1.mkString(" ")).toSeq: _*)
+    else entries.toMap
   }
 
   /** split.data.table's cluster form: write one parquet directory per

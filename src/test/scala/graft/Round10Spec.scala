@@ -299,6 +299,18 @@ class Round10Spec extends AnyFunSuite {
     } finally Streams.useDefaultStateStore(spark)
   }
 
+  // ---- split.data.table keep.by / sorted (R/data.table.R:2684) ---------
+
+  test("splitBy keep.by=FALSE drops the split columns; sorted orders pieces") {
+    val d = DT(Seq(("b", 1), ("a", 2), ("b", 3)).toDF("g", "v"))
+    val parts = d.splitBy(Seq("g"), keepBy = false, sorted = true)
+    assert(parts.keys.toSeq == Seq(Seq("a"), Seq("b")))
+    assert(parts(Seq("a")).df.columns.toSeq == Seq("v"))
+    assert(parts(Seq("b")).df.count() == 2)
+    val kept = d.splitBy(Seq("g"))
+    assert(kept(Seq("a")).df.columns.toSeq == Seq("g", "v"))
+  }
+
   // ---- yearmon/yearqtr character format (R/IDateTime.R:413-435) --------
 
   test("yearmon/yearqtr format='character': the reference's sprintf labels") {
