@@ -275,6 +275,16 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   /** Delete a column (`DT[, col := NULL]`). */
   def remove(names: String*): DT = DT(df.drop(names: _*), key.filterNot(names.contains))
 
+  /** `DT[i, .ROW := NULL]` — row deletion (NEWS #635, the reference's
+    * by-reference row delete): drop the rows `i` selects, keep the
+    * rest. An NA predicate does not select, so those rows survive
+    * (same as `i` subsetting). The reference clears keys/indices after
+    * deletion; mirrored by dropping the key. `by`/`keyby` are not
+    * supported there either.
+    */
+  def deleteRows(i: Column): DT =
+    DT(df.filter(!coalesce(i, lit(false))))
+
   /** setnames() — rename by reference in the reference; immutable here. */
   def setNames(renames: (String, String)*): DT =
     DT(renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },

@@ -607,8 +607,13 @@ object Reshape {
     */
   def tstrsplit(df: DataFrame, c: String, pattern: String, n: Int,
                 names: Seq[String] = Nil, keep: Seq[Int] = Nil,
-                typeConvert: Boolean = false): DataFrame = {
-    val parts = split(col(c), pattern)
+                typeConvert: Boolean = false,
+                rev: Boolean = false): DataFrame = {
+    val parts0 = split(col(c), pattern)
+    // rev=TRUE (NEWS #6341): positions anchor from the END of each
+    // string — position 1 is the LAST part — for strings with a varying
+    // number of components. Per-row array reverse, no extra pass.
+    val parts = if (rev) reverse(parts0) else parts0
     val idxs = if (keep.nonEmpty) keep else (1 to n).toSeq
     val outNames = if (names.nonEmpty) names else idxs.map(i => s"V$i")
     val withCols = idxs.zip(outNames).foldLeft(df) { case (d, (i, nm)) =>

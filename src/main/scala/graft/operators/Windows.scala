@@ -108,11 +108,18 @@ object Windows {
   def frollN(df: DataFrame, prefix: String, fn: String, c: Column, ns: Seq[Int],
              by: Seq[String], order: Seq[Column], align: String = "right",
              partial: Boolean = false, allowGlobal: Boolean = false,
-             naRm: Boolean = false): DataFrame = {
+             naRm: Boolean = false,
+             names: Seq[String] = Nil): DataFrame = {
     require(ns.nonEmpty, "frollN needs at least one window width")
-    ns.foldLeft(df)((acc, n) =>
-      acc.withColumn(s"$prefix$n",
-        froll(fn, c, n, by, order, align, partial, allowGlobal, naRm)))
+    // give.names as a character vector (NEWS #5744): explicit output
+    // names, one per window width, instead of the <prefix><n> scheme
+    require(names.isEmpty || names.size == ns.size,
+      s"frollN: ${names.size} names for ${ns.size} window widths")
+    val outNames = if (names.nonEmpty) names else ns.map(n => s"$prefix$n")
+    ns.zip(outNames).foldLeft(df) { case (acc, (n, nm)) =>
+      acc.withColumn(nm,
+        froll(fn, c, n, by, order, align, partial, allowGlobal, naRm))
+    }
   }
 
   /** shift(give.names=TRUE) (R/shift.R:1-26): one output column per

@@ -299,6 +299,38 @@ class Round10Spec extends AnyFunSuite {
     } finally Streams.useDefaultStateStore(spark)
   }
 
+  // ---- dev-NEWS tranche: .ROW := NULL, tstrsplit(rev=), give.names= ----
+
+  test("deleteRows: DT[i, .ROW := NULL] — NA predicate rows survive, key cleared") {
+    val d = DT(Seq((1, Some(10)), (2, None), (3, Some(30))).toDF("id", "v"),
+      Seq("id"))
+    val out = d.deleteRows($"v" > 15)
+    assert(out.df.orderBy($"id").select($"id").as[Int].collect().toSeq == Seq(1, 2))
+    assert(out.key.isEmpty, "reference clears keys/indices after row deletion")
+  }
+
+  test("tstrsplit rev=TRUE: positions anchor from the end of each string") {
+    import graft.operators.Reshape
+    val d = Seq("a.b.c", "x.y", "solo").toDF("s")
+    val out = Reshape.tstrsplit(d, "s", "\\.", 2, rev = true)
+      .orderBy($"s").select($"V1", $"V2").collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    // V1 = last part, V2 = second-to-last (null when absent)
+    assert(out.toSeq == Seq(("c", Some("b")), ("solo", None), ("y", Some("x"))))
+  }
+
+  test("frollN give.names as a character vector") {
+    import graft.operators.Windows
+    val d = Seq((1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)).toDF("g", "o", "v")
+    val out = Windows.frollN(d, "r", "sum", $"v", Seq(2, 3),
+      Seq("g"), Seq($"o".asc), names = Seq("short", "long"))
+    assert(out.columns.takeRight(2).toSeq == Seq("short", "long"))
+    intercept[IllegalArgumentException] {
+      Windows.frollN(d, "r", "sum", $"v", Seq(2, 3),
+        Seq("g"), Seq($"o".asc), names = Seq("only_one"))
+    }
+  }
+
   // ---- split.data.table keep.by / sorted (R/data.table.R:2684) ---------
 
   test("splitBy keep.by=FALSE drops the split columns; sorted orders pieces") {
