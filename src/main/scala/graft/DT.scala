@@ -321,7 +321,7 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     // the list names); preserved by ListMap iteration order
     if (sorted)
       scala.collection.immutable.ListMap(
-        entries.sortBy(_._1.mkString(" ")).toSeq: _*)
+        entries.sortBy(_._1.mkString("\u0000")).toSeq: _*)
     else entries.toMap
   }
 

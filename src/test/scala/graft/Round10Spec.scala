@@ -299,6 +299,34 @@ class Round10Spec extends AnyFunSuite {
     } finally Streams.useDefaultStateStore(spark)
   }
 
+  // ---- 1.18.4 regression locks ----------------------------------------
+
+  test("non-equi join: equality + two inequalities on one column (#7641)") {
+    import graft.operators.Joins
+    val x = Seq((1, 5), (1, 15), (2, 10)).toDF("id", "v")
+    val bands = Seq((1, 0, 10), (2, 20, 30)).toDF("id", "lo", "hi")
+    // on = .(id == id, v >= lo, v <= hi)
+    val out = x.alias("x").join(bands.alias("b"),
+        col("x.id") === col("b.id") &&
+          col("x.v") >= col("b.lo") && col("x.v") <= col("b.hi"), "inner")
+      .select(col("x.id"), col("x.v")).collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.toSeq == Seq((1, 5)))
+    // and through the DT theta-join surface
+    val dtOut = DT(x).joinExpr(DT(bands),
+        x("id") === bands("id") && x("v") >= bands("lo") && x("v") <= bands("hi"),
+        "inner").df.count()
+    assert(dtOut == 1)
+  }
+
+  test("frollapply window longer than input: output length == input length (#7646)") {
+    import graft.operators.Windows
+    val d = Seq((1, 1, 2.0), (1, 2, 3.0)).toDF("g", "o", "v")
+    val arr = Windows.frollWindowArray($"v", 5, Seq("g"), Seq($"o".asc))
+    val out = d.withColumn("w", when(size(arr) === 5, array_max(arr)))
+    assert(out.count() == 2)
+    assert(out.select($"w").collect().forall(_.isNullAt(0)))
+  }
+
   // ---- dev-NEWS tranche: .ROW := NULL, tstrsplit(rev=), give.names= ----
 
   test("deleteRows: DT[i, .ROW := NULL] — NA predicate rows survive, key cleared") {
