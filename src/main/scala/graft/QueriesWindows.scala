@@ -338,6 +338,24 @@ object QueriesWindows {
              |  w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- frolladapt (R/froll.R:123, NEWS #3241): calendar-width
+    // rolling over an irregular time series — the adaptive-n counts
+    // come from a native rangeBetween count, then feed the adaptive
+    // rolling sum; the oracle is DuckDB's RANGE frame directly --------
+    ("q_frolladapt", ((s, dir) =>
+      dt(s, dir, "events").df
+        .withColumn("t", unix_timestamp(col("ts")))
+        .withColumn("an", Windows.frolladapt(col("t"), 86400L, Seq("user_id")))
+        .withColumn("daysum", round(Windows.frollAdaptive("sum", col("value"),
+          col("an"), 32, Seq("user_id"), Seq(col("t").asc)), 3))
+        .select(col("event_id"), col("an"), col("daysum"))): Q,
+      Some("""SELECT event_id,
+             |  CAST(count(*) OVER wr AS INT) AS an,
+             |  round(sum(value) OVER wr, 3) AS daysum
+             |FROM events
+             |WINDOW wr AS (PARTITION BY user_id ORDER BY epoch(ts)
+             |              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- rolling correlation (multi-column frollapply analog) ----------
     ("q_froll_corr", ((s, dir) => {
       val o = Seq(col("l_shipdate").asc, col("l_orderkey").asc,

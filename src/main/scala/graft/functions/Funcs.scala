@@ -29,8 +29,16 @@ object Funcs {
 
   // ---- NA handling (src/coalesce.c, src/nafill.c) ---------------------
 
-  /** fcoalesce(...): first non-null across columns. */
-  def fcoalesce(cols: Column*): Column = coalesce(cols: _*)
+  /** fcoalesce(...): first non-missing across columns. Like nafill,
+    * the reference's default is `nan=NA` (NEWS #4567: "full
+    * compatibility with nafill() behavior") — NaN counts as missing
+    * and falls through to the next candidate. [[fcoalesceKeepNan]] is
+    * the `nan=NaN` opt-out.
+    */
+  def fcoalesce(cols: Column*): Column = coalesce(cols.map(nanAsNa): _*)
+
+  /** fcoalesce(nan=NaN): NaN is an ordinary value that wins its slot. */
+  def fcoalesceKeepNan(cols: Column*): Column = coalesce(cols: _*)
 
   /** nafill(type="const", nan=NA). locf/nocb are ordered ops — see
     * graft.operators.Windows.nafillLocf/nafillNocb. The DEFAULT treats

@@ -571,6 +571,23 @@ object Windows {
     when(an.isNull || an > size(frame), lit(null)).otherwise(sliced)
   }
 
+  /** frolladapt (R/froll.R:123, NEWS #3241): turn a fixed
+    * CALENDAR-time width over an irregularly-spaced time column into
+    * the per-row adaptive window COUNTS the adaptive rolling family
+    * consumes — row i's window is every trailing row with
+    * `time >= time_i - n + 1`. Lowers to a native rangeBetween count
+    * (Spark's range frame IS the calendar window, no augmentation
+    * rows needed); compose as
+    * `frollAdaptive(fn, c, frolladapt(t, n, by), maxN, by, Seq(t.asc))`.
+    * Only align="right" exists in the reference too (R/froll.R:141).
+    */
+  def frolladapt(time: Column, n: Long, by: Seq[String],
+                 allowGlobal: Boolean = false): Column = {
+    require(n > 0, s"frolladapt: n must be positive, got $n")
+    count(lit(1)).over(spec(by, Seq(time.asc), allowGlobal, "frolladapt")
+      .rangeBetween(-(n - 1), 0)).cast("int")
+  }
+
   /** Adaptive rolling aggregate (src/frolladaptive.c): per-row window
     * length from column `an`, bounded by maxN. The frame is the bounded
     * last-maxN rows; rows beyond the per-row length are masked out of an

@@ -299,6 +299,34 @@ class Round10Spec extends AnyFunSuite {
     } finally Streams.useDefaultStateStore(spark)
   }
 
+  // ---- fcoalesce nan=NA default + frolladapt (NEWS #4567, #3241) -------
+
+  test("fcoalesce: NaN is missing by default; fcoalesceKeepNan keeps it") {
+    val d = Seq((Double.NaN, 2.0), (1.0, 9.0), (Double.NaN, Double.NaN))
+      .toDF("a", "b")
+    val got = d.select(Funcs.fcoalesce($"a", $"b").as("x"),
+        Funcs.fcoalesceKeepNan($"a", $"b").as("y"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]),
+        r.getDouble(1)))
+    assert(got(0)._1.contains(2.0) && got(0)._2.isNaN)
+    assert(got(1)._1.contains(1.0) && got(1)._2 == 1.0)
+    assert(got(2)._1.isEmpty && got(2)._2.isNaN)
+  }
+
+  test("frolladapt: rangeBetween counts match the reference's trailing-time rule") {
+    import graft.operators.Windows
+    // irregular times 0, 5, 6, 20; width 10 → windows {0},{0,5},{0,5,6},{20}
+    val d = Seq((1, 0L, 1.0), (1, 5L, 2.0), (1, 6L, 3.0), (1, 20L, 4.0))
+      .toDF("g", "t", "v")
+    val out = d.withColumn("an", Windows.frolladapt($"t", 10L, Seq("g")))
+      .withColumn("s", Windows.frollAdaptive("sum", $"v", $"an", 4,
+        Seq("g"), Seq($"t".asc)))
+      .orderBy($"t").select($"an", $"s").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1, 1.0), (2, 3.0), (3, 6.0), (1, 4.0)))
+    intercept[IllegalArgumentException](Windows.frolladapt($"t", 0L, Seq("g")))
+  }
+
   // ---- 1.18.4 regression locks ----------------------------------------
 
   test("non-equi join: equality + two inequalities on one column (#7641)") {
