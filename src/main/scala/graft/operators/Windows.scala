@@ -554,12 +554,25 @@ object Windows {
     */
   private def adaptiveSlice(c: Column, an: Column, maxN: Int,
                             by: Seq[String], order: Seq[Column],
-                            allowGlobal: Boolean, op: String)
+                            allowGlobal: Boolean, op: String,
+                            align: String = "right")
       : (Column, Column, Column) = {
-    val w = spec(by, order, allowGlobal, op).rowsBetween(-(maxN - 1), 0)
+    // align="left" (NEWS #5438: adaptive left alignment): row i's
+    // window looks FORWARD over rows i..i+an-1; "center" does not
+    // exist for adaptive in the reference either (R/froll.R)
+    val (lo, hi) = align match {
+      case "right" => (-(maxN - 1).toLong, 0L)
+      case "left"  => (0L, (maxN - 1).toLong)
+      case other => throw new IllegalArgumentException(
+        s"adaptive align must be right/left, got '$other'")
+    }
+    val w = spec(by, order, allowGlobal, op).rowsBetween(lo, hi)
     val frame = collect_list(struct(c.as("v"))).over(w)
     val take = least(an, size(frame))
-    (frame, take, slice(frame, size(frame) - take + 1, take))
+    val sliced =
+      if (align == "left") slice(frame, lit(1), take)
+      else slice(frame, size(frame) - take + 1, take)
+    (frame, take, sliced)
   }
 
   def frollApplyAdaptive(c: Column, an: Column, maxN: Int,
@@ -603,10 +616,12 @@ object Windows {
   def frollAdaptive(fn: String, c: Column, an: Column, maxN: Int,
                     by: Seq[String], order: Seq[Column],
                     allowGlobal: Boolean = false,
-                    naRm: Boolean = false): Column = {
+                    naRm: Boolean = false,
+                    align: String = "right",
+                    partial: Boolean = false): Column = {
     val cIn = if (naRm) Funcs.nanAsNa(c) else c
     val (frame, take, slicedAll) =
-      adaptiveSlice(cIn, an, maxN, by, order, allowGlobal, "frollAdaptive")
+      adaptiveSlice(cIn, an, maxN, by, order, allowGlobal, "frollAdaptive", align)
     val hasNull =
       if (naRm) lit(false)
       else exists(slicedAll, s => s.getField("v").isNull)
@@ -646,8 +661,11 @@ object Windows {
       case other  => throw new IllegalArgumentException(s"frolladaptive fn=$other")
     }
     // null `an` must yield null (reference NAs on NA adaptive n) — the
-    // bare comparison would evaluate to null and fall through to res
-    when(an.isNull || an > size(frame) || hasNull, lit(null)).otherwise(res)
+    // bare comparison would evaluate to null and fall through to res;
+    // partial=TRUE (NEWS #5438) trims an incomplete window to the
+    // available observations instead
+    val incomplete = if (partial) lit(false) else an > size(frame)
+    when(an.isNull || incomplete || hasNull, lit(null)).otherwise(res)
   }
 
   // ---- head/tail-k per group (ghead/gtail, src/gsumm.c:923-1018) ------

@@ -327,6 +327,28 @@ class Round10Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Windows.frolladapt($"t", 0L, Seq("g")))
   }
 
+  // ---- adaptive align="left" + partial (NEWS #5438) --------------------
+
+  test("frollAdaptive align='left': forward windows; partial trims instead of NA") {
+    import graft.operators.Windows
+    // the NEWS use case: left-aligned adaptive rolling max
+    val d = Seq((1, 1, 5.0, 2), (1, 2, 1.0, 2), (1, 3, 9.0, 2), (1, 4, 2.0, 2))
+      .toDF("g", "o", "v", "an")
+    def run(partial: Boolean) =
+      d.withColumn("m", Windows.frollAdaptive("max", $"v", $"an", 3,
+          Seq("g"), Seq($"o".asc), align = "left", partial = partial))
+        .orderBy($"o").select($"m").collect().map(r => Option(r.get(0)))
+    // windows forward: [5,1]→5, [1,9]→9, [9,2]→9, [2]→incomplete
+    assert(run(partial = false).toSeq ==
+      Seq(Some(5.0), Some(9.0), Some(9.0), None))
+    assert(run(partial = true).toSeq ==
+      Seq(Some(5.0), Some(9.0), Some(9.0), Some(2.0)))
+    intercept[IllegalArgumentException] {
+      d.withColumn("m", Windows.frollAdaptive("max", $"v", $"an", 3,
+        Seq("g"), Seq($"o".asc), align = "center"))
+    }
+  }
+
   // ---- 1.18.4 regression locks ----------------------------------------
 
   test("non-equi join: equality + two inequalities on one column (#7641)") {
