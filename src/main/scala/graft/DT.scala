@@ -332,10 +332,15 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def writeSplit(path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
-  /** setcolorder() */
-  def setColOrder(first: String*): DT = {
-    val rest = df.columns.filterNot(first.contains)
-    DT(df.select((first ++ rest).map(col): _*), key)
+  /** setcolorder(); `skipAbsent` (NEWS #6044) ignores names not in
+    * the table instead of erroring at analysis.
+    */
+  def setColOrder(first: String*): DT = setColOrderOpt(first)
+
+  def setColOrderOpt(first: Seq[String], skipAbsent: Boolean = false): DT = {
+    val eff = if (skipAbsent) first.filter(df.columns.contains) else first
+    val rest = df.columns.filterNot(eff.contains)
+    DT(df.select((eff ++ rest).map(col): _*), key)
   }
 
   /** setcolorder(neworder, before=/after=) (R/setcolorder.R): move the

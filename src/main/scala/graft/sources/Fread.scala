@@ -45,7 +45,12 @@ object Fread {
       // out-of-sample type-bump re-read (src/fread.c:126-128): rows that
       // fail the sampled schema trigger ONE full re-read with
       // full-data-determined types.
-      samplingRatio: Double = 1.0)
+      samplingRatio: Double = 1.0,
+      // fread(logicalYN) (NEWS #4563): string columns whose every
+      // non-null value is "Y"/"N" become boolean. Off by default like
+      // the reference (datatable.logicalYN=FALSE) — sharded tables can
+      // inadvertently read a true string column as logical.
+      logicalYN: Boolean = false)
 
   /** First non-empty line after `skip` (driver-side, one small read —
     * shared by separator sniffing and header detection so the file head
@@ -417,6 +422,23 @@ object Fread {
       df = df.withColumnRenamed(df.columns.head, df.columns.head.substring(1))
     df = applyExtraNaAndRebump(df, opts, forceRebump = bumped || yamlDecDowngrade,
       extraCandidates = downgradedCols, preferred = preferredTypes)
+    // fread(logicalYN): one slim probe over the string columns — a
+    // column is logical iff it has values and every non-null one is
+    // exactly "Y" or "N" (the reference checks only Y/N, not Yes/No)
+    if (opts.logicalYN) {
+      val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
+      if (strCols.nonEmpty) {
+        val probes = strCols.flatMap(c => Seq(
+          count(col(c)).as(s"_n_$c"),
+          count(when(col(c).isin("Y", "N"), 1)).as(s"_yn_$c")))
+        val p = df.agg(probes.head, probes.tail: _*).head()
+        strCols.foreach { c =>
+          if (p.getAs[Long](s"_n_$c") > 0 &&
+              p.getAs[Long](s"_n_$c") == p.getAs[Long](s"_yn_$c"))
+            df = df.withColumn(c, col(c) === "Y")
+        }
+      }
+    }
     if (opts.select.nonEmpty)
       df = df.select(opts.select.map(df.col): _*)
     if (opts.drop.nonEmpty)

@@ -327,6 +327,34 @@ class Round10Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Windows.frolladapt($"t", 0L, Seq("g")))
   }
 
+  // ---- fread logicalYN + setcolorder skip_absent (NEWS #4563, #6044) ---
+
+  test("fread(logicalYN): pure Y/N string columns become boolean, mixed stay") {
+    import graft.sources.Fread
+    val d = java.nio.file.Files.createTempDirectory("graft_yn")
+    val p = d.resolve("yn.csv")
+    java.nio.file.Files.write(p,
+      "id,flag,mixed,empty\n1,Y,Y,\n2,N,maybe,\n3,Y,N,\n".getBytes)
+    val off = Fread.fread(spark, p.toString)
+    assert(off.schema("flag").dataType.typeName == "string")
+    val on = Fread.fread(spark, p.toString,
+      Fread.FreadOptions(logicalYN = true))
+    assert(on.schema("flag").dataType.typeName == "boolean")
+    assert(on.schema("mixed").dataType.typeName == "string")
+    // all-null column is NOT logical (no values to witness Y/N)
+    assert(on.schema("empty").dataType.typeName != "boolean")
+    assert(on.orderBy(col("id")).select(col("flag"))
+      .collect().map(_.getBoolean(0)).toSeq == Seq(true, false, true))
+  }
+
+  test("setColOrder skip_absent ignores unknown names; default errors") {
+    val d = DT(Seq((1, "a", 2.0)).toDF("x", "y", "z"))
+    val out = d.setColOrderOpt(Seq("z", "nope", "x"), skipAbsent = true)
+    assert(out.df.columns.toSeq == Seq("z", "x", "y"))
+    intercept[Exception](d.setColOrderOpt(Seq("z", "nope"))
+      .df.columns.toSeq)
+  }
+
   // ---- adaptive align="left" + partial (NEWS #5438) --------------------
 
   test("frollAdaptive align='left': forward windows; partial trims instead of NA") {
