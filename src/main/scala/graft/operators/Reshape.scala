@@ -51,9 +51,18 @@ object Reshape {
     */
   def meltPatterns(df: DataFrame, idVars: Seq[String], pattern: String,
                    variableName: String = "variable",
-                   valueName: String = "value"): DataFrame = {
+                   valueName: String = "value",
+                   cols: Seq[String] = Nil): DataFrame = {
     val re = pattern.r
-    val measures = df.columns.filter(c => re.findFirstIn(c).isDefined).toSeq
+    // patterns(cols=) (NEWS #6498): restrict the regex to a candidate
+    // subset, so the match can't catch unrelated columns
+    val pool = if (cols.nonEmpty) {
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"patterns(cols=): not present in the table: ${missing.mkString(",")}")
+      cols
+    } else df.columns.toSeq
+    val measures = pool.filter(c => re.findFirstIn(c).isDefined)
     require(measures.nonEmpty, s"patterns('$pattern') matched no columns")
     melt(df, idVars, measures, variableName, valueName)
   }

@@ -327,6 +327,20 @@ class Round10Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Windows.frolladapt($"t", 0L, Seq("g")))
   }
 
+  // ---- melt patterns(cols=) (NEWS #6498) -------------------------------
+
+  test("melt patterns(cols=): regex restricted to the candidate subset") {
+    import graft.operators.Reshape
+    val d = Seq((1, 10, 20, 30)).toDF("id", "y1", "y2", "other2")
+    // pattern "2" alone would also catch other2
+    val m = Reshape.meltPatterns(d, Seq("id"), "2", cols = Seq("y1", "y2"))
+    assert(m.select(col("variable")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("y2"))
+    intercept[IllegalArgumentException] {
+      Reshape.meltPatterns(d, Seq("id"), "2", cols = Seq("nope"))
+    }
+  }
+
   // ---- fread logicalYN + setcolorder skip_absent (NEWS #4563, #6044) ---
 
   test("fread(logicalYN): pure Y/N string columns become boolean, mixed stay") {
