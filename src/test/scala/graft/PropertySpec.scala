@@ -537,6 +537,37 @@ class DcastPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("GlobalOrdered.froll == sliding model across bucket boundaries, all aligns") {
+    import spark.implicits._
+    import graft.operators.GlobalOrdered
+    check(forAll(seriesGen2, Gen.choose(1, 4), Gen.choose(1, 4),
+        Gen.oneOf("right", "left", "center")) {
+      (vs: List[Option[Double]], n: Int, buckets: Int, align: String) =>
+        val xs = keyed(vs)
+        val df = xs.toDF("k", "v")
+        val got = GlobalOrdered.froll(df, "r", "sum", $"v", n, $"k",
+            align = align, buckets = buckets)
+          .orderBy($"k").select($"r").as[Option[Double]].collect().toSeq
+        val before = align match {
+          case "right" => n - 1; case "left" => 0; case _ => (n - 1) / 2
+        }
+        val want = xs.indices.map { i =>
+          val lo = i - before
+          val hi = lo + n - 1
+          if (lo < 0 || hi >= xs.size) None
+          else {
+            val w = (lo to hi).map(j => xs(j)._2)
+            if (w.exists(_.isEmpty)) None else Some(w.flatten.sum)
+          }
+        }
+        val ok = got.size == want.size && got.zip(want).forall {
+          case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+          case (a, b) => a == b
+        }
+        Prop(ok) :| s"xs=$xs n=$n buckets=$buckets align=$align got=$got want=$want"
+    })
+  }
+
   test("GlobalOrdered.rleid and frank(dense) == sequential models with ties and nulls") {
     import spark.implicits._
     import graft.operators.GlobalOrdered
