@@ -452,6 +452,66 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def joinExpr(i: DT, cond: Column, how: String = "inner"): DT =
     DT(df.join(i.df, cond, how))
 
+  /** merge.data.table (R/merge.R:1-2): the data.frame-compatible merge
+    * surface on top of [[join]] —
+    *  - `by` defaults to key(x) ∩ names(y), else the shared columns;
+    *  - `byX`/`byY` join differently-named keys (output keeps x's
+    *    names, like the reference);
+    *  - `allX`/`allY` pick inner/left/right/full exactly as merge does;
+    *  - clashing NON-key columns get the `suffixes` on BOTH sides
+    *    (".x"/".y" defaults) instead of [[join]]'s i_ prefix;
+    *  - `sort=TRUE` orders the result by the key columns (merge's
+    *    default; reference sorts by the by columns).
+    */
+  def merge(y: DT, by: Seq[String] = Nil,
+            byX: Seq[String] = Nil, byY: Seq[String] = Nil,
+            allX: Boolean = false, allY: Boolean = false,
+            sort: Boolean = true,
+            suffixes: (String, String) = (".x", ".y"),
+            nullSafe: Boolean = true): DT = {
+    require(byX.size == byY.size, "`by.x` and `by.y` must be of same length.")
+    val (kx, ky): (Seq[String], Seq[String]) =
+      if (byX.nonEmpty) {
+        val missX = byX.filterNot(df.columns.contains)
+        val missY = byY.filterNot(y.df.columns.contains)
+        require(missX.isEmpty,
+          s"The following columns listed in `by.x` are missing from x: ${missX.mkString(",")}")
+        require(missY.isEmpty,
+          s"The following columns listed in `by.y` are missing from y: ${missY.mkString(",")}")
+        (byX, byY)
+      } else {
+        val k =
+          if (by.nonEmpty) by
+          else {
+            val viaKey = key.filter(y.df.columns.contains)
+            if (viaKey.nonEmpty) viaKey
+            else df.columns.intersect(y.df.columns).toSeq
+          }
+        require(k.nonEmpty,
+          "A non-empty vector of column names for `by` is required.")
+        (k, k)
+      }
+    val how = (allX, allY) match {
+      case (false, false) => "inner"
+      case (true, false)  => "left"
+      case (false, true)  => "right"
+      case (true, true)   => "full"
+    }
+    // align y's key names to x's, then suffix the remaining clashes on
+    // BOTH sides (merge's no.dups behavior)
+    val yAligned = kx.zip(ky).foldLeft(y.df) { case (d, (xk, yk0)) =>
+      if (xk == yk0) d else d.withColumnRenamed(yk0, xk)
+    }
+    val clashes = yAligned.columns
+      .filter(c => df.columns.contains(c) && !kx.contains(c))
+    val xSide = clashes.foldLeft(df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._1))
+    val ySide = clashes.foldLeft(yAligned)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._2))
+    val joined = DT(xSide).join(DT(ySide), kx, how, nullSafe = nullSafe)
+    if (sort) DT(joined.df.orderBy(kx.map(col): _*), kx) else joined
+  }
+
   /** not-join DT[!i] (R/data.table.R:764-772). */
   def notJoin(i: DT, on: Seq[String]): DT = DT(df.join(i.df, on, "left_anti"))
   def semiJoin(i: DT, on: Seq[String]): DT = DT(df.join(i.df, on, "left_semi"))

@@ -407,6 +407,26 @@ object QueriesJoins {
              |SELECT orderkey, custkey, linenumber, round(price, 3) AS price, name
              |FROM t1 JOIN t2 USING (orderkey) LEFT JOIN t3 USING (custkey)""".stripMargin)),
 
+    // ---- merge.data.table surface (R/merge.R): by.x/by.y keys with
+    // x's names kept, clashing payload suffixed .x/.y, sorted output --
+    ("q_merge_suffixes", ((s, dir) => {
+      val x = dt(s, dir, "orders")
+        .selectNames("o_orderkey", "o_custkey", "o_totalprice")
+        .setNames("o_totalprice" -> "amount").df
+      val y = dt(s, dir, "customer")
+        .selectNames("c_custkey", "c_acctbal")
+        .setNames("c_acctbal" -> "amount").df
+      DT(x).merge(DT(y), byX = Seq("o_custkey"), byY = Seq("c_custkey"),
+          allX = true)
+        .df.select(col("o_orderkey"), col("o_custkey"),
+          round(col("`amount.x`"), 3).as("amount_x"),
+          round(col("`amount.y`"), 3).as("amount_y"))
+    }): Q,
+      Some("""SELECT o_orderkey, o_custkey,
+             |  round(o_totalprice, 3) AS amount_x,
+             |  round(c_acctbal, 3) AS amount_y
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
     // ---- mergelist how="right": mult applies to the LHS lookup side ----
     // (R/mergelist.R:160-172 join_from/join_to swap; other.Rraw SQLite
     // tester). lineitem is the multi-match LHS — mult="first" reduces

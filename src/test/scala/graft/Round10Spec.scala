@@ -327,6 +327,31 @@ class Round10Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Windows.frolladapt($"t", 0L, Seq("g")))
   }
 
+  // ---- merge.data.table surface (R/merge.R) ----------------------------
+
+  test("merge: by.x/by.y keep x's key names; suffixes on clashing payload") {
+    val x = DT(Seq((1, "p", 10), (2, "q", 20)).toDF("xid", "tag", "vx"))
+    val y = DT(Seq((2, "r", 200), (3, "s", 300)).toDF("yid", "tag", "vy"))
+    val m = x.merge(y, byX = Seq("xid"), byY = Seq("yid"))
+    assert(m.df.columns.toSeq == Seq("xid", "tag.x", "vx", "tag.y", "vy"))
+    assert(m.df.select($"xid").as[Int].collect().toSeq == Seq(2))
+    intercept[IllegalArgumentException](x.merge(y, byX = Seq("nope"), byY = Seq("yid")))
+    intercept[IllegalArgumentException](x.merge(y, byX = Seq("xid"), byY = Seq()))
+  }
+
+  test("merge: all.x/all.y pick the join; default by = shared columns; sort") {
+    val x = DT(Seq((2, 20), (1, 10)).toDF("k", "vx"))
+    val y = DT(Seq((2, 200), (3, 300)).toDF("k", "vy"))
+    def ks(d: DT) = d.df.select($"k").as[Int].collect().toSeq
+    assert(ks(x.merge(y)) == Seq(2))
+    assert(ks(x.merge(y, allX = true)) == Seq(1, 2))         // sorted
+    assert(ks(x.merge(y, allY = true)) == Seq(2, 3))
+    assert(ks(x.merge(y, allX = true, allY = true)) == Seq(1, 2, 3))
+    assert(x.merge(y, allX = true).key == Seq("k"))
+    // sort=FALSE leaves the join order and no key
+    assert(x.merge(y, sort = false).key.isEmpty)
+  }
+
   // ---- melt patterns(cols=) (NEWS #6498) -------------------------------
 
   test("melt patterns(cols=): regex restricted to the candidate subset") {
