@@ -342,10 +342,16 @@ object QueriesWindows {
     // rolling over an irregular time series — the adaptive-n counts
     // come from a native rangeBetween count, then feed the adaptive
     // rolling sum; the oracle is DuckDB's RANGE frame directly --------
+    // Time axis is exact integer MICROSECONDS on both sides
+    // (unix_micros / epoch_us): unix_timestamp() truncates to whole
+    // seconds, which at sf0.1 pulled rows 86399.7 s back inside an
+    // "86399 s preceding" frame that the fractional-epoch oracle
+    // excludes — second-truncation vs fractional-seconds is a real
+    // semantic difference, not noise, so both sides use exact micros.
     ("q_frolladapt", ((s, dir) =>
       dt(s, dir, "events").df
-        .withColumn("t", unix_timestamp(col("ts")))
-        .withColumn("an", Windows.frolladapt(col("t"), 86400L, Seq("user_id")))
+        .withColumn("t", unix_micros(col("ts")))
+        .withColumn("an", Windows.frolladapt(col("t"), 86400000000L, Seq("user_id")))
         .withColumn("daysum", round(Windows.frollAdaptive("sum", col("value"),
           col("an"), 32, Seq("user_id"), Seq(col("t").asc)), 3))
         .select(col("event_id"), col("an"), col("daysum"))): Q,
@@ -353,8 +359,8 @@ object QueriesWindows {
              |  CAST(count(*) OVER wr AS INT) AS an,
              |  round(sum(value) OVER wr, 3) AS daysum
              |FROM events
-             |WINDOW wr AS (PARTITION BY user_id ORDER BY epoch(ts)
-             |              RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)""".stripMargin)),
+             |WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |              RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // ---- rolling correlation (multi-column frollapply analog) ----------
     ("q_froll_corr", ((s, dir) => {
