@@ -285,10 +285,34 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def deleteRows(i: Column): DT =
     DT(df.filter(!coalesce(i, lit(false))))
 
-  /** setnames() — rename by reference in the reference; immutable here. */
-  def setNames(renames: (String, String)*): DT =
-    DT(renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
-       key.map(k => renames.toMap.getOrElse(k, k)))
+  /** setnames() — rename by reference in the reference; immutable here.
+    * Guards mirror R/data.table.R:2922-2960 (#4888): duplicated `old`
+    * names refuse, absent `old` names refuse unless `skipAbsent`
+    * (setnames(skip_absent=)), and a rename that would leave the KEY
+    * with duplicated column names refuses (plain payload dups are
+    * legal in the reference and in Spark alike — ambiguity surfaces
+    * at resolution time, not rename time).
+    */
+  def setNames(renames: (String, String)*): DT = setNamesOpt(renames)
+
+  def setNamesOpt(renames: Seq[(String, String)], skipAbsent: Boolean = false): DT = {
+    val olds = renames.map(_._1)
+    val dupsOld = olds.diff(olds.distinct).distinct
+    require(dupsOld.isEmpty, s"Some duplicates exist in 'old': [${dupsOld.mkString(", ")}]")
+    val absent = olds.filterNot(df.columns.contains)
+    val eff =
+      if (absent.isEmpty) renames
+      else if (skipAbsent) renames.filter { case (from, _) => df.columns.contains(from) }
+      else throw new IllegalArgumentException(
+        s"Items of 'old' not found in column names: [${absent.mkString(", ")}]. Consider skip_absent=TRUE.")
+    val m = eff.toMap
+    val newKey = key.map(k => m.getOrElse(k, k))
+    val newNames = df.columns.map(c => m.getOrElse(c, c))
+    val dupKey = newKey.filter(k => newNames.count(_ == k) > 1)
+    require(dupKey.isEmpty,
+      s"The new names would result in duplicated key columns: [${dupKey.distinct.mkString(", ")}]")
+    DT(eff.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }, newKey)
+  }
 
   /** split.data.table(by=) (R/split.R): the table partitioned into a
     * map of sub-tables keyed by the by-columns' stringified value
@@ -366,9 +390,23 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     * sort + `sorted` attribute. Joins/groupings on the same key then
     * avoid re-shuffling when the plan is reused (persist() to pin it).
     */
-  def keyBy(cols: String*): DT =
+  def keyBy(cols: String*): DT = {
+    // setkey guards (R/setkey.R:45-49, #4888/#4891): missing columns,
+    // duplicated asks, and keying on a column name the frame holds
+    // twice (legal in Spark after a raw join, but a keyed join on it
+    // would silently bind one of the two) all refuse eagerly.
+    val miss = cols.filterNot(df.columns.contains)
+    require(miss.isEmpty,
+      s"some columns are not in the data.table: [${miss.mkString(", ")}]")
+    val dupAsk = cols.diff(cols.distinct).distinct
+    require(dupAsk.isEmpty,
+      s"cols contains duplicate column names: [${dupAsk.mkString(", ")}]")
+    val dupInX = cols.filter(c => df.columns.count(_ == c) > 1)
+    require(dupInX.isEmpty,
+      s"x has duplicated column names in the columns to key by: [${dupInX.mkString(", ")}]")
     DT(df.repartitionByRange(cols.map(col): _*)
          .sortWithinPartitions(cols.map(col): _*), cols)
+  }
 
   /** setindex() (R/setkey.R:11-19): register a persisted sorted copy of
     * this table keyed by `cols`; later `DT(predicate)` subsets touching
@@ -831,6 +869,11 @@ object DT {
     */
   def CJopt(spark: SparkSession, sorted: Boolean, unique: Boolean)
            (vectors: (String, Seq[Any])*): DT = {
+    // R/setkey.R:319 (#4888): a keyed result cannot carry duplicated
+    // column names. sorted=FALSE is unkeyed, so dups pass there too.
+    val dupNames = vectors.map(_._1).diff(vectors.map(_._1).distinct).distinct
+    require(!sorted || dupNames.isEmpty,
+      s"CJ() cannot create a keyed data.table with duplicated column names: [${dupNames.mkString(", ")}]")
     val vecs = if (unique) vectors.map { case (n, vs) => (n, vs.distinct) } else vectors
     val crossed = cjBuild(spark, vecs)
     if (sorted)
@@ -843,10 +886,14 @@ object DT {
     * the join-table constructor. Lowered to crossJoin of literal
     * DataFrames + orderBy (tiny inputs by construction).
     */
-  def CJ(spark: SparkSession, vectors: (String, Seq[Any])*): DT =
+  def CJ(spark: SparkSession, vectors: (String, Seq[Any])*): DT = {
+    val dupNames = vectors.map(_._1).diff(vectors.map(_._1).distinct).distinct
+    require(dupNames.isEmpty,
+      s"CJ() cannot create a keyed data.table with duplicated column names: [${dupNames.mkString(", ")}]")
     DT(cjBuild(spark, vectors)
         .orderBy(vectors.map(v => org.apache.spark.sql.functions.col(v._1)): _*),
       vectors.map(_._1))
+  }
 
   private def cjBuild(spark: SparkSession, vectors: Seq[(String, Seq[Any])]): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -38,6 +38,21 @@ object QueriesCore {
         Seq(col("event_id"), col("value"))).df): Q,
       Some("SELECT event_id, value FROM events WHERE value BETWEEN 10.0 AND 20.0")),
 
+    // ---- between on Date bounds + NAbounds=TRUE (#7281; R/between.R):
+    // a null bound is unbounded on that side instead of null-poisoning.
+    // Output columns are booleans (never bare DATE — pandas dtype trap).
+    ("q_between_date", ((s, dir) =>
+      dt(s, dir, "orders").df
+        .withColumn("in_window", Funcs.between(col("o_orderdate"),
+          lit("1995-06-01").cast("date"), lit("1996-06-01").cast("date")))
+        .withColumn("after_cut", Funcs.betweenNA(col("o_orderdate"),
+          lit("1995-06-01").cast("date"), lit(null).cast("date")))
+        .select(col("o_orderkey"), col("in_window"), col("after_cut"))): Q,
+      Some("""SELECT o_orderkey,
+             |  o_orderdate BETWEEN DATE '1995-06-01' AND DATE '1996-06-01' AS in_window,
+             |  o_orderdate >= DATE '1995-06-01' AS after_cut
+             |FROM orders""".stripMargin)),
+
     // ---- %like% / %ilike% (R/like.R) -----------------------------------
     ("q_like", ((s, dir) =>
       dt(s, dir, "part")(Funcs.like(col("p_name"), "blue") ||

@@ -109,6 +109,20 @@ object QueriesWindows {
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
              |      FROM events)""".stripMargin)),
 
+    // ---- frank(order=-1) reverse ranking on a Date column (#5489):
+    // the reference intercepts `frank(-dates)` because unary minus is
+    // undefined for Date/character; here descending order is a
+    // first-class sort direction, same capability -------------------------
+    ("q_frank_desc", ((s, dir) =>
+      Windows.frank(dt(s, dir, "orders").df,
+        Seq(col("o_orderdate").desc), Seq(col("o_orderdate")),
+        "dense", Seq("o_orderpriority"), "rk")
+        .select(col("o_orderkey"), col("rk"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_orderdate DESC) AS INT) AS rk
+             |FROM orders""".stripMargin)),
+
     // ---- rleid gaps-and-islands (src/uniqlist.c:170) -------------------
     ("q_rleid", ((s, dir) =>
       Windows.rleid(dt(s, dir, "events").df, Seq("event_type"),
@@ -424,6 +438,28 @@ object QueriesWindows {
              |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
              |FROM (SELECT event_id, user_id, ts,
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |      FROM events)""".stripMargin)),
+
+    // ---- nafill on a CHARACTER column (in-dev NEWS #3992: nafill
+    // extended beyond numerics to logical/character/Date). The Spark
+    // tier is type-generic by construction (last/first IGNORE NULLS
+    // and coalesce bind any type); this query pins the string path
+    // through the oracle ---------------------------------------------------
+    ("q_nafill_str", ((s, dir) =>
+      dt(s, dir, "events").df
+        .withColumn("v", when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type")))
+        .withColumn("filled", Windows.nafillConst(
+          Windows.nafillLocf(col("v"),
+            Seq("user_id"), Seq(col("ts").asc, col("event_id").asc)),
+          lit("none")))
+        .select(col("event_id"), col("filled"))): Q,
+      Some("""SELECT event_id,
+             |  coalesce(last_value(v IGNORE NULLS) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS UNBOUNDED PRECEDING), 'none') AS filled
+             |FROM (SELECT event_id, user_id, ts,
+             |        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS v
              |      FROM events)""".stripMargin)),
 
     // ---- froll na.rm=TRUE (src/froll.c narm; froll.Rraw 6000.066) ------

@@ -61,10 +61,22 @@ object Funcs {
 
   // ---- predicates (R/between.R, R/like.R, R/notin.R) ------------------
 
-  /** between(x, lower, upper, incbounds=TRUE) — vectorized bounds. */
+  /** between(x, lower, upper, incbounds=TRUE) — vectorized bounds.
+    * `check=true` mirrors between(check=) (src/between.c:83): a row
+    * whose lower exceeds its upper raises instead of quietly yielding
+    * FALSE. Fused into the projection (same best-effort contract as
+    * foverlaps' NA guard — rows pruned before evaluation don't check).
+    */
   def between(x: Column, lower: Column, upper: Column,
-              incbounds: Boolean = true): Column =
-    if (incbounds) x >= lower && x <= upper else x > lower && x < upper
+              incbounds: Boolean = true, check: Boolean = false): Column = {
+    val core = if (incbounds) x >= lower && x <= upper else x > lower && x < upper
+    if (!check) core
+    else when(lower > upper, raise_error(concat(
+        lit("between: lower ("), lower.cast("string"),
+        lit(") is greater than upper ("), upper.cast("string"), lit(")")))
+          .cast("boolean"))
+      .otherwise(core)
+  }
 
   /** between(NAbounds=TRUE) (R/between.R): a null bound means
     * unbounded on that side (-Inf / +Inf) instead of null-propagating.

@@ -650,4 +650,105 @@ class Round10Spec extends AnyFunSuite {
         Seq(Joins.MergeStep(Seq("id1"), "left", cols = Some(Seq("v5")))))
     }
   }
+
+  // ---- dev-NEWS tranche 2: #4888/#4891 dup-name guards, #7281 date
+  // bounds, #3992 typed nafill, #5489 reverse frank, check= ------------
+
+  test("setNames guards: dup old, absent old (skipAbsent), key-dup result (#4888)") {
+    val d = DT(Seq((1, 2, 3)).toDF("a", "b", "c"))
+    // duplicated 'old' refuses
+    val e1 = intercept[IllegalArgumentException] {
+      d.setNames("a" -> "x", "a" -> "y") }
+    assert(e1.getMessage.contains("duplicates exist in 'old'"))
+    // absent 'old' refuses, names the offender, suggests skip_absent
+    val e2 = intercept[IllegalArgumentException] { d.setNames("zz" -> "x") }
+    assert(e2.getMessage.contains("not found in column names") &&
+      e2.getMessage.contains("zz") && e2.getMessage.contains("skip_absent"))
+    // skipAbsent applies the resolvable renames and drops the rest
+    val ok = d.setNamesOpt(Seq("zz" -> "x", "a" -> "a2"), skipAbsent = true)
+    assert(ok.df.columns.toSeq == Seq("a2", "b", "c"))
+    // a rename that collides with the KEY refuses; payload collision passes
+    val keyed = DT(Seq((1, 2, 3)).toDF("a", "b", "c"), Seq("a"))
+    val e3 = intercept[IllegalArgumentException] { keyed.setNames("b" -> "a") }
+    assert(e3.getMessage.contains("duplicated key columns"))
+    assert(d.setNames("b" -> "c").df.columns.count(_ == "c") == 2)
+  }
+
+  test("keyBy guards: missing col, duplicate ask, dup names in x (#4891)") {
+    val d = DT(Seq((1, 2)).toDF("a", "b"))
+    val e1 = intercept[IllegalArgumentException] { d.keyBy("nope") }
+    assert(e1.getMessage.contains("not in the data.table"))
+    val e2 = intercept[IllegalArgumentException] { d.keyBy("a", "a") }
+    assert(e2.getMessage.contains("duplicate column names"))
+    // Spark tolerates dup names after a raw select; keying on one refuses
+    val dup = DT(Seq((1, 2)).toDF("a", "b").select(col("a"), col("b").as("a")))
+    val e3 = intercept[IllegalArgumentException] { dup.keyBy("a") }
+    assert(e3.getMessage.contains("duplicated column names in the columns to key by"))
+  }
+
+  test("CJ refuses duplicated column names when keyed; CJopt(sorted=FALSE) allows") {
+    val e = intercept[IllegalArgumentException] {
+      DT.CJ(spark, "x" -> Seq(1, 2), "x" -> Seq(3)) }
+    assert(e.getMessage.contains("duplicated column names"))
+    // sorted=FALSE result is unkeyed, mirrors the reference allowing dups there
+    val un = DT.CJopt(spark, sorted = false, unique = false)(
+      "x" -> Seq(1, 2), "x" -> Seq(3))
+    assert(un.df.count() == 2 && un.df.columns.toSeq == Seq("x", "x"))
+  }
+
+  test("between on Date bounds: NA bound unbounded (#7281); check= raises on lower>upper") {
+    val d = Seq(("1995-01-01", 1), ("1996-07-01", 2), ("1994-02-01", 3))
+      .toDF("s", "id").withColumn("d", col("s").cast("date"))
+    val lo = lit("1995-01-01").cast("date")
+    val hi = lit("1996-01-01").cast("date")
+    val in = d.withColumn("b", Funcs.between(col("d"), lo, hi))
+      .orderBy("id").select("b").as[Boolean].collect().toSeq
+    assert(in == Seq(true, false, false))
+    val nab = d.withColumn("b", Funcs.betweenNA(col("d"), lo, lit(null).cast("date")))
+      .orderBy("id").select("b").as[Boolean].collect().toSeq
+    assert(nab == Seq(true, true, false))
+    // check=TRUE: reversed bounds raise (src/between.c:83)
+    val err = intercept[Exception] {
+      d.withColumn("b", Funcs.between(col("d"), hi, lo, check = true)).collect()
+    }
+    assert(err.getMessage.contains("greater than upper"))
+    // check=TRUE with sane bounds is a no-op
+    assert(d.withColumn("b", Funcs.between(col("d"), lo, hi, check = true))
+      .filter(col("b")).count() == 1)
+  }
+
+  test("nafill family is type-generic: character, date, boolean (#3992)") {
+    import graft.operators.Windows
+    val d = Seq(
+      (1, 1, Some("a"), Some("2024-01-01"), Some(true)),
+      (1, 2, None: Option[String], None: Option[String], None: Option[Boolean]),
+      (1, 3, Some("b"), Some("2024-01-03"), Some(false)),
+      (1, 4, None: Option[String], None: Option[String], None: Option[Boolean]))
+      .toDF("g", "i", "s", "dstr", "fl")
+      .withColumn("dd", col("dstr").cast("date"))
+    val ord = Seq(col("i").asc)
+    val out = d
+      .withColumn("s_locf", Windows.nafillLocf(col("s"), Seq("g"), ord))
+      .withColumn("d_nocb", Windows.nafillNocb(col("dd"), Seq("g"), ord))
+      .withColumn("f_const", Windows.nafillConst(col("fl"), lit(false)))
+      .orderBy("i")
+    val rows = out.select("s_locf", "d_nocb", "f_const").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "a", "b", "b"))
+    assert(rows.map(r => Option(r.getDate(1)).map(_.toString).orNull).toSeq ==
+      Seq("2024-01-01", "2024-01-03", "2024-01-03", null))
+    assert(rows.map(_.getBoolean(2)).toSeq == Seq(true, false, false, false))
+  }
+
+  test("setorderNa: double asc then non-double desc keeps na.last (#7875 lock)") {
+    val d = Seq(
+      (Some(1.0), Some("b")), (Some(1.0), None: Option[String]),
+      (None: Option[Double], Some("a")), (Some(2.0), Some("a")))
+      .toDF("x", "y")
+    val out = DT(d).setorderNa(Seq(("x", true), ("y", false)), naLast = true)
+      .df.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    // x asc (NA last), then y desc with NA last within the x=1.0 block
+    assert(out == Seq(
+      (Some(1.0), Some("b")), (Some(1.0), None),
+      (Some(2.0), Some("a")), (None, Some("a"))))
+  }
 }
