@@ -637,14 +637,17 @@ object QueriesWindows {
     // bucketed two-pass tier: per-bucket windows + broadcast prefix
     // offsets, never a single-partition WindowExec (plan-locked in
     // PlanShapeSpec). Exact-integer cents keep the FP hash stable where
-    // prefix sums would otherwise reassociate summation. ==============
+    // prefix sums would otherwise reassociate summation. Since round 11
+    // these go through the DSL entry points (Windows.cumDF/rleid/
+    // frankNa/shiftDF/frollDF/nafillDF with by=Nil), which AUTO-ROUTE
+    // to the tier — the same call a user would write. ==================
 
-    // ---- global running sum (Windows.cum("sum") with by=Nil) -----------
+    // ---- global running sum (Windows.cumDF("sum") with by=Nil) ---------
     ("q_cumsum_global", ((s, dir) =>
-      GlobalOrdered.cumsum(
+      Windows.cumDF(
         dt(s, dir, "orders").df
           .withColumn("cents", round(col("o_totalprice") * 100).cast("long")),
-        col("cents"), col("o_orderkey"), "cs")
+        "cs", "sum", col("cents"), Nil, Seq(col("o_orderkey").asc))
         .select(col("o_orderkey"), col("cs"))): Q,
       Some("""SELECT o_orderkey,
              |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
@@ -653,11 +656,11 @@ object QueriesWindows {
 
     // ---- global running product: sign/zero tracking, exact ±1/0 --------
     ("q_cumprod_global", ((s, dir) =>
-      GlobalOrdered.cumprod(
+      Windows.cumDF(
         dt(s, dir, "orders").df
           .withColumn("x", when(col("o_orderkey") % 97 === 0, 0.0)
             .when(col("o_orderkey") % 2 === 0, 1.0).otherwise(-1.0)),
-        col("x"), col("o_orderkey"), "cp")
+        "cp", "prod", col("x"), Nil, Seq(col("o_orderkey").asc))
         // +0.0 on both sides: DuckDB's sequential product reaches -0.0
         // when a zero factor meets an odd sign count; the log-space
         // form always emits +0.0
@@ -671,8 +674,8 @@ object QueriesWindows {
 
     // ---- global rleid: runs across the whole table ---------------------
     ("q_rleid_global", ((s, dir) =>
-      GlobalOrdered.rleid(dt(s, dir, "events").df, Seq("event_type"),
-        col("event_id"), "run_id")
+      Windows.rleid(dt(s, dir, "events").df, Seq("event_type"),
+        Seq(col("event_id").asc), Nil, "run_id")
         .select(col("event_id"), col("run_id"))): Q,
       Some("""SELECT event_id,
              |  CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
@@ -686,11 +689,11 @@ object QueriesWindows {
       val base = dt(s, dir, "events").df
         .withColumn("v", when(col("event_type") === "error", lit(null))
           .otherwise(col("value")))
-      val r1 = GlobalOrdered.frank(base, col("v"), desc = false, "min",
+      val r1 = Windows.frankNa(base, col("v"), desc = false, "min", Nil,
         "true", "rk_min")
-      val r2 = GlobalOrdered.frank(r1, col("v"), desc = false, "dense",
+      val r2 = Windows.frankNa(r1, col("v"), desc = false, "dense", Nil,
         "true", "rk_dense")
-      val r3 = GlobalOrdered.frank(r2, col("v"), desc = false, "average",
+      val r3 = Windows.frankNa(r2, col("v"), desc = false, "average", Nil,
         "true", "rk_avg")
       r3.select(col("event_id"), col("rk_min").cast("long").as("rk_min"),
         col("rk_dense").cast("long").as("rk_dense"),
@@ -708,11 +711,11 @@ object QueriesWindows {
     // ---- global shift: phantom boundary rows feed lag/lead -------------
     ("q_shift_global", ((s, dir) => {
       val base = dt(s, dir, "orders").df
-      GlobalOrdered.shift(
-        GlobalOrdered.shift(base, col("o_totalprice"), 1, col("o_orderkey"),
-          "prev_price", fill = lit(0.0)),
-        col("o_totalprice"), -1, col("o_orderkey"), "next_price",
-        fill = lit(0.0))
+      Windows.shiftDF(
+        Windows.shiftDF(base, "prev_price", col("o_totalprice"), 1, Nil,
+          Seq(col("o_orderkey").asc), fill = lit(0.0)),
+        "next_price", col("o_totalprice"), -1, Nil,
+        Seq(col("o_orderkey").asc), fill = lit(0.0))
         .select(col("o_orderkey"), col("prev_price"), col("next_price"))
     }): Q,
       Some("""SELECT o_orderkey,
@@ -723,10 +726,10 @@ object QueriesWindows {
 
     // ---- global rolling sum, exact cents, full-window semantics --------
     ("q_froll_global", ((s, dir) =>
-      GlobalOrdered.froll(
+      Windows.frollDF(
         dt(s, dir, "orders").df
           .withColumn("cents", round(col("o_totalprice") * 100).cast("long")),
-        "s7", "sum", col("cents"), 7, col("o_orderkey"))
+        "s7", "sum", col("cents"), 7, Nil, Seq(col("o_orderkey").asc))
         .select(col("o_orderkey"), col("s7"))): Q,
       Some("""SELECT o_orderkey,
              |  CASE WHEN count(*) OVER w7 = 7
@@ -742,9 +745,10 @@ object QueriesWindows {
       val base = dt(s, dir, "events").df
         .withColumn("v", when(col("event_type") === "error", lit(null))
           .otherwise(col("value")))
-      GlobalOrdered.nafillNocb(
-        GlobalOrdered.nafillLocf(base, col("v"), col("event_id"), "locf"),
-        col("v"), col("event_id"), "nocb")
+      Windows.nafillDF(
+        Windows.nafillDF(base, "locf", "locf", col("v"), Nil,
+          Seq(col("event_id").asc)),
+        "nocb", "nocb", col("v"), Nil, Seq(col("event_id").asc))
         .select(col("event_id"), col("locf"), col("nocb"))
     }): Q,
       Some("""SELECT event_id,
@@ -755,6 +759,53 @@ object QueriesWindows {
              |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nocb
              |FROM (SELECT event_id,
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
-             |      FROM events)""".stripMargin))
+             |      FROM events)""".stripMargin)),
+
+    // ---- global rolling sum over a STRING order key (round 11) ---------
+    // Exercises the non-numeric bucket fit: bounds come from a bounded
+    // deterministic sample and the bucket expression compares strings
+    // with Spark's own ordering. The zero-padded key makes lexical
+    // order equal numeric order so DuckDB agrees.
+    ("q_froll_global_str", ((s, dir) =>
+      Windows.frollDF(
+        dt(s, dir, "documents").df
+          .withColumn("skey",
+            concat(lit("d"), lpad(col("doc_id").cast("string"), 10, "0"))),
+        "s5", "sum", col("n_chars"), 5, Nil, Seq(col("skey").asc))
+        .select(col("skey"), col("s5"))): Q,
+      Some("""SELECT skey,
+             |  CASE WHEN count(*) OVER w5 = 5
+             |       THEN CAST(sum(n_chars) OVER w5 AS BIGINT) END AS s5
+             |FROM (SELECT concat('d', lpad(CAST(doc_id AS VARCHAR), 10, '0')) AS skey,
+             |        n_chars
+             |      FROM documents)
+             |WINDOW w5 AS (ORDER BY skey
+             |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // ---- global ADAPTIVE rolling sum (round 11) ------------------------
+    // Per-row window length an ∈ 1..5 from the key itself; phantom
+    // reach = maxN−1 keeps every frame exact across buckets. The oracle
+    // expresses the variable frame as a prefix-sum difference
+    // (cs[rn] − cs[rn−an]), null while rn < an (reference
+    // adaptive-n-exceeds-prefix → NA).
+    ("q_froll_adaptive_global", ((s, dir) =>
+      Windows.frollAdaptiveDF(
+        dt(s, dir, "orders").df
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+          .withColumn("an", (col("o_orderkey") % 5 + 1).cast("int")),
+        "s_ad", "sum", col("cents"), col("an"), 5, Nil,
+        Seq(col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("s_ad"))): Q,
+      Some("""WITH base AS (
+             |  SELECT o_orderkey,
+             |    (o_orderkey % 5 + 1)::INT AS an,
+             |    row_number() OVER (ORDER BY o_orderkey) AS rn,
+             |    sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cs
+             |  FROM orders)
+             |SELECT a.o_orderkey,
+             |  CASE WHEN a.rn >= a.an
+             |       THEN CAST(a.cs - coalesce(b.cs, 0) AS DOUBLE) END AS s_ad
+             |FROM base a LEFT JOIN base b ON b.rn = a.rn - a.an""".stripMargin))
   )
 }

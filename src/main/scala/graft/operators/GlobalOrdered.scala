@@ -33,10 +33,11 @@ import org.apache.spark.sql.expressions.Window
   * excluded from output after the windows are evaluated.
   *
   * Contracts (documented, spec-locked):
-  *  - The order key must cast to double (numerics, or dates/timestamps
-  *    pre-cast by the caller). Non-numeric global ordering has no
-  *    range-bucketable form here — see [[rownumByRange]] for the
-  *    any-type row-number fallback used by `Windows.grp`.
+  *  - The order key may be ANY orderable atomic type: numerics fit
+  *    range bounds from a single-pass approxQuantile; strings / dates /
+  *    timestamps / booleans fit from a bounded deterministic sample
+  *    (the sample only affects bucket BALANCE — bucket correctness
+  *    rests on plan-side comparisons that use Spark's own ordering).
   *  - Row-level outputs are only deterministic when the key is unique
   *    per row (the same contract every oracled window query already
   *    carries); prefix aggregates additionally assume it for
@@ -45,10 +46,20 @@ import org.apache.spark.sql.expressions.Window
   *    distribution: the per-pair need computation forwards edge rows
   *    across as many buckets as the window width requires (still
   *    bounded by n rows per bucket pair on the tiny partials frame).
-  *  - A massively-skewed key (one value = most rows) degenerates to
-  *    few buckets; global order over near-constant keys is inherently
-  *    sequential and the partitioned tier or a composite key is the
-  *    right answer there.
+  *  - A massively-skewed key (one value = most rows) collapses the
+  *    quantile bounds. The fit DETECTS the collapse (raw quantiles
+  *    mostly duplicates) and (a) logs a structured warning, and
+  *    (b) for the tie-ORDER-agnostic ops (cumsum/cumprod/cummin/cummax/
+  *    shift/froll — their unique-key determinism contract already makes
+  *    within-tie order arbitrary) auto-composes a content-hash
+  *    tie-break into the bucketing: dominant tie blocks scatter over
+  *    the bucket ids their duplicated bounds freed, via a monotone
+  *    slice of xxhash64(*). The bucket stays a PURE expression of
+  *    (key, hash) — full parallelism restored with no extra exchange.
+  *    Ops whose semantics pin tie blocks to one bucket (frank's rank
+  *    offsets, rleid's runs, nafill's carries) keep the
+  *    collapsed-but-correct buckets and the warning — global order over
+  *    a near-constant key is inherently sequential for them.
   *
   * Bounds are an eager, session-memoized fit (SessionMemo — same
   * writer-eviction contract as every other fit memo): the quantile
@@ -59,31 +70,84 @@ object GlobalOrdered {
 
   private[graft] val BKT = "_graft_gbkt"
   private val PH = "_graft_phantom"
+  private val TB = "_graft_gtb"
 
-  private val boundsCache = new graft.SessionMemo[Array[Double]]()
+  private val boundsCache = new graft.SessionMemo[Array[Any]]()
 
   /** Test/visibility hook: number of memoized bounds fits. */
   private[graft] def boundsFitCount: Int = boundsCache.size
+
+  /** Structured skew-degeneracy observability (test-asserted): fits
+    * whose raw quantiles collapsed (mostly-duplicate bounds), and how
+    * many of those were auto-rerouted through the tie-break bucketing.
+    */
+  private[graft] val collapseWarnings = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val collapseReroutes = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Forget every memoized bucket-bounds fit — call between in-session
     * rewrites of a corpus, like every other fit memo.
     */
   def clearFits(): Unit = boundsCache.clear()
 
-  private def boundsFor(df: DataFrame, key: Column, buckets: Int): Array[Double] = {
+  /** Driver-side sort of sampled bound candidates. Order here only
+    * affects bucket balance (plan-side comparisons use Spark's own
+    * ordering), but strings still sort by UTF-8 bytes to track
+    * UTF8String's binary order.
+    */
+  private def sortSampled(vals: Array[Any]): Array[Any] = {
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
+        val n = math.min(xb.length, yb.length)
+        var i = 0
+        while (i < n && xb(i) == yb(i)) i += 1
+        if (i < n) (xb(i) & 0xff) < (yb(i) & 0xff) else xb.length < yb.length
+      case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      case _ => a.toString < b.toString
+    }
+    vals.sortWith(lt)
+  }
+
+  /** RAW bucket bounds (duplicates kept — they are the skew signal):
+    * one-pass approxQuantile for numeric keys; a bounded deterministic
+    * sample (≤~200k values, seed-pinned) sorted driver-side for any
+    * other orderable type.
+    */
+  private def boundsFor(df: DataFrame, key: Column, buckets: Int): Array[Any] = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val frame = df.select(key.cast("double").as("_graft_k"))
+    val numeric = df.select(key).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val frame =
+      if (numeric) df.select(key.cast("double").as("_graft_k"))
+      else df.select(key.as("_graft_k"))
     val memoKey = System.identityHashCode(df.sparkSession).toString + ":" +
       frame.queryExecution.analyzed.semanticHash().toString + ":" + buckets
     boundsCache.getOrElsePut(memoKey) {
       // buckets=1 needs no bounds at all (and approxQuantile returns
       // null for an empty probability array rather than an empty one)
-      if (buckets == 1) Array.empty[Double]
-      else {
+      if (buckets == 1) Array.empty[Any]
+      else if (numeric) {
         val qs = frame.na.drop()
           .stat.approxQuantile("_graft_k",
             (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        if (qs == null) Array.empty[Double] else qs.distinct.sorted
+        if (qs == null) Array.empty[Any] else qs.sorted.map(x => x: Any)
+      } else {
+        val nn = frame.na.drop()
+        val n = nn.count()
+        if (n == 0) Array.empty[Any]
+        else {
+          val fraction = math.min(1.0, 200000.0 / n)
+          val vals = nn.sample(withReplacement = false, fraction, 42L)
+            .collect().map(_.get(0))
+          if (vals.isEmpty) Array.empty[Any]
+          else {
+            val sorted = sortSampled(vals)
+            (1 until buckets)
+              .map(i => sorted(((i.toLong * sorted.length) / buckets).toInt
+                .min(sorted.length - 1)))
+              .toArray
+          }
+        }
       }
     }
   }
@@ -92,15 +156,18 @@ object GlobalOrdered {
     * strictly below (asc) / above (desc) the key, nulls pinned to the
     * first or last bucket per the sort's null placement. Equal keys
     * always map to one bucket, so no tie block ever spans buckets.
+    * Comparisons run in the plan with Spark's own type ordering, so a
+    * driver-side mis-sorted bound could only unbalance buckets, never
+    * split a range (the count-of-bounds-below form is monotone for ANY
+    * bound set).
     */
-  private def bucketCol(key: Column, bounds: Array[Double], asc: Boolean,
+  private def bucketCol(key: Column, bounds: Array[Any], asc: Boolean,
                         nullsFirst: Boolean): Column = {
-    val k = key.cast("double")
     val base =
       if (asc) bounds.foldLeft(lit(0))((acc, b) =>
-        acc + when(k > lit(b), 1).otherwise(0))
+        acc + when(key > lit(b), 1).otherwise(0))
       else bounds.foldLeft(lit(0))((acc, b) =>
-        acc + when(k < lit(b), 1).otherwise(0))
+        acc + when(key < lit(b), 1).otherwise(0))
     when(key.isNull, lit(if (nullsFirst) 0 else bounds.length)).otherwise(base)
   }
 
@@ -112,14 +179,71 @@ object GlobalOrdered {
       case (false, false) => key.desc_nulls_last
     }
 
+  /** A bucketed frame plus the within-bucket window order (a single
+    * sort on the key normally; key + content-hash tie-break after a
+    * skew reroute).
+    */
+  private case class Prepped(b: DataFrame, ords: Seq[Column])
+
   /** df + the bucket column (asc defaults to Spark's nulls-first,
-    * desc to nulls-last, overridable for frank's na.last=).
+    * desc to nulls-last, overridable for frank's na.last=), with skew
+    * degeneracy detection: raw quantile bounds that are mostly
+    * duplicates mean one value dominates the key. That logs a warning
+    * always, and for `tieAgnostic` ops AUTO-COMPOSES a content-hash
+    * tie-break into the bucketing: a bound value duplicated m times in
+    * the raw quantiles frees m consecutive bucket ids that only its tie
+    * block can occupy, so the block scatters over them by a MONOTONE
+    * slice of xxhash64(*) — the bucket stays a pure expression of
+    * (key, hash), the within-bucket order becomes (key, hash), and the
+    * window's hash exchange remains the plan's only full-data shuffle.
+    * Ops that pin tie blocks to one bucket (frank/rleid/nafill) keep
+    * the collapsed-but-correct buckets.
     */
   private def prep(df: DataFrame, key: Column, asc: Boolean, buckets: Int,
-                   nullsFirst: Option[Boolean] = None): DataFrame = {
+                   nullsFirst: Option[Boolean] = None,
+                   tieAgnostic: Boolean = false): Prepped = {
     val nf = nullsFirst.getOrElse(asc)
-    df.withColumn(BKT, bucketCol(key, boundsFor(df, key, buckets), asc, nf))
+    val ord = ordOf(key, asc, nf)
+    val raw = boundsFor(df, key, buckets)
+    val distinctB = raw.distinct
+    val collapsed = raw.nonEmpty && distinctB.length < (raw.length + 1) / 2
+    if (collapsed) {
+      collapseWarnings.incrementAndGet()
+      System.err.println(
+        s"[graft] GlobalOrdered: bucket fit collapsed to ${distinctB.length + 1} " +
+          s"of $buckets requested buckets (near-constant order key)" +
+          (if (tieAgnostic) "; scattering tie blocks via content-hash tie-break"
+           else "; this op pins tie blocks to one bucket — expect reduced parallelism"))
+    }
+    if (collapsed && tieAgnostic) {
+      collapseReroutes.incrementAndGet()
+      val h = xxhash64(df.columns.map(col): _*)
+      // base counts RAW (duplicated) bounds below the key, so each
+      // value duplicated m times leaves the m ids after its block's
+      // base unoccupied by any other key range
+      val base = bucketCol(key, raw, asc, nf)
+      // signed long → [0, 1) monotonically (divide by 2^64, shift up)
+      val h01 = h.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+      val mult = raw.groupBy(identity).collect {
+        case (v, g) if g.length >= 2 => (v, g.length)
+      }.toSeq
+      val sub = mult.foldLeft(lit(0)) { case (acc, (v, m)) =>
+        when(key === lit(v),
+          least(floor(h01 * m), lit(m - 1)).cast("int")).otherwise(acc)
+      }
+      Prepped(df.withColumn(TB, h).withColumn(BKT, base + sub),
+        Seq(ord, col(TB).asc))
+    } else
+      Prepped(df.withColumn(BKT, bucketCol(key, distinctB, asc, nf)), Seq(ord))
   }
+
+  /** Test hook: the bucketed frame a given fit would produce (BKT
+    * column included), for asserting effective bucket counts.
+    */
+  private[graft] def preppedForTest(df: DataFrame, key: Column, asc: Boolean,
+                                    buckets: Int,
+                                    tieAgnostic: Boolean): DataFrame =
+    prep(df, key, asc, buckets, tieAgnostic = tieAgnostic).b
 
   /** Aggregates of `partials` over STRICTLY-PRIOR buckets, one row per
     * bucket (left join: first bucket gets nulls). `partials` is tiny
@@ -152,7 +276,8 @@ object GlobalOrdered {
   def cumsum(df: DataFrame, x: Column, key: Column, out: String,
              asc: Boolean = true, naRm: Boolean = false,
              buckets: Int = 32): DataFrame =
-    cumsumBucketed(prep(df, key, asc, buckets), x, key, out, asc, naRm)
+    cumsumBucketed(prep(df, key, asc, buckets, tieAgnostic = true),
+      x, out, naRm)
 
   /** [[cumsum]] with a CALLER-SUPPLIED bucket expression — any pure,
     * sort-monotone function of the key (e.g. `floor(-logw)` for a
@@ -164,13 +289,13 @@ object GlobalOrdered {
   def cumsumWith(df: DataFrame, x: Column, key: Column, bucket: Column,
                  out: String, asc: Boolean = true,
                  naRm: Boolean = false): DataFrame =
-    cumsumBucketed(df.withColumn(BKT, bucket), x, key, out, asc, naRm)
+    cumsumBucketed(Prepped(df.withColumn(BKT, bucket),
+      Seq(ordOf(key, asc, nullsFirst = asc))), x, out, naRm)
 
-  private def cumsumBucketed(b: DataFrame, x: Column, key: Column,
-                             out: String, asc: Boolean,
+  private def cumsumBucketed(p: Prepped, x: Column, out: String,
                              naRm: Boolean): DataFrame = {
-    val ord = ordOf(key, asc, nullsFirst = asc)
-    val wc = Window.partitionBy(col(BKT)).orderBy(ord)
+    val b = p.b
+    val wc = Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val partials = b.groupBy(col(BKT).as("_b"))
       .agg(sum(x).as("_ps"), count(x).as("_pnn"), count(lit(1)).as("_pn"))
@@ -185,7 +310,41 @@ object GlobalOrdered {
     val res =
       if (naRm) when(nnPfx === 0, lit(null)).otherwise(value)
       else when(nnPfx < nPfx, lit(null)).otherwise(value)
-    j.withColumn(out, res).drop(BKT, "_ps", "_pnn", "_pn")
+    j.withColumn(out, res).drop(BKT, TB, "_ps", "_pnn", "_pn")
+  }
+
+  // ---- cumulative min/max (global tier of Windows.cum("min"/"max")) ---
+
+  /** Global running min/max along `key` — `Windows.cum("min"|"max")`
+    * semantics (NA-poison default, naRm opt-in) via per-bucket partials
+    * combined with a null-tolerant least/greatest carry.
+    */
+  def cumMinMax(df: DataFrame, x: Column, key: Column, out: String,
+                isMin: Boolean, asc: Boolean = true, naRm: Boolean = false,
+                buckets: Int = 32): DataFrame = {
+    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val b = p.b
+    val wc = Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val agg: Column => Column = if (isMin) min else max
+    val partials = b.groupBy(col(BKT).as("_b"))
+      .agg(agg(x).as("_pm"), count(x).as("_pnn"), count(lit(1)).as("_pn"))
+    val priors = priorsOf(partials,
+      agg(col("p._pm")).as("_pm"), sum(col("p._pnn")).as("_pnn"),
+      sum(col("p._pn")).as("_pn"))
+    val j = joinPriors(b, priors)
+    val within = agg(x).over(wc)
+    val combine = if (isMin) least(col("_pm"), within) else greatest(col("_pm"), within)
+    // least/greatest skip nulls only between non-null args; make the
+    // carry null-tolerant like addNT (a missing side means "no rows")
+    val value = when(col("_pm").isNull, within)
+      .when(within.isNull, col("_pm")).otherwise(combine)
+    val nnPfx = coalesce(col("_pnn"), lit(0L)) + count(x).over(wc)
+    val nPfx = coalesce(col("_pn"), lit(0L)) + count(lit(1)).over(wc)
+    val res =
+      if (naRm) when(nnPfx === 0, lit(null)).otherwise(value)
+      else when(nnPfx < nPfx, lit(null)).otherwise(value)
+    j.withColumn(out, res).drop(BKT, TB, "_pm", "_pnn", "_pn")
   }
 
   // ---- cumulative product (global tier of Windows.cum("prod")) --------
@@ -199,9 +358,9 @@ object GlobalOrdered {
               asc: Boolean = true, naRm: Boolean = false,
               buckets: Int = 32): DataFrame = {
     val x = x0.cast("double")
-    val b = prep(df, key, asc, buckets)
-    val ord = ordOf(key, asc, nullsFirst = asc)
-    val wc = Window.partitionBy(col(BKT)).orderBy(ord)
+    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val b = p.b
+    val wc = Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val partials = b.groupBy(col(BKT).as("_b")).agg(
       sum(when(x === 0.0, 1L).otherwise(0L)).as("_pz"),
@@ -226,7 +385,7 @@ object GlobalOrdered {
     val res =
       if (naRm) when(nnPfx === 0, lit(null).cast("double")).otherwise(body)
       else when(nnPfx < nPfx, lit(null).cast("double")).otherwise(body)
-    j.withColumn(out, res).drop(BKT, "_pz", "_pneg", "_plog", "_pnn", "_pn")
+    j.withColumn(out, res).drop(BKT, TB, "_pz", "_pneg", "_plog", "_pnn", "_pn")
   }
 
   // ---- frank (global tier of Windows.frankNa) -------------------------
@@ -243,7 +402,11 @@ object GlobalOrdered {
             buckets: Int = 32): DataFrame = {
     val nullsFirst = naLast == "false"
     val asc = !desc
-    val b = prep(df, value, asc, buckets, Some(nullsFirst))
+    // tie blocks must stay whole (rank offsets count prior-bucket rows),
+    // so frank never tie-breaks buckets — a near-constant value column
+    // keeps the collapsed fit + warning (see prep)
+    val p = prep(df, value, asc, buckets, Some(nullsFirst))
+    val b = p.b
     val ord = ordOf(value, asc, nullsFirst)
     val w = Window.partitionBy(col(BKT)).orderBy(ord)
     val partials = b.groupBy(col(BKT).as("_b")).agg(
@@ -264,6 +427,12 @@ object GlobalOrdered {
         j.withColumn(out,
           row_number().over(Window.partitionBy(col(BKT))
             .orderBy(ord +: appearance: _*)) + rowOff)
+      case "last" =>
+        require(appearance.nonEmpty,
+          "global frank(ties=\"last\") needs unique `appearance` columns")
+        j.withColumn(out,
+          row_number().over(Window.partitionBy(col(BKT))
+            .orderBy(ord +: appearance.map(Windows.flipOrder): _*)) + rowOff)
       case "max" =>
         val tiePart = Window.partitionBy(col(BKT), value)
         j.withColumn(out,
@@ -273,9 +442,9 @@ object GlobalOrdered {
         j.withColumn(out,
           rank().over(w) + (count(lit(1)).over(tiePart) - 1) / 2.0 + rowOff)
       case other => throw new IllegalArgumentException(
-        s"global frank ties.method=$other (first|min|max|dense|average)")
+        s"global frank ties.method=$other (first|last|min|max|dense|average)")
     }
-    val cleaned = ranked.drop(BKT, "_pn", "_pd")
+    val cleaned = ranked.drop(BKT, TB, "_pn", "_pd")
     if (naLast == "keep")
       cleaned.withColumn(out, when(value.isNull, lit(null)).otherwise(col(out)))
     else cleaned
@@ -293,9 +462,11 @@ object GlobalOrdered {
   def rleid(df: DataFrame, cols: Seq[String], key: Column, out: String,
             asc: Boolean = true, buckets: Int = 32): DataFrame = {
     require(cols.nonEmpty, "rleid needs value columns")
-    val b0 = prep(df, key, asc, buckets)
-    val within = Windows.rleid(b0, cols, Seq(ordOf(key, asc, asc)), Seq(BKT),
-      "_graft_rid")
+    // runs must stay contiguous within buckets, so rleid never
+    // tie-breaks the bucketing (near-constant key → collapsed fit +
+    // warning; within-tie order is nondeterministic there anyway)
+    val p = prep(df, key, asc, buckets)
+    val within = Windows.rleid(p.b, cols, p.ords, Seq(BKT), "_graft_rid")
     val firstLast = cols.flatMap(c => Seq(
       min_by(col(c), key).as(s"_f_$c"), max_by(col(c), key).as(s"_l_$c")))
     val partials = within.groupBy(col(BKT).as("_b"))
@@ -327,7 +498,7 @@ object GlobalOrdered {
           col("_merge")).as("_off"))
     within.join(broadcast(offsets), col(BKT) === col("_b"), "left")
       .withColumn(out, col("_graft_rid") + coalesce(col("_off"), lit(0L)))
-      .drop(BKT, "_graft_rid", "_b", "_off")
+      .drop(BKT, TB, "_graft_rid", "_b", "_off")
   }
 
   // ---- nafill locf/nocb (global tier) ---------------------------------
@@ -341,17 +512,17 @@ object GlobalOrdered {
   def nafillLocf(df: DataFrame, xIn: Column, key: Column, out: String,
                  buckets: Int = 32, nanIsNa: Boolean = true): DataFrame = {
     val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
-    val b = prep(df, key, asc = true, buckets)
-    val ord = ordOf(key, asc = true, nullsFirst = true)
+    val p = prep(df, key, asc = true, buckets)
+    val b = p.b
     val within = last(x, ignoreNulls = true)
-      .over(Window.partitionBy(col(BKT)).orderBy(ord)
+      .over(Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
         .rowsBetween(Window.unboundedPreceding, 0))
     val partials = b.groupBy(col(BKT).as("_b"))
       .agg(max(when(x.isNotNull, struct(key.as("k"), x.as("v")))).as("_lastnn"))
     val priors = priorsOf(partials, max(col("p._lastnn")).as("_carry"))
     joinPriors(b, priors)
       .withColumn(out, coalesce(within, col("_carry").getField("v")))
-      .drop(BKT, "_carry")
+      .drop(BKT, TB, "_carry")
   }
 
   /** Global next-non-null carried backward — mirror of [[nafillLocf]]
@@ -360,10 +531,10 @@ object GlobalOrdered {
   def nafillNocb(df: DataFrame, xIn: Column, key: Column, out: String,
                  buckets: Int = 32, nanIsNa: Boolean = true): DataFrame = {
     val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
-    val b = prep(df, key, asc = true, buckets)
-    val ord = ordOf(key, asc = true, nullsFirst = true)
+    val p = prep(df, key, asc = true, buckets)
+    val b = p.b
     val within = first(x, ignoreNulls = true)
-      .over(Window.partitionBy(col(BKT)).orderBy(ord)
+      .over(Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
         .rowsBetween(0, Window.unboundedFollowing))
     val partials = b.groupBy(col(BKT).as("_b"))
       .agg(min(when(x.isNotNull, struct(key.as("k"), x.as("v")))).as("_firstnn"))
@@ -372,7 +543,7 @@ object GlobalOrdered {
       .groupBy(col("a._b").as("_b")).agg(min(col("p._firstnn")).as("_carry"))
     joinPriors(b, followers)
       .withColumn(out, coalesce(within, col("_carry").getField("v")))
-      .drop(BKT, "_carry")
+      .drop(BKT, TB, "_carry")
   }
 
   // ---- phantom boundary machinery (shift / froll) ---------------------
@@ -391,9 +562,8 @@ object GlobalOrdered {
     * (no key value spans buckets), so ordering stays correct; callers
     * filter `!PH` after the window.
     */
-  private def phantomAugmented(b: DataFrame, key: Column, asc: Boolean,
+  private def phantomAugmented(b: DataFrame, ords: Seq[Column],
                                nBefore: Int, nAfter: Int): DataFrame = {
-    val ord = ordOf(key, asc, asc)
     val real = b.withColumn(PH, lit(false))
     if (nBefore <= 0 && nAfter <= 0) return real
     val counts = b.groupBy(col(BKT).as("_b")).agg(count(lit(1)).as("_c"))
@@ -405,8 +575,9 @@ object GlobalOrdered {
         col("_m") > col("_s") && col("_m") < col("_d"), "left")
       .groupBy(col("_s"), col("_d"))
       .agg(coalesce(sum(col("_mc")), lit(0L)).as("_between"))
-    val w = Window.partitionBy(col(BKT)).orderBy(ord)
-    val wDesc = Window.partitionBy(col(BKT)).orderBy(Windows.flipOrder(ord))
+    val w = Window.partitionBy(col(BKT)).orderBy(ords: _*)
+    val wDesc = Window.partitionBy(col(BKT))
+      .orderBy(ords.map(Windows.flipOrder): _*)
     def side(nEdge: Int, toLater: Boolean): Option[DataFrame] =
       if (nEdge <= 0) None
       else {
@@ -437,13 +608,12 @@ object GlobalOrdered {
   def shift(df: DataFrame, c: Column, n: Int, key: Column, out: String,
             fill: Column = lit(null), asc: Boolean = true,
             buckets: Int = 32): DataFrame = {
-    val b = prep(df, key, asc, buckets)
-    val aug = phantomAugmented(b, key, asc,
+    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val aug = phantomAugmented(p.b, p.ords,
       nBefore = math.max(n, 0), nAfter = math.max(-n, 0))
     aug
-      .withColumn(out, Windows.shift(c, n, Seq(BKT),
-        Seq(ordOf(key, asc, asc)), fill))
-      .filter(!col(PH)).drop(BKT, PH)
+      .withColumn(out, Windows.shift(c, n, Seq(BKT), p.ords, fill))
+      .filter(!col(PH)).drop(BKT, TB, PH)
   }
 
   /** Global fixed-window rolling aggregate — `Windows.froll` semantics
@@ -453,19 +623,47 @@ object GlobalOrdered {
     */
   def froll(df: DataFrame, out: String, fn: String, c: Column, n: Int,
             key: Column, align: String = "right", partial: Boolean = false,
-            asc: Boolean = true, buckets: Int = 32): DataFrame = {
+            asc: Boolean = true, buckets: Int = 32,
+            naRm: Boolean = false): DataFrame = {
     val (nBefore, nAfter) = align match {
       case "right"  => (n - 1, 0)
       case "left"   => (0, n - 1)
       case "center" => val before = (n - 1) / 2; (before, n - 1 - before)
       case other    => throw new IllegalArgumentException(s"align=$other")
     }
-    val b = prep(df, key, asc, buckets)
-    val aug = phantomAugmented(b, key, asc, nBefore, nAfter)
+    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
     aug
-      .withColumn(out, Windows.froll(fn, c, n, Seq(BKT),
-        Seq(ordOf(key, asc, asc)), align, partial))
-      .filter(!col(PH)).drop(BKT, PH)
+      .withColumn(out, Windows.froll(fn, c, n, Seq(BKT), p.ords,
+        align, partial, naRm = naRm))
+      .filter(!col(PH)).drop(BKT, TB, PH)
+  }
+
+  /** Global ADAPTIVE rolling aggregate — `Windows.frollAdaptive`
+    * semantics for `by = Nil`: phantom reach sized to the LARGEST
+    * window any row can request (`maxN − 1` trailing rows for
+    * align="right", leading for "left"), so every row's bounded
+    * physical frame sees exactly its true global neighborhood; the
+    * per-row `an` then slices it like the partitioned tier.
+    */
+  def frollAdaptive(df: DataFrame, out: String, fn: String, c: Column,
+                    an: Column, maxN: Int, key: Column,
+                    align: String = "right", asc: Boolean = true,
+                    naRm: Boolean = false, partial: Boolean = false,
+                    buckets: Int = 32): DataFrame = {
+    require(maxN >= 1, s"frollAdaptive: maxN must be >= 1, got $maxN")
+    val (nBefore, nAfter) = align match {
+      case "right" => (maxN - 1, 0)
+      case "left"  => (0, maxN - 1)
+      case other   => throw new IllegalArgumentException(
+        s"adaptive align must be right/left, got '$other'")
+    }
+    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
+    aug
+      .withColumn(out, Windows.frollAdaptive(fn, c, an, maxN, Seq(BKT),
+        p.ords, naRm = naRm, align = align, partial = partial))
+      .filter(!col(PH)).drop(BKT, TB, PH)
   }
 
   // ---- any-type global row number (used by Windows.grp) ---------------

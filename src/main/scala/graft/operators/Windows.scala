@@ -37,7 +37,23 @@ object Windows {
   private def requirePartitioned(by: Seq[String], allowGlobal: Boolean, op: String): Unit =
     require(by.nonEmpty || allowGlobal,
       s"$op with no partition keys is a single-partition global sort of the " +
-        "whole input — a scale trap at 100 TB. Pass partition columns, or " +
+        "whole input — a scale trap at 100 TB. Pass partition columns, use " +
+        "the DataFrame-level entry point (auto-routes by=Nil through the " +
+        "GlobalOrdered two-pass tier), or allowGlobal=true if the input is " +
+        "provably small (e.g. post-aggregate).")
+
+  /** The single (key, ascending, nullsFirst) the GlobalOrdered tier can
+    * range-bucket, when `order` is one column (a plain Column reads as
+    * ascending nulls-first); None for multi-column orders.
+    */
+  private def globalKey(order: Seq[Column]): Option[(Column, Boolean, Boolean)] =
+    if (order.size != 1) None
+    else Some(org.apache.spark.sql.GraftSqlBridge.unwrapSortOrder(order.head))
+
+  private def globalRouteError(op: String): Nothing =
+    throw new IllegalArgumentException(
+      s"$op with by=Nil auto-routes through the GlobalOrdered tier and " +
+        "needs a SINGLE order column; pass partition columns, or " +
         "allowGlobal=true if the input is provably small (e.g. post-aggregate).")
 
   private def spec(by: Seq[String], order: Seq[Column], allowGlobal: Boolean,
@@ -64,6 +80,106 @@ object Windows {
     if (n >= 0) lag(c, n, fill).over(w)
     else lead(c, -n, fill).over(w)
   }
+
+  /** DataFrame-level shift — the DSL entry point. `by = Nil` AUTO-ROUTES
+    * through [[GlobalOrdered.shift]] (range-bucketed two-pass tier with
+    * phantom boundary rows) instead of the single-partition window the
+    * Column form would plan; `allowGlobal = true` keeps the naive plan
+    * for provably-small frames (e.g. post-aggregate).
+    */
+  def shiftDF(df: DataFrame, out: String, c: Column, n: Int, by: Seq[String],
+              order: Seq[Column], fill: Column = lit(null),
+              allowGlobal: Boolean = false): DataFrame =
+    if (by.nonEmpty || allowGlobal)
+      df.withColumn(out, shift(c, n, by, order, fill, allowGlobal))
+    else globalKey(order) match {
+      case Some((key, asc, _)) => GlobalOrdered.shift(df, c, n, key, out, fill, asc)
+      case None                => globalRouteError("shiftDF")
+    }
+
+  /** DataFrame-level cumulative aggregate — the DSL entry point.
+    * `by = Nil` AUTO-ROUTES sum/prod/min/max through the GlobalOrdered
+    * prefix tier; prod_exact (bitwise-sequential FP) has no parallel
+    * form and needs an explicit `allowGlobal`.
+    */
+  def cumDF(df: DataFrame, out: String, fn: String, c: Column, by: Seq[String],
+            order: Seq[Column], allowGlobal: Boolean = false,
+            naRm: Boolean = false): DataFrame =
+    if (by.nonEmpty || allowGlobal)
+      df.withColumn(out, cum(fn, c, by, order, allowGlobal, naRm))
+    else globalKey(order) match {
+      case Some((key, asc, _)) => fn match {
+        case "sum"  => GlobalOrdered.cumsum(df, c, key, out, asc, naRm)
+        case "prod" => GlobalOrdered.cumprod(df, c, key, out, asc, naRm)
+        case "min"  => GlobalOrdered.cumMinMax(df, c, key, out, isMin = true, asc, naRm)
+        case "max"  => GlobalOrdered.cumMinMax(df, c, key, out, isMin = false, asc, naRm)
+        case other  => throw new IllegalArgumentException(
+          s"cum($other) has no global tier (exact sequential FP is " +
+            "inherently single-stream); pass allowGlobal=true for " +
+            "provably-small frames")
+      }
+      case None => globalRouteError("cumDF")
+    }
+
+  /** DataFrame-level nafill locf/nocb — the DSL entry point. `by = Nil`
+    * AUTO-ROUTES through the GlobalOrdered carry tier; a DESCENDING
+    * order flips locf↔nocb (carry-forward along a descending key IS
+    * carry-backward along the ascending one).
+    */
+  def nafillDF(df: DataFrame, out: String, typ: String, c: Column,
+               by: Seq[String], order: Seq[Column],
+               allowGlobal: Boolean = false,
+               nanIsNa: Boolean = true): DataFrame = {
+    require(typ == "locf" || typ == "nocb", s"nafill type=$typ (locf|nocb)")
+    if (by.nonEmpty || allowGlobal)
+      df.withColumn(out,
+        if (typ == "locf") nafillLocf(c, by, order, allowGlobal, nanIsNa)
+        else nafillNocb(c, by, order, allowGlobal, nanIsNa))
+    else globalKey(order) match {
+      case Some((key, asc, _)) =>
+        val eff = if (asc) typ else (if (typ == "locf") "nocb" else "locf")
+        if (eff == "locf") GlobalOrdered.nafillLocf(df, c, key, out, nanIsNa = nanIsNa)
+        else GlobalOrdered.nafillNocb(df, c, key, out, nanIsNa = nanIsNa)
+      case None => globalRouteError("nafillDF")
+    }
+  }
+
+  /** DataFrame-level froll — the DSL entry point. `by = Nil`
+    * AUTO-ROUTES through [[GlobalOrdered.froll]] (phantom boundary
+    * rows sized to the frame).
+    */
+  def frollDF(df: DataFrame, out: String, fn: String, c: Column, n: Int,
+              by: Seq[String], order: Seq[Column], align: String = "right",
+              partial: Boolean = false, allowGlobal: Boolean = false,
+              naRm: Boolean = false): DataFrame =
+    if (by.nonEmpty || allowGlobal)
+      df.withColumn(out, froll(fn, c, n, by, order, align, partial,
+        allowGlobal, naRm))
+    else globalKey(order) match {
+      case Some((key, asc, _)) =>
+        GlobalOrdered.froll(df, out, fn, c, n, key, align, partial, asc,
+          naRm = naRm)
+      case None => globalRouteError("frollDF")
+    }
+
+  /** DataFrame-level adaptive froll — the DSL entry point. `by = Nil`
+    * AUTO-ROUTES through [[GlobalOrdered.frollAdaptive]] (phantom reach
+    * = maxN − 1, the largest window any row can request).
+    */
+  def frollAdaptiveDF(df: DataFrame, out: String, fn: String, c: Column,
+                      an: Column, maxN: Int, by: Seq[String],
+                      order: Seq[Column], align: String = "right",
+                      naRm: Boolean = false, partial: Boolean = false,
+                      allowGlobal: Boolean = false): DataFrame =
+    if (by.nonEmpty || allowGlobal)
+      df.withColumn(out, frollAdaptive(fn, c, an, maxN, by, order,
+        allowGlobal, naRm, align, partial))
+    else globalKey(order) match {
+      case Some((key, asc, _)) =>
+        GlobalOrdered.frollAdaptive(df, out, fn, c, an, maxN, key, align,
+          asc, naRm, partial)
+      case None => globalRouteError("frollAdaptiveDF")
+    }
 
   /** .GRP (R/data.table.R dogroups): the 1-based group counter in the
     * sorted order of the `by` values. A dense_rank over the full table
@@ -117,8 +233,8 @@ object Windows {
       s"frollN: ${names.size} names for ${ns.size} window widths")
     val outNames = if (names.nonEmpty) names else ns.map(n => s"$prefix$n")
     ns.zip(outNames).foldLeft(df) { case (acc, (n, nm)) =>
-      acc.withColumn(nm,
-        froll(fn, c, n, by, order, align, partial, allowGlobal, naRm))
+      // frollDF auto-routes by=Nil through the GlobalOrdered tier
+      frollDF(acc, nm, fn, c, n, by, order, align, partial, allowGlobal, naRm)
     }
   }
 
@@ -156,8 +272,9 @@ object Windows {
       ns.foldLeft(acc) { (acc2, n) =>
         if (typ == "cyclic")
           shiftCyclic(acc2, c, n, by, order, nameFor(c, n), allowGlobal)
-        else acc2.withColumn(nameFor(c, n),
-          shift(col(c), effN(n), by, order, fill, allowGlobal))
+        // shiftDF auto-routes by=Nil through the GlobalOrdered tier
+        else shiftDF(acc2, nameFor(c, n), col(c), effN(n), by, order, fill,
+          allowGlobal)
       }
     }
   }
@@ -169,10 +286,10 @@ object Windows {
   def shiftCyclic(df: DataFrame, colName: String, n: Int, by: Seq[String],
                   order: Seq[Column], out: String,
                   allowGlobal: Boolean = false): DataFrame = {
-    requirePartitioned(by, allowGlobal, "shiftCyclic")
-    // global opt-in: row numbers via the range-partitioned two-pass tier
-    // and the total count via a 1-row broadcast — no single-partition
-    // WindowExec even when by=Nil
+    // needs no guard and no opt-in for by=Nil: row numbers go through
+    // the range-partitioned two-pass tier and the total count through a
+    // 1-row broadcast — no single-partition WindowExec (allowGlobal
+    // kept for source compatibility)
     val withRn = if (by.isEmpty)
       GlobalOrdered.rownumByRange(df, order, "_graft_rn")
         .crossJoin(broadcast(df.agg(count(lit(1)).as("_graft_cnt"))))
@@ -233,7 +350,31 @@ object Windows {
             by: Seq[String], out: String, appearance: Seq[Column] = Nil,
             allowGlobal: Boolean = false,
             randomSeed: Option[Long] = None): DataFrame = {
-    requirePartitioned(by, allowGlobal, "frank")
+    // by=Nil AUTO-ROUTES through the GlobalOrdered range-bucketed tier
+    // (the rank arrives as LONG there — prior-bucket row offsets);
+    // allowGlobal keeps the naive single-partition plan for provably-
+    // small frames. Seeded random ties stay naive-only: rand() draws
+    // are partition-seeded and the tier repartitions.
+    if (by.isEmpty && !allowGlobal) {
+      return globalKey(order) match {
+        case Some((key, asc, nullsFirst)) =>
+          val naLast = if (nullsFirst) "false" else "true"
+          ties match {
+            case "min" | "dense" | "max" | "average" | "first" | "last" =>
+              GlobalOrdered.frank(df, key, desc = !asc, ties, naLast, out,
+                appearance)
+            case "random" if randomSeed.isEmpty =>
+              // content-hash tiebreak (the documented seedless contract)
+              GlobalOrdered.frank(df, key, desc = !asc, "first", naLast, out,
+                appearance = Seq(xxhash64(df.columns.map(col): _*).asc))
+            case _ => throw new IllegalArgumentException(
+              "frank(ties=\"random\", randomSeed=Some(_)) has no global " +
+                "tier (rand() draws are partition-seeded and the tier " +
+                "repartitions); pass allowGlobal=true")
+          }
+        case None => globalRouteError("frank")
+      }
+    }
     def w(extra: Seq[Column]) = spec(by, order ++ extra, allowGlobal = true, "frank")
     ties match {
       case "first" => df.withColumn(out, row_number().over(w(appearance)))
@@ -299,6 +440,13 @@ object Windows {
   def rleid(df: DataFrame, cols: Seq[String], order: Seq[Column],
             by: Seq[String], out: String,
             allowGlobal: Boolean = false): DataFrame = {
+    // by=Nil AUTO-ROUTES through the GlobalOrdered run-carry tier
+    if (by.isEmpty && !allowGlobal) {
+      return globalKey(order) match {
+        case Some((key, asc, _)) => GlobalOrdered.rleid(df, cols, key, out, asc)
+        case None                => globalRouteError("rleid")
+      }
+    }
     val w = spec(by, order, allowGlobal, "rleid")
     // lag(lit) is null ONLY on the first row — which must open run 1
     // even when its value is NULL (an NA-NA comparison alone would
@@ -314,9 +462,15 @@ object Windows {
     df.withColumn(out, sum(changed).over(wCum))
   }
 
-  /** rowid(): 1..n within duplicate group of `cols`, ordered by `order`. */
+  /** rowid(): 1..n within duplicate group of `cols`, ordered by `order`.
+    * cols=Nil (whole-table row numbers) AUTO-ROUTES through
+    * [[GlobalOrdered.rownumByRange]] — note the global tier counts in
+    * LONG (a 100 TB table overflows int) vs the partitioned tier's int.
+    */
   def rowid(df: DataFrame, cols: Seq[String], order: Seq[Column],
             out: String, allowGlobal: Boolean = false): DataFrame = {
+    if (cols.isEmpty && !allowGlobal)
+      return GlobalOrdered.rownumByRange(df, order, out)
     requirePartitioned(cols, allowGlobal, "rowid")
     df.withColumn(out,
       row_number().over(Window.partitionBy(cols.map(col): _*).orderBy(order: _*)))
@@ -672,10 +826,10 @@ object Windows {
 
   def topK(df: DataFrame, by: Seq[String], order: Seq[Column], k: Int,
            allowGlobal: Boolean = false): DataFrame = {
-    requirePartitioned(by, allowGlobal, "topK")
-    // global top-k is sort+limit: Spark plans TakeOrderedAndProject
-    // (per-partition top-k, driver merge of k rows) — genuinely
-    // scale-safe for small k, no single-partition WindowExec
+    // global top-k needs no guard and no opt-in: sort+limit plans
+    // TakeOrderedAndProject (per-partition top-k, driver merge of k
+    // rows) — genuinely scale-safe for small k, no single-partition
+    // WindowExec (allowGlobal kept for source compatibility)
     if (by.isEmpty) df.orderBy(order: _*).limit(k)
     else df
       .withColumn("_graft_rn", row_number()

@@ -68,6 +68,23 @@ object GraftSqlBridge {
     }.flatten.distinct
   }
 
+  /** (child, ascending, nullsFirst) of a sort Column — a plain column
+    * (no SortOrder node) reads as ascending nulls-first, Spark's
+    * `orderBy(col)` default. Used by the window DSL to extract the
+    * range-bucketable key when auto-routing `by = Nil` ordered ops
+    * through the GlobalOrdered tier.
+    */
+  def unwrapSortOrder(c: Column): (Column, Boolean, Boolean) = {
+    import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder}
+    c.node match {
+      case NodeSortOrder(child, dir, nulls, _) =>
+        (new Column(child),
+          dir == NodeSortOrder.Ascending,
+          nulls == NodeSortOrder.NullsFirst)
+      case _ => (c, true, true)
+    }
+  }
+
   /** Flip a sort column's direction, unwrapping an existing SortOrder
     * node (Spark 4 Columns wrap internal ColumnNodes; nesting .desc on
     * a SortOrder breaks analysis). Lives here because the node types

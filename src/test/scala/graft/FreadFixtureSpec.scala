@@ -215,23 +215,43 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
     }
   }
 
-  test("every ordered operator rejects empty partition keys") {
+  test("ordered-op global contract: Column forms reject, DataFrame forms route") {
     import graft.operators.Windows
-    val df = Seq((1, 1.0)).toDF("o", "v")
+    val df = Seq((1, 1.0), (2, 2.0)).toDF("o", "v")
+    // COLUMN-level forms cannot transform the frame, so by=Nil stays an
+    // explicit opt-in (the error points at the DataFrame entry points)
     def deny(body: => Any): Unit = {
       val e = intercept[IllegalArgumentException](body)
       assert(e.getMessage.contains("allowGlobal"))
     }
     deny(df.withColumn("x", Windows.nafillLocf($"v", Nil, Seq($"o".asc))).collect())
     deny(df.withColumn("x", Windows.nafillNocb($"v", Nil, Seq($"o".asc))).collect())
-    deny(Windows.frank(df, Seq($"v".asc), Seq($"v"), "min", Nil, "rk"))
-    deny(Windows.rleid(df, Seq("v"), Seq($"o".asc), Nil, "rid"))
-    deny(Windows.rowid(df, Nil, Seq($"o".asc), "rid"))
     deny(df.withColumn("x", Windows.froll("sum", $"v", 2, Nil, Seq($"o".asc))).collect())
     deny(df.withColumn("x", Windows.frollWindowArray($"v", 2, Nil, Seq($"o".asc))).collect())
     deny(df.withColumn("x", Windows.frollAdaptive("sum", $"v", lit(2), 4, Nil, Seq($"o".asc))).collect())
     deny(df.withColumn("x", Windows.cum("sum", $"v", Nil, Seq($"o".asc))).collect())
-    deny(Windows.tailK(df, Nil, Seq($"o".asc), 1))
-    deny(Windows.shiftCyclic(df, "v", 1, Nil, Seq($"o".asc), "w"))
+    // DataFrame-level DSL forms AUTO-ROUTE by=Nil through GlobalOrdered
+    // (round-11 contract) — and the routed plans carry no partitionless
+    // WindowExec
+    def routed(d: org.apache.spark.sql.DataFrame): Unit = {
+      val bad = d.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"partitionless WindowExec:\n${d.queryExecution.executedPlan}")
+      assert(d.count() == 2)
+    }
+    routed(Windows.frank(df, Seq($"v".asc), Seq($"v"), "min", Nil, "rk"))
+    routed(Windows.rleid(df, Seq("v"), Seq($"o".asc), Nil, "rid"))
+    routed(Windows.rowid(df, Nil, Seq($"o".asc), "rid"))
+    routed(Windows.tailK(df, Nil, Seq($"o".asc), 2))
+    routed(Windows.shiftCyclic(df, "v", 1, Nil, Seq($"o".asc), "w"))
+    routed(Windows.cumDF(df, "x", "sum", $"v", Nil, Seq($"o".asc)))
+    routed(Windows.shiftDF(df, "x", $"v", 1, Nil, Seq($"o".asc)))
+    routed(Windows.frollDF(df, "x", "sum", $"v", 2, Nil, Seq($"o".asc)))
+    routed(Windows.nafillDF(df, "x", "locf", $"v", Nil, Seq($"o".asc)))
+    routed(Windows.frollAdaptiveDF(df, "x", "sum", $"v", lit(1), 2, Nil, Seq($"o".asc)))
+    // multi-column order has no single bucketable key: still an error
+    deny(Windows.cumDF(df, "x", "sum", $"v", Nil, Seq($"o".asc, $"v".asc)))
   }
 }

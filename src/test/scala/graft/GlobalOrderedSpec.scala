@@ -199,6 +199,129 @@ class GlobalOrderedSpec extends AnyFunSuite {
     assert(GlobalOrdered.boundsFitCount == 0)
   }
 
+  // ---- round 11: skew reroute, any-type keys, cum min/max, adaptive ---
+
+  test("99%-one-value key: warning logged, tie-agnostic ops reroute to >1 effective bucket") {
+    GlobalOrdered.clearFits()
+    val warns0 = GlobalOrdered.collapseWarnings.get()
+    val reroutes0 = GlobalOrdered.collapseReroutes.get()
+    // 1000 rows, 99% share key 5.0, unique id for the hash tie-break
+    val df = spark.createDataFrame((1 to 1000).map { i =>
+      val k = if (i % 100 == 0) i.toDouble / 100 else 5.0
+      (k, i.toDouble, i.toLong)
+    }).toDF("k", "v", "id")
+    // the fit collapses and the tie-agnostic prep reroutes through the
+    // (key, xxhash64) range repartition: effective buckets must exceed 1
+    val prepped = GlobalOrdered.preppedForTest(df, col("k"), asc = true,
+      buckets = 8, tieAgnostic = true)
+    val effective = prepped.select(GlobalOrdered.BKT).distinct().count()
+    assert(effective > 1, s"expected >1 effective bucket, got $effective")
+    assert(GlobalOrdered.collapseWarnings.get() > warns0)
+    assert(GlobalOrdered.collapseReroutes.get() > reroutes0)
+    // correctness under the reroute: block-boundary sums still exact
+    val cs = GlobalOrdered.cumsum(df, col("v"), col("k"), "cs", buckets = 8)
+    val got = cs.agg(max(col("cs"))).collect()(0).getDouble(0)
+    assert(got == (1 to 1000).map(_.toDouble).sum)
+    // and shift along the composite (key, hash) order stays a permutation
+    val sh = GlobalOrdered.shift(df, col("v"), 1, col("k"), "sh")
+    assert(sh.filter(col("sh").isNotNull).count() == 999)
+    // non-tie-agnostic prep keeps the collapsed-but-correct buckets
+    val pinned = GlobalOrdered.preppedForTest(df, col("k"), asc = true,
+      buckets = 8, tieAgnostic = false)
+    assert(pinned.select(GlobalOrdered.BKT).distinct().count() >= 2)
+  }
+
+  test("cum min/max match the naive global window incl. NA poison, both naRm modes") {
+    val df = fixture
+    for (isMin <- Seq(true, false); naRm <- Seq(false, true)) {
+      val fn = if (isMin) "min" else "max"
+      val tiered = GlobalOrdered.cumMinMax(df, col("v"), col("k"), "cm",
+        isMin = isMin, naRm = naRm, buckets = 8)
+      val naive = df.withColumn("cm",
+        Windows.cum(fn, col("v"), Nil, Seq(col("k").asc),
+          allowGlobal = true, naRm = naRm))
+      assert(collectMap(tiered, "k", "cm") == collectMap(naive, "k", "cm"),
+        s"fn=$fn naRm=$naRm")
+    }
+  }
+
+  test("string order key: sampled bounds feed the same machinery (froll/shift/cumsum)") {
+    GlobalOrdered.clearFits()
+    // zero-padded string key: lexical order == id order
+    val df = fixture.withColumn("sk",
+      concat(lit("k"), lpad(col("k").cast("string"), 5, "0")))
+    val tiered = GlobalOrdered.froll(df, "r", "sum", col("v"), 4, col("sk"),
+      buckets = 8)
+    val naive = df.withColumn("r",
+      Windows.froll("sum", col("v"), 4, Nil, Seq(col("sk").asc),
+        allowGlobal = true))
+    assert(collectMap(tiered, "k", "r") == collectMap(naive, "k", "r"))
+    val sh = GlobalOrdered.shift(df, col("v"), 2, col("sk"), "sh", buckets = 8)
+    val shNaive = df.withColumn("sh",
+      Windows.shift(col("v"), 2, Nil, Seq(col("sk").asc), allowGlobal = true))
+    assert(collectMap(sh, "k", "sh") == collectMap(shNaive, "k", "sh"))
+    val cs = GlobalOrdered.cumsum(df, col("v"), col("sk"), "cs",
+      naRm = true, buckets = 8)
+    val csNaive = df.withColumn("cs",
+      Windows.cum("sum", col("v"), Nil, Seq(col("sk").asc),
+        allowGlobal = true, naRm = true))
+    assert(collectMap(cs, "k", "cs") == collectMap(csNaive, "k", "cs"))
+  }
+
+  test("global adaptive froll matches the naive adaptive window, right and left") {
+    val df = fixture.withColumn("an", (col("k") % 4 + 1).cast("int"))
+    for (align <- Seq("right", "left"); naRm <- Seq(false, true)) {
+      val tiered = GlobalOrdered.frollAdaptive(df, "r", "sum", col("v"),
+        col("an"), 4, col("k"), align = align, naRm = naRm, buckets = 8)
+      val naive = df.withColumn("r",
+        Windows.frollAdaptive("sum", col("v"), col("an"), 4, Nil,
+          Seq(col("k").asc), allowGlobal = true, naRm = naRm, align = align))
+      assert(collectMap(tiered, "k", "r") == collectMap(naive, "k", "r"),
+        s"align=$align naRm=$naRm")
+    }
+  }
+
+  test("DSL by=Nil entry points route to the tier and match their naive plans") {
+    val df = fixture
+    def noGlobalWindow(d: DataFrame): Unit = {
+      val bad = d.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"partitionless WindowExec in:\n${d.queryExecution.executedPlan}")
+    }
+    // frankNa through the DSL == naive ranks (ties=last exercises the
+    // round-11 GlobalOrdered tie method)
+    for (ties <- Seq("min", "average", "last")) {
+      val routed = Windows.frankNa(df, col("v"), desc = false, ties, Nil,
+        "true", "rk", appearance = Seq(col("k").asc))
+      noGlobalWindow(routed)
+      val naive = Windows.frankNa(df, col("v"), desc = false, ties, Nil,
+        "true", "rk", appearance = Seq(col("k").asc), allowGlobal = true)
+      assert(collectMap(routed, "k", "rk")
+        .map { case (k, v) => k -> v.map(_.toString.toDouble) } ==
+        collectMap(naive, "k", "rk")
+          .map { case (k, v) => k -> v.map(_.toString.toDouble) }, s"ties=$ties")
+    }
+    // desc order through cumDF flips the tier's direction
+    val routedDesc = Windows.cumDF(df, "cs", "sum", col("v"), Nil,
+      Seq(col("k").desc), naRm = true)
+    noGlobalWindow(routedDesc)
+    val naiveDesc = df.withColumn("cs",
+      Windows.cum("sum", col("v"), Nil, Seq(col("k").desc),
+        allowGlobal = true, naRm = true))
+    assert(collectMap(routedDesc, "k", "cs") == collectMap(naiveDesc, "k", "cs"))
+    // nafillDF desc flips locf↔nocb under the asc-only tier
+    val df2 = df.withColumn("v2",
+      when(col("k").between(50, 150), lit(null).cast("double")).otherwise(col("v")))
+    val routedFill = Windows.nafillDF(df2, "f", "locf", col("v2"), Nil,
+      Seq(col("k").desc))
+    noGlobalWindow(routedFill)
+    val naiveFill = df2.withColumn("f",
+      Windows.nafillLocf(col("v2"), Nil, Seq(col("k").desc), allowGlobal = true))
+    assert(collectMap(routedFill, "k", "f") == collectMap(naiveFill, "k", "f"))
+  }
+
   test("grp/topK/shiftCyclic global paths carry no partitionless WindowExec") {
     val df = fixture
     def noGlobalWindow(d: DataFrame): Unit = {

@@ -21,9 +21,9 @@ class Round2Spec extends AnyFunSuite {
       df.withColumn("s", Windows.shift($"v", 1, Nil, Seq($"o".asc))).collect()
     }
     assert(e.getMessage.contains("allowGlobal"))
-    intercept[IllegalArgumentException] {
-      Windows.topK(df, Nil, Seq($"v".desc), 1)
-    }
+    // topK by=Nil plans TakeOrderedAndProject — scale-safe, no opt-in
+    // needed since round 11
+    assert(Windows.topK(df, Nil, Seq($"v".desc), 1).count() == 1)
     // explicit opt-in works
     val ok = df.withColumn("s",
       Windows.shift($"v", 1, Nil, Seq($"o".asc), allowGlobal = true)).collect()
