@@ -99,13 +99,19 @@ object QueriesJoins {
              |FROM x LEFT JOIN y ON x.dep IS NOT DISTINCT FROM y.dep""".stripMargin)),
 
     // ---- not-join DT[!i] (R/data.table.R:764) --------------------------
+    // Probe side restricted to 'F' orders so the anti set is NON-EMPTY
+    // at every SF (every customer has some order, so the unrestricted
+    // form hash-matched vacuously — round-10 verdict "zero-row oracle").
     ("q_join_anti", ((s, dir) =>
       dt(s, dir, "customer")
-        .notJoin(dt(s, dir, "orders").setNames("o_custkey" -> "c_custkey"),
+        .notJoin(dt(s, dir, "orders")(col("o_orderstatus") === "F")
+          .setNames("o_custkey" -> "c_custkey"),
           Seq("c_custkey"))
         .select(col("c_custkey"), col("c_name")).df): Q,
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderstatus = 'F')""".stripMargin)),
 
     // ---- semi join (mergelist how="semi") ------------------------------
     ("q_join_semi", ((s, dir) =>

@@ -258,13 +258,17 @@ object QueriesReshapeSet {
              |INTERSECT SELECT o_custkey FROM orders""".stripMargin)),
 
     // ---- fsetdiff (R/setops.R:76) --------------------------------------
+    // b restricted to 'F' orders so the difference is NON-EMPTY at
+    // every SF (round-10 verdict: the unrestricted form hash-matched
+    // vacuously on zero rows).
     ("q_fsetdiff", ((s, dir) => {
       val a = dt(s, dir, "customer").df.select(col("c_custkey").as("k"))
-      val b = dt(s, dir, "orders").df.select(col("o_custkey").as("k"))
+      val b = dt(s, dir, "orders").df.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
       SetOps.fsetdiff(a, b)
     }): Q,
       Some("""SELECT c_custkey AS k FROM customer
-             |EXCEPT SELECT o_custkey FROM orders""".stripMargin)),
+             |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
 
     // ---- fintersect all=TRUE (multiset) --------------------------------
     ("q_fintersect_all", ((s, dir) => {

@@ -1273,8 +1273,20 @@ object QueriesTextSim {
 
     // ---- embedding near-dup pairs (LSH buckets + exact cosine) ---------
     ("q_cosine_pairs", ((s, dir) => {
-      val e = emb(s, dir)
+      // The raw table has no pair above cosine 0.6, so the old form
+      // hash-matched vacuously on zero rows (round-10 verdict). Every
+      // 10th embedding gets a PLANTED near-duplicate twin (first
+      // coordinate +0.01, id +1e6 — the q_semdedup planting, mirrored
+      // in the oracle), so the LSH banding has a real positive
+      // population to find at every SF.
+      val e0 = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+        .select(col("vec_id"), col("embedding"))
+      val planted = e0.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.01)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val e = e0.unionByName(planted)
       // nBits sizes the bucket count (2^nBits per table): 12 bits keeps
       // per-bucket occupancy ~corpus/4096, so bucket-local pair
       // generation stays near-linear at sf0.1 and beyond (4 bits = 16
@@ -2038,7 +2050,11 @@ object QueriesTextSim {
        |FROM r WHERE rk <= 5""".stripMargin
 
   private def cosinePairsOracle: String =
-    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT id, v FROM e0
+       |      UNION ALL
+       |      SELECT id + 1000000, list_concat([v[1] + 0.01], v[2:])
+       |      FROM e0 WHERE id % 10 = 0),
        |banded AS (
        |  SELECT id, '0|' || ${lshSigSql("v", 0, 12)} AS sig FROM e
        |  UNION ALL
