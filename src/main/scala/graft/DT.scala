@@ -327,7 +327,15 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def splitBy(cols: Seq[String], maxGroups: Int = 1000,
               keepBy: Boolean = true,
               sorted: Boolean = false): Map[Seq[String], DT] = {
-    val keys = df.select(cols.map(col): _*).distinct().limit(maxGroups + 1).collect()
+    // sorted=TRUE orders the DISTINCT-KEYS FRAME itself (type-aware:
+    // numerics numerically, like the reference's ordered piece list —
+    // a driver-side string sort would put "10" before "2"); NA keys
+    // sort last, matching R's order() default
+    val keyFrame0 = df.select(cols.map(col): _*).distinct()
+    val keyFrame =
+      if (sorted) keyFrame0.orderBy(cols.map(c => col(c).asc_nulls_last): _*)
+      else keyFrame0
+    val keys = keyFrame.limit(maxGroups + 1).collect()
     require(keys.length <= maxGroups,
       s"splitBy: more than $maxGroups distinct key tuples — use writeSplit " +
         "(partitioned write) for high-cardinality splits")
@@ -341,11 +349,10 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       // from each piece, like the reference
       vals -> DT(if (keepBy) part else part.drop(cols: _*))
     }
-    // sorted=TRUE orders the pieces by key tuple (the reference sorts
-    // the list names); preserved by ListMap iteration order
+    // the type-aware collect order above is preserved by ListMap
+    // iteration order
     if (sorted)
-      scala.collection.immutable.ListMap(
-        entries.sortBy(_._1.mkString("\u0000")).toSeq: _*)
+      scala.collection.immutable.ListMap(entries.toSeq: _*)
     else entries.toMap
   }
 
@@ -508,6 +515,8 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
             suffixes: (String, String) = (".x", ".y"),
             nullSafe: Boolean = true): DT = {
     require(byX.size == byY.size, "`by.x` and `by.y` must be of same length.")
+    require(by.isEmpty || byX.isEmpty,
+      "supply either `by` or `by.x`/`by.y`, not both")
     val (kx, ky): (Seq[String], Seq[String]) =
       if (byX.nonEmpty) {
         val missX = byX.filterNot(df.columns.contains)
@@ -536,8 +545,17 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       case (true, true)   => "full"
     }
     // align y's key names to x's, then suffix the remaining clashes on
-    // BOTH sides (merge's no.dups behavior)
-    val yAligned = kx.zip(ky).foldLeft(y.df) { case (d, (xk, yk0)) =>
+    // BOTH sides (merge's no.dups behavior). A y PAYLOAD column already
+    // named like an x key would silently duplicate after the rename
+    // (ambiguous-reference analysis error); the reference suffixes it
+    // to `<col>.y`, so do that FIRST.
+    val preClash = kx.zip(ky).collect {
+      case (xk, yk0) if xk != yk0 &&
+        y.df.columns.contains(xk) && !ky.contains(xk) => xk
+    }
+    val yPre = preClash.foldLeft(y.df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._2))
+    val yAligned = kx.zip(ky).foldLeft(yPre) { case (d, (xk, yk0)) =>
       if (xk == yk0) d else d.withColumnRenamed(yk0, xk)
     }
     val clashes = yAligned.columns

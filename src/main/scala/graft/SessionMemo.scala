@@ -8,16 +8,16 @@ package graft
   *
   * Contract, shared by every call site:
   *
-  *  - '''Race-safe insert''' ([[getOrElsePut]]): a naive
-  *    `TrieMap.getOrElseUpdate` can run the by-name compute on two
-  *    threads with the loser's value left live but unregistered — for
-  *    a `.persist()`ed DataFrame that is a MEMORY_AND_DISK leak no
-  *    eviction hook could ever reclaim (driver-side parallelism is
-  *    real: the PQ subspace fits run from Futures). `putIfAbsent`
-  *    decides the winner; the loser's value is released via
-  *    [[onEvict]] (for persisted frames the compute is lazy —
-  *    `df.persist` schedules no job — so the loser's copy was never
-  *    materialized).
+  *  - '''Race-safe insert''' ([[getOrElsePut]]): the compute runs
+  *    under a PER-KEY lock, so concurrent callers of one key get the
+  *    one registered value and the compute runs once (driver-side
+  *    parallelism is real: the PQ subspace fits run from Futures).
+  *    The previous putIfAbsent + loser-evict design was self-defeating
+  *    for persisted DataFrames — Spark's CacheManager keys on the
+  *    LOGICAL PLAN, so the race loser's `onEvict(_.unpersist())`
+  *    uncached the semantically identical plan the winner had just
+  *    registered, silently dropping the cache under the very race the
+  *    memo defends against (round-10 advisory).
   *  - '''Writer eviction''' ([[evictPrefix]]/[[clear]]): every removal
   *    path funnels through `remove` + [[onEvict]], so a future change
   *    to the unpersist-race semantics is one edit here, not five.
@@ -26,26 +26,34 @@ package graft
   *    ContextCleaner-raced global `getPersistentRDDs` count.
   *
   * Values must tolerate [[onEvict]] running at most once per inserted
-  * value (the loser of an insert race is evicted without ever being
-  * registered). Keys are caller-constructed strings, conventionally
+  * value. Keys are caller-constructed strings, conventionally
   * `session-identity : analyzed-plan semanticHash : columns : params`
   * so prefix eviction can target one corpus/index.
   */
 final class SessionMemo[V](onEvict: V => Unit = (_: V) => ()) {
 
   private val map = scala.collection.concurrent.TrieMap.empty[String, V]
+  // per-key compute locks — TrieMap.getOrElseUpdate is atomic (scala
+  // 2.13), so exactly one lock object exists per key. Lock objects are
+  // tiny and never removed (keys are bounded fit/index tags).
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Memoized value for `key`, computing (and registering) it if
-    * absent. Under a concurrent insert race both threads may run
-    * `compute`; exactly one value wins registration and the loser is
-    * released through `onEvict`.
+    * absent — under a per-key lock, so concurrent callers of one key
+    * run the compute ONCE and all observe the registered value. An
+    * eviction racing the compute can still reinstate a stale value
+    * (same exposure as the previous putIfAbsent form); writers evict
+    * between pipelines, not mid-fit.
     */
   def getOrElsePut(key: String)(compute: => V): V =
     map.get(key).getOrElse {
-      val fresh = compute
-      map.putIfAbsent(key, fresh) match {
-        case Some(existing) => onEvict(fresh); existing
-        case None => fresh
+      val lock = locks.getOrElseUpdate(key, new Object)
+      lock.synchronized {
+        map.get(key).getOrElse {
+          val fresh = compute
+          map.put(key, fresh)
+          fresh
+        }
       }
     }
 

@@ -180,13 +180,40 @@ object Contamination {
     val bytes = bloomCache.getOrElsePut(key) {
       val est = math.max(
         if (estimatedGrams > 0) estimatedGrams else benchGrams.count(), 1L)
-      val bits = org.apache.spark.util.sketch.BloomFilter
-        .optimalNumOfBits(est, fpp)
+      // BloomFilterAggregate.checkInputDataTypes REJECTS est/bits above
+      // the session's runtime-bloom maxima (defaults 4,194,304 items /
+      // 67,108,864 bits) with DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE — at
+      // exactly the giant-bench scale this tier exists for. Clamp both
+      // to the configured maxima (bits sized for the TRUE est first, so
+      // sub-cap bench sets keep the requested fpp) and log the degraded
+      // effective fpp; correctness is unaffected — the gate is a
+      // prefilter and the exact verify join kills false positives.
+      val conf = benchGrams.sparkSession.conf
+      val maxItems = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4194304").toLong
+      val maxBits = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      val estClamped = math.min(est, maxItems)
+      val bits = math.min(
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, fpp),
+        maxBits)
+      if (estClamped < est || bits < org.apache.spark.util.sketch.BloomFilter
+            .optimalNumOfBits(est, fpp)) {
+        // p ≈ 0.6185^(m/n) at the optimal hash count
+        val effFpp = math.pow(0.6185, bits.toDouble / est)
+        System.err.println(
+          f"[graft] ngramOverlapBloomDistributed: $est gram estimate " +
+            f"exceeds the session bloom caps (maxNumItems=$maxItems, " +
+            f"maxNumBits=$maxBits); clamped — effective fpp ≈ $effFpp%.4f " +
+            "(gate only; exact verify join unaffected). Raise " +
+            "spark.sql.optimizer.runtime.bloomFilter.maxNumBits for a " +
+            "tighter gate.")
+      }
       val agg = GraftSqlBridge.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(
             GraftSqlBridge.expression(xxhash64(col("gram"))),
-            GraftSqlBridge.expression(lit(est)),
+            GraftSqlBridge.expression(lit(estClamped)),
             GraftSqlBridge.expression(lit(bits)))
           .toAggregateExpression())
       benchGrams.agg(agg.as("bf")).head().getAs[Array[Byte]](0)

@@ -353,6 +353,16 @@ object GlobalOrdered {
     * tracked form of `Windows.cum("prod")`, with per-bucket partials
     * (zero count, negative count, log-magnitude sum) combined across
     * prior buckets.
+    *
+    * FP contract (like cumsum's reassociation note): the magnitude is
+    * exp(Σ log|x|), NOT a sequential multiply — for general magnitudes
+    * the two accumulate rounding differently (and saturate to
+    * Inf/underflow to 0 at different prefixes), so bit-parity with
+    * `cum("prod_exact")` holds only for exactly-representable factor
+    * sets (±1/0, powers of two). This is the same trade
+    * `Windows.cum("prod")` documents — log-space is what makes the
+    * running product O(n) and prefix-combinable; use `prod_exact` (and
+    * its sequential cost) where bitwise parity matters.
     */
   def cumprod(df: DataFrame, x0: Column, key: Column, out: String,
               asc: Boolean = true, naRm: Boolean = false,
