@@ -31,19 +31,37 @@ object Reshape {
 
   /** melt with multiple measure groups (measure.vars=list(...)): each
     * group becomes its own value column, zipped positionally by variable
-    * ordinal (R/fmelt.R measure-list semantics).
+    * ordinal (R/fmelt.R measure-list semantics). RAGGED groups pad the
+    * short group's missing ordinals with NA (tests.Rraw 1035.014), and
+    * `naRm` drops a molten row when ANY value column is NA — the
+    * reference's na.rm over list measures (tests.Rraw 1035.0184).
+    * Each group's columns are cast to their promoted common type
+    * (melt's promotion rules) so the ordinal structs align.
     */
   def meltMulti(df: DataFrame, idVars: Seq[String],
-                measureGroups: Map[String, Seq[String]]): DataFrame = {
-    val n = measureGroups.values.head.size
-    require(measureGroups.values.forall(_.size == n), "ragged measure groups")
+                measureGroups: Map[String, Seq[String]],
+                naRm: Boolean = false): DataFrame = {
+    val n = measureGroups.values.map(_.size).max
+    val groupType: Map[String, org.apache.spark.sql.types.DataType] =
+      measureGroups.map { case (out, cols) =>
+        val types = cols.map(m => df.schema(m).dataType).distinct
+        out -> (if (types.size == 1) types.head
+                else if (types.forall(_.isInstanceOf[org.apache.spark.sql.types.NumericType])) DoubleType
+                else StringType)
+      }
     val structs = (0 until n).map { i =>
       struct((lit(i + 1).as("variable") +:
-        measureGroups.map { case (out, cols) => col(cols(i)).as(out) }.toSeq): _*)
+        measureGroups.map { case (out, cols) =>
+          (if (i < cols.size) col(cols(i)).cast(groupType(out))
+           else lit(null).cast(groupType(out))).as(out)
+        }.toSeq): _*)
     }
-    df.select((idVars.map(col) :+ explode(array(structs: _*)).as("_m")): _*)
+    val long = df.select((idVars.map(col) :+ explode(array(structs: _*)).as("_m")): _*)
       .select((idVars.map(col) :+ col("_m.variable").as("variable")) ++
         measureGroups.keys.toSeq.map(k => col(s"_m.$k").as(k)): _*)
+    if (naRm)
+      long.filter(measureGroups.keys.map(k => col(k).isNotNull).reduce(_ && _))
+    else long
   }
 
   /** melt(measure.vars = patterns(...)) (R/fmelt.R:15): select measure
@@ -129,7 +147,8 @@ object Reshape {
     */
   def meltMeasureN(df: DataFrame, idVars: Seq[String], pattern: String,
                    groupNames: Seq[String], valueName: String = "value",
-                   convert: Map[String, String => Any] = Map.empty): DataFrame = {
+                   convert: Map[String, String => Any] = Map.empty,
+                   naRm: Boolean = false): DataFrame = {
     val re = pattern.r
     require(re.pattern.matcher("").groupCount() == groupNames.size,
       s"measure(): pattern '$pattern' has ${re.pattern.matcher("").groupCount()} " +
@@ -141,7 +160,7 @@ object Reshape {
     }
     require(matched.nonEmpty, s"measure(pattern='$pattern') matched no columns")
     meltMeasureParsed(df, idVars, matched, groupNames, valueName, convert,
-      s"pattern='$pattern'")
+      s"pattern='$pattern'", naRm)
   }
 
   /** melt(measure.vars = measure(sep=, fun=)) N-group form
@@ -154,7 +173,8 @@ object Reshape {
     */
   def meltMeasureSepN(df: DataFrame, idVars: Seq[String], sep: String,
                       groupNames: Seq[String], valueName: String = "value",
-                      convert: Map[String, String => Any] = Map.empty): DataFrame = {
+                      convert: Map[String, String => Any] = Map.empty,
+                      naRm: Boolean = false): DataFrame = {
     require(groupNames.distinct.size == groupNames.size,
       s"measure(): duplicate group names in ${groupNames.mkString(",")}")
     val matched = df.columns.filterNot(idVars.contains).toSeq.flatMap { c =>
@@ -164,7 +184,7 @@ object Reshape {
     require(matched.nonEmpty,
       s"measure(sep='$sep') matched no columns with ${groupNames.size} parts")
     meltMeasureParsed(df, idVars, matched, groupNames, valueName, convert,
-      s"sep='$sep'")
+      s"sep='$sep'", naRm)
   }
 
   /** Shared measure() tail: apply per-group conversion functions
@@ -177,7 +197,8 @@ object Reshape {
                                 matched0: Seq[(Seq[String], String)],
                                 groupNames: Seq[String], valueName: String,
                                 convert: Map[String, String => Any],
-                                what: String): DataFrame = {
+                                what: String,
+                                naRm: Boolean = false): DataFrame = {
     convert.keys.foreach(k => require(groupNames.contains(k),
       s"measure($what): conversion for unknown group '$k'"))
     // apply measure(fun=) conversions per group, with the reference's
@@ -233,9 +254,16 @@ object Reshape {
       struct((dimNames.zip(combo).map { case (n, v) => lit(v).as(n) } ++
         valueNames.map(v => byName.get(v).map(source).getOrElse(lit(null)).as(v))): _*)
     }
-    df.select((idVars.map(col) :+ explode(array(structs: _*)).as("_m")): _*)
+    val long = df
+      .select((idVars.map(col) :+ explode(array(structs: _*)).as("_m")): _*)
       .select((idVars.map(col) ++ dimNames.map(n => col(s"_m.$n").as(n)) ++
         valueNames.map(v => col(s"_m.$v").as(v))): _*)
+    // na.rm over multiple value columns drops a molten row when ANY
+    // value is NA — the reference's list-measure na.rm (tests.Rraw
+    // 1035.0186: a dim level missing one group's column vanishes)
+    if (naRm)
+      long.filter(valueNames.map(v => col(v).isNotNull).reduce(_ && _))
+    else long
   }
 
   /** dcast() (R/fcast.R:11): long → wide pivot. When `values` is given
@@ -378,12 +406,18 @@ object Reshape {
   }
 
   /** dcast(subset=) (R/fcast.R:171-175): filter the long input before
-    * casting — the predicate pushes straight down to the scan.
+    * casting — the predicate pushes straight down to the scan, the
+    * pivot value domain comes from the SUBSET (reference: dat is
+    * subsetted before fcast), and `fill` carries the reference's
+    * default-fill convention under fun.aggregate (fun on a 0-length
+    * vector — e.g. sum→0, length→0; tests.Rraw 1102.05's zeros).
     */
   def dcastSubset(df: DataFrame, subset: Column, lhs: Seq[String], rhs: String,
                   valueVar: String, aggFn: Column => Column,
-                  values: Seq[String] = Nil): DataFrame =
-    dcast(df.filter(subset), lhs, rhs, valueVar, aggFn, values)
+                  values: Seq[String] = Nil,
+                  fill: Option[Column] = None,
+                  naLevel: Boolean = false): DataFrame =
+    dcast(df.filter(subset), lhs, rhs, valueVar, aggFn, values, fill, naLevel)
 
   /** dcast(margins=TRUE), reshape2-style totals (the reference declares
     * `margins` in its signature, R/fcast.R:126, but leaves it

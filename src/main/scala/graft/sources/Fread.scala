@@ -86,7 +86,14 @@ object Fread {
         fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
           .head.getPath
       else p
-    val in = fs.open(target)
+    // compressed files (.gz/.bz2/...) must be decoded before the sep /
+    // header sniff — raw codec bytes would sniff garbage (the
+    // distributed parse already decompresses via the same codec)
+    val rawIn = fs.open(target)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      .getCodec(target)
+    val in: java.io.InputStream =
+      if (codec != null) codec.createInputStream(rawIn) else rawIn
     val segs = scala.collection.mutable.ArrayBuffer.empty[String]
     val pending = new java.io.ByteArrayOutputStream()  // partial-line bytes
     val buf = new Array[Byte](65536)
@@ -326,9 +333,19 @@ object Fread {
     // mojibake for exotic charsets whose trail bytes collide with ASCII
     // sep candidates ('|' sits inside the GBK/Big5 trail-byte range) —
     // decode with the real charset there
-    lazy val line1 =                                     // fetched at most once
-      if (exoticCharset) decodedLines().head(1).headOption.getOrElse("")
-      else firstLine(spark, path, opts.skip)
+    lazy val line1 = {                                   // fetched at most once
+      val raw =
+        if (exoticCharset) decodedLines().head(1).headOption.getOrElse("")
+        else firstLine(spark, path, opts.skip)
+      // \r-only or \r\r\n EOL files (tests.Rraw 1869 / russellCRCRLF)
+      // leave CRs in the sniffed text — the head reader splits on \n
+      // only. The first PHYSICAL line ends at the first CR; the
+      // distributed parse handles all three EOL conventions natively
+      // (Hadoop LineReader terminates on \n, \r and \r\n, and the CSV
+      // parser drops the blank lines a \r\r\n EOL leaves behind).
+      val i = raw.indexOf('\r')
+      if (i >= 0) raw.substring(0, i) else raw
+    }
     val sep = if (opts.sep == "auto") sniffSepFrom(line1) else opts.sep
     require(opts.dec == "." || opts.dec != sep,
       s"dec='${opts.dec}' cannot equal sep='$sep'")

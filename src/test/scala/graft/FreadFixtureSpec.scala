@@ -56,6 +56,80 @@ class FreadFixtureSpec extends AnyFunSuite {
     assert(!r.isNullAt(0) && !r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 
+  test("fill + blank lines, whole-corpus model (536_fread_fill_{2,4}.txt)") {
+    // reference tests 1585.3/.7 (blank.lines.skip behavior: Spark's CSV
+    // reader always skips physically blank lines, i.e. the reference's
+    // blank.lines.skip=TRUE; its default FALSE — NA rows for mid-file
+    // blanks — is a documented divergence). Model = driver-side split
+    // of the non-blank data lines.
+    for (f <- Seq("536_fread_fill_2.txt", "536_fread_fill_4.txt")) {
+      val df = Fread.fread(spark, s"$fx/$f", FreadOptions(fill = true))
+      assert(df.columns.toSeq == Seq("a", "b", "c"), f)
+      val model = scala.io.Source.fromFile(s"$fx/$f").getLines().toSeq
+        .filter(_.nonEmpty).drop(1)
+        .map { l =>
+          val p = l.split(",", -1).toSeq
+          (0 to 2).map(i => p.lift(i).filter(_.nonEmpty))
+        }
+      val got = df.collect().toSeq
+        .map(r => (0 to 2).map(i => Option(r.get(i)).map(_.toString)))
+      assert(got.sortBy(_.toString) == model.sortBy(_.toString), f)
+    }
+  }
+
+  test("fill + quoted multi-line fields (536_fread_fill_3_extreme.txt)") {
+    // reference test 1585.5: quoted fields spanning blank-riddled lines
+    val df = Fread.fread(spark, s"$fx/536_fread_fill_3_extreme.txt",
+      FreadOptions(fill = true, multiLine = true))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val rows = df.orderBy("a").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val b1 = rows(0).getString(1)
+    assert(b1.startsWith("first") && b1.contains("second") && b1.endsWith("third"))
+    assert(rows(0).getInt(2) == 2)
+    assert(rows(1).getString(1) == "foo" && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("\\r\\r\\n line endings parse as single EOLs (russellCRCRLF.csv)") {
+    val df = Fread.fread(spark, s"$fx/russellCRCRLF.csv",
+      FreadOptions(encoding = "ISO-8859-1"))
+    assert(df.columns.length == 4 && df.columns.head == "Index Name")
+    assert(df.count() == 19)
+    // reference test 1378.3: data row 19's `Value With Dividends` is 357.97
+    val last = df.filter(col("Date") === "07/27/2000")
+      .select(col("Value With Dividends").cast("double")).as[Double].collect()
+    assert(last.toSeq == Seq(357.97))
+  }
+
+  test("\\r-only line endings keep comma-bearing NA rows (tests.Rraw 1869.4)") {
+    val p = java.nio.file.Files.createTempFile("graft_cr", ".csv")
+    java.nio.file.Files.write(p, "A,B\r2,3\r,\r,\r4,5\r\r".getBytes("UTF-8"))
+    try {
+      val df = Fread.fread(spark, p.toString)
+      assert(df.columns.toSeq == Seq("A", "B"))
+      val got = df.collect().toSeq.map(r => (Option(r.get(0)), Option(r.get(1))))
+      // (2,3), (NA,NA), (NA,NA), (4,5) — the ",\r" lines carry two
+      // empty fields so they are NOT blank lines; the trailing "\r\r"
+      // blank IS dropped (both engines)
+      assert(got.length == 4)
+      assert(got.count(t => t._1.isEmpty && t._2.isEmpty) == 2)
+      assert(got.map(_._1.map(_.toString)).flatten.sorted == Seq("2", "4"))
+    } finally java.nio.file.Files.delete(p)
+  }
+
+  test("header-only wide bz2 file sniffs through the codec (colnames4096.csv.bz2)") {
+    // reference test 1869.6: 586 columns, truncated mid-header, 0 rows.
+    // (The reference types the empty columns logical; Spark infers
+    // string — both are all-NA placeholders. Documented divergence.)
+    val df = Fread.fread(spark, s"$fx/colnames4096.csv.bz2")
+    assert(df.columns.length == 586)
+    assert(df.columns.take(2).toSeq == Seq("Foo000", "Bar001"))
+    assert(df.columns(584) == "Foo584" && df.columns(585) == "B")
+    assert(df.count() == 0)
+  }
+
   test("ragged + blank lines (536_fread_fill_1.txt)") {
     val df = Fread.fread(spark, s"$fx/536_fread_fill_1.txt", FreadOptions(fill = true))
     assert(df.columns.toSeq == Seq("a", "b", "c"))

@@ -70,6 +70,74 @@ class Round11Spec extends AnyFunSuite {
     assert(pieces.keys.toSeq == Seq(Seq("1"), Seq("2"), Seq("10"), Seq("NA")))
   }
 
+  // ---- tests.Rraw tranche: melt na.rm × list measure --------------------
+
+  test("melt list-measure: ragged groups pad with NA, na.rm drops any-NA rows (1035.014)") {
+    import graft.operators.Reshape
+    val dt1 = Seq((1.0, 1.0, 2.0)).toDF("a1", "b1", "b2")
+    val groups = scala.collection.immutable.ListMap(
+      "a" -> Seq("a1"), "b" -> Seq("b1", "b2"))
+    // na.rm=FALSE: variable 2 pads a with NA (ragged recycle)
+    val all = Reshape.meltMulti(dt1, Nil, groups)
+      .orderBy("variable").collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2))))
+    assert(all.toSeq == Seq((1, Some(1.0), Some(1.0)), (2, None, Some(2.0))))
+    // na.rm=TRUE: only variable 1 survives (reference 1035.014)
+    val kept = Reshape.meltMulti(dt1, Nil, groups, naRm = true)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(kept.toSeq == Seq((1, 1.0, 1.0)))
+  }
+
+  test("melt list-measure na.rm over two 2-col groups (1035.0184)") {
+    import graft.operators.Reshape
+    val dt = Seq(
+      (Some(1.0), Option.empty[Double], 3, Option.empty[Int]),
+      (Option.empty[Double], Some(2.0), 4, Some(5))).toDF("l1", "l2", "n34", "NA5")
+    val groups = scala.collection.immutable.ListMap(
+      "l" -> Seq("l1", "l2"), "n" -> Seq("n34", "NA5"))
+    val kept = Reshape.meltMulti(dt, Nil, groups, naRm = true)
+      .orderBy("variable").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
+    // var1 keeps (1,3) — (NA,4) dropped; var2 keeps (2,5) — (NA,NA) dropped
+    assert(kept.toSeq == Seq((1, 1.0, 3), (2, 2.0, 5)))
+  }
+
+  test("measure(sep=) na.rm: a dim level missing one group's column vanishes (1035.0186)") {
+    import graft.operators.Reshape
+    val wide = Seq((1.0, 2.0, 10.0, 30.0)).toDF("num_1", "num_2", "lst_1", "lst_3")
+    val melted = Reshape.meltMeasureSepN(wide, Nil, "_",
+      Seq("value.name", "char"), naRm = true)
+    val rows = melted.collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // chars 1,2,3: char 2 lacks lst, char 3 lacks num → only char 1 left
+    assert(melted.columns.toSeq == Seq("char", "lst", "num") ||
+      melted.columns.toSeq == Seq("char", "num", "lst"))
+    assert(rows.length == 1 && rows(0)._1 == "1")
+    // na.rm=FALSE keeps all three dim levels with NA pads
+    assert(Reshape.meltMeasureSepN(wide, Nil, "_",
+      Seq("value.name", "char")).count() == 3)
+  }
+
+  // ---- tests.Rraw tranche: dcast subset= × fun.aggregate (1102.05) ------
+
+  test("dcast subset= + fun.aggregate: pivot domain from the subset, fun(empty) fill") {
+    import graft.operators.Reshape
+    val dt = Seq(
+      (21, "c1", "w", 1, 96.0), (21, "c2", "w", 2, 98.0),
+      (10, "c1", "w", 3, 50.0), (21, "c3", "w", 4, 281.0))
+      .toDF("time", "chick", "variable", "diet", "weight")
+      .withColumn("vd", concat_ws("_", col("variable"), col("diet").cast("string")))
+    val wide = Reshape.dcastSubset(dt, col("time") > 20, Seq("time", "chick"),
+      "vd", "weight", c => sum(c), fill = Some(lit(0.0)))
+    // diet 3 exists ONLY at time=10: no w_3 column (domain from subset)
+    assert(wide.columns.toSeq == Seq("time", "chick", "w_1", "w_2", "w_4"))
+    val rows = wide.orderBy("chick").collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    // absent combinations fill with sum(numeric(0)) = 0, reference 1102.05
+    assert(rows.toSeq == Seq(
+      ("c1", 96.0, 0.0, 0.0), ("c2", 0.0, 98.0, 0.0), ("c3", 0.0, 0.0, 281.0)))
+  }
+
   // ---- advisory low: SessionMemo per-key lock ---------------------------
 
   test("SessionMemo computes once per key under concurrent callers and keeps the cache") {
