@@ -806,6 +806,42 @@ object QueriesWindows {
              |SELECT a.o_orderkey,
              |  CASE WHEN a.rn >= a.an
              |       THEN CAST(a.cs - coalesce(b.cs, 0) AS DOUBLE) END AS s_ad
-             |FROM base a LEFT JOIN base b ON b.rn = a.rn - a.an""".stripMargin))
+             |FROM base a LEFT JOIN base b ON b.rn = a.rn - a.an""".stripMargin)),
+
+    // ---- global running max/min via the DSL (round 11) -----------------
+    // cumDF("max", naRm=true) = skip-null SQL semantics; cumDF("min")
+    // default = NA-poison from the first null onward — both through the
+    // GlobalOrdered.cumMinMax prefix tier (no FP reassociation: min/max
+    // are order-free).
+    ("q_cumminmax_global", ((s, dir) => {
+      val base = dt(s, dir, "orders").df
+        .withColumn("v", when(col("o_orderkey") % 97 === 0,
+          lit(null).cast("double")).otherwise(col("o_totalprice")))
+      Windows.cumDF(
+        Windows.cumDF(base, "cmax_narm", "max", col("v"), Nil,
+          Seq(col("o_orderkey").asc), naRm = true),
+        "cmin_poison", "min", col("v"), Nil, Seq(col("o_orderkey").asc))
+        .select(col("o_orderkey"), col("cmax_narm"), col("cmin_poison"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  max(v) OVER w AS cmax_narm,
+             |  CASE WHEN count(*) OVER w = count(v) OVER w
+             |       THEN min(v) OVER w END AS cmin_poison
+             |FROM (SELECT o_orderkey,
+             |        CASE WHEN o_orderkey % 97 = 0 THEN NULL
+             |             ELSE o_totalprice END AS v FROM orders)
+             |WINDOW w AS (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)""".stripMargin)),
+
+    // ---- global row numbers via the DSL (round 11) ----------------------
+    // rowid(cols=Nil) auto-routes through rownumByRange: ONE range
+    // exchange, no window at all (plan-locked in GlobalOrderedSpec);
+    // counts in LONG like the tier.
+    ("q_rowid_global", ((s, dir) =>
+      Windows.rowid(dt(s, dir, "orders").df, Nil,
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc), "rn")
+        .select(col("o_orderkey"), col("rn"))): Q,
+      Some("""SELECT o_orderkey,
+             |  row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+             |FROM orders""".stripMargin))
   )
 }
