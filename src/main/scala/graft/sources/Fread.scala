@@ -26,6 +26,10 @@ object Fread {
       drop: Seq[String] = Nil,
       nrows: Option[Long] = None,
       skip: Int = 0,                    // leading lines to skip
+      // fread(skip="string") (R/fread.R skip= character form): start at
+      // the FIRST physical line containing this substring (that line
+      // becomes the header/first data line); additive with `skip`
+      skipTo: Option[String] = None,
       fill: Boolean = false,            // ragged rows → nulls
       quote: String = "\"",
       escape: String = "\"",           // RFC4180 doubled-quote escaping
@@ -286,20 +290,32 @@ object Fread {
                       h.naStrings.map("" +: _).getOrElse(opts0.naStrings)
                     else opts0.naStrings)
     } else opts0
+    // skip="string": resolve the substring to a physical line index on
+    // the driver (bounded head read), then fall through to the integer
+    // skip machinery
+    val optsS = optsY.skipTo match {
+      case Some(needle) =>
+        val head = headLinesRaw(spark, path, 100000)
+        val idx = head.indexWhere(_.contains(needle))
+        require(idx >= 0,
+          s"fread: skip=\"$needle\" not found in the first ${head.length} lines of $path")
+        optsY.copy(skip = optsY.skip + idx, skipTo = None)
+      case None => optsY
+    }
     // dec="," + a yaml number field: the pinned DoubleType can't parse
     // decimal-comma strings — read those fields as string and let the
     // re-bump pass normalize + re-type them from the full data
-    val yamlDecDowngrade = opts0.yaml && optsY.dec != "." &&
-      optsY.colClasses.isDefined && opts0.colClasses.isEmpty
+    val yamlDecDowngrade = opts0.yaml && optsS.dec != "." &&
+      optsS.colClasses.isDefined && opts0.colClasses.isEmpty
     val downgradedCols: Seq[String] = if (yamlDecDowngrade) {
       import org.apache.spark.sql.types.DoubleType
-      optsY.colClasses.get.fields.filter(_.dataType == DoubleType).map(_.name).toSeq
+      optsS.colClasses.get.fields.filter(_.dataType == DoubleType).map(_.name).toSeq
     } else Nil
     val opts = if (yamlDecDowngrade) {
       import org.apache.spark.sql.types.{DoubleType, StructField}
-      optsY.copy(colClasses = Some(StructType(optsY.colClasses.get.fields.map(f =>
+      optsS.copy(colClasses = Some(StructType(optsS.colClasses.get.fields.map(f =>
         if (f.dataType == DoubleType) StructField(f.name, StringType, nullable = true) else f))))
-    } else optsY
+    } else optsS
     // Spark 4's CSV source validates `encoding` against a fixed charset
     // list (us-ascii/iso-8859-1/utf-8/utf-16*/utf-32). Anything else the
     // JVM knows (GB18030, Big5, Shift_JIS, ...) goes through the

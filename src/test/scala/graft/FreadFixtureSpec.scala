@@ -119,6 +119,22 @@ class FreadFixtureSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(p)
   }
 
+  test("skip=\"string\" starts at the first line containing the substring") {
+    val p = java.nio.file.Files.createTempFile("graft_skipto", ".csv")
+    java.nio.file.Files.write(p,
+      "banner line\nmore banner, with commas\n\na,b,c\n1,2,x\n3,4,y\n".getBytes("UTF-8"))
+    try {
+      val df = Fread.fread(spark, p.toString, FreadOptions(skipTo = Some("a,b,c")))
+      assert(df.columns.toSeq == Seq("a", "b", "c"))
+      assert(df.count() == 2)
+      assert(df.agg(sum(col("a"))).collect()(0).getLong(0) == 4L)
+      val e = intercept[IllegalArgumentException] {
+        Fread.fread(spark, p.toString, FreadOptions(skipTo = Some("nope")))
+      }
+      assert(e.getMessage.contains("not found"))
+    } finally java.nio.file.Files.delete(p)
+  }
+
   test("header-only wide bz2 file sniffs through the codec (colnames4096.csv.bz2)") {
     // reference test 1869.6: 586 columns, truncated mid-header, 0 rows.
     // (The reference types the empty columns logical; Spark infers
