@@ -180,19 +180,21 @@ object Contamination {
     val bytes = bloomCache.getOrElsePut(key) {
       val est = math.max(
         if (estimatedGrams > 0) estimatedGrams else benchGrams.count(), 1L)
-      // BloomFilterAggregate.checkInputDataTypes REJECTS est/bits above
-      // the session's runtime-bloom maxima (defaults 4,194,304 items /
-      // 67,108,864 bits) with DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE — at
-      // exactly the giant-bench scale this tier exists for. Clamp both
-      // to the configured maxima (bits sized for the TRUE est first, so
-      // sub-cap bench sets keep the requested fpp) and log the degraded
-      // effective fpp; correctness is unaffected — the gate is a
-      // prefilter and the exact verify join kills false positives.
-      val conf = benchGrams.sparkSession.conf
-      val maxItems = conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4194304").toLong
-      val maxBits = conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      // BloomFilterAggregate caps est/bits at the session's runtime-bloom
+      // maxima (Spark 4.1.2 defaults: 4,000,000 items / 67,108,864 bits
+      // — read from the REGISTERED conf entries, not re-guessed, so the
+      // clamp target always matches what the aggregate will enforce).
+      // Above-cap sizes are clamped, never rejected, so without this
+      // explicit clamp a giant bench set would silently get a far looser
+      // filter than the requested fpp. Clamp both (bits sized for the
+      // TRUE est first, so sub-cap bench sets keep the requested fpp)
+      // and log the degraded effective fpp; correctness is unaffected —
+      // the gate is a prefilter and the exact verify join kills false
+      // positives.
+      import org.apache.spark.sql.internal.SQLConf
+      val sqlConf = SQLConf.get
+      val maxItems = sqlConf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+      val maxBits = sqlConf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
       val estClamped = math.min(est, maxItems)
       val bits = math.min(
         org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, fpp),

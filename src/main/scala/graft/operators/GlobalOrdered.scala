@@ -95,13 +95,11 @@ object GlobalOrdered {
     * UTF8String's binary order.
     */
   private def sortSampled(vals: Array[Any]): Array[Any] = {
+    import org.apache.spark.unsafe.types.UTF8String
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: String, y: String) =>
-        val xb = x.getBytes("UTF-8"); val yb = y.getBytes("UTF-8")
-        val n = math.min(xb.length, yb.length)
-        var i = 0
-        while (i < n && xb(i) == yb(i)) i += 1
-        if (i < n) (xb(i) & 0xff) < (yb(i) & 0xff) else xb.length < yb.length
+        // UTF8String.compareTo IS the plan-side binary order
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0
       case (x: Comparable[_], y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
       case _ => a.toString < b.toString
     }
@@ -275,8 +273,9 @@ object GlobalOrdered {
     */
   def cumsum(df: DataFrame, x: Column, key: Column, out: String,
              asc: Boolean = true, naRm: Boolean = false,
-             buckets: Int = 32): DataFrame =
-    cumsumBucketed(prep(df, key, asc, buckets, tieAgnostic = true),
+             buckets: Int = 32,
+             nullsFirst: Option[Boolean] = None): DataFrame =
+    cumsumBucketed(prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true),
       x, out, naRm)
 
   /** [[cumsum]] with a CALLER-SUPPLIED bucket expression — any pure,
@@ -321,8 +320,9 @@ object GlobalOrdered {
     */
   def cumMinMax(df: DataFrame, x: Column, key: Column, out: String,
                 isMin: Boolean, asc: Boolean = true, naRm: Boolean = false,
-                buckets: Int = 32): DataFrame = {
-    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+                buckets: Int = 32,
+                nullsFirst: Option[Boolean] = None): DataFrame = {
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val b = p.b
     val wc = Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -366,9 +366,10 @@ object GlobalOrdered {
     */
   def cumprod(df: DataFrame, x0: Column, key: Column, out: String,
               asc: Boolean = true, naRm: Boolean = false,
-              buckets: Int = 32): DataFrame = {
+              buckets: Int = 32,
+              nullsFirst: Option[Boolean] = None): DataFrame = {
     val x = x0.cast("double")
-    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val b = p.b
     val wc = Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -470,15 +471,27 @@ object GlobalOrdered {
     * partials frame.
     */
   def rleid(df: DataFrame, cols: Seq[String], key: Column, out: String,
-            asc: Boolean = true, buckets: Int = 32): DataFrame = {
+            asc: Boolean = true, buckets: Int = 32,
+            nullsFirst: Option[Boolean] = None): DataFrame = {
     require(cols.nonEmpty, "rleid needs value columns")
     // runs must stay contiguous within buckets, so rleid never
     // tie-breaks the bucketing (near-constant key → collapsed fit +
     // warning; within-tie order is nondeterministic there anyway)
-    val p = prep(df, key, asc, buckets)
+    val p = prep(df, key, asc, buckets, nullsFirst)
     val within = Windows.rleid(p.b, cols, p.ords, Seq(BKT), "_graft_rid")
+    // first/last IN THE ORDER DIRECTION: descending order starts at the
+    // max key, so the extractors swap. min_by/max_by on the bare key
+    // would SKIP null-key rows (null ordering key), so the extraction
+    // key is a never-null struct whose leading rank places the null-key
+    // tie block on the side the sort puts it (within the block the key
+    // fields tie — arbitrary pick, same contract as any tie).
+    val nf = nullsFirst.getOrElse(asc)
+    val kOrd = struct(
+      when(key.isNull, lit(if (nf == asc) -1 else 1)).otherwise(lit(0)).as("nr"),
+      key.as("k"))
     val firstLast = cols.flatMap(c => Seq(
-      min_by(col(c), key).as(s"_f_$c"), max_by(col(c), key).as(s"_l_$c")))
+      (if (asc) min_by(col(c), kOrd) else max_by(col(c), kOrd)).as(s"_f_$c"),
+      (if (asc) max_by(col(c), kOrd) else min_by(col(c), kOrd)).as(s"_l_$c")))
     val partials = within.groupBy(col(BKT).as("_b"))
       .agg(max(col("_graft_rid")).as("_runs"), firstLast: _*)
     // previous NONEMPTY bucket id per bucket (partials only has nonempty)
@@ -520,15 +533,22 @@ object GlobalOrdered {
     * carry needs no window at all.
     */
   def nafillLocf(df: DataFrame, xIn: Column, key: Column, out: String,
-                 buckets: Int = 32, nanIsNa: Boolean = true): DataFrame = {
+                 buckets: Int = 32, nanIsNa: Boolean = true,
+                 nullsFirst: Option[Boolean] = None): DataFrame = {
     val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
-    val p = prep(df, key, asc = true, buckets)
+    val p = prep(df, key, asc = true, buckets, nullsFirst)
     val b = p.b
     val within = last(x, ignoreNulls = true)
       .over(Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
         .rowsBetween(Window.unboundedPreceding, 0))
+    // the carry struct's leading rank pins null-KEY rows to the side the
+    // sort places them (a bare struct(key, x) max would sort a null key
+    // smallest even when the order puts the null block last)
+    val nr = when(key.isNull,
+      lit(if (nullsFirst.getOrElse(true)) -1 else 1)).otherwise(lit(0))
     val partials = b.groupBy(col(BKT).as("_b"))
-      .agg(max(when(x.isNotNull, struct(key.as("k"), x.as("v")))).as("_lastnn"))
+      .agg(max(when(x.isNotNull,
+        struct(nr.as("nr"), key.as("k"), x.as("v")))).as("_lastnn"))
     val priors = priorsOf(partials, max(col("p._lastnn")).as("_carry"))
     joinPriors(b, priors)
       .withColumn(out, coalesce(within, col("_carry").getField("v")))
@@ -539,15 +559,19 @@ object GlobalOrdered {
     * (min struct over FOLLOWING buckets).
     */
   def nafillNocb(df: DataFrame, xIn: Column, key: Column, out: String,
-                 buckets: Int = 32, nanIsNa: Boolean = true): DataFrame = {
+                 buckets: Int = 32, nanIsNa: Boolean = true,
+                 nullsFirst: Option[Boolean] = None): DataFrame = {
     val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
-    val p = prep(df, key, asc = true, buckets)
+    val p = prep(df, key, asc = true, buckets, nullsFirst)
     val b = p.b
     val within = first(x, ignoreNulls = true)
       .over(Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
         .rowsBetween(0, Window.unboundedFollowing))
+    val nr = when(key.isNull,
+      lit(if (nullsFirst.getOrElse(true)) -1 else 1)).otherwise(lit(0))
     val partials = b.groupBy(col(BKT).as("_b"))
-      .agg(min(when(x.isNotNull, struct(key.as("k"), x.as("v")))).as("_firstnn"))
+      .agg(min(when(x.isNotNull,
+        struct(nr.as("nr"), key.as("k"), x.as("v")))).as("_firstnn"))
     val followers = partials.alias("a")
       .join(broadcast(partials.alias("p")), col("p._b") > col("a._b"), "left")
       .groupBy(col("a._b").as("_b")).agg(min(col("p._firstnn")).as("_carry"))
@@ -617,8 +641,9 @@ object GlobalOrdered {
     */
   def shift(df: DataFrame, c: Column, n: Int, key: Column, out: String,
             fill: Column = lit(null), asc: Boolean = true,
-            buckets: Int = 32): DataFrame = {
-    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+            buckets: Int = 32,
+            nullsFirst: Option[Boolean] = None): DataFrame = {
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords,
       nBefore = math.max(n, 0), nAfter = math.max(-n, 0))
     aug
@@ -634,14 +659,15 @@ object GlobalOrdered {
   def froll(df: DataFrame, out: String, fn: String, c: Column, n: Int,
             key: Column, align: String = "right", partial: Boolean = false,
             asc: Boolean = true, buckets: Int = 32,
-            naRm: Boolean = false): DataFrame = {
+            naRm: Boolean = false,
+            nullsFirst: Option[Boolean] = None): DataFrame = {
     val (nBefore, nAfter) = align match {
       case "right"  => (n - 1, 0)
       case "left"   => (0, n - 1)
       case "center" => val before = (n - 1) / 2; (before, n - 1 - before)
       case other    => throw new IllegalArgumentException(s"align=$other")
     }
-    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
     aug
       .withColumn(out, Windows.froll(fn, c, n, Seq(BKT), p.ords,
@@ -660,7 +686,8 @@ object GlobalOrdered {
                     an: Column, maxN: Int, key: Column,
                     align: String = "right", asc: Boolean = true,
                     naRm: Boolean = false, partial: Boolean = false,
-                    buckets: Int = 32): DataFrame = {
+                    buckets: Int = 32,
+                    nullsFirst: Option[Boolean] = None): DataFrame = {
     require(maxN >= 1, s"frollAdaptive: maxN must be >= 1, got $maxN")
     val (nBefore, nAfter) = align match {
       case "right" => (maxN - 1, 0)
@@ -668,7 +695,7 @@ object GlobalOrdered {
       case other   => throw new IllegalArgumentException(
         s"adaptive align must be right/left, got '$other'")
     }
-    val p = prep(df, key, asc, buckets, tieAgnostic = true)
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
     aug
       .withColumn(out, Windows.frollAdaptive(fn, c, an, maxN, Seq(BKT),

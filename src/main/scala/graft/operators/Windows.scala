@@ -93,8 +93,9 @@ object Windows {
     if (by.nonEmpty || allowGlobal)
       df.withColumn(out, shift(c, n, by, order, fill, allowGlobal))
     else globalKey(order) match {
-      case Some((key, asc, _)) => GlobalOrdered.shift(df, c, n, key, out, fill, asc)
-      case None                => globalRouteError("shiftDF")
+      case Some((key, asc, nf)) =>
+        GlobalOrdered.shift(df, c, n, key, out, fill, asc, nullsFirst = Some(nf))
+      case None => globalRouteError("shiftDF")
     }
 
   /** DataFrame-level cumulative aggregate — the DSL entry point.
@@ -108,11 +109,15 @@ object Windows {
     if (by.nonEmpty || allowGlobal)
       df.withColumn(out, cum(fn, c, by, order, allowGlobal, naRm))
     else globalKey(order) match {
-      case Some((key, asc, _)) => fn match {
-        case "sum"  => GlobalOrdered.cumsum(df, c, key, out, asc, naRm)
-        case "prod" => GlobalOrdered.cumprod(df, c, key, out, asc, naRm)
-        case "min"  => GlobalOrdered.cumMinMax(df, c, key, out, isMin = true, asc, naRm)
-        case "max"  => GlobalOrdered.cumMinMax(df, c, key, out, isMin = false, asc, naRm)
+      case Some((key, asc, nf)) => fn match {
+        case "sum"  => GlobalOrdered.cumsum(df, c, key, out, asc, naRm,
+          nullsFirst = Some(nf))
+        case "prod" => GlobalOrdered.cumprod(df, c, key, out, asc, naRm,
+          nullsFirst = Some(nf))
+        case "min"  => GlobalOrdered.cumMinMax(df, c, key, out, isMin = true,
+          asc, naRm, nullsFirst = Some(nf))
+        case "max"  => GlobalOrdered.cumMinMax(df, c, key, out, isMin = false,
+          asc, naRm, nullsFirst = Some(nf))
         case other  => throw new IllegalArgumentException(
           s"cum($other) has no global tier (exact sequential FP is " +
             "inherently single-stream); pass allowGlobal=true for " +
@@ -136,10 +141,18 @@ object Windows {
         if (typ == "locf") nafillLocf(c, by, order, allowGlobal, nanIsNa)
         else nafillNocb(c, by, order, allowGlobal, nanIsNa))
     else globalKey(order) match {
-      case Some((key, asc, _)) =>
+      case Some((key, asc, nf)) =>
         val eff = if (asc) typ else (if (typ == "locf") "nocb" else "locf")
-        if (eff == "locf") GlobalOrdered.nafillLocf(df, c, key, out, nanIsNa = nanIsNa)
-        else GlobalOrdered.nafillNocb(df, c, key, out, nanIsNa = nanIsNa)
+        // the tier always walks the key ASCENDING (desc flips locf↔nocb
+        // above); the reverse of the requested order also flips the
+        // null block's side: desc_nulls_first == asc_nulls_last
+        val effNf = Some(if (asc) nf else !nf)
+        if (eff == "locf")
+          GlobalOrdered.nafillLocf(df, c, key, out, nanIsNa = nanIsNa,
+            nullsFirst = effNf)
+        else
+          GlobalOrdered.nafillNocb(df, c, key, out, nanIsNa = nanIsNa,
+            nullsFirst = effNf)
       case None => globalRouteError("nafillDF")
     }
   }
@@ -156,9 +169,9 @@ object Windows {
       df.withColumn(out, froll(fn, c, n, by, order, align, partial,
         allowGlobal, naRm))
     else globalKey(order) match {
-      case Some((key, asc, _)) =>
+      case Some((key, asc, nf)) =>
         GlobalOrdered.froll(df, out, fn, c, n, key, align, partial, asc,
-          naRm = naRm)
+          naRm = naRm, nullsFirst = Some(nf))
       case None => globalRouteError("frollDF")
     }
 
@@ -175,9 +188,9 @@ object Windows {
       df.withColumn(out, frollAdaptive(fn, c, an, maxN, by, order,
         allowGlobal, naRm, align, partial))
     else globalKey(order) match {
-      case Some((key, asc, _)) =>
+      case Some((key, asc, nf)) =>
         GlobalOrdered.frollAdaptive(df, out, fn, c, an, maxN, key, align,
-          asc, naRm, partial)
+          asc, naRm, partial, nullsFirst = Some(nf))
       case None => globalRouteError("frollAdaptiveDF")
     }
 
@@ -443,8 +456,9 @@ object Windows {
     // by=Nil AUTO-ROUTES through the GlobalOrdered run-carry tier
     if (by.isEmpty && !allowGlobal) {
       return globalKey(order) match {
-        case Some((key, asc, _)) => GlobalOrdered.rleid(df, cols, key, out, asc)
-        case None                => globalRouteError("rleid")
+        case Some((key, asc, nf)) =>
+          GlobalOrdered.rleid(df, cols, key, out, asc, nullsFirst = Some(nf))
+        case None => globalRouteError("rleid")
       }
     }
     val w = spec(by, order, allowGlobal, "rleid")

@@ -28,7 +28,9 @@ object Fread {
       skip: Int = 0,                    // leading lines to skip
       // fread(skip="string") (R/fread.R skip= character form): start at
       // the FIRST physical line containing this substring (that line
-      // becomes the header/first data line); additive with `skip`
+      // becomes the header/first data line). Like the reference — where
+      // skip= is ONE argument, int or string — this OVERRIDES `skip`;
+      // with yaml=TRUE the search starts after the front-matter block
       skipTo: Option[String] = None,
       fill: Boolean = false,            // ragged rows → nulls
       quote: String = "\"",
@@ -81,7 +83,8 @@ object Fread {
     */
   private def headSegments(spark: SparkSession, path: String,
                            minPhysical: Int,
-                           done: Seq[String] => Boolean): Seq[String] = {
+                           done: Seq[String] => Boolean,
+                           charset: String = "UTF-8"): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -103,7 +106,10 @@ object Fread {
     val buf = new Array[Byte](65536)
     val cap = 64 * 1024 * 1024
     def flushPending(): String = {
-      val s = new String(pending.toByteArray, "UTF-8").stripSuffix("\r")
+      // the \n byte never sits inside a multi-byte sequence of UTF-8 or
+      // the JVM's CJK charsets (trail-byte ranges exclude 0x0A), so
+      // splitting the raw bytes before decoding stays safe per-charset
+      val s = new String(pending.toByteArray, charset).stripSuffix("\r")
       pending.reset()
       s
     }
@@ -151,8 +157,9 @@ object Fread {
   /** First `want` PHYSICAL lines (empties kept — needed when the caller
     * must count lines to skip, e.g. the csvy front-matter block).
     */
-  def headLinesRaw(spark: SparkSession, path: String, want: Int): Seq[String] =
-    headSegments(spark, path, want, s => s.length >= want).take(want)
+  def headLinesRaw(spark: SparkSession, path: String, want: Int,
+                   charset: String = "UTF-8"): Seq[String] =
+    headSegments(spark, path, want, s => s.length >= want, charset).take(want)
 
   /** Parsed csvy front matter (R/fread.R yaml=TRUE; spec: csvy.org —
     * a `---`-delimited YAML block before the CSV data carrying schema
@@ -260,6 +267,12 @@ object Fread {
     CsvyHeader(schema, sep, hdr, end + 1, dec, quo, na)
   }
 
+  /** Charsets Spark 4's CSV source accepts natively; anything else the
+    * JVM knows goes through the transcode tier.
+    */
+  private val sparkCsvCharsets = Set("us-ascii", "iso-8859-1", "utf-8",
+    "utf-16", "utf-16be", "utf-16le", "utf-32")
+
   /** Auto separator detection over a pre-fetched first line. */
   def sniffSepFrom(line: String): String =
     Seq("\t", ";", "|", ",").maxBy(s => line.count(_.toString == s))
@@ -292,14 +305,27 @@ object Fread {
     } else opts0
     // skip="string": resolve the substring to a physical line index on
     // the driver (bounded head read), then fall through to the integer
-    // skip machinery
+    // skip machinery. The index must count lines in the SAME convention
+    // as the downstream skip consumer — Hadoop LineReader (\n, \r, \r\n
+    // all terminate) for the standard tier, split("\r?\n") for the
+    // exotic-charset transcode tier — and decode with the real charset
+    // (a UTF-8 decode of e.g. GB18030 bytes garbles the needle). csvy
+    // front matter is searched PAST (the block could contain the
+    // needle); the match overrides any integer skip like the reference,
+    // where skip= is one int-or-string argument.
     val optsS = optsY.skipTo match {
       case Some(needle) =>
-        val head = headLinesRaw(spark, path, 100000)
-        val idx = head.indexWhere(_.contains(needle))
+        val front = optsY.skip - opts0.skip    // csvy front-matter lines
+        val exoticSkip = !sparkCsvCharsets.contains(optsY.encoding.toLowerCase)
+        val segs = headLinesRaw(spark, path, 100000,
+          if (exoticSkip) optsY.encoding else "UTF-8")
+        val physical: Seq[String] =
+          if (exoticSkip) segs                 // transcode tier: \r?\n only
+          else segs.flatMap(s => s.split("\r", -1).toSeq)  // LineReader: bare \r too
+        val idx = physical.iterator.drop(front).indexWhere(_.contains(needle))
         require(idx >= 0,
-          s"fread: skip=\"$needle\" not found in the first ${head.length} lines of $path")
-        optsY.copy(skip = optsY.skip + idx, skipTo = None)
+          s"fread: skip=\"$needle\" not found in the first ${physical.length} lines of $path")
+        optsY.copy(skip = front + idx, skipTo = None)
       case None => optsY
     }
     // dec="," + a yaml number field: the pinned DoubleType can't parse
@@ -321,8 +347,7 @@ object Fread {
     // JVM knows (GB18030, Big5, Shift_JIS, ...) goes through the
     // transcode tier below: decode the file's bytes with the JVM
     // charset into a lines Dataset, then run the SAME CSV parse over it.
-    val exoticCharset = !Set("us-ascii", "iso-8859-1", "utf-8", "utf-16",
-      "utf-16be", "utf-16le", "utf-32").contains(opts.encoding.toLowerCase)
+    val exoticCharset = !sparkCsvCharsets.contains(opts.encoding.toLowerCase)
     // Decode tier: binaryFile load, whole-file JVM-charset decode, line
     // split. multiLine (quoted embedded newlines) is unsupported here —
     // the line split would cut through them. The reference's fread
@@ -350,17 +375,25 @@ object Fread {
     // sep candidates ('|' sits inside the GBK/Big5 trail-byte range) —
     // decode with the real charset there
     lazy val line1 = {                                   // fetched at most once
-      val raw =
-        if (exoticCharset) decodedLines().head(1).headOption.getOrElse("")
-        else firstLine(spark, path, opts.skip)
-      // \r-only or \r\r\n EOL files (tests.Rraw 1869 / russellCRCRLF)
-      // leave CRs in the sniffed text — the head reader splits on \n
-      // only. The first PHYSICAL line ends at the first CR; the
-      // distributed parse handles all three EOL conventions natively
-      // (Hadoop LineReader terminates on \n, \r and \r\n, and the CSV
-      // parser drops the blank lines a \r\r\n EOL leaves behind).
-      val i = raw.indexOf('\r')
-      if (i >= 0) raw.substring(0, i) else raw
+      if (exoticCharset) {
+        // transcode tier (decodedLines already dropped `skip`): a CR-only
+        // file leaves the whole text as one \r?\n segment — the first
+        // PHYSICAL line ends at the first CR
+        val raw = decodedLines().head(1).headOption.getOrElse("")
+        val i = raw.indexOf('\r')
+        if (i >= 0) raw.substring(0, i) else raw
+      } else {
+        // \r-only or \r\r\n EOL files (tests.Rraw 1869 / russellCRCRLF):
+        // the head reader splits on \n only, so expand each segment's
+        // interior CRs into the physical lines Hadoop's LineReader (the
+        // distributed parse + the skip pre-pass) would count — skip=
+        // must index the SAME lines on both sides
+        val segs = headSegments(spark, path, opts.skip + 1,
+          s => s.iterator.flatMap(_.split("\r", -1)).drop(opts.skip)
+            .exists(_.nonEmpty))
+        segs.iterator.flatMap(_.split("\r", -1)).drop(opts.skip)
+          .find(_.nonEmpty).getOrElse("")
+      }
     }
     val sep = if (opts.sep == "auto") sniffSepFrom(line1) else opts.sep
     require(opts.dec == "." || opts.dec != sep,

@@ -85,18 +85,25 @@ object GraftSqlBridge {
     }
   }
 
-  /** Flip a sort column's direction, unwrapping an existing SortOrder
-    * node (Spark 4 Columns wrap internal ColumnNodes; nesting .desc on
-    * a SortOrder breaks analysis). Lives here because the node types
-    * are private[sql].
+  /** REVERSE a sort column — direction AND nulls placement both flip
+    * (the reverse of desc_nulls_first is asc_nulls_last; flipping only
+    * the direction would teleport the null block from one end of the
+    * reversed sequence to the same end it came from). Unwraps an
+    * existing SortOrder node (Spark 4 Columns wrap internal
+    * ColumnNodes; nesting .desc on a SortOrder breaks analysis). Lives
+    * here because the node types are private[sql].
     */
   def flipSortOrder(c: Column): Column = {
     import org.apache.spark.sql.internal.{SortOrder => NodeSortOrder}
     c.node match {
-      case NodeSortOrder(child, NodeSortOrder.Ascending, _, _) =>
-        new Column(child).desc
-      case NodeSortOrder(child, NodeSortOrder.Descending, _, _) =>
-        new Column(child).asc
+      case NodeSortOrder(child, NodeSortOrder.Ascending, nulls, _) =>
+        if (nulls == NodeSortOrder.NullsFirst) new Column(child).desc_nulls_last
+        else new Column(child).desc_nulls_first
+      case NodeSortOrder(child, NodeSortOrder.Descending, nulls, _) =>
+        if (nulls == NodeSortOrder.NullsFirst) new Column(child).asc_nulls_last
+        else new Column(child).asc_nulls_first
+      // a plain column sorts asc_nulls_first; its reverse is
+      // desc_nulls_last — .desc's own default
       case _ => c.desc
     }
   }

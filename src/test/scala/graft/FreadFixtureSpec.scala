@@ -135,6 +135,52 @@ class FreadFixtureSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(p)
   }
 
+  test("skip=\"string\" counts \\r-only physical lines like the distributed parse") {
+    val p = java.nio.file.Files.createTempFile("graft_skipto_cr", ".csv")
+    java.nio.file.Files.write(p,
+      "banner\rjunk\ra,b\r1,2\r3,4\r".getBytes("UTF-8"))
+    try {
+      val df = Fread.fread(spark, p.toString, FreadOptions(skipTo = Some("a,b")))
+      assert(df.columns.toSeq == Seq("a", "b"))
+      assert(df.count() == 2)
+      assert(df.agg(sum(col("a"))).collect()(0).getLong(0) == 4L)
+    } finally java.nio.file.Files.delete(p)
+  }
+
+  test("skip=\"string\" with yaml=TRUE searches past the front matter, once") {
+    val p = java.nio.file.Files.createTempFile("graft_skipto_yaml", ".csvy")
+    java.nio.file.Files.write(p,
+      ("---\nschema:\n  fields:\n    - name: a\n      type: integer\n" +
+        "    - name: b\n      type: integer\n---\njunk line\na,b\n1,2\n3,4\n")
+        .getBytes("UTF-8"))
+    try {
+      val df = Fread.fread(spark, p.toString,
+        FreadOptions(yaml = true, skipTo = Some("a,b")))
+      assert(df.columns.toSeq == Seq("a", "b"))
+      assert(df.count() == 2)
+      assert(df.agg(sum(col("a"))).collect()(0).getLong(0) == 4L)
+      // a needle that only occurs INSIDE the front matter must not match
+      val e = intercept[IllegalArgumentException] {
+        Fread.fread(spark, p.toString,
+          FreadOptions(yaml = true, skipTo = Some("name: a")))
+      }
+      assert(e.getMessage.contains("not found"))
+    } finally java.nio.file.Files.delete(p)
+  }
+
+  test("skip=\"string\" decodes the head with the requested exotic charset") {
+    val p = java.nio.file.Files.createTempFile("graft_skipto_gb", ".csv")
+    java.nio.file.Files.write(p,
+      "横幅\n栏目,b\n1,2\n3,4\n".getBytes("GB18030"))
+    try {
+      val df = Fread.fread(spark, p.toString,
+        FreadOptions(encoding = "GB18030", skipTo = Some("栏目")))
+      assert(df.columns.toSeq == Seq("栏目", "b"))
+      assert(df.count() == 2)
+      assert(df.agg(sum(col("b"))).collect()(0).getLong(0) == 6L)
+    } finally java.nio.file.Files.delete(p)
+  }
+
   test("header-only wide bz2 file sniffs through the codec (colnames4096.csv.bz2)") {
     // reference test 1869.6: 586 columns, truncated mid-header, 0 rows.
     // (The reference types the empty columns logical; Spark infers

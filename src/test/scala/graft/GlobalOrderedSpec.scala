@@ -348,4 +348,57 @@ class GlobalOrderedSpec extends AnyFunSuite {
     assert(m(1L) == Some((200 % 13).toDouble))
     assert(m(2L) == Option[Any](if (1 % 7 == 0) null else (1 % 13).toDouble))
   }
+
+  test("DSL global routes honor explicit nulls placement on the order key") {
+    // ONE null-key row (k=49 also has a null VALUE: v null when k%7==0)
+    // so placement fully determines every output — a multi-row null
+    // block would be a tie with nondeterministic within-block prefixes.
+    val df = fixture.withColumn("id", col("k"))
+      .withColumn("nk",
+        when(col("k") === 49, lit(null).cast("long")).otherwise(col("k")))
+    val orders = Seq(
+      ("asc_nulls_last", col("nk").asc_nulls_last),
+      ("desc_nulls_first", col("nk").desc_nulls_first),
+      ("asc_nulls_first", col("nk").asc_nulls_first),
+      ("desc_nulls_last", col("nk").desc_nulls_last))
+    def cm(d: DataFrame, out: String): Map[Long, Option[Any]] =
+      d.select(col("id"), col(out)).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    for ((tag, ord) <- orders) {
+      val routedCs = Windows.cumDF(df, "cs", "sum", col("v"), Nil, Seq(ord),
+        naRm = true)
+      val naiveCs = Windows.cumDF(df, "cs", "sum", col("v"), Nil, Seq(ord),
+        allowGlobal = true, naRm = true)
+      assert(cm(routedCs, "cs") == cm(naiveCs, "cs"), s"cumsum $tag")
+      val routedSh = Windows.shiftDF(df, "sh", col("v"), 2, Nil, Seq(ord))
+      val naiveSh = Windows.shiftDF(df, "sh", col("v"), 2, Nil, Seq(ord),
+        allowGlobal = true)
+      assert(cm(routedSh, "sh") == cm(naiveSh, "sh"), s"shift $tag")
+      val routedFr = Windows.frollDF(df, "fr", "sum", col("v"), 4, Nil,
+        Seq(ord), partial = true, naRm = true)
+      val naiveFr = Windows.frollDF(df, "fr", "sum", col("v"), 4, Nil,
+        Seq(ord), partial = true, allowGlobal = true, naRm = true)
+      assert(cm(routedFr, "fr") == cm(naiveFr, "fr"), s"froll $tag")
+      val routedNf = Windows.nafillDF(df, "nf", "locf", col("v"), Nil, Seq(ord))
+      val naiveNf = Windows.nafillDF(df, "nf", "locf", col("v"), Nil, Seq(ord),
+        allowGlobal = true)
+      assert(cm(routedNf, "nf") == cm(naiveNf, "nf"), s"nafill $tag")
+      val routedRl = Windows.rleid(df, Seq("s"), Seq(ord), Nil, "rl")
+      val naiveRl = Windows.rleid(df, Seq("s"), Seq(ord), Nil, "rl",
+        allowGlobal = true)
+      assert(cm(routedRl, "rl") == cm(naiveRl, "rl"), s"rleid $tag")
+    }
+  }
+
+  test("rleid desc order matches the naive flipped window (boundary rows per direction)") {
+    // long runs crossing bucket boundaries both ways: the cross-bucket
+    // merge must extract first/last rows IN THE ORDER DIRECTION
+    val df = fixture.withColumn("s2",
+      when(col("k") <= 100, "a").otherwise(col("s")))
+    val tiered = GlobalOrdered.rleid(df, Seq("s2"), col("k"), "rid",
+      asc = false, buckets = 8)
+    val naive = Windows.rleid(df, Seq("s2"), Seq(col("k").desc), Nil, "rid",
+      allowGlobal = true)
+    assert(collectMap(tiered, "k", "rid") == collectMap(naive, "k", "rid"))
+  }
 }
