@@ -761,6 +761,47 @@ object QueriesWindows {
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
              |      FROM events)""".stripMargin)),
 
+    // ---- global shift along a NULLABLE key, explicit placement ---------
+    // ONE null-key row (key deterministic: event_id 7 → null) so the
+    // output is fully determined; asc_nulls_last routes the null row to
+    // the END of the sequence — pinning the DSL's nulls-placement
+    // threading into the tier (bucketing, within-bucket sort, phantom
+    // edge-row selection all honor the placement).
+    ("q_shift_global_nulls", ((s, dir) => {
+      val base = dt(s, dir, "events").df
+        .withColumn("k", when(col("event_id") === 7, lit(null).cast("long"))
+          .otherwise(col("event_id")))
+      Windows.shiftDF(base, "prev_v", col("value"), 1, Nil,
+        Seq(col("k").asc_nulls_last), fill = lit(-1.0))
+        .select(col("event_id"), round(col("prev_v"), 3).as("prev_v"))
+    }): Q,
+      Some("""SELECT event_id,
+             |  round(coalesce(lag(value) OVER (ORDER BY k ASC NULLS LAST),
+             |                 -1.0), 3) AS prev_v
+             |FROM (SELECT event_id, value,
+             |        CASE WHEN event_id = 7 THEN NULL ELSE event_id END AS k
+             |      FROM events)""".stripMargin)),
+
+    // ---- global running sum, DESC order with nulls first ---------------
+    // desc_nulls_first through the DSL: the null-key row opens the
+    // sequence, every prefix after it includes its cents.
+    ("q_cumsum_global_nulls", ((s, dir) => {
+      val base = dt(s, dir, "orders").df
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("k", when(col("o_orderkey") === 7, lit(null).cast("long"))
+          .otherwise(col("o_orderkey")))
+      Windows.cumDF(base, "cs", "sum", col("cents"), Nil,
+        Seq(col("k").desc_nulls_first))
+        .select(col("o_orderkey"), col("cs"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  CAST(sum(cents) OVER (ORDER BY k DESC NULLS FIRST
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+             |FROM (SELECT o_orderkey,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |        CASE WHEN o_orderkey = 7 THEN NULL ELSE o_orderkey END AS k
+             |      FROM orders)""".stripMargin)),
+
     // ---- global rolling sum over a STRING order key (round 11) ---------
     // Exercises the non-numeric bucket fit: bounds come from a bounded
     // deterministic sample and the bucket expression compares strings
