@@ -390,6 +390,36 @@ class GlobalOrderedSpec extends AnyFunSuite {
     }
   }
 
+  test("global tier degenerate inputs: empty frame, single row, all-null keys") {
+    val empty = fixture.filter(col("k") < 0)
+    assert(Windows.cumDF(empty, "cs", "sum", col("v"), Nil,
+      Seq(col("k").asc)).count() == 0)
+    assert(Windows.shiftDF(empty, "sh", col("v"), 1, Nil,
+      Seq(col("k").asc)).count() == 0)
+    assert(Windows.rleid(empty, Seq("s"), Seq(col("k").asc), Nil, "rid")
+      .count() == 0)
+    assert(Windows.nafillDF(empty, "nf", "locf", col("v"), Nil,
+      Seq(col("k").asc)).count() == 0)
+    assert(Windows.frollDF(empty, "fr", "sum", col("v"), 3, Nil,
+      Seq(col("k").asc)).count() == 0)
+    val one = fixture.filter(col("k") === 1)
+    val oneCs = Windows.cumDF(one, "cs", "sum", col("v"), Nil,
+      Seq(col("k").asc))
+    assert(oneCs.select("cs").collect()(0).getDouble(0) == 1.0)
+    val oneSh = Windows.shiftDF(one, "sh", col("v"), 1, Nil,
+      Seq(col("k").asc), fill = lit(-9.0))
+    assert(oneSh.select("sh").collect()(0).getDouble(0) == -9.0)
+    // all-null order key: one tie block — within-block values are tie-
+    // nondeterministic, but the ops must not throw, drop, or duplicate
+    val allNull = fixture.withColumn("nk", lit(null).cast("long"))
+    assert(Windows.cumDF(allNull, "cs", "sum", col("v"), Nil,
+      Seq(col("nk").asc)).count() == 200)
+    assert(Windows.rleid(allNull, Seq("s"), Seq(col("nk").asc), Nil, "rid")
+      .count() == 200)
+    assert(Windows.nafillDF(allNull, "nf", "locf", col("v"), Nil,
+      Seq(col("nk").asc)).count() == 200)
+  }
+
   test("rleid desc order matches the naive flipped window (boundary rows per direction)") {
     // long runs crossing bucket boundaries both ways: the cross-bucket
     // merge must extract first/last rows IN THE ORDER DIRECTION
