@@ -447,7 +447,61 @@ object Fread {
         mkReader(schema).csv(
           spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
       } else mkReader(schema).csv(path)
-    var df = runCsv(opts.colClasses)
+    // fill=TRUE (src/fread.c fill, #7463): rows may carry MORE fields
+    // than the first line — Spark sizes the schema from the first line
+    // and silently drops the extras. A bounded quote-aware head scan
+    // takes the max per-record field count; when it exceeds the first
+    // line's width, an explicit all-string schema that wide parses the
+    // file (PERMISSIVE pads the short rows) and the full-data re-bump
+    // re-types. Extra columns autoname V{position} like the reference.
+    // When the first line IS the widest (the common shape, all 536
+    // fixtures) nothing engages and the plain path runs unchanged.
+    val fillSchema: Option[StructType] =
+      if (!opts.fill || opts.colClasses.isDefined) None
+      else {
+        val segs0 = headSegments(spark, path, 100000, s => s.length >= 100000,
+          if (exoticCharset) opts.encoding else "UTF-8")
+        // skip= counts the same physical lines the parse does (bare-CR
+        // expansion for the standard tier, \r?\n for the transcode tier)
+        val physical =
+          if (exoticCharset) segs0 else segs0.flatMap(_.split("\r", -1))
+        val head = physical.drop(opts.skip).mkString("\n")
+        val q = if (opts.quote.nonEmpty) opts.quote.head else ' '
+        var inQ = false; var fields = 1; var maxF = 0; var i = 0
+        while (i < head.length) {
+          val c = head.charAt(i)
+          if (inQ) {
+            if (c == q) {
+              if (i + 1 < head.length && head.charAt(i + 1) == q) i += 1
+              else inQ = false
+            }
+          } else if (c == q) inQ = true
+          else if (head.startsWith(sep, i)) { fields += 1; i += sep.length - 1 }
+          else if (c == '\n' || c == '\r') {
+            maxF = math.max(maxF, fields); fields = 1
+            if (c == '\r' && i + 1 < head.length && head.charAt(i + 1) == '\n')
+              i += 1
+          }
+          i += 1
+        }
+        maxF = math.max(maxF, fields)
+        val hdrFields = line1.split(java.util.regex.Pattern.quote(sep), -1)
+        if (maxF <= hdrFields.length) None
+        else {
+          def unq(f: String) =
+            f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim
+          val names = (0 until maxF).map { i =>
+            if (hasHeader && i < hdrFields.length && unq(hdrFields(i)).nonEmpty)
+              unq(hdrFields(i))
+            else if (hasHeader) s"V${i + 1}"    // reference fill autoname
+            else s"_c$i"                         // headerless convention
+          }
+          Some(StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n, StringType,
+              nullable = true)).toArray))
+        }
+      }
+    var df = runCsv(opts.colClasses.orElse(fillSchema))
     var bumped = false
     // types to prefer when the re-bump pass re-types string columns:
     // csvy-declared doubles (dec-downgrade) and, after a type-bump
@@ -486,7 +540,23 @@ object Fread {
     // (fread strips BOMs, src/fread.c:1071)
     if (df.columns.nonEmpty && df.columns.head.startsWith("\uFEFF"))
       df = df.withColumnRenamed(df.columns.head, df.columns.head.substring(1))
-    df = applyExtraNaAndRebump(df, opts, forceRebump = bumped || yamlDecDowngrade,
+    // fread #5124: a literal header cell equal to a na.string stays a
+    // column NAME \u2014 Spark nulls it during the header read and autonames
+    // the column _cN. Restore the literal text (a genuinely EMPTY header
+    // cell keeps the autoname; data rows still parse the token as null).
+    if (hasHeader && opts.colClasses.isEmpty && fillSchema.isEmpty &&
+        df.columns.zipWithIndex.exists { case (c, i) => c == s"_c$i" }) {
+      val hdrFields = line1.split(java.util.regex.Pattern.quote(sep), -1)
+        .map(f => f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim)
+      val renamed = df.columns.zipWithIndex.map { case (c, i) =>
+        if (c == s"_c$i" && i < hdrFields.length && hdrFields(i).nonEmpty)
+          hdrFields(i)
+        else c
+      }
+      if (renamed.toSeq != df.columns.toSeq) df = df.toDF(renamed.toSeq: _*)
+    }
+    df = applyExtraNaAndRebump(df, opts,
+      forceRebump = bumped || yamlDecDowngrade || fillSchema.isDefined,
       extraCandidates = downgradedCols, preferred = preferredTypes)
     // fread(logicalYN): one slim probe over the string columns — a
     // column is logical iff it has values and every non-null one is

@@ -164,4 +164,42 @@ class Round11Spec extends AnyFunSuite {
     memo.clear()
     assert(!results.head.storageLevel.useMemory)
   }
+
+  // ---- Dev-NEWS bug-fix locks (reference NEWS.md 1.18.99) --------------
+
+  test("fread keeps a first row with fewer fields than later rows (#7463)") {
+    val p = java.nio.file.Files.createTempFile("graft_7463", ".csv")
+    java.nio.file.Files.write(p, "1,2\n3,4,5\n6,7,8\n".getBytes("UTF-8"))
+    try {
+      val df = graft.sources.Fread.fread(spark, p.toString,
+        graft.sources.Fread.FreadOptions(header = "false", fill = true))
+      assert(df.count() == 3)
+      val first = df.orderBy(col(df.columns.head)).collect()(0)
+      assert(first.get(0).toString == "1" && first.get(1).toString == "2"
+        && first.isNullAt(2))
+    } finally java.nio.file.Files.delete(p)
+  }
+
+  test("fread keeps a literal 'NA' header column name even with NA in na.strings (#5124)") {
+    val p = java.nio.file.Files.createTempFile("graft_5124", ".csv")
+    java.nio.file.Files.write(p, "NA,b\n1,2\nNA,4\n".getBytes("UTF-8"))
+    try {
+      val df = graft.sources.Fread.fread(spark, p.toString,
+        graft.sources.Fread.FreadOptions(naStrings = Seq("", "NA")))
+      assert(df.columns.toSeq == Seq("NA", "b"))
+      // data-row "NA" still parses as missing
+      assert(df.filter(col("NA").isNull).count() == 1)
+    } finally java.nio.file.Files.delete(p)
+  }
+
+  test("setorder double asc + non-double desc respects na.last=TRUE (#7875)") {
+    val df = Seq[(java.lang.Double, String)](
+      (1.0, "b"), (1.0, null), (2.0, "a"), (null, "c"), (1.0, "a"))
+      .toDF("d", "s")
+    val got = DT(df).setorderNa(Seq("d" -> true, "s" -> false), naLast = true)
+      .df.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(got == Seq(
+      (Some(1.0), Some("b")), (Some(1.0), Some("a")), (Some(1.0), None),
+      (Some(2.0), Some("a")), (None, Some("c"))))
+  }
 }
