@@ -761,6 +761,29 @@ object QueriesWindows {
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
              |      FROM events)""".stripMargin)),
 
+    // ---- global frollapply: arbitrary closure, phantom frames ----------
+    // The closure (an exact integer sum over the 5-row frame) runs per
+    // row over its true global neighborhood via the phantom tier — the
+    // one ordered op that previously had no by=Nil scale path.
+    ("q_frollapply_global", ((s, dir) => {
+      val base = dt(s, dir, "orders").df
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      val f = (rows: Seq[org.apache.spark.sql.Row]) =>
+        rows.map(_.getLong(0)).sum
+      Windows.frollApplyF(base, "s5", Seq("c" -> col("cents")), 5, Nil,
+        Seq(col("o_orderkey").asc), f,
+        org.apache.spark.sql.types.LongType)
+        .select(col("o_orderkey"), col("s5"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w5 = 5
+             |       THEN CAST(sum(cents) OVER w5 AS BIGINT) END AS s5
+             |FROM (SELECT o_orderkey,
+             |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |      FROM orders)
+             |WINDOW w5 AS (ORDER BY o_orderkey
+             |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- global shift along a NULLABLE key, explicit placement ---------
     // ONE null-key row (key deterministic: event_id 7 → null) so the
     // output is fully determined; asc_nulls_last routes the null row to

@@ -675,6 +675,33 @@ object GlobalOrdered {
       .filter(!col(PH)).drop(BKT, TB, PH)
   }
 
+  /** Global frollapply — [[Windows.frollApplyF]] semantics for
+    * `by = Nil` via phantom boundary rows: the closure runs per row
+    * over its exact global n-row neighborhood (any bucket-size
+    * distribution, same guarantee as [[froll]]). partial=true hands
+    * short frames to `f` only at the TRUE global edges (the first/last
+    * bucket has no phantoms on its outward side).
+    */
+  def frollApply(df: DataFrame, out: String, cols: Seq[(String, Column)],
+                 n: Int, key: Column,
+                 f: Seq[org.apache.spark.sql.Row] => Any,
+                 returnType: org.apache.spark.sql.types.DataType,
+                 align: String = "right", partial: Boolean = false,
+                 asc: Boolean = true, buckets: Int = 32,
+                 nullsFirst: Option[Boolean] = None): DataFrame = {
+    val (nBefore, nAfter) = align match {
+      case "right"  => (n - 1, 0)
+      case "left"   => (0, n - 1)
+      case "center" => val b = (n - 1) / 2; (b, n - 1 - b)
+      case other    => throw new IllegalArgumentException(s"align=$other")
+    }
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
+    val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
+    Windows.frollApplyF(aug, out, cols, n, Seq(BKT), p.ords, f, returnType,
+      align, partial)
+      .filter(!col(PH)).drop(BKT, TB, PH)
+  }
+
   /** Global ADAPTIVE rolling aggregate — `Windows.frollAdaptive`
     * semantics for `by = Nil`: phantom reach sized to the LARGEST
     * window any row can request (`maxN − 1` trailing rows for

@@ -685,6 +685,17 @@ object Windows {
                   align: String = "right", partial: Boolean = false,
                   allowGlobal: Boolean = false): DataFrame = {
     require(n > 0, s"frollApplyF: n must be positive, got $n")
+    // by=Nil AUTO-ROUTES through the GlobalOrdered phantom tier like
+    // every other ordered op (the closure then runs per row over its
+    // exact global neighborhood, never a single-partition window)
+    if (by.isEmpty && !allowGlobal) {
+      return globalKey(order) match {
+        case Some((key, asc, nf)) =>
+          GlobalOrdered.frollApply(df, out, cols, n, key, f, returnType,
+            align, partial, asc, nullsFirst = Some(nf))
+        case None => globalRouteError("frollApplyF")
+      }
+    }
     val frame = frollWindowStructs(cols, n, by, order, align, allowGlobal)
     // ScalaUDF with no input encoders: the array<struct> argument
     // arrives through the generic converters as a Seq[Row] — the shape

@@ -390,6 +390,30 @@ class GlobalOrderedSpec extends AnyFunSuite {
     }
   }
 
+  test("frollApplyF by=Nil routes through the phantom tier and matches the naive closure") {
+    val df = fixture
+    val f = (rows: Seq[org.apache.spark.sql.Row]) => {
+      val vs = rows.filterNot(_.isNullAt(0)).map(_.getDouble(0))
+      if (vs.isEmpty) null else vs.max - vs.min
+    }
+    for (align <- Seq("right", "center"); partial <- Seq(false, true)) {
+      val routed = Windows.frollApplyF(df, "rng", Seq("v" -> col("v")), 5,
+        Nil, Seq(col("k").asc), f,
+        org.apache.spark.sql.types.DoubleType, align, partial)
+      val naive = Windows.frollApplyF(df, "rng", Seq("v" -> col("v")), 5,
+        Nil, Seq(col("k").asc), f,
+        org.apache.spark.sql.types.DoubleType, align, partial,
+        allowGlobal = true)
+      assert(collectMap(routed, "k", "rng") == collectMap(naive, "k", "rng"),
+        s"align=$align partial=$partial")
+      val bad = routed.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty)
+    }
+  }
+
   test("global tier degenerate inputs: empty frame, single row, all-null keys") {
     val empty = fixture.filter(col("k") < 0)
     assert(Windows.cumDF(empty, "cs", "sum", col("v"), Nil,
