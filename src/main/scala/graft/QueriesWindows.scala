@@ -761,6 +761,21 @@ object QueriesWindows {
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
              |      FROM events)""".stripMargin)),
 
+    // ---- global calendar-window count (frolladapt, by=Nil) -------------
+    // Value-based phantoms: rows within the 1-hour reach of a later
+    // bucket's minimum time are copied there; per-bucket RANGE frames
+    // count. Deterministic even under time ties (range frames depend on
+    // values, not positions).
+    ("q_frolladapt_global", ((s, dir) =>
+      Windows.frolladaptDF(
+        dt(s, dir, "events").df.withColumn("t", unix_micros(col("ts"))),
+        "an", col("t"), 3600000000L, Nil)
+        .select(col("event_id"), col("an"))): Q,
+      Some("""SELECT event_id, CAST(count(*) OVER wr AS INT) AS an
+             |FROM events
+             |WINDOW wr AS (ORDER BY epoch_us(ts)
+             |              RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- global frollapply: arbitrary closure, phantom frames ----------
     // The closure (an exact integer sum over the 5-row frame) runs per
     // row over its true global neighborhood via the phantom tier — the

@@ -730,6 +730,38 @@ object GlobalOrdered {
       .filter(!col(PH)).drop(BKT, TB, PH)
   }
 
+  /** Global calendar-window count — [[Windows.frolladapt]] for
+    * `by = Nil`: VALUE-based phantom rows (every row within reach
+    * `n − 1` of a later bucket's minimum time is copied there — the
+    * per-bucket broadcast of bucket minima decides membership), then
+    * the ordinary per-bucket RANGE frame counts; the bucket hash stays
+    * the only full-data exchange. Exact for ties (range frames depend
+    * on VALUES, and equal times never span buckets).
+    *
+    * Phantom volume is rows-within-reach-of-an-edge: local calendar
+    * windows (hours/days over a long axis) copy few rows; a reach
+    * spanning most of the axis degenerates toward duplicating the data
+    * per bucket — like the reference, calendar windows are assumed
+    * local.
+    */
+  def frolladapt(df: DataFrame, time: Column, n: Long, out: String,
+                 buckets: Int = 32): DataFrame = {
+    require(n > 0, s"frolladapt: n must be positive, got $n")
+    val p = prep(df, time, asc = true, buckets)
+    val b = p.b
+    val real = b.withColumn(PH, lit(false))
+    val mins = b.groupBy(col(BKT).as("_d")).agg(min(time).as("_dmin"))
+    val phantoms = b.join(broadcast(mins),
+        col(BKT) < col("_d") && time >= col("_dmin") - lit(n - 1))
+      .withColumn(BKT, col("_d")).drop("_d", "_dmin")
+      .withColumn(PH, lit(true))
+    real.unionByName(phantoms)
+      .withColumn(out,
+        count(lit(1)).over(Window.partitionBy(col(BKT)).orderBy(time.asc)
+          .rangeBetween(-(n - 1), 0)).cast("int"))
+      .filter(!col(PH)).drop(BKT, TB, PH)
+  }
+
   // ---- any-type global row number (used by Windows.grp) ---------------
 
   /** Global 1-based row numbers along `order` for ANY orderable type —

@@ -780,6 +780,17 @@ object Windows {
       .rangeBetween(-(n - 1), 0)).cast("int")
   }
 
+  /** DataFrame-level frolladapt — the DSL entry point. `by = Nil`
+    * AUTO-ROUTES through [[GlobalOrdered.frolladapt]] (value-based
+    * phantom rows + per-bucket RANGE frames).
+    */
+  def frolladaptDF(df: DataFrame, out: String, time: Column, n: Long,
+                   by: Seq[String],
+                   allowGlobal: Boolean = false): DataFrame =
+    if (by.nonEmpty || allowGlobal)
+      df.withColumn(out, frolladapt(time, n, by, allowGlobal))
+    else GlobalOrdered.frolladapt(df, time, n, out)
+
   /** Adaptive rolling aggregate (src/frolladaptive.c): per-row window
     * length from column `an`, bounded by maxN. The frame is the bounded
     * last-maxN rows; rows beyond the per-row length are masked out of an

@@ -414,6 +414,20 @@ class GlobalOrderedSpec extends AnyFunSuite {
     }
   }
 
+  test("frolladapt by=Nil routes through value-phantom range frames, ties exact") {
+    // t ties every 2 rows — RANGE frames must include whole tie blocks
+    val df = fixture.withColumn("t", (col("k") / 2).cast("long"))
+    val routed = Windows.frolladaptDF(df, "an", col("t"), 7L, Nil)
+    val naive = Windows.frolladaptDF(df, "an", col("t"), 7L, Nil,
+      allowGlobal = true)
+    assert(collectMap(routed, "k", "an") == collectMap(naive, "k", "an"))
+    val bad = routed.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty)
+  }
+
   test("global tier degenerate inputs: empty frame, single row, all-null keys") {
     val empty = fixture.filter(col("k") < 0)
     assert(Windows.cumDF(empty, "cs", "sum", col("v"), Nil,
