@@ -197,9 +197,20 @@ object GlobalOrdered {
     * Ops that pin tie blocks to one bucket (frank/rleid/nafill) keep
     * the collapsed-but-correct buckets.
     */
-  private def prep(df: DataFrame, key: Column, asc: Boolean, buckets: Int,
+  /** Resolve the bucket/partition count: callers pass 0 (the default)
+    * to track `spark.sql.shuffle.partitions` — a hardcoded constant
+    * would cap the tier's parallelism on a real cluster where shuffle
+    * partitions are sized to the data (locally both are 32).
+    */
+  private def effBuckets(df: DataFrame, buckets: Int): Int =
+    if (buckets > 0) buckets
+    else math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+  private def prep(df: DataFrame, key: Column, asc: Boolean, buckets0: Int,
                    nullsFirst: Option[Boolean] = None,
                    tieAgnostic: Boolean = false): Prepped = {
+    val buckets = effBuckets(df, buckets0)
     val nf = nullsFirst.getOrElse(asc)
     val ord = ordOf(key, asc, nf)
     val raw = boundsFor(df, key, buckets)
@@ -273,7 +284,7 @@ object GlobalOrdered {
     */
   def cumsum(df: DataFrame, x: Column, key: Column, out: String,
              asc: Boolean = true, naRm: Boolean = false,
-             buckets: Int = 32,
+             buckets: Int = 0,
              nullsFirst: Option[Boolean] = None): DataFrame =
     cumsumBucketed(prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true),
       x, out, naRm)
@@ -320,7 +331,7 @@ object GlobalOrdered {
     */
   def cumMinMax(df: DataFrame, x: Column, key: Column, out: String,
                 isMin: Boolean, asc: Boolean = true, naRm: Boolean = false,
-                buckets: Int = 32,
+                buckets: Int = 0,
                 nullsFirst: Option[Boolean] = None): DataFrame = {
     val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val b = p.b
@@ -366,7 +377,7 @@ object GlobalOrdered {
     */
   def cumprod(df: DataFrame, x0: Column, key: Column, out: String,
               asc: Boolean = true, naRm: Boolean = false,
-              buckets: Int = 32,
+              buckets: Int = 0,
               nullsFirst: Option[Boolean] = None): DataFrame = {
     val x = x0.cast("double")
     val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
@@ -410,7 +421,7 @@ object GlobalOrdered {
     */
   def frank(df: DataFrame, value: Column, desc: Boolean, ties: String,
             naLast: String, out: String, appearance: Seq[Column] = Nil,
-            buckets: Int = 32): DataFrame = {
+            buckets: Int = 0): DataFrame = {
     val nullsFirst = naLast == "false"
     val asc = !desc
     // tie blocks must stay whole (rank offsets count prior-bucket rows),
@@ -471,7 +482,7 @@ object GlobalOrdered {
     * partials frame.
     */
   def rleid(df: DataFrame, cols: Seq[String], key: Column, out: String,
-            asc: Boolean = true, buckets: Int = 32,
+            asc: Boolean = true, buckets: Int = 0,
             nullsFirst: Option[Boolean] = None): DataFrame = {
     require(cols.nonEmpty, "rleid needs value columns")
     // runs must stay contiguous within buckets, so rleid never
@@ -533,7 +544,7 @@ object GlobalOrdered {
     * carry needs no window at all.
     */
   def nafillLocf(df: DataFrame, xIn: Column, key: Column, out: String,
-                 buckets: Int = 32, nanIsNa: Boolean = true,
+                 buckets: Int = 0, nanIsNa: Boolean = true,
                  nullsFirst: Option[Boolean] = None): DataFrame = {
     val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
     val p = prep(df, key, asc = true, buckets, nullsFirst)
@@ -559,7 +570,7 @@ object GlobalOrdered {
     * (min struct over FOLLOWING buckets).
     */
   def nafillNocb(df: DataFrame, xIn: Column, key: Column, out: String,
-                 buckets: Int = 32, nanIsNa: Boolean = true,
+                 buckets: Int = 0, nanIsNa: Boolean = true,
                  nullsFirst: Option[Boolean] = None): DataFrame = {
     val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
     val p = prep(df, key, asc = true, buckets, nullsFirst)
@@ -641,7 +652,7 @@ object GlobalOrdered {
     */
   def shift(df: DataFrame, c: Column, n: Int, key: Column, out: String,
             fill: Column = lit(null), asc: Boolean = true,
-            buckets: Int = 32,
+            buckets: Int = 0,
             nullsFirst: Option[Boolean] = None): DataFrame = {
     val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords,
@@ -658,7 +669,7 @@ object GlobalOrdered {
     */
   def froll(df: DataFrame, out: String, fn: String, c: Column, n: Int,
             key: Column, align: String = "right", partial: Boolean = false,
-            asc: Boolean = true, buckets: Int = 32,
+            asc: Boolean = true, buckets: Int = 0,
             naRm: Boolean = false,
             nullsFirst: Option[Boolean] = None): DataFrame = {
     val (nBefore, nAfter) = align match {
@@ -687,7 +698,7 @@ object GlobalOrdered {
                  f: Seq[org.apache.spark.sql.Row] => Any,
                  returnType: org.apache.spark.sql.types.DataType,
                  align: String = "right", partial: Boolean = false,
-                 asc: Boolean = true, buckets: Int = 32,
+                 asc: Boolean = true, buckets: Int = 0,
                  nullsFirst: Option[Boolean] = None): DataFrame = {
     val (nBefore, nAfter) = align match {
       case "right"  => (n - 1, 0)
@@ -713,7 +724,7 @@ object GlobalOrdered {
                     an: Column, maxN: Int, key: Column,
                     align: String = "right", asc: Boolean = true,
                     naRm: Boolean = false, partial: Boolean = false,
-                    buckets: Int = 32,
+                    buckets: Int = 0,
                     nullsFirst: Option[Boolean] = None): DataFrame = {
     require(maxN >= 1, s"frollAdaptive: maxN must be >= 1, got $maxN")
     val (nBefore, nAfter) = align match {
@@ -745,7 +756,7 @@ object GlobalOrdered {
     * local.
     */
   def frolladapt(df: DataFrame, time: Column, n: Long, out: String,
-                 buckets: Int = 32): DataFrame = {
+                 buckets: Int = 0): DataFrame = {
     require(n > 0, s"frolladapt: n must be positive, got $n")
     val p = prep(df, time, asc = true, buckets)
     val b = p.b
@@ -777,9 +788,9 @@ object GlobalOrdered {
     * stable-within-run positions (same caveat as every row_number).
     */
   def rownumByRange(df: DataFrame, order: Seq[Column], out: String,
-                    partitions: Int = 32): DataFrame = {
+                    partitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "rownumByRange needs order columns")
-    val sorted = df.repartitionByRange(partitions, order: _*)
+    val sorted = df.repartitionByRange(effBuckets(df, partitions), order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_graft_mid", monotonically_increasing_id())
       .withColumn(BKT, spark_partition_id())
