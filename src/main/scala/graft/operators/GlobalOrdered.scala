@@ -23,9 +23,11 @@ import org.apache.spark.sql.expressions.Window
   *     inside each bucket (parallel, streaming frame).
   *  3. '''Prefix offsets''': per-bucket partial aggregates (map-side
   *     combined — only ≤`buckets` rows shuffle) are combined across
-  *     strictly-prior buckets with tiny broadcast self-joins — NO
-  *     global window anywhere, so the plan never carries a
-  *     single-partition WindowExec — and broadcast-joined back.
+  *     strictly-prior buckets with a prefix window over the TINY
+  *     partials frame (constant-partitioned, ≤[[MAX_BUCKETS]] rows —
+  *     never a full-data single-partition WindowExec; the former
+  *     all-pairs broadcast self-joins materialized O(buckets²) rows)
+  *     and broadcast-joined back.
   *
   * Ops that need neighboring ROWS rather than prefix aggregates
   * (shift, fixed-window froll) use '''phantom boundary rows''': the
@@ -72,7 +74,26 @@ object GlobalOrdered {
   private val PH = "_graft_phantom"
   private val TB = "_graft_gtb"
 
+  /** Hard ceiling on the DEFAULT bucket count. Buckets bound the size
+    * of every cross-bucket bookkeeping frame (partials, need pairs), so
+    * tracking an unbounded `spark.sql.shuffle.partitions` would let a
+    * 64k-partition cluster config quietly inflate the "tiny" frames;
+    * 1024 buckets already give full parallelism on any realistic
+    * executor count while keeping every pair computation trivially
+    * broadcast-local. Explicit caller `buckets` values are honored
+    * as-is (tests exercise 4096).
+    */
+  private[graft] val MAX_BUCKETS = 1024
+
   private val boundsCache = new graft.SessionMemo[Array[Any]]()
+
+  /** Fits whose collapse was already logged/counted — the warning and
+    * the observability counters fire ONCE per memoized fit, not once
+    * per prep() call (bench reps of a skewed query would otherwise
+    * re-log every rep).
+    */
+  private val collapseSeen =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Test/visibility hook: number of memoized bounds fits. */
   private[graft] def boundsFitCount: Int = boundsCache.size
@@ -87,7 +108,11 @@ object GlobalOrdered {
   /** Forget every memoized bucket-bounds fit — call between in-session
     * rewrites of a corpus, like every other fit memo.
     */
-  def clearFits(): Unit = boundsCache.clear()
+  def clearFits(): Unit = {
+    boundsCache.clear()
+    collapseSeen.clear()
+    phantomGuardCache.clear()
+  }
 
   /** Driver-side sort of sampled bound candidates. Order here only
     * affects bucket balance (plan-side comparisons use Spark's own
@@ -111,7 +136,8 @@ object GlobalOrdered {
     * sample (≤~200k values, seed-pinned) sorted driver-side for any
     * other orderable type.
     */
-  private def boundsFor(df: DataFrame, key: Column, buckets: Int): Array[Any] = {
+  private def boundsFor(df: DataFrame, key: Column,
+                        buckets: Int): (Array[Any], String) = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val numeric = df.select(key).schema.head.dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -120,7 +146,7 @@ object GlobalOrdered {
       else df.select(key.as("_graft_k"))
     val memoKey = System.identityHashCode(df.sparkSession).toString + ":" +
       frame.queryExecution.analyzed.semanticHash().toString + ":" + buckets
-    boundsCache.getOrElsePut(memoKey) {
+    (boundsCache.getOrElsePut(memoKey) {
       // buckets=1 needs no bounds at all (and approxQuantile returns
       // null for an empty probability array rather than an empty one)
       if (buckets == 1) Array.empty[Any]
@@ -147,7 +173,7 @@ object GlobalOrdered {
           }
         }
       }
-    }
+    }, memoKey)
   }
 
   /** Bucket id as a pure expression over the key: the count of bounds
@@ -161,11 +187,31 @@ object GlobalOrdered {
     */
   private def bucketCol(key: Column, bounds: Array[Any], asc: Boolean,
                         nullsFirst: Boolean): Column = {
-    val base =
-      if (asc) bounds.foldLeft(lit(0))((acc, b) =>
-        acc + when(key > lit(b), 1).otherwise(0))
-      else bounds.foldLeft(lit(0))((acc, b) =>
-        acc + when(key < lit(b), 1).otherwise(0))
+    // Count of bounds passed by the key (strictly below for asc, above
+    // for desc), as a BINARY-SEARCH expression over the ascending-sorted
+    // bounds: a bound passed at the midpoint implies every bound on its
+    // side is passed too (sortedness, duplicates included), so the tree
+    // has O(|bounds|) nodes but O(log |bounds|) depth — a linear
+    // when-chain at 4096 bounds is 4095 comparisons per row AND a
+    // codegen-hostile 4095-deep expression. Small spans stay linear
+    // (fewer branches than a 4-level tree).
+    def passed(b: Any): Column = if (asc) key > lit(b) else key < lit(b)
+    def count(lo: Int, hi: Int): Column =
+      if (hi - lo <= 16)
+        (lo until hi).foldLeft(lit(0))((acc, i) =>
+          acc + when(passed(bounds(i)), 1).otherwise(0))
+      else {
+        val mid = (lo + hi) / 2
+        if (asc)
+          // key > bounds(mid) ⟹ key > bounds(i) ∀ i ≤ mid
+          when(passed(bounds(mid)), lit(mid - lo + 1) + count(mid + 1, hi))
+            .otherwise(count(lo, mid))
+        else
+          // key < bounds(mid) ⟹ key < bounds(i) ∀ i ≥ mid
+          when(passed(bounds(mid)), lit(hi - mid) + count(lo, mid))
+            .otherwise(count(mid + 1, hi))
+      }
+    val base = count(0, bounds.length)
     when(key.isNull, lit(if (nullsFirst) 0 else bounds.length)).otherwise(base)
   }
 
@@ -200,12 +246,14 @@ object GlobalOrdered {
   /** Resolve the bucket/partition count: callers pass 0 (the default)
     * to track `spark.sql.shuffle.partitions` — a hardcoded constant
     * would cap the tier's parallelism on a real cluster where shuffle
-    * partitions are sized to the data (locally both are 32).
+    * partitions are sized to the data (locally both are 32) — clamped
+    * to [[MAX_BUCKETS]] so an aggressive partitions config can't blow
+    * up the cross-bucket bookkeeping frames.
     */
   private def effBuckets(df: DataFrame, buckets: Int): Int =
     if (buckets > 0) buckets
-    else math.max(1,
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    else math.min(MAX_BUCKETS, math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt))
 
   private def prep(df: DataFrame, key: Column, asc: Boolean, buckets0: Int,
                    nullsFirst: Option[Boolean] = None,
@@ -213,11 +261,15 @@ object GlobalOrdered {
     val buckets = effBuckets(df, buckets0)
     val nf = nullsFirst.getOrElse(asc)
     val ord = ordOf(key, asc, nf)
-    val raw = boundsFor(df, key, buckets)
+    val (raw, fitTag) = boundsFor(df, key, buckets)
     val distinctB = raw.distinct
     val collapsed = raw.nonEmpty && distinctB.length < (raw.length + 1) / 2
-    if (collapsed) {
+    // warning + counters fire once per memoized FIT (not per prep call /
+    // bench rep); clearFits resets the seen-set with the bounds
+    if (collapsed &&
+        collapseSeen.putIfAbsent(fitTag + ":" + tieAgnostic, true).isEmpty) {
       collapseWarnings.incrementAndGet()
+      if (tieAgnostic) collapseReroutes.incrementAndGet()
       System.err.println(
         s"[graft] GlobalOrdered: bucket fit collapsed to ${distinctB.length + 1} " +
           s"of $buckets requested buckets (near-constant order key)" +
@@ -225,7 +277,6 @@ object GlobalOrdered {
            else "; this op pins tie blocks to one bucket — expect reduced parallelism"))
     }
     if (collapsed && tieAgnostic) {
-      collapseReroutes.incrementAndGet()
       val h = xxhash64(df.columns.map(col): _*)
       // base counts RAW (duplicated) bounds below the key, so each
       // value duplicated m times leaves the m ids after its block's
@@ -233,8 +284,26 @@ object GlobalOrdered {
       val base = bucketCol(key, raw, asc, nf)
       // signed long → [0, 1) monotonically (divide by 2^64, shift up)
       val h01 = h.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+      // the scatter test `key === lit(v)` compares through the bound's
+      // type: numeric fits store DOUBLE quantiles, and an integral key
+      // beyond 2^53 shares its double image with neighbors — those
+      // would scatter by hash while ordering by the EXACT key, breaking
+      // bucket/order monotonicity. Scatter only values whose image
+      // identifies exactly one key: sampled (exact-typed) bounds
+      // always; double-image integral bounds only below 2^53; Decimal
+      // keys (arbitrary precision vs double fit) never.
+      val kt = df.select(key).schema.head.dataType
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, DecimalType}
+      val scatterable: Any => Boolean = kt match {
+        case _: DecimalType => _ => false
+        case ByteType | ShortType | IntegerType | LongType => {
+          case d: java.lang.Double => math.abs(d) < 9007199254740992.0
+          case _ => true
+        }
+        case _ => _ => true
+      }
       val mult = raw.groupBy(identity).collect {
-        case (v, g) if g.length >= 2 => (v, g.length)
+        case (v, g) if g.length >= 2 && scatterable(v) => (v, g.length)
       }.toSeq
       val sub = mult.foldLeft(lit(0)) { case (acc, (v, m)) =>
         when(key === lit(v),
@@ -254,16 +323,26 @@ object GlobalOrdered {
                                     tieAgnostic: Boolean): DataFrame =
     prep(df, key, asc, buckets, tieAgnostic = tieAgnostic).b
 
-  /** Aggregates of `partials` over STRICTLY-PRIOR buckets, one row per
-    * bucket (left join: first bucket gets nulls). `partials` is tiny
-    * (≤buckets rows), so both the non-equi self-join and the final
-    * broadcast back to the data are broadcast-local.
+  /** The prefix/suffix window over the TINY partials frame (≤effBuckets
+    * ≤ caller-bounded rows): partitioned by a constant so Catalyst
+    * plans an ordinary (single-group) WindowExec over a provably
+    * bounded frame — NOT a partitionless window over the data, which
+    * the plan-shape specs forbid. This replaces the former all-pairs
+    * broadcast self-join, which materialized O(buckets²) join rows.
     */
-  private def priorsOf(partials: DataFrame, aggs: Column*): DataFrame =
-    partials.alias("a")
-      .join(broadcast(partials.alias("p")), col("p._b") < col("a._b"), "left")
-      .groupBy(col("a._b").as("_b"))
-      .agg(aggs.head, aggs.tail: _*)
+  private def partialsWindow =
+    Window.partitionBy(lit(0)).orderBy(col("_b"))
+
+  /** Aggregates of `partials` over STRICTLY-PRIOR buckets, one row per
+    * bucket (first bucket gets nulls — the empty prefix frame). Each
+    * agg is an aggregate function over a partials column, paired with
+    * its output name.
+    */
+  private def priorsOf(partials: DataFrame, aggs: (Column, String)*): DataFrame = {
+    val w = partialsWindow.rowsBetween(Window.unboundedPreceding, -1)
+    partials.select(
+      col("_b") +: aggs.map { case (a, n) => a.over(w).as(n) }: _*)
+  }
 
   private def joinPriors(b: DataFrame, priors: DataFrame): DataFrame =
     b.join(broadcast(priors), col(BKT) === col("_b"), "left").drop("_b")
@@ -310,8 +389,8 @@ object GlobalOrdered {
     val partials = b.groupBy(col(BKT).as("_b"))
       .agg(sum(x).as("_ps"), count(x).as("_pnn"), count(lit(1)).as("_pn"))
     val priors = priorsOf(partials,
-      sum(col("p._ps")).as("_ps"), sum(col("p._pnn")).as("_pnn"),
-      sum(col("p._pn")).as("_pn"))
+      sum(col("_ps")) -> "_ps", sum(col("_pnn")) -> "_pnn",
+      sum(col("_pn")) -> "_pn")
     val j = joinPriors(b, priors)
     val within = sum(x).over(wc)
     val value = addNT(col("_ps"), within)
@@ -341,8 +420,8 @@ object GlobalOrdered {
     val partials = b.groupBy(col(BKT).as("_b"))
       .agg(agg(x).as("_pm"), count(x).as("_pnn"), count(lit(1)).as("_pn"))
     val priors = priorsOf(partials,
-      agg(col("p._pm")).as("_pm"), sum(col("p._pnn")).as("_pnn"),
-      sum(col("p._pn")).as("_pn"))
+      agg(col("_pm")) -> "_pm", sum(col("_pnn")) -> "_pnn",
+      sum(col("_pn")) -> "_pn")
     val j = joinPriors(b, priors)
     val within = agg(x).over(wc)
     val combine = if (isMin) least(col("_pm"), within) else greatest(col("_pm"), within)
@@ -390,9 +469,9 @@ object GlobalOrdered {
       sum(when(x =!= 0.0, log(abs(x)))).as("_plog"),
       count(x).as("_pnn"), count(lit(1)).as("_pn"))
     val priors = priorsOf(partials,
-      sum(col("p._pz")).as("_pz"), sum(col("p._pneg")).as("_pneg"),
-      sum(col("p._plog")).as("_plog"), sum(col("p._pnn")).as("_pnn"),
-      sum(col("p._pn")).as("_pn"))
+      sum(col("_pz")) -> "_pz", sum(col("_pneg")) -> "_pneg",
+      sum(col("_plog")) -> "_plog", sum(col("_pnn")) -> "_pnn",
+      sum(col("_pn")) -> "_pn")
     val j = joinPriors(b, priors)
     val zeros = coalesce(col("_pz"), lit(0L)) +
       sum(when(x === 0.0, 1L).otherwise(0L)).over(wc)
@@ -436,7 +515,7 @@ object GlobalOrdered {
       (countDistinct(value) +
         max(when(value.isNull, 1).otherwise(0))).as("_pd"))
     val priors = priorsOf(partials,
-      sum(col("p._pn")).as("_pn"), sum(col("p._pd")).as("_pd"))
+      sum(col("_pn")) -> "_pn", sum(col("_pd")) -> "_pd")
     val j = joinPriors(b, priors)
     val rowOff = coalesce(col("_pn"), lit(0L))
     val ranked = ties match {
