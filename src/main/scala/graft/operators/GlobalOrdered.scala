@@ -88,9 +88,12 @@ object GlobalOrdered {
   private val boundsCache = new graft.SessionMemo[Array[Any]]()
 
   /** Fits whose collapse was already logged/counted — the warning and
-    * the observability counters fire ONCE per memoized fit, not once
-    * per prep() call (bench reps of a skewed query would otherwise
-    * re-log every rep).
+    * the observability counters fire ONCE per memoized (fit,
+    * tieAgnostic) PAIR, not once per prep() call (bench reps of a
+    * skewed query would otherwise re-log every rep). Keying on the pair
+    * is deliberate: the two messages differ (reroute vs pinned), so a
+    * fit shared by a tie-agnostic op and a pinning op logs once per
+    * wording, and collapseWarnings counts the same pairs.
     */
   private val collapseSeen =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
@@ -111,7 +114,6 @@ object GlobalOrdered {
   def clearFits(): Unit = {
     boundsCache.clear()
     collapseSeen.clear()
-    phantomGuardCache.clear()
   }
 
   /** Driver-side sort of sampled bound candidates. Order here only
@@ -584,19 +586,19 @@ object GlobalOrdered {
       (if (asc) max_by(col(c), kOrd) else min_by(col(c), kOrd)).as(s"_l_$c")))
     val partials = within.groupBy(col(BKT).as("_b"))
       .agg(max(col("_graft_rid")).as("_runs"), firstLast: _*)
-    // previous NONEMPTY bucket id per bucket (partials only has nonempty)
-    val prevId = partials.select(col("_b").as("_pb"))
-      .alias("a")
-      .join(broadcast(partials.select(col("_b").as("_qb")).alias("p")),
-        col("_qb") < col("_pb"), "left")
-      .groupBy(col("_pb")).agg(max(col("_qb")).as("_prev"))
+    // previous NONEMPTY bucket's last values per bucket: partials only
+    // has nonempty buckets, so lag over the tiny partials window IS the
+    // prev-nonempty lookup (no all-pairs self-join). A null lag of _b
+    // means "no prior bucket"; a null lagged _pl_c with _prev set means
+    // the prev run genuinely ended in NA — the <=> compare handles it.
     // merge(b) = 1 when first(b) equals last(prev nonempty b), per-field
     // null-safe (consecutive NA runs merge, reference uniqlist semantics)
-    val prevLast = partials.select(
-      (col("_b").as("_prevb") +: cols.map(c => col(s"_l_$c").as(s"_pl_$c"))): _*)
-    val merged = partials
-      .join(broadcast(prevId), col("_b") === col("_pb"))
-      .join(broadcast(prevLast), col("_prev") === col("_prevb"), "left")
+    val withLags = cols.foldLeft(
+      partials.withColumn("_prev", lag(col("_b"), 1).over(partialsWindow))) {
+      (acc, c) =>
+        acc.withColumn(s"_pl_$c", lag(col(s"_l_$c"), 1).over(partialsWindow))
+    }
+    val merged = withLags
       .withColumn("_merge",
         when(col("_prev").isNull, lit(0L)).otherwise(
           when(cols.map(c => col(s"_f_$c") <=> col(s"_pl_$c")).reduce(_ && _),
@@ -604,7 +606,7 @@ object GlobalOrdered {
       .select(col("_b"), col("_runs"), col("_merge"))
     // offset(b) = Σ_{b'<b} runs − Σ_{b'≤b} merge
     val priors = priorsOf(merged,
-      sum(col("p._runs")).as("_pruns"), sum(col("p._merge")).as("_pmerge"))
+      sum(col("_runs")) -> "_pruns", sum(col("_merge")) -> "_pmerge")
     val offsets = merged.join(broadcast(priors), "_b")
       .select(col("_b"),
         (coalesce(col("_pruns"), lit(0L)) - coalesce(col("_pmerge"), lit(0L)) -
@@ -639,7 +641,7 @@ object GlobalOrdered {
     val partials = b.groupBy(col(BKT).as("_b"))
       .agg(max(when(x.isNotNull,
         struct(nr.as("nr"), key.as("k"), x.as("v")))).as("_lastnn"))
-    val priors = priorsOf(partials, max(col("p._lastnn")).as("_carry"))
+    val priors = priorsOf(partials, max(col("_lastnn")) -> "_carry")
     joinPriors(b, priors)
       .withColumn(out, coalesce(within, col("_carry").getField("v")))
       .drop(BKT, TB, "_carry")
@@ -662,9 +664,12 @@ object GlobalOrdered {
     val partials = b.groupBy(col(BKT).as("_b"))
       .agg(min(when(x.isNotNull,
         struct(nr.as("nr"), key.as("k"), x.as("v")))).as("_firstnn"))
-    val followers = partials.alias("a")
-      .join(broadcast(partials.alias("p")), col("p._b") > col("a._b"), "left")
-      .groupBy(col("a._b").as("_b")).agg(min(col("p._firstnn")).as("_carry"))
+    // suffix carry over STRICTLY-FOLLOWING buckets via the tiny partials
+    // window (mirror of priorsOf's prefix frame; last bucket → null)
+    val followers = partials.select(col("_b"),
+      min(col("_firstnn"))
+        .over(partialsWindow.rowsBetween(1, Window.unboundedFollowing))
+        .as("_carry"))
     joinPriors(b, followers)
       .withColumn(out, coalesce(within, col("_carry").getField("v")))
       .drop(BKT, TB, "_carry")
@@ -874,11 +879,14 @@ object GlobalOrdered {
       .withColumn("_graft_mid", monotonically_increasing_id())
       .withColumn(BKT, spark_partition_id())
     val counts = sorted.groupBy(col(BKT).as("_b")).agg(count(lit(1)).as("_c"))
-    val priors = priorsOf(counts, sum(col("p._c")).as("_pc"))
+    val priors = priorsOf(counts, sum(col("_c")) -> "_pc")
     sorted.join(broadcast(priors), col(BKT) === col("_b"), "left")
       .withColumn(out,
         coalesce(col("_pc"), lit(0L)) +
-          (col("_graft_mid").bitwiseAND(lit((1L << 33) - 1))) + 1)
+          // mid = (partitionId << 33) + within-partition ordinal, so the
+          // ordinal is the explicit difference (not a bit-slice that
+          // silently wraps past 2^33 rows/partition)
+          (col("_graft_mid") - shiftleft(col(BKT).cast("long"), 33)) + 1)
       .drop(BKT, "_graft_mid", "_b", "_pc")
   }
 }

@@ -469,4 +469,49 @@ class GlobalOrderedSpec extends AnyFunSuite {
       allowGlobal = true)
     assert(collectMap(tiered, "k", "rid") == collectMap(naive, "k", "rid"))
   }
+
+  test("explicit buckets=4096 is honored and stays O(buckets): " +
+       "matches buckets=32, no nested-loop/cartesian in any plan") {
+    // MAX_BUCKETS caps only the DEFAULT; an explicit 4096 must (a) run,
+    // (b) produce identical results to a small bucket count, and (c)
+    // plan every cross-bucket bookkeeping join/window in O(buckets) —
+    // the former all-pairs prior-bucket self-joins surfaced as
+    // BroadcastNestedLoopJoin (non-equi condition), which this test
+    // forbids outright.
+    GlobalOrdered.clearFits()
+    val n = 100000
+    val rows = (1 to n).map { i =>
+      val v: java.lang.Double = if (i % 11 == 0) null else (i % 7).toDouble
+      (i.toLong, v, s"r${i / 5}")
+    }
+    val df = spark.createDataFrame(rows).toDF("k", "v", "s").repartition(32)
+
+    def assertLinear(d: DataFrame): DataFrame = {
+      d.collect() // force AQE-final plan
+      val plan = d.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        "O(buckets^2) all-pairs join shape in plan")
+      assert(!plan.contains("CartesianProduct"),
+        "cartesian in global-tier plan")
+      d
+    }
+    def run(b: Int): Seq[Map[Long, Option[Any]]] = Seq(
+      collectMap(assertLinear(GlobalOrdered.cumsum(
+        df, col("v"), col("k"), "cs", naRm = true, buckets = b)), "k", "cs"),
+      collectMap(assertLinear(GlobalOrdered.rleid(
+        df, Seq("s"), col("k"), "rid", buckets = b)), "k", "rid"),
+      collectMap(assertLinear(GlobalOrdered.nafillLocf(
+        df, col("v"), col("k"), "nf", buckets = b)), "k", "nf"),
+      collectMap(assertLinear(GlobalOrdered.rownumByRange(
+        df, Seq(col("k").asc), "rn", partitions = b)), "k", "rn"))
+
+    val at32 = run(32)
+    val at4096 = run(4096)
+    assert(at32 == at4096)
+    // rleid must see every run exactly once: i/5 takes n/5 + 1 values
+    // (r0 covers i=1..4, r20000 covers i=n alone)
+    assert(at4096(1).values.flatten.toSet.size == n / 5 + 1)
+    // row numbers are the exact permutation (unique ascending key)
+    assert(at4096(3) == (1 to n).map(i => i.toLong -> Some(i.toLong)).toMap)
+  }
 }
