@@ -10,6 +10,50 @@ import org.apache.spark.sql.SparkSession
   * order for run-to-run comparability.
   */
 object Bench {
+
+  /** Parse a committed BENCH_DETAIL.json with Jackson (Spark's own JSON
+    * library — the former regex scraper silently dropped entries whose
+    * field order drifted): returns (sf, load_contaminated, warm-by-name
+    * for non-failed queries), or None for unreadable/shapeless input.
+    */
+  private[graft] def parsePrevArtifact(
+      txt: String): Option[(String, Boolean, Map[String, Double])] = {
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val sfNode = root.get("sf")
+      val qsNode = root.get("queries")
+      if (sfNode == null || qsNode == null || !qsNode.isObject) None
+      else {
+        val contaminated = {
+          val c = root.get("load_contaminated")
+          c != null && c.asBoolean(false)
+        }
+        val m = Map.newBuilder[String, Double]
+        qsNode.fields().forEachRemaining { e =>
+          val w = e.getValue.get("warm")
+          if (w != null && w.isNumber && w.asDouble() >= 0)
+            m += e.getKey -> w.asDouble()
+        }
+        Some((sfNode.asText(), contaminated, m.result()))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** The vs-previous-artifact regression gate. A clean sweep compares
+    * its warm MEDIAN at 2x (after re-measuring). A load-contaminated
+    * sweep — where every query already runs 5 reps — compares its MIN
+    * rep at 3x: external load only ever ADDS time, so a min that still
+    * exceeds 3x the previous clean median is a regression the load
+    * cannot explain, closing the blind spot where contaminated sweeps
+    * skipped the gate entirely. Sub-50ms values stay ungated (pure
+    * scheduler noise at this scale).
+    */
+  private[graft] def vsPrevRegressed(med: Double, minRep: Double,
+                                     prev: Double,
+                                     loadContaminated: Boolean): Boolean =
+    if (loadContaminated) minRep > 3.0 * prev && minRep >= 0.05
+    else med > 2.0 * prev && med >= 0.05
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -90,18 +134,15 @@ object Bench {
     // — comparing a clean sweep's median against a min is unlike-vs-like
     // and would over-trigger the 2x gate generation after generation
     val prevWarm: Map[String, Double] =
-      try {
+      (try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-        val sfRe = """"sf":"([^"]+)"""".r
-        val sameSf = sfRe.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
-        if (!sameSf || txt.contains("\"load_contaminated\":true"))
-          Map.empty[String, Double]
-        else {
-          val re = """"([^"]+)":\{"cold":-?[\d.]+,"warm":(-?[\d.]+)""".r
-          re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case _: Throwable => Map.empty[String, Double] }
+        parsePrevArtifact(txt)
+      } catch { case _: Throwable => None }) match {
+        case Some((sf, contaminated, warm))
+          if sf == sfDir && !contaminated => warm
+        case _ => Map.empty[String, Double]
+      }
     val ncpus = Runtime.getRuntime.availableProcessors()
     val loadStart = loadavg()
     val loadContaminated = loadStart > ncpus / 8.0
@@ -123,16 +164,21 @@ object Bench {
         noisy = dispersed(reps)
       }
       var med = if (reps.isEmpty) -1.0 else medianOf(reps)
-      // vs-previous-artifact outlier: re-run before recording. Tiny
-      // queries (<50ms here or <20ms before) are pure scheduler noise
-      // either way and stay on the plain median path.
+      // vs-previous-artifact outlier: re-run before recording (a clean
+      // sweep re-measures; a contaminated one already ran 5 reps and
+      // gates on the min — see vsPrevRegressed). Tiny queries (<50ms
+      // here or <20ms before) are pure scheduler noise either way and
+      // stay on the plain median path.
       val prev = prevWarm.get(name).filter(_ >= 0.02)
       var vsPrev: Option[Double] = None
-      if (!loadContaminated && reps.nonEmpty &&
-          prev.exists(p => med > 2.0 * p && med >= 0.05)) {
-        reps = reps ++ (1 to 2).map(_ => timeOnce(name, fn)).filter(_ >= 0)
-        med = medianOf(reps)
-        if (prev.exists(p => med > 2.0 * p && med >= 0.05)) {
+      if (reps.nonEmpty && prev.exists(p =>
+          vsPrevRegressed(med, reps.min, p, loadContaminated))) {
+        if (!loadContaminated) {
+          reps = reps ++ (1 to 2).map(_ => timeOnce(name, fn)).filter(_ >= 0)
+          med = medianOf(reps)
+        }
+        if (reps.nonEmpty && prev.exists(p =>
+            vsPrevRegressed(med, reps.min, p, loadContaminated))) {
           vsPrev = prev
           noisy = true
         }

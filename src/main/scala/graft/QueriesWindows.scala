@@ -654,6 +654,34 @@ object QueriesWindows {
              |    (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
              |FROM orders""".stripMargin)),
 
+    // ---- global running sum over a NEAR-CONSTANT key: the skew-collapse
+    // reroute path (99% of rows share k=0, so the quantile fit collapses
+    // and the tier scatters the tie block by content hash). The summed
+    // value is 0 on the constant block, so every row's prefix sum is
+    // order-invariant within ties — deterministic across engines while
+    // still driving the degenerate-fit machinery end-to-end. ------------
+    ("q_cumsum_global_skew", ((s, dir) =>
+      Windows.cumDF(
+        dt(s, dir, "orders").df
+          // > 0 keeps orderkey 0 (whose k would also be 0) OUT of the
+          // rare set: the k=0 tie block must sum only zeros or the
+          // prefix sums become within-tie-order-dependent
+          .withColumn("k", when(col("o_orderkey") % 101 === 0 &&
+            col("o_orderkey") > 0, col("o_orderkey")).otherwise(lit(0L)))
+          .withColumn("xs", when(col("k") === 0, lit(0L))
+            .otherwise(round(col("o_totalprice") * 100).cast("long"))),
+        "cs", "sum", col("xs"), Nil, Seq(col("k").asc))
+        .select(col("o_orderkey"), col("cs"))): Q,
+      Some("""SELECT o_orderkey,
+             |  CAST(sum(xs) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+             |FROM (SELECT o_orderkey,
+             |        CASE WHEN o_orderkey % 101 = 0 AND o_orderkey > 0
+             |             THEN o_orderkey ELSE 0 END AS k,
+             |        CASE WHEN o_orderkey % 101 = 0 AND o_orderkey > 0
+             |             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+             |             ELSE 0 END AS xs
+             |      FROM orders)""".stripMargin)),
+
     // ---- global running product: sign/zero tracking, exact ±1/0 --------
     ("q_cumprod_global", ((s, dir) =>
       Windows.cumDF(

@@ -101,6 +101,53 @@ object GlobalOrdered {
   /** Test/visibility hook: number of memoized bounds fits. */
   private[graft] def boundsFitCount: Int = boundsCache.size
 
+  /** Phantom-volume ceiling for [[frolladapt]]: when the fit-estimated
+    * duplicated-row volume exceeds this multiple of the data, the
+    * bucket count is reduced until it fits (fewer bucket edges = fewer
+    * rows within reach of one). 2x phantoms is already a heavy but
+    * workable union; past it the value-phantom design degenerates
+    * toward copying the dataset per bucket.
+    */
+  private[graft] val PHANTOM_RATIO_MAX = 2.0
+
+  /** Memoized phantom-guard decisions per (fit, reach): the reduced
+    * bucket count, computed (and warned about) once per fit — bench
+    * reps of a wide-reach query must not re-log every rep.
+    */
+  private val phantomGuardCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Test/visibility counter: fits whose phantom estimate forced a
+    * bucket reduction.
+    */
+  private[graft] val phantomGuardReductions =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Estimated phantom rows / data rows for a value-reach of `reach`
+    * along a key whose quantile bounds are `bounds` — no data scan: the
+    * bounds ARE an empirical CDF (F(t) ≈ #bounds<t / (|bounds|+1)), and
+    * bucket d's minimum is ≈ bounds(d−1), so the rows copied into
+    * bucket d are the F-mass of [min_d − reach, min_d). Local calendar
+    * windows sum to ≲1; a reach spanning the axis sums to ~buckets/2.
+    */
+  private[graft] def phantomRatioEst(bounds: Array[Any],
+                                     reach: Double): Double = {
+    val ds = bounds.collect { case d: Double => d }.sorted
+    if (ds.isEmpty || reach <= 0) 0.0
+    else {
+      val denom = (ds.length + 1).toDouble
+      def below(t: Double): Int = {
+        var lo = 0; var hi = ds.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (ds(mid) < t) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      ds.map(m => (below(m) - below(m - reach)) / denom).sum
+    }
+  }
+
   /** Structured skew-degeneracy observability (test-asserted): fits
     * whose raw quantiles collapsed (mostly-duplicate bounds), and how
     * many of those were auto-rerouted through the tie-break bucketing.
@@ -114,6 +161,7 @@ object GlobalOrdered {
   def clearFits(): Unit = {
     boundsCache.clear()
     collapseSeen.clear()
+    phantomGuardCache.clear()
   }
 
   /** Driver-side sort of sampled bound candidates. Order here only
@@ -842,7 +890,31 @@ object GlobalOrdered {
   def frolladapt(df: DataFrame, time: Column, n: Long, out: String,
                  buckets: Int = 0): DataFrame = {
     require(n > 0, s"frolladapt: n must be positive, got $n")
-    val p = prep(df, time, asc = true, buckets)
+    // Phantom-volume guard: estimate the duplicated-row ratio from the
+    // (memoized) bounds fit alone; a reach covering most of the axis
+    // would otherwise copy ~data x buckets rows into the union. Reduce
+    // buckets proportionally so the estimate lands back under the
+    // ceiling — results are bucket-count-invariant, only parallelism
+    // shrinks (a near-axis-wide calendar window is inherently
+    // sequential-ish anyway).
+    val eb = effBuckets(df, buckets)
+    val useB =
+      if (eb <= 1) eb
+      else {
+        val (raw, fitTag) = boundsFor(df, time, eb)
+        val est = phantomRatioEst(raw, (n - 1).toDouble)
+        if (est <= PHANTOM_RATIO_MAX) eb
+        else phantomGuardCache.getOrElseUpdate(fitTag + ":" + n, {
+          val chosen = math.max(1, (eb * PHANTOM_RATIO_MAX / est).toInt)
+          phantomGuardReductions.incrementAndGet()
+          System.err.println(
+            s"[graft] frolladapt: estimated phantom volume ${"%.1f".format(est)}x " +
+              s"the data at $eb buckets (reach ${n - 1} spans many buckets); " +
+              s"reducing to $chosen buckets to cap duplication")
+          chosen
+        })
+      }
+    val p = prep(df, time, asc = true, useB)
     val b = p.b
     val real = b.withColumn(PH, lit(false))
     val mins = b.groupBy(col(BKT).as("_d")).agg(min(time).as("_dmin"))

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GlobalOrdered, Windows}
+
+/** Round-13 hardening: the frolladapt phantom-volume guard (a value
+  * reach spanning the axis must reduce buckets instead of copying
+  * ~data x buckets rows into the phantom union) and the bench
+  * vs-previous regression gate (real JSON parsing; the gate now also
+  * fires during load-contaminated sweeps via the min rep).
+  */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- frolladapt phantom guard -------------------------------------
+
+  test("phantomRatioEst: local reach is cheap, axis-spanning reach is quadratic") {
+    // 31 uniform bounds over [0,1000) ~ 32 buckets of width ~32
+    val bounds: Array[Any] = (1 until 32).map(i => i * 31.25: Any).toArray
+    // reach well under one bucket width: < 1x the data
+    assert(GlobalOrdered.phantomRatioEst(bounds, 10.0) <= 1.0)
+    // reach = full axis: every bucket d copies all d prior buckets,
+    // sum ~ buckets/2
+    val wide = GlobalOrdered.phantomRatioEst(bounds, 1000.0)
+    assert(wide > 10.0)
+    // degenerate inputs estimate zero
+    assert(GlobalOrdered.phantomRatioEst(Array.empty[Any], 100.0) == 0.0)
+    assert(GlobalOrdered.phantomRatioEst(bounds, 0.0) == 0.0)
+  }
+
+  test("frolladapt guard fires on reach ~ axis span: fewer buckets, same results") {
+    GlobalOrdered.clearFits()
+    val df = spark.range(0, 2000).select(
+      col("id").as("k"), (col("id") % 997).as("t"))
+      .withColumn("t", col("t") + col("k") / 2) // spread, still 0..~1996
+      .repartition(8)
+    val before = GlobalOrdered.phantomGuardReductions.get()
+    // reach 1499 over an axis of ~2000: phantom estimate ~14x the data
+    // at 32 buckets (at the test session's 4 default buckets the true
+    // volume is a harmless ~0.75x — the guard correctly stays quiet
+    // there, so the stress case pins buckets explicitly)
+    val guarded = GlobalOrdered.frolladapt(df, col("t"), 1500L, "an",
+      buckets = 32)
+    val naive = Windows.frolladaptDF(
+      df, "an", col("t"), 1500L, Nil, allowGlobal = true)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("an")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(guarded) == m(naive))
+    assert(GlobalOrdered.phantomGuardReductions.get() > before)
+    // memoized: a second build of the same plan must not re-warn/count
+    GlobalOrdered.frolladapt(df, col("t"), 1500L, "an", buckets = 32)
+    assert(GlobalOrdered.phantomGuardReductions.get() == before + 1)
+    // a local reach on the same fit stays unguarded
+    val local = GlobalOrdered.frolladapt(df, col("t"), 5L, "an2", buckets = 32)
+    val naiveLocal = Windows.frolladaptDF(
+      df, "an2", col("t"), 5L, Nil, allowGlobal = true)
+    def m2(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("an2")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m2(local) == m2(naiveLocal))
+    assert(GlobalOrdered.phantomGuardReductions.get() == before + 1)
+  }
+
+  test("q_cumsum_global_skew drives the collapse-reroute path and stays deterministic") {
+    GlobalOrdered.clearFits()
+    val before = GlobalOrdered.collapseReroutes.get()
+    val q = SparkEntry.queries("q_cumsum_global_skew")
+    val out1 = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 99%-zero key collapses the fit; cumsum is tie-agnostic, so the
+    // tier reroutes (counted once per memoized fit)
+    assert(GlobalOrdered.collapseReroutes.get() > before)
+    // constant-block rows sum zeros: order-invariant, so a rebuild from a
+    // fresh fit reproduces the exact map
+    GlobalOrdered.clearFits()
+    val out2 = q(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out1 == out2)
+    assert(out1.nonEmpty && out1.values.exists(_ > 0))
+  }
+
+  // ---- bench prev-artifact parsing + regression gate ------------------
+
+  test("parsePrevArtifact reads warm values, sf, and contamination; rejects junk") {
+    val clean = """{"metric":"total","value":30.0,"unit":"sec","n_queries":2,
+      "queries":{"q_a":{"cold":0.5,"warm":0.101},"q_b":{"cold":1.0,"warm":-1.000,"noisy":true},
+      "q_c":{"warm":0.034,"cold":0.1}},"sf":"/root/testdata/sf0.1"}"""
+    val (sf, cont, warm) = Bench.parsePrevArtifact(clean).get
+    assert(sf == "/root/testdata/sf0.1" && !cont)
+    // failed entries (-1) are dropped; field order inside an entry is free
+    assert(warm == Map("q_a" -> 0.101, "q_c" -> 0.034))
+
+    val contaminated =
+      """{"load_contaminated":true,"queries":{"q_a":{"cold":1.0,"warm":0.2}},"sf":"x"}"""
+    assert(Bench.parsePrevArtifact(contaminated).exists(_._2))
+
+    assert(Bench.parsePrevArtifact("not json").isEmpty)
+    assert(Bench.parsePrevArtifact("""{"sf":"x"}""").isEmpty)
+  }
+
+  test("vsPrevRegressed: clean sweeps gate the median, loaded sweeps gate the min") {
+    // clean: median 2x+ prev -> flagged; min is ignored
+    assert(Bench.vsPrevRegressed(med = 0.5, minRep = 0.1, prev = 0.2,
+      loadContaminated = false))
+    assert(!Bench.vsPrevRegressed(med = 0.3, minRep = 0.3, prev = 0.2,
+      loadContaminated = false))
+    // loaded, planted slowdown: all 5 reps (incl. the min) carry a real
+    // 4x regression that load cannot explain -> flagged despite the load
+    assert(Bench.vsPrevRegressed(med = 1.2, minRep = 0.8, prev = 0.2,
+      loadContaminated = true))
+    // loaded, pure external noise: median inflated but the min landed
+    // near prev -> NOT flagged (the old blind spot, now like-vs-like)
+    assert(!Bench.vsPrevRegressed(med = 1.2, minRep = 0.25, prev = 0.2,
+      loadContaminated = true))
+    // sub-50ms values stay ungated in both modes
+    assert(!Bench.vsPrevRegressed(med = 0.04, minRep = 0.04, prev = 0.01,
+      loadContaminated = false))
+    assert(!Bench.vsPrevRegressed(med = 0.04, minRep = 0.04, prev = 0.01,
+      loadContaminated = true))
+  }
+}
