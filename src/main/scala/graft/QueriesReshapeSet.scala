@@ -87,6 +87,25 @@ object QueriesReshapeSet {
              |  round(sum(l_quantity), 3)
              |FROM lineitem""".stripMargin)),
 
+    // ---- dcast margins x subset=: "(all)" totals the SUBSET -----------
+    ("q_dcast_margins_subset", ((s, dir) =>
+      Reshape.dcastMarginsSubset(dt(s, dir, "lineitem").df,
+        subset = col("l_quantity") > 25,
+        lhs = "l_returnflag", rhs = "l_linestatus", valueVar = "l_quantity",
+        aggFn = c => round(sum(c), 3), values = Seq("F", "O"))): Q,
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS F,
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS O,
+             |  round(sum(l_quantity), 3) AS "(all)"
+             |FROM lineitem WHERE l_quantity > 25
+             |GROUP BY l_returnflag
+             |UNION ALL
+             |SELECT '(all)',
+             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3),
+             |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3),
+             |  round(sum(l_quantity), 3)
+             |FROM lineitem WHERE l_quantity > 25""".stripMargin)),
+
     // ---- dcast margins over a MULTI-column lhs (rollup interpretation) -
     ("q_dcast_margins2", ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -424,6 +443,35 @@ object QueriesReshapeSet {
              |  round(l_quantity, 3) AS amount, round(l_discount, 3) AS rate FROM lineitem
              |UNION ALL
              |SELECT l_orderkey, l_linenumber, 2,
-             |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin))
+             |  round(l_extendedprice, 3), round(l_tax, 3) FROM lineitem""".stripMargin)),
+
+    // ---- melt measure(fun=) x na.rm (R/fmelt.R:133-153 x na.rm) --------
+    // Planted NAs in one value column per dim combo: na.rm drops a
+    // molten row when ANY of its value columns is NA (multi-value
+    // semantics, same contract as the list-measure na.rm), composed
+    // with the fun= typed-dim conversion.
+    ("q_melt_measure_fun_narm", ((s, dir) =>
+      Reshape.meltMeasureN(
+        dt(s, dir, "lineitem").df.select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_orderkey") % 3 === 0, lit(null))
+            .otherwise(col("l_quantity")).as("amount_y1"),
+          col("l_extendedprice").as("amount_y2"),
+          col("l_discount").as("rate_y1"),
+          when(col("l_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("l_tax")).as("rate_y2")),
+        idVars = Seq("l_orderkey", "l_linenumber"),
+        pattern = "^(amount|rate)_y(\\d+)$",
+        groupNames = Seq("value.name", "yr"),
+        convert = Map("yr" -> ((sfx: String) => sfx.toInt)),
+        naRm = true)
+        .withColumn("amount", round(col("amount"), 3))
+        .withColumn("rate", round(col("rate"), 3))): Q,
+      Some("""SELECT l_orderkey, l_linenumber, 1 AS yr,
+             |  round(l_quantity, 3) AS amount, round(l_discount, 3) AS rate
+             |FROM lineitem WHERE l_orderkey % 3 <> 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 2,
+             |  round(l_extendedprice, 3), round(l_tax, 3)
+             |FROM lineitem WHERE l_orderkey % 5 <> 0""".stripMargin))
   )
 }

@@ -419,6 +419,19 @@ object Reshape {
                   naLevel: Boolean = false): DataFrame =
     dcast(df.filter(subset), lhs, rhs, valueVar, aggFn, values, fill, naLevel)
 
+  /** dcast(margins=) x subset= (R/fcast.R:126 declares both; subset=
+    * semantics at :171-175): the subset narrows the DATA, the pivot
+    * value domain, AND what the margins total — the reference subsets
+    * `dat` before casting, so "(all)" means "all of the subset", never
+    * the unfiltered table. The predicate pushes to the scan like
+    * [[dcastSubset]].
+    */
+  def dcastMarginsSubset(df: DataFrame, subset: Column, lhs: String,
+                         rhs: String, valueVar: String,
+                         aggFn: Column => Column,
+                         values: Seq[String] = Nil): DataFrame =
+    dcastMargins(df.filter(subset), lhs, rhs, valueVar, aggFn, values)
+
   /** dcast(margins=TRUE), reshape2-style totals (the reference declares
     * `margins` in its signature, R/fcast.R:126, but leaves it
     * unimplemented — we provide the useful form): an "(all)" column

@@ -273,6 +273,46 @@ object Fread {
   private val sparkCsvCharsets = Set("us-ascii", "iso-8859-1", "utf-8",
     "utf-16", "utf-16be", "utf-16le", "utf-32")
 
+  /** First bytes → Some(charset) when they carry a byte-order mark the
+    * reference's sniffer knows: FF FE (UTF-16LE), FE FF (UTF-16BE), or
+    * 84 31 95 33 (U+FEFF encoded in GB18030). The reference ERRORS on
+    * UTF-16 ("File is encoded in UTF-16", tests.Rraw 1627.4/.5) and
+    * warns-then-decodes GB-18030 (1627.31); this engine routes both to
+    * the matching decode tier. UTF-8's EF BB BF is NOT reported — the
+    * default path already strips it post-parse. Reads the first file of
+    * a directory input, decompressed through the same codec factory as
+    * the parse.
+    */
+  private[graft] def sniffBom(spark: SparkSession, path: String): Option[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val targetOpt =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .headOption.map(_.getPath)
+      else Some(p)
+    targetOpt.flatMap { target =>
+      val rawIn = fs.open(target)
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        .getCodec(target)
+      val in: java.io.InputStream =
+        if (codec != null) codec.createInputStream(rawIn) else rawIn
+      try {
+        val b = new Array[Byte](4)
+        var n = 0
+        var r = 0
+        while (n < 4 && { r = in.read(b, n, 4 - n); r > 0 }) n += r
+        def u(i: Int) = b(i) & 0xFF
+        if (n >= 2 && u(0) == 0xFF && u(1) == 0xFE) Some("UTF-16LE")
+        else if (n >= 2 && u(0) == 0xFE && u(1) == 0xFF) Some("UTF-16BE")
+        else if (n >= 4 && u(0) == 0x84 && u(1) == 0x31 &&
+                 u(2) == 0x95 && u(3) == 0x33) Some("GB18030")
+        else None
+      } finally in.close()
+    }
+  }
+
   /** Auto separator detection over a pre-fetched first line. */
   def sniffSepFrom(line: String): String =
     Seq("\t", ";", "|", ",").maxBy(s => line.count(_.toString == s))
@@ -328,20 +368,37 @@ object Fread {
         optsY.copy(skip = front + idx, skipTo = None)
       case None => optsY
     }
+    // BOM auto-detection (reference src/fread.c UTF-16/GB-18030 BOM
+    // checks): an unspecified encoding= upgrades from the first bytes —
+    // UTF-16 additionally forces the whole-file parse (the byte-level
+    // line splitter would cut the 0x0A bytes inside UTF-16 code units).
+    // Explicit encoding= always wins.
+    val optsB =
+      if (optsS.encoding != dflt.encoding) optsS
+      else sniffBom(spark, path) match {
+        case Some(cs) =>
+          System.err.println(
+            if (cs == "GB18030")
+              s"[graft] fread: GB-18030 encoding detected (byte-order mark) in $path"
+            else s"[graft] fread: $cs encoding detected (byte-order mark) in $path")
+          optsS.copy(encoding = cs,
+            multiLine = optsS.multiLine || cs.startsWith("UTF-16"))
+        case None => optsS
+      }
     // dec="," + a yaml number field: the pinned DoubleType can't parse
     // decimal-comma strings — read those fields as string and let the
     // re-bump pass normalize + re-type them from the full data
-    val yamlDecDowngrade = opts0.yaml && optsS.dec != "." &&
-      optsS.colClasses.isDefined && opts0.colClasses.isEmpty
+    val yamlDecDowngrade = opts0.yaml && optsB.dec != "." &&
+      optsB.colClasses.isDefined && opts0.colClasses.isEmpty
     val downgradedCols: Seq[String] = if (yamlDecDowngrade) {
       import org.apache.spark.sql.types.DoubleType
-      optsS.colClasses.get.fields.filter(_.dataType == DoubleType).map(_.name).toSeq
+      optsB.colClasses.get.fields.filter(_.dataType == DoubleType).map(_.name).toSeq
     } else Nil
     val opts = if (yamlDecDowngrade) {
       import org.apache.spark.sql.types.{DoubleType, StructField}
-      optsS.copy(colClasses = Some(StructType(optsS.colClasses.get.fields.map(f =>
+      optsB.copy(colClasses = Some(StructType(optsB.colClasses.get.fields.map(f =>
         if (f.dataType == DoubleType) StructField(f.name, StringType, nullable = true) else f))))
-    } else optsS
+    } else optsB
     // Spark 4's CSV source validates `encoding` against a fixed charset
     // list (us-ascii/iso-8859-1/utf-8/utf-16*/utf-32). Anything else the
     // JVM knows (GB18030, Big5, Shift_JIS, ...) goes through the
@@ -387,12 +444,18 @@ object Fread {
         // the head reader splits on \n only, so expand each segment's
         // interior CRs into the physical lines Hadoop's LineReader (the
         // distributed parse + the skip pre-pass) would count — skip=
-        // must index the SAME lines on both sides
+        // must index the SAME lines on both sides. UTF-16 (native-tier
+        // charset, possibly BOM-detected) must decode the head with the
+        // real charset — a UTF-8 decode interleaves NULs — and drop the
+        // BOM char so sep/header sniffing sees clean fields.
+        val hdCs =
+          if (opts.encoding.toLowerCase.startsWith("utf-16")) opts.encoding
+          else "UTF-8"
         val segs = headSegments(spark, path, opts.skip + 1,
           s => s.iterator.flatMap(_.split("\r", -1)).drop(opts.skip)
-            .exists(_.nonEmpty))
+            .exists(_.nonEmpty), hdCs)
         segs.iterator.flatMap(_.split("\r", -1)).drop(opts.skip)
-          .find(_.nonEmpty).getOrElse("")
+          .find(_.nonEmpty).getOrElse("").stripPrefix("\uFEFF")
       }
     }
     val sep = if (opts.sep == "auto") sniffSepFrom(line1) else opts.sep
@@ -401,11 +464,20 @@ object Fread {
     val hasHeader = opts.header match {
       case "true"  => true
       case "false" => false
-      case _ =>      // auto: header iff NO first-line field parses numeric
+      case _ =>      // auto: header iff NO first-line field parses non-string.
+        // logicalYN enables the Y/N bool parser (reference
+        // parse_bool_yesno accepts y/n lowercase too, src/fread.c:1261),
+        // so a first-line field of Y/y/N/n then counts as data — this is
+        // why fread(gb18030.txt, logicalYN=TRUE) autonames V1..V3
+        // (tests.Rraw 1627.32: the header 'x,y,z' contains 'y').
         val fields = line1.split(java.util.regex.Pattern.quote(sep), -1)
         def unquote(f: String) =
           f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim
-        !fields.exists(f => scala.util.Try(unquote(f).toDouble).isSuccess)
+        !fields.exists { f =>
+          val v = unquote(f)
+          scala.util.Try(v.toDouble).isSuccess ||
+            (opts.logicalYN && Set("Y", "y", "N", "n")(v))
+        }
     }
     // DataFrameReader is MUTABLE (schema()/option() return this) — build
     // a fresh one per parse so the type-bump probe can't pollute the
@@ -536,6 +608,15 @@ object Fread {
           .map(f => f.name -> f.dataType)
       }
     }
+    // headerless reads autoname V1..Vn like the reference (fread.c
+    // autonames; tests.Rraw 1627.32 expects V1) instead of leaking
+    // Spark's _c0.. convention - positional matches only, so explicit
+    // colClasses names pass through untouched
+    if (!hasHeader) {
+      val renamed = df.columns.zipWithIndex.map { case (c, i) =>
+        if (c == s"_c$i") s"V${i + 1}" else c }
+      if (renamed.toSeq != df.columns.toSeq) df = df.toDF(renamed.toSeq: _*)
+    }
     // a UTF-8 BOM survives as part of the first column name — strip it
     // (fread strips BOMs, src/fread.c:1071)
     if (df.columns.nonEmpty && df.columns.head.startsWith("\uFEFF"))
@@ -559,19 +640,20 @@ object Fread {
       forceRebump = bumped || yamlDecDowngrade || fillSchema.isDefined,
       extraCandidates = downgradedCols, preferred = preferredTypes)
     // fread(logicalYN): one slim probe over the string columns — a
-    // column is logical iff it has values and every non-null one is
-    // exactly "Y" or "N" (the reference checks only Y/N, not Yes/No)
+    // column is logical iff it has values and every non-null one is a
+    // Y/N token (the reference's parse_bool_yesno accepts y/n lowercase
+    // too, src/fread.c:1261 — but not Yes/No)
     if (opts.logicalYN) {
       val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
       if (strCols.nonEmpty) {
         val probes = strCols.flatMap(c => Seq(
           count(col(c)).as(s"_n_$c"),
-          count(when(col(c).isin("Y", "N"), 1)).as(s"_yn_$c")))
+          count(when(col(c).isin("Y", "N", "y", "n"), 1)).as(s"_yn_$c")))
         val p = df.agg(probes.head, probes.tail: _*).head()
         strCols.foreach { c =>
           if (p.getAs[Long](s"_n_$c") > 0 &&
               p.getAs[Long](s"_n_$c") == p.getAs[Long](s"_yn_$c"))
-            df = df.withColumn(c, col(c) === "Y")
+            df = df.withColumn(c, col(c).isin("Y", "y"))
         }
       }
     }

@@ -26,7 +26,7 @@ class FreadFixtureSpec extends AnyFunSuite {
     val df = Fread.fread(spark, s"$fx/quoted_no_header.csv",
       FreadOptions(header = "false"))
     assert(df.count() == 6)
-    val firsts = df.select("_c0").as[String].collect().toSet
+    val firsts = df.select("V1").as[String].collect().toSet
     assert(firsts.contains("John \"Da Man\""))            // "" unescapes
     assert(firsts.contains("Joan \"the bone\", Anne"))    // comma inside quotes
   }
@@ -336,6 +336,47 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
         FreadOptions(encoding = "GB18030", header = "true", sep = ",")).count()
     }
     assert(e.getMessage.contains("ONE file"))
+  }
+
+  test("BOM auto-detection: gb18030.txt reads with NO encoding= (tests.Rraw 1627.31/.32)") {
+    // reference: names(fread(gb18030.txt))[1] == "x" with a "GB-18030
+    // encoding detected" warning — the 84 31 95 33 signature routes to
+    // the transcode tier automatically
+    val df = Fread.fread(spark, s"$fx/gb18030.txt")
+    assert(df.columns.toSeq == Seq("x", "y", "z"))
+    assert(df.count() == 1)
+    // 1627.32: logicalYN enables the Y/N parser (y/n lowercase too,
+    // src/fread.c:1261) — the header row's 'y' then parses as data, so
+    // header detection flips off and columns autoname V1..V3
+    val df2 = Fread.fread(spark, s"$fx/gb18030.txt",
+      FreadOptions(logicalYN = true))
+    assert(df2.columns.toSeq == Seq("V1", "V2", "V3"))
+    assert(df2.count() == 2)
+  }
+
+  test("BOM auto-detection: UTF-16 LE/BE read with NO encoding= (ref errors, we decode)") {
+    // reference fread REFUSES these ("File is encoded in UTF-16",
+    // tests.Rraw 1627.4/.5); the Spark engine detects the BOM and
+    // decodes — multiLine is forced so the byte-level line splitter
+    // can't cut 0x0A bytes inside UTF-16 code units
+    for (f <- Seq("utf16le.txt", "utf16be.txt")) {
+      val df = Fread.fread(spark, s"$fx/$f")
+      assert(df.columns.toSeq == Seq("a", "b"), s"$f: ${df.columns.toSeq}")
+      assert(df.count() == 1, f)
+      val r = df.head()
+      assert(r.getString(0) == "c" && r.getString(1) == "d", s"$f: $r")
+    }
+  }
+
+  test("headerless autoname is V1..Vn; logicalYN bumps y/n values too") {
+    val dir = java.nio.file.Files.createTempDirectory("fread-yn").toFile
+    val f = new java.io.File(dir, "yn.csv")
+    java.nio.file.Files.write(f.toPath, "1,Y\n2,n\n3,y\n".getBytes("UTF-8"))
+    val df = Fread.fread(spark, f.getAbsolutePath,
+      FreadOptions(logicalYN = true))
+    assert(df.columns.toSeq == Seq("V1", "V2"))
+    val rows = df.orderBy(col("V1")).collect().map(r => r.getBoolean(1)).toSeq
+    assert(rows == Seq(true, false, true))
   }
 
   test("UTF-16 LE/BE files parse with explicit encoding (BOM included)") {
