@@ -101,6 +101,12 @@ object GlobalOrdered {
   /** Test/visibility hook: number of memoized bounds fits. */
   private[graft] def boundsFitCount: Int = boundsCache.size
 
+  /** Test/visibility counter: quantile/sample scans actually RUN (memo
+    * and alias hits don't count) — chained-op specs assert the alias
+    * path skips the re-scan.
+    */
+  private[graft] val fitScans = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Phantom-volume ceiling for [[frolladapt]]: when the fit-estimated
     * duplicated-row volume exceeds this multiple of the data, the
     * bucket count is reduced until it fits (fewer bucket edges = fewer
@@ -186,17 +192,29 @@ object GlobalOrdered {
     * sample (≤~200k values, seed-pinned) sorted driver-side for any
     * other orderable type.
     */
+  /** The one-column frame a fit scans (numeric keys cast to double for
+    * approxQuantile), plus whether the key is numeric — shared between
+    * [[boundsFor]] and the [[aliasFit]] memo-key computation so the two
+    * always hash the same plan shape.
+    */
+  private def fitFrame(df: DataFrame, key: Column): (DataFrame, Boolean) = {
+    val numeric = df.select(key).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    (if (numeric) df.select(key.cast("double").as("_graft_k"))
+     else df.select(key.as("_graft_k")), numeric)
+  }
+
+  private def fitKeyOf(frame: DataFrame, buckets: Int): String =
+    System.identityHashCode(frame.sparkSession).toString + ":" +
+      frame.queryExecution.analyzed.semanticHash().toString + ":" + buckets
+
   private def boundsFor(df: DataFrame, key: Column,
                         buckets: Int): (Array[Any], String) = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val numeric = df.select(key).schema.head.dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val frame =
-      if (numeric) df.select(key.cast("double").as("_graft_k"))
-      else df.select(key.as("_graft_k"))
-    val memoKey = System.identityHashCode(df.sparkSession).toString + ":" +
-      frame.queryExecution.analyzed.semanticHash().toString + ":" + buckets
+    val (frame, numeric) = fitFrame(df, key)
+    val memoKey = fitKeyOf(frame, buckets)
     (boundsCache.getOrElsePut(memoKey) {
+      fitScans.incrementAndGet()
       // buckets=1 needs no bounds at all (and approxQuantile returns
       // null for an empty probability array rather than an empty one)
       if (buckets == 1) Array.empty[Any]
@@ -277,7 +295,8 @@ object GlobalOrdered {
     * sort on the key normally; key + content-hash tie-break after a
     * skew reroute).
     */
-  private case class Prepped(b: DataFrame, ords: Seq[Column])
+  private case class Prepped(b: DataFrame, ords: Seq[Column],
+                             fit: Option[(Array[Any], Int)] = None)
 
   /** df + the bucket column (asc defaults to Spark's nulls-first,
     * desc to nulls-last, overridable for frank's na.last=), with skew
@@ -360,9 +379,10 @@ object GlobalOrdered {
           least(floor(h01 * m), lit(m - 1)).cast("int")).otherwise(acc)
       }
       Prepped(df.withColumn(TB, h).withColumn(BKT, base + sub),
-        Seq(ord, col(TB).asc))
+        Seq(ord, col(TB).asc), Some((raw, buckets)))
     } else
-      Prepped(df.withColumn(BKT, bucketCol(key, distinctB, asc, nf)), Seq(ord))
+      Prepped(df.withColumn(BKT, bucketCol(key, distinctB, asc, nf)),
+        Seq(ord), Some((raw, buckets)))
   }
 
   /** Test hook: the bucketed frame a given fit would produce (BKT
@@ -394,6 +414,22 @@ object GlobalOrdered {
       col("_b") +: aggs.map { case (a, n) => a.over(w).as(n) }: _*)
   }
 
+  /** Register `out`'s key-plan as an ALIAS of the fit that bucketed its
+    * input: every global op is row-preserving, so the output's key
+    * distribution equals the input's. A chained by=Nil op (shift of a
+    * shift, frank over frank output) then hits the bounds memo instead
+    * of re-running the quantile scan THROUGH the first op's whole plan
+    * - at cluster scale each skipped fit is a full upstream pass.
+    * Costs one plan analysis (no job).
+    */
+  private def aliasFit(out: DataFrame, key: Column, p: Prepped): DataFrame = {
+    p.fit.foreach { case (raw, b) =>
+      val (frame, _) = fitFrame(out, key)
+      boundsCache.getOrElsePut(fitKeyOf(frame, b))(raw)
+    }
+    out
+  }
+
   private def joinPriors(b: DataFrame, priors: DataFrame): DataFrame =
     b.join(broadcast(priors), col(BKT) === col("_b"), "left").drop("_b")
 
@@ -414,9 +450,10 @@ object GlobalOrdered {
   def cumsum(df: DataFrame, x: Column, key: Column, out: String,
              asc: Boolean = true, naRm: Boolean = false,
              buckets: Int = 0,
-             nullsFirst: Option[Boolean] = None): DataFrame =
-    cumsumBucketed(prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true),
-      x, out, naRm)
+             nullsFirst: Option[Boolean] = None): DataFrame = {
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
+    aliasFit(cumsumBucketed(p, x, out, naRm), key, p)
+  }
 
   /** [[cumsum]] with a CALLER-SUPPLIED bucket expression — any pure,
     * sort-monotone function of the key (e.g. `floor(-logw)` for a
@@ -484,7 +521,8 @@ object GlobalOrdered {
     val res =
       if (naRm) when(nnPfx === 0, lit(null)).otherwise(value)
       else when(nnPfx < nPfx, lit(null)).otherwise(value)
-    j.withColumn(out, res).drop(BKT, TB, "_pm", "_pnn", "_pn")
+    aliasFit(j.withColumn(out, res).drop(BKT, TB, "_pm", "_pnn", "_pn"),
+      key, p)
   }
 
   // ---- cumulative product (global tier of Windows.cum("prod")) --------
@@ -536,7 +574,9 @@ object GlobalOrdered {
     val res =
       if (naRm) when(nnPfx === 0, lit(null).cast("double")).otherwise(body)
       else when(nnPfx < nPfx, lit(null).cast("double")).otherwise(body)
-    j.withColumn(out, res).drop(BKT, TB, "_pz", "_pneg", "_plog", "_pnn", "_pn")
+    aliasFit(
+      j.withColumn(out, res).drop(BKT, TB, "_pz", "_pneg", "_plog", "_pnn", "_pn"),
+      key, p)
   }
 
   // ---- frank (global tier of Windows.frankNa) -------------------------
@@ -596,9 +636,11 @@ object GlobalOrdered {
         s"global frank ties.method=$other (first|last|min|max|dense|average)")
     }
     val cleaned = ranked.drop(BKT, TB, "_pn", "_pd")
-    if (naLast == "keep")
-      cleaned.withColumn(out, when(value.isNull, lit(null)).otherwise(col(out)))
-    else cleaned
+    aliasFit(
+      if (naLast == "keep")
+        cleaned.withColumn(out, when(value.isNull, lit(null)).otherwise(col(out)))
+      else cleaned,
+      value, p)
   }
 
   // ---- rleid (global tier of Windows.rleid) ---------------------------
@@ -659,9 +701,11 @@ object GlobalOrdered {
       .select(col("_b"),
         (coalesce(col("_pruns"), lit(0L)) - coalesce(col("_pmerge"), lit(0L)) -
           col("_merge")).as("_off"))
-    within.join(broadcast(offsets), col(BKT) === col("_b"), "left")
-      .withColumn(out, col("_graft_rid") + coalesce(col("_off"), lit(0L)))
-      .drop(BKT, TB, "_graft_rid", "_b", "_off")
+    aliasFit(
+      within.join(broadcast(offsets), col(BKT) === col("_b"), "left")
+        .withColumn(out, col("_graft_rid") + coalesce(col("_off"), lit(0L)))
+        .drop(BKT, TB, "_graft_rid", "_b", "_off"),
+      key, p)
   }
 
   // ---- nafill locf/nocb (global tier) ---------------------------------
@@ -690,9 +734,11 @@ object GlobalOrdered {
       .agg(max(when(x.isNotNull,
         struct(nr.as("nr"), key.as("k"), x.as("v")))).as("_lastnn"))
     val priors = priorsOf(partials, max(col("_lastnn")) -> "_carry")
-    joinPriors(b, priors)
-      .withColumn(out, coalesce(within, col("_carry").getField("v")))
-      .drop(BKT, TB, "_carry")
+    aliasFit(
+      joinPriors(b, priors)
+        .withColumn(out, coalesce(within, col("_carry").getField("v")))
+        .drop(BKT, TB, "_carry"),
+      key, p)
   }
 
   /** Global next-non-null carried backward — mirror of [[nafillLocf]]
@@ -718,9 +764,11 @@ object GlobalOrdered {
       min(col("_firstnn"))
         .over(partialsWindow.rowsBetween(1, Window.unboundedFollowing))
         .as("_carry"))
-    joinPriors(b, followers)
-      .withColumn(out, coalesce(within, col("_carry").getField("v")))
-      .drop(BKT, TB, "_carry")
+    aliasFit(
+      joinPriors(b, followers)
+        .withColumn(out, coalesce(within, col("_carry").getField("v")))
+        .drop(BKT, TB, "_carry"),
+      key, p)
   }
 
   // ---- phantom boundary machinery (shift / froll) ---------------------
@@ -745,13 +793,18 @@ object GlobalOrdered {
     if (nBefore <= 0 && nAfter <= 0) return real
     val counts = b.groupBy(col(BKT).as("_b")).agg(count(lit(1)).as("_c"))
     // rows in buckets strictly between s and d, for every ordered
-    // nonempty pair — ≤ buckets² rows, all joins broadcast-tiny
-    val between = counts.select(col("_b").as("_s"))
-      .join(broadcast(counts.select(col("_b").as("_d"))), col("_d") > col("_s"))
-      .join(broadcast(counts.select(col("_b").as("_m"), col("_c").as("_mc"))),
-        col("_m") > col("_s") && col("_m") < col("_d"), "left")
-      .groupBy(col("_s"), col("_d"))
-      .agg(coalesce(sum(col("_mc")), lit(0L)).as("_between"))
+    // nonempty pair: between(s,d) = cumIncl(d) − c(d) − cumIncl(s),
+    // read off ONE prefix window over the tiny counts frame — the
+    // former triple join (pairs × interior buckets) evaluated
+    // O(buckets³) join rows, ~10^10 at an explicit buckets=4096
+    val pfx = counts.withColumn("_cum",
+      sum(col("_c")).over(
+        partialsWindow.rowsBetween(Window.unboundedPreceding, 0)))
+    val between = pfx.select(col("_b").as("_s"), col("_cum").as("_scum"))
+      .join(broadcast(pfx.select(col("_b").as("_d"),
+        (col("_cum") - col("_c")).as("_dexcl"))), col("_d") > col("_s"))
+      .select(col("_s"), col("_d"),
+        (col("_dexcl") - col("_scum")).as("_between"))
     val w = Window.partitionBy(col(BKT)).orderBy(ords: _*)
     val wDesc = Window.partitionBy(col(BKT))
       .orderBy(ords.map(Windows.flipOrder): _*)
@@ -789,9 +842,9 @@ object GlobalOrdered {
     val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords,
       nBefore = math.max(n, 0), nAfter = math.max(-n, 0))
-    aug
+    aliasFit(aug
       .withColumn(out, Windows.shift(c, n, Seq(BKT), p.ords, fill))
-      .filter(!col(PH)).drop(BKT, TB, PH)
+      .filter(!col(PH)).drop(BKT, TB, PH), key, p)
   }
 
   /** Global fixed-window rolling aggregate — `Windows.froll` semantics
@@ -812,10 +865,10 @@ object GlobalOrdered {
     }
     val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
-    aug
+    aliasFit(aug
       .withColumn(out, Windows.froll(fn, c, n, Seq(BKT), p.ords,
         align, partial, naRm = naRm))
-      .filter(!col(PH)).drop(BKT, TB, PH)
+      .filter(!col(PH)).drop(BKT, TB, PH), key, p)
   }
 
   /** Global frollapply — [[Windows.frollApplyF]] semantics for
@@ -840,9 +893,10 @@ object GlobalOrdered {
     }
     val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
-    Windows.frollApplyF(aug, out, cols, n, Seq(BKT), p.ords, f, returnType,
-      align, partial)
-      .filter(!col(PH)).drop(BKT, TB, PH)
+    aliasFit(
+      Windows.frollApplyF(aug, out, cols, n, Seq(BKT), p.ords, f, returnType,
+        align, partial)
+        .filter(!col(PH)).drop(BKT, TB, PH), key, p)
   }
 
   /** Global ADAPTIVE rolling aggregate — `Windows.frollAdaptive`
@@ -867,10 +921,10 @@ object GlobalOrdered {
     }
     val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
     val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
-    aug
+    aliasFit(aug
       .withColumn(out, Windows.frollAdaptive(fn, c, an, maxN, Seq(BKT),
         p.ords, naRm = naRm, align = align, partial = partial))
-      .filter(!col(PH)).drop(BKT, TB, PH)
+      .filter(!col(PH)).drop(BKT, TB, PH), key, p)
   }
 
   /** Global calendar-window count — [[Windows.frolladapt]] for
@@ -922,11 +976,11 @@ object GlobalOrdered {
         col(BKT) < col("_d") && time >= col("_dmin") - lit(n - 1))
       .withColumn(BKT, col("_d")).drop("_d", "_dmin")
       .withColumn(PH, lit(true))
-    real.unionByName(phantoms)
+    aliasFit(real.unionByName(phantoms)
       .withColumn(out,
         count(lit(1)).over(Window.partitionBy(col(BKT)).orderBy(time.asc)
           .rangeBetween(-(n - 1), 0)).cast("int"))
-      .filter(!col(PH)).drop(BKT, TB, PH)
+      .filter(!col(PH)).drop(BKT, TB, PH), time, p)
   }
 
   // ---- any-type global row number (used by Windows.grp) ---------------

@@ -508,6 +508,15 @@ class GlobalOrderedSpec extends AnyFunSuite {
     val at32 = run(32)
     val at4096 = run(4096)
     assert(at32 == at4096)
+    // shift's phantom machinery at 4096 buckets: the per-pair `between`
+    // bookkeeping must come off a prefix window (the former triple join
+    // evaluated O(buckets^3) rows — minutes at 4096). Equality with the
+    // 32-bucket result is the contract; the pairs join itself stays a
+    // deliberately-tiny counts-frame BNLJ, so no plan assertion here.
+    def shiftMap(b: Int) = collectMap(GlobalOrdered.shift(
+      df, col("v"), 1, col("k"), "sh", fill = lit(-1.0), buckets = b),
+      "k", "sh")
+    assert(shiftMap(4096) == shiftMap(32))
     // rleid must see every run exactly once: i/5 takes n/5 + 1 values
     // (r0 covers i=1..4, r20000 covers i=n alone)
     assert(at4096(1).values.flatten.toSet.size == n / 5 + 1)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{GlobalOrdered, Windows}
@@ -63,6 +64,38 @@ class Round13Spec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(m2(local) == m2(naiveLocal))
     assert(GlobalOrdered.phantomGuardReductions.get() == before + 1)
+  }
+
+  test("chained global ops alias the fit: one quantile scan, not one per link") {
+    GlobalOrdered.clearFits()
+    val df = spark.range(0, 5000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+      .repartition(4)
+    val scans0 = GlobalOrdered.fitScans.get()
+    val s1 = GlobalOrdered.shift(df, col("v"), 1, col("k"), "p1",
+      fill = lit(0.0), buckets = 8)
+    assert(GlobalOrdered.fitScans.get() == scans0 + 1)
+    // chained op on the OUTPUT: row-preserving, so the fit is aliased —
+    // no second scan THROUGH s1's phantom/window plan
+    val s2 = GlobalOrdered.shift(s1, col("v"), -1, col("k"), "p2",
+      fill = lit(0.0), buckets = 8)
+    assert(GlobalOrdered.fitScans.get() == scans0 + 1)
+    // ...and a third link, different op family, same key
+    val s3 = GlobalOrdered.cumsum(s2, col("v"), col("k"), "cs", buckets = 8)
+    assert(GlobalOrdered.fitScans.get() == scans0 + 1)
+    // values still exact vs the naive single-partition plan
+    val naive = df
+      .withColumn("p1", coalesce(
+        lag(col("v"), 1).over(Window.orderBy(col("k"))), lit(0.0)))
+      .withColumn("p2", coalesce(
+        lead(col("v"), 1).over(Window.orderBy(col("k"))), lit(0.0)))
+      .withColumn("cs", sum(col("v")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, 0)))
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("p1"), col("p2"), col("cs")).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    assert(m(s3) == m(naive))
   }
 
   test("q_cumsum_global_skew drives the collapse-reroute path and stays deterministic") {
