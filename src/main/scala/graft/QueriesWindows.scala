@@ -752,6 +752,23 @@ object QueriesWindows {
              |FROM orders
              |WINDOW w AS (ORDER BY o_orderkey)""".stripMargin)),
 
+    // ---- global shift VECTOR n: one bucketing + one phantom union for
+    // the whole width vector (shiftMulti; the fold form paid one
+    // full-data exchange per width) ---------------------------------------
+    ("q_shift_vector_global", ((s, dir) =>
+      Windows.shiftN(dt(s, dir, "orders").df, Seq("o_totalprice"),
+        Seq(1, 2, -1), Nil, Seq(col("o_orderkey").asc))
+        .select(col("o_orderkey"),
+          col("o_totalprice_lag_1").as("price_lag_1"),
+          col("o_totalprice_lag_2").as("price_lag_2"),
+          col("o_totalprice_lead_1").as("price_lead_1"))): Q,
+      Some("""SELECT o_orderkey,
+             |  lag(o_totalprice, 1) OVER w AS price_lag_1,
+             |  lag(o_totalprice, 2) OVER w AS price_lag_2,
+             |  lead(o_totalprice, 1) OVER w AS price_lead_1
+             |FROM orders
+             |WINDOW w AS (ORDER BY o_orderkey)""".stripMargin)),
+
     // ---- global rolling sum, exact cents, full-window semantics --------
     ("q_froll_global", ((s, dir) =>
       Windows.frollDF(

@@ -847,6 +847,31 @@ object GlobalOrdered {
       .filter(!col(PH)).drop(BKT, TB, PH), key, p)
   }
 
+  /** Global MULTI-shift along `key`: every `(out, c, n, fill)` entry
+    * evaluates over ONE bucketing and ONE phantom union sized to the
+    * extreme reaches — `shift(x, n = 1:k)`'s by=Nil fold previously
+    * built a phantom union and a full-data exchange PER width; k
+    * shifts now cost the same single exchange as one shift (the per-n
+    * windows share the bucket partitioning, so Catalyst collapses them
+    * into one WindowExec). Phantoms sized to the max lag/lead reach
+    * serve every smaller width (reference src/shift.c evaluates the
+    * whole n vector in one pass for the same reason).
+    */
+  def shiftMulti(df: DataFrame,
+                 shifts: Seq[(String, Column, Int, Column)],
+                 key: Column, asc: Boolean = true, buckets: Int = 0,
+                 nullsFirst: Option[Boolean] = None): DataFrame = {
+    require(shifts.nonEmpty, "shiftMulti needs at least one shift")
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
+    val nBefore = shifts.map(_._3).filter(_ > 0).foldLeft(0)(math.max)
+    val nAfter = shifts.map(-_._3).filter(_ > 0).foldLeft(0)(math.max)
+    val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
+    val withCols = shifts.foldLeft(aug) { case (acc, (out, c, n, fill)) =>
+      acc.withColumn(out, Windows.shift(c, n, Seq(BKT), p.ords, fill))
+    }
+    aliasFit(withCols.filter(!col(PH)).drop(BKT, TB, PH), key, p)
+  }
+
   /** Global fixed-window rolling aggregate — `Windows.froll` semantics
     * for `by = Nil` via phantom boundary rows sized to the frame
     * bounds. partial=true keeps reference partial-window semantics at

@@ -281,6 +281,19 @@ object Windows {
     }
     // lag convention: shift(c, n) lags for n>0; lead(n) == lag(-n)
     def effN(n: Int): Int = if (typ == "lead") -n else n
+    // by=Nil lag/lead/shift: ONE GlobalOrdered.shiftMulti call — the
+    // per-(col, n) fold would build a phantom union and a full-data
+    // exchange per width; the multi form pays one of each for the whole
+    // n vector (cyclic keeps its per-call join form)
+    if (by.isEmpty && !allowGlobal && typ != "cyclic")
+      globalKey(order) match {
+        case Some((key, asc, nf)) =>
+          val shifts = for (c <- cols; n <- ns)
+            yield (nameFor(c, n), col(c), effN(n), fill)
+          return GlobalOrdered.shiftMulti(df, shifts, key, asc,
+            nullsFirst = Some(nf))
+        case None => globalRouteError("shiftN")
+      }
     cols.foldLeft(df) { (acc, c) =>
       ns.foldLeft(acc) { (acc2, n) =>
         if (typ == "cyclic")

@@ -98,6 +98,34 @@ class Round13Spec extends AnyFunSuite {
     assert(m(s3) == m(naive))
   }
 
+  test("shiftN by=Nil: one shiftMulti pass for the whole n vector") {
+    GlobalOrdered.clearFits()
+    val df = spark.range(0, 3000).select(
+      col("id").as("k"), (col("id") % 11).cast("double").as("v"))
+      .repartition(4)
+    val scans0 = GlobalOrdered.fitScans.get()
+    val out = Windows.shiftN(df, Seq("v"), Seq(1, 3, -2), Nil,
+      Seq(col("k").asc))
+    assert(GlobalOrdered.fitScans.get() == scans0 + 1)
+    out.collect() // force
+    // one phantom union set for the whole vector: <= 1 Union node (the
+    // before+after phantom sides fold into one multi-child union); the
+    // per-width fold stacked one per n
+    val unions = out.queryExecution.executedPlan.collect {
+      case u: org.apache.spark.sql.execution.UnionExec => u
+    }
+    assert(unions.size <= 1, s"expected one phantom union, got ${unions.size}")
+    val naive = df
+      .withColumn("v_lag_1", lag(col("v"), 1).over(Window.orderBy(col("k"))))
+      .withColumn("v_lag_3", lag(col("v"), 3).over(Window.orderBy(col("k"))))
+      .withColumn("v_lead_2", lead(col("v"), 2).over(Window.orderBy(col("k"))))
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("v_lag_1"), col("v_lag_3"), col("v_lead_2"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(m(out) == m(naive))
+  }
+
   test("q_cumsum_global_skew drives the collapse-reroute path and stays deterministic") {
     GlobalOrdered.clearFits()
     val before = GlobalOrdered.collapseReroutes.get()
