@@ -372,10 +372,7 @@ object Reshape {
     // non-null rhs values keeps those rows group-preserving only. (The
     // distinct collect is the same driver-side scan pivot would run
     // internally anyway.)
-    val vals =
-      if (values.nonEmpty) values
-      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
-        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    val vals = if (values.nonEmpty) values else pivotDomain(df, rhs)
     dcast(complete, lhs, rhs, valueVar, aggFn, vals)
   }
 
@@ -398,11 +395,28 @@ object Reshape {
     val complete = domain.join(df, lhs, "left")
     // same null-rhs note as dcastComplete: pin the pivot values to the
     // observed non-null set so completion rows stay group-preserving
-    val vals =
-      if (values.nonEmpty) values
-      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
-        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    val vals = if (values.nonEmpty) values else pivotDomain(df, rhs)
     dcastMulti(complete, lhs, rhs, vals, aggs, referenceNames = true, sep)
+  }
+
+  /** Sorted distinct non-null pivot values — the column domain every
+    * dcast form materializes as output COLUMNS. Collected to the driver
+    * (pivot semantics require the domain at plan time), but CAPPED: a
+    * wide-frame column count past [[MAX_PIVOT]] means the pivot column
+    * was almost certainly the wrong axis (reference dcast would build
+    * the same absurdly wide frame), and an uncapped distinct().collect()
+    * on a high-cardinality column is a driver OOM at scale — callers
+    * wanting a bigger domain pass `values` explicitly.
+    */
+  private[graft] val MAX_PIVOT = 10000
+  private def pivotDomain(df: DataFrame, rhs: String): Seq[String] = {
+    val vals = df.select(rhs).distinct().filter(col(rhs).isNotNull)
+      .orderBy(col(rhs)).limit(MAX_PIVOT + 1)
+      .collect().map(_.get(0).toString).toSeq
+    require(vals.size <= MAX_PIVOT,
+      s"dcast: pivot column '$rhs' has more than $MAX_PIVOT distinct " +
+        "values; pass values= explicitly to pivot a subset")
+    vals
   }
 
   /** dcast(subset=) (R/fcast.R:171-175): filter the long input before
@@ -444,10 +458,7 @@ object Reshape {
   def dcastMargins(df: DataFrame, lhs: String, rhs: String, valueVar: String,
                    aggFn: Column => Column,
                    values: Seq[String] = Nil): DataFrame = {
-    val vals =
-      if (values.nonEmpty) values
-      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
-        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    val vals = if (values.nonEmpty) values else pivotDomain(df, rhs)
     // null-safe join key: a null lhs group must still receive its margin
     val rowAll = df.groupBy(col(lhs)).agg(aggFn(col(valueVar)).as("(all)"))
       .withColumnRenamed(lhs, "_graft_lhs")
@@ -475,10 +486,7 @@ object Reshape {
       require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
         s"dcastMarginsN: lhs column '$c' must be string-typed to carry the '(all)' label")
     }
-    val vals =
-      if (values.nonEmpty) values
-      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
-        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    val vals = if (values.nonEmpty) values else pivotDomain(df, rhs)
     (lhs.size to 0 by -1)
       .map(k => marginLevel(df, lhs, rhs, valueVar, aggFn, vals, lhs.take(k).toSet))
       .reduce(_ unionByName _)
@@ -502,10 +510,7 @@ object Reshape {
       require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
         s"dcastMarginsCube: lhs column '$c' must be string-typed to carry the '(all)' label")
     }
-    val vals =
-      if (values.nonEmpty) values
-      else df.select(rhs).distinct().filter(col(rhs).isNotNull)
-        .orderBy(col(rhs)).collect().map(_.get(0).toString).toSeq
+    val vals = if (values.nonEmpty) values else pivotDomain(df, rhs)
     val subsets = ((1 << lhs.size) - 1 to 0 by -1)
       .map(mask => lhs.zipWithIndex.collect { case (c, i) if (mask & (1 << i)) != 0 => c }.toSet)
     subsets.map(marginLevel(df, lhs, rhs, valueVar, aggFn, vals, _))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GlobalOrdered, Windows}
+import graft.operators.{GlobalOrdered, Reshape, Windows}
 
 /** Round-13 hardening: the frolladapt phantom-volume guard (a value
   * reach spanning the axis must reduce buckets instead of copying
@@ -142,6 +142,24 @@ class Round13Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out1 == out2)
     assert(out1.nonEmpty && out1.values.exists(_ > 0))
+  }
+
+  test("dcast margin/complete forms cap the collected pivot domain") {
+    // the plain dcast delegates to Spark's pivot (its own 10k cap); the
+    // margin/complete/subset forms collect the domain driver-side and
+    // must refuse a high-cardinality pivot column with guidance instead
+    // of OOMing the driver at scale
+    val df = spark.range(0, Reshape.MAX_PIVOT + 5).select(
+      (col("id") % 3).cast("string").as("g"),
+      col("id").cast("string").as("rhs"), lit(1.0).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Reshape.dcastMargins(df, "g", "rhs", "v", c => sum(c))
+    }
+    assert(e.getMessage.contains("values="))
+    // an explicit domain still works
+    val ok = Reshape.dcastMargins(df, "g", "rhs", "v", c => sum(c),
+      values = Seq("1", "2"))
+    assert(ok.columns.contains("(all)"))
   }
 
   // ---- bench prev-artifact parsing + regression gate ------------------
