@@ -996,10 +996,20 @@ object GlobalOrdered {
     val p = prep(df, time, asc = true, useB)
     val b = p.b
     val real = b.withColumn(PH, lit(false))
-    val mins = b.groupBy(col(BKT).as("_d")).agg(min(time).as("_dmin"))
-    val phantoms = b.join(broadcast(mins),
-        col(BKT) < col("_d") && time >= col("_dmin") - lit(n - 1))
-      .withColumn(BKT, col("_d")).drop("_d", "_dmin")
+    // Destination buckets as a PURE expression: a row reaches every
+    // LATER bucket whose lower bound is <= time + reach — bucketCol of
+    // (time + reach) over the same memoized bounds prep bucketed with
+    // gives the largest such bucket, and the destinations in between
+    // are a contiguous id range. Bounds under-estimate the true bucket
+    // minima, so the extra phantoms land strictly below every real
+    // row's frame (harmless volume, never a value change). Replaces the
+    // former data x bucket-minima non-equi broadcast join, which
+    // evaluated O(rows x buckets) predicates per pass.
+    val (rawB, _) = boundsFor(df, time, useB) // memoized: prep's own fit
+    val destMax = bucketCol(time + lit(n - 1), rawB.distinct,
+      asc = true, nullsFirst = true)
+    val phantoms = b.filter(col(BKT) < destMax)
+      .withColumn(BKT, explode(sequence(col(BKT) + 1, destMax)))
       .withColumn(PH, lit(true))
     aliasFit(real.unionByName(phantoms)
       .withColumn(out,
