@@ -152,6 +152,11 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def set(assignments: (String, Column)*): DT =
     DT(df.withColumns(assignments.toMap), key)
 
+  /** `DT[, let(...)]` (NEWS 1.15 #3795): alias of the functional
+    * multi-assign `:=` form, word for word.
+    */
+  def let(assignments: (String, Column)*): DT = set(assignments: _*)
+
   /** setnafill(x, type, fill, cols) (src/nafill.c setnafillR): fill NAs
     * in the SELECTED columns in one pass — type "const" (per-column
     * fill value, recycled if one is given), or ordered "locf"/"nocb"

@@ -144,6 +144,15 @@ class Round13Spec extends AnyFunSuite {
     assert(out1.nonEmpty && out1.values.exists(_ > 0))
   }
 
+  test("DT let(...) is the functional := multi-assign, word for word (NEWS 1.15 #3795)") {
+    val d = DT(spark.range(0, 5).toDF("a"))
+    val viaLet = d.let("b" -> (col("a") * 2), "c" -> lit("x")).df
+      .orderBy(col("a")).collect().map(_.toSeq).toSeq
+    val viaSet = d.set("b" -> (col("a") * 2), "c" -> lit("x")).df
+      .orderBy(col("a")).collect().map(_.toSeq).toSeq
+    assert(viaLet == viaSet && viaLet.head.size == 3)
+  }
+
   test("dcast margin/complete forms cap the collected pivot domain") {
     // the plain dcast delegates to Spark's pivot (its own 10k cap); the
     // margin/complete/subset forms collect the domain driver-side and
