@@ -736,6 +736,31 @@ object QueriesWindows {
              |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
              |      FROM events)""".stripMargin)),
 
+    // ---- global frank over a COLUMN VECTOR with mixed directions -------
+    // frankv(cols=, order=) semantics (tests.Rraw 2386.*): first column
+    // buckets the tier, the second ranks within its tie blocks (desc).
+    ("q_frank_multi_global", ((s, dir) => {
+      val ordCols = Seq(col("vb").asc_nulls_last,
+        col("event_type").desc_nulls_last)
+      val tieCols = Seq(col("vb"), col("event_type"))
+      val base = dt(s, dir, "events").df
+        .withColumn("vb", floor(col("value")).cast("long"))
+      val r1 = Windows.frank(base, ordCols, tieCols, "min", Nil, "rk_min")
+      val r2 = Windows.frank(r1, ordCols, tieCols, "dense", Nil, "rk_dense")
+      val r3 = Windows.frank(r2, ordCols, tieCols, "average", Nil, "rk_avg")
+      r3.select(col("event_id"), col("rk_min").cast("long").as("rk_min"),
+        col("rk_dense").cast("long").as("rk_dense"),
+        col("rk_avg").cast("double").as("rk_avg"))
+    }): Q,
+      Some("""SELECT event_id,
+             |  rank() OVER w AS rk_min,
+             |  dense_rank() OVER w AS rk_dense,
+             |  (rank() OVER w
+             |    + (count(*) OVER (PARTITION BY vb, event_type) - 1) / 2.0)::DOUBLE AS rk_avg
+             |FROM (SELECT event_id, CAST(floor(value) AS BIGINT) AS vb, event_type
+             |      FROM events)
+             |WINDOW w AS (ORDER BY vb ASC NULLS LAST, event_type DESC NULLS LAST)""".stripMargin)),
+
     // ---- global shift: phantom boundary rows feed lag/lead -------------
     ("q_shift_global", ((s, dir) => {
       val base = dt(s, dir, "orders").df

@@ -581,16 +581,33 @@ object GlobalOrdered {
 
   // ---- frank (global tier of Windows.frankNa) -------------------------
 
-  /** Global frank over a single value column — ties min/dense/max/
-    * average/first with na.last handling, `Windows.frankNa` semantics
-    * for `by = Nil`. The value column doubles as the bucket key, so tie
-    * blocks stay whole and per-bucket ranks correct by prior-bucket
-    * row/distinct counts. `appearance` (needed for ties="first") must
-    * be unique per row.
+  /** Global frank — ties min/dense/max/average/first with na.last
+    * handling, `Windows.frankNa` semantics for `by = Nil`. The FIRST
+    * value column doubles as the bucket key, so tie blocks stay whole
+    * and per-bucket ranks correct by prior-bucket row/distinct counts;
+    * `more` adds secondary ranked columns (frankv's cols/order vector,
+    * tests.Rraw 2386.*) as (bare column, descending) pairs — their tie
+    * blocks nest inside the first column's, so bucketing is untouched
+    * and only the within-bucket order, tie partitions, and distinct
+    * counts widen to the tuple. `appearance` (needed for ties="first")
+    * must be unique per row.
     */
   def frank(df: DataFrame, value: Column, desc: Boolean, ties: String,
             naLast: String, out: String, appearance: Seq[Column] = Nil,
-            buckets: Int = 0): DataFrame = {
+            buckets: Int = 0,
+            more: Seq[(Column, Boolean)] = Nil): DataFrame = {
+    // multi-column na.last="keep": the reference NA-outs rows with ANY
+    // ranked column NA (R/frank.R is_na(x, cols)); rank the fully
+    // non-null subset and union the NA rows back — removed rows cannot
+    // offset any surviving rank
+    if (naLast == "keep" && more.nonEmpty) {
+      val anyNull = (value +: more.map(_._1)).map(_.isNull).reduce(_ || _)
+      val rankType = if (ties == "average") "double" else "long"
+      val ranked = frank(df.filter(!anyNull), value, desc, ties, "true",
+        out, appearance, buckets, more)
+      return ranked.unionByName(
+        df.filter(anyNull).withColumn(out, lit(null).cast(rankType)))
+    }
     val nullsFirst = naLast == "false"
     val asc = !desc
     // tie blocks must stay whole (rank offsets count prior-bucket rows),
@@ -598,12 +615,19 @@ object GlobalOrdered {
     // keeps the collapsed fit + warning (see prep)
     val p = prep(df, value, asc, buckets, Some(nullsFirst))
     val b = p.b
-    val ord = ordOf(value, asc, nullsFirst)
-    val w = Window.partitionBy(col(BKT)).orderBy(ord)
+    val ords = ordOf(value, asc, nullsFirst) +:
+      more.map { case (c, d) => ordOf(c, !d, nullsFirst) }
+    val tieVals = value +: more.map(_._1)
+    val w = Window.partitionBy(col(BKT)).orderBy(ords: _*)
     val partials = b.groupBy(col(BKT).as("_b")).agg(
       count(lit(1)).as("_pn"),
-      (countDistinct(value) +
-        max(when(value.isNull, 1).otherwise(0))).as("_pd"))
+      // distinct RANKED TUPLES per bucket: the single-column form counts
+      // nulls via the max-when adjust (countDistinct skips them); the
+      // tuple form wraps in a never-null struct, whose null fields
+      // group null-safe like rank ordering does
+      (if (more.isEmpty)
+         countDistinct(value) + max(when(value.isNull, 1).otherwise(0))
+       else countDistinct(struct(tieVals: _*))).as("_pd"))
     val priors = priorsOf(partials,
       sum(col("_pn")) -> "_pn", sum(col("_pd")) -> "_pd")
     val j = joinPriors(b, priors)
@@ -617,19 +641,19 @@ object GlobalOrdered {
           "global frank(ties=\"first\") needs unique `appearance` columns")
         j.withColumn(out,
           row_number().over(Window.partitionBy(col(BKT))
-            .orderBy(ord +: appearance: _*)) + rowOff)
+            .orderBy(ords ++ appearance: _*)) + rowOff)
       case "last" =>
         require(appearance.nonEmpty,
           "global frank(ties=\"last\") needs unique `appearance` columns")
         j.withColumn(out,
           row_number().over(Window.partitionBy(col(BKT))
-            .orderBy(ord +: appearance.map(Windows.flipOrder): _*)) + rowOff)
+            .orderBy(ords ++ appearance.map(Windows.flipOrder): _*)) + rowOff)
       case "max" =>
-        val tiePart = Window.partitionBy(col(BKT), value)
+        val tiePart = Window.partitionBy(col(BKT) +: tieVals: _*)
         j.withColumn(out,
           rank().over(w) + count(lit(1)).over(tiePart) - 1 + rowOff)
       case "average" =>
-        val tiePart = Window.partitionBy(col(BKT), value)
+        val tiePart = Window.partitionBy(col(BKT) +: tieVals: _*)
         j.withColumn(out,
           rank().over(w) + (count(lit(1)).over(tiePart) - 1) / 2.0 + rowOff)
       case other => throw new IllegalArgumentException(

@@ -382,23 +382,27 @@ object Windows {
     // small frames. Seeded random ties stay naive-only: rand() draws
     // are partition-seeded and the tier repartitions.
     if (by.isEmpty && !allowGlobal) {
-      return globalKey(order) match {
-        case Some((key, asc, nullsFirst)) =>
-          val naLast = if (nullsFirst) "false" else "true"
-          ties match {
-            case "min" | "dense" | "max" | "average" | "first" | "last" =>
-              GlobalOrdered.frank(df, key, desc = !asc, ties, naLast, out,
-                appearance)
-            case "random" if randomSeed.isEmpty =>
-              // content-hash tiebreak (the documented seedless contract)
-              GlobalOrdered.frank(df, key, desc = !asc, "first", naLast, out,
-                appearance = Seq(xxhash64(df.columns.map(col): _*).asc))
-            case _ => throw new IllegalArgumentException(
-              "frank(ties=\"random\", randomSeed=Some(_)) has no global " +
-                "tier (rand() draws are partition-seeded and the tier " +
-                "repartitions); pass allowGlobal=true")
-          }
-        case None => globalRouteError("frank")
+      // multi-column order (frankv's cols/order vector, tests.Rraw
+      // 2386.*): the FIRST column buckets the tier; the rest rank
+      // within (their tie blocks nest inside the first column's)
+      val unwrapped = order.map(o =>
+        org.apache.spark.sql.GraftSqlBridge.unwrapSortOrder(o))
+      val (key, asc, nullsFirst) = unwrapped.head
+      val more = unwrapped.tail.map { case (c, a, _) => (c, !a) }
+      val naLast = if (nullsFirst) "false" else "true"
+      return ties match {
+        case "min" | "dense" | "max" | "average" | "first" | "last" =>
+          GlobalOrdered.frank(df, key, desc = !asc, ties, naLast, out,
+            appearance, more = more)
+        case "random" if randomSeed.isEmpty =>
+          // content-hash tiebreak (the documented seedless contract)
+          GlobalOrdered.frank(df, key, desc = !asc, "first", naLast, out,
+            appearance = Seq(xxhash64(df.columns.map(col): _*).asc),
+            more = more)
+        case _ => throw new IllegalArgumentException(
+          "frank(ties=\"random\", randomSeed=Some(_)) has no global " +
+            "tier (rand() draws are partition-seeded and the tier " +
+            "repartitions); pass allowGlobal=true")
       }
     }
     def w(extra: Seq[Column]) = spec(by, order ++ extra, allowGlobal = true, "frank")

@@ -338,6 +338,23 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ONE file"))
   }
 
+  test("all-quoted numerics with CRLF infer int; time stays string (winallquoted, tests.Rraw 1757)") {
+    val df = Fread.fread(spark, s"$fx/winallquoted.csv.bz2")
+    import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
+    assert(Set[org.apache.spark.sql.types.DataType](LongType, IntegerType)
+      .contains(df.schema("bikes_available").dataType))
+    assert(df.schema("time").dataType == StringType)
+    val n = df.count()
+    assert(n == 4999)
+    // reference spot rows: first two and last two in time order
+    val byTime = df.orderBy(col("time"))
+    val head = byTime.limit(2).collect().map(_.getAs[Any]("bikes_available").toString)
+    assert(head.toSeq == Seq("2", "2"))
+    val tail = byTime.orderBy(col("time").desc).limit(2)
+      .collect().map(_.getAs[Any]("docks_available").toString)
+    assert(tail.toSeq == Seq("16", "16"))
+  }
+
   test("BOM auto-detection: gb18030.txt reads with NO encoding= (tests.Rraw 1627.31/.32)") {
     // reference: names(fread(gb18030.txt))[1] == "x" with a "GB-18030
     // encoding detected" warning — the 84 31 95 33 signature routes to

@@ -144,6 +144,51 @@ class Round13Spec extends AnyFunSuite {
     assert(out1.nonEmpty && out1.values.exists(_ > 0))
   }
 
+  test("global frank over a column vector matches the naive plan, all ties methods") {
+    // frankv(cols=, order=) (tests.Rraw 2386.*): ties in the FIRST
+    // column resolved by the second (desc), nulls in the second column,
+    // heavy ties on the tuple itself
+    GlobalOrdered.clearFits()
+    val rows = (1 to 400).map { i =>
+      val c2: java.lang.Double = if (i % 13 == 0) null else (i % 5).toDouble
+      (i.toLong, (i % 20).toLong, c2)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "c1", "c2").repartition(4)
+    val ord = Seq(col("c1").asc_nulls_last, col("c2").desc_nulls_last)
+    val tie = Seq(col("c1"), col("c2"))
+    for (ties <- Seq("min", "dense", "max", "average")) {
+      val routed = Windows.frank(df, ord, tie, ties, Nil, "rk")
+      val naive = Windows.frank(df, ord, tie, ties, Nil, "rk",
+        allowGlobal = true)
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("id"), col("rk").cast("double")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m(routed) == m(naive), s"ties=$ties")
+    }
+    // ties="first" with appearance; and the multi-col na.last="keep"
+    // path: ANY-null rows get null ranks, survivors match the naive
+    // rank over the non-null subset
+    val first = Windows.frank(df, ord, tie, "first", Nil, "rk",
+      appearance = Seq(col("id").asc))
+    val firstNaive = Windows.frank(df, ord, tie, "first", Nil, "rk",
+      appearance = Seq(col("id").asc), allowGlobal = true)
+    def mf(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("id"), col("rk").cast("long")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mf(first) == mf(firstNaive))
+    val kept = GlobalOrdered.frank(df, col("c1"), desc = false, "min",
+      naLast = "keep", "rk", more = Seq((col("c2"), true)))
+    val keptRows = kept.select(col("id"), col("c2"), col("rk")).collect()
+    assert(keptRows.filter(_.isNullAt(1)).forall(_.isNullAt(2)))
+    val survivors = keptRows.filterNot(_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val naiveKept = Windows.frank(df.filter(col("c2").isNotNull), ord, tie,
+      "min", Nil, "rk", allowGlobal = true)
+      .select(col("id"), col("rk").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(survivors == naiveKept)
+  }
+
   test("DT let(...) is the functional := multi-assign, word for word (NEWS 1.15 #3795)") {
     val d = DT(spark.range(0, 5).toDF("a"))
     val viaLet = d.let("b" -> (col("a") * 2), "c" -> lit("x")).df
