@@ -136,9 +136,24 @@ object GlobalOrdered {
     * bucket d are the F-mass of [min_d − reach, min_d). Local calendar
     * windows sum to ≲1; a reach spanning the axis sums to ~buckets/2.
     */
+  /** NUMERIC axes only: integer/decimal bounds widen to double; a
+    * non-numeric bound type (nothing [[frolladapt]] accepts — its reach
+    * arithmetic is numeric — but callers could hand-roll one) yields an
+    * empty sample and estimate 0.0, i.e. the phantom guard deliberately
+    * stands down rather than guessing a reach scale it cannot compare.
+    */
   private[graft] def phantomRatioEst(bounds: Array[Any],
                                      reach: Double): Double = {
-    val ds = bounds.collect { case d: Double => d }.sorted
+    val ds = bounds.collect {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+      case b: Byte => b.toDouble
+      case d: java.math.BigDecimal => d.doubleValue
+      case d: BigDecimal => d.toDouble
+    }.sorted
     if (ds.isEmpty || reach <= 0) 0.0
     else {
       val denom = (ds.length + 1).toDouble

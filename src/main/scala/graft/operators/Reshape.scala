@@ -269,6 +269,15 @@ object Reshape {
   /** dcast() (R/fcast.R:11): long → wide pivot. When `values` is given
     * Spark skips the extra distinct-values job — always pass it at scale.
     * drop=FALSE (keep empty key combos) is [[dcastComplete]].
+    *
+    * PIVOT-WIDTH CAP: every dcast form that must DISCOVER the pivot
+    * domain (no `values=`) collects the distinct rhs values to the
+    * driver — pivot semantics need the column set at plan time — and
+    * errors past [[MAX_PIVOT]] (10 000) distinct values rather than
+    * building an absurdly wide frame / OOMing the driver (this plain
+    * form delegates to Spark's pivot, whose own
+    * `spark.sql.pivotMaxValues` default is the same 10 000). Callers
+    * pivoting a wider domain pass `values=` explicitly.
     */
   /** `naLevel=true` keeps an NA formula-RHS value as its own "NA"
     * output column, the reference's behavior (R/fcast.R keeps NA as a
@@ -338,6 +347,9 @@ object Reshape {
     * when exactly one aggregate is given (columns are then the bare
     * pivot values, same as plain dcast and same as the reference's
     * single-fun form), so the convention applies for 2+.
+    * Omitting `values=` discovers the pivot domain, capped at
+    * [[MAX_PIVOT]] distinct rhs values (see [[dcast]]'s cap note) —
+    * as do all the drop=FALSE / margins / subset forms below.
     */
   def dcastMulti(df: DataFrame, lhs: Seq[String], rhs: String,
                  values: Seq[String], aggs: Seq[(String, Column)],

@@ -384,7 +384,15 @@ object Windows {
     if (by.isEmpty && !allowGlobal) {
       // multi-column order (frankv's cols/order vector, tests.Rraw
       // 2386.*): the FIRST column buckets the tier; the rest rank
-      // within (their tie blocks nest inside the first column's)
+      // within (their tie blocks nest inside the first column's).
+      // Null placement of SECONDARY columns follows the PRIMARY's
+      // na.last (the reference's frankv takes ONE na.last for all
+      // ranked columns, R/frank.R); a nulls_first/nulls_last modifier
+      // on a secondary order column is overridden by that contract.
+      require(order.nonEmpty,
+        "frank(by=Nil): the global tier needs at least one order " +
+          "column to rank (and range-bucket) on; pass order=Seq(col...) " +
+          "or group with by=")
       val unwrapped = order.map(o =>
         org.apache.spark.sql.GraftSqlBridge.unwrapSortOrder(o))
       val (key, asc, nullsFirst) = unwrapped.head

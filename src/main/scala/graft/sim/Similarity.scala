@@ -39,10 +39,20 @@ object Similarity {
   /** Shared top-k scoring core: broadcast (query_id, qv) rows against
     * a (idCol, vecCol) corpus — also the ADC path, where `corpus`
     * carries RECONSTRUCTED vectors and the queries stay raw.
+    *
+    * The probe side is bounded BY CONSTRUCTION: one row per query_id
+    * (probe ids identify a unique vector by contract; duplicate ids
+    * collapse to one representative). That caps the crossed volume at
+    * |distinct probes| × corpus no matter how duplicated the probe
+    * input was, and makes the bound visible to [[graft.PlanLint]]'s
+    * plan-shape rule (a cross join's build side must be provably
+    * bounded — here, an aggregate).
     */
   def topKAgainst(corpus: DataFrame, idCol: String, vecCol: String,
                   queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val probes = queries.groupBy(col("query_id"))
+      .agg(first(col("qv")).as("qv"))
+    val scored = corpus.crossJoin(broadcast(probes))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("qv")))
     val w = Window.partitionBy(col("query_id"))
@@ -212,7 +222,10 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
       .select(col(idCol), col("query_id"), col("sim"))
+    // same bounded-probe construction as [[topKAgainst]]: the fallback
+    // cross join's build side is an aggregate (≤ one row per query id)
     val fbq = q.join(over, Seq("_sig"), "left_semi").drop("_sig")
+      .groupBy(col("query_id")).agg(first(col("_qvec")).as("_qvec"))
     val fbScored = c.drop("_sig").crossJoin(broadcast(fbq))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))

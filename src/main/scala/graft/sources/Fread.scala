@@ -283,13 +283,21 @@ object Fread {
     * a directory input, decompressed through the same codec factory as
     * the parse.
     */
-  private[graft] def sniffBom(spark: SparkSession, path: String): Option[String] = {
+  private[graft] def sniffBom(spark: SparkSession, path: String): Option[String] =
+  // Best-effort by design: any I/O failure here (unresolvable path, a
+  // glob, permission, truncated codec stream) returns None and lets the
+  // actual read surface the real error with its own diagnostics — a
+  // sniffer must never be the thing that throws first.
+  scala.util.Try {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val targetOpt =
       if (fs.getFileStatus(p).isDirectory)
+        // listStatus order is filesystem-dependent: sort by name so a
+        // multi-file directory sniffs the SAME file on every run/node
         fs.listStatus(p).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.getName)
           .headOption.map(_.getPath)
       else Some(p)
     targetOpt.flatMap { target =>
@@ -311,7 +319,7 @@ object Fread {
         else None
       } finally in.close()
     }
-  }
+  }.toOption.flatten
 
   /** Auto separator detection over a pre-fetched first line. */
   def sniffSepFrom(line: String): String =

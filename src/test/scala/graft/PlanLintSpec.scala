@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sweep-wide plan-shape gate: every registered query's physical plan
+  * obeys the scale contract (no unbounded cross products, no global
+  * window over unbounded input). This is the spec that makes the benign
+  * `WindowExec: No Partition Defined` warnings in bench logs
+  * attributable by construction — any NEW global window over full data
+  * fails here, so a surviving warning is always the whitelisted bounded
+  * partials frame (operators/GlobalOrdered.scala priorsOf).
+  */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("all registered query plans pass the scale linter") {
+    val violations = PlanLint.lintAll(spark, SparkTestSession.sfDir)
+    assert(violations.isEmpty,
+      s"\n${violations.size} plan-shape violations:\n" +
+        violations.mkString("\n"))
+  }
+
+  test("linter catches an unbounded cross product") {
+    import spark.implicits._
+    // both sides are FILE scans (a local literal relation would count
+    // as bounded); no equi keys forces a nested-loop shape
+    val a = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+      .select($"n_nationkey".as("x"))
+    val b = spark.read.parquet(s"${SparkTestSession.sfDir}/region.parquet")
+      .select($"r_regionkey".as("y"))
+    val bad = a.join(b, $"x" < $"y")
+    val vs = PlanLint.lint("planted", bad)
+    assert(vs.exists(v => v.kind.contains("bnlj") || v.kind.contains("cartesian")),
+      s"planted cross product not flagged; got: $vs")
+  }
+
+  test("linter accepts a cross product with a bounded side") {
+    import spark.implicits._
+    val big = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    val small = big.groupBy($"n_regionkey").agg(count(lit(1)).as("n"))
+    val ok = big.join(small.as("s"), big("n_nationkey") < col("s.n"))
+    assert(PlanLint.lint("planted_ok", ok).isEmpty)
+  }
+
+  test("linter flags a global window over unbounded input, accepts it over partials") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"n_nationkey")
+    val full = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    val bad = full.withColumn("r", row_number().over(w))
+    assert(PlanLint.lint("planted_gw", bad)
+      .exists(_.kind == "global-window-over-unbounded"))
+
+    val partials = full.groupBy($"n_regionkey".as("n_nationkey")).agg(count(lit(1)).as("c"))
+    val good = partials.withColumn("r", row_number().over(w))
+    assert(PlanLint.lint("planted_gw_ok", good).isEmpty)
+  }
+}

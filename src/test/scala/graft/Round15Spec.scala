@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GlobalOrdered, Windows}
+import graft.sources.Fread
+
+/** Round-15 hardening: the carried ADVICE lows — global-frank argument
+  * validation, the frankv secondary na.last contract, the phantom
+  * guard on integer axes, and sniffBom's best-effort/deterministic
+  * contract.
+  */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- frank(by=Nil) argument validation ------------------------------
+
+  test("frank(by=Nil, order=Nil) raises an informative route error, not NoSuchElement") {
+    val df = Seq(1, 2, 3).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      Windows.frank(df, Nil, Nil, "min", Nil, "r")
+    }
+    assert(e.getMessage.contains("order"), s"unhelpful message: ${e.getMessage}")
+  }
+
+  // ---- frankv secondary na.last contract -------------------------------
+
+  test("global frankv: secondary null placement follows the primary's na.last") {
+    // reference frankv takes ONE na.last for all ranked columns
+    // (R/frank.R) — a nulls modifier on a secondary order column is
+    // overridden by the primary's placement
+    val df = Seq(
+      (1, Option(1), "r1"), (1, None: Option[Int], "r2"),
+      (1, Option(2), "r3"), (2, Option(1), "r4")).toDF("a", "b", "tag")
+
+    // primary asc_nulls_last => na.last=true: b's nulls rank LAST within
+    // the a=1 tie block even though the caller wrote asc_nulls_first
+    val last = Windows.frank(df,
+      Seq($"a".asc_nulls_last, $"b".asc_nulls_first), Seq($"a", $"b"),
+      "min", Nil, "r")
+      .select($"tag", $"r").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("r1" -> 1L, "r3" -> 2L, "r2" -> 3L, "r4" -> 4L))
+
+    // primary asc_nulls_first => na.last=false: b's nulls rank FIRST
+    val first = Windows.frank(df,
+      Seq($"a".asc_nulls_first, $"b".asc_nulls_last), Seq($"a", $"b"),
+      "min", Nil, "r")
+      .select($"tag", $"r").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == Map("r2" -> 1L, "r1" -> 2L, "r3" -> 3L, "r4" -> 4L))
+  }
+
+  // ---- phantom guard on integer axes -----------------------------------
+
+  test("phantomRatioEst: integer bounds estimate like their double values") {
+    val longs: Array[Any] = (1 until 32).map(i => (i * 31L): Any).toArray
+    val doubles: Array[Any] = (1 until 32).map(i => (i * 31.0): Any).toArray
+    assert(GlobalOrdered.phantomRatioEst(longs, 1000.0) ==
+      GlobalOrdered.phantomRatioEst(doubles, 1000.0))
+    assert(GlobalOrdered.phantomRatioEst(longs, 1000.0) > 10.0)
+    // ints too, and the documented stand-down on non-numeric bounds
+    val ints: Array[Any] = (1 until 32).map(i => (i * 31): Any).toArray
+    assert(GlobalOrdered.phantomRatioEst(ints, 1000.0) > 10.0)
+    val strs: Array[Any] = Array[Any]("a", "b")
+    assert(GlobalOrdered.phantomRatioEst(strs, 1000.0) == 0.0)
+  }
+
+  test("frolladapt guard fires on a LONG time axis (was inert pre-widening)") {
+    GlobalOrdered.clearFits()
+    val df = spark.range(0, 2000).select(
+      col("id").as("k"), (col("id") * 7L % 1997L).as("t")) // LongType axis
+      .repartition(8)
+    val before = GlobalOrdered.phantomGuardReductions.get()
+    val guarded = GlobalOrdered.frolladapt(df, col("t"), 1500L, "an",
+      buckets = 32)
+    val naive = Windows.frolladaptDF(
+      df, "an", col("t"), 1500L, Nil, allowGlobal = true)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("k"), col("an")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(guarded) == m(naive))
+    assert(GlobalOrdered.phantomGuardReductions.get() > before)
+  }
+
+  // ---- sniffBom: best-effort + deterministic target --------------------
+
+  test("sniffBom returns None on unreadable paths instead of throwing") {
+    assert(Fread.sniffBom(spark, "/nonexistent/nowhere.csv").isEmpty)
+    assert(Fread.sniffBom(spark, "/root/repo/target/{bad-glob").isEmpty)
+  }
+
+  test("sniffBom picks the name-sorted first file of a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("sniffbom").toFile
+    try {
+      // write z first so creation order disagrees with name order
+      java.nio.file.Files.write(new java.io.File(dir, "z.csv").toPath,
+        "x,y\n1,2\n".getBytes("UTF-8"))
+      val bom = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        "x,y\n1,2\n".getBytes("UTF-16LE")
+      java.nio.file.Files.write(new java.io.File(dir, "a.csv").toPath, bom)
+      assert(Fread.sniffBom(spark, dir.getAbsolutePath).contains("UTF-16LE"))
+    } finally {
+      dir.listFiles.foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+}
