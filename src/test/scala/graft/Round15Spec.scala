@@ -83,6 +83,34 @@ class Round15Spec extends AnyFunSuite {
     assert(GlobalOrdered.phantomGuardReductions.get() > before)
   }
 
+  // ---- per-rep steal attribution (Bench defense (e)) --------------------
+
+  test("stealPoisoned: >5% of jiffy capacity with >=2 jiffies absolute") {
+    // 200 jiffies over a 0.4s rep on 32 cpus = 15.6% of capacity
+    assert(Bench.stealPoisoned(0.4, 200, 32))
+    // 1 jiffy is sub-tick jitter regardless of fraction
+    assert(!Bench.stealPoisoned(0.001, 1, 32))
+    // 2 jiffies over 0.1s x 32 cpus = 0.6% — benign background steal
+    assert(!Bench.stealPoisoned(0.1, 2, 32))
+    // 3 jiffies over a 10ms rep = 9.4% — poisoned
+    assert(Bench.stealPoisoned(0.01, 3, 32))
+  }
+
+  test("splitStolen: planted steal excludes the poisoned rep; all-stolen keeps all") {
+    val mixed = Seq((0.10, 0L), (0.42, 200L), (0.11, 1L))
+    val s = Bench.splitStolen(mixed, 32)
+    assert(s.kept == Seq(0.10, 0.11) && s.stolen == 1 && !s.allStolen)
+    assert(s.stealJiffies == 201L)
+
+    val allBad = Seq((0.42, 200L), (0.38, 150L))
+    val a = Bench.splitStolen(allBad, 32)
+    assert(a.allStolen && a.stolen == 2 && a.kept == Seq(0.42, 0.38))
+
+    // failed-only input: nothing stolen, nothing kept, not "allStolen"
+    val none = Bench.splitStolen(Nil, 32)
+    assert(!none.allStolen && none.kept.isEmpty && none.stealJiffies == 0L)
+  }
+
   // ---- sniffBom: best-effort + deterministic target --------------------
 
   test("sniffBom returns None on unreadable paths instead of throwing") {
