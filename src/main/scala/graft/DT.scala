@@ -123,6 +123,38 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     } else DT(grouped.select(out: _*))
   }
 
+  /** rollup(x, j, by, id=, label=) (R/groupingsets.R:1-17): the
+    * reference spelling generates the prefix sets by[1..n], by[1..n−1],
+    * …, () and redirects into groupingsets — same here, so id= and
+    * label= ride [[groupingSetsAgg]]'s one-pass GROUPING SETS plan.
+    */
+  def rollupAgg(keys: Seq[(String, Column)], j: Seq[Column],
+                labels: Map[String, Column] = Map.empty,
+                id: Boolean = false): DT = {
+    val names = keys.map(_._1)
+    val sets = (names.size to 0 by -1).map(i => names.take(i))
+    groupingSetsAgg(keys, sets, j, labels, id)
+  }
+
+  /** cube(x, j, by, id=, label=) (R/groupingsets.R:19-39): the power
+    * set of the by columns in the reference's enumeration order
+    * (keepBool bit pattern, full set first, () last), redirected into
+    * [[groupingSetsAgg]] like the reference redirects into
+    * groupingsets.data.table.
+    */
+  def cubeAgg(keys: Seq[(String, Column)], j: Seq[Column],
+              labels: Map[String, Column] = Map.empty,
+              id: Boolean = false): DT = {
+    val names = keys.map(_._1)
+    val n = names.size
+    val sets = ((1 << n) to 1 by -1).map { r =>
+      names.zipWithIndex.collect {
+        case (nm, i) if (((r - 1) >> (n - 1 - i)) & 1) == 1 => nm
+      }
+    }
+    groupingSetsAgg(keys, sets, j, labels, id)
+  }
+
   // ---- j: projection / compute ---------------------------------------
   /** DT[, j] — select / compute columns (`with=FALSE`, character j,
     * .SDcols all lower to column pruning).

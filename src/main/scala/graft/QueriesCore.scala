@@ -465,6 +465,31 @@ object QueriesCore {
              |  GROUPING_ID(l_returnflag, l_linestatus) AS gid
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // ---- rollup(id=TRUE) spelling (R/groupingsets.R:1-17) ---------------
+    // The reference's rollup() generates prefix sets and redirects into
+    // groupingsets with id= passed through; rollupAgg mirrors that.
+    ("q_rollup_id", ((s, dir) =>
+      dt(s, dir, "orders")
+        .rollupAgg(
+          Seq("st" -> col("o_orderstatus"), "pr" -> col("o_orderpriority")),
+          Seq(count(lit(1)).as("n"), round(sum("o_totalprice"), 3).as("rev")),
+          id = true).df): Q,
+      Some("""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS grouping,
+             |  o_orderstatus AS st, o_orderpriority AS pr, count(*) AS n,
+             |  round(sum(o_totalprice), 3) AS rev
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ---- cube(id=TRUE) spelling (R/groupingsets.R:19-39) ----------------
+    ("q_cube_id", ((s, dir) =>
+      dt(s, dir, "lineitem")
+        .cubeAgg(
+          Seq("rf" -> col("l_returnflag"), "ls" -> col("l_linestatus")),
+          Seq(count(lit(1)).as("n")),
+          id = true).df): Q,
+      Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grouping,
+             |  l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
     // ---- groupingsets explicit (R/groupingsets.R:19) -------------------
     ("q_groupingsets", ((s, dir) =>
       dt(s, dir, "orders").df

@@ -556,6 +556,30 @@ object QueriesWindows {
              |WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- frollapply fill= (R/frollapply.R simplifylist) ----------------
+    // Same closure as q_frollapply_udf, but incomplete leading windows
+    // take fill=-1 instead of NA — fill pads ONLY incomplete positions
+    // and is coerced to the answer type (reference tests 6001.282-297).
+    ("q_frollapply_fill", ((s, dir) => {
+      val f = (rows: Seq[org.apache.spark.sql.Row]) => {
+        val vs = rows.map(_.getDouble(0))
+        java.math.BigDecimal.valueOf(vs.max - vs.min)
+          .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      Windows.frollApplyF(dt(s, dir, "orders").df, "rng",
+        Seq("p" -> col("o_totalprice")), 4, Seq("o_custkey"), ordCols, f,
+        org.apache.spark.sql.types.DoubleType, fill = lit(-1))
+        .select(col("o_orderkey"), col("rng"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN count(*) OVER w4 = 4
+             |       THEN round(max(o_totalprice) OVER w4 - min(o_totalprice) OVER w4, 3)
+             |       ELSE -1.0
+             |  END AS rng
+             |FROM orders
+             |WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- frollapply over a MULTI-COLUMN frame (R/frollapply.R .SD) -----
     // Rolling 4-row weighted mean: the frame carries (price, qty) structs
     // — a closure over two columns, inexpressible with a single-column

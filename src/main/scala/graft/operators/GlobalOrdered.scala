@@ -948,7 +948,8 @@ object GlobalOrdered {
                  returnType: org.apache.spark.sql.types.DataType,
                  align: String = "right", partial: Boolean = false,
                  asc: Boolean = true, buckets: Int = 0,
-                 nullsFirst: Option[Boolean] = None): DataFrame = {
+                 nullsFirst: Option[Boolean] = None,
+                 fill: Column = lit(null)): DataFrame = {
     val (nBefore, nAfter) = align match {
       case "right"  => (n - 1, 0)
       case "left"   => (0, n - 1)
@@ -959,7 +960,7 @@ object GlobalOrdered {
     val aug = phantomAugmented(p.b, p.ords, nBefore, nAfter)
     aliasFit(
       Windows.frollApplyF(aug, out, cols, n, Seq(BKT), p.ords, f, returnType,
-        align, partial)
+        align, partial, fill = fill)
         .filter(!col(PH)).drop(BKT, TB, PH), key, p)
   }
 

@@ -708,7 +708,8 @@ object Windows {
                   f: Seq[org.apache.spark.sql.Row] => Any,
                   returnType: org.apache.spark.sql.types.DataType,
                   align: String = "right", partial: Boolean = false,
-                  allowGlobal: Boolean = false): DataFrame = {
+                  allowGlobal: Boolean = false,
+                  fill: Column = lit(null)): DataFrame = {
     require(n > 0, s"frollApplyF: n must be positive, got $n")
     // by=Nil AUTO-ROUTES through the GlobalOrdered phantom tier like
     // every other ordered op (the closure then runs per row over its
@@ -717,7 +718,7 @@ object Windows {
       return globalKey(order) match {
         case Some((key, asc, nf)) =>
           GlobalOrdered.frollApply(df, out, cols, n, key, f, returnType,
-            align, partial, asc, nullsFirst = Some(nf))
+            align, partial, asc, nullsFirst = Some(nf), fill = fill)
         case None => globalRouteError("frollApplyF")
       }
     }
@@ -731,9 +732,14 @@ object Windows {
         returnType,
         Seq(org.apache.spark.sql.GraftSqlBridge.expression(frame)),
         Nil, None, Some("graft_frollapply"), true, true))
+    // fill= (R/frollapply.R): pads INCOMPLETE positions only — a
+    // complete window whose FUN returns null stays null. The cast
+    // mirrors the reference's coerce-fill-to-answer-type ladder
+    // (simplifylist: integer fill with double answers widens, double
+    // fill with integer answers truncates).
     val applied =
       if (partial) fn
-      else when(size(frame) === n, fn)
+      else when(size(frame) === n, fn).otherwise(fill.cast(returnType))
     df.withColumn(out, applied)
   }
 

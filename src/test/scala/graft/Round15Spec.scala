@@ -83,6 +83,88 @@ class Round15Spec extends AnyFunSuite {
     assert(GlobalOrdered.phantomGuardReductions.get() > before)
   }
 
+  // ---- fread issue_2157 sampling fixtures (tests.Rraw 1768/1769) --------
+
+  private val fx = "/root/reference/inst/tests"
+
+  test("gz sampling overlap: late fractional values make X8 double (issue_2157, test 1768)") {
+    val df = Fread.fread(spark, s"$fx/issue_2157_sampling_overlap.txt.gz")
+    assert(df.columns.toSeq == (1 to 8).map("X" + _))
+    assert(df.count() == 1314)
+    // the first fractional X8 appears past row 200 — a sampled type
+    // guess of integer must still end up double over the whole file
+    assert(df.schema("X8").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.filter(col("X2").isNotNull).count() == 0) // all-empty column
+    val r0 = df.head()
+    assert(r0.getAs[String]("X1") == "ABCD021917")
+    assert(r0.getAs[Double]("X8") == 678.0)
+    assert(df.filter(abs(col("X8") - 732.981767087638) < 1e-6).count() >= 1)
+  }
+
+  test("bz2 sampling reached EOF early: whole-file types survive (issue_2157, test 1769)") {
+    val df = Fread.fread(spark, s"$fx/issue_2157_sampling_reached_eof_early.txt.bz2")
+    assert(df.count() == 1228 && df.columns.length == 11)
+    assert(df.schema("X10").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(df.head().isNullAt(0)) // first X1 is empty -> NA
+    assert(df.filter(col("X1").cast("string") === "2017-05-10" &&
+      col("X10") === -112186.0 && col("X11") === 500).count() == 1)
+  }
+
+  // ---- frollapply fill= (R/frollapply.R simplifylist) -------------------
+
+  test("frollApplyF fill= pads only incomplete windows; coerces to answer type") {
+    val df = Seq((1, Option(1.0)), (2, Option(2.0)),
+      (3, None: Option[Double]), (4, Option(4.0))).toDF("i", "x")
+    val f = (rows: Seq[org.apache.spark.sql.Row]) =>
+      if (rows.exists(_.isNullAt(0))) null
+      else rows.map(_.getDouble(0)).sum
+    def run(allowGlobal: Boolean) =
+      Windows.frollApplyF(df, "s", Seq("x" -> $"x"), 2, Nil, Seq($"i".asc),
+        f, org.apache.spark.sql.types.DoubleType,
+        allowGlobal = allowGlobal, fill = lit(99))
+        .select($"i", $"s").collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+        .toMap
+    // position 1 is INCOMPLETE -> fill (coerced 99 -> 99.0); positions
+    // whose complete window made FUN return null stay null, NOT fill
+    val expect = Map(1 -> 99.0, 2 -> 3.0, 3 -> null, 4 -> null)
+    assert(run(allowGlobal = true) == expect)
+    assert(run(allowGlobal = false) == expect) // global tier agrees
+
+    // integer answers truncate a double fill (reference 6001.296/.297)
+    val ints = Windows.frollApplyF(df, "s", Seq("x" -> $"x"), 2, Nil,
+      Seq($"i".asc),
+      (rows: Seq[org.apache.spark.sql.Row]) =>
+        if (rows.exists(_.isNullAt(0))) null
+        else rows.map(_.getDouble(0)).sum.toInt,
+      org.apache.spark.sql.types.IntegerType,
+      allowGlobal = true, fill = lit(99.9))
+      .filter($"i" === 1).select($"s").head().getInt(0)
+    assert(ints == 99)
+  }
+
+  // ---- rollup/cube id= spellings (R/groupingsets.R:1-39) ----------------
+
+  test("rollupAgg/cubeAgg generate the reference set lists with id= bitmask") {
+    val df = Seq(("a", "x", 1), ("a", "y", 2), ("b", "x", 3)).toDF("r", "s", "v")
+    val roll = DT(df).rollupAgg(
+      Seq("r" -> $"r", "s" -> $"s"), Seq(sum($"v").as("sv")), id = true).df
+    val rollG = roll.groupBy($"grouping").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // prefix sets (r,s), (r), (): gid 0 per (r,s) combo, 1 per r, 3 total
+    assert(rollG == Map(0 -> 3L, 1 -> 2L, 3 -> 1L))
+    assert(roll.filter($"grouping" === 3).select($"sv").head().getLong(0) == 6L)
+
+    val cube = DT(df).cubeAgg(
+      Seq("r" -> $"r", "s" -> $"s"), Seq(sum($"v").as("sv")), id = true).df
+    val cubeG = cube.groupBy($"grouping").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // power set adds gid=2 (s alone): one row per distinct s
+    assert(cubeG == Map(0 -> 3L, 1 -> 2L, 2 -> 2L, 3 -> 1L))
+  }
+
   // ---- per-rep steal attribution (Bench defense (e)) --------------------
 
   test("stealPoisoned: >5% of jiffy capacity with >=2 jiffies absolute") {
