@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.PlanLint
+
+/** 100×-scaling probe for the LLM-pipeline flagships (dedup /
+  * contamination / ANN): run each over synthetic corpora at two sizes a
+  * decade apart and report per-row cost. The design claim under test:
+  * these pipelines are signature aggregations + bucket-local work — no
+  * all-pairs term — so per-row cost stays FLAT as the corpus grows and
+  * the same plan shape serves a 100 TB corpus. Each plan is also run
+  * through [[graft.PlanLint]]'s rules (no unbounded cross products, no
+  * global windows over unbounded input).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [rowsSmall] [rowsLarge]
+  * (defaults 1e6 / 1e7). Prints one JSON line per (op, size) plus a
+  * flat-cost verdict per op; results are recorded in BENCH_NOTES.md.
+  */
+object ScaleProbe {
+
+  /** Synthetic corpus: ~15 pseudo-words per doc from a 50k vocabulary;
+    * every 97th doc duplicates its predecessor so the dedup candidate
+    * path has real work. Deterministic (hash of id), no RNG state.
+    */
+  private def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val wid = when(col("id") % 97 === 0 && col("id") > 0, col("id") - 1)
+      .otherwise(col("id"))
+    spark.range(n).select(col("id"),
+      concat_ws(" ", (0 until 15).map(i =>
+        concat(lit("w"), pmod(hash(wid * lit(31L + i)), lit(50000)))): _*)
+        .as("text"))
+  }
+
+  private def synthEmbeddings(spark: SparkSession, n: Long,
+                              dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id"),
+      array((0 until dim).map(d =>
+        (pmod(hash(col("id") * lit(131L + d)), lit(2000)) - lit(1000))
+          .cast("double") / 1000.0): _*).as("v"))
+
+  def main(args: Array[String]): Unit = {
+    val nSmall = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nLarge = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // fixed IVF centroids: 16 deterministic synthetic vectors
+    val centroids: Seq[Seq[Double]] = (0 until 16).map(c =>
+      (0 until 64).map(d =>
+        (((c * 131 + d * 31) % 2000) - 1000) / 1000.0))
+    // driver-small benchmark for the contamination gate: 1k docs whose
+    // ids overlap the head of every corpus (so matches exist)
+    val bench = synthDocs(spark, 1000L)
+
+    def op(name: String,
+           frame: Long => DataFrame): (String, Seq[(Long, Double)]) = {
+      name -> Seq(nSmall, nLarge).map { n =>
+        val f = frame(n)
+        val lint = PlanLint.lint(s"$name@$n", f)
+        require(lint.isEmpty, s"plan-lint violations in $name@$n: $lint")
+        val t0 = System.nanoTime()
+        f.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","rows":$n,"sec":$sec%.3f,"ns_per_row":${sec * 1e9 / n}%.1f}""")
+        n -> sec * 1e9 / n
+      }
+    }
+
+    val results = Seq(
+      op("dedup_minhash_pairs", n =>
+        graft.dedup.Dedup.minhashPairs(synthDocs(spark, n), "id", "text",
+          k = 3, numHashes = 32, bands = 8, maxBucket = 1000)),
+      op("contamination_bloom", n =>
+        graft.curate.Contamination.ngramOverlapBloomDistributed(
+          synthDocs(spark, n), bench, "id", "text", n = 5)),
+      op("ann_ivf_assign", n =>
+        graft.sim.Similarity.ivfAssign(synthEmbeddings(spark, n), "v", centroids)
+          .groupBy(col("ivf_cell")).agg(count(lit(1)).as("c"))))
+
+    // flat-cost verdict: per-row cost at nLarge within 2x of nSmall
+    // (fixed per-job overhead amortizes DOWN with size, so a clean run
+    // usually lands UNDER 1x)
+    results.foreach { case (name, Seq((s, cs), (l, cl))) =>
+      val ratio = cl / cs
+      println(f"""{"verdict":"flat_cost","op":"$name","small_rows":$s,"large_rows":$l,"ratio":$ratio%.2f,"flat":${ratio < 2.0}}""")
+    }
+    spark.stop()
+  }
+}
