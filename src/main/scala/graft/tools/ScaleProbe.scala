@@ -61,10 +61,26 @@ object ScaleProbe {
     // ids overlap the head of every corpus (so matches exist)
     val bench = synthDocs(spark, 1000L)
 
+    // Materialize each corpus to parquet ONCE, outside the timings —
+    // the ops must be measured over a real stored column (the 100 TB
+    // setting), not over the synthesis expressions (a 64-term array
+    // generator dominated the ANN timing by 100x when timed inline).
+    def materialized(tag: String, n: Long, gen: Long => DataFrame): DataFrame = {
+      val path = s"/tmp/graft_scaleprobe/${tag}_$n"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val t0 = System.nanoTime()
+        gen(n).write.mode("overwrite").parquet(path)
+        System.err.println(
+          f"[scaleprobe] generated $tag($n) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      spark.read.parquet(path)
+    }
+
     def op(name: String,
-           frame: Long => DataFrame): (String, Seq[(Long, Double)]) = {
+           frame: DataFrame => DataFrame, tag: String,
+           gen: Long => DataFrame): (String, Seq[(Long, Double)]) = {
       name -> Seq(nSmall, nLarge).map { n =>
-        val f = frame(n)
+        val f = frame(materialized(tag, n, gen))
         val lint = PlanLint.lint(s"$name@$n", f)
         require(lint.isEmpty, s"plan-lint violations in $name@$n: $lint")
         val t0 = System.nanoTime()
@@ -76,15 +92,18 @@ object ScaleProbe {
     }
 
     val results = Seq(
-      op("dedup_minhash_pairs", n =>
-        graft.dedup.Dedup.minhashPairs(synthDocs(spark, n), "id", "text",
-          k = 3, numHashes = 32, bands = 8, maxBucket = 1000)),
-      op("contamination_bloom", n =>
+      op("dedup_minhash_pairs", df =>
+        graft.dedup.Dedup.minhashPairs(df, "id", "text",
+          k = 3, numHashes = 32, bands = 8, maxBucket = 1000),
+        "docs", synthDocs(spark, _)),
+      op("contamination_bloom", df =>
         graft.curate.Contamination.ngramOverlapBloomDistributed(
-          synthDocs(spark, n), bench, "id", "text", n = 5)),
-      op("ann_ivf_assign", n =>
-        graft.sim.Similarity.ivfAssign(synthEmbeddings(spark, n), "v", centroids)
-          .groupBy(col("ivf_cell")).agg(count(lit(1)).as("c"))))
+          df, bench, "id", "text", n = 5),
+        "docs", synthDocs(spark, _)),
+      op("ann_ivf_assign", df =>
+        graft.sim.Similarity.ivfAssign(df, "v", centroids)
+          .groupBy(col("ivf_cell")).agg(count(lit(1)).as("c")),
+        "emb", synthEmbeddings(spark, _)))
 
     // flat-cost verdict: per-row cost at nLarge within 2x of nSmall
     // (fixed per-job overhead amortizes DOWN with size, so a clean run
