@@ -107,8 +107,40 @@ object Joins {
     equi(reduced, i, on, "right")
   }
 
-  /** mult="error": fail when any probe row matches more than one x row. */
+  /** PLAN-TIME uniqueness proof for [[assertNoDup]]: true when `x`'s
+    * optimized plan makes duplicate `on` tuples impossible by
+    * construction — an Aggregate/Deduplicate whose keys are a SUBSET of
+    * `on` (unique on the subset ⇒ unique on the superset; empty
+    * grouping ⇒ one row), or statistics proving ≤1 row. Conservative:
+    * any plan it cannot read (projection renames, joins, scans without
+    * stats) returns false and the runtime check runs.
+    */
+  private[graft] def provablyUniqueOn(x: DataFrame, on: Seq[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate}
+    val onSet = on.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val plan = x.queryExecution.optimizedPlan
+    plan match {
+      case a: Aggregate =>
+        a.groupingExpressions.forall {
+          case attr: Attribute =>
+            onSet.contains(attr.name.toLowerCase(java.util.Locale.ROOT))
+          case _ => false
+        }
+      case d: Deduplicate =>
+        d.keys.forall(k =>
+          onSet.contains(k.name.toLowerCase(java.util.Locale.ROOT)))
+      case p => p.stats.rowCount.exists(_ <= 1)
+    }
+  }
+
+  /** mult="error": fail when any probe row matches more than one x row.
+    * Plan-time fast accept when uniqueness is provable from the plan
+    * ([[provablyUniqueOn]]) — no pre-flight job; otherwise one cheap
+    * partial-aggregation probe.
+    */
   def assertNoDup(x: DataFrame, on: Seq[String]): Unit = {
+    if (provablyUniqueOn(x, on)) return
     val dups = x.groupBy(on.map(col): _*).count().filter(col("count") > 1).limit(1).count()
     // message parity with src/bmerge.c:417
     require(dups == 0,
@@ -819,8 +851,23 @@ object Joins {
     * and refuse beyond `maxRatio`. Cheap (two partial aggregations) and
     * worth it before a 100 TB shuffle.
     */
+  /** PLAN-TIME output upper bound for [[cartesianGuard]]: |x| × |i|
+    * bounds ANY join's output from above, so when Catalyst statistics
+    * know both row counts (local relations, AQE-finalized stages,
+    * ANALYZE'd tables) and the product is already within the limit, the
+    * runtime pre-flight can be skipped. Never used to REJECT — the
+    * product is far above the true per-key estimate, so rejection stays
+    * a runtime decision.
+    */
+  private[graft] def plannedJoinBound(x: DataFrame, i: DataFrame): Option[BigInt] =
+    for {
+      xr <- x.queryExecution.optimizedPlan.stats.rowCount
+      ir <- i.queryExecution.optimizedPlan.stats.rowCount
+    } yield xr * ir
+
   def cartesianGuard(x: DataFrame, i: DataFrame, on: Seq[String],
                      maxRows: Long): Unit = {
+    if (plannedJoinBound(x, i).exists(_ <= maxRows)) return
     val xc = x.groupBy(on.map(col): _*).count().withColumnRenamed("count", "xc")
     val ic = i.groupBy(on.map(col): _*).count().withColumnRenamed("count", "ic")
     val estRow = xc.join(ic, on).agg(sum(col("xc") * col("ic"))).head()

@@ -165,6 +165,43 @@ class Round15Spec extends AnyFunSuite {
     assert(cubeG == Map(0 -> 3L, 1 -> 2L, 2 -> 2L, 3 -> 1L))
   }
 
+  // ---- plan-time guard fast paths (SURVEY §4.2 item 4) -------------------
+
+  test("plannedJoinBound: known row counts give a product bound; guard semantics unchanged") {
+    import graft.operators.Joins
+    val x = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val i = Seq((1, 10), (1, 11)).toDF("k", "w")
+    // local relations carry exact row counts -> plan-time bound 3x2
+    assert(Joins.plannedJoinBound(x, i).contains(BigInt(6)))
+    // fast accept: product within limit, no throw
+    Joins.cartesianGuard(x, i, Seq("k"), maxRows = 6)
+    // runtime path still rejects a genuine explosion (true est = 4 > 3,
+    // and the plan bound 6 > 3 cannot fast-accept)
+    intercept[IllegalArgumentException] {
+      Joins.cartesianGuard(x, i, Seq("k"), maxRows = 3)
+    }
+    // parquet scans have no rowCount stat -> None (runtime path only)
+    val scan = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    assert(Joins.plannedJoinBound(scan, scan).isEmpty)
+  }
+
+  test("provablyUniqueOn: aggregate/distinct keyed plans skip the mult=error probe") {
+    import graft.operators.Joins
+    val raw = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    // grouped by k: unique on (k) and on any superset
+    val byK = raw.groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(Joins.provablyUniqueOn(byK, Seq("k")))
+    assert(Joins.provablyUniqueOn(byK, Seq("k", "n")))
+    // raw duplicates: not provable, and the runtime probe fires
+    assert(!Joins.provablyUniqueOn(raw, Seq("k")))
+    intercept[IllegalArgumentException] { Joins.assertNoDup(raw, Seq("k")) }
+    // grouping by a superset of `on` proves nothing about `on` alone
+    val byKV = raw.groupBy($"k", $"v").agg(count(lit(1)).as("n"))
+    assert(!Joins.provablyUniqueOn(byKV, Seq("k")))
+    // provably unique passes without error
+    Joins.assertNoDup(byK, Seq("k"))
+  }
+
   // ---- per-rep steal attribution (Bench defense (e)) --------------------
 
   test("stealPoisoned: >5% of jiffy capacity with >=2 jiffies absolute") {
