@@ -97,6 +97,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    PlanLint.silenceBoundedWindowWarning()
 
     // Warmup: touch every table's footer + JIT the scan path. Guarded so
     // one unloadable table degrades to slower first timings for its

@@ -59,6 +59,19 @@ object PlanLint {
   private def globalPartition(partitionSpec: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
     partitionSpec.forall(_.foldable) // empty, or constants like lit(0)
 
+  /** Silence Spark's `WindowExec: No Partition Defined` warning in this
+    * JVM: every registered plan's global windows are PROVEN bounded by
+    * this linter (PlanLintSpec runs the whole registry), so in the
+    * bench/verify mains the warning is pure noise that buries real
+    * warnings — hundreds of lines per sweep. An unproven global window
+    * fails the spec instead of warning at runtime.
+    */
+  def silenceBoundedWindowWarning(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging backend absent: keep the noise
+
   def lintPlan(query: String, plan: SparkPlan): Seq[Violation] = {
     val out = Seq.newBuilder[Violation]
     plan.foreach { // `foreach` on SparkPlan walks the whole tree

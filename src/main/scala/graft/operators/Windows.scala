@@ -710,7 +710,22 @@ object Windows {
                   align: String = "right", partial: Boolean = false,
                   allowGlobal: Boolean = false,
                   fill: Column = lit(null)): DataFrame = {
-    require(n > 0, s"frollApplyF: n must be positive, got $n")
+    require(n >= 0, s"frollApplyF: n must be non-negative, got $n")
+    // n=0 is the reference's EMPTY window (tests.Rraw 6001.182/.282:
+    // frollapply(mean, x, 0) = NaN everywhere, sum = 0): FUN runs over
+    // zero rows at every position, identically in every tier and for
+    // every align, and fill never applies (no incomplete positions).
+    if (n == 0) {
+      val one = struct(cols.map { case (nm, c) => c.as(nm) }: _*)
+      val empty = slice(array(one), 1, 0)
+      val fn = org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.ScalaUDF(
+          (a: Any) => f(a.asInstanceOf[Seq[org.apache.spark.sql.Row]]),
+          returnType,
+          Seq(org.apache.spark.sql.GraftSqlBridge.expression(empty)),
+          Nil, None, Some("graft_frollapply"), true, true))
+      return df.withColumn(out, fn)
+    }
     // by=Nil AUTO-ROUTES through the GlobalOrdered phantom tier like
     // every other ordered op (the closure then runs per row over its
     // exact global neighborhood, never a single-partition window)

@@ -145,6 +145,21 @@ class Round15Spec extends AnyFunSuite {
     assert(ints == 99)
   }
 
+  test("frollApplyF n=0: FUN over the empty window at every position (tests.Rraw 6001.x82)") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("x")
+      .withColumn("i", monotonically_increasing_id())
+    def run(f: Seq[org.apache.spark.sql.Row] => Any) =
+      Windows.frollApplyF(df, "r", Seq("x" -> $"x"), 0, Nil, Seq($"i".asc),
+        f, org.apache.spark.sql.types.DoubleType, fill = lit(99))
+        .select($"r").collect().map(_.getDouble(0)).toSeq
+    // mean over the empty window is NaN everywhere — fill NEVER applies
+    // (n=0 windows are complete-empty, not incomplete)
+    assert(run(rows => { val vs = rows.map(_.getDouble(0)); vs.sum / vs.size })
+      .forall(_.isNaN))
+    // sum over the empty window is 0 everywhere
+    assert(run(rows => rows.map(_.getDouble(0)).sum) == Seq(0.0, 0.0, 0.0))
+  }
+
   // ---- rollup/cube id= spellings (R/groupingsets.R:1-39) ----------------
 
   test("rollupAgg/cubeAgg generate the reference set lists with id= bitmask") {
