@@ -208,8 +208,14 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       else { require(fill.size == cols.size,
         s"setnafill: ${fill.size} fill values for ${cols.size} columns"); fill }
     val assigns: Seq[(String, Column)] = typ match {
+      // fill coerces to the COLUMN's type (nafill.Rraw 1.03-1.04:
+      // fill=5 on an integer column keeps the column integer — the
+      // reference coerceAs's the fill, it never promotes the data).
+      // Spark cast, not R coercion, decides un-representable edges:
+      // the reference turns fill=Inf on an integer column into NA with
+      // a "precision lost" warning; a non-ANSI Spark cast saturates.
       case "const" => cols.zip(fills).map { case (c, f) =>
-        c -> Windows.nafillConst(col(c), f, nanIsNa) }
+        c -> Windows.nafillConst(col(c), f.cast(df.schema(c).dataType), nanIsNa) }
       case "locf" => cols.map(c =>
         c -> Windows.nafillLocf(col(c), by, order, allowGlobal, nanIsNa))
       case "nocb" => cols.map(c =>
@@ -227,6 +233,25 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
   def update(i: Column, name: String, value: Column): DT = {
     val old = if (df.columns.contains(name)) col(name) else lit(null)
     DT(df.withColumn(name, when(i, value).otherwise(old)), key)
+  }
+
+  /** `.Last.updated` analog (NAMESPACE:75, src/assign.c): the number of
+    * rows the sub-assign touched. The reference writes a session global
+    * after `DT[i, :=]`; an immutable plan has no session global, so the
+    * counted form RETURNS the figure alongside the result — one extra
+    * count job over the predicate, opt-in for callers auditing updates.
+    */
+  def updateCounted(i: Column, name: String, value: Column): (DT, Long) =
+    (update(i, name, value), df.filter(i).count())
+
+  /** [[updateJoin]] + `.Last.updated`: the matched-target-row count
+    * rides along (distinct probe keys, so duplicate probes can't
+    * inflate the figure past the rows actually touched).
+    */
+  def updateJoinCounted(i: DT, on: Seq[String],
+                        assignments: (String, Column)*): (DT, Long) = {
+    val out = updateJoin(i, on, assignments: _*)
+    (out, df.join(i.df.select(on.map(col): _*).distinct(), on, "left_semi").count())
   }
 
   /** `DT[, name := agg, by]` — grouped update: per-group aggregate

@@ -180,6 +180,63 @@ class Round15Spec extends AnyFunSuite {
     assert(cubeG == Map(0 -> 3L, 1 -> 2L, 2 -> 2L, 3 -> 1L))
   }
 
+  // ---- nafill.Rraw edges (1.03-1.04, 1.21-1.22, 1.44-1.45) ---------------
+
+  test("nafill locf/nocb: NaN fills like NA, ±Inf carries like a value (nafill.Rraw 1.21/1.22)") {
+    // z = (NA, Inf, 3, 4, NaN, NA, 7, 8, -Inf, NA) — positions 1-10
+    val z = Seq[(Int, Option[Double])](
+      (1, None), (2, Some(Double.PositiveInfinity)), (3, Some(3.0)),
+      (4, Some(4.0)), (5, Some(Double.NaN)), (6, None), (7, Some(7.0)),
+      (8, Some(8.0)), (9, Some(Double.NegativeInfinity)), (10, None))
+      .toDF("i", "z")
+    def run(typ: String) =
+      Windows.nafillDF(z, "r", typ, $"z", Nil, Seq($"i".asc))
+        .orderBy($"i").select($"r").collect()
+        .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(run("locf") == Seq(null, Double.PositiveInfinity, 3.0, 4.0, 4.0,
+      4.0, 7.0, 8.0, Double.NegativeInfinity, Double.NegativeInfinity))
+    assert(run("nocb") == Seq(Double.PositiveInfinity, Double.PositiveInfinity,
+      3.0, 4.0, 7.0, 7.0, 7.0, 8.0, Double.NegativeInfinity, null))
+  }
+
+  test("nafill on dates retains the type (nafill.Rraw 1.44/1.45 #3617)") {
+    val d = Seq((1, Some("2020-01-01")), (2, Some("2020-01-02")),
+      (3, None: Option[String]), (4, Some("2020-01-04")), (5, None: Option[String]))
+      .toDF("i", "s").withColumn("d", $"s".cast("date")).drop("s")
+    val locf = Windows.nafillDF(d, "r", "locf", $"d", Nil, Seq($"i".asc))
+    assert(locf.schema("r").dataType == org.apache.spark.sql.types.DateType)
+    val got = locf.orderBy($"i").select($"r".cast("string")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("2020-01-01", "2020-01-02", "2020-01-02",
+      "2020-01-04", "2020-01-04"))
+  }
+
+  test("setnafill const: fill coerces to the column type (nafill.Rraw 1.03/1.04)") {
+    val df = Seq((1, Option(1)), (2, None: Option[Int]), (3, Option(3)))
+      .toDF("i", "x")
+    val filled = DT(df).setnafill(Seq("x"), "const", Seq(lit(5.0))).df
+    assert(filled.schema("x").dataType ==
+      org.apache.spark.sql.types.IntegerType) // data never promotes
+    assert(filled.orderBy($"i").select($"x").as[Int].collect().toSeq ==
+      Seq(1, 5, 3))
+  }
+
+  // ---- .Last.updated analog (NAMESPACE:75) -------------------------------
+
+  test("updateCounted/updateJoinCounted return the touched-row count") {
+    val df = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "v")
+    val (u1, n1) = DT(df).updateCounted($"v" > 15, "v", $"v" + 1)
+    assert(n1 == 2L)
+    assert(u1.df.orderBy($"k").select($"v").as[Int].collect().toSeq ==
+      Seq(10, 21, 31))
+    val probe = DT(Seq((2, 99), (2, 98), (5, 97)).toDF("k", "w")
+      .groupBy($"k").agg(max($"w").as("w")))
+    val (u2, n2) = DT(df).updateJoinCounted(probe, Seq("k"), "v" -> col("w"))
+    assert(n2 == 1L) // only k=2 exists in the target
+    assert(u2.df.orderBy($"k").select($"v").as[Int].collect().toSeq ==
+      Seq(10, 99, 30))
+  }
+
   // ---- plan-time guard fast paths (SURVEY §4.2 item 4) -------------------
 
   test("plannedJoinBound: known row counts give a product bound; guard semantics unchanged") {
