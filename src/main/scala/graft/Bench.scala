@@ -86,6 +86,59 @@ object Bench {
     else StealSplit(clean.map(_._1), stolen.size, total, allStolen = false)
   }
 
+  /** Deterministic per-query SHUFFLE-BYTE meter: a listener sums every
+    * completed stage's shuffle write bytes. Bytes are a property of the
+    * PLAN and the data, not of machine load — so unlike warm timings
+    * they regress noiselessly: a plan change that adds shuffle volume
+    * shows as an exact byte delta in the artifact, no re-measuring, no
+    * steal/loadavg caveats. `snapshot()` drains the async listener bus
+    * before reading.
+    */
+  private[graft] final class ShuffleMeter(sc: org.apache.spark.SparkContext)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val w = new java.util.concurrent.atomic.AtomicLong(0)
+    sc.addSparkListener(this)
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      w.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      ()
+    }
+    def snapshot(): Long = {
+      org.apache.spark.sql.GraftSqlBridge.flushListenerBus(sc, 10000L)
+      w.get
+    }
+  }
+
+  /** Shuffle-byte drift vs the previous artifact: real plan-volume
+    * changes, not rounding — both sides measured, ratio past 1.3× in
+    * either direction, and at least 1 MB apart (tiny queries reshuffle
+    * a few KB of metadata that legitimately wobbles with AQE decisions).
+    */
+  private[graft] def shufDrifted(cur: Long, prev: Long): Boolean =
+    cur > 0 && prev > 0 &&
+      (cur > prev * 1.3 || cur < prev / 1.3) &&
+      math.abs(cur - prev) > 1000000L
+
+  /** Previous artifact's per-query cold-run shuffle write bytes (same
+    * Jackson discipline as [[parsePrevArtifact]]; bytes are valid even
+    * from a load-contaminated sweep, so no contamination filter).
+    */
+  private[graft] def parsePrevShuffle(txt: String): Map[String, Long] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val qsNode = root.get("queries")
+      if (qsNode == null || !qsNode.isObject) Map.empty
+      else {
+        val m = Map.newBuilder[String, Long]
+        qsNode.fields().forEachRemaining { e =>
+          val s = e.getValue.get("shuf_w")
+          if (s != null && s.isNumber && s.asLong() >= 0)
+            m += e.getKey -> s.asLong()
+        }
+        m.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -183,15 +236,22 @@ object Bench {
     // unloaded: a load-contaminated artifact stores min-of-5 warm values
     // — comparing a clean sweep's median against a min is unlike-vs-like
     // and would over-trigger the 2x gate generation after generation
+    val prevTxt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8"))
+      catch { case _: Throwable => None }
     val prevWarm: Map[String, Double] =
-      (try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-        parsePrevArtifact(txt)
-      } catch { case _: Throwable => None }) match {
+      prevTxt.flatMap(parsePrevArtifact) match {
         case Some((sf, contaminated, warm))
           if sf == sfDir && !contaminated => warm
         case _ => Map.empty[String, Double]
+      }
+    // shuffle bytes compare load-free, but only at the same sf
+    val prevShuf: Map[String, Long] =
+      prevTxt.flatMap(parsePrevArtifact) match {
+        case Some((sf, _, _)) if sf == sfDir =>
+          prevTxt.map(parsePrevShuffle).getOrElse(Map.empty)
+        case _ => Map.empty
       }
     val ncpus = Runtime.getRuntime.availableProcessors()
     val loadStart = loadavg()
@@ -204,9 +264,15 @@ object Bench {
                           noisy: Boolean, vsPrev: Option[Double],
                           median: Double, minRep: Double,
                           stealJiffies: Long, stolenReps: Int,
-                          allStolen: Boolean)
+                          allStolen: Boolean, shufW: Long)
+    val meter = new ShuffleMeter(spark.sparkContext)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // shuffle bytes measured across the COLD run (warm reps repeat the
+      // same volume; one snapshot pair keeps the meter overhead at one
+      // listener-bus drain per query)
+      val shuf0 = meter.snapshot()
       val cold = timeOnce(name, fn)
+      val shufW = math.max(0L, meter.snapshot() - shuf0)
       // every warm rep carries its own steal window (defense (e))
       def rep(): (Double, Long) = {
         val s0 = stealJiffies()
@@ -263,7 +329,7 @@ object Bench {
         else med
       QRes(name, cold, warm, noisy, vsPrev, med,
         if (kept.isEmpty) -1.0 else kept.min,
-        split.stealJiffies, split.stolen, split.allStolen)
+        split.stealJiffies, split.stolen, split.allStolen, shufW)
     }
     val loadEnd = loadavg()
     val stealDelta = {
@@ -294,6 +360,10 @@ object Bench {
           ",\"vs_prev\":true").getOrElse("") +
         (if (r.stealJiffies > 0) ",\"steal\":" + r.stealJiffies else "") +
         (if (r.stolenReps > 0) ",\"stolen_reps\":" + r.stolenReps else "") +
+        ",\"shuf_w\":" + r.shufW +
+        prevShuf.get(r.name).filter(p => shufDrifted(r.shufW, p))
+          .map(p => ",\"shuf_prev\":" + p + ",\"shuf_changed\":true")
+          .getOrElse("") +
         (if (r.allStolen) ",\"all_stolen\":true" +
           (if (loadContaminated) "" else ",\"median\":" + r3(r.median))
          else "") +

@@ -38,6 +38,15 @@ object GraftSqlBridge {
       df.sparkSession.asInstanceOf[classic.SparkSession], plan)
   }
 
+  /** Drain the SparkListener event bus (private[spark]): listener
+    * callbacks are ASYNC, so a metric accumulated by a listener (e.g.
+    * graft.Bench's per-query shuffle-byte meter) is only consistent
+    * after the bus empties. Returns false on timeout.
+    */
+  def flushListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: Throwable => false }
+
   /** Column names referenced by a predicate, resolved against `df`
     * (an unresolved Spark-4 Column wraps ColumnNodes, not catalyst
     * expressions, so the names only exist after analysis). Used by the

@@ -302,6 +302,36 @@ class Round15Spec extends AnyFunSuite {
     assert(!none.allStolen && none.kept.isEmpty && none.stealJiffies == 0L)
   }
 
+  // ---- deterministic shuffle-byte accounting ----------------------------
+
+  test("ShuffleMeter counts shuffle write bytes; zero for shuffle-free jobs") {
+    val meter = new Bench.ShuffleMeter(spark.sparkContext)
+    val nation = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    val s0 = meter.snapshot()
+    nation.select($"n_name").count() // count aggregates partial->final: tiny but nonzero shuffle
+    val s1 = meter.snapshot()
+    // a repartition moves every row through the shuffle: strictly more bytes
+    nation.repartition(4, $"n_regionkey").agg(count(lit(1))).collect()
+    val s2 = meter.snapshot()
+    assert(s2 - s1 > 0, "repartition wrote no shuffle bytes?")
+    assert(s2 - s1 >= s1 - s0)
+  }
+
+  test("shufDrifted: ratio past 1.3x AND >1MB apart, both sides measured") {
+    assert(Bench.shufDrifted(3000000L, 1000000L))
+    assert(Bench.shufDrifted(1000000L, 3000000L))
+    assert(!Bench.shufDrifted(1200000L, 1000000L))  // within ratio
+    assert(!Bench.shufDrifted(300000L, 100000L))    // < 1MB apart
+    assert(!Bench.shufDrifted(0L, 5000000L))        // unmeasured side
+  }
+
+  test("parsePrevShuffle reads shuf_w per query; tolerant of absence") {
+    val txt = """{"sf":"/x","queries":{"a":{"cold":1.0,"warm":0.5,"shuf_w":123},
+                 |"b":{"cold":1.0,"warm":0.5}}}""".stripMargin.replace("\n", "")
+    assert(Bench.parsePrevShuffle(txt) == Map("a" -> 123L))
+    assert(Bench.parsePrevShuffle("junk").isEmpty)
+  }
+
   // ---- sniffBom: best-effort + deterministic target --------------------
 
   test("sniffBom returns None on unreadable paths instead of throwing") {
