@@ -165,7 +165,9 @@ object Windows {
               by: Seq[String], order: Seq[Column], align: String = "right",
               partial: Boolean = false, allowGlobal: Boolean = false,
               naRm: Boolean = false): DataFrame =
-    if (by.nonEmpty || allowGlobal)
+    if (n == 0) // constant empty-window value: no tier, no window at all
+      df.withColumn(out, emptyReduction(fn))
+    else if (by.nonEmpty || allowGlobal)
       df.withColumn(out, froll(fn, c, n, by, order, align, partial,
         allowGlobal, naRm))
     else globalKey(order) match {
@@ -539,9 +541,27 @@ object Windows {
     * (codegen'd, streaming frame); median/prod materialize the bounded
     * frame as an array (fine: n is small and fixed).
     */
+  /** R's empty-window reduction values (froll.Rraw 6001.x11: a width-0
+    * window reduces over zero elements) — sum 0, prod 1, max −Inf,
+    * min +Inf, mean NaN, median/var/sd NA. Shared by the n=0 fast path
+    * and callers wanting the documented all-missing na.rm values.
+    */
+  private[graft] def emptyReduction(fn: String): Column = fn match {
+    case "sum"           => lit(0.0)
+    case "prod"          => lit(1.0)
+    case "max"           => lit(Double.NegativeInfinity)
+    case "min"           => lit(Double.PositiveInfinity)
+    case "mean"          => lit(Double.NaN)
+    case "median" | "var" | "sd" => lit(null).cast("double")
+    case other => throw new IllegalArgumentException(s"froll fn=$other")
+  }
+
   def froll(fn: String, c: Column, n: Int, by: Seq[String], order: Seq[Column],
             align: String = "right", partial: Boolean = false,
             allowGlobal: Boolean = false, naRm: Boolean = false): Column = {
+    // n=0: every window is complete-EMPTY — the constant empty-reduction
+    // value at every position, fill= never applies (froll.Rraw 6001.x11/.x12)
+    if (n == 0) return emptyReduction(fn)
     val (lo, hi) = bounds(n, align)
     val w = spec(by, order, allowGlobal, "froll").rowsBetween(lo, hi)
     // na.rm=TRUE removes BOTH NA and NaN (src/froll.c ISNAN covers

@@ -160,6 +160,23 @@ class Round15Spec extends AnyFunSuite {
     assert(run(rows => rows.map(_.getDouble(0)).sum) == Seq(0.0, 0.0, 0.0))
   }
 
+  test("froll n=0: constant empty-reduction value per fn (froll.Rraw 6001.x11)") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("x")
+      .withColumn("i", monotonically_increasing_id())
+    def run(fn: String): Seq[Any] =
+      Windows.frollDF(df, "r", fn, $"x", 0, Nil, Seq($"i".asc))
+        .select($"r").collect()
+        .map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(run("sum") == Seq(0.0, 0.0, 0.0))
+    assert(run("prod") == Seq(1.0, 1.0, 1.0))
+    assert(run("max").forall(_ == Double.NegativeInfinity))
+    assert(run("min").forall(_ == Double.PositiveInfinity))
+    assert(run("mean").forall(v => v.asInstanceOf[Double].isNaN))
+    assert(run("median").forall(_ == null)) // NA_real_, not NaN
+    assert(run("sd").forall(_ == null))
+    assert(run("var").forall(_ == null))
+  }
+
   // ---- rollup/cube id= spellings (R/groupingsets.R:1-39) ----------------
 
   test("rollupAgg/cubeAgg generate the reference set lists with id= bitmask") {
