@@ -29,7 +29,7 @@ object Bench {
           c != null && c.asBoolean(false)
         }
         val m = Map.newBuilder[String, Double]
-        qsNode.fields().forEachRemaining { e =>
+        qsNode.properties().forEach { e =>
           val w = e.getValue.get("warm")
           if (w != null && w.isNumber && w.asDouble() >= 0)
             m += e.getKey -> w.asDouble()
@@ -130,7 +130,7 @@ object Bench {
       if (qsNode == null || !qsNode.isObject) Map.empty
       else {
         val m = Map.newBuilder[String, Long]
-        qsNode.fields().forEachRemaining { e =>
+        qsNode.properties().forEach { e =>
           val s = e.getValue.get("shuf_w")
           if (s != null && s.isNumber && s.asLong() >= 0)
             m += e.getKey -> s.asLong()

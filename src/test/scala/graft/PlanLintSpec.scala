@@ -43,6 +43,19 @@ class PlanLintSpec extends AnyFunSuite {
     assert(PlanLint.lint("planted_ok", ok).isEmpty)
   }
 
+  test("zero-shuffle claims hold: sort+limit and the memoized-fit lookup move no shuffle bytes") {
+    import spark.implicits._
+    // the three plans the sweep artifact records at shuf_w == 0: TakeOrdered
+    // (sort+limit without an exchange) and a fit-memoized broadcast lookup
+    val meter = new Bench.ShuffleMeter(spark.sparkContext)
+    for (q <- Seq("q_sort_limit", "q_sort_na")) {
+      val s0 = meter.snapshot()
+      SparkEntry.queries(q)(spark, SparkTestSession.sfDir).count()
+      val s1 = meter.snapshot()
+      assert(s1 - s0 == 0L, s"$q wrote ${s1 - s0} shuffle bytes (claimed zero-shuffle)")
+    }
+  }
+
   test("linter flags a global window over unbounded input, accepts it over partials") {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.orderBy($"n_nationkey")
