@@ -40,6 +40,17 @@ object Verify {
     if (failed.nonEmpty)
       println(s"[verify] ${failed.size} queries threw (no dump written): " +
         failed.sorted.mkString(", "))
+    // Full driver runs also lint every registered plan (PlanLint rules:
+    // no unbounded cross products, no global windows over unbounded
+    // input) so the round's correctness artifact is self-verifying on
+    // plan SHAPE, not just values. Fits are session-memoized, so the
+    // rebuild costs plan analysis only.
+    if (only.isEmpty) {
+      val violations = PlanLint.lintAll(spark, sfDir)
+      println(s"[verify] planlint: ${violations.size} violations across " +
+        s"${SparkEntry.queries.size} plans" +
+        (if (violations.nonEmpty) violations.mkString(" — ", "; ", "") else ""))
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
