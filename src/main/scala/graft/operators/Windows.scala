@@ -778,6 +778,29 @@ object Windows {
     df.withColumn(out, applied)
   }
 
+  /** frollapply over EACH column independently × a vector of widths —
+    * the reference's `by.column=TRUE` default crossed with vector n and
+    * `give.names=TRUE` (R/frollapply.R): one output per (column, n)
+    * named `<col>_rollapply_<n>`, unrolled at plan-build time into
+    * [[frollApplyF]] calls (the reference unrolls the same way; all
+    * outputs share the window sort, so Catalyst plans ONE exchange).
+    * For the whole-frame `.SD` form (by.column=FALSE) call
+    * [[frollApplyF]] with the multi-column frame directly.
+    */
+  def frollApplyEach(df: DataFrame, cols: Seq[(String, Column)], ns: Seq[Int],
+                     by: Seq[String], order: Seq[Column],
+                     f: Seq[org.apache.spark.sql.Row] => Any,
+                     returnType: org.apache.spark.sql.types.DataType,
+                     align: String = "right", partial: Boolean = false,
+                     allowGlobal: Boolean = false,
+                     fill: Column = lit(null)): DataFrame =
+    cols.foldLeft(df) { case (acc, (nm, c)) =>
+      ns.foldLeft(acc) { case (acc2, n) =>
+        frollApplyF(acc2, s"${nm}_rollapply_$n", Seq(nm -> c), n, by, order,
+          f, returnType, align, partial, allowGlobal, fill)
+      }
+    }
+
   /** Adaptive frollapply (src/frollapply.c × src/frolladaptive.c):
     * expose the PER-ROW-LENGTH frame as an array column the caller folds
     * with any higher-order function — [[frollWindowArray]]'s arbitrary-fn

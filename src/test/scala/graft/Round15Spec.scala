@@ -197,6 +197,25 @@ class Round15Spec extends AnyFunSuite {
     assert(cubeG == Map(0 -> 3L, 1 -> 2L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("frollApplyEach: by.column x vector-n with give.names naming (R/frollapply.R)") {
+    val df = Seq((1, 1.0, 10.0), (2, 2.0, 20.0), (3, 3.0, 30.0))
+      .toDF("i", "a", "b")
+    val sumF = (rows: Seq[org.apache.spark.sql.Row]) =>
+      rows.map(_.getDouble(0)).sum
+    val out = Windows.frollApplyEach(df,
+      Seq("a" -> $"a", "b" -> $"b"), Seq(2, 3), Seq.empty, Seq($"i".asc),
+      sumF, org.apache.spark.sql.types.DoubleType, allowGlobal = true)
+    assert(out.columns.toSeq.takeRight(4) ==
+      Seq("a_rollapply_2", "a_rollapply_3", "b_rollapply_2", "b_rollapply_3"))
+    val last = out.orderBy($"i".desc).head()
+    assert(last.getDouble(out.columns.indexOf("a_rollapply_2")) == 5.0)
+    assert(last.getDouble(out.columns.indexOf("a_rollapply_3")) == 6.0)
+    assert(last.getDouble(out.columns.indexOf("b_rollapply_3")) == 60.0)
+    // incomplete leading windows stay null (fill default)
+    assert(out.orderBy($"i".asc).head()
+      .isNullAt(out.columns.indexOf("b_rollapply_2")))
+  }
+
   // ---- nafill.Rraw edges (1.03-1.04, 1.21-1.22, 1.44-1.45) ---------------
 
   test("nafill locf/nocb: NaN fills like NA, ±Inf carries like a value (nafill.Rraw 1.21/1.22)") {
