@@ -580,6 +580,41 @@ object QueriesWindows {
              |WINDOW w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // ---- frollapply by.column × vector-n, give.names --------------------
+    // One closure over EACH of two columns at widths 2 and 4, reference
+    // <col>_rollapply_<n> names — all four outputs ride one window sort.
+    // Cents-scaled integer sums keep both engines exact.
+    ("q_frollapply_each", ((s, dir) => {
+      val f = (rows: Seq[org.apache.spark.sql.Row]) =>
+        rows.map(r => math.round(r.getDouble(0) * 100)).sum
+      Windows.frollApplyEach(dt(s, dir, "orders").df,
+        Seq("price" -> col("o_totalprice"), "key" -> col("o_orderkey").cast("double")),
+        Seq(2, 4), Seq("o_custkey"), ordCols, f,
+        org.apache.spark.sql.types.LongType)
+        .select(col("o_orderkey"), col("price_rollapply_2"),
+          col("price_rollapply_4"), col("key_rollapply_2"),
+          col("key_rollapply_4"))
+    }): Q,
+      Some("""SELECT o_orderkey,
+             |  CAST(CASE WHEN count(*) OVER w2 = 2
+             |       THEN sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w2
+             |  END AS BIGINT) AS price_rollapply_2,
+             |  CAST(CASE WHEN count(*) OVER w4 = 4
+             |       THEN sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w4
+             |  END AS BIGINT) AS price_rollapply_4,
+             |  CAST(CASE WHEN count(*) OVER w2 = 2
+             |       THEN sum(o_orderkey * 100) OVER w2
+             |  END AS BIGINT) AS key_rollapply_2,
+             |  CAST(CASE WHEN count(*) OVER w4 = 4
+             |       THEN sum(o_orderkey * 100) OVER w4
+             |  END AS BIGINT) AS key_rollapply_4
+             |FROM orders
+             |WINDOW
+             |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+             |  w4 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // ---- frollapply over a MULTI-COLUMN frame (R/frollapply.R .SD) -----
     // Rolling 4-row weighted mean: the frame carries (price, qty) structs
     // — a closure over two columns, inexpressible with a single-column
