@@ -948,6 +948,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q_frollapply_each: four rolling outputs share ONE exchange") {
+    val p = plan("q_frollapply_each")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 hash exchange for 4 (col,n) outputs, got $n:\n$p")
+  }
+
   test("q_filter: scan reads only projected columns") {
     val p = plan("q_filter")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
