@@ -86,26 +86,47 @@ object Bench {
     else StealSplit(clean.map(_._1), stolen.size, total, allStolen = false)
   }
 
-  /** Deterministic per-query SHUFFLE-BYTE meter: a listener sums every
-    * completed stage's shuffle write bytes. Bytes are a property of the
-    * PLAN and the data, not of machine load — so unlike warm timings
-    * they regress noiselessly: a plan change that adds shuffle volume
-    * shows as an exact byte delta in the artifact, no re-measuring, no
+  /** Deterministic per-query SHUFFLE-BYTE meter: a listener records every
+    * completed stage's shuffle write bytes, keyed by stageId with the MAX
+    * across stage ATTEMPTS — a load-induced stage retry re-fires
+    * onStageCompleted for the same stageId, and summing attempts would
+    * double-count the re-executed tasks (round 15's contaminated sweep
+    * recorded q_curation_pipeline at +72% bytes this way, breaking the
+    * "bytes are a property of the plan" invariant the meter exists for).
+    * Max-per-stageId is robust in both retry shapes: attempt 0 completed
+    * and a downstream fetch failure re-ran a subset (max picks attempt
+    * 0's full volume), or attempt 0 died early and attempt 1 wrote the
+    * full volume (max picks attempt 1). Bytes are a property of the PLAN
+    * and the data, not of machine load — so unlike warm timings they
+    * regress noiselessly: a plan change that adds shuffle volume shows as
+    * an exact byte delta in the artifact, no re-measuring, no
     * steal/loadavg caveats. `snapshot()` drains the async listener bus
     * before reading.
     */
   private[graft] final class ShuffleMeter(sc: org.apache.spark.SparkContext)
       extends org.apache.spark.scheduler.SparkListener {
-    private val w = new java.util.concurrent.atomic.AtomicLong(0)
+    private val perStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     sc.addSparkListener(this)
-    override def onStageCompleted(
-        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      w.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    /** Testable accounting core: retried attempts of one stageId merge by
+      * max instead of summing. Completed actions never straddle a
+      * snapshot (snapshot drains the bus after the action returns), so
+      * the per-query delta discipline in main() is unaffected.
+      */
+    private[graft] def record(stageId: Int, bytes: Long): Unit = {
+      perStage.merge(stageId, Long.box(bytes),
+        (a, b) => Long.box(math.max(a, b)))
       ()
     }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      record(e.stageInfo.stageId,
+        e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     def snapshot(): Long = {
       org.apache.spark.sql.GraftSqlBridge.flushListenerBus(sc, 10000L)
-      w.get
+      var t = 0L
+      perStage.values.forEach(v => t += v.longValue())
+      t
     }
   }
 
