@@ -546,7 +546,7 @@ object Fread {
         val physical =
           if (exoticCharset) segs0 else segs0.flatMap(_.split("\r", -1))
         val head = physical.drop(opts.skip).mkString("\n")
-        val q = if (opts.quote.nonEmpty) opts.quote.head else ' '
+        val q = if (opts.quote.nonEmpty) opts.quote.head else '\u0000'
         var inQ = false; var fields = 1; var maxF = 0; var i = 0
         while (i < head.length) {
           val c = head.charAt(i)
