@@ -1555,6 +1555,55 @@ object QueriesTextSim {
     }): Q,
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
 
+    // ---- fwrite float formatting (src/fwrite.c writeFloat64) -----------
+    // The written CSV carries the reference's 15-s.f. width-chosen float
+    // text; values at ≤15 s.f. round-trip exactly, so the fread-back
+    // adjudicates the whole write→parse cycle against the parquet
+    // original. Exotic corners (scipen, 3-digit exponents) are pinned in
+    // FwriteFloatSpec — this query proves the format on real data.
+    ("q_fwrite_float_roundtrip", ((s, dir) => {
+      val out = "/tmp/graft_fwrite_float_rt"
+      graft.sources.Fread.fwrite(
+        Tables.load(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")), out)
+      graft.sources.Fread.fread(s, out)
+        .select(col("l_orderkey").cast("bigint").as("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+    }): Q,
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             |  l_discount, l_tax FROM lineitem""".stripMargin)),
+
+    // ---- float text form itself, adjudicated per value -----------------
+    // Both engines correctly round the SAME binary double to 15
+    // significant digits, so the digit strings agree by construction;
+    // the value ranges here (1..105k, 0..0.1, /32 keeps the exponent
+    // small) keep the reference's width rule and fmt's g-rule on the
+    // same side of the decimal-vs-scientific choice, making the oracle
+    // exact. /32 is an exact binary scale: both engines divide to the
+    // identical double, whose 15-s.f. expansion runs the full digit
+    // budget.
+    ("q_dtoa_format", ((s, dir) =>
+      Tables.load(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"),
+        graft.sources.DtoaExpr(col("l_quantity"), 0).as("qty_s"),
+        graft.sources.DtoaExpr(col("l_extendedprice"), 0).as("price_s"),
+        graft.sources.DtoaExpr(col("l_discount"), 0).as("disc_s"),
+        graft.sources.DtoaExpr(col("l_tax"), 0).as("tax_s"),
+        graft.sources.DtoaExpr(col("l_extendedprice") / lit(32.0), 0)
+          .as("p32_s"))): Q,
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  format('{:.15g}', l_quantity) AS qty_s,
+             |  format('{:.15g}', l_extendedprice) AS price_s,
+             |  format('{:.15g}', l_discount) AS disc_s,
+             |  format('{:.15g}', l_tax) AS tax_s,
+             |  format('{:.15g}', l_extendedprice / 32) AS p32_s
+             |FROM lineitem""".stripMargin)),
+
     // ---- JSONL roundtrip (training-data interchange format) ------------
     // Write documents as JSON lines, read back under an explicit schema
     // (the 100 TB contract: no inference scan), adjudicate content parity

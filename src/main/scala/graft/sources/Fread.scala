@@ -768,7 +768,8 @@ object Fread {
       append: Boolean = false,          // fwrite(append=TRUE)
       bom: Boolean = false,             // fwrite(bom=TRUE)
       logical01: Boolean = false,       // fwrite(logical01): booleans as 1/0 (R/fwrite.R:6)
-      yaml: Boolean = false)            // fwrite(yaml=TRUE): csvy front matter (R/fwrite.R:13)
+      yaml: Boolean = false,            // fwrite(yaml=TRUE): csvy front matter (R/fwrite.R:13)
+      scipen: Int = 0)                  // fwrite(scipen): width penalty on scientific notation (src/fwrite.h:102)
 
   /** fwrite(x, file): distributed CSV write — partitioned output is the
     * cluster analog of the reference's per-thread buffers
@@ -789,9 +790,18 @@ object Fread {
     df0.schema.fields.foreach { f =>
       val c = col(f.name)
       f.dataType match {
-        // list columns: sep2-joined inside the field (R/fwrite.R sep2)
+        // list columns: sep2-joined inside the field (R/fwrite.R sep2);
+        // double elements take the reference float format, like scalars
+        case ArrayType(DoubleType | FloatType, _) =>
+          df = df.withColumn(f.name,
+            concat_ws(opts.sep2, transform(c, e => DtoaExpr(e, opts.scipen))))
         case _: ArrayType =>
           df = df.withColumn(f.name, concat_ws(opts.sep2, transform(c, _.cast("string"))))
+        // reference float formatting: 15 s.f., width-chosen decimal vs
+        // scientific with the scipen penalty (src/fwrite.c writeFloat64);
+        // NaN → null → the na string, matching the reference
+        case DoubleType | FloatType =>
+          df = df.withColumn(f.name, DtoaExpr(c, opts.scipen))
         case TimestampType => opts.dateTimeAs match {
           case "squash"    => df = df.withColumn(f.name, date_format(c, "yyyyMMddHHmmss"))
           case "epoch"     => df = df.withColumn(f.name, unix_seconds(c))
