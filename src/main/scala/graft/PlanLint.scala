@@ -43,9 +43,21 @@ object PlanLint {
   val deliberateCross: Set[String] = Set("q_cross")
 
   /** Output cardinality of `p` is bounded independent of input scale:
-    * every leaf-ward path passes through an aggregate (rows = groups;
-    * all registry partials frames group by a capped bucket id), a limit,
-    * or terminates in driver-local rows.
+    * every leaf-ward path passes through an aggregate (rows = groups),
+    * a limit, or terminates in driver-local rows.
+    *
+    * AGGREGATE BOUNDEDNESS IS A REGISTRY CONVENTION, NOT A PROOF
+    * (ADVICE r15): a global aggregate (no grouping keys) is genuinely
+    * one row, but a grouped aggregate's output scales with its KEY
+    * cardinality — groupBy(doc_id) over a corpus is as unbounded as the
+    * corpus, and this linter would bless a cross join built on it. The
+    * convention holds because every registry plan that feeds an
+    * aggregate into a cross/BNLJ/global-window groups by a CAPPED key
+    * (bucket ids, k-sized fit outputs, distinct probe ids of a
+    * driver-bounded probe set) — a new registry entry that groups by a
+    * per-row key before a cross join would pass the lint and must be
+    * caught in review. Key-cardinality stats are not available at this
+    * (pre-AQE physical) stage to tighten this mechanically.
     */
   private[graft] def bounded(p: SparkPlan): Boolean = p match {
     case _: BaseAggregateExec => true

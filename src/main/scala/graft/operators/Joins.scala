@@ -130,7 +130,52 @@ object Joins {
       case d: Deduplicate =>
         d.keys.forall(k =>
           onSet.contains(k.name.toLowerCase(java.util.Locale.ROOT)))
-      case p => p.stats.rowCount.exists(_ <= 1)
+      // ≤1 row total must come from the plan STRUCTURE, not from
+      // p.stats: catalog ANALYZE counts go stale after inserts and CBO
+      // attaches selectivity ESTIMATES to Filter/Join — an estimate must
+      // never skip a correctness check (ADVICE r15)
+      case p => exactRowBound(p).exists(_ <= 1)
+    }
+  }
+
+  /** Structural EXACT upper bound on a logical plan's row count — only
+    * from shapes whose cardinality is bounded by construction
+    * (LocalRelation data size, Range extent, LIMIT literals, global
+    * aggregates, and the count-preserving/reducing unary operators above
+    * them). Catalyst's `stats.rowCount` is deliberately NOT consulted:
+    * catalog statistics go stale after writes and CBO-derived counts are
+    * selectivity estimates, and both [[assertNoDup]] (a correctness
+    * contract) and [[cartesianGuard]] (a refusal before a huge join)
+    * would silently skip their runtime check on such a guess.
+    * Conservative: None whenever unsure.
+    */
+  private[graft] def exactRowBound(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case l: LocalRelation => Some(BigInt(l.data.length))
+      case r: Range => Some(r.numElements)
+      case g: GlobalLimit =>
+        val childBound = exactRowBound(g.child)
+        g.limitExpr match {
+          case Literal(n: Int, _) =>
+            Some(childBound.fold(BigInt(n))(_.min(BigInt(n))))
+          case _ => childBound
+        }
+      // LocalLimit caps per partition; the global count stays <= child's
+      case l: LocalLimit => exactRowBound(l.child)
+      case a: Aggregate if a.groupingExpressions.isEmpty => Some(BigInt(1))
+      case u: Union =>
+        val bs = u.children.map(exactRowBound)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+      case p: Project => exactRowBound(p.child)
+      case f: Filter => exactRowBound(f.child)
+      case s: Sort => exactRowBound(s.child)
+      case d: Deduplicate => exactRowBound(d.child)
+      case s: SubqueryAlias => exactRowBound(s.child)
+      case r: RepartitionOperation => exactRowBound(r.child)
+      case _ => None
     }
   }
 
@@ -852,17 +897,17 @@ object Joins {
     * worth it before a 100 TB shuffle.
     */
   /** PLAN-TIME output upper bound for [[cartesianGuard]]: |x| × |i|
-    * bounds ANY join's output from above, so when Catalyst statistics
-    * know both row counts (local relations, AQE-finalized stages,
-    * ANALYZE'd tables) and the product is already within the limit, the
-    * runtime pre-flight can be skipped. Never used to REJECT — the
-    * product is far above the true per-key estimate, so rejection stays
-    * a runtime decision.
+    * bounds ANY join's output from above, so when both row counts are
+    * exact BY CONSTRUCTION ([[exactRowBound]] — local relations, limit
+    * literals; never catalog/CBO stats, which can be stale or estimated)
+    * and the product is already within the limit, the runtime pre-flight
+    * can be skipped. Never used to REJECT — the product is far above the
+    * true per-key estimate, so rejection stays a runtime decision.
     */
   private[graft] def plannedJoinBound(x: DataFrame, i: DataFrame): Option[BigInt] =
     for {
-      xr <- x.queryExecution.optimizedPlan.stats.rowCount
-      ir <- i.queryExecution.optimizedPlan.stats.rowCount
+      xr <- exactRowBound(x.queryExecution.optimizedPlan)
+      ir <- exactRowBound(i.queryExecution.optimizedPlan)
     } yield xr * ir
 
   def cartesianGuard(x: DataFrame, i: DataFrame, on: Seq[String],

@@ -166,7 +166,7 @@ object Windows {
               partial: Boolean = false, allowGlobal: Boolean = false,
               naRm: Boolean = false): DataFrame =
     if (n == 0) // constant empty-window value: no tier, no window at all
-      df.withColumn(out, emptyReduction(fn))
+      df.withColumn(out, emptyReduction(fn, c, naRm))
     else if (by.nonEmpty || allowGlobal)
       df.withColumn(out, froll(fn, c, n, by, order, align, partial,
         allowGlobal, naRm))
@@ -545,8 +545,18 @@ object Windows {
     * window reduces over zero elements) — sum 0, prod 1, max −Inf,
     * min +Inf, mean NaN, median/var/sd NA. Shared by the n=0 fast path
     * and callers wanting the documented all-missing na.rm values.
+    *
+    * `sum` takes the INPUT column so its zero can be typed exactly like
+    * the n>=1 window expression (ADVICE r15: a DoubleType 0.0 here made
+    * the output schema flip with the window width): the naRm=FALSE tier
+    * keeps Spark's native `sum` typing (LongType over integral columns,
+    * via [[graft.plans.SumEmptyZero]]), while the naRm=TRUE tier casts
+    * its n>=1 sum to double, so its zero stays double. The other fns
+    * emit double at every n in both tiers.
     */
-  private[graft] def emptyReduction(fn: String): Column = fn match {
+  private[graft] def emptyReduction(fn: String, c: Column,
+                                    naRm: Boolean = false): Column = fn match {
+    case "sum" if !naRm  => graft.plans.SumEmptyZero(c)
     case "sum"           => lit(0.0)
     case "prod"          => lit(1.0)
     case "max"           => lit(Double.NegativeInfinity)
@@ -559,9 +569,10 @@ object Windows {
   def froll(fn: String, c: Column, n: Int, by: Seq[String], order: Seq[Column],
             align: String = "right", partial: Boolean = false,
             allowGlobal: Boolean = false, naRm: Boolean = false): Column = {
+    require(n >= 0, s"froll: n must be non-negative, got $n")
     // n=0: every window is complete-EMPTY — the constant empty-reduction
     // value at every position, fill= never applies (froll.Rraw 6001.x11/.x12)
-    if (n == 0) return emptyReduction(fn)
+    if (n == 0) return emptyReduction(fn, c, naRm)
     val (lo, hi) = bounds(n, align)
     val w = spec(by, order, allowGlobal, "froll").rowsBetween(lo, hi)
     // na.rm=TRUE removes BOTH NA and NaN (src/froll.c ISNAN covers
@@ -690,6 +701,8 @@ object Windows {
   def frollWindowArray(c: Column, n: Int, by: Seq[String], order: Seq[Column],
                        align: String = "right",
                        allowGlobal: Boolean = false): Column = {
+    require(n >= 1, s"frollWindowArray: n must be positive, got $n" +
+      " (n=0 empty frames are handled by frollApplyF)")
     val (lo, hi) = bounds(n, align)
     collect_list(c).over(spec(by, order, allowGlobal, "frollWindowArray")
       .rowsBetween(lo, hi))
@@ -705,6 +718,8 @@ object Windows {
                          order: Seq[Column], align: String = "right",
                          allowGlobal: Boolean = false): Column = {
     require(cols.nonEmpty, "frollWindowStructs needs at least one column")
+    require(n >= 1, s"frollWindowStructs: n must be positive, got $n" +
+      " (n=0 empty frames are handled by frollApplyF)")
     val (lo, hi) = bounds(n, align)
     collect_list(struct(cols.map { case (nm, c) => c.as(nm) }: _*))
       .over(spec(by, order, allowGlobal, "frollWindowStructs").rowsBetween(lo, hi))

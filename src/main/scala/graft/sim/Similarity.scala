@@ -47,11 +47,18 @@ object Similarity {
     * input was, and makes the bound visible to [[graft.PlanLint]]'s
     * plan-shape rule (a cross join's build side must be provably
     * bounded — here, an aggregate).
+    *
+    * The representative is DETERMINISTIC: `max(qv)` (array ordering is
+    * lexicographic), not `first(qv)` — first() picks whichever partition
+    * reports back, so two runs over an id that VIOLATES the
+    * one-vector-per-id contract would score different vectors (ADVICE
+    * r15). Callers with honest inputs see no difference; callers with
+    * conflicting duplicates now at least get the same answer every run.
     */
   def topKAgainst(corpus: DataFrame, idCol: String, vecCol: String,
                   queries: DataFrame, k: Int): DataFrame = {
     val probes = queries.groupBy(col("query_id"))
-      .agg(first(col("qv")).as("qv"))
+      .agg(max(col("qv")).as("qv"))
     val scored = corpus.crossJoin(broadcast(probes))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("qv")))

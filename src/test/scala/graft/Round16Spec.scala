@@ -11,6 +11,57 @@ class Round16Spec extends AnyFunSuite {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  // ---- froll n=0 typing + negative-n validation (ADVICE r15 lows) ------
+
+  test("froll n=0 sum is typed like the n>=1 sum: long over integral columns") {
+    import graft.operators.Windows
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val ints = Seq(1, 2, 3).toDF("x").withColumn("i", monotonically_increasing_id())
+    val z = Windows.frollDF(ints, "r", "sum", $"x", 0, Nil, Seq($"i".asc))
+    assert(z.schema("r").dataType == LongType, z.schema("r").dataType)
+    assert(z.select($"r").as[Long].collect().toSeq == Seq(0L, 0L, 0L))
+    val one = Windows.frollDF(ints, "r", "sum", $"x", 1, Nil, Seq($"i".asc))
+    assert(one.schema("r").dataType == LongType) // n=0 now matches n>=1
+    // double input stays double at both widths; naRm casts to double at
+    // every n, so its zero stays double too
+    val dbls = Seq(1.0).toDF("x").withColumn("i", monotonically_increasing_id())
+    assert(Windows.frollDF(dbls, "r", "sum", $"x", 0, Nil, Seq($"i".asc))
+      .schema("r").dataType == DoubleType)
+    assert(Windows.frollDF(ints, "r", "sum", $"x", 0, Nil, Seq($"i".asc),
+      naRm = true).schema("r").dataType == DoubleType)
+  }
+
+  test("froll family rejects negative n instead of planning an invalid frame") {
+    import graft.operators.Windows
+    val df = Seq(1.0).toDF("x").withColumn("i", monotonically_increasing_id())
+    intercept[IllegalArgumentException] {
+      Windows.froll("sum", $"x", -1, Seq("x"), Seq($"i".asc))
+    }
+    intercept[IllegalArgumentException] {
+      Windows.frollWindowArray($"x", 0, Seq("x"), Seq($"i".asc))
+    }
+    intercept[IllegalArgumentException] {
+      Windows.frollWindowStructs(Seq("x" -> $"x"), -2, Seq("x"), Seq($"i".asc))
+    }
+  }
+
+  // ---- topKAgainst deterministic duplicate-probe collapse --------------
+
+  test("topKAgainst collapses duplicate query_ids deterministically (max vector)") {
+    import graft.sim.Similarity
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    // contract-violating probe input: same id, two different vectors
+    val dup = Seq((9L, Seq(1.0, 0.0)), (9L, Seq(0.0, 1.0)))
+      .toDF("query_id", "qv")
+    val picks = (1 to 5).map { _ =>
+      Similarity.topKAgainst(corpus, "vec_id", "embedding", dup, 1)
+        .select($"neighbor_id").as[Long].collect().toSeq
+    }
+    // max(qv) picks [1,0] every time -> neighbor 1 every run
+    assert(picks.distinct.size == 1 && picks.head == Seq(1L))
+  }
+
   // ---- ShuffleMeter: retried stage attempts must not double-count ------
 
   test("ShuffleMeter merges retried stage attempts by max, not sum") {
@@ -32,6 +83,37 @@ class Round16Spec extends AnyFunSuite {
 
     assert(meter.snapshot() - base == 941626L + 80L + 7L,
       "retried attempts must merge by max per stageId")
+  }
+
+  // ---- exactRowBound: structure, never stats (ADVICE r15 medium) -------
+
+  test("exactRowBound reads plan structure: local/range/limit/union/agg") {
+    import graft.operators.Joins
+    def bound(df: org.apache.spark.sql.DataFrame) =
+      Joins.exactRowBound(df.queryExecution.optimizedPlan)
+    val local = Seq(1, 2, 3).toDF("x")
+    assert(bound(local).contains(BigInt(3)))
+    assert(bound(spark.range(7).toDF()).contains(BigInt(7)))
+    val scan = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    // a scan's count is a statistic, not a structural fact -> None
+    assert(bound(scan).isEmpty)
+    // ...but a LIMIT literal over it is a hard bound
+    assert(bound(scan.limit(1)).contains(BigInt(1)))
+    assert(bound(scan.limit(5).select($"n_name")).contains(BigInt(5)))
+    // global aggregate: exactly one row, whatever the input size
+    assert(bound(scan.agg(count(lit(1)))).contains(BigInt(1)))
+    assert(bound(local.union(Seq(4).toDF("x"))).contains(BigInt(4)))
+    assert(bound(local.union(scan.select($"n_nationkey".as("x")))).isEmpty)
+  }
+
+  test("provablyUniqueOn accepts limit(1) and global aggregates; assertNoDup probes scans") {
+    import graft.operators.Joins
+    val scan = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    assert(Joins.provablyUniqueOn(scan.limit(1), Seq("n_nationkey")))
+    // the unreadable-shape fallback stays conservative: a full scan is
+    // not provably unique even though nation's key IS unique in data
+    assert(!Joins.provablyUniqueOn(scan, Seq("n_nationkey")))
+    Joins.assertNoDup(scan, Seq("n_nationkey")) // runtime probe, passes
   }
 
   test("ShuffleMeter still meters real shuffles after the retry fix") {
