@@ -46,12 +46,12 @@ object Dtoa {
     * (NaN has no finite text form in the reference's CSVs either).
     * Static-forwarder friendly: called from generated Java code.
     */
-  def format(x: Double, scipen: Int): UTF8String = {
-    val s = formatString(x, scipen)
+  def format(x: Double, scipen: Int, dec: Char): UTF8String = {
+    val s = formatString(x, scipen, dec)
     if (s == null) null else UTF8String.fromString(s)
   }
 
-  def formatString(x: Double, scipen: Int): String = {
+  def formatString(x: Double, scipen: Int, dec: Char = '.'): String = {
     if (java.lang.Double.isNaN(x)) null
     else if (java.lang.Double.isInfinite(x)) { if (x > 0) "Inf" else "-Inf" }
     else if (x == 0.0) "0" // covers -0.0 (sign branch below never sees it)
@@ -77,17 +77,17 @@ object Dtoa {
           var i = -dr
           while (i > 0) { sb.append('0'); i -= 1 }
         } else if (exp < 0) {
-          sb.append('0').append('.')
+          sb.append('0').append(dec)
           var i = -exp - 1
           while (i > 0) { sb.append('0'); i -= 1 }
           sb.append(digits)
         } else {
-          sb.append(digits, 0, exp + 1).append('.')
+          sb.append(digits, 0, exp + 1).append(dec)
             .append(digits, exp + 1, sf) // (start, end]-exclusive indices
         }
       } else {
         sb.append(digits.charAt(0))
-        if (sf > 1) sb.append('.').append(digits, 1, sf)
+        if (sf > 1) sb.append(dec).append(digits, 1, sf)
         sb.append('e').append(if (exp < 0) '-' else '+')
         val ae = math.abs(exp)
         if (ae < 10) sb.append('0')
@@ -103,13 +103,14 @@ object Dtoa {
   * is the last stage before the file sink; falling out of codegen there
   * would interpret every other written column too).
   */
-case class DtoaExpr(child: Expression, scipen: Int) extends UnaryExpression {
+case class DtoaExpr(child: Expression, scipen: Int, dec: Char = '.')
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    Dtoa.format(input.asInstanceOf[Double], scipen)
+    Dtoa.format(input.asInstanceOf[Double], scipen, dec)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -117,7 +118,7 @@ case class DtoaExpr(child: Expression, scipen: Int) extends UnaryExpression {
       code"""
 ${c.code}
 UTF8String ${ev.value} = ${c.isNull} ? null :
-  graft.sources.Dtoa.format(${c.value}, $scipen);
+  graft.sources.Dtoa.format(${c.value}, $scipen, (char) ${dec.toInt});
 boolean ${ev.isNull} = ${ev.value} == null;
 """)
   }
@@ -127,7 +128,8 @@ boolean ${ev.isNull} = ${ev.value} == null;
 }
 
 object DtoaExpr {
-  def apply(c: Column, scipen: Int): Column =
+  def apply(c: Column, scipen: Int): Column = apply(c, scipen, '.')
+  def apply(c: Column, scipen: Int, dec: Char): Column =
     GraftSqlBridge.column(
-      new DtoaExpr(GraftSqlBridge.expression(c.cast("double")), scipen))
+      new DtoaExpr(GraftSqlBridge.expression(c.cast("double")), scipen, dec))
 }

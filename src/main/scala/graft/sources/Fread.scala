@@ -36,7 +36,7 @@ object Fread {
       quote: String = "\"",
       escape: String = "\"",           // RFC4180 doubled-quote escaping
                                         // (Spark's default is backslash)
-      dec: String = ".",                // decimal separator (dec="," parity)
+      dec: String = "auto",             // "auto" → sniff ',' vs '.' (R/fread.R:38)
       encoding: String = "UTF-8",
       tz: String = "UTC",
       multiLine: Boolean = false,       // quoted fields w/ embedded newlines
@@ -396,7 +396,7 @@ object Fread {
     // dec="," + a yaml number field: the pinned DoubleType can't parse
     // decimal-comma strings — read those fields as string and let the
     // re-bump pass normalize + re-type them from the full data
-    val yamlDecDowngrade = opts0.yaml && optsB.dec != "." &&
+    val yamlDecDowngrade = opts0.yaml && optsB.dec != "." && optsB.dec != "auto" &&
       optsB.colClasses.isDefined && opts0.colClasses.isEmpty
     val downgradedCols: Seq[String] = if (yamlDecDowngrade) {
       import org.apache.spark.sql.types.DoubleType
@@ -467,8 +467,6 @@ object Fread {
       }
     }
     val sep = if (opts.sep == "auto") sniffSepFrom(line1) else opts.sep
-    require(opts.dec == "." || opts.dec != sep,
-      s"dec='${opts.dec}' cannot equal sep='$sep'")
     val hasHeader = opts.header match {
       case "true"  => true
       case "false" => false
@@ -484,9 +482,45 @@ object Fread {
         !fields.exists { f =>
           val v = unquote(f)
           scala.util.Try(v.toDouble).isSuccess ||
-            (opts.logicalYN && Set("Y", "y", "N", "n")(v))
+            (opts.logicalYN && Set("Y", "y", "N", "n")(v)) ||
+            // a decimal-comma numeral is DATA whenever dec could
+            // resolve to ',' (headerless European files)
+            ((opts.dec == "," || opts.dec == "auto") && sep != "," &&
+              v.matches("[+-]?[0-9]+,[0-9]+"))
         }
     }
+    // fread(dec="auto") — the reference DEFAULT (R/fread.R:38;
+    // man/fread.Rd "Decimal separator"): over the sampled head, count
+    // fields numeric ONLY under dec=',' minus fields numeric only under
+    // dec='.'; a positive balance selects ',' (the reference's
+    // "dec=',' detected based on a balance of N" verbose line). A ','
+    // sep forces '.' (they must be distinct); explicit dec= skips the
+    // sniff entirely.
+    val decSep: String =
+      if (opts.dec != "auto") opts.dec
+      else if (sep == ",") "."
+      else {
+        val commaNum = "[+-]?[0-9]+,[0-9]+([eE][+-]?[0-9]+)?"
+        val pointNum = "[+-]?[0-9]*\\.[0-9]+([eE][+-]?[0-9]+)?"
+        val sample =
+          (if (exoticCharset) decodedLines().head(100).toSeq
+           else headLines(spark, path, opts.skip, 100))
+            .drop(if (hasHeader) 1 else 0)
+        var balance = 0
+        sample.foreach(_.split(java.util.regex.Pattern.quote(sep), -1)
+          .foreach { f =>
+            val v = f.trim
+            if (v.matches(commaNum)) balance += 1
+            else if (v.matches(pointNum)) balance -= 1
+          })
+        if (balance > 0) {
+          System.err.println(
+            s"[graft] fread: dec=',' detected based on a balance of $balance")
+          ","
+        } else "."
+      }
+    require(decSep == "." || decSep != sep,
+      s"dec='$decSep' cannot equal sep='$sep'")
     // DataFrameReader is MUTABLE (schema()/option() return this) — build
     // a fresh one per parse so the type-bump probe can't pollute the
     // inferring reader
@@ -644,7 +678,7 @@ object Fread {
       }
       if (renamed.toSeq != df.columns.toSeq) df = df.toDF(renamed.toSeq: _*)
     }
-    df = applyExtraNaAndRebump(df, opts,
+    df = applyExtraNaAndRebump(df, opts.copy(dec = decSep),
       forceRebump = bumped || yamlDecDowngrade || fillSchema.isDefined,
       extraCandidates = downgradedCols, preferred = preferredTypes)
     // fread(logicalYN): one slim probe over the string columns — a
@@ -769,7 +803,10 @@ object Fread {
       bom: Boolean = false,             // fwrite(bom=TRUE)
       logical01: Boolean = false,       // fwrite(logical01): booleans as 1/0 (R/fwrite.R:6)
       yaml: Boolean = false,            // fwrite(yaml=TRUE): csvy front matter (R/fwrite.R:13)
-      scipen: Int = 0)                  // fwrite(scipen): width penalty on scientific notation (src/fwrite.h:102)
+      scipen: Int = 0,                  // fwrite(scipen): width penalty on scientific notation (src/fwrite.h:102)
+      dec: String = ".",                // fwrite(dec=','): decimal separator inside numbers (src/fwrite.c:38)
+      qmethod: String = "double",       // "double" doubles quotes in-field; "escape" backslash-escapes (R/fwrite.R qmethod)
+      quoteMode: String = "auto")       // "auto" quotes only when needed; "all" = fwrite(quote=TRUE): every string field + header
 
   /** fwrite(x, file): distributed CSV write — partitioned output is the
     * cluster analog of the reference's per-thread buffers
@@ -786,6 +823,16 @@ object Fread {
     require(!(opts.yaml && (opts.append || opts.compress == "gzip")),
       "fwrite: yaml=TRUE cannot combine with append or gzip (csvy is a " +
         "single plaintext file with one front-matter block)")
+    // R/fwrite.R:47-48: dec is one char, distinct from sep whenever both
+    // might be needed — a single-column table never writes sep, so
+    // dec==sep is allowed there (#7227, tests.Rraw 2337.1); dec/sep2
+    // clash only matters once a list column joins in-field
+    require(opts.dec.length == 1, s"fwrite: dec must be a single character, got '${opts.dec}'")
+    require(opts.dec != opts.sep || df0.columns.length <= 1,
+      "fwrite: dec and sep must be distinct")
+    require(opts.dec != opts.sep2 ||
+        !df0.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]),
+      "fwrite: dec and sep2 must be distinct when list columns are present")
     var df = df0
     df0.schema.fields.foreach { f =>
       val c = col(f.name)
@@ -794,20 +841,34 @@ object Fread {
         // double elements take the reference float format, like scalars
         case ArrayType(DoubleType | FloatType, _) =>
           df = df.withColumn(f.name,
-            concat_ws(opts.sep2, transform(c, e => DtoaExpr(e, opts.scipen))))
+            concat_ws(opts.sep2, transform(c, e => DtoaExpr(e, opts.scipen, opts.dec.head))))
         case _: ArrayType =>
           df = df.withColumn(f.name, concat_ws(opts.sep2, transform(c, _.cast("string"))))
         // reference float formatting: 15 s.f., width-chosen decimal vs
         // scientific with the scipen penalty (src/fwrite.c writeFloat64);
         // NaN → null → the na string, matching the reference
         case DoubleType | FloatType =>
-          df = df.withColumn(f.name, DtoaExpr(c, opts.scipen))
+          df = df.withColumn(f.name, DtoaExpr(c, opts.scipen, opts.dec.head))
         case TimestampType => opts.dateTimeAs match {
           case "squash"    => df = df.withColumn(f.name, date_format(c, "yyyyMMddHHmmss"))
           case "epoch"     => df = df.withColumn(f.name, unix_seconds(c))
           // write.csv parity (R/fwrite.R:8): as.character's space-
           // separated local form, not ISO's 'T'
           case "write.csv" => df = df.withColumn(f.name, date_format(c, "yyyy-MM-dd HH:mm:ss"))
+          // dec=',' reaches sub-second timestamps too (#6446, tests.Rraw
+          // 2281): ISO UTC with the fraction written at ms precision when
+          // whole-millisecond, else full micros — both behind dec
+          case _ if opts.dec != "." =>
+            val us = pmod(unix_micros(c), lit(1000000L))
+            val frac = when(us === 0, lit(""))
+              .when(us % 1000 === 0,
+                // Column./ is double division — cast back to long so
+                // 1000 µs prints "001", not "1.0"
+                concat(lit(opts.dec),
+                  lpad((us / 1000).cast("long").cast("string"), 3, "0")))
+              .otherwise(concat(lit(opts.dec), lpad(us.cast("string"), 6, "0")))
+            df = df.withColumn(f.name,
+              concat(date_format(c, "yyyy-MM-dd'T'HH:mm:ss"), frac, lit("Z")))
           case _           => ()
         }
         case DateType => opts.dateTimeAs match {
@@ -824,15 +885,59 @@ object Fread {
         case _ => ()
       }
     }
+    require(opts.qmethod == "double" || opts.qmethod == "escape",
+      s"fwrite: qmethod must be 'double' or 'escape', got '${opts.qmethod}'")
+    require(opts.quoteMode == "auto" || opts.quoteMode == "all",
+      s"fwrite: quoteMode must be 'auto' or 'all', got '${opts.quoteMode}'")
+    // qmethod (R/fwrite.R, tests.Rraw 1658.02-.08): how a quote char
+    // inside a quoted field is written — doubled ("") or
+    // backslash-escaped (\"). Spark's CSV writer expresses exactly these
+    // two via escape= (escape == quote doubles; anything else escapes,
+    // also doubling literal escape chars, matching the reference's
+    // backslash-bs fixture).
+    val effEscape = if (opts.qmethod == "escape") "\\" else opts.escape
+    // fwrite(quote=TRUE) = quoteMode="all" (tests.Rraw 1658.16/.17):
+    // every ORIGINALLY-character field and every header name is quoted;
+    // numeric/logical/temporal fields stay bare (so Spark's quoteAll —
+    // which quotes everything — cannot express it). Quote + escape the
+    // string cells ourselves, quote the header names, and disable the
+    // writer's own quoting; nulls skip the wrap and still print the na
+    // string bare, like the reference's `2,` row in 1658.02.
+    if (opts.quoteMode == "all" && opts.quote.nonEmpty) {
+      val q = opts.quote
+      def quoted(c: Column): Column = {
+        val esc =
+          if (opts.qmethod == "escape")
+            regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"),
+              java.util.regex.Pattern.quote(q), "\\\\" + q)
+          else regexp_replace(c, java.util.regex.Pattern.quote(q), q + q)
+        concat(lit(q), esc, lit(q))
+      }
+      df0.schema.fields.foreach { f =>
+        if (f.dataType == StringType)
+          df = df.withColumn(f.name, quoted(col(f.name)))
+      }
+      def hdr(n: String): String = {
+        val inner =
+          if (opts.qmethod == "escape")
+            n.replace("\\", "\\\\").replace(q, "\\" + q)
+          else n.replace(q, q + q)
+        q + inner + q
+      }
+      df = df.toDF(df.columns.map(hdr).toIndexedSeq: _*)
+    }
     // csvy is a one-file format: a single part keeps exactly one
     // front-matter block + one header in the file (also what the
     // reference writes — fwrite is single-file by construction)
     if (opts.yaml) df = df.coalesce(1)
     var w = df.write.mode(if (opts.append) SaveMode.Append else SaveMode.Overwrite)
       .option("sep", opts.sep)
-      // fwrite(quote=FALSE) parity: empty quote disables quoting
-      .option("quote", if (opts.quote.isEmpty) "\u0000" else opts.quote)
-      .option("escape", opts.escape)
+      // fwrite(quote=FALSE) parity: empty quote disables quoting; under
+      // quoteMode="all" the cells carry their own quotes already
+      .option("quote",
+        if (opts.quote.isEmpty || opts.quoteMode == "all") "\u0000"
+        else opts.quote)
+      .option("escape", effEscape)
       .option("nullValue", opts.na)
       .option("header", opts.header)
     if (opts.compress == "gzip") w = w.option("compression", "gzip")

@@ -43,6 +43,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toLong).getOrElse(1000000L)
     val nLarge = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+    // optional 3rd arg: run only the named op — the decade-raising runs
+    // (1e7 -> 1e8 minhash) don't need the full battery at 10x the cost
+    val onlyOp = args.drop(2).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,19 +94,29 @@ object ScaleProbe {
       }
     }
 
-    val results = Seq(
-      op("dedup_minhash_pairs", df =>
+    val results = Seq[(String, () => (String, Seq[(Long, Double)]))](
+      "dedup_minhash_pairs" -> (() => op("dedup_minhash_pairs", df =>
         graft.dedup.Dedup.minhashPairs(df, "id", "text",
           k = 3, numHashes = 32, bands = 8, maxBucket = 1000),
-        "docs", synthDocs(spark, _)),
-      op("contamination_bloom", df =>
+        "docs", synthDocs(spark, _))),
+      // banding-only tier: the scale-critical signature aggregation
+      // without the pairs join's (id, sig) re-shuffle — the 1e8-row
+      // decade runs THIS op (the full pairs path at 1e8 writes ~60 GB of
+      // shuffle, past this host's disk; on a cluster that volume spreads
+      // over executors)
+      "dedup_minhash_banding" -> (() => op("dedup_minhash_banding", df =>
+        graft.dedup.Dedup.minhashOversized(df, "id", "text",
+          k = 3, numHashes = 32, bands = 8, maxBucket = 1000),
+        "docs", synthDocs(spark, _))),
+      "contamination_bloom" -> (() => op("contamination_bloom", df =>
         graft.curate.Contamination.ngramOverlapBloomDistributed(
           df, bench, "id", "text", n = 5),
-        "docs", synthDocs(spark, _)),
-      op("ann_ivf_assign", df =>
+        "docs", synthDocs(spark, _))),
+      "ann_ivf_assign" -> (() => op("ann_ivf_assign", df =>
         graft.sim.Similarity.ivfAssign(df, "v", centroids)
           .groupBy(col("ivf_cell")).agg(count(lit(1)).as("c")),
-        "emb", synthEmbeddings(spark, _)))
+        "emb", synthEmbeddings(spark, _))))
+      .collect { case (n, f) if onlyOp.forall(_ == n) => f() }
 
     // flat-cost verdict: per-row cost at nLarge within 2x of nSmall
     // (fixed per-job overhead amortizes DOWN with size, so a clean run

@@ -111,6 +111,92 @@ class FwriteFloatSpec extends AnyFunSuite {
     assert(lines2.contains("1,0.0001,1000000,-20"), lines2.mkString("|"))
   }
 
+  // ---- dec=',' (src/fwrite.c:38; tests.Rraw 1733.2, 2281, 2337) --------
+
+  test("dec=',' replaces the decimal sep in every float form (1733.2)") {
+    def g(x: Double) = Dtoa.formatString(x, 0, ',')
+    assert(g(1.2) == "1,2")
+    assert(g(-8.0) == "-8")
+    assert(g(math.Pi) == "3,14159265358979")
+    assert(g(67.99) == "67,99")
+    assert(g(1.5e-5) == "1,5e-05") // mantissa sep only; exponent untouched
+  }
+
+  test("fwrite dec=',' sep=';' writes comma decimals (1733.2 end-to-end)") {
+    val dir = "/tmp/graft_fwrite_dec"
+    val df = Seq((1.2, 1), (-8.0, 2), (math.Pi, 3), (67.99, 4)).toDF("V1", "V2")
+    Fread.fwrite(df, dir, Fread.FwriteOptions(sep = ";", dec = ","))
+    val lines = spark.read.textFile(dir).collect().toSeq
+    assert(Seq("1,2;1", "-8;2", "3,14159265358979;3", "67,99;4")
+      .forall(lines.contains), lines.mkString("|"))
+  }
+
+  test("dec==sep allowed for single-column tables only (#7227, 2337)") {
+    val one = Seq(1.0).toDF("V1")
+    Fread.fwrite(one, "/tmp/graft_fwrite_dec1", Fread.FwriteOptions(dec = ","))
+    val two = Seq((0.1, 0.2)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Fread.fwrite(two, "/tmp/graft_fwrite_dec2", Fread.FwriteOptions(dec = ","))
+    }
+    assert(e.getMessage.contains("dec and sep must be distinct"))
+  }
+
+  test("dec=',' reaches sub-second ISO timestamps (#6446, 2281.1/.2)") {
+    val dir = "/tmp/graft_fwrite_dec_ts"
+    val df = Seq(
+      (1L, new java.sql.Timestamp(1L)),       // 0.001 s
+      (2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0, 100000))), // 0.0001 s
+      (3L, new java.sql.Timestamp(0L)))       // whole second
+      .toDF("id", "a")
+    Fread.fwrite(df, dir, Fread.FwriteOptions(sep = ";", dec = ","))
+    val lines = spark.read.textFile(dir).collect().toSeq
+    assert(lines.contains("1;1970-01-01T00:00:00,001Z"), lines.mkString("|"))
+    assert(lines.contains("2;1970-01-01T00:00:00,000100Z"), lines.mkString("|"))
+    assert(lines.contains("3;1970-01-01T00:00:00Z"), lines.mkString("|"))
+  }
+
+  // ---- fread dec='auto' (R/fread.R:38; tests.Rraw 2256) ----------------
+
+  test("fread auto-detects dec=',' from the sampled balance (2256.06)") {
+    val dir = "/tmp/graft_fread_dec_auto"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "a;b\n1,14;5\n2,5;6\n".getBytes("UTF-8"))
+    val df = Fread.fread(spark, s"$dir/f.csv")
+    assert(df.schema("a").dataType.typeName == "double", df.schema)
+    assert(df.schema("b").dataType.typeName == "integer", df.schema)
+    assert(df.orderBy($"b").as[(Double, Int)].collect().toSeq ==
+      Seq((1.14, 5), (2.5, 6)))
+  }
+
+  test("fwrite(dec=',') -> fread roundtrip without explicit dec (2256.01)") {
+    val dir = "/tmp/graft_fread_dec_rt"
+    // one part: the dec sniff head-reads the first file of a directory
+    val src = Seq((1.5, "x"), (-0.25, "y"), (3.0, "z")).toDF("v", "s").coalesce(1)
+    Fread.fwrite(src, dir, Fread.FwriteOptions(sep = ";", dec = ","))
+    val back = Fread.fread(spark, dir)
+    assert(back.schema("v").dataType.typeName == "double")
+    assert(back.orderBy($"s").as[(Double, String)].collect().toSeq ==
+      Seq((1.5, "x"), (-0.25, "y"), (3.0, "z")))
+  }
+
+  test("dec auto never fires on comma-sep or dot-decimal files") {
+    val dir = "/tmp/graft_fread_dec_neg"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // comma IS the sep: '1,14' is two fields, dec stays '.'
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g.csv"),
+      "a,b\n1,14\n2,15\n".getBytes("UTF-8"))
+    val g = Fread.fread(spark, s"$dir/g.csv")
+    assert(g.columns.toSeq == Seq("a", "b") && g.count() == 2)
+    assert(g.schema("a").dataType.typeName == "integer")
+    // dot decimals with a stray comma STRING field: balance stays <= 0
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/h.csv"),
+      "a;b;c\n1.5;x,y;2.5\n0.25;p,q;7.5\n".getBytes("UTF-8"))
+    val h = Fread.fread(spark, s"$dir/h.csv")
+    assert(h.schema("a").dataType.typeName == "double")
+    assert(h.schema("b").dataType.typeName == "string")
+  }
+
   test("fwrite formats double ARRAY elements the same way (1658.45 list shape)") {
     val dir = "/tmp/graft_fwrite_float_arr"
     val df = Seq((2L, Seq(3.14, 1e12))).toDF("a", "b")

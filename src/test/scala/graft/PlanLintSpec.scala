@@ -68,4 +68,43 @@ class PlanLintSpec extends AnyFunSuite {
     val good = partials.withColumn("r", row_number().over(w))
     assert(PlanLint.lint("planted_gw_ok", good).isEmpty)
   }
+
+  // ---- pushdown + pruning lock (VERDICT r15 stretch #7) -----------------
+  // A filter that stops reaching the parquet scan, or a scan that starts
+  // reading every column, is invisible to sf0.001 timings but is the
+  // difference between scanning 100 TB and scanning the needed slice.
+
+  test("flagship filters reach the parquet scan as PushedFilters") {
+    // query -> column a pushable predicate must mention in some scan
+    val expected = Map(
+      "q1_agg" -> "l_shipdate",    // l_shipdate <= 1998-09-02
+      "q_filter" -> "l_quantity",  // l_quantity > 45 AND l_returnflag = R
+      "q_between" -> "value")      // value BETWEEN 10 AND 20
+    val missing = expected.toSeq.sortBy(_._1).flatMap { case (q, col) =>
+      val scans = PlanLint.scanInfo(
+        SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+          .queryExecution.sparkPlan)
+      if (scans.exists { case (pushed, _) =>
+            pushed.contains(col) && pushed != "[]" }) None
+      else Some(s"$q: no scan pushes a filter on '$col' " +
+        s"(scans: ${scans.map(_._1).mkString(" | ")})")
+    }
+    assert(missing.isEmpty, missing.mkString("\n"))
+  }
+
+  test("flagship scans prune columns: never read what the query does not use") {
+    // lineitem has 16 columns; these queries use a handful. l_comment is
+    // never referenced by any of them, so its appearance in a ReadSchema
+    // means pruning broke.
+    for (q <- Seq("q1_agg", "q_filter", "q_sort_limit")) {
+      val scans = PlanLint.scanInfo(
+        SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+          .queryExecution.sparkPlan)
+      assert(scans.nonEmpty, s"$q: no parquet scans found")
+      scans.foreach { case (_, readSchema) =>
+        assert(!readSchema.contains("l_comment"),
+          s"$q reads l_comment it never uses: $readSchema")
+      }
+    }
+  }
 }

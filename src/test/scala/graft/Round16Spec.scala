@@ -11,6 +11,59 @@ class Round16Spec extends AnyFunSuite {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  // ---- fwrite qmethod= + quote=TRUE (tests.Rraw 1658.02-.17) -----------
+
+  test("auto quoting doubles embedded quotes by default (1658.04)") {
+    val dir = "/tmp/graft_fwrite_q1"
+    val df = Seq((1, "\"foo"), (2, "ba\"r"), (3, "baz\""), (4, "a \"quoted\" region"))
+      .toDF("a", "b")
+    graft.sources.Fread.fwrite(df, dir, graft.sources.Fread.FwriteOptions())
+    val lines = spark.read.textFile(dir).collect().toSeq
+    assert(Seq("1,\"\"\"foo\"", "2,\"ba\"\"r\"", "3,\"baz\"\"\"",
+      "4,\"a \"\"quoted\"\" region\"").forall(lines.contains), lines.mkString("|"))
+  }
+
+  test("qmethod=escape backslash-escapes embedded quotes (1658.05)") {
+    val dir = "/tmp/graft_fwrite_q2"
+    val df = Seq((1, "\"foo"), (4, "a \"quoted\" region")).toDF("a", "b")
+    graft.sources.Fread.fwrite(df, dir,
+      graft.sources.Fread.FwriteOptions(qmethod = "escape"))
+    val lines = spark.read.textFile(dir).collect().toSeq
+    assert(lines.contains("1,\"\\\"foo\""), lines.mkString("|"))
+    assert(lines.contains("4,\"a \\\"quoted\\\" region\""), lines.mkString("|"))
+  }
+
+  test("quote=TRUE quotes string fields + header, leaves numerics bare (1658.16/.17)") {
+    val dir = "/tmp/graft_fwrite_q3"
+    // one part = one header line, like the reference's single file
+    val df = Seq((1, 1), (2, 2), (3, 3)).toDF("a", "b").coalesce(1)
+    graft.sources.Fread.fwrite(df, dir,
+      graft.sources.Fread.FwriteOptions(quoteMode = "all"))
+    val lines = spark.read.textFile(dir).collect().toSeq.sorted
+    assert(lines == Seq("\"a\",\"b\"", "1,1", "2,2", "3,3"), lines.mkString("|"))
+
+    val strs = Seq(("foo", "bar")).toDF("a", "b")
+    graft.sources.Fread.fwrite(strs, dir,
+      graft.sources.Fread.FwriteOptions(quoteMode = "all"))
+    val l2 = spark.read.textFile(dir).collect().toSeq.sorted
+    assert(l2 == Seq("\"a\",\"b\"", "\"foo\",\"bar\""), l2.mkString("|"))
+  }
+
+  test("quote=TRUE + qmethod=double/escape in-field content (1658.03/.06/.08); NA stays bare") {
+    val dir = "/tmp/graft_fwrite_q4"
+    val df = Seq(("foo", Option("ba\"r")), ("x", None: Option[String]))
+      .toDF("a", "b")
+    graft.sources.Fread.fwrite(df, dir, graft.sources.Fread.FwriteOptions(
+      sep = ";", quoteMode = "all"))
+    val l1 = spark.read.textFile(dir).collect().toSeq
+    assert(l1.contains("\"foo\";\"ba\"\"r\""), l1.mkString("|"))
+    assert(l1.contains("\"x\";"), l1.mkString("|")) // null -> bare na
+    graft.sources.Fread.fwrite(df, dir, graft.sources.Fread.FwriteOptions(
+      sep = ";", quoteMode = "all", qmethod = "escape"))
+    val l2 = spark.read.textFile(dir).collect().toSeq
+    assert(l2.contains("\"foo\";\"ba\\\"r\""), l2.mkString("|"))
+  }
+
   // ---- froll n=0 typing + negative-n validation (ADVICE r15 lows) ------
 
   test("froll n=0 sum is typed like the n>=1 sum: long over integral columns") {
