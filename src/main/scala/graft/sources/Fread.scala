@@ -52,6 +52,13 @@ object Fread {
       // fail the sampled schema trigger ONE full re-read with
       // full-data-determined types.
       samplingRatio: Double = 1.0,
+      // fread(strip.white) (R/fread.R:41, default TRUE): leading and
+      // trailing whitespace of UNQUOTED fields is stripped before
+      // parsing (tests.Rraw 1331-1333); quoted content is preserved.
+      // Composes with na.strings="": an all-space unquoted string field
+      // strips to "" and reads as null, exactly the reference's
+      // documented recipe (R/fread.R:259-267).
+      stripWhite: Boolean = true,
       // fread(logicalYN) (NEWS #4563): string columns whose every
       // non-null value is "Y"/"N" become boolean. Off by default like
       // the reference (datatable.logicalYN=FALSE) — sharded tables can
@@ -540,6 +547,8 @@ object Fread {
         .option("encoding", if (exoticCharset) "UTF-8" else opts.encoding)
         .option("timeZone", opts.tz)
         .option("mode", "PERMISSIVE")
+        .option("ignoreLeadingWhiteSpace", opts.stripWhite)
+        .option("ignoreTrailingWhiteSpace", opts.stripWhite)
         .option("multiLine", opts.multiLine)
         .option("unescapedQuoteHandling", opts.unescapedQuoteHandling)
         .option("columnNameOfCorruptRecord", "_corrupt_record")

@@ -197,6 +197,48 @@ class FwriteFloatSpec extends AnyFunSuite {
     assert(h.schema("b").dataType.typeName == "string")
   }
 
+  // ---- fread strip.white (R/fread.R:41; tests.Rraw 1331-1333) ----------
+
+  test("strip.white=TRUE default strips unquoted fields (1331.1/.2)") {
+    val dir = "/tmp/graft_fread_sw"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "A,B\nfoo,1\nAnalyst\\ ,2\nbar,3\n".getBytes("UTF-8"))
+    // default escape is '"' so the backslash is ordinary data here
+    val on = Fread.fread(spark, s"$dir/a.csv")
+    assert(on.orderBy($"B").select($"A").as[String].collect().toSeq ==
+      Seq("foo", "Analyst\\", "bar"))
+    val off = Fread.fread(spark, s"$dir/a.csv",
+      Fread.FreadOptions(stripWhite = false))
+    assert(off.orderBy($"B").select($"A").as[String].collect().toSeq ==
+      Seq("foo", "Analyst\\ ", "bar"))
+  }
+
+  test("strip.white=FALSE keeps leading spaces too (1332.2)") {
+    val dir = "/tmp/graft_fread_sw2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.csv"),
+      "ab,x\n  cd,x \n".getBytes("UTF-8"))
+    val off = Fread.fread(spark, s"$dir/b.csv",
+      Fread.FreadOptions(sep = ",", header = "false", stripWhite = false))
+    assert(off.orderBy($"V1").as[(String, String)].collect().toSeq ==
+      Seq(("  cd", "x "), ("ab", "x")))
+    val on = Fread.fread(spark, s"$dir/b.csv",
+      Fread.FreadOptions(sep = ",", header = "false"))
+    assert(on.orderBy($"V1").as[(String, String)].collect().toSeq ==
+      Seq(("ab", "x"), ("cd", "x")))
+  }
+
+  test("strip.white applies only OUTSIDE quotes (1333.2 shape)") {
+    val dir = "/tmp/graft_fread_sw3"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.csv"),
+      "A,B\n\" x \",1\n".getBytes("UTF-8"))
+    val df = Fread.fread(spark, s"$dir/c.csv")
+    assert(df.select($"A").as[String].head() == " x ",
+      df.select($"A").as[String].head())
+  }
+
   test("fwrite formats double ARRAY elements the same way (1658.45 list shape)") {
     val dir = "/tmp/graft_fwrite_float_arr"
     val df = Seq((2L, Seq(3.14, 1e12))).toDF("a", "b")
