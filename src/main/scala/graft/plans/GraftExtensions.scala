@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.tokenSetCountDesc)
     e.injectFunction(GraftExtensions.roundMantissaDesc)
     e.injectFunction(GraftExtensions.unicodeNormalizeDesc)
+    e.injectFunction(GraftExtensions.dtoaDesc)
   }
 }
 
@@ -83,6 +84,18 @@ object GraftExtensions {
     (args: Seq[Expression]) =>
       UnicodeNormalize(args.head, stringArg(args(1), "form")))
 
+  val dtoaDesc: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dtoa"),
+    new ExpressionInfo(classOf[graft.sources.DtoaExpr].getName, "graft_dtoa"),
+    (args: Seq[Expression]) =>
+      graft.sources.DtoaExpr(castDouble(args.head),
+        if (args.length > 1) intArg(args(1), "scipen") else 0))
+
+  // SQL callers pass any numeric type; the formatter evals doubles
+  private def castDouble(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.DoubleType)
+
   private val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_shingle_hashes" ->
       ((args: Seq[Expression]) => ShingleHashes(args.head, intArg(args(1), "k"))),
@@ -95,7 +108,12 @@ object GraftExtensions {
     "graft_round_mantissa" ->
       ((args: Seq[Expression]) => RoundMantissa(args.head, intArg(args(1), "bytes"))),
     "graft_normalize" ->
-      ((args: Seq[Expression]) => UnicodeNormalize(args.head, stringArg(args(1), "form"))))
+      ((args: Seq[Expression]) => UnicodeNormalize(args.head, stringArg(args(1), "form"))),
+    // fwrite's 15-s.f. float text form (sources/Dtoa) for spark.sql
+    // users; optional second arg = scipen
+    "graft_dtoa" ->
+      ((args: Seq[Expression]) => graft.sources.DtoaExpr(castDouble(args.head),
+        if (args.length > 1) intArg(args(1), "scipen") else 0)))
 
   /** Register on an already-built session (e.g. the driver's). */
   def register(spark: SparkSession): Unit =

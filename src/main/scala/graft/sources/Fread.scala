@@ -59,6 +59,9 @@ object Fread {
       // strips to "" and reads as null, exactly the reference's
       // documented recipe (R/fread.R:259-267).
       stripWhite: Boolean = true,
+      // fread(col.names=) (R/fread.R:41): override the detected/obtained
+      // column names positionally, after select/drop like the reference
+      colNames: Seq[String] = Nil,
       // fread(logicalYN) (NEWS #4563): string columns whose every
       // non-null value is "Y"/"N" become boolean. Off by default like
       // the reference (datatable.logicalYN=FALSE) — sharded tables can
@@ -712,6 +715,14 @@ object Fread {
       df = df.select(opts.select.map(df.col): _*)
     if (opts.drop.nonEmpty)
       df = df.drop(opts.drop: _*)
+    // col.names= applies AFTER select/drop, positionally, like the
+    // reference (R/fread.R col.names handling)
+    if (opts.colNames.nonEmpty) {
+      require(opts.colNames.length == df.columns.length,
+        s"fread: col.names has ${opts.colNames.length} names for " +
+          s"${df.columns.length} columns")
+      df = df.toDF(opts.colNames: _*)
+    }
     opts.nrows match {
       case Some(n) => df.limit(n.toInt)
       case None    => df

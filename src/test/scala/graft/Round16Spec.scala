@@ -64,6 +64,36 @@ class Round16Spec extends AnyFunSuite {
     assert(l2.contains("\"foo\";\"ba\\\"r\""), l2.mkString("|"))
   }
 
+  // ---- fread col.names= + graft_dtoa SQL surface ------------------------
+
+  test("fread col.names= overrides names positionally, after select/drop") {
+    val dir = "/tmp/graft_fread_colnames"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "a,b,c\n1,2,3\n".getBytes("UTF-8"))
+    val df = graft.sources.Fread.fread(spark, s"$dir/a.csv",
+      graft.sources.Fread.FreadOptions(drop = Seq("b"), colNames = Seq("x", "y")))
+    assert(df.columns.toSeq == Seq("x", "y"))
+    assert(df.as[(Int, Int)].head() == ((1, 3)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Fread.fread(spark, s"$dir/a.csv",
+        graft.sources.Fread.FreadOptions(colNames = Seq("only_one")))
+    }
+    assert(e.getMessage.contains("col.names"))
+  }
+
+  test("graft_dtoa SQL function renders the fwrite float form") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dtoa(0.0001d) AS a, graft_dtoa(0.0001d, 2) AS b, " +
+        "graft_dtoa(1000000) AS c, graft_dtoa(CAST('NaN' AS DOUBLE)) AS n")
+      .head()
+    assert(r.getString(0) == "1e-04")
+    assert(r.getString(1) == "0.0001")
+    assert(r.getString(2) == "1e+06")
+    assert(r.isNullAt(3))
+  }
+
   // ---- froll n=0 typing + negative-n validation (ADVICE r15 lows) ------
 
   test("froll n=0 sum is typed like the n>=1 sum: long over integral columns") {
