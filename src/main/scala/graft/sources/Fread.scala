@@ -826,7 +826,8 @@ object Fread {
       scipen: Int = 0,                  // fwrite(scipen): width penalty on scientific notation (src/fwrite.h:102)
       dec: String = ".",                // fwrite(dec=','): decimal separator inside numbers (src/fwrite.c:38)
       qmethod: String = "double",       // "double" doubles quotes in-field; "escape" backslash-escapes (R/fwrite.R qmethod)
-      quoteMode: String = "auto")       // "auto" quotes only when needed; "all" = fwrite(quote=TRUE): every string field + header
+      quoteMode: String = "auto",       // "auto" quotes only when needed; "all" = fwrite(quote=TRUE): every string field + header
+      eol: String = "\n")               // record terminator (R/fwrite.R eol=, "\r\n" on Windows)
 
   /** fwrite(x, file): distributed CSV write — partitioned output is the
     * cluster analog of the reference's per-thread buffers
@@ -905,6 +906,11 @@ object Fread {
         case _ => ()
       }
     }
+    // R/fwrite.R eol= (tests.Rraw 1658.10/.62): any byte sequence; ''
+    // is an error like the reference
+    require(opts.eol.nonEmpty, "fwrite: eol must be 1 or more bytes")
+    require(opts.eol == "\n" || opts.compress != "gzip",
+      "fwrite: eol other than \\n cannot combine with compress=gzip")
     require(opts.qmethod == "double" || opts.qmethod == "escape",
       s"fwrite: qmethod must be 'double' or 'escape', got '${opts.qmethod}'")
     require(opts.quoteMode == "auto" || opts.quoteMode == "all",
@@ -962,6 +968,11 @@ object Fread {
       .option("header", opts.header)
     if (opts.compress == "gzip") w = w.option("compression", "gzip")
     w.csv(path)
+    if (opts.eol != "\n")
+      rewriteEol(df0.sparkSession, path, opts.eol,
+        if (opts.quoteMode == "all") opts.quote else
+          (if (opts.quote.isEmpty) "" else opts.quote),
+        effEscape)
     if (opts.yaml)
       prependBytes(df0.sparkSession, path,
         csvyFrontMatter(df0, opts).getBytes("UTF-8"))
@@ -1024,6 +1035,66 @@ object Fread {
         val buf = new Array[Byte](1 << 20)
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close(); out.close()
+        fs.delete(f.getPath, false)
+        fs.rename(tmp, f.getPath)
+      }
+  }
+
+  /** fwrite(eol=) post-pass: Spark's CSV writer only supports a
+    * 1-character lineSep, so multi-byte terminators ("\r\n") rewrite
+    * each part in a streamed copy. QUOTE-AWARE: a '\n' inside a quoted
+    * field (multiline cells) is data and must survive; the state
+    * machine consumes escape pairs — esc==quote covers qmethod=double
+    * (a doubled quote toggles twice = stays inside), esc='\\' covers
+    * qmethod=escape where univocity escapes every literal backslash, so
+    * any esc byte in the file starts a pair by construction.
+    */
+  private def rewriteEol(spark: SparkSession, path: String, eol: String,
+                         quote: String, escape: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val eolBytes = eol.getBytes("UTF-8")
+    val q: Int = if (quote.nonEmpty) quote.head.toInt else -2
+    val esc: Int = if (escape.nonEmpty) escape.head.toInt else -2
+    fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .foreach { f =>
+        val tmp = new org.apache.hadoop.fs.Path(f.getPath.getParent,
+          f.getPath.getName + ".eol")
+        val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
+        val in = new java.io.BufferedInputStream(fs.open(f.getPath), 1 << 20)
+        var inQ = false
+        var c = in.read()
+        while (c >= 0) {
+          if (inQ) {
+            if (c == esc) {
+              val nx = in.read()
+              if (nx == q && esc != q) { // \" escaped quote: both are data
+                out.write(c); out.write(nx); c = in.read()
+              } else if (nx == esc && esc != q) { // \\ escaped escape
+                out.write(c); out.write(nx); c = in.read()
+              } else if (esc == q) {
+                // doubling convention: "" stays inside, "x closes
+                out.write(c)
+                if (nx == q) { out.write(nx); c = in.read() }
+                else { inQ = false; c = nx } // reprocess nx outside quotes
+              } else { // stray escape before ordinary data: plain bytes
+                out.write(c); c = nx
+              }
+            } else {
+              if (c == q) inQ = false
+              out.write(c); c = in.read()
+            }
+          } else if (c == q) {
+            inQ = true; out.write(c); c = in.read()
+          } else if (c == '\n') {
+            out.write(eolBytes); c = in.read()
+          } else {
+            out.write(c); c = in.read()
+          }
+        }
         in.close(); out.close()
         fs.delete(f.getPath, false)
         fs.rename(tmp, f.getPath)

@@ -64,6 +64,47 @@ class Round16Spec extends AnyFunSuite {
     assert(l2.contains("\"foo\";\"ba\\\"r\""), l2.mkString("|"))
   }
 
+  // ---- fwrite eol= (tests.Rraw 1658.10/.62) -----------------------------
+
+  private def rawPart(dir: String): String = {
+    val d = new java.io.File(dir)
+    val part = d.listFiles().filter(_.getName.startsWith("part-")).head
+    new String(java.nio.file.Files.readAllBytes(part.toPath), "UTF-8")
+  }
+
+  test("eol=\\r\\n terminates records; embedded newlines in quoted cells survive") {
+    val dir = "/tmp/graft_fwrite_eol"
+    val df = Seq((1, "plain"), (2, "two\nlines")).toDF("a", "b")
+      .coalesce(1).sortWithinPartitions($"a")
+    graft.sources.Fread.fwrite(df, dir,
+      graft.sources.Fread.FwriteOptions(eol = "\r\n"))
+    val raw = rawPart(dir)
+    assert(raw == "a,b\r\n1,plain\r\n2,\"two\nlines\"\r\n", raw.replace("\r", "<CR>"))
+  }
+
+  test("eol with quote=TRUE (1658.10) and with qmethod=escape quoted backslashes") {
+    val dir = "/tmp/graft_fwrite_eol2"
+    val df = Seq(("foo", "bar")).toDF("a", "b").coalesce(1)
+    graft.sources.Fread.fwrite(df, dir, graft.sources.Fread.FwriteOptions(
+      eol = "\r\n", quoteMode = "all"))
+    assert(rawPart(dir) == "\"a\",\"b\"\r\n\"foo\",\"bar\"\r\n")
+    // escape convention: \" and \\ pairs inside quotes are data; the
+    // record terminator still rewrites
+    val tricky = Seq(("q\"uote\nx", 1)).toDF("a", "b").coalesce(1)
+    graft.sources.Fread.fwrite(tricky, dir, graft.sources.Fread.FwriteOptions(
+      eol = "\r\n", qmethod = "escape"))
+    assert(rawPart(dir) == "a,b\r\n\"q\\\"uote\nx\",1\r\n",
+      rawPart(dir).replace("\r", "<CR>"))
+  }
+
+  test("eol='' is an error like the reference (1658.62)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Fread.fwrite(Seq(1).toDF("a"), "/tmp/graft_fwrite_eol3",
+        graft.sources.Fread.FwriteOptions(eol = ""))
+    }
+    assert(e.getMessage.contains("eol must be 1 or more bytes"))
+  }
+
   // ---- fread col.names= + graft_dtoa SQL surface ------------------------
 
   test("fread col.names= overrides names positionally, after select/drop") {
