@@ -33,6 +33,13 @@ object Fread {
       // with yaml=TRUE the search starts after the front-matter block
       skipTo: Option[String] = None,
       fill: Boolean = false,            // ragged rows → nulls
+      // fread(fill=N) integer form (man/fread.Rd): DECLARE the column
+      // count upper bound instead of estimating it from a bounded head
+      // scan — the 100 TB shape (the widest row of a huge file may sit
+      // past any scan budget; the reference's fill=Inf whole-file scan
+      // is the thing this avoids). Rows wider than N drop the extras
+      // (upper-bound contract); narrower rows pad with nulls.
+      fillTo: Int = 0,
       quote: String = "\"",
       escape: String = "\"",           // RFC4180 doubled-quote escaping
                                         // (Spark's default is backslash)
@@ -583,7 +590,26 @@ object Fread {
     // When the first line IS the widest (the common shape, all 536
     // fixtures) nothing engages and the plain path runs unchanged.
     val fillSchema: Option[StructType] =
-      if (!opts.fill || opts.colClasses.isDefined) None
+      if ((!opts.fill && opts.fillTo <= 0) || opts.colClasses.isDefined) None
+      else if (opts.fillTo > 0) {
+        // declared width: no scan at all — trust N like the reference
+        val hdrFields = line1.split(java.util.regex.Pattern.quote(sep), -1)
+        val maxF = math.max(opts.fillTo, hdrFields.length)
+        if (maxF <= hdrFields.length && !opts.fill) None
+        else {
+          def unq(f: String) =
+            f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim
+          val names = (0 until maxF).map { i =>
+            if (hasHeader && i < hdrFields.length && unq(hdrFields(i)).nonEmpty)
+              unq(hdrFields(i))
+            else if (hasHeader) s"V${i + 1}"
+            else s"_c$i"
+          }
+          Some(StructType(names.map(n =>
+            org.apache.spark.sql.types.StructField(n, StringType,
+              nullable = true)).toArray))
+        }
+      }
       else {
         val segs0 = headSegments(spark, path, 100000, s => s.length >= 100000,
           if (exoticCharset) opts.encoding else "UTF-8")

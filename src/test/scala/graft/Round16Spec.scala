@@ -64,6 +64,26 @@ class Round16Spec extends AnyFunSuite {
     assert(l2.contains("\"foo\";\"ba\\\"r\""), l2.mkString("|"))
   }
 
+  // ---- fread fill=N declared width (man/fread.Rd integer fill) ----------
+
+  test("fill=N declares the width: no scan, wide rows parse, narrow rows pad") {
+    val dir = "/tmp/graft_fread_fillN"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // header is 2 wide; a LATER row is 4 wide (past what the header
+    // promises — the shape the declared width exists for)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "a,b\n1,2\n3,4,5,6\n".getBytes("UTF-8"))
+    val df = graft.sources.Fread.fread(spark, s"$dir/a.csv",
+      graft.sources.Fread.FreadOptions(fillTo = 4))
+    assert(df.columns.toSeq == Seq("a", "b", "V3", "V4"), df.columns.toSeq)
+    assert(df.count() == 2)
+    val wide = df.filter($"a" === 3).head()
+    assert(wide.getAs[Long]("V3") == 5L && wide.getAs[Long]("V4") == 6L)
+    assert(df.filter($"a" === 1).head().isNullAt(2))
+    // the re-bump re-types the padded string columns from the full data
+    assert(df.schema("V3").dataType.typeName == "long", df.schema)
+  }
+
   // ---- fwrite eol= (tests.Rraw 1658.10/.62) -----------------------------
 
   private def rawPart(dir: String): String = {
