@@ -69,6 +69,11 @@ object Fread {
       // fread(col.names=) (R/fread.R:41): override the detected/obtained
       // column names positionally, after select/drop like the reference
       colNames: Seq[String] = Nil,
+      // fread(check.names=) (R/fread.R:374: make.names(unique=TRUE)):
+      // names become syntactically valid and unique — invalid chars to
+      // '.', X-prefixed when starting with a digit, reserved words get
+      // a trailing '.', duplicates take .1/.2 suffixes (tests.Rraw 134.5)
+      checkNames: Boolean = false,
       // fread(logicalYN) (NEWS #4563): string columns whose every
       // non-null value is "Y"/"N" become boolean. Off by default like
       // the reference (datatable.logicalYN=FALSE) — sharded tables can
@@ -749,9 +754,64 @@ object Fread {
           s"${df.columns.length} columns")
       df = df.toDF(opts.colNames: _*)
     }
+    // check.names runs over the FINAL names, after col.names like the
+    // reference applies make.names to the finished answer. One Spark
+    // quirk to undo: the CSV reader itself dedups duplicate header
+    // names to a0/a1 before we ever see them — when nothing else has
+    // renamed or re-selected columns, make.names must run over the RAW
+    // header fields so "a,a" becomes the reference's ("a", "a.1"), not
+    // ("a0", "a1").
+    if (opts.checkNames) {
+      val raw: Option[Seq[String]] =
+        if (hasHeader && opts.colNames.isEmpty && opts.select.isEmpty &&
+            opts.drop.isEmpty && opts.colClasses.isEmpty && fillSchema.isEmpty) {
+          val hdr = line1.split(java.util.regex.Pattern.quote(sep), -1)
+            .map(f => f.trim.stripPrefix(opts.quote).stripSuffix(opts.quote).trim)
+            .toSeq
+          if (hdr.length == df.columns.length) Some(hdr) else None
+        } else None
+      df = df.toDF(makeNames(raw.getOrElse(df.columns.toSeq)): _*)
+    }
     opts.nrows match {
       case Some(n) => df.limit(n.toInt)
       case None    => df
+    }
+  }
+
+  /** R's make.names(unique=TRUE) (R/fread.R:374 check.names): replace
+    * characters outside [A-Za-z0-9._] with '.', prepend 'X' when the
+    * name starts with a digit (or '.'+digit, or is empty), append '.'
+    * to R reserved words, then make.unique with .1/.2 suffixes —
+    * tests.Rraw 134.5 pins "1b"→"X1b" and the "a 1"→"a.1"→"a.1.1"
+    * collision cascade.
+    */
+  private[graft] def makeNames(names: Seq[String]): Seq[String] = {
+    val reserved = Set("if", "else", "repeat", "while", "function", "for",
+      "next", "break", "TRUE", "FALSE", "NULL", "Inf", "NaN", "NA",
+      "NA_integer_", "NA_real_", "NA_character_", "NA_complex_")
+    def valid(c: Char): Boolean =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_'
+    val base = names.map { n0 =>
+      var n = n0.map(c => if (valid(c)) c else '.')
+      val badStart = n.isEmpty || n.head.isDigit || n.head == '_' ||
+        (n.head == '.' && n.length > 1 && n(1).isDigit)
+      if (badStart) n = "X" + n
+      if (reserved(n)) n = n + "."
+      n
+    }
+    val taken = scala.collection.mutable.Set[String]()
+    val nextK = scala.collection.mutable.Map[String, Int]()
+    base.map { n =>
+      if (!taken(n)) { taken += n; n }
+      else {
+        var k = nextK.getOrElse(n, 0) + 1
+        var cand = s"$n.$k"
+        while (taken(cand)) { k += 1; cand = s"$n.$k" }
+        nextK(n) = k
+        taken += cand
+        cand
+      }
     }
   }
 

@@ -64,6 +64,29 @@ class Round16Spec extends AnyFunSuite {
     assert(l2.contains("\"foo\";\"ba\\\"r\""), l2.mkString("|"))
   }
 
+  // ---- fread check.names= (R/fread.R:374, tests.Rraw 134.5) -------------
+
+  test("makeNames: the 134.5 fixture — X-prefix, dot-substitution, .1 cascade") {
+    import graft.sources.Fread
+    assert(Fread.makeNames(Seq("a.1", "b_1", "1b", "a 1")) ==
+      Seq("a.1", "b_1", "X1b", "a.1.1"))
+    assert(Fread.makeNames(Seq("", "if", "x", "x", "x")) ==
+      Seq("X", "if.", "x", "x.1", "x.2"))
+    assert(Fread.makeNames(Seq(".2way", "_u", "ok.name")) ==
+      Seq("X.2way", "X_u", "ok.name"))
+  }
+
+  test("fread(checkNames=true) uniquifies duplicate header names") {
+    val dir = "/tmp/graft_fread_checknames"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
+      "a,a,1b\n1,2,3\n".getBytes("UTF-8"))
+    val df = graft.sources.Fread.fread(spark, s"$dir/a.csv",
+      graft.sources.Fread.FreadOptions(checkNames = true))
+    assert(df.columns.toSeq == Seq("a", "a.1", "X1b"), df.columns.toSeq)
+    assert(df.select($"`a.1`").as[Long].head() == 2L)
+  }
+
   // ---- fread fill=N declared width (man/fread.Rd integer fill) ----------
 
   test("fill=N declares the width: no scan, wide rows parse, narrow rows pad") {
