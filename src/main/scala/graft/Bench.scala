@@ -107,6 +107,21 @@ object Bench {
       extends org.apache.spark.scheduler.SparkListener {
     private val perStage =
       new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    /** Sweep-loop attribution tag (query name + cold/warm phase), read by
+      * the async listener thread at event DELIVERY time. The round-16
+      * judge found the driver's artifact disagreeing with two in-sandbox
+      * sweeps on 90 queries' bytes while each environment is internally
+      * deterministic; the sidecar built from these tagged events is the
+      * diagnostic: a duplicate (stageId, attempt) row = double-fired
+      * completion events, a stage tagged to the NEXT query = the listener
+      * bus drained after `snapshot()`'s flush window (attribution slip),
+      * and a per-query stage set that differs across environments = a
+      * genuinely different physical shape (e.g. env-dependent AQE or fit
+      * convergence). One sweep per environment pins the mechanism.
+      */
+    @volatile private[graft] var tag: String = "startup"
+    private val events =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     sc.addSparkListener(this)
     /** Testable accounting core: retried attempts of one stageId merge by
       * max instead of summing. Completed actions never straddle a
@@ -119,9 +134,27 @@ object Bench {
       ()
     }
     override def onStageCompleted(
-        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-      record(e.stageInfo.stageId,
-        e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val si = e.stageInfo
+      val bytes = si.taskMetrics.shuffleWriteMetrics.bytesWritten
+      record(si.stageId, bytes)
+      events.add(s"""{"q":"$tag","stage":${si.stageId},"attempt":${
+        si.attemptNumber()},"tasks":${si.numTasks},"bytes":$bytes}""")
+      ()
+    }
+    /** Dump every stage-completion event seen this sweep (in listener
+      * delivery order) plus an environment header, so two environments'
+      * sidecars diff line-by-line.
+      */
+    def writeEvents(path: java.nio.file.Path): Unit = {
+      val rt = Runtime.getRuntime
+      val header = s"""{"env":{"ncpus":${rt.availableProcessors()},"max_heap_mb":${
+        rt.maxMemory() / (1024 * 1024)},"spark":"${sc.version}"}}"""
+      val sb = new StringBuilder(header).append('\n')
+      events.forEach(l => { sb.append(l).append('\n'); () })
+      java.nio.file.Files.write(path, sb.toString.getBytes("UTF-8"))
+      ()
+    }
     def snapshot(): Long = {
       org.apache.spark.sql.GraftSqlBridge.flushListenerBus(sc, 10000L)
       var t = 0L
@@ -132,13 +165,20 @@ object Bench {
 
   /** Shuffle-byte drift vs the previous artifact: real plan-volume
     * changes, not rounding — both sides measured, ratio past 1.3× in
-    * either direction, and at least 1 MB apart (tiny queries reshuffle
-    * a few KB of metadata that legitimately wobbles with AQE decisions).
+    * either direction, and at least 8 KB apart (tiny queries reshuffle
+    * a few hundred bytes of metadata that legitimately wobbles with AQE
+    * decisions; 8 KB is the same absolute floor ShuffleBudgetSpec proved
+    * right-sized at sf0.001, and the sf0.1 sweep's MEDIAN query writes
+    * only ~263 bytes, so a percent-of-median floor degenerates to the
+    * absolute one). Round 16's flat 1 MB floor exceeded the entire byte
+    * volume of ~90% of the sf0.1 suite and let a 90-query
+    * builder-vs-driver disagreement (deltas −62%..+70%) pass with zero
+    * flags — Round17Spec replays that artifact pair against this rule.
     */
   private[graft] def shufDrifted(cur: Long, prev: Long): Boolean =
     cur > 0 && prev > 0 &&
       (cur > prev * 1.3 || cur < prev / 1.3) &&
-      math.abs(cur - prev) > 1000000L
+      math.abs(cur - prev) > 8192L
 
   /** Previous artifact's per-query cold-run shuffle write bytes (same
     * Jackson discipline as [[parsePrevArtifact]]; bytes are valid even
@@ -291,9 +331,17 @@ object Bench {
       // shuffle bytes measured across the COLD run (warm reps repeat the
       // same volume; one snapshot pair keeps the meter overhead at one
       // listener-bus drain per query)
+      // tag flips AFTER each snapshot's bus drain: events flushed by the
+      // pre-cold snapshot still carry the previous query's "|warm" tag.
+      // A straggler that outlives even that drain inherits the next
+      // query's tag, but its stageId stays in the earlier query's range
+      // (stageIds are session-global and monotonic), so slips remain
+      // detectable in the sidecar by tag/stageId disagreement.
       val shuf0 = meter.snapshot()
+      meter.tag = name + "|cold"
       val cold = timeOnce(name, fn)
       val shufW = math.max(0L, meter.snapshot() - shuf0)
+      meter.tag = name + "|warm"
       // every warm rep carries its own steal window (defense (e))
       def rep(): (Double, Long) = {
         val s0 = stealJiffies()
@@ -398,6 +446,10 @@ object Bench {
     if (args.isEmpty) {
       val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(detailPath, detailJson.getBytes("UTF-8"))
+      // per-stage diagnostic sidecar (round-17 item 1): every
+      // (query-tag, stageId, attempt, tasks, bytes) completion event of
+      // the sweep, for cross-environment byte-channel reconciliation
+      meter.writeEvents(java.nio.file.Paths.get("BENCH_SHUF_EVENTS.jsonl"))
     } else println(detailJson)
 
     // db-benchmark-shaped headline subset: core aggs/joins/windows/reshape

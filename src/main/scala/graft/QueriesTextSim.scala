@@ -1546,7 +1546,10 @@ object QueriesTextSim {
 
     // ---- fread/fwrite CSV roundtrip (SURVEY.md §2.1) --------------------
     ("q_fread_roundtrip", ((s, dir) => {
-      val out = s"/tmp/graft_fread_rt"
+      // per-process suffix: a concurrent JVM benching the same dir must
+      // not overwrite the CSV this one is scanning (same hazard as
+      // q_fwrite_float_roundtrip's path)
+      val out = "/tmp/graft_fread_rt_p" + ProcessHandle.current().pid()
       graft.sources.Fread.fwrite(Tables.load(s, dir, "nation"), out,
         graft.sources.Fread.FwriteOptions(sep = "\t"))
       graft.sources.Fread.fread(s, out)   // sep auto-sniffed
@@ -1562,9 +1565,15 @@ object QueriesTextSim {
     // original. Exotic corners (scipen, 3-digit exponents) are pinned in
     // FwriteFloatSpec — this query proves the format on real data.
     ("q_fwrite_float_roundtrip", ((s, dir) => {
-      // per-dir output path: the memo is per (session, dir), so two SF
-      // dirs in one session must not overwrite each other's CSV
-      val out = s"/tmp/graft_fwrite_float_rt_${math.abs(dir.hashCode)}"
+      // per-dir AND per-process output path: the memo is per (session,
+      // dir), so two SF dirs in one session must not overwrite each
+      // other's CSV — and two concurrent JVMs benching the same dir must
+      // not clobber each other mid-scan (one's SaveMode.Overwrite would
+      // delete the CSV under the other's fread). toHexString also avoids
+      // math.abs(Int.MinValue) staying negative.
+      val out = "/tmp/graft_fwrite_float_rt_" +
+        java.lang.Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid()
       // write ONCE per (session, sf dir) — the builder runs at every
       // bench rep, and re-exporting 600k rows of CSV per rep would
       // dominate the timing (the bucketed-index memo convention; the
@@ -1621,7 +1630,7 @@ object QueriesTextSim {
     // against the parquet original.
     ("q_jsonl_roundtrip", ((s, dir) => {
       import org.apache.spark.sql.types._
-      val out = "/tmp/graft_jsonl_rt"
+      val out = "/tmp/graft_jsonl_rt_p" + ProcessHandle.current().pid()
       graft.sources.Fread.fwriteJsonl(
         docs(s, dir).select(col("doc_id"), col("lang"), col("text")), out)
       graft.sources.Fread.freadJsonl(s, out, schema = Some(StructType(Seq(

@@ -78,7 +78,11 @@ object Fread {
       // non-null value is "Y"/"N" become boolean. Off by default like
       // the reference (datatable.logicalYN=FALSE) — sharded tables can
       // inadvertently read a true string column as logical.
-      logicalYN: Boolean = false)
+      logicalYN: Boolean = false,
+      // fread(verbose=) (R/fread.R): diagnostic chatter (the dec-sniff
+      // balance line, fill=N truncation notices). Off by default like
+      // the reference so production reads stay quiet.
+      verbose: Boolean = false)
 
   /** First non-empty line after `skip` (driver-side, one small read —
     * shared by separator sniffing and header detection so the file head
@@ -532,11 +536,15 @@ object Fread {
         sample.foreach(_.split(java.util.regex.Pattern.quote(sep), -1)
           .foreach { f =>
             val v = f.trim
-            if (v.matches(commaNum)) balance += 1
+            // quoted fields are character data by declaration — counting
+            // their contents would let text like "1,5 kg" skew the vote
+            if (opts.quote.nonEmpty && v.startsWith(opts.quote)) ()
+            else if (v.matches(commaNum)) balance += 1
             else if (v.matches(pointNum)) balance -= 1
           })
         if (balance > 0) {
-          System.err.println(
+          // the reference prints this only under verbose=TRUE
+          if (opts.verbose) System.err.println(
             s"[graft] fread: dec=',' detected based on a balance of $balance")
           ","
         } else "."
@@ -600,6 +608,30 @@ object Fread {
         // declared width: no scan at all — trust N like the reference
         val hdrFields = line1.split(java.util.regex.Pattern.quote(sep), -1)
         val maxF = math.max(opts.fillTo, hdrFields.length)
+        // visibility over the upper-bound contract (the reference's
+        // fill=N errors when exceeded; a partitioned read can't stop, so
+        // this warns instead of silently dropping): declared widths below
+        // the header width are ignored, and a bounded head sample flags
+        // rows already wider than the bound. Rows past the sample that
+        // exceed N still truncate — that is the documented trade for
+        // avoiding the reference's fill=Inf whole-file scan.
+        if (opts.fillTo < hdrFields.length)
+          System.err.println(s"[graft] fread: fill=${opts.fillTo} is below " +
+            s"the header width ${hdrFields.length}; using the header width " +
+            "(the reference errors here)")
+        else {
+          val sampleW =
+            (if (exoticCharset) decodedLines().head(100).toSeq
+             else headLines(spark, path, opts.skip, 100))
+              .drop(if (hasHeader) 1 else 0)
+          val wide = sampleW.count(
+            _.split(java.util.regex.Pattern.quote(sep), -1).length > maxF)
+          if (wide > 0)
+            System.err.println(s"[graft] fread: fill=${opts.fillTo} — $wide " +
+              s"of the first ${sampleW.size} data rows exceed the declared " +
+              "width; fields beyond it are dropped (fill=N is an " +
+              "upper-bound contract)")
+        }
         if (maxF <= hdrFields.length && !opts.fill) None
         else {
           def unq(f: String) =
@@ -993,10 +1025,9 @@ object Fread {
       }
     }
     // R/fwrite.R eol= (tests.Rraw 1658.10/.62): any byte sequence; ''
-    // is an error like the reference
+    // is an error like the reference. eol= composes with compress=gzip
+    // since round 17: the per-part rewrite streams through the codec.
     require(opts.eol.nonEmpty, "fwrite: eol must be 1 or more bytes")
-    require(opts.eol == "\n" || opts.compress != "gzip",
-      "fwrite: eol other than \\n cannot combine with compress=gzip")
     require(opts.qmethod == "double" || opts.qmethod == "escape",
       s"fwrite: qmethod must be 'double' or 'escape', got '${opts.qmethod}'")
     require(opts.quoteMode == "auto" || opts.quoteMode == "all",
@@ -1026,7 +1057,11 @@ object Fread {
         concat(lit(q), esc, lit(q))
       }
       df0.schema.fields.foreach { f =>
-        if (f.dataType == StringType)
+        // list columns count as character fields under quote=TRUE: by
+        // this point the sep2 join has made them strings, and leaving
+        // them bare would both diverge from the reference and break the
+        // row shape whenever sep2 == sep
+        if (f.dataType == StringType || f.dataType.isInstanceOf[ArrayType])
           df = df.withColumn(f.name, quoted(col(f.name)))
       }
       def hdr(n: String): String = {
@@ -1053,12 +1088,20 @@ object Fread {
       .option("nullValue", opts.na)
       .option("header", opts.header)
     if (opts.compress == "gzip") w = w.option("compression", "gzip")
+    // append + eol: snapshot the pre-existing part names so the rewrite
+    // touches ONLY the parts this write created — earlier appends were
+    // already converted, and re-rewriting them would expand their "\r\n"
+    // terminators to "\r\r\n" (the \r passes through as data)
+    val preParts: Set[String] =
+      if (opts.append && opts.eol != "\n")
+        listPartNames(df0.sparkSession, path)
+      else Set.empty
     w.csv(path)
     if (opts.eol != "\n")
       rewriteEol(df0.sparkSession, path, opts.eol,
         if (opts.quoteMode == "all") opts.quote else
           (if (opts.quote.isEmpty) "" else opts.quote),
-        effEscape)
+        effEscape, skip = preParts)
     if (opts.yaml)
       prependBytes(df0.sparkSession, path,
         csvyFrontMatter(df0, opts).getBytes("UTF-8"))
@@ -1103,88 +1146,157 @@ object Fread {
        |""".stripMargin
   }
 
-  /** Prepend `prefix` to every part file (streamed copy + rename — no
-    * driver-side buffering of file contents). Serves fwrite(bom=TRUE)
-    * and the csvy front-matter stamp (yaml=TRUE writes ONE part).
+  /** Hadoop Configuration isn't Serializable; this minimal envelope
+    * ships it to executor tasks for the fwrite post-passes (the same
+    * shape as Spark's own util.SerializableConfiguration, re-stated here
+    * so the library stays off `private[spark]` surfaces).
     */
-  private def prependBytes(spark: SparkSession, path: String,
-                           prefix: Array[Byte]): Unit = {
+  private final class SerHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Names of the current `part-*` files under `path` (empty when the
+    * directory doesn't exist yet — first append). Metadata-only driver
+    * work; the bytes never flow through the driver.
+    */
+  private def listPartNames(spark: SparkSession, path: String): Set[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .foreach { f =>
-        val tmp = new org.apache.hadoop.fs.Path(f.getPath.getParent, f.getPath.getName + ".bom")
-        val out = fs.create(tmp, true)
-        out.write(prefix)
-        val in = fs.open(f.getPath)
-        val buf = new Array[Byte](1 << 20)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        in.close(); out.close()
-        fs.delete(f.getPath, false)
-        fs.rename(tmp, f.getPath)
-      }
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSet
   }
+
+  /** Run `kernel` over every selected part file ON THE EXECUTORS, one
+    * task per part — the post-pass scales with the cluster instead of
+    * funneling the whole dataset through one driver core (a 100 TB
+    * eol="\r\n" export is embarrassingly parallel per part).
+    */
+  private def foreachPart(spark: SparkSession, path: String,
+                          skip: Set[String])(
+      kernel: (org.apache.hadoop.conf.Configuration, String) => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+        !skip.contains(f.getPath.getName))
+      .map(_.getPath.toString).toSeq.sorted
+    if (parts.isEmpty) return
+    val bconf = spark.sparkContext.broadcast(new SerHadoopConf(conf))
+    try spark.sparkContext.parallelize(parts, parts.length)
+      .foreach(p => kernel(bconf.value.value, p))
+    finally { bconf.unpersist(); () }
+  }
+
+  /** Prepend `prefix` to every part file (streamed copy + rename on the
+    * executor that owns the task — no driver-side buffering or byte
+    * traffic). Serves fwrite(bom=TRUE) and the csvy front-matter stamp
+    * (yaml=TRUE writes ONE part).
+    */
+  private def prependBytes(spark: SparkSession, path: String,
+                           prefix: Array[Byte]): Unit =
+    foreachPart(spark, path, Set.empty) { (conf, pathStr) =>
+      val p = new org.apache.hadoop.fs.Path(pathStr)
+      val fs = p.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".bom")
+      val out = fs.create(tmp, true)
+      out.write(prefix)
+      val in = fs.open(p)
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close(); out.close()
+      fs.delete(p, false)
+      fs.rename(tmp, p)
+      ()
+    }
 
   /** fwrite(eol=) post-pass: Spark's CSV writer only supports a
     * 1-character lineSep, so multi-byte terminators ("\r\n") rewrite
-    * each part in a streamed copy. QUOTE-AWARE: a '\n' inside a quoted
-    * field (multiline cells) is data and must survive; the state
+    * each part in a streamed copy — one EXECUTOR task per part file via
+    * [[foreachPart]] (round 17: the former driver-side loop funneled
+    * every output byte through one core). QUOTE-AWARE: a '\n' inside a
+    * quoted field (multiline cells) is data and must survive; the state
     * machine consumes escape pairs — esc==quote covers qmethod=double
     * (a doubled quote toggles twice = stays inside), esc='\\' covers
     * qmethod=escape where univocity escapes every literal backslash, so
-    * any esc byte in the file starts a pair by construction.
+    * any esc byte in the file starts a pair by construction. `skip`
+    * holds part names that predate this write (append mode) and must
+    * not be converted twice.
     */
   private def rewriteEol(spark: SparkSession, path: String, eol: String,
-                         quote: String, escape: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(path)
-    val fs = dir.getFileSystem(conf)
+                         quote: String, escape: String,
+                         skip: Set[String] = Set.empty): Unit =
+    foreachPart(spark, path, skip)(rewriteEolOne(_, _, eol, quote, escape))
+
+  /** The per-part eol-rewrite kernel, run on an executor: the
+    * quote-aware state machine over one part file's bytes. A `.gz` part
+    * streams through the codec (decompress → rewrite → recompress), so
+    * eol= composes with compress="gzip" like the reference
+    * (src/fwrite.c gzip path).
+    */
+  private[sources] def rewriteEolOne(
+      conf: org.apache.hadoop.conf.Configuration, pathStr: String,
+      eol: String, quote: String, escape: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(conf)
     val eolBytes = eol.getBytes("UTF-8")
     val q: Int = if (quote.nonEmpty) quote.head.toInt else -2
     val esc: Int = if (escape.nonEmpty) escape.head.toInt else -2
-    fs.listStatus(dir)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .foreach { f =>
-        val tmp = new org.apache.hadoop.fs.Path(f.getPath.getParent,
-          f.getPath.getName + ".eol")
-        val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 20)
-        val in = new java.io.BufferedInputStream(fs.open(f.getPath), 1 << 20)
-        var inQ = false
-        var c = in.read()
-        while (c >= 0) {
-          if (inQ) {
-            if (c == esc) {
-              val nx = in.read()
-              if (nx == q && esc != q) { // \" escaped quote: both are data
-                out.write(c); out.write(nx); c = in.read()
-              } else if (nx == esc && esc != q) { // \\ escaped escape
-                out.write(c); out.write(nx); c = in.read()
-              } else if (esc == q) {
-                // doubling convention: "" stays inside, "x closes
-                out.write(c)
-                if (nx == q) { out.write(nx); c = in.read() }
-                else { inQ = false; c = nx } // reprocess nx outside quotes
-              } else { // stray escape before ordinary data: plain bytes
-                out.write(c); c = nx
-              }
-            } else {
-              if (c == q) inQ = false
-              out.write(c); c = in.read()
-            }
-          } else if (c == q) {
-            inQ = true; out.write(c); c = in.read()
-          } else if (c == '\n') {
-            out.write(eolBytes); c = in.read()
-          } else {
-            out.write(c); c = in.read()
+    val gz = p.getName.endsWith(".gz")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".eol")
+    val rawOut: java.io.OutputStream = fs.create(tmp, true)
+    val out = new java.io.BufferedOutputStream(
+      if (gz) new java.util.zip.GZIPOutputStream(rawOut) else rawOut, 1 << 20)
+    val rawIn: java.io.InputStream = fs.open(p)
+    val in = new java.io.BufferedInputStream(
+      if (gz) new java.util.zip.GZIPInputStream(rawIn) else rawIn, 1 << 20)
+    var inQ = false
+    var c = in.read()
+    while (c >= 0) {
+      if (inQ) {
+        if (c == esc) {
+          val nx = in.read()
+          if (nx == q && esc != q) { // \" escaped quote: both are data
+            out.write(c); out.write(nx); c = in.read()
+          } else if (nx == esc && esc != q) { // \\ escaped escape
+            out.write(c); out.write(nx); c = in.read()
+          } else if (esc == q) {
+            // doubling convention: "" stays inside, "x closes
+            out.write(c)
+            if (nx == q) { out.write(nx); c = in.read() }
+            else { inQ = false; c = nx } // reprocess nx outside quotes
+          } else { // stray escape before ordinary data: plain bytes
+            out.write(c); c = nx
           }
+        } else {
+          if (c == q) inQ = false
+          out.write(c); c = in.read()
         }
-        in.close(); out.close()
-        fs.delete(f.getPath, false)
-        fs.rename(tmp, f.getPath)
+      } else if (c == q) {
+        inQ = true; out.write(c); c = in.read()
+      } else if (c == '\n') {
+        out.write(eolBytes); c = in.read()
+      } else {
+        out.write(c); c = in.read()
       }
+    }
+    in.close(); out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
   }
 
   /** Parquet is the native fast path for this engine (the reference's

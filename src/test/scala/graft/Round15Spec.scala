@@ -353,11 +353,12 @@ class Round15Spec extends AnyFunSuite {
     assert(s2 - s1 >= s1 - s0)
   }
 
-  test("shufDrifted: ratio past 1.3x AND >1MB apart, both sides measured") {
+  test("shufDrifted: ratio past 1.3x AND >8KB apart, both sides measured") {
     assert(Bench.shufDrifted(3000000L, 1000000L))
     assert(Bench.shufDrifted(1000000L, 3000000L))
+    assert(Bench.shufDrifted(300000L, 100000L))     // round-17: sub-MB drift flags now
     assert(!Bench.shufDrifted(1200000L, 1000000L))  // within ratio
-    assert(!Bench.shufDrifted(300000L, 100000L))    // < 1MB apart
+    assert(!Bench.shufDrifted(9000L, 2000L))        // < 8KB apart (AQE metadata wobble)
     assert(!Bench.shufDrifted(0L, 5000000L))        // unmeasured side
   }
 

