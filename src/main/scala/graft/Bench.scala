@@ -337,6 +337,20 @@ object Bench {
       // query's tag, but its stageId stays in the earlier query's range
       // (stageIds are session-global and monotonic), so slips remain
       // detectable in the sidecar by tag/stageId disagreement.
+      //
+      // Cleared-cold discipline (round 17): session fit memos are
+      // dropped before every cold run, so shuf_w is each query's FULL
+      // plan volume (fit builds included) — a pure function of (code,
+      // data, query), independent of which queries ran earlier in the
+      // sweep or of anything the environment ran before it. The round-16
+      // cross-environment byte reconciliation traced every real
+      // disagreement to exactly this history dependence (whether a
+      // memoized fit's build stage landed inside a query's cold window
+      // varied with sweep shape); ShuffleBudgetSpec proved cleared-cold
+      // volumes byte-stable across ~50 calibration reps. Warm reps run
+      // with the cold rep's fits memoized, so warm timings — the
+      // headline metric — keep their steady-state meaning.
+      Fits.clearAll()
       val shuf0 = meter.snapshot()
       meter.tag = name + "|cold"
       val cold = timeOnce(name, fn)

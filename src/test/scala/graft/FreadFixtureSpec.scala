@@ -104,7 +104,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   }
 
   test("\\r-only line endings keep comma-bearing NA rows (tests.Rraw 1869.4)") {
-    val p = java.nio.file.Files.createTempFile("graft_cr", ".csv")
+    val p = TestTmp.file("graft_cr", ".csv")
     java.nio.file.Files.write(p, "A,B\r2,3\r,\r,\r4,5\r\r".getBytes("UTF-8"))
     try {
       val df = Fread.fread(spark, p.toString)
@@ -120,7 +120,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   }
 
   test("skip=\"string\" starts at the first line containing the substring") {
-    val p = java.nio.file.Files.createTempFile("graft_skipto", ".csv")
+    val p = TestTmp.file("graft_skipto", ".csv")
     java.nio.file.Files.write(p,
       "banner line\nmore banner, with commas\n\na,b,c\n1,2,x\n3,4,y\n".getBytes("UTF-8"))
     try {
@@ -136,7 +136,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   }
 
   test("skip=\"string\" counts \\r-only physical lines like the distributed parse") {
-    val p = java.nio.file.Files.createTempFile("graft_skipto_cr", ".csv")
+    val p = TestTmp.file("graft_skipto_cr", ".csv")
     java.nio.file.Files.write(p,
       "banner\rjunk\ra,b\r1,2\r3,4\r".getBytes("UTF-8"))
     try {
@@ -148,7 +148,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   }
 
   test("skip=\"string\" with yaml=TRUE searches past the front matter, once") {
-    val p = java.nio.file.Files.createTempFile("graft_skipto_yaml", ".csvy")
+    val p = TestTmp.file("graft_skipto_yaml", ".csvy")
     java.nio.file.Files.write(p,
       ("---\nschema:\n  fields:\n    - name: a\n      type: integer\n" +
         "    - name: b\n      type: integer\n---\njunk line\na,b\n1,2\n3,4\n")
@@ -169,7 +169,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   }
 
   test("skip=\"string\" decodes the head with the requested exotic charset") {
-    val p = java.nio.file.Files.createTempFile("graft_skipto_gb", ".csv")
+    val p = TestTmp.file("graft_skipto_gb", ".csv")
     java.nio.file.Files.write(p,
       "横幅\n栏目,b\n1,2\n3,4\n".getBytes("GB18030"))
     try {
@@ -226,7 +226,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   // ---- multi na.strings + re-bump -------------------------------------
 
   test("multiple na.strings all null out and the column re-bumps to numeric") {
-    val d = java.nio.file.Files.createTempDirectory("graft_multina")
+    val d = TestTmp.dir("graft_multina")
     val f = d.resolve("t.csv")
     java.nio.file.Files.write(f,
       "a,b\n1,x\nNA,y\nNULL,z\n4,w\n".getBytes("UTF-8"))
@@ -239,7 +239,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   }
 
   test("dec=',' parses decimal-comma numerics") {
-    val d = java.nio.file.Files.createTempDirectory("graft_dec")
+    val d = TestTmp.dir("graft_dec")
     val f = d.resolve("t.csv")
     java.nio.file.Files.write(f,
       "a;b\n1,5;x\n2,25;y\n".getBytes("UTF-8"))
@@ -254,7 +254,7 @@ class FreadFixtureSpec extends AnyFunSuite {
   test("fwrite dateTimeAs=squash and epoch") {
     val df = Seq((java.sql.Date.valueOf("2015-01-02"),
       java.sql.Timestamp.valueOf("2015-01-02 03:04:05"))).toDF("d", "ts")
-    val dir = java.nio.file.Files.createTempDirectory("graft_dtas")
+    val dir = TestTmp.dir("graft_dtas")
 
     Fread.fwrite(df, s"$dir/squash", FwriteOptions(dateTimeAs = "squash"))
     val sq = spark.read.option("header", true).csv(s"$dir/squash").head()
@@ -268,14 +268,14 @@ class FreadFixtureSpec extends AnyFunSuite {
 
   test("fwrite sep2 joins array columns inside one field") {
     val df = Seq((1, Seq("a", "b", "c"))).toDF("k", "v")
-    val dir = java.nio.file.Files.createTempDirectory("graft_sep2")
+    val dir = TestTmp.dir("graft_sep2")
     Fread.fwrite(df, s"$dir/out", FwriteOptions(sep2 = "|"))
     val back = spark.read.option("header", true).csv(s"$dir/out").head()
     assert(back.getString(1) == "a|b|c")
   }
 
   test("fwrite append=TRUE adds rows; bom=TRUE prepends EF BB BF") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_appbom")
+    val dir = TestTmp.dir("graft_appbom")
     val df = Seq((1, "x")).toDF("k", "v")
     Fread.fwrite(df, s"$dir/app", FwriteOptions(header = false))
     Fread.fwrite(df, s"$dir/app", FwriteOptions(header = false, append = true))
@@ -314,7 +314,7 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
   test("GB18030 with non-ASCII header: sep sniff decodes with the real charset") {
     // GBK trail bytes include ASCII '|' (0x7C) — a UTF-8 head read
     // would see spurious '|' and mis-sniff the separator
-    val dir = java.nio.file.Files.createTempDirectory("fread-gb").toFile
+    val dir = TestTmp.dir("fread-gb").toFile
     val f = new java.io.File(dir, "zh.csv")
     val content = "姓名,年龄\n张三,30\n李四,25\n"
     java.nio.file.Files.write(f.toPath, content.getBytes("GB18030"))
@@ -327,7 +327,7 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
   }
 
   test("transcode tier reads ONE file per call, like the reference's fread") {
-    val dir = java.nio.file.Files.createTempDirectory("fread-gb2").toFile
+    val dir = TestTmp.dir("fread-gb2").toFile
     for (n <- Seq("a.csv", "b.csv"))
       java.nio.file.Files.write(new java.io.File(dir, n).toPath,
         "x,y\n1,2\n".getBytes("GB18030"))
@@ -386,7 +386,7 @@ class FreadEncodingAndGuardSpec extends AnyFunSuite {
   }
 
   test("headerless autoname is V1..Vn; logicalYN bumps y/n values too") {
-    val dir = java.nio.file.Files.createTempDirectory("fread-yn").toFile
+    val dir = TestTmp.dir("fread-yn").toFile
     val f = new java.io.File(dir, "yn.csv")
     java.nio.file.Files.write(f.toPath, "1,Y\n2,n\n3,y\n".getBytes("UTF-8"))
     val df = Fread.fread(spark, f.getAbsolutePath,

@@ -98,7 +98,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   // ---- end-to-end through fwrite --------------------------------------
 
   test("fwrite writes reference float format; scipen= flows through; NaN -> na") {
-    val dir = "/tmp/graft_fwrite_float"
+    val dir = TestTmp.path("graft_fwrite_float")
     val df = Seq((1L, 0.0001, 1e6, -20.0), (2L, Double.NaN, 0.0, 1 / 0.9))
       .toDF("id", "a", "b", "c")
     Fread.fwrite(df, dir, Fread.FwriteOptions(na = "NA"))
@@ -123,7 +123,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   }
 
   test("fwrite dec=',' sep=';' writes comma decimals (1733.2 end-to-end)") {
-    val dir = "/tmp/graft_fwrite_dec"
+    val dir = TestTmp.path("graft_fwrite_dec")
     val df = Seq((1.2, 1), (-8.0, 2), (math.Pi, 3), (67.99, 4)).toDF("V1", "V2")
     Fread.fwrite(df, dir, Fread.FwriteOptions(sep = ";", dec = ","))
     val lines = spark.read.textFile(dir).collect().toSeq
@@ -133,16 +133,16 @@ class FwriteFloatSpec extends AnyFunSuite {
 
   test("dec==sep allowed for single-column tables only (#7227, 2337)") {
     val one = Seq(1.0).toDF("V1")
-    Fread.fwrite(one, "/tmp/graft_fwrite_dec1", Fread.FwriteOptions(dec = ","))
+    Fread.fwrite(one, TestTmp.path("graft_fwrite_dec1"), Fread.FwriteOptions(dec = ","))
     val two = Seq((0.1, 0.2)).toDF("a", "b")
     val e = intercept[IllegalArgumentException] {
-      Fread.fwrite(two, "/tmp/graft_fwrite_dec2", Fread.FwriteOptions(dec = ","))
+      Fread.fwrite(two, TestTmp.path("graft_fwrite_dec2"), Fread.FwriteOptions(dec = ","))
     }
     assert(e.getMessage.contains("dec and sep must be distinct"))
   }
 
   test("dec=',' reaches sub-second ISO timestamps (#6446, 2281.1/.2)") {
-    val dir = "/tmp/graft_fwrite_dec_ts"
+    val dir = TestTmp.path("graft_fwrite_dec_ts")
     val df = Seq(
       (1L, new java.sql.Timestamp(1L)),       // 0.001 s
       (2L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0, 100000))), // 0.0001 s
@@ -158,7 +158,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   // ---- fread dec='auto' (R/fread.R:38; tests.Rraw 2256) ----------------
 
   test("fread auto-detects dec=',' from the sampled balance (2256.06)") {
-    val dir = "/tmp/graft_fread_dec_auto"
+    val dir = TestTmp.path("graft_fread_dec_auto")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.csv"),
       "a;b\n1,14;5\n2,5;6\n".getBytes("UTF-8"))
@@ -170,7 +170,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   }
 
   test("fwrite(dec=',') -> fread roundtrip without explicit dec (2256.01)") {
-    val dir = "/tmp/graft_fread_dec_rt"
+    val dir = TestTmp.path("graft_fread_dec_rt")
     // one part: the dec sniff head-reads the first file of a directory
     val src = Seq((1.5, "x"), (-0.25, "y"), (3.0, "z")).toDF("v", "s").coalesce(1)
     Fread.fwrite(src, dir, Fread.FwriteOptions(sep = ";", dec = ","))
@@ -181,7 +181,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   }
 
   test("dec auto never fires on comma-sep or dot-decimal files") {
-    val dir = "/tmp/graft_fread_dec_neg"
+    val dir = TestTmp.path("graft_fread_dec_neg")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // comma IS the sep: '1,14' is two fields, dec stays '.'
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g.csv"),
@@ -200,7 +200,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   // ---- fread strip.white (R/fread.R:41; tests.Rraw 1331-1333) ----------
 
   test("strip.white=TRUE default strips unquoted fields (1331.1/.2)") {
-    val dir = "/tmp/graft_fread_sw"
+    val dir = TestTmp.path("graft_fread_sw")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
       "A,B\nfoo,1\nAnalyst\\ ,2\nbar,3\n".getBytes("UTF-8"))
@@ -215,7 +215,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   }
 
   test("strip.white=FALSE keeps leading spaces too (1332.2)") {
-    val dir = "/tmp/graft_fread_sw2"
+    val dir = TestTmp.path("graft_fread_sw2")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.csv"),
       "ab,x\n  cd,x \n".getBytes("UTF-8"))
@@ -230,7 +230,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   }
 
   test("strip.white applies only OUTSIDE quotes (1333.2 shape)") {
-    val dir = "/tmp/graft_fread_sw3"
+    val dir = TestTmp.path("graft_fread_sw3")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c.csv"),
       "A,B\n\" x \",1\n".getBytes("UTF-8"))
@@ -240,7 +240,7 @@ class FwriteFloatSpec extends AnyFunSuite {
   }
 
   test("fwrite formats double ARRAY elements the same way (1658.45 list shape)") {
-    val dir = "/tmp/graft_fwrite_float_arr"
+    val dir = TestTmp.path("graft_fwrite_float_arr")
     val df = Seq((2L, Seq(3.14, 1e12))).toDF("a", "b")
     Fread.fwrite(df, dir, Fread.FwriteOptions())
     val lines = spark.read.textFile(dir).collect().toSeq

@@ -23,6 +23,54 @@ object SparkTestSession {
   val sfDir = "/root/testdata/sf0.001"
 }
 
+/** Registry-backed temp files/dirs for tests (VERDICT_r16 item 5): every
+  * suite routes temp creation through here, and a JVM shutdown hook in the
+  * forked test JVM removes everything recursively when the run ends, so a
+  * full `sbt test` leaves /tmp flat instead of leaking ~150 graft_* dirs.
+  * Deletion is deliberately at JVM exit, not per-test: streaming suites
+  * hold checkpoint dirs across tests, and the shared Spark session keeps
+  * open handles until stop().
+  */
+object TestTmp {
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  def dir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    created.add(p); p
+  }
+
+  def file(prefix: String, suffix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile(prefix, suffix)
+    created.add(p); p
+  }
+
+  /** A NOT-yet-created /tmp path (for writers that create their own output
+    * dir), pid-scoped so concurrent JVMs can't clobber each other, and
+    * registered for shutdown cleanup like dir()/file().
+    */
+  def path(prefix: String): String = {
+    val p = java.nio.file.Paths.get(
+      "/tmp", prefix + "_" + ProcessHandle.current().pid())
+    created.add(p); p.toString
+  }
+
+  private[graft] def registeredCount: Int = created.size()
+
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val all = java.nio.file.Files.walk(p).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach { f =>
+        try java.nio.file.Files.deleteIfExists(f) catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    created.forEach(p => deleteRecursively(p))
+  }, "graft-testtmp-cleanup"))
+}
+
 /** Semantic edge cases mined from the reference's tests.Rraw style:
   * inline expected values on tiny literal tables.
   */
@@ -254,7 +302,7 @@ class StreamingSpec extends AnyFunSuite {
   test("windowed streaming agg over events matches batch tumbling counts") {
     val batch = Tables.load(spark, SparkTestSession.sfDir, "events")
     // Write a small parquet copy (µs timestamps) to stream from.
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val dir = TestTmp.dir("graft_stream").toString
     batch.limit(500).write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = Streams.readParquetStream(spark, dir, schema, maxFilesPerTrigger = 2)
@@ -270,7 +318,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("dropDuplicatesWithinWatermark removes duplicate keys in horizon") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val dir = TestTmp.dir("graft_dedup").toString
     val batch = Tables.load(spark, SparkTestSession.sfDir, "events").limit(200)
     batch.union(batch).write.mode("overwrite").parquet(dir)  // every row twice
     val schema = spark.read.parquet(dir).schema
@@ -309,7 +357,7 @@ class SourcesMultimodalSpec extends AnyFunSuite {
   }
 
   test("fwrite/fread roundtrip with tab sep + auto-sniff") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    val dir = TestTmp.dir("graft_csv").toString + "/out"
     val src = Tables.load(spark, SparkTestSession.sfDir, "nation")
     Fread.fwrite(src, dir, Fread.FwriteOptions(sep = "\t"))
     assert(Fread.sniffSep(spark, dir) == "\t")
@@ -340,7 +388,7 @@ class ScaleEdgeSpec extends AnyFunSuite {
   }
 
   test("writeKeyed/writePartitioned roundtrip preserves data; partition pruning applies") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_keyed").toString
+    val dir = TestTmp.dir("graft_keyed").toString
     val src = Tables.load(spark, SparkTestSession.sfDir, "orders")
     Scale.writeKeyed(src, s"$dir/keyed", Seq("o_custkey"))
     assert(spark.read.parquet(s"$dir/keyed").count() == src.count())
@@ -401,7 +449,7 @@ class StreamingMoreSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions._
 
   test("session windows close after gap; counts match batch sessionization") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val dir = TestTmp.dir("graft_sess").toString
     Tables.load(spark, SparkTestSession.sfDir, "events").limit(300)
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
@@ -419,7 +467,7 @@ class StreamingMoreSpec extends AnyFunSuite {
   }
 
   test("stream-static enrichment joins dimension values onto stream rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    val dir = TestTmp.dir("graft_enrich").toString
     Tables.load(spark, SparkTestSession.sfDir, "events").limit(100)
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
@@ -447,7 +495,7 @@ class StatefulStreamSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState as-of enrichment matches batch asof join") {
     val batchEv = Tables.load(spark, SparkTestSession.sfDir, "events").limit(600)
-    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val dir = TestTmp.dir("graft_state").toString
     batchEv.write.mode("overwrite").parquet(dir)
 
     // Batch truth: asof LOCF purchase→click on the same rows.
@@ -615,7 +663,7 @@ class FreadEdgeSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions._
 
   private def writeFile(name: String, content: String): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_csv_edge")
+    val d = TestTmp.dir("graft_csv_edge")
     val p = d.resolve(name)
     java.nio.file.Files.write(p, content.getBytes("UTF-8"))
     p.toString
@@ -1277,7 +1325,7 @@ class ReviewFixSpec extends AnyFunSuite {
   }
 
   test("fread header=auto detects headerless numeric files") {
-    val d = java.nio.file.Files.createTempDirectory("graft_noheader")
+    val d = TestTmp.dir("graft_noheader")
     val p = d.resolve("nohead.csv")
     java.nio.file.Files.write(p, "1,2.5\n3,4.5\n".getBytes)
     val df = graft.sources.Fread.fread(spark, p.toString)
@@ -1285,7 +1333,7 @@ class ReviewFixSpec extends AnyFunSuite {
   }
 
   test("fread honors NA sentinel from naStrings") {
-    val d = java.nio.file.Files.createTempDirectory("graft_na2")
+    val d = TestTmp.dir("graft_na2")
     val p = d.resolve("na2.csv")
     java.nio.file.Files.write(p, "a,b\n1,NA\n2,x\n".getBytes)
     val df = graft.sources.Fread.fread(spark, p.toString)
@@ -1407,7 +1455,7 @@ class ReviewFix2Spec extends AnyFunSuite {
   }
 
   test("fread header=auto: quoted numeric first line is data, not header") {
-    val d = java.nio.file.Files.createTempDirectory("graft_qnum")
+    val d = TestTmp.dir("graft_qnum")
     val p = d.resolve("qnum.csv")
     java.nio.file.Files.write(p, "\"1\",\"2.5\"\n\"3\",\"4.5\"\n".getBytes)
     val df = graft.sources.Fread.fread(spark, p.toString)

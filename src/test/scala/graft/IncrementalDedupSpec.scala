@@ -41,7 +41,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("indexed path == DataFrame path after save/load round-trip") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    val dir = TestTmp.dir("graft_bandidx").toString
     Dedup.saveBandIndex(base, "doc_id", "text", dir)
     val direct = Dedup.minhashIncrementalPortable(base, batch, "doc_id", "text")
       .orderBy($"new_id", $"dup_of")
@@ -69,7 +69,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("ingest loop: append day-1 novel docs, day-2 batch matches them") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx_loop").toString
+    val dir = TestTmp.dir("graft_bandidx_loop").toString
     Dedup.saveBandIndex(base, "doc_id", "text", dir)
     // day 1: doc 101 is novel → append it
     val day1 = batch.filter($"doc_id" === 101L)

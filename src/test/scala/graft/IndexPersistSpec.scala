@@ -11,7 +11,7 @@ class IndexPersistSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_idx_$tag").toString
+    TestTmp.dir(s"graft_idx_$tag").toString
 
   test("IVF centroids round-trip bit-exactly in cell order") {
     val cents = Seq(
@@ -56,7 +56,7 @@ class SemIncrementalSpec extends AnyFunSuite {
       (2L, Seq(0.0, 1.0, 0.0, 0.0)),
       (3L, Seq(0.9, 0.1, 0.0, 0.0))).toDF("id", "vec")
     val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_cellidx").toString
+    val dir = TestTmp.dir("graft_cellidx").toString
     Similarity.saveCellIndex(corpus, "id", "vec", cents, dir)
     val batch = Seq(
       (100L, Seq(0.99, 0.01, 0.0, 0.0)),   // ≈ id 1 / 3
@@ -80,7 +80,7 @@ class CellIndexLoopSpec extends AnyFunSuite {
     import graft.sim.Similarity
     val corpus = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "vec")
     val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
-    val idx = java.nio.file.Files.createTempDirectory("graft_cellloop").toString
+    val idx = TestTmp.dir("graft_cellloop").toString
     Similarity.saveCellIndex(corpus, "id", "vec", cents, idx)
     // day 1: orthogonal vector is novel -> append it
     val day1 = Seq((100L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")

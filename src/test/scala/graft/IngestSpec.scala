@@ -19,7 +19,7 @@ class IngestSpec extends AnyFunSuite {
   private def corpus = Seq((1L, good)).toDF("doc_id", "text")
 
   test("triage: reject short, drop intra-batch copy, match corpus dup, keep novel; day-2 loop") {
-    val idx = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val idx = TestTmp.dir("graft_ingest").toString
     Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
     val novelText =
       "an entirely different long document about the spark catalyst planner and the rules of windows"
@@ -44,7 +44,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("append=false leaves the index untouched") {
-    val idx = java.nio.file.Files.createTempDirectory("graft_ingest_dry").toString
+    val idx = TestTmp.dir("graft_ingest_dry").toString
     Dedup.saveBandIndex(corpus, "doc_id", "text", idx)
     val t = "a novel long document describing the behavior of rolling aggregates and ordered window frames"
     val batch = Seq((30L, t)).toDF("doc_id", "text")

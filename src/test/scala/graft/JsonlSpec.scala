@@ -15,7 +15,7 @@ class JsonlSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_jsonl_$tag").toString
+    TestTmp.dir(s"graft_jsonl_$tag").toString
 
   test("gzip roundtrip preserves rows and types under explicit schema") {
     val dir = tmp("gz")
@@ -73,7 +73,7 @@ class QuoteDisableSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("quote=\"\" reads embedded quote chars as data") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_noquote").toString
+    val dir = TestTmp.dir("graft_noquote").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d.csv"),
       "a,b\n1,he said \"hi\" loudly\n2,\"unclosed\n".getBytes("UTF-8"))
     val got = Fread.fread(spark, dir, Fread.FreadOptions(quote = "", sep = ","))
@@ -82,7 +82,7 @@ class QuoteDisableSpec extends AnyFunSuite {
   }
 
   test("fwrite quote=\"\" emits fields verbatim") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_noquote_w").toString
+    val dir = TestTmp.dir("graft_noquote_w").toString
     Fread.fwrite(Seq((1, "say \"hi\"")).toDF("a", "b"), dir,
       Fread.FwriteOptions(quote = ""))
     val raw = spark.read.text(dir).as[String].collect().filter(_.startsWith("1"))

@@ -15,7 +15,7 @@ class ReviewFix3Spec extends AnyFunSuite {
   import spark.implicits._
 
   test("colClasses pins string columns against the multi-NA numeric re-bump") {
-    val d = java.nio.file.Files.createTempDirectory("graft_pin")
+    val d = TestTmp.dir("graft_pin")
     val f = d.resolve("t.csv")
     java.nio.file.Files.write(f, "zip,b\n00123,x\nNA,y\n".getBytes("UTF-8"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -30,7 +30,7 @@ class ReviewFix3Spec extends AnyFunSuite {
 
   test("fwrite rejects bom with gzip or append") {
     val df = Seq((1, "x")).toDF("k", "v")
-    val dir = java.nio.file.Files.createTempDirectory("graft_bomreq")
+    val dir = TestTmp.dir("graft_bomreq")
     intercept[IllegalArgumentException] {
       Fread.fwrite(df, s"$dir/a", FwriteOptions(bom = true, compress = "gzip"))
     }

@@ -272,8 +272,8 @@ class Round10Spec extends AnyFunSuite {
     try {
       assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
         .contains("RocksDBStateStoreProvider"))
-      val sink = java.nio.file.Files.createTempDirectory("graft_rocks_sink").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toString
+      val sink = TestTmp.dir("graft_rocks_sink").toString
+      val ckpt = TestTmp.dir("graft_rocks_ckpt").toString
       val ms = MemoryStream[RDoc]
       def start() = Streams.dedupContentStream(ms.toDF(), "ts", "10 seconds", "text")
         .writeStream.outputMode("append")
@@ -370,7 +370,7 @@ class Round10Spec extends AnyFunSuite {
 
   test("fread(logicalYN): pure Y/N string columns become boolean, mixed stay") {
     import graft.sources.Fread
-    val d = java.nio.file.Files.createTempDirectory("graft_yn")
+    val d = TestTmp.dir("graft_yn")
     val p = d.resolve("yn.csv")
     java.nio.file.Files.write(p,
       "id,flag,mixed,empty\n1,Y,Y,\n2,N,maybe,\n3,Y,N,\n".getBytes)

@@ -168,7 +168,7 @@ class Round11Spec extends AnyFunSuite {
   // ---- Dev-NEWS bug-fix locks (reference NEWS.md 1.18.99) --------------
 
   test("fread keeps a first row with fewer fields than later rows (#7463)") {
-    val p = java.nio.file.Files.createTempFile("graft_7463", ".csv")
+    val p = TestTmp.file("graft_7463", ".csv")
     java.nio.file.Files.write(p, "1,2\n3,4,5\n6,7,8\n".getBytes("UTF-8"))
     try {
       val df = graft.sources.Fread.fread(spark, p.toString,
@@ -181,7 +181,7 @@ class Round11Spec extends AnyFunSuite {
   }
 
   test("fread keeps a literal 'NA' header column name even with NA in na.strings (#5124)") {
-    val p = java.nio.file.Files.createTempFile("graft_5124", ".csv")
+    val p = TestTmp.file("graft_5124", ".csv")
     java.nio.file.Files.write(p, "NA,b\n1,2\nNA,4\n".getBytes("UTF-8"))
     try {
       val df = graft.sources.Fread.fread(spark, p.toString,

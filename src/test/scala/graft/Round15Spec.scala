@@ -377,7 +377,7 @@ class Round15Spec extends AnyFunSuite {
   }
 
   test("sniffBom picks the name-sorted first file of a directory") {
-    val dir = java.nio.file.Files.createTempDirectory("sniffbom").toFile
+    val dir = TestTmp.dir("sniffbom").toFile
     try {
       // write z first so creation order disagrees with name order
       java.nio.file.Files.write(new java.io.File(dir, "z.csv").toPath,

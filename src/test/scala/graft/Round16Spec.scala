@@ -14,7 +14,7 @@ class Round16Spec extends AnyFunSuite {
   // ---- fwrite qmethod= + quote=TRUE (tests.Rraw 1658.02-.17) -----------
 
   test("auto quoting doubles embedded quotes by default (1658.04)") {
-    val dir = "/tmp/graft_fwrite_q1"
+    val dir = TestTmp.path("graft_fwrite_q1")
     val df = Seq((1, "\"foo"), (2, "ba\"r"), (3, "baz\""), (4, "a \"quoted\" region"))
       .toDF("a", "b")
     graft.sources.Fread.fwrite(df, dir, graft.sources.Fread.FwriteOptions())
@@ -24,7 +24,7 @@ class Round16Spec extends AnyFunSuite {
   }
 
   test("qmethod=escape backslash-escapes embedded quotes (1658.05)") {
-    val dir = "/tmp/graft_fwrite_q2"
+    val dir = TestTmp.path("graft_fwrite_q2")
     val df = Seq((1, "\"foo"), (4, "a \"quoted\" region")).toDF("a", "b")
     graft.sources.Fread.fwrite(df, dir,
       graft.sources.Fread.FwriteOptions(qmethod = "escape"))
@@ -34,7 +34,7 @@ class Round16Spec extends AnyFunSuite {
   }
 
   test("quote=TRUE quotes string fields + header, leaves numerics bare (1658.16/.17)") {
-    val dir = "/tmp/graft_fwrite_q3"
+    val dir = TestTmp.path("graft_fwrite_q3")
     // one part = one header line, like the reference's single file
     val df = Seq((1, 1), (2, 2), (3, 3)).toDF("a", "b").coalesce(1)
     graft.sources.Fread.fwrite(df, dir,
@@ -50,7 +50,7 @@ class Round16Spec extends AnyFunSuite {
   }
 
   test("quote=TRUE + qmethod=double/escape in-field content (1658.03/.06/.08); NA stays bare") {
-    val dir = "/tmp/graft_fwrite_q4"
+    val dir = TestTmp.path("graft_fwrite_q4")
     val df = Seq(("foo", Option("ba\"r")), ("x", None: Option[String]))
       .toDF("a", "b")
     graft.sources.Fread.fwrite(df, dir, graft.sources.Fread.FwriteOptions(
@@ -77,7 +77,7 @@ class Round16Spec extends AnyFunSuite {
   }
 
   test("fread(checkNames=true) uniquifies duplicate header names") {
-    val dir = "/tmp/graft_fread_checknames"
+    val dir = TestTmp.path("graft_fread_checknames")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
       "a,a,1b\n1,2,3\n".getBytes("UTF-8"))
@@ -90,7 +90,7 @@ class Round16Spec extends AnyFunSuite {
   // ---- fread fill=N declared width (man/fread.Rd integer fill) ----------
 
   test("fill=N declares the width: no scan, wide rows parse, narrow rows pad") {
-    val dir = "/tmp/graft_fread_fillN"
+    val dir = TestTmp.path("graft_fread_fillN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // header is 2 wide; a LATER row is 4 wide (past what the header
     // promises — the shape the declared width exists for)
@@ -116,7 +116,7 @@ class Round16Spec extends AnyFunSuite {
   }
 
   test("eol=\\r\\n terminates records; embedded newlines in quoted cells survive") {
-    val dir = "/tmp/graft_fwrite_eol"
+    val dir = TestTmp.path("graft_fwrite_eol")
     val df = Seq((1, "plain"), (2, "two\nlines")).toDF("a", "b")
       .coalesce(1).sortWithinPartitions($"a")
     graft.sources.Fread.fwrite(df, dir,
@@ -126,7 +126,7 @@ class Round16Spec extends AnyFunSuite {
   }
 
   test("eol with quote=TRUE (1658.10) and with qmethod=escape quoted backslashes") {
-    val dir = "/tmp/graft_fwrite_eol2"
+    val dir = TestTmp.path("graft_fwrite_eol2")
     val df = Seq(("foo", "bar")).toDF("a", "b").coalesce(1)
     graft.sources.Fread.fwrite(df, dir, graft.sources.Fread.FwriteOptions(
       eol = "\r\n", quoteMode = "all"))
@@ -142,7 +142,7 @@ class Round16Spec extends AnyFunSuite {
 
   test("eol='' is an error like the reference (1658.62)") {
     val e = intercept[IllegalArgumentException] {
-      graft.sources.Fread.fwrite(Seq(1).toDF("a"), "/tmp/graft_fwrite_eol3",
+      graft.sources.Fread.fwrite(Seq(1).toDF("a"), TestTmp.path("graft_fwrite_eol3"),
         graft.sources.Fread.FwriteOptions(eol = ""))
     }
     assert(e.getMessage.contains("eol must be 1 or more bytes"))
@@ -151,7 +151,7 @@ class Round16Spec extends AnyFunSuite {
   // ---- fread col.names= + graft_dtoa SQL surface ------------------------
 
   test("fread col.names= overrides names positionally, after select/drop") {
-    val dir = "/tmp/graft_fread_colnames"
+    val dir = TestTmp.path("graft_fread_colnames")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.csv"),
       "a,b,c\n1,2,3\n".getBytes("UTF-8"))

@@ -67,7 +67,7 @@ class Round17Spec extends AnyFunSuite {
 
   test("fwrite append=TRUE + eol=\\r\\n converts only the new parts (no \\r\\r\\n)") {
     import spark.implicits._
-    val dir = "/tmp/graft_r17_append_eol"
+    val dir = TestTmp.path("graft_r17_append_eol")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val o = graft.sources.Fread.FwriteOptions(eol = "\r\n", header = false)
     graft.sources.Fread.fwrite(Seq((1, "a"), (2, "b")).toDF("i", "s").coalesce(1), dir, o)
@@ -85,7 +85,7 @@ class Round17Spec extends AnyFunSuite {
 
   test("fwrite eol=\\r\\n composes with compress=gzip (codec-streamed rewrite)") {
     import spark.implicits._
-    val dir = "/tmp/graft_r17_eol_gzip"
+    val dir = TestTmp.path("graft_r17_eol_gzip")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     graft.sources.Fread.fwrite(
       Seq((1, "a\nb"), (2, "plain")).toDF("i", "s").coalesce(1), dir,
@@ -109,7 +109,7 @@ class Round17Spec extends AnyFunSuite {
 
   test("fwrite quote=TRUE quotes sep2-joined list columns like character fields") {
     import spark.implicits._
-    val dir = "/tmp/graft_r17_quote_list"
+    val dir = TestTmp.path("graft_r17_quote_list")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     graft.sources.Fread.fwrite(
       Seq((1, Seq("x", "y"), "s")).toDF("i", "l", "s").coalesce(1), dir,
@@ -126,7 +126,7 @@ class Round17Spec extends AnyFunSuite {
     nation.repartition(4, org.apache.spark.sql.functions.col("n_regionkey"))
       .count()
     meter.snapshot() // drain so the events are delivered before we dump
-    val out = java.nio.file.Files.createTempFile("graft_shufev", ".jsonl")
+    val out = TestTmp.file("graft_shufev", ".jsonl")
     try {
       meter.writeEvents(out)
       val lines = scala.io.Source.fromFile(out.toFile, "UTF-8")

@@ -228,7 +228,7 @@ class Round8Spec extends AnyFunSuite {
   // as session-TZ timestamps with identical values.
   test("Tables.load events: long-nanos and timestamp_ntz fixtures agree") {
     import org.apache.spark.sql.types.TimestampType
-    val tmp = java.nio.file.Files.createTempDirectory("graft_enc").toFile.getAbsolutePath
+    val tmp = TestTmp.dir("graft_enc").toFile.getAbsolutePath
     val micros = Seq(1700000000123456L, 1700000100987654L)
     val base = micros.zipWithIndex.map { case (us, i) =>
       (i.toLong, us * 1000L, 10L + i, "click", 1.0 * i) }
@@ -249,7 +249,7 @@ class Round8Spec extends AnyFunSuite {
   // fwrite sep2 list columns survive a CSV round-trip (R/fwrite.R sep2)
   test("fwrite sep2 list column round-trips through fread + split") {
     import graft.sources.Fread
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sep2").toFile.getAbsolutePath
+    val tmp = TestTmp.dir("graft_sep2").toFile.getAbsolutePath
     val df = Seq((1L, Seq("a", "b", "c")), (2L, Seq("d")), (3L, Seq.empty[String]))
       .toDF("id", "tags")
     Fread.fwrite(df, s"$tmp/out", Fread.FwriteOptions(sep2 = "|"))
@@ -381,7 +381,7 @@ class Round8Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DT(df).splitBy(Seq("id"), maxGroups = 2)
     }
-    val tmp = java.nio.file.Files.createTempDirectory("graft_split").toFile.getAbsolutePath
+    val tmp = TestTmp.dir("graft_split").toFile.getAbsolutePath
     DT(df.filter($"g".isNotNull)).writeSplit(s"$tmp/out", Seq("g"))
     val back = spark.read.parquet(s"$tmp/out")
     assert(back.count() == 3)

@@ -89,7 +89,7 @@ class Round9Spec extends AnyFunSuite {
   // ---- incrementalPairs under a double-appended index ------------------
 
   test("a double-appended index id yields no duplicate match rows") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_r9_idx").toString
+    val tmp = TestTmp.dir("graft_r9_idx").toString
     val base = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
     val batch = Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
@@ -214,7 +214,7 @@ class Round9Spec extends AnyFunSuite {
   }
 
   test("index-buckets memo: second search reuses the aggregation; append evicts") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_r9_memo").toString
+    val tmp = TestTmp.dir("graft_r9_memo").toString
     val base = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
     val batch = Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
@@ -244,12 +244,12 @@ class Round9Spec extends AnyFunSuite {
     import graft.sources.Fread
     val df = Seq((1L, Some(true)), (2L, Some(false)), (3L, None: Option[Boolean]))
       .toDF("id", "flag")
-    val p01 = java.nio.file.Files.createTempDirectory("graft_l01").toString + "/out"
+    val p01 = TestTmp.dir("graft_l01").toString + "/out"
     Fread.fwrite(df, p01, Fread.FwriteOptions(logical01 = true, na = "NA"))
     val raw01 = spark.read.text(p01).as[String].collect().toSet
     assert(raw01.contains("1,1") && raw01.contains("2,0") && raw01.contains("3,NA"),
       s"got $raw01")
-    val pTf = java.nio.file.Files.createTempDirectory("graft_tf").toString + "/out"
+    val pTf = TestTmp.dir("graft_tf").toString + "/out"
     Fread.fwrite(df, pTf, Fread.FwriteOptions(na = "NA"))
     val rawTf = spark.read.text(pTf).as[String].collect().toSet
     assert(rawTf.contains("1,TRUE") && rawTf.contains("2,FALSE") && rawTf.contains("3,NA"),
@@ -260,7 +260,7 @@ class Round9Spec extends AnyFunSuite {
     import graft.sources.Fread
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-03-05 06:07:08")))
       .toDF("id", "ts")
-    val p = java.nio.file.Files.createTempDirectory("graft_wcsv").toString + "/out"
+    val p = TestTmp.dir("graft_wcsv").toString + "/out"
     Fread.fwrite(df, p, Fread.FwriteOptions(dateTimeAs = "write.csv"))
     val raw = spark.read.text(p).as[String].collect().toSet
     assert(raw.contains("1,2024-03-05 06:07:08"), s"got $raw")
@@ -272,7 +272,7 @@ class Round9Spec extends AnyFunSuite {
       (1L, "alpha", 1.5, true, java.sql.Date.valueOf("2024-01-02")),
       (2L, "beta, with comma", 2.5, false, java.sql.Date.valueOf("2024-03-04")))
       .toDF("id", "name", "score", "flag", "d")
-    val p = java.nio.file.Files.createTempDirectory("graft_csvy").toString + "/out"
+    val p = TestTmp.dir("graft_csvy").toString + "/out"
     Fread.fwrite(df, p, Fread.FwriteOptions(yaml = true))
     // front matter parses: names + written types + dialect
     val h = Fread.csvyHeader(spark, p)

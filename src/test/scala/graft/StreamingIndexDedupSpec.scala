@@ -26,7 +26,7 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
       (2L, dupText + "!"),
       (3L, "an entirely different document about spark catalyst planning rules")
     ).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val idx = TestTmp.dir("graft_sidx").toString
     Dedup.saveBandIndex(base, "doc_id", "text", idx)
 
     val ms = MemoryStream[Doc]
@@ -67,10 +67,10 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val base = Seq((1L, dupText), (2L, dupText + "!")).toDF("doc_id", "text")
-    val idx = java.nio.file.Files.createTempDirectory("graft_ridx").toString
+    val idx = TestTmp.dir("graft_ridx").toString
     Dedup.saveBandIndex(base, "doc_id", "text", idx)
-    val sink = java.nio.file.Files.createTempDirectory("graft_rsink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_rckpt").toString
+    val sink = TestTmp.dir("graft_rsink").toString
+    val ckpt = TestTmp.dir("graft_rckpt").toString
 
     val ms = MemoryStream[Doc]
     def start() = Streams.dedupAgainstIndexStream(ms.toDF(), "doc_id", "ts",
@@ -109,8 +109,8 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
 
     val otherText =
       "a completely separate corpus of words about gardens and rivers flowing south"
-    val idx = java.nio.file.Files.createTempDirectory("graft_relidx").toString
-    val idxV2 = java.nio.file.Files.createTempDirectory("graft_relidx2").toString
+    val idx = TestTmp.dir("graft_relidx").toString
+    val idxV2 = TestTmp.dir("graft_relidx2").toString
     Dedup.saveBandIndex(Seq((1L, dupText)).toDF("doc_id", "text"),
       "doc_id", "text", idx)
     Dedup.saveBandIndex(Seq((7L, otherText)).toDF("doc_id", "text"),
@@ -166,7 +166,7 @@ class StreamingIndexDedupSpec extends AnyFunSuite {
     import graft.sim.Similarity
 
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
-    val idx = java.nio.file.Files.createTempDirectory("graft_relcell").toString
+    val idx = TestTmp.dir("graft_relcell").toString
     Similarity.saveCellIndex(
       Seq((1L, Seq(1.0, 0.0))).toDF("id", "vec"), "id", "vec", cents, idx)
 
@@ -211,7 +211,7 @@ class StreamingSemIndexSpec extends AnyFunSuite {
       (2L, Seq(0.0, 1.0, 0.0, 0.0)),
       (3L, Seq(0.9, 0.1, 0.0, 0.0))).toDF("id", "vec")
     val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
-    val idx = java.nio.file.Files.createTempDirectory("graft_scellidx").toString
+    val idx = TestTmp.dir("graft_scellidx").toString
     Similarity.saveCellIndex(corpus, "id", "vec", cents, idx)
 
     val ms = MemoryStream[Vec]
