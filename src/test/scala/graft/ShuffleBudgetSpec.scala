@@ -46,7 +46,15 @@ object ShuffleBudgetSpec {
     "q_curation_pipeline" -> 170802L,
     "q_embed_topk" -> 1834L,
     "q_ann_ivf" -> 2188L,
-    "q_shard" -> 59L)
+    "q_shard" -> 59L,
+    // round 17 (VERDICT_r16 item 6): reshape + top-k tier. melt is a
+    // zero-shuffle stack projection (metadata-only volume, like q_shard);
+    // dcast pays one pivot exchange; topK one per-group exchange.
+    "q_melt" -> 59L,
+    "q_melt_multi" -> 59L,
+    "q_dcast" -> 263L,
+    "q_dcast_multi" -> 263L,
+    "q_topk" -> 548L)
 
   private[graft] def withinBudget(cur: Long, budget: Long): Boolean =
     !((cur > budget * 1.3 || cur < budget / 1.3) &&
