@@ -953,15 +953,16 @@ object Fread {
     */
   def fwrite(df0: DataFrame, path: String,
              opts: FwriteOptions = FwriteOptions()): Unit = {
-    // BOM is a plaintext prefix: inside a gzip stream it corrupts the
-    // file, and under append it would re-stamp earlier parts each run
-    require(!(opts.bom && opts.compress == "gzip"),
-      "fwrite: bom=TRUE cannot combine with compress=gzip")
+    // Under append a BOM would re-stamp earlier parts each run (gzip is
+    // fine since round 17: prependBytes streams the prefix through the
+    // codec, matching the reference where the BOM/front matter is the
+    // head of the UNCOMPRESSED stream — src/fwrite.c writes both
+    // through the same gzip buffer)
     require(!(opts.bom && opts.append),
       "fwrite: bom=TRUE cannot combine with append=TRUE")
-    require(!(opts.yaml && (opts.append || opts.compress == "gzip")),
-      "fwrite: yaml=TRUE cannot combine with append or gzip (csvy is a " +
-        "single plaintext file with one front-matter block)")
+    require(!(opts.yaml && opts.append),
+      "fwrite: yaml=TRUE cannot combine with append (csvy is a " +
+        "single file with one front-matter block)")
     // R/fwrite.R:47-48: dec is one char, distinct from sep whenever both
     // might be needed — a single-column table never writes sep, so
     // dec==sep is allowed there (#7227, tests.Rraw 2337.1); dec/sep2
@@ -1203,17 +1204,26 @@ object Fread {
   /** Prepend `prefix` to every part file (streamed copy + rename on the
     * executor that owns the task — no driver-side buffering or byte
     * traffic). Serves fwrite(bom=TRUE) and the csvy front-matter stamp
-    * (yaml=TRUE writes ONE part).
+    * (yaml=TRUE writes ONE part). A `.gz` part streams through the
+    * codec so the prefix lands at the head of the UNCOMPRESSED stream —
+    * the reference writes the BOM/front matter through the same gzip
+    * buffer as the rows (src/fwrite.c), so fread sees it first after
+    * decompression either way.
     */
   private def prependBytes(spark: SparkSession, path: String,
                            prefix: Array[Byte]): Unit =
     foreachPart(spark, path, Set.empty) { (conf, pathStr) =>
       val p = new org.apache.hadoop.fs.Path(pathStr)
       val fs = p.getFileSystem(conf)
+      val gz = p.getName.endsWith(".gz")
       val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".bom")
-      val out = fs.create(tmp, true)
+      val rawOut: java.io.OutputStream = fs.create(tmp, true)
+      val out: java.io.OutputStream =
+        if (gz) new java.util.zip.GZIPOutputStream(rawOut) else rawOut
       out.write(prefix)
-      val in = fs.open(p)
+      val rawIn: java.io.InputStream = fs.open(p)
+      val in: java.io.InputStream =
+        if (gz) new java.util.zip.GZIPInputStream(rawIn) else rawIn
       val buf = new Array[Byte](1 << 20)
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }

@@ -82,6 +82,13 @@ object ScaleProbe {
     def op(name: String,
            frame: DataFrame => DataFrame, tag: String,
            gen: Long => DataFrame): (String, Seq[(Long, Double)]) = {
+      // JIT/codegen warm-up at 1e5 BEFORE timing either size: on a fresh
+      // JVM the first execution of an op pays whole-stage-codegen
+      // compilation + JIT (round 17 measured 57 s vs a ~10 s steady
+      // state for minhash pairs at 1e6), which inflates the SMALL
+      // size's ns/row and flatters the decade ratio. Warm-up cost is
+      // excluded from the printed numbers.
+      frame(materialized(tag, 100000L, gen)).count()
       name -> Seq(nSmall, nLarge).map { n =>
         val f = frame(materialized(tag, n, gen))
         val lint = PlanLint.lint(s"$name@$n", f)

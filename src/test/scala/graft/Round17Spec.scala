@@ -107,6 +107,48 @@ class Round17Spec extends AnyFunSuite {
     assert(back.count() == 2)
   }
 
+  test("fwrite bom=TRUE composes with compress=gzip (BOM heads the uncompressed stream)") {
+    import spark.implicits._
+    val dir = TestTmp.path("graft_r17_bom_gzip")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.sources.Fread.fwrite(
+      Seq((1, "a"), (2, "b")).toDF("i", "s").coalesce(1), dir,
+      graft.sources.Fread.FwriteOptions(bom = true, compress = "gzip"))
+    val gz = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".gz"))
+    assert(gz.nonEmpty, "no gzip parts written")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(gz.head))
+    val bytes = in.readAllBytes(); in.close()
+    assert(bytes.take(3).toSeq == Seq(0xEF.toByte, 0xBB.toByte, 0xBF.toByte),
+      "decompressed stream must start with the UTF-8 BOM")
+    // and fread round-trips it (codec head-sniff + BOM strip)
+    val back = graft.sources.Fread.fread(spark, dir)
+    assert(back.columns.toSeq == Seq("i", "s"))
+    assert(back.orderBy("i").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("fwrite yaml=TRUE (csvy) composes with compress=gzip") {
+    import spark.implicits._
+    val dir = TestTmp.path("graft_r17_csvy_gzip")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.sources.Fread.fwrite(
+      Seq((1, 1.5), (2, 2.5)).toDF("i", "v"), dir,
+      graft.sources.Fread.FwriteOptions(yaml = true, compress = "gzip"))
+    val gz = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".gz"))
+    assert(gz.length == 1, "csvy writes ONE part")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(gz.head))
+    val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+    assert(txt.startsWith("---"), txt.take(40))
+    val back = graft.sources.Fread.fread(spark, dir,
+      graft.sources.Fread.FreadOptions(yaml = true))
+    assert(back.columns.toSeq == Seq("i", "v"))
+    assert(back.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(back.count() == 2)
+  }
+
   test("fwrite quote=TRUE quotes sep2-joined list columns like character fields") {
     import spark.implicits._
     val dir = TestTmp.path("graft_r17_quote_list")
