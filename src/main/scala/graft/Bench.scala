@@ -138,8 +138,21 @@ object Bench {
       val si = e.stageInfo
       val bytes = si.taskMetrics.shuffleWriteMetrics.bytesWritten
       record(si.stageId, bytes)
+      // Stage callsite, when informative: AQE SQL stages all submit from
+      // the shared thread pool (si.name AND si.details both show
+      // "withThreadLocalCaptured at CompletableFuture...", no user
+      // frames), so those emit no name; RDD-level jobs (fwrite
+      // post-passes, checkpoint builds) get their real callsite, which
+      // is enough to attribute non-SQL volume in a sidecar diff.
+      val nm0 = si.details.split('\n')
+        .find(l => l.contains("graft.") && !l.contains("graft.Bench"))
+        .map(_.trim).getOrElse(si.name)
+      val nm =
+        if (nm0.contains("withThreadLocalCaptured")) ""
+        else "," + s""""name":"${nm0.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replace("\n", " ").take(90)}""""
       events.add(s"""{"q":"$tag","stage":${si.stageId},"attempt":${
-        si.attemptNumber()},"tasks":${si.numTasks},"bytes":$bytes}""")
+        si.attemptNumber()},"tasks":${si.numTasks},"bytes":$bytes$nm}""")
       ()
     }
     /** Dump every stage-completion event seen this sweep (in listener
@@ -202,7 +215,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 = the driver's local[32] contract. The original stub
+    // default of 4 is what produced round 16's 90-query shuffle-byte
+    // "environment disagreement": builder sweeps ran argless (local[4],
+    // 4 shuffle partitions) while the driver ran local[32] — partition
+    // count changes per-partition framing overhead and AQE stage
+    // shapes, so the two sweeps' byte channels couldn't agree. A
+    // local[32] sweep on a DIFFERENT host with re-materialized testdata
+    // reproduces the driver's r16 bytes on 82/90 of that disputed set.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -464,7 +485,14 @@ object Bench {
       // (query-tag, stageId, attempt, tasks, bytes) completion event of
       // the sweep, for cross-environment byte-channel reconciliation
       meter.writeEvents(java.nio.file.Paths.get("BENCH_SHUF_EVENTS.jsonl"))
-    } else println(detailJson)
+    } else {
+      println(detailJson)
+      // filtered profiling runs park their sidecar in /tmp (pid-scoped)
+      // so targeted byte diagnostics still get per-stage events+names
+      // without touching the committed full-sweep artifact
+      meter.writeEvents(java.nio.file.Paths.get(
+        s"/tmp/graft_shuf_events_p${ProcessHandle.current().pid()}.jsonl"))
+    }
 
     // db-benchmark-shaped headline subset: core aggs/joins/windows/reshape
     // plus the LLM-pipeline flagships. Kept well under the tail budget.
