@@ -552,7 +552,8 @@ object Similarity {
     */
   def semIncremental(spark: SparkSession, indexPath: String, batch: DataFrame,
                      idCol: String, vecCol: String, threshold: Double,
-                     maxCell: Int = 1000): DataFrame = {
+                     maxCell: Int = 1000,
+                     broadcastBatch: Boolean = true): DataFrame = {
     val centroids = loadIvfIndex(spark, indexPath)
     // The capped corpus side is index-version-invariant: memoize it
     // persisted per (session, path, maxCell) so repeated searches in a
@@ -563,8 +564,14 @@ object Similarity {
         val cells = spark.read.parquet(s"$indexPath/cells")
         val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
           .filter(col("_n") <= maxCell).select(col("cell"))
+        // counts is <= one row per CELL (bounded by the index's centroid
+        // count) — broadcast it EXPLICITLY: its planner size estimate is
+        // the unexecuted aggregate's (unknown/large), so a left-alone
+        // join plans sort-merge and the corpus map-side exchange writes
+        // the whole corpus before AQE sees the 16-row reality (the
+        // round-17 probe measured 2.65 GB of exactly this at 1e7 rows)
         // norms staged per ROW (not per pair) — see semanticPairs
-        cells.join(counts, Seq("cell"))
+        cells.join(broadcast(counts), Seq("cell"))
           .select(col("cell"), col("id").as("dup_of"), col("vec").as("_vb"),
             sqrt(graft.plans.DotProduct(col("vec"), col("vec"))).as("_naB"))
       })
@@ -573,7 +580,16 @@ object Similarity {
         "vec", centroids, out = "cell")
       .select(col("cell"), col("new_id"), col("vec").as("_va"),
         sqrt(graft.plans.DotProduct(col("vec"), col("vec"))).as("_naA"))
-    assigned.join(corpus, Seq("cell"))
+    // The BATCH is the broadcast side by contract (a daily ingest batch
+    // is orders of magnitude smaller than the corpus). Left to the
+    // planner, a batch past the autoBroadcastJoinThreshold flips this
+    // join to sort-merge and RE-SHUFFLES THE ENTIRE CORPUS by cell on
+    // every search — the round-17 corpus-independence probe measured
+    // exactly that (265 MB -> 2.65 GB shuffle across a 1e6 -> 1e7 corpus
+    // decade for the same 100k batch). broadcastBatch=false restores the
+    // planner's choice for the rare corpus-sized backfill batch.
+    val batchSide = if (broadcastBatch) broadcast(assigned) else assigned
+    batchSide.join(corpus, Seq("cell"))
       .withColumn("sim",
         when(col("_naA") > 0 && col("_naB") > 0,
           graft.plans.DotProduct(col("_va"), col("_vb")) / (col("_naA") * col("_naB")))

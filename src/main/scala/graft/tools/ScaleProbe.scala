@@ -132,6 +132,73 @@ object ScaleProbe {
       val ratio = cl / cs
       println(f"""{"verdict":"flat_cost","op":"$name","small_rows":$s,"large_rows":$l,"ratio":$ratio%.2f,"flat":${ratio < 2.0}}""")
     }
+
+    // ---- corpus-size INDEPENDENCE probes (round 17) --------------------
+    // The production ingest path's scale claim is stronger than flat
+    // per-row: a fixed daily batch probed against a persisted corpus
+    // index must SHUFFLE a corpus-size-independent byte volume (the
+    // corpus side is bucketed/persisted — scanned at I/O speed across
+    // the cluster, never re-shuffled per batch). Verdict is on measured
+    // shuffle bytes for the SAME batch at corpora a decade apart; times
+    // are reported informationally (scan cost legitimately grows with
+    // corpus size on one host, shuffle must not).
+    val meter = new graft.Bench.ShuffleMeter(spark.sparkContext)
+    // batch content disjoint from every corpus (offset word-space + ids)
+    def batchDocs(b: Long): DataFrame = {
+      val off = 7777777777L
+      spark.range(b).select((col("id") + off).as("id"),
+        concat_ws(" ", (0 until 15).map(i =>
+          concat(lit("b"), pmod(hash((col("id") + off) * lit(37L + i)),
+            lit(50000)))): _*).as("text"))
+    }
+    def batchEmb(b: Long, dim: Int = 64): DataFrame =
+      spark.range(b).select((col("id") + 7777777777L).as("id"),
+        array((0 until dim).map(d =>
+          (pmod(hash((col("id") + 7777777777L) * lit(173L + d)), lit(2000))
+            - lit(1000)).cast("double") / 1000.0): _*).as("v"))
+
+    def incrProbe(name: String, build: (DataFrame, String) => Unit,
+                  probe: String => DataFrame, tag: String,
+                  gen: Long => DataFrame): Unit = {
+      val volumes = Seq(nSmall, nLarge).map { n =>
+        graft.Fits.clearAll()
+        val corpus = materialized(tag, n, gen)
+        val loc = s"incrprobe_${name}_$n"
+        build(corpus, loc) // nightly fit: excluded from the probe window
+        graft.Fits.clearAll() // the probe pays its own capped-bucket memo
+        val t0 = System.nanoTime()
+        val s0 = meter.snapshot()
+        probe(loc).count()
+        val bytes = meter.snapshot() - s0
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"$name","corpus":$n,"batch":100000,"sec":$sec%.3f,"shuf_bytes":$bytes}""")
+        bytes
+      }
+      val Seq(bs, bl) = volumes
+      val ratio = if (bs == 0) (if (bl == 0) 1.0 else 99.0)
+                  else bl.toDouble / bs
+      println(f"""{"verdict":"corpus_independent_shuffle","op":"$name","small_rows":$nSmall,"large_rows":$nLarge,"bytes_ratio":$ratio%.2f,"independent":${ratio < 1.3}}""")
+    }
+
+    val probes = Seq[(String, () => Unit)](
+      "dedup_incremental_probe" -> (() =>
+        incrProbe("dedup_incremental_probe",
+          (corpus, loc) => graft.dedup.Dedup.saveBandIndexBucketed(
+            corpus, "id", "text", loc, k = 3, numHashes = 32, bands = 8),
+          loc => graft.dedup.Dedup.minhashIncrementalBucketed(
+            spark, loc, batchDocs(100000L), "id", "text",
+            k = 3, numHashes = 32, bands = 8, threshold = 0.5),
+          "docs", synthDocs(spark, _))),
+      "ann_incremental_probe" -> (() =>
+        incrProbe("ann_incremental_probe",
+          (corpus, loc) => graft.sim.Similarity.saveCellIndex(
+            corpus, "id", "v", centroids, s"/tmp/graft_scaleprobe/$loc"),
+          loc => graft.sim.Similarity.semIncremental(
+            spark, s"/tmp/graft_scaleprobe/$loc", batchEmb(100000L),
+            "id", "v", threshold = 0.8),
+          "emb", synthEmbeddings(spark, _))))
+    probes.foreach { case (n, f) => if (onlyOp.forall(_ == n)) f() }
+
     spark.stop()
   }
 }
