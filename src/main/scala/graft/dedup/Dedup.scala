@@ -265,7 +265,8 @@ object Dedup {
                                  idCol: String, textCol: String,
                                  k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                                  threshold: Double = 0.5,
-                                 maxBucket: Int = 1000): DataFrame = {
+                                 maxBucket: Int = 1000,
+                                 broadcastBatch: Boolean = true): DataFrame = {
     val baseB = portableBase(base, idCol, textCol, k, numHashes)
     val batchB = portableBase(batch, idCol, textCol, k, numHashes)
     incrementalPairs(
@@ -274,7 +275,7 @@ object Dedup {
         s"${portableBaseKey(base, idCol, textCol, k, numHashes)}:buckets:$bands:$maxBucket",
         portableBandedOf(baseB, numHashes, bands), maxBucket),
       batchB, portableBandedOf(batchB, numHashes, bands),
-      threshold)
+      threshold, broadcastBatch)
   }
 
   /** Persist a corpus's LSH index to parquet: `path/shingles` = (id, sh),
@@ -330,7 +331,8 @@ object Dedup {
                                  batch: DataFrame, idCol: String, textCol: String,
                                  k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                                  threshold: Double = 0.5,
-                                 maxBucket: Int = 1000): DataFrame = {
+                                 maxBucket: Int = 1000,
+                                 broadcastBatch: Boolean = true): DataFrame = {
     val batchB = portableBase(batch, idCol, textCol, k, numHashes)
     incrementalPairs(
       spark.table(s"${table}_shingles"),
@@ -338,7 +340,7 @@ object Dedup {
         s"idxbuckets:tbl=$table:${System.identityHashCode(spark)}:$bands:$maxBucket",
         spark.table(s"${table}_banded"), maxBucket),
       batchB, portableBandedOf(batchB, numHashes, bands),
-      threshold)
+      threshold, broadcastBatch)
   }
 
   /** Append a (typically just-deduplicated) batch into a
@@ -368,7 +370,8 @@ object Dedup {
                                 batch: DataFrame, idCol: String, textCol: String,
                                 k: Int = 3, numHashes: Int = 32, bands: Int = 8,
                                 threshold: Double = 0.5,
-                                maxBucket: Int = 1000): DataFrame = {
+                                maxBucket: Int = 1000,
+                                broadcastBatch: Boolean = true): DataFrame = {
     val batchB = portableBase(batch, idCol, textCol, k, numHashes)
     incrementalPairs(
       spark.read.parquet(s"$indexPath/shingles"),
@@ -376,7 +379,7 @@ object Dedup {
         s"idxbuckets:path=$indexPath:${System.identityHashCode(spark)}:$bands:$maxBucket",
         spark.read.parquet(s"$indexPath/banded"), maxBucket),
       batchB, portableBandedOf(batchB, numHashes, bands),
-      threshold)
+      threshold, broadcastBatch)
   }
 
   /** Un-memoized portable shingle+band projection: every input row gains
@@ -444,13 +447,22 @@ object Dedup {
 
   private def incrementalPairs(baseSh: DataFrame, buckets: DataFrame,
                                batchB: DataFrame, batchBanded: DataFrame,
-                               threshold: Double): DataFrame = {
-    val cand = batchBanded.join(buckets, Seq("band", "bh"))
+                               threshold: Double,
+                               broadcastBatch: Boolean = true): DataFrame = {
+    // The BATCH is the broadcast side by contract (daily ingest ≪
+    // corpus) — left to the planner, a batch past the broadcast
+    // threshold flips these joins to sort-merge and re-shuffles the
+    // CORPUS bucket/shingle tables on every search (the semIncremental
+    // twin of this bug measured 2.65 GB/search at 1e7 rows before its
+    // round-17 fix; the bucketed corpus tables here make the corpus
+    // side exchange-free ONLY while it stays the streamed side).
+    def bc(df: DataFrame) = if (broadcastBatch) broadcast(df) else df
+    val cand = bc(batchBanded).join(buckets, Seq("band", "bh"))
       .select(col("id").as("new_id"), explode(col("base_ids")).as("dup_of"))
       .dropDuplicates("new_id", "dup_of")
     val shN = batchB.select(col("id").as("new_id"), col("sh").as("shA"))
     val shB = baseSh.select(col("id").as("dup_of"), col("sh").as("shB"))
-    cand.join(shN, "new_id").join(shB, "dup_of")
+    cand.join(bc(shN), "new_id").join(shB, "dup_of")
       .withColumn("jaccard", jaccard(col("shA"), col("shB")))
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("dup_of"), col("jaccard"))

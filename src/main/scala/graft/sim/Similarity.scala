@@ -120,7 +120,15 @@ object Similarity {
     // oversized bucket).
     val eligible = lshBucketCounts(c).filter(col("_graft_n") <= maxBucket)
       .select("_sig")
-    val scored = c.join(eligible, Seq("_sig"), "left_semi").join(q, Seq("_sig"))
+    // Cap-filter the QUERY side, not the corpus: semi-joining the corpus
+    // against `eligible` (a corpus-derived aggregate with an unknown
+    // planner estimate) re-shuffles the whole corpus by _sig on every
+    // search once past the broadcast threshold. q ⋈ eligible is bounded
+    // by the query count, broadcasts into the corpus scan, and drops the
+    // same oversized buckets (a query whose bucket is oversized loses
+    // its _sig here, so that bucket's corpus rows never score).
+    val qe = q.join(eligible, Seq("_sig"), "left_semi")
+    val scored = c.join(broadcast(qe), Seq("_sig"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
     lshRank(scored, idCol, k)
@@ -224,8 +232,10 @@ object Similarity {
     val counts = lshBucketCounts(c)
     val eligible = counts.filter(col("_graft_n") <= maxBucket).select("_sig")
     val over = counts.filter(col("_graft_n") > maxBucket).select("_sig")
-    val lshScored = c.join(eligible, Seq("_sig"), "left_semi")
-      .join(q, Seq("_sig"))
+    // same corpus-shuffle-free construction as lshTopK: cap-filter the
+    // bounded query side and broadcast it into the corpus scan
+    val lshScored = c.join(broadcast(q.join(eligible, Seq("_sig"), "left_semi")),
+        Seq("_sig"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
       .select(col(idCol), col("query_id"), col("sim"))
@@ -280,7 +290,12 @@ object Similarity {
           .filter(col("_crn") <= nprobe)
           .select(col("query_id"), col("_qvec"), col("_cand.cid").as("ivf_cell"))
       }
-    val scored = c.join(q, Seq("ivf_cell"))
+    // queries are the bounded side by contract (a top-k search batch ≪
+    // corpus, even after the nprobe explode): broadcast so the corpus
+    // streams map-side instead of re-shuffling by cell per search —
+    // with ~#centroids distinct cells a shuffled corpus join is also
+    // maximally skewed
+    val scored = c.join(broadcast(q), Seq("ivf_cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
     val w = Window.partitionBy(col("query_id"))

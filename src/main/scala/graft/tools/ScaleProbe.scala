@@ -159,7 +159,7 @@ object ScaleProbe {
 
     def incrProbe(name: String, build: (DataFrame, String) => Unit,
                   probe: String => DataFrame, tag: String,
-                  gen: Long => DataFrame): Unit = {
+                  gen: Long => DataFrame, batchRows: Long = 100000L): Unit = {
       val volumes = Seq(nSmall, nLarge).map { n =>
         graft.Fits.clearAll()
         val corpus = materialized(tag, n, gen)
@@ -171,7 +171,7 @@ object ScaleProbe {
         probe(loc).count()
         val bytes = meter.snapshot() - s0
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"op":"$name","corpus":$n,"batch":100000,"sec":$sec%.3f,"shuf_bytes":$bytes}""")
+        println(f"""{"op":"$name","corpus":$n,"batch":$batchRows,"sec":$sec%.3f,"shuf_bytes":$bytes}""")
         bytes
       }
       val Seq(bs, bl) = volumes
@@ -196,7 +196,21 @@ object ScaleProbe {
           loc => graft.sim.Similarity.semIncremental(
             spark, s"/tmp/graft_scaleprobe/$loc", batchEmb(100000L),
             "id", "v", threshold = 0.8),
-          "emb", synthEmbeddings(spark, _))))
+          "emb", synthEmbeddings(spark, _))),
+      // interactive search path: top-k for a fixed 100-query batch must
+      // not shuffle the corpus either (round 17 made the query side the
+      // broadcast side in ivfTopK — before that a query batch past the
+      // broadcast threshold re-shuffled the corpus by cell per search)
+      "ann_topk_probe" -> (() =>
+        incrProbe("ann_topk_probe",
+          (_, _) => (),
+          loc => {
+            val n = loc.split('_').last.toLong
+            graft.sim.Similarity.ivfTopK(
+              materialized("emb", n, synthEmbeddings(spark, _)),
+              batchEmb(100L), "id", "v", centroids, k = 5, nprobe = 2)
+          },
+          "emb", synthEmbeddings(spark, _), batchRows = 100L)))
     probes.foreach { case (n, f) => if (onlyOp.forall(_ == n)) f() }
 
     spark.stop()
