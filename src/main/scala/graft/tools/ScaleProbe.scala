@@ -157,9 +157,17 @@ object ScaleProbe {
           (pmod(hash((col("id") + 7777777777L) * lit(173L + d)), lit(2000))
             - lit(1000)).cast("double") / 1000.0): _*).as("v"))
 
+    /** expect="independent": bytes flat across the corpus decade (the
+      * persisted-index paths — nothing corpus-sized may move per batch).
+      * expect="sublinear": bytes may grow with TASK COUNT but not with
+      * rows-per-task (bounded-per-task aggregation partials, e.g. LSH
+      * bucket counts capped at 2^nBits rows/task) — gate is bytes
+      * per corpus row non-increasing across the decade.
+      */
     def incrProbe(name: String, build: (DataFrame, String) => Unit,
                   probe: String => DataFrame, tag: String,
-                  gen: Long => DataFrame, batchRows: Long = 100000L): Unit = {
+                  gen: Long => DataFrame, batchRows: Long = 100000L,
+                  expect: String = "independent"): Unit = {
       val volumes = Seq(nSmall, nLarge).map { n =>
         graft.Fits.clearAll()
         val corpus = materialized(tag, n, gen)
@@ -177,7 +185,13 @@ object ScaleProbe {
       val Seq(bs, bl) = volumes
       val ratio = if (bs == 0) (if (bl == 0) 1.0 else 99.0)
                   else bl.toDouble / bs
-      println(f"""{"verdict":"corpus_independent_shuffle","op":"$name","small_rows":$nSmall,"large_rows":$nLarge,"bytes_ratio":$ratio%.2f,"independent":${ratio < 1.3}}""")
+      if (expect == "independent")
+        println(f"""{"verdict":"corpus_independent_shuffle","op":"$name","small_rows":$nSmall,"large_rows":$nLarge,"bytes_ratio":$ratio%.2f,"independent":${ratio < 1.3}}""")
+      else {
+        val perRowS = bs.toDouble / nSmall
+        val perRowL = bl.toDouble / nLarge
+        println(f"""{"verdict":"sublinear_shuffle","op":"$name","small_rows":$nSmall,"large_rows":$nLarge,"bytes_per_row_small":$perRowS%.2f,"bytes_per_row_large":$perRowL%.2f,"sublinear":${perRowL <= perRowS * 1.1}}""")
+      }
     }
 
     val probes = Seq[(String, () => Unit)](
@@ -210,7 +224,22 @@ object ScaleProbe {
               materialized("emb", n, synthEmbeddings(spark, _)),
               batchEmb(100L), "id", "v", centroids, k = 5, nprobe = 2)
           },
-          "emb", synthEmbeddings(spark, _), batchRows = 100L)))
+          "emb", synthEmbeddings(spark, _), batchRows = 100L)),
+      // hyperplane-LSH search path: same bounded-query-side contract as
+      // ivfTopK (the round-17 rewrite cap-filters the QUERY side against
+      // the bucket counts and broadcasts it; before, the corpus
+      // semi-joined a corpus-derived aggregate and re-shuffled by _sig)
+      "ann_lsh_probe" -> (() =>
+        incrProbe("ann_lsh_probe",
+          (_, _) => (),
+          loc => {
+            val n = loc.split('_').last.toLong
+            graft.sim.Similarity.lshTopK(
+              materialized("emb", n, synthEmbeddings(spark, _)),
+              batchEmb(100L), "id", "v", dim = 64, nBits = 16, k = 5)
+          },
+          "emb", synthEmbeddings(spark, _), batchRows = 100L,
+          expect = "sublinear")))
     probes.foreach { case (n, f) => if (onlyOp.forall(_ == n)) f() }
 
     spark.stop()
