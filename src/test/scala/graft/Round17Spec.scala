@@ -160,6 +160,27 @@ class Round17Spec extends AnyFunSuite {
     assert(lines.contains("1,\"x|y\",\"s\""), lines.mkString("|"))
   }
 
+  // ---- corpus-shuffle-free search joins (round-17 probe findings) ----
+  // The scale bugs these lock were INVISIBLE at test SF (small plans
+  // broadcast anyway) and only measurable via the ScaleProbe byte
+  // verdicts — the locks pin the explicit hints so a revert fails fast.
+
+  private def searchPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("ANN search joins broadcast the bounded side (no sort-merge against the corpus)") {
+    for (q <- Seq("q_ann_lsh", "q_ann_lsh_fallback", "q_ann_ivf_persisted",
+                  "q_ann_ivf_probe2", "q_semdedup_incr")) {
+      val p = searchPlan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: corpus-side sort-merge join crept back in:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+        s"$q: expected a broadcast join:\n$p")
+    }
+  }
+
   test("ShuffleMeter sidecar records tagged per-stage events with attempts") {
     val meter = new Bench.ShuffleMeter(spark.sparkContext)
     val nation = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
