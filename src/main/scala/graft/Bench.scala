@@ -149,8 +149,10 @@ object Bench {
         .map(_.trim).getOrElse(si.name)
       val nm =
         if (nm0.contains("withThreadLocalCaptured")) ""
-        else "," + s""""name":"${nm0.replace("\\", "\\\\")
-          .replace("\"", "\\\"").replace("\n", " ").take(90)}""""
+        // truncate BEFORE escaping — cutting after could split an escape
+        // pair ("\\" -> lone "\") and emit an invalid JSON line
+        else "," + s""""name":"${nm0.take(90).replace("\\", "\\\\")
+          .replace("\"", "\\\"").replace("\n", " ")}""""
       events.add(s"""{"q":"$tag","stage":${si.stageId},"attempt":${
         si.attemptNumber()},"tasks":${si.numTasks},"bytes":$bytes$nm}""")
       ()
