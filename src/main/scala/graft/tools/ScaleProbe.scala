@@ -122,7 +122,14 @@ object ScaleProbe {
       "ann_ivf_assign" -> (() => op("ann_ivf_assign", df =>
         graft.sim.Similarity.ivfAssign(df, "v", centroids)
           .groupBy(col("ivf_cell")).agg(count(lit(1)).as("c")),
-        "emb", synthEmbeddings(spark, _))))
+        "emb", synthEmbeddings(spark, _))),
+      // substring-level dedup kernel (Karp-Rabin winnowing native expr +
+      // span-fingerprint aggregation) — the second TEXT op suitable for
+      // the 1e8 decade: its shuffle is a few slim (doc_id, span_fp) rows
+      // per doc, not the document bytes
+      "winnow_spans" -> (() => op("winnow_spans", df =>
+        graft.dedup.Dedup.spanFlaggedDocs(df, "id", "text", k = 20, w = 8),
+        "docs", synthDocs(spark, _))))
       .collect { case (n, f) if onlyOp.forall(_ == n) => f() }
 
     // flat-cost verdict: per-row cost at nLarge within 2x of nSmall
