@@ -103,6 +103,17 @@ object Bench {
     * steal/loadavg caveats. `snapshot()` drains the async listener bus
     * before reading.
     */
+  /** Stage callsite → JSON-string-safe text: truncate BEFORE escaping
+    * (cutting after could split an escape pair, "\\" → lone "\"), then
+    * flatten ALL control chars (< 0x20: \n, \t, \r, ...) to a space —
+    * callsite/details text can carry tabs/CRs, and any raw control byte
+    * inside a JSON string is invalid (ADVICE r17) — then escape
+    * backslash and quote.
+    */
+  private[graft] def escapeStageName(nm0: String): String =
+    nm0.take(90).map(c => if (c < ' ') ' ' else c)
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+
   private[graft] final class ShuffleMeter(sc: org.apache.spark.SparkContext)
       extends org.apache.spark.scheduler.SparkListener {
     private val perStage =
@@ -149,10 +160,7 @@ object Bench {
         .map(_.trim).getOrElse(si.name)
       val nm =
         if (nm0.contains("withThreadLocalCaptured")) ""
-        // truncate BEFORE escaping — cutting after could split an escape
-        // pair ("\\" -> lone "\") and emit an invalid JSON line
-        else "," + s""""name":"${nm0.take(90).replace("\\", "\\\\")
-          .replace("\"", "\\\"").replace("\n", " ")}""""
+        else "," + s""""name":"${escapeStageName(nm0)}""""
       events.add(s"""{"q":"$tag","stage":${si.stageId},"attempt":${
         si.attemptNumber()},"tasks":${si.numTasks},"bytes":$bytes$nm}""")
       ()
@@ -194,6 +202,37 @@ object Bench {
     cur > 0 && prev > 0 &&
       (cur > prev * 1.3 || cur < prev / 1.3) &&
       math.abs(cur - prev) > 8192L
+
+  /** Queries whose byte volume is legitimately BIMODAL: the exact
+    * allowed value set per query. q_curation_pipeline flips between two
+    * volumes depending on whether one 677 KB AQE anti-join exchange runs
+    * (pinned by graft.CurationPlanDiff: it is elided when
+    * q_contamination ran earlier in the session and its fit exchange
+    * reuses; results are oracle-identical both ways). A flip WITHIN the
+    * set annotates (`shuf_bimodal`) instead of flagging; any THIRD value
+    * still fires `shuf_changed` — a registry entry documents a pinned
+    * mechanism, it does not widen the gate (VERDICT r17 "What's wrong"
+    * #2). Values are properties of the current plan; a code change that
+    * moves both modes goes stale here and fires until re-pinned.
+    */
+  private[graft] val knownBimodal: Map[String, Set[Long]] = Map(
+    "q_curation_pipeline" -> Set(941626L, 1618684L))
+
+  /** [[shufDrifted]] with the bimodal registry: a (cur, prev) pair both
+    * inside the query's registered value set never flags.
+    */
+  private[graft] def shufDriftedRegistered(q: String, cur: Long,
+                                           prev: Long): Boolean =
+    !knownBimodal.get(q).exists(s => s.contains(cur) && s.contains(prev)) &&
+      shufDrifted(cur, prev)
+
+  /** True when a (cur, prev) drift was suppressed as a registered
+    * bimodal flip — surfaced in the artifact as `shuf_bimodal` so the
+    * flip stays visible without crying wolf.
+    */
+  private[graft] def shufBimodal(q: String, cur: Long, prev: Long): Boolean =
+    cur != prev && shufDrifted(cur, prev) &&
+      knownBimodal.get(q).exists(s => s.contains(cur) && s.contains(prev))
 
   /** Previous artifact's per-query cold-run shuffle write bytes (same
     * Jackson discipline as [[parsePrevArtifact]]; bytes are valid even
@@ -467,8 +506,11 @@ object Bench {
         (if (r.stealJiffies > 0) ",\"steal\":" + r.stealJiffies else "") +
         (if (r.stolenReps > 0) ",\"stolen_reps\":" + r.stolenReps else "") +
         ",\"shuf_w\":" + r.shufW +
-        prevShuf.get(r.name).filter(p => shufDrifted(r.shufW, p))
+        prevShuf.get(r.name).filter(p => shufDriftedRegistered(r.name, r.shufW, p))
           .map(p => ",\"shuf_prev\":" + p + ",\"shuf_changed\":true")
+          .getOrElse("") +
+        prevShuf.get(r.name).filter(p => shufBimodal(r.name, r.shufW, p))
+          .map(p => ",\"shuf_prev\":" + p + ",\"shuf_bimodal\":true")
           .getOrElse("") +
         (if (r.allStolen) ",\"all_stolen\":true" +
           (if (loadContaminated) "" else ",\"median\":" + r3(r.median))

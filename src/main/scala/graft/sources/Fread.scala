@@ -1209,27 +1209,57 @@ object Fread {
     * the reference writes the BOM/front matter through the same gzip
     * buffer as the rows (src/fwrite.c), so fread sees it first after
     * decompression either way.
+    *
+    * IDEMPOTENT under task re-execution (speculation / stage retry): a
+    * retried task whose predecessor already renamed sees the part
+    * starting with `prefix` and skips — without the guard it would
+    * prepend a second copy. (A part whose DATA legitimately begins with
+    * the exact prefix bytes cannot occur here: the part head is either a
+    * CSV header/row — never a BOM — or, for csvy, never the full "---"
+    * front-matter block this writer stamps.) Streams close in
+    * try/finally and a failed copy deletes its temp file, so a mid-copy
+    * exception leaks neither descriptors nor a stale `.bom` part.
     */
-  private def prependBytes(spark: SparkSession, path: String,
-                           prefix: Array[Byte]): Unit =
+  private[graft] def prependBytes(spark: SparkSession, path: String,
+                                  prefix: Array[Byte]): Unit =
     foreachPart(spark, path, Set.empty) { (conf, pathStr) =>
       val p = new org.apache.hadoop.fs.Path(pathStr)
       val fs = p.getFileSystem(conf)
       val gz = p.getName.endsWith(".gz")
-      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".bom")
-      val rawOut: java.io.OutputStream = fs.create(tmp, true)
-      val out: java.io.OutputStream =
-        if (gz) new java.util.zip.GZIPOutputStream(rawOut) else rawOut
-      out.write(prefix)
-      val rawIn: java.io.InputStream = fs.open(p)
-      val in: java.io.InputStream =
-        if (gz) new java.util.zip.GZIPInputStream(rawIn) else rawIn
-      val buf = new Array[Byte](1 << 20)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close(); out.close()
-      fs.delete(p, false)
-      fs.rename(tmp, p)
+      val alreadyPrefixed = {
+        val rawIn: java.io.InputStream = fs.open(p)
+        try {
+          val in: java.io.InputStream =
+            if (gz) new java.util.zip.GZIPInputStream(rawIn) else rawIn
+          val head = in.readNBytes(prefix.length)
+          java.util.Arrays.equals(head, prefix)
+        } finally rawIn.close()
+      }
+      if (!alreadyPrefixed) {
+        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".bom")
+        var ok = false
+        val rawOut: java.io.OutputStream = fs.create(tmp, true)
+        try {
+          val out: java.io.OutputStream =
+            if (gz) new java.util.zip.GZIPOutputStream(rawOut) else rawOut
+          out.write(prefix)
+          val rawIn: java.io.InputStream = fs.open(p)
+          try {
+            val in: java.io.InputStream =
+              if (gz) new java.util.zip.GZIPInputStream(rawIn) else rawIn
+            val buf = new Array[Byte](1 << 20)
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally rawIn.close()
+          out.close()  // flushes the gzip trailer; rawOut closes with it
+          ok = true
+        } finally {
+          if (!ok) { try rawOut.close() catch { case _: Throwable => () }
+                     fs.delete(tmp, false); () }
+        }
+        fs.delete(p, false)
+        fs.rename(tmp, p)
+      }
       ()
     }
 

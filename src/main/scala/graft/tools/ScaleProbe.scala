@@ -40,6 +40,36 @@ object ScaleProbe {
         (pmod(hash(col("id") * lit(131L + d)), lit(2000)) - lit(1000))
           .cast("double") / 1000.0): _*).as("v"))
 
+  /** Synthetic quotes for the asof probes: 1000 uniform keys, times
+    * hashed into a FIXED [0, 1e6) domain (so the fixed probe side stays
+    * in-range at every corpus size), one double value column.
+    */
+  private def synthTrades(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select((col("id") % 1000).as("k"),
+      pmod(hash(col("id") * lit(7L)), lit(1000000)).cast("double").as("t"),
+      (pmod(hash(col("id") * lit(13L)), lit(10000)).cast("double") / 100.0)
+        .as("v"))
+
+  /** Power-law twin of [[synthTrades]]: 90% of rows land on key 0 — the
+    * skew shape [[graft.operators.Joins.asofSalted]] exists for.
+    */
+  private def synthTradesSkew(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 1000).as("k"),
+      pmod(hash(col("id") * lit(7L)), lit(1000000)).cast("double").as("t"),
+      (pmod(hash(col("id") * lit(13L)), lit(10000)).cast("double") / 100.0)
+        .as("v"))
+
+  /** Synthetic intervals over the fixed [0, 1e6) domain, lengths 1-20
+    * (so binWidth=16 ≈ the median length, the overlapBinned guidance).
+    */
+  private def synthIntervals(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select(col("id"),
+        pmod(hash(col("id") * lit(3L)), lit(1000000)).cast("double").as("s"))
+      .withColumn("e", col("s") + pmod(hash(col("id") * lit(5L)), lit(20))
+        .cast("double") + 1.0)
+
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toLong).getOrElse(1000000L)
     val nLarge = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
@@ -163,6 +193,24 @@ object ScaleProbe {
         array((0 until dim).map(d =>
           (pmod(hash((col("id") + 7777777777L) * lit(173L + d)), lit(2000))
             - lit(1000)).cast("double") / 1000.0): _*).as("v"))
+    // fixed asof probe side: same key distribution as its corpus (the
+    // skewed variant must hit the hot key), times in the shared domain
+    def probeTrades(b: Long, skew: Boolean): DataFrame =
+      spark.range(b).select(
+        (if (skew) when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 1000)
+         else col("id") % 1000).as("k"),
+        pmod(hash((col("id") + 555555L) * lit(17L)), lit(1000000))
+          .cast("double").as("t"),
+        col("id").as("pid"))
+    // fixed interval probe side, distinct column names (ps, pe)
+    def probeIntervals(b: Long): DataFrame =
+      spark.range(b)
+        .select(col("id").as("pid"),
+          pmod(hash((col("id") + 555555L) * lit(11L)), lit(1000000))
+            .cast("double").as("ps"))
+        .withColumn("pe", col("ps") +
+          pmod(hash((col("id") + 555555L) * lit(19L)), lit(20))
+            .cast("double") + 1.0)
 
     /** expect="independent": bytes flat across the corpus decade (the
       * persisted-index paths — nothing corpus-sized may move per batch).
@@ -170,6 +218,12 @@ object ScaleProbe {
       * rows-per-task (bounded-per-task aggregation partials, e.g. LSH
       * bucket counts capped at 2^nBits rows/task) — gate is bytes
       * per corpus row non-increasing across the decade.
+      * expect="linear": for ops that legitimately shuffle the data ONCE
+      * (asof's tagged-union window, foverlaps' binned equi join) — the
+      * scale bug class is anything SUPER-linear (per-probe corpus
+      * re-shuffles, quadratic pair blowups), so the gate is bytes PER
+      * CORPUS ROW non-increasing (±30% framing margin) across the
+      * decade.
       */
     def incrProbe(name: String, build: (DataFrame, String) => Unit,
                   probe: String => DataFrame, tag: String,
@@ -197,7 +251,10 @@ object ScaleProbe {
       else {
         val perRowS = bs.toDouble / nSmall
         val perRowL = bl.toDouble / nLarge
-        println(f"""{"verdict":"sublinear_shuffle","op":"$name","small_rows":$nSmall,"large_rows":$nLarge,"bytes_per_row_small":$perRowS%.2f,"bytes_per_row_large":$perRowL%.2f,"sublinear":${perRowL <= perRowS * 1.1}}""")
+        if (expect == "linear")
+          println(f"""{"verdict":"linear_shuffle","op":"$name","small_rows":$nSmall,"large_rows":$nLarge,"bytes_per_row_small":$perRowS%.2f,"bytes_per_row_large":$perRowL%.2f,"linear":${perRowL <= perRowS * 1.3}}""")
+        else
+          println(f"""{"verdict":"sublinear_shuffle","op":"$name","small_rows":$nSmall,"large_rows":$nLarge,"bytes_per_row_small":$perRowS%.2f,"bytes_per_row_large":$perRowL%.2f,"sublinear":${perRowL <= perRowS * 1.1}}""")
       }
     }
 
@@ -246,7 +303,70 @@ object ScaleProbe {
               batchEmb(100L), "id", "v", dim = 64, nBits = 16, k = 5)
           },
           "emb", synthEmbeddings(spark, _), batchRows = 100L,
-          expect = "sublinear")))
+          expect = "sublinear")),
+      // PERSISTED LSH search (round 18): bucket counts come precomputed
+      // from the saveLshIndex build, so unlike ann_lsh_probe's
+      // sublinear-only gate this path earns the STRICT independence
+      // verdict — the per-search shuffle is only the rank's
+      // WindowGroupLimit partials, nothing corpus-derived.
+      "ann_lsh_persisted_probe" -> (() =>
+        incrProbe("ann_lsh_persisted_probe",
+          (corpus, loc) => graft.sim.Similarity.saveLshIndex(
+            corpus, "id", "v", s"/tmp/graft_scaleprobe/$loc",
+            dim = 64, nBits = 16),
+          loc => graft.sim.Similarity.lshTopKIndexed(
+            spark, s"/tmp/graft_scaleprobe/$loc", batchEmb(100L),
+            "id", "v", dim = 64, nBits = 16, k = 5),
+          "emb", synthEmbeddings(spark, _), batchRows = 100L)),
+      // ---- §2.3 flagship join probes (round 18) ------------------------
+      // asof/foverlaps shuffle the DATA once by design (tagged-union
+      // window; binned equi join) — the decade gate is expect="linear":
+      // bytes per corpus row must not grow. The bug class this catches is
+      // the semIncremental shape (a per-probe corpus re-shuffle, which
+      // would show as ~flat per-row bytes TIMES the probe count) or a
+      // quadratic pair blowup.
+      "asof_probe" -> (() =>
+        incrProbe("asof_probe",
+          (_, _) => (),
+          loc => {
+            val n = loc.split('_').last.toLong
+            graft.operators.Joins.asof(
+              materialized("trades", n, synthTrades(spark, _)),
+              probeTrades(100000L, skew = false), Seq("k"), "t",
+              graft.operators.Joins.Locf, valueColsIn = Seq("v"))
+          },
+          "trades", synthTrades(spark, _), expect = "linear")),
+      // skew path: 90% of corpus rows share ONE key — asofSalted's
+      // (by, bucket) sub-split keeps tasks uniform; bytes stay linear
+      // (bucketed window + carry join + the tiny bucket-summary table)
+      "asof_salted_probe" -> (() =>
+        incrProbe("asof_salted_probe",
+          (_, _) => (),
+          loc => {
+            val n = loc.split('_').last.toLong
+            graft.operators.Joins.asofSalted(
+              materialized("trades_skew", n, synthTradesSkew(spark, _)),
+              probeTrades(100000L, skew = true), Seq("k"), "t",
+              graft.operators.Joins.Locf, bucketWidth = 1000.0,
+              valueColsIn = Seq("v"))
+          },
+          "trades_skew", synthTradesSkew(spark, _), expect = "linear")),
+      // binned foverlaps tier: fixed 500k-interval probe side (big
+      // enough that the bin join cannot silently broadcast it — the
+      // probe must measure the real shuffled tier), corpus a decade
+      // apart; shuffle ∝ data × (span/binWidth), linear by design
+      "overlap_probe" -> (() =>
+        incrProbe("overlap_probe",
+          (_, _) => (),
+          loc => {
+            val n = loc.split('_').last.toLong
+            graft.operators.Joins.overlapBinned(
+              materialized("ivals", n, synthIntervals(spark, _)),
+              probeIntervals(500000L), Nil, "s", "e", "ps", "pe",
+              binWidth = 16L)
+          },
+          "ivals", synthIntervals(spark, _), batchRows = 500000L,
+          expect = "linear")))
     probes.foreach { case (n, f) => if (onlyOp.forall(_ == n)) f() }
 
     spark.stop()
