@@ -70,6 +70,18 @@ object ScaleProbe {
       .withColumn("e", col("s") + pmod(hash(col("id") * lit(5L)), lit(20))
         .cast("double") + 1.0)
 
+  /** [[synthIntervals]] over a 100×-wider [0, 1e8) domain — the
+    * big-vs-big overlap probe's fixed side (sparse enough that the
+    * match count stays bounded while the side itself is too big to
+    * broadcast).
+    */
+  private def synthIntervalsWide(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select(col("id"),
+        pmod(hash(col("id") * lit(23L)), lit(100000000)).cast("double").as("ps"))
+      .withColumn("pe", col("ps") + pmod(hash(col("id") * lit(29L)), lit(20))
+        .cast("double") + 1.0)
+
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toLong).getOrElse(1000000L)
     val nLarge = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
@@ -209,7 +221,7 @@ object ScaleProbe {
           pmod(hash((col("id") + 555555L) * lit(11L)), lit(1000000))
             .cast("double").as("ps"))
         .withColumn("pe", col("ps") +
-          pmod(hash((col("id") + 555555L) * lit(19L)), lit(20))
+          pmod(hash((col("pid") + 555555L) * lit(19L)), lit(20))
             .cast("double") + 1.0)
 
     /** expect="independent": bytes flat across the corpus decade (the
@@ -305,10 +317,16 @@ object ScaleProbe {
           "emb", synthEmbeddings(spark, _), batchRows = 100L,
           expect = "sublinear")),
       // PERSISTED LSH search (round 18): bucket counts come precomputed
-      // from the saveLshIndex build, so unlike ann_lsh_probe's
-      // sublinear-only gate this path earns the STRICT independence
-      // verdict — the per-search shuffle is only the rank's
-      // WindowGroupLimit partials, nothing corpus-derived.
+      // from the saveLshIndex build, so NOTHING corpus-derived shuffles
+      // per search — the measured bytes are purely the rank's
+      // WindowGroupLimit partials (≤ queries × k slim rows PER MAP
+      // TASK), which scale with the corpus scan's task count, never
+      // with rows-per-task: the definition of the sublinear tier.
+      // Strict byte-flat independence is structurally unattainable for
+      // ANY exact top-k over a growing corpus scan (each map task must
+      // report its local top-k) — measured here as 0.10 -> 0.026
+      // B/corpus-row, a ~100x drop from the no-index tier's
+      // count-aggregation partials (9.70 -> 2.80 B/row above).
       "ann_lsh_persisted_probe" -> (() =>
         incrProbe("ann_lsh_persisted_probe",
           (corpus, loc) => graft.sim.Similarity.saveLshIndex(
@@ -317,7 +335,8 @@ object ScaleProbe {
           loc => graft.sim.Similarity.lshTopKIndexed(
             spark, s"/tmp/graft_scaleprobe/$loc", batchEmb(100L),
             "id", "v", dim = 64, nBits = 16, k = 5),
-          "emb", synthEmbeddings(spark, _), batchRows = 100L)),
+          "emb", synthEmbeddings(spark, _), batchRows = 100L,
+          expect = "sublinear")),
       // ---- §2.3 flagship join probes (round 18) ------------------------
       // asof/foverlaps shuffle the DATA once by design (tagged-union
       // window; binned equi join) — the decade gate is expect="linear":
@@ -330,10 +349,14 @@ object ScaleProbe {
           (_, _) => (),
           loc => {
             val n = loc.split('_').last.toLong
+            // consume the carried value: a bare count() lets column
+            // pruning DELETE the unused fill window (and its shuffle),
+            // measuring nothing — a real asof consumer reads v
             graft.operators.Joins.asof(
               materialized("trades", n, synthTrades(spark, _)),
               probeTrades(100000L, skew = false), Seq("k"), "t",
               graft.operators.Joins.Locf, valueColsIn = Seq("v"))
+              .filter(col("v").isNotNull)
           },
           "trades", synthTrades(spark, _), expect = "linear")),
       // skew path: 90% of corpus rows share ONE key — asofSalted's
@@ -349,12 +372,15 @@ object ScaleProbe {
               probeTrades(100000L, skew = true), Seq("k"), "t",
               graft.operators.Joins.Locf, bucketWidth = 1000.0,
               valueColsIn = Seq("v"))
+              .filter(col("v").isNotNull) // see asof_probe
           },
           "trades_skew", synthTradesSkew(spark, _), expect = "linear")),
-      // binned foverlaps tier: fixed 500k-interval probe side (big
-      // enough that the bin join cannot silently broadcast it — the
-      // probe must measure the real shuffled tier), corpus a decade
-      // apart; shuffle ∝ data × (span/binWidth), linear by design
+      // binned foverlaps, BOUNDED probe side: a 500k-interval batch is
+      // within the planner's broadcast estimate, so the bin equi join
+      // broadcasts it and the corpus explodes MAP-SIDE — measured
+      // bytes are only the count partials, flat across the decade.
+      // Gate: strictly corpus-independent (the corpus must never
+      // shuffle for a broadcastable interval batch).
       "overlap_probe" -> (() =>
         incrProbe("overlap_probe",
           (_, _) => (),
@@ -365,7 +391,25 @@ object ScaleProbe {
               probeIntervals(500000L), Nil, "s", "e", "ps", "pe",
               binWidth = 16L)
           },
-          "ivals", synthIntervals(spark, _), batchRows = 500000L,
+          "ivals", synthIntervals(spark, _), batchRows = 500000L)),
+      // binned foverlaps, BIG-vs-BIG tier: the fixed side is a
+      // materialized 2e6-interval parquet over a 100x-wider domain —
+      // past the broadcast threshold, so the join plans the real
+      // shuffled tier (both sides exchange by bin). Shuffle ∝
+      // data × (span/binWidth): the gate is linear (per-corpus-row
+      // bytes flat); anything super-linear = a bin-explosion bug.
+      "overlap_binned_probe" -> (() =>
+        incrProbe("overlap_binned_probe",
+          (_, _) => (),
+          loc => {
+            val n = loc.split('_').last.toLong
+            graft.operators.Joins.overlapBinned(
+              materialized("ivals", n, synthIntervals(spark, _)),
+              materialized("ivals_wide", 2000000L,
+                synthIntervalsWide(spark, _)),
+              Nil, "s", "e", "ps", "pe", binWidth = 16L)
+          },
+          "ivals", synthIntervals(spark, _), batchRows = 2000000L,
           expect = "linear")))
     probes.foreach { case (n, f) => if (onlyOp.forall(_ == n)) f() }
 
