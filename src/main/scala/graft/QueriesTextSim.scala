@@ -1100,6 +1100,31 @@ object QueriesTextSim {
     }): Q,
       Some(annLshOracle)),
 
+    // ---- LSH index APPEND path (round 18) ------------------------------
+    // The incremental-ingest lifecycle: saveLshIndex over HALF the
+    // corpus (even vec_ids), appendToLshIndex folds in the other half
+    // (batch-signed, counts merged incrementally — the corpus sigs are
+    // never re-scanned), and the search over the stitched index must
+    // equal lshTopK over the full corpus — same oracle as q_ann_lsh.
+    ("q_ann_lsh_incr", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val idx = "/tmp/graft_lsh_incr_idx_" + math.abs(dir.hashCode).toString
+      bucketedIdxBuilt.getOrElsePut(s"${System.identityHashCode(s)}:$idx") {
+        Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, dim = 64, nBits = 4)
+        Similarity.appendToLshIndex(s, idx, e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", dim = 64, nBits = 4)
+        true
+      }
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      Similarity.lshTopKIndexed(s, idx, queries, "vec_id", "embedding",
+        dim = 64, nBits = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
+    }): Q,
+      Some(annLshOracle)),
+
     // ---- IVF coarse quantization (ANN scale path #2) -------------------
     // Deterministic seed centroids (4 lowest vec_ids) ⇒ the assignment
     // argmax is SQL-expressible; the kmeans-fitted variant below

@@ -287,6 +287,38 @@ object Similarity {
       .parquet(s"$path/lsh/counts")
   }
 
+  /** Fold a (typically just-screened) batch into a [[saveLshIndex]]
+    * index — the LSH twin of [[appendToCellIndex]] /
+    * [[graft.dedup.Dedup.appendToBandIndex]]: sign the batch with the
+    * SAME (dim, nBits) as the save (the hyperplanes are deterministic
+    * functions of those params, so parameter agreement IS index
+    * agreement — the same implicit contract as appendToBandIndex's
+    * k/numHashes/bands), parquet-append to `path/lsh/sigs`, and MERGE
+    * the persisted bucket counts incrementally: old counts ∪ batch
+    * bucket counts → per-sig sum. Corpus-independent — only the batch
+    * and the ≤ 2^nBits-row counts table are read; the corpus sigs are
+    * never re-scanned. The merged counts are localCheckpoint-ed
+    * (bounded: ≤ 2^nBits rows) before the Overwrite so the write never
+    * reads the directory it is replacing.
+    */
+  def appendToLshIndex(spark: SparkSession, indexPath: String,
+                       batch: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, nBits: Int): Unit = {
+    val b = lshSigned(batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", dim, nBits)
+    b.select(col("id"), col("_sig").as("sig"), col("vec"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexPath/lsh/sigs")
+    val old = spark.read.parquet(s"$indexPath/lsh/counts")
+    val merged = old.unionByName(
+        lshBucketCounts(b).select(col("_sig").as("sig"), col("_graft_n").as("n")))
+      .groupBy(col("sig")).agg(sum(col("n")).as("n"))
+      .coalesce(1).localCheckpoint()
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/lsh/counts")
+    ()
+  }
+
   /** [[lshTopK]] through a [[saveLshIndex]]-persisted index: identical
     * results (signatures are deterministic literals, doubles round-trip
     * parquet bit-exactly), but the per-search corpus work drops to a

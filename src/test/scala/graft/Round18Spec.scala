@@ -119,6 +119,35 @@ class Round18Spec extends AnyFunSuite {
     assert(indexed == direct)
   }
 
+  test("appendToLshIndex stitches a batch into the index: search == full-corpus lshTopK") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+    val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+    val idx = TestTmp.path("graft_r18_lshidx_incr")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    graft.sim.Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", idx, dim = 64, nBits = 4)
+    graft.sim.Similarity.appendToLshIndex(spark, idx,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+      dim = 64, nBits = 4)
+    val direct = graft.sim.Similarity.lshTopK(e, queries, "vec_id",
+      "embedding", dim = 64, nBits = 4, k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    val stitched = graft.sim.Similarity.lshTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", dim = 64, nBits = 4, k = 5)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(stitched.nonEmpty)
+    assert(stitched == direct)
+    // the merged counts table equals a from-scratch count of the
+    // stitched sigs (one row per sig, summed populations)
+    val counts = spark.read.parquet(s"$idx/lsh/counts")
+    val recount = spark.read.parquet(s"$idx/lsh/sigs")
+      .groupBy(col("sig")).agg(count(lit(1)).as("n"))
+    assert(counts.count() == recount.count())
+    assert(counts.join(recount, Seq("sig", "n"), "left_anti").count() == 0,
+      "merged counts diverge from a recount of the stitched sigs")
+  }
+
   // ---- plan-shape locks for the probe-proven contracts ---------------
   // The corpus-decade byte probes (ScaleProbe r18) prove these shapes;
   // the locks pin them so a revert fails fast at test time, the same
@@ -148,14 +177,16 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
-  test("q_ann_lsh_persisted: broadcast candidate join + WindowGroupLimit, ONE shuffle total") {
-    val p = plan("q_ann_lsh_persisted")
-    assert(!p.contains("SortMergeJoin"), s"corpus-side sort-merge crept in:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the rank's partial top-k must stay below the exchange — that is
-    // what makes the per-search shuffle corpus-size-independent
-    assert(p.contains("WindowGroupLimit"), p)
-    assert(shuffleExchanges(p) == 1,
-      s"persisted LSH search must shuffle only the rank partials:\n$p")
+  test("q_ann_lsh_persisted / q_ann_lsh_incr: broadcast candidate join + WindowGroupLimit, ONE shuffle total") {
+    for (q <- Seq("q_ann_lsh_persisted", "q_ann_lsh_incr")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: corpus-side sort-merge crept in:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the rank's partial top-k must stay below the exchange — that is
+      // what makes the per-search shuffle corpus-size-independent
+      assert(p.contains("WindowGroupLimit"), p)
+      assert(shuffleExchanges(p) == 1,
+        s"$q: persisted LSH search must shuffle only the rank partials:\n$p")
+    }
   }
 }
