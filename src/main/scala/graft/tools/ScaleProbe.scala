@@ -337,6 +337,25 @@ object ScaleProbe {
             "id", "v", dim = 64, nBits = 16, k = 5),
           "emb", synthEmbeddings(spark, _), batchRows = 100L,
           expect = "sublinear")),
+      // LSH index APPEND path: folding a fixed 100k batch into a
+      // saveLshIndex index reads only the batch and the ≤ 2^nBits-row
+      // counts table (the corpus sigs are never re-scanned), so the
+      // job's bytes must be flat across the corpus decade. The probe
+      // body returns a 1-row frame because appendToLshIndex is an
+      // eager write — the append's jobs run inside the measured
+      // window, the count() adds nothing.
+      "ann_lsh_append_probe" -> (() =>
+        incrProbe("ann_lsh_append_probe",
+          (corpus, loc) => graft.sim.Similarity.saveLshIndex(
+            corpus, "id", "v", s"/tmp/graft_scaleprobe/$loc",
+            dim = 64, nBits = 16),
+          loc => {
+            graft.sim.Similarity.appendToLshIndex(
+              spark, s"/tmp/graft_scaleprobe/$loc", batchEmb(100000L),
+              "id", "v", dim = 64, nBits = 16)
+            spark.range(1).toDF("ok")
+          },
+          "emb", synthEmbeddings(spark, _))),
       // ---- §2.3 flagship join probes (round 18) ------------------------
       // asof/foverlaps shuffle the DATA once by design (tagged-union
       // window; binned equi join) — the decade gate is expect="linear":
