@@ -148,6 +148,29 @@ class Round18Spec extends AnyFunSuite {
       "merged counts diverge from a recount of the stitched sigs")
   }
 
+  test("broadcastQueries=false escape hatches return identical results (planner-chosen join)") {
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+    val queries = e.filter(col("vec_id").isin(0L, 1L, 2L))
+    val cents = (0 until 4).map(c =>
+      (0 until 64).map(d => (((c * 131 + d * 31) % 2000) - 1000) / 1000.0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rk").collect().toSeq
+    assert(rows(graft.sim.Similarity.lshTopK(e, queries, "vec_id", "embedding",
+        dim = 64, nBits = 4, k = 5, broadcastQueries = false)) ==
+      rows(graft.sim.Similarity.lshTopK(e, queries, "vec_id", "embedding",
+        dim = 64, nBits = 4, k = 5)))
+    assert(rows(graft.sim.Similarity.lshTopKWithFallback(e, queries, "vec_id",
+        "embedding", dim = 64, nBits = 4, k = 5, maxBucket = 50,
+        broadcastQueries = false)) ==
+      rows(graft.sim.Similarity.lshTopKWithFallback(e, queries, "vec_id",
+        "embedding", dim = 64, nBits = 4, k = 5, maxBucket = 50)))
+    assert(rows(graft.sim.Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        cents, k = 5, nprobe = 2, broadcastQueries = false)) ==
+      rows(graft.sim.Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        cents, k = 5, nprobe = 2)))
+  }
+
   // ---- plan-shape locks for the probe-proven contracts ---------------
   // The corpus-decade byte probes (ScaleProbe r18) prove these shapes;
   // the locks pin them so a revert fails fast at test time, the same
