@@ -562,10 +562,23 @@ object Joins {
       throw new IllegalArgumentException(naRangeMessage(side, "end", e))
   }
 
+  /** `broadcastY = true` pins `y` as the broadcast side of the
+    * (binned) equi join — the explicit-bounded-side contract from the
+    * round-17 semIncremental lesson: a y side that is bounded but
+    * DERIVED (an aggregate, a distinct, a fresh filter) carries an
+    * unknown/large planner estimate, so left to statistics the join
+    * plans sort-merge and the CORPUS side's map exchange writes the
+    * whole table before AQE sees the small reality. A plain bounded
+    * scan broadcasts by estimate anyway (the `overlap_probe` measures
+    * zero corpus bytes); the flag exists for the derived-bounded case
+    * where the estimate lies. Default false: both-sides-big is the
+    * common foverlaps shape and a wrong broadcast OOMs executors.
+    */
   def overlap(x0: DataFrame, y0: DataFrame, by: Seq[String],
               xStart: String, xEnd: String, yStart: String, yEnd: String,
               typ: String = "any", autoBin: Boolean = true,
-              validate: Boolean = false): DataFrame = {
+              validate: Boolean = false,
+              broadcastY: Boolean = false): DataFrame = {
     if (validate) {
       requireNoNaRanges(x0, xStart, xEnd, "x")
       requireNoNaRanges(y0, yStart, yEnd, "y")
@@ -578,9 +591,11 @@ object Joins {
       // width estimated from the median interval lengths (two tiny
       // stats jobs at plan-build time — cheap insurance at any scale).
       val w = estimateBinWidth(x, xStart, xEnd, y, yStart, yEnd)
-      overlapBinned(x, y, by, xStart, xEnd, yStart, yEnd, w, typ)
+      overlapBinned(x, y, by, xStart, xEnd, yStart, yEnd, w, typ,
+        broadcastY = broadcastY)
     } else {
-      val yy = disambiguate(x, y, by)
+      val yy0 = disambiguate(x, y, by)
+      val yy = if (broadcastY) broadcast(yy0) else yy0
       val cond = overlapCond(x, yy, xStart, xEnd, yStart, yEnd, typ)
       val full = by.map(b => x(b) === yy(b)).foldRight(cond)(_ && _)
       // drop y's copies of the equi keys (equal by construction) so the
@@ -628,7 +643,8 @@ object Joins {
     */
   def overlapBinned(x0: DataFrame, y0: DataFrame, by: Seq[String],
                     xStart: String, xEnd: String, yStart: String, yEnd: String,
-                    binWidth: Long, typ: String = "any"): DataFrame = {
+                    binWidth: Long, typ: String = "any",
+                    broadcastY: Boolean = false): DataFrame = {
     // same NA-range refusal as [[overlap]] for direct callers (a second
     // wrap from the overlap() route is a no-op on non-null values)
     val x = guardNaRanges(x0, xStart, xEnd, "x")
@@ -640,7 +656,10 @@ object Joins {
     val yb0 = y.withColumn(bin, explode(sequence(
         floor(col(yStart).cast("double") / binWidth).cast("long"),
         floor(col(yEnd).cast("double") / binWidth).cast("long"))))
-    val yb = disambiguate(xb, yb0, by :+ bin)
+    // broadcastY: pin the bounded interval side explicitly (see
+    // [[overlap]]'s scaladoc — the derived-bounded estimate hazard)
+    val yb1 = disambiguate(xb, yb0, by :+ bin)
+    val yb = if (broadcastY) broadcast(yb1) else yb1
     val ysIn = if (xb.columns.contains(yStart)) s"i_$yStart" else yStart
     val firstBin = xb(bin) ===
       floor(greatest(xb(xStart).cast("double"), yb(ysIn).cast("double")) / binWidth).cast("long")

@@ -171,6 +171,35 @@ class Round18Spec extends AnyFunSuite {
         cents, k = 5, nprobe = 2)))
   }
 
+  test("overlap broadcastY pins the bounded interval side even when it is a derived aggregate") {
+    import spark.implicits._
+    val x = (1 to 500).map(i => (i.toLong, i.toDouble, i + 5.0))
+      .toDF("xid", "xs", "xe")
+    // DERIVED bounded side: an aggregate carries an unknown planner
+    // estimate — the semIncremental hazard class the flag exists for
+    val y = (1 to 50).flatMap(i => Seq((i.toLong, i * 7.0, i * 7.0 + 3.0),
+        (i.toLong, i * 7.0, i * 7.0 + 3.0)))
+      .toDF("yid", "ys0", "ye0")
+      .groupBy("yid").agg(min(col("ys0")).as("ps"), max(col("ye0")).as("pe"))
+    val hinted = graft.operators.Joins.overlapBinned(x, y, Nil,
+      "xs", "xe", "ps", "pe", binWidth = 8L, broadcastY = true)
+    val plain = graft.operators.Joins.overlapBinned(x, y, Nil,
+      "xs", "xe", "ps", "pe", binWidth = 8L)
+    val p = hinted.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"broadcastY=true must pin a broadcast join:\n$p")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("xid", "yid").collect().toSeq
+    assert(rows(hinted).nonEmpty)
+    assert(rows(hinted) == rows(plain))
+    // the keyed (non-binned) route honors the flag too
+    val keyed = graft.operators.Joins.overlap(
+      x.withColumn("k", col("xid") % 3),
+      y.withColumn("k", col("yid") % 3), Seq("k"),
+      "xs", "xe", "ps", "pe", broadcastY = true)
+    assert(keyed.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   // ---- plan-shape locks for the probe-proven contracts ---------------
   // The corpus-decade byte probes (ScaleProbe r18) prove these shapes;
   // the locks pin them so a revert fails fast at test time, the same
