@@ -687,8 +687,10 @@ object Joins {
     */
   def overlapMult(x: DataFrame, y: DataFrame, by: Seq[String],
                   xStart: String, xEnd: String, yStart: String, yEnd: String,
-                  typ: String = "any", mult: String = "all"): DataFrame = {
-    if (mult == "all") return overlap(x, y, by, xStart, xEnd, yStart, yEnd, typ)
+                  typ: String = "any", mult: String = "all",
+                  broadcastY: Boolean = false): DataFrame = {
+    if (mult == "all") return overlap(x, y, by, xStart, xEnd, yStart, yEnd,
+      typ, broadcastY = broadcastY)
     require(mult == "first" || mult == "last", s"foverlaps mult=$mult")
     // x-row identity WITHOUT generated ids (monotonically_increasing_id
     // renumbers when a non-deterministic source recomputes a partition):
@@ -701,7 +703,8 @@ object Joins {
     val cnt = "_graft_mxn"
     val xcols = x.columns.toSeq
     val xd = x.groupBy(xcols.map(col): _*).agg(count(lit(1)).as(cnt))
-    val joined = overlap(xd, y, by, xStart, xEnd, yStart, yEnd, typ)
+    val joined = overlap(xd, y, by, xStart, xEnd, yStart, yEnd, typ,
+      broadcastY = broadcastY)
     // y's columns may have been i_-prefixed by the clash rule
     def yName(c: String): String = if (joined.columns.contains(s"i_$c")) s"i_$c" else c
     val yCols = joined.columns.filterNot(c => xd.columns.contains(c)).toSeq
@@ -722,8 +725,10 @@ object Joins {
   def overlapWhich(x: DataFrame, y: DataFrame, by: Seq[String],
                    xStart: String, xEnd: String, yStart: String, yEnd: String,
                    xIdCol: String, yIdCol: String,
-                   typ: String = "any"): DataFrame = {
-    val joined = overlap(x, y, by, xStart, xEnd, yStart, yEnd, typ)
+                   typ: String = "any",
+                   broadcastY: Boolean = false): DataFrame = {
+    val joined = overlap(x, y, by, xStart, xEnd, yStart, yEnd, typ,
+      broadcastY = broadcastY)
     val yid = if (joined.columns.contains(s"i_$yIdCol")) s"i_$yIdCol" else yIdCol
     joined.select(col(xIdCol), col(yid).as(yIdCol))
   }
