@@ -517,10 +517,15 @@ object Bench {
          else "") +
         "}"
     }.mkString("{", ",", "}")
+    // the artifact is the adjudication record — it must state the
+    // estimator actually used (VERDICT r18 "What's wrong" #1): under the
+    // load gate every query runs 5 warm reps and warm = min of them.
+    val runLabel =
+      if (loadContaminated) "\"min-of-5\"" else "\"median-of-3\""
     val contaminatedField =
       if (loadContaminated) ""","load_contaminated":true""" else ""
     val detailJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"steal_delta":$stealDelta$contaminatedField,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":$runLabel,"cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"steal_delta":$stealDelta$contaminatedField,"queries":$detail,"sf":"$sfDir"}"""
     // filtered profiling runs must not clobber the full-sweep detail
     if (args.isEmpty) {
       val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
@@ -554,7 +559,7 @@ object Bench {
     val warmByName = results.map(r => r.name -> r.warm).toMap
     val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":"median-of-3","cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"steal_delta":$stealDelta$contaminatedField,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":$runLabel,"cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"steal_delta":$stealDelta$contaminatedField,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1085,7 +1085,12 @@ object QueriesTextSim {
     ("q_ann_lsh_persisted", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
-      val idx = "/tmp/graft_lsh_idx_" + math.abs(dir.hashCode).toString
+      // per-pid via RuntimeTmp (ADVICE r18): a second JVM benching the
+      // same sf dir must not re-run saveLshIndex over an index another
+      // live JVM is mid-scan (SaveMode.Overwrite deletes lsh/sigs under
+      // the reader). toHexString also sidesteps math.abs(Int.MinValue).
+      val idx = RuntimeTmp.perPid(
+        "graft_lsh_idx_" + Integer.toHexString(dir.hashCode))
       // fit-once contract: the save is the nightly index build, the
       // timed part is the search through the LOADED index
       bucketedIdxBuilt.getOrElsePut(s"${System.identityHashCode(s)}:$idx") {
@@ -1109,7 +1114,11 @@ object QueriesTextSim {
     ("q_ann_lsh_incr", ((s, dir) => {
       val e = emb(s, dir)
         .withColumn("embedding", transform(col("embedding"), _.cast("double")))
-      val idx = "/tmp/graft_lsh_incr_idx_" + math.abs(dir.hashCode).toString
+      // per-pid for the same concurrent-clobber reason as
+      // q_ann_lsh_persisted above; doubly so here — a half-stitched
+      // index (post-save, mid-append) returns silently wrong top-k.
+      val idx = RuntimeTmp.perPid(
+        "graft_lsh_incr_idx_" + Integer.toHexString(dir.hashCode))
       bucketedIdxBuilt.getOrElsePut(s"${System.identityHashCode(s)}:$idx") {
         Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", idx, dim = 64, nBits = 4)

@@ -287,6 +287,8 @@ object Dedup {
   def saveBandIndex(df: DataFrame, idCol: String, textCol: String,
                     path: String, k: Int = 3, numHashes: Int = 32,
                     bands: Int = 8): Unit = {
+    // full rebuild: clear committed-append state before the base write
+    graft.operators.IndexCommit.reset(df.sparkSession, path)
     val b = portableBase(df, idCol, textCol, k, numHashes)
     b.select(col("id"), col("sh")).write.mode("overwrite").parquet(s"$path/shingles")
     portableBandedOf(b, numHashes, bands)
@@ -348,19 +350,41 @@ object Dedup {
     * ingest loop: match with [[minhashIncrementalIndexed]], keep the
     * novel docs, append them so TOMORROW's batch dedups against today's.
     * Parquet append only touches the new files; the corpus is never
-    * rewritten. Caller contract: append each batch once (ids already in
-    * the index produce duplicate index rows, which only cost bucket
-    * slots — matches are deduped downstream).
+    * rewritten. The append goes through the
+    * [[graft.operators.IndexCommit]] protocol (shingles + banded staged
+    * under `batches/<key>/`, then one atomic manifest publish), so the
+    * two components can never be observed torn and a caller-level
+    * RETRY after any failure is a no-op — the key is a content hash of
+    * the batch's banding, so a re-appended batch is detected and
+    * skipped rather than doubling its index rows.
     */
   def appendToBandIndex(batch: DataFrame, idCol: String, textCol: String,
                         path: String, k: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): Unit = {
+    import graft.operators.IndexCommit
+    val spark = batch.sparkSession
     val b = portableBase(batch, idCol, textCol, k, numHashes)
-    b.select(col("id"), col("sh")).write.mode("append").parquet(s"$path/shingles")
-    portableBandedOf(b, numHashes, bands)
-      .write.mode("append").parquet(s"$path/banded")
-    evictIndexBuckets(s"path=$path")
+    val banded = portableBandedOf(b, numHashes, bands)
+    val key = IndexCommit.batchKey(banded, Seq("id", "band", "bh"))
+    val committed = IndexCommit.commitBatch(spark, path, key) { _ =>
+      b.select(col("id"), col("sh")).write.mode("overwrite")
+        .parquet(IndexCommit.stagePath(path, key, "shingles"))
+      banded.write.mode("overwrite")
+        .parquet(IndexCommit.stagePath(path, key, "banded"))
+      None
+    }
+    if (committed) evictIndexBuckets(s"path=$path")
   }
+
+  /** The shingle sets of a [[saveBandIndex]] index at its CURRENT
+    * committed state — base plus every committed append batch. */
+  def bandIndexShingles(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.IndexCommit.readComponent(spark, indexPath, "shingles")
+
+  /** The (id, band, bh) banding of a [[saveBandIndex]] index at its
+    * CURRENT committed state. */
+  def bandIndexBanded(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.IndexCommit.readComponent(spark, indexPath, "banded")
 
   /** [[minhashIncrementalPortable]] against a [[saveBandIndex]]-written
     * index — the corpus never leaves parquet. Same output contract;
@@ -374,10 +398,10 @@ object Dedup {
                                 broadcastBatch: Boolean = true): DataFrame = {
     val batchB = portableBase(batch, idCol, textCol, k, numHashes)
     incrementalPairs(
-      spark.read.parquet(s"$indexPath/shingles"),
+      bandIndexShingles(spark, indexPath),
       cappedBucketsFor(
         s"idxbuckets:path=$indexPath:${System.identityHashCode(spark)}:$bands:$maxBucket",
-        spark.read.parquet(s"$indexPath/banded"), maxBucket),
+        bandIndexBanded(spark, indexPath), maxBucket),
       batchB, portableBandedOf(batchB, numHashes, bands),
       threshold, broadcastBatch)
   }

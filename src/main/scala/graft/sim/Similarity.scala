@@ -275,6 +275,10 @@ object Similarity {
     */
   def saveLshIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
                    dim: Int, nBits: Int): Unit = {
+    // a save is a full REBUILD: clear any committed-append state first
+    // so a stale manifest can never mix old batch dirs with the new
+    // base (IndexCommit.reset scaladoc has the crash-window analysis)
+    graft.operators.IndexCommit.reset(df.sparkSession, s"$path/lsh")
     val c = lshSigned(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "id", "vec", dim, nBits)
     c.select(col("id"), col("_sig").as("sig"), col("vec"))
@@ -287,35 +291,74 @@ object Similarity {
       .parquet(s"$path/lsh/counts")
   }
 
+  /** The signed corpus of a [[saveLshIndex]] index at its CURRENT
+    * committed state — base sigs plus every [[appendToLshIndex]]-
+    * committed batch. The read half of the commit protocol; also the
+    * audit surface (Round18Spec recounts these against
+    * [[lshIndexCounts]]).
+    */
+  def lshIndexSigs(spark: SparkSession, indexPath: String): DataFrame = {
+    val root = s"$indexPath/lsh"
+    graft.operators.IndexCommit.readComponent(spark, root, "sigs")
+  }
+
+  /** The bucket counts of a [[saveLshIndex]] index at its CURRENT
+    * committed state: the manifest's versioned counts dir, or the
+    * legacy unversioned `lsh/counts` when nothing has been appended
+    * through the commit protocol.
+    */
+  def lshIndexCounts(spark: SparkSession, indexPath: String): DataFrame = {
+    val root = s"$indexPath/lsh"
+    val st = graft.operators.IndexCommit.read(spark, root)
+    spark.read.parquet(lshCountsPath(root, st))
+  }
+
+  private def lshCountsPath(root: String,
+                            st: graft.operators.IndexCommit.State): String =
+    st.aggDir.map(d => s"$root/$d").getOrElse(s"$root/counts")
+
   /** Fold a (typically just-screened) batch into a [[saveLshIndex]]
     * index — the LSH twin of [[appendToCellIndex]] /
     * [[graft.dedup.Dedup.appendToBandIndex]]: sign the batch with the
     * SAME (dim, nBits) as the save (the hyperplanes are deterministic
     * functions of those params, so parameter agreement IS index
     * agreement — the same implicit contract as appendToBandIndex's
-    * k/numHashes/bands), parquet-append to `path/lsh/sigs`, and MERGE
-    * the persisted bucket counts incrementally: old counts ∪ batch
-    * bucket counts → per-sig sum. Corpus-independent — only the batch
-    * and the ≤ 2^nBits-row counts table are read; the corpus sigs are
-    * never re-scanned. The merged counts are localCheckpoint-ed
-    * (bounded: ≤ 2^nBits rows) before the Overwrite so the write never
-    * reads the directory it is replacing.
+    * k/numHashes/bands), and commit the batch through the
+    * [[graft.operators.IndexCommit]] protocol: stage the batch sigs at
+    * `lsh/batches/<key>/sigs`, write the MERGED bucket counts (old ∪
+    * batch → per-sig sum) to a fresh `lsh/counts_v<N+1>_<key>` dir,
+    * then atomically publish the `_commit_v<N+1>` manifest naming
+    * both. Crash-safe at every point — a reader sees the old committed
+    * index until the manifest lands — and retry-idempotent: the key is
+    * a content hash of the signed batch, so re-calling after any
+    * failure either no-ops (key already committed) or re-stages and
+    * publishes; a batch can never double-append or double-count
+    * (VERDICT r18 "What's missing" #2, spec-locked in Round19Spec).
+    * Corpus-independent — only the batch and the ≤ 2^nBits-row counts
+    * table are read; the corpus sigs are never re-scanned.
     */
   def appendToLshIndex(spark: SparkSession, indexPath: String,
                        batch: DataFrame, idCol: String, vecCol: String,
                        dim: Int, nBits: Int): Unit = {
+    import graft.operators.IndexCommit
+    val root = s"$indexPath/lsh"
     val b = lshSigned(batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
-      "id", "vec", dim, nBits)
-    b.select(col("id"), col("_sig").as("sig"), col("vec"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexPath/lsh/sigs")
-    val old = spark.read.parquet(s"$indexPath/lsh/counts")
-    val merged = old.unionByName(
-        lshBucketCounts(b).select(col("_sig").as("sig"), col("_graft_n").as("n")))
-      .groupBy(col("sig")).agg(sum(col("n")).as("n"))
-      .coalesce(1).localCheckpoint()
-    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexPath/lsh/counts")
+        "id", "vec", dim, nBits)
+      .select(col("id"), col("_sig").as("sig"), col("vec"))
+    val key = IndexCommit.batchKey(b, Seq("id", "sig"))
+    IndexCommit.commitBatch(spark, root, key) { st =>
+      b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(IndexCommit.stagePath(root, key, "sigs"))
+      val old = spark.read.parquet(lshCountsPath(root, st))
+      val countsDir = s"counts_v${st.version + 1}_$key"
+      old.unionByName(
+          b.groupBy(col("sig")).agg(count(lit(1)).as("n")))
+        .groupBy(col("sig")).agg(sum(col("n")).as("n"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/$countsDir")
+      Some(countsDir)
+    }
     ()
   }
 
@@ -334,14 +377,18 @@ object Similarity {
                      dim: Int, nBits: Int, k: Int,
                      maxBucket: Int = 1000,
                      broadcastQueries: Boolean = true): DataFrame = {
-    val c = spark.read.parquet(s"$indexPath/lsh/sigs")
+    // one manifest read pins BOTH components to the same committed
+    // version — sigs and counts can never be observed torn
+    val root = s"$indexPath/lsh"
+    val st = graft.operators.IndexCommit.read(spark, root)
+    val c = graft.operators.IndexCommit.readComponent(spark, root, "sigs", st)
       .select(col("id").as(idCol), col("vec").as(vecCol),
         col("sig").as("_sig"))
     // counts are bounded by construction (≤ 2^nBits rows) but arrive as
     // a fresh scan with an unknown-small estimate — broadcast the semi
     // join's build side explicitly so no planner regression can ever
     // shuffle the query batch by _sig
-    val eligible = spark.read.parquet(s"$indexPath/lsh/counts")
+    val eligible = spark.read.parquet(lshCountsPath(root, st))
       .filter(col("n") <= maxBucket).select(col("sig").as("_sig"))
     val q = lshSignedQueries(queries, idCol, vecCol, dim, nBits)
     val qe = q.join(broadcast(eligible), Seq("_sig"), "left_semi")
@@ -631,6 +678,8 @@ object Similarity {
     */
   def saveCellIndex(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], path: String): Unit = {
+    // full rebuild: clear committed-append state before the base write
+    graft.operators.IndexCommit.reset(df.sparkSession, path)
     saveIvfIndex(df.sparkSession, path, centroids)
     ivfAssign(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", centroids, out = "cell")
@@ -649,13 +698,28 @@ object Similarity {
     */
   def appendToCellIndex(spark: SparkSession, indexPath: String,
                         batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    import graft.operators.IndexCommit
     val centroids = loadIvfIndex(spark, indexPath)
-    ivfAssign(batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
+    val assigned = ivfAssign(
+        batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", centroids, out = "cell")
       .select(col("id"), col("cell"), col("vec"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$indexPath/cells")
-    evictPersisted(s"cellcorpus:$indexPath:")
+    // commit-protocol append (crash-safe + retry-idempotent — see
+    // appendToLshIndex): stage at batches/<key>/cells, publish manifest
+    val key = IndexCommit.batchKey(assigned, Seq("id", "cell"))
+    val committed = IndexCommit.commitBatch(spark, indexPath, key) { _ =>
+      assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(IndexCommit.stagePath(indexPath, key, "cells"))
+      None
+    }
+    if (committed) evictPersisted(s"cellcorpus:$indexPath:")
   }
+
+  /** The assigned corpus of a [[saveCellIndex]] index at its CURRENT
+    * committed state — base cells plus every committed append batch.
+    */
+  def cellIndexCells(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.IndexCommit.readComponent(spark, indexPath, "cells")
 
   /** Incremental SemDeDup: a NEW batch of embeddings vs a
     * [[saveCellIndex]]-persisted corpus — assign each batch vector to
@@ -678,7 +742,7 @@ object Similarity {
     // Dedup.cappedBucketsFor twin); writers evict on overwrite/append.
     val corpus = cachePersisted(
       s"cellcorpus:$indexPath:${System.identityHashCode(spark)}:$maxCell", {
-        val cells = spark.read.parquet(s"$indexPath/cells")
+        val cells = cellIndexCells(spark, indexPath)
         val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
           .filter(col("_n") <= maxCell).select(col("cell"))
         // counts is <= one row per CELL (bounded by the index's centroid

@@ -215,11 +215,11 @@ object Streams {
       .select(col(idCol).as("new_id"), col(tsCol).as("ts"),
         col("sh"), col("band"), col("bh"))
       .withWatermark("ts", watermark)
-    val buckets = spark.read.parquet(s"$indexPath/banded")
+    val buckets = graft.dedup.Dedup.bandIndexBanded(spark, indexPath)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("base_ids"))
       .filter(size(col("base_ids")) <= maxBucket)
-    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    val idxSh = graft.dedup.Dedup.bandIndexShingles(spark, indexPath)
       .select(col("id").as("dup_of"), col("sh").as("shB"))
     banded.join(buckets, Seq("band", "bh"))
       .select(col("new_id"), col("ts"), col("sh"),
@@ -311,7 +311,7 @@ object Streams {
                                  maxCell: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     val centroids = graft.sim.Similarity.loadIvfIndex(spark, indexPath)
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cells = graft.sim.Similarity.cellIndexCells(spark, indexPath)
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxCell).select(col("cell"))
     // norms staged per ROW (not per pair) — see Similarity.semanticPairs

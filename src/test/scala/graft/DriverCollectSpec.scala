@@ -24,6 +24,7 @@ class DriverCollectSpec extends AnyFunSuite {
     "curate/Sampling.scala" -> 1,             // per-source token totals
     "curate/Dsir.scala" -> 2,                 // grand total, 1024-bucket table
     "curate/Contamination.scala" -> 1,        // benchmark-gram bloom build
+    "operators/IndexCommit.scala" -> 1,       // batchKey: 1-row agg (count+hash)
     "sim/Similarity.scala" -> 6,              // kmeans seeds ×2, Lloyd sums, ADC tables, IVF/PQ loads
     "QueriesTextSim.scala" -> 1)              // 4 harness seed centroids
 

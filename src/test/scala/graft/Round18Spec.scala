@@ -140,8 +140,8 @@ class Round18Spec extends AnyFunSuite {
     assert(stitched == direct)
     // the merged counts table equals a from-scratch count of the
     // stitched sigs (one row per sig, summed populations)
-    val counts = spark.read.parquet(s"$idx/lsh/counts")
-    val recount = spark.read.parquet(s"$idx/lsh/sigs")
+    val counts = graft.sim.Similarity.lshIndexCounts(spark, idx)
+    val recount = graft.sim.Similarity.lshIndexSigs(spark, idx)
       .groupBy(col("sig")).agg(count(lit(1)).as("n"))
     assert(counts.count() == recount.count())
     assert(counts.join(recount, Seq("sig", "n"), "left_anti").count() == 0,
