@@ -353,18 +353,38 @@ object Reshape {
     */
   def dcastMulti(df: DataFrame, lhs: Seq[String], rhs: String,
                  values: Seq[String], aggs: Seq[(String, Column)],
-                 referenceNames: Boolean = true, sep: String = "_"): DataFrame = {
+                 referenceNames: Boolean = true, sep: String = "_",
+                 fills: Map[String, Column] = Map.empty): DataFrame = {
     require(aggs.nonEmpty)
     val named = aggs.map { case (n, c) => c.as(n) }
-    val wide = df.groupBy(lhs.map(col): _*)
+    val wide0 = df.groupBy(lhs.map(col): _*)
       .pivot(rhs, values)
       .agg(named.head, named.tail: _*)
-    if (!referenceNames || aggs.size == 1) wide
+    val wide =
+      if (!referenceNames || aggs.size == 1) wide0
+      else {
+        // Positional rename — pivot emits lhs ++ (per value, per agg), so
+        // no fragile parsing of underscores inside pivot values or names.
+        val out = lhs ++ values.flatMap(v => aggs.map { case (n, _) => s"$n$sep$v" })
+        wide0.toDF(out: _*)
+      }
+    // fill=: the reference's empty-cell convention is PER AGGREGATE —
+    // fun.aggregate on a 0-length vector (R/fcast.R:126; tests.Rraw
+    // 1102.32's sum→0 next to mean→NaN in one cast). `fills` maps an
+    // agg name to its empty value; unmapped aggs keep SQL NULL.
+    if (fills.isEmpty) wide
     else {
-      // Positional rename — pivot emits lhs ++ (per value, per agg), so
-      // no fragile parsing of underscores inside pivot values or names.
-      val out = lhs ++ values.flatMap(v => aggs.map { case (n, _) => s"$n$sep$v" })
-      wide.toDF(out: _*)
+      val pivotCols = wide.columns.drop(lhs.size).toSeq
+      val fillFor: String => Option[Column] =
+        if (aggs.size == 1) _ => fills.get(aggs.head._1)
+        else {
+          // positional: pivot emits (per value, per agg) in agg order
+          val byCol = values.flatMap(v =>
+            aggs.map { case (n, _) => s"$n$sep$v" -> fills.get(n) }).toMap
+          c => byCol.getOrElse(c, None)
+        }
+      wide.select(lhs.map(col) ++ pivotCols.map(c =>
+        fillFor(c).map(f => coalesce(col(c), f).as(c)).getOrElse(col(c))): _*)
     }
   }
 
@@ -374,7 +394,8 @@ object Reshape {
     */
   def dcastComplete(df: DataFrame, lhs: Seq[String], rhs: String,
                     valueVar: String, aggFn: Column => Column,
-                    values: Seq[String] = Nil): DataFrame = {
+                    values: Seq[String] = Nil,
+                    fill: Option[Column] = None): DataFrame = {
     val domain = lhs.map(c => df.select(c).distinct())
       .reduce(_.crossJoin(_))
     val complete = domain.join(df, lhs, "left")
@@ -384,8 +405,11 @@ object Reshape {
     // non-null rhs values keeps those rows group-preserving only. (The
     // distinct collect is the same driver-side scan pivot would run
     // internally anyway.)
+    // drop=FALSE × fill= (tests.Rraw 1102.04): the fill value lands in
+    // BOTH unobserved cells of observed keys and every cell of the
+    // completion-only keys.
     val vals = if (values.nonEmpty) values else pivotDomain(df, rhs)
-    dcast(complete, lhs, rhs, valueVar, aggFn, vals)
+    dcast(complete, lhs, rhs, valueVar, aggFn, vals, fill)
   }
 
   /** dcast(drop=FALSE) × MULTIPLE value.var (R/fcast.R:217-226 crossed
@@ -400,7 +424,8 @@ object Reshape {
   def dcastCompleteMulti(df: DataFrame, lhs: Seq[String], rhs: String,
                          aggs: Seq[(String, Column)],
                          values: Seq[String] = Nil,
-                         sep: String = "_"): DataFrame = {
+                         sep: String = "_",
+                         fills: Map[String, Column] = Map.empty): DataFrame = {
     require(aggs.nonEmpty)
     val domain = lhs.map(c => df.select(c).distinct())
       .reduce(_.crossJoin(_))
@@ -408,7 +433,8 @@ object Reshape {
     // same null-rhs note as dcastComplete: pin the pivot values to the
     // observed non-null set so completion rows stay group-preserving
     val vals = if (values.nonEmpty) values else pivotDomain(df, rhs)
-    dcastMulti(complete, lhs, rhs, vals, aggs, referenceNames = true, sep)
+    dcastMulti(complete, lhs, rhs, vals, aggs, referenceNames = true, sep,
+      fills)
   }
 
   /** Sorted distinct non-null pivot values — the column domain every

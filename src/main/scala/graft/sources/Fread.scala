@@ -1210,40 +1210,93 @@ object Fread {
     * buffer as the rows (src/fwrite.c), so fread sees it first after
     * decompression either way.
     *
-    * IDEMPOTENT under task re-execution (speculation / stage retry): a
-    * retried task whose predecessor already renamed sees the part
-    * starting with `prefix` and skips — without the guard it would
-    * prepend a second copy. (A part whose DATA legitimately begins with
-    * the exact prefix bytes cannot occur here: the part head is either a
-    * CSV header/row — never a BOM — or, for csvy, never the full "---"
-    * front-matter block this writer stamps.) Streams close in
-    * try/finally and a failed copy deletes its temp file, so a mid-copy
-    * exception leaks neither descriptors nor a stale `.bom` part.
+    * IDEMPOTENT at BOTH the task and the whole-pass level, via RENAME
+    * STATE instead of content sniffing (ADVICE r18 #3: a headerless
+    * part whose first string field legitimately begins with U+FEFF
+    * serializes to a leading EF BB BF, so a byte-compare guard
+    * false-positives and the file silently loses its intended BOM).
+    * Two-phase protocol:
+    *
+    *   phase 1 (one executor task per part): rename the original aside
+    *   to `.<part>.orig` (atomic), stream the prefixed copy to
+    *   `.<part>.bom`, rename it into place as `<part>` (atomic create —
+    *   the destination is vacant), and KEEP the `.orig`. Which files
+    *   exist tells a retried task exactly where its predecessor died:
+    *   part only → never processed; orig only → died mid-copy, rebuild
+    *   from orig; part AND orig → this part is done, skip.
+    *
+    *   phase 2 (after the job): stamp a dot-named, prefix-keyed marker
+    *   in the directory, THEN delete the `.orig` files — so until the
+    *   marker exists every part's state is still per-part decidable,
+    *   and once it exists a whole-pass re-invocation returns
+    *   immediately (cleaning any leftover origs from a crash between
+    *   marker and cleanup).
+    *
+    * Dot-prefixed names keep the `.orig`/`.bom`/marker files invisible
+    * to [[foreachPart]]'s `part-` listing AND to every downstream
+    * reader (FileInputFormat ignores `.`/`_` files). Streams close in
+    * try/finally and a failed copy deletes its temp file.
     */
   private[graft] def prependBytes(spark: SparkSession, path: String,
-                                  prefix: Array[Byte]): Unit =
+                                  prefix: Array[Byte]): Unit = {
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dir.getFileSystem(conf0)
+    val markerName =
+      "._graft_prepended_" + java.lang.Integer.toHexString(
+        java.util.Arrays.hashCode(prefix))
+    val marker = new org.apache.hadoop.fs.Path(dir, markerName)
+    def sweepOrigs(): Unit = {
+      val ls = fs0.listStatus(dir)
+      if (ls != null) ls.foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".part-") &&
+            (n.endsWith(".orig") || n.endsWith(".bom")))
+          fs0.delete(st.getPath, false)
+      }
+    }
+    if (fs0.exists(marker)) { sweepOrigs(); return }
+    // whole-JOB crash repair: an `.orig` whose part is missing means a
+    // previous invocation died mid-copy AFTER renaming the original
+    // aside — the part listing below would not see it and the part's
+    // rows would vanish. The orig IS the pristine original (renamed
+    // before any write), so restore it (and drop the half-written tmp)
+    // before enumerating work.
+    {
+      val ls = fs0.listStatus(dir)
+      if (ls != null) ls.foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".part-") && n.endsWith(".orig")) {
+          val partName = n.stripPrefix(".").stripSuffix(".orig")
+          val pp = new org.apache.hadoop.fs.Path(dir, partName)
+          if (!fs0.exists(pp)) {
+            fs0.delete(
+              new org.apache.hadoop.fs.Path(dir, s".$partName.bom"), false)
+            require(fs0.rename(st.getPath, pp),
+              s"prependBytes: crash-repair rename ${st.getPath} -> $pp failed")
+          }
+        }
+      }
+    }
     foreachPart(spark, path, Set.empty) { (conf, pathStr) =>
       val p = new org.apache.hadoop.fs.Path(pathStr)
       val fs = p.getFileSystem(conf)
       val gz = p.getName.endsWith(".gz")
-      val alreadyPrefixed = {
-        val rawIn: java.io.InputStream = fs.open(p)
-        try {
-          val in: java.io.InputStream =
-            if (gz) new java.util.zip.GZIPInputStream(rawIn) else rawIn
-          val head = in.readNBytes(prefix.length)
-          java.util.Arrays.equals(head, prefix)
-        } finally rawIn.close()
-      }
-      if (!alreadyPrefixed) {
-        val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".bom")
+      val orig =
+        new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".orig")
+      val haveOrig = fs.exists(orig)
+      if (!(haveOrig && fs.exists(p))) { // part+orig → done, skip
+        if (!haveOrig) require(fs.rename(p, orig),
+          s"prependBytes: rename $p -> $orig failed")
+        val tmp =
+          new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".bom")
         var ok = false
         val rawOut: java.io.OutputStream = fs.create(tmp, true)
         try {
           val out: java.io.OutputStream =
             if (gz) new java.util.zip.GZIPOutputStream(rawOut) else rawOut
           out.write(prefix)
-          val rawIn: java.io.InputStream = fs.open(p)
+          val rawIn: java.io.InputStream = fs.open(orig)
           try {
             val in: java.io.InputStream =
               if (gz) new java.util.zip.GZIPInputStream(rawIn) else rawIn
@@ -1257,11 +1310,14 @@ object Fread {
           if (!ok) { try rawOut.close() catch { case _: Throwable => () }
                      fs.delete(tmp, false); () }
         }
-        fs.delete(p, false)
-        fs.rename(tmp, p)
+        require(fs.rename(tmp, p), s"prependBytes: rename $tmp -> $p failed")
       }
       ()
     }
+    val out = fs0.create(marker, true)
+    out.close()
+    sweepOrigs()
+  }
 
   /** fwrite(eol=) post-pass: Spark's CSV writer only supports a
     * 1-character lineSep, so multi-byte terminators ("\r\n") rewrite

@@ -1,0 +1,514 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.DT
+import graft.operators.{Joins, Windows}
+
+/** Differential query fuzzer against the DuckDB oracle (VERDICT r18
+  * "Next round" #1): generate random-but-deterministic DT[i, j, by] /
+  * join / mult / window / as-of queries TOGETHER with the equivalent
+  * ANSI SQL, dump them in the exact `graft.Verify` layout, and let
+  * `tools/compare_oracle.py` adjudicate with the driver's own strict
+  * comparator. The reference validates these interaction corners with
+  * a 21,976-line hand-built corpus (inst/tests/tests.Rraw); this
+  * automates the same sweep over the engine's own operator layer.
+  *
+  * Determinism contract: case `fz_<seed>_<i>` is a pure function of
+  * (seed, i) — `scala.util.Random`'s algorithm is fixed by the
+  * java.util.Random spec, so a divergence found at any (seed, i) is
+  * reproducible forever and becomes a numbered regression test.
+  *
+  * Exactness policy (the comparator is stringified-value STRICT):
+  *  - every SUM flows through DECIMAL(18,2) on BOTH sides — exact and
+  *    order-independent, immune to fp summation-order ulps;
+  *  - means are exact-decimal-sum ÷ non-null-count with one final
+  *    double division (IEEE-deterministic given identical operands);
+  *  - min/max/count/count-distinct compare raw (no summation);
+  *  - NULL salting is arithmetic (`pk % m = r`), never hash-based, so
+  *    both engines salt the identical rows.
+  *
+  * Oracle dialect: the common ANSI subset of DuckDB and Spark SQL —
+  * `sparkSqlOk = true` cases also run under `spark.sql` for the
+  * in-suite smoke tier (FuzzSpec); as-of cases use the ORDER BY/LIMIT 1
+  * correlated-subquery shape (q_asof's oracle) that only DuckDB
+  * supports and are external-sweep-only.
+  *
+  * Usage: `runMain graft.tools.Fuzz <sfDir> <outDir> [count] [seed]`,
+  * then `python3 tools/compare_oracle.py <sfDir> <outDir>`.
+  */
+object Fuzz {
+
+  type Build = (SparkSession, String) => DataFrame
+
+  final case class FuzzCase(name: String, shape: String, sql: String,
+                            sparkSqlOk: Boolean, build: Build)
+
+  // ---- table metadata (domains/ranges per TESTDATA.md synthetics) -----
+
+  final case class TMeta(name: String, pk: String, cols: Seq[String],
+                         decCols: Seq[String],
+                         strCols: Seq[(String, Seq[String])],
+                         keyCols: Seq[String], tsCols: Seq[String],
+                         tsYears: (Int, Int))
+
+  private val lineitem = TMeta("lineitem", "l_orderkey",
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    decCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    strCols = Seq("l_linestatus" -> Seq("O", "F"),
+      "l_returnflag" -> Seq("A", "N", "R")),
+    keyCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+    tsCols = Seq("l_shipdate"), tsYears = (1995, 2001))
+
+  private val orders = TMeta("orders", "o_orderkey",
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    decCols = Seq("o_totalprice"),
+    strCols = Seq("o_orderstatus" -> Seq("F", "O", "P"),
+      "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")),
+    keyCols = Seq("o_orderkey", "o_custkey"),
+    tsCols = Seq("o_orderdate"), tsYears = (1995, 2001))
+
+  private val events = TMeta("events", "event_id",
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    decCols = Seq("value"),
+    strCols = Seq("event_type" -> Seq("signup", "click", "error", "view",
+      "purchase")),
+    keyCols = Seq("event_id", "user_id"),
+    tsCols = Seq("ts"), tsYears = (0, 0)) // ts range not pinned: no ts atoms
+
+  private val decRange: Map[String, (Double, Double)] = Map(
+    "l_quantity" -> (1.0, 50.0), "l_extendedprice" -> (1000.0, 90000.0),
+    "l_discount" -> (0.0, 0.1), "l_tax" -> (0.0, 0.08),
+    "o_totalprice" -> (2000.0, 450000.0), "value" -> (1.0, 300.0))
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  // ---- NULL salting ----------------------------------------------------
+
+  /** NULL out `colName` wherever `pk % m == rem` — arithmetic, so both
+    * engines salt the identical rows (a hash-based rule would diverge).
+    */
+  final case class Salt(colName: String, m: Int, rem: Int)
+
+  private def pickSalt(r: Random, cands: Seq[String]): Option[Salt] =
+    if (cands.isEmpty || r.nextInt(3) == 0) None
+    else Some(Salt(pick(r, cands), pick(r, Seq(5, 7, 11)),
+      r.nextInt(3)))
+
+  private def saltDf(df: DataFrame, t: TMeta, s: Option[Salt]): DataFrame =
+    s.fold(df)(x => df.withColumn(x.colName,
+      when(col(t.pk) % x.m === x.rem, lit(null)).otherwise(col(x.colName))))
+
+  /** Table expression with the salt applied — a plain name when
+    * unsalted, else a derived table re-projecting every column. */
+  private def saltSql(t: TMeta, s: Option[Salt]): String =
+    s.fold(t.name)(x =>
+      "(SELECT " + t.cols.map { c =>
+        if (c == x.colName)
+          s"CASE WHEN ${t.pk} % ${x.m} = ${x.rem} THEN NULL ELSE $c END AS $c"
+        else c
+      }.mkString(", ") + s" FROM ${t.name})")
+
+  // ---- predicate atoms -------------------------------------------------
+
+  private def atom(r: Random, t: TMeta, salt: Option[Salt]): (Column, String) =
+    r.nextInt(10) match {
+      case 0 | 1 | 2 =>
+        val c = pick(r, t.decCols)
+        val (lo, hi) = decRange(c)
+        val k = math.rint((lo + r.nextDouble() * (hi - lo)) * 100) / 100
+        pick(r, Seq(">", ">=", "<", "<=")) match {
+          case ">"  => (col(c) > k, s"$c > $k")
+          case ">=" => (col(c) >= k, s"$c >= $k")
+          case "<"  => (col(c) < k, s"$c < $k")
+          case _    => (col(c) <= k, s"$c <= $k")
+        }
+      case 3 | 4 =>
+        val (c, dom) = pick(r, t.strCols)
+        if (r.nextBoolean() || dom.size < 3) {
+          val v = pick(r, dom)
+          (col(c) === v, s"$c = '$v'")
+        } else {
+          val sub = r.shuffle(dom).take(1 + r.nextInt(dom.size - 1)).sorted
+          (col(c).isin(sub: _*),
+            s"$c IN (${sub.map(v => s"'$v'").mkString(", ")})")
+        }
+      case 5 | 6 =>
+        // key-mod bucket: scale-free selectivity at any sf
+        val c = pick(r, t.keyCols)
+        val m = pick(r, Seq(3, 5, 7, 10))
+        val v = r.nextInt(m)
+        pick(r, Seq("=", "<", "<>")) match {
+          case "="  => (col(c) % m === v, s"$c % $m = $v")
+          case "<"  => (col(c) % m < v, s"$c % $m < $v")
+          case _    => (col(c) % m =!= v, s"$c % $m <> $v")
+        }
+      case 7 if t.tsYears != ((0, 0)) =>
+        val c = pick(r, t.tsCols)
+        val y = t.tsYears._1 + r.nextInt(t.tsYears._2 - t.tsYears._1 + 1)
+        val mo = 1 + r.nextInt(12)
+        val litS = f"$y%04d-$mo%02d-01 00:00:00"
+        if (r.nextBoolean())
+          (col(c) >= lit(litS).cast("timestamp"), s"$c >= TIMESTAMP '$litS'")
+        else (col(c) < lit(litS).cast("timestamp"), s"$c < TIMESTAMP '$litS'")
+      case 8 if salt.isDefined =>
+        val c = salt.get.colName
+        if (r.nextBoolean()) (col(c).isNotNull, s"$c IS NOT NULL")
+        else (col(c).isNull, s"$c IS NULL")
+      case _ =>
+        val c = pick(r, t.decCols)
+        val (lo, hi) = decRange(c)
+        val k = math.rint((lo + r.nextDouble() * (hi - lo)) * 100) / 100
+        (col(c) >= k, s"$c >= $k")
+    }
+
+  private def genPred(r: Random, t: TMeta,
+                      salt: Option[Salt]): (Column, String) = {
+    val n = 1 + r.nextInt(3)
+    val as = Seq.fill(n)(atom(r, t, salt))
+    n match {
+      case 1 => as.head
+      case 2 =>
+        if (r.nextBoolean())
+          (as(0)._1 && as(1)._1, s"(${as(0)._2}) AND (${as(1)._2})")
+        else (as(0)._1 || as(1)._1, s"(${as(0)._2}) OR (${as(1)._2})")
+      case _ =>
+        if (r.nextBoolean())
+          (as(0)._1 && as(1)._1 || as(2)._1,
+            s"((${as(0)._2}) AND (${as(1)._2})) OR (${as(2)._2})")
+        else ((as(0)._1 || as(1)._1) && as(2)._1,
+          s"((${as(0)._2}) OR (${as(1)._2})) AND (${as(2)._2})")
+    }
+  }
+
+  // ---- aggregate library ------------------------------------------------
+
+  private def decSum(c: String): Column =
+    sum(col(c).cast("decimal(18,2)"))
+  private def decSumSql(c: String): String =
+    s"SUM(CAST($c AS DECIMAL(18,2)))"
+
+  private def genAggExpr(r: Random, t: TMeta, alias: String): (Column, String) =
+    r.nextInt(9) match {
+      case 0 =>
+        (count(lit(1)).as(alias), s"COUNT(*) AS $alias")
+      case 1 =>
+        val c = pick(r, t.cols.filterNot(_ == "props"))
+        (count(col(c)).as(alias), s"COUNT($c) AS $alias")
+      case 2 =>
+        val c = pick(r, t.strCols.map(_._1) ++ t.keyCols)
+        (countDistinct(col(c)).as(alias), s"COUNT(DISTINCT $c) AS $alias")
+      case 3 | 4 =>
+        val c = pick(r, t.decCols)
+        (decSum(c).cast("double").as(alias),
+          s"CAST(${decSumSql(c)} AS DOUBLE) AS $alias")
+      case 5 =>
+        val c = pick(r, t.decCols)
+        if (r.nextBoolean()) (min(col(c)).as(alias), s"MIN($c) AS $alias")
+        else (max(col(c)).as(alias), s"MAX($c) AS $alias")
+      case 6 =>
+        val c = pick(r, t.strCols.map(_._1))
+        if (r.nextBoolean()) (min(col(c)).as(alias), s"MIN($c) AS $alias")
+        else (max(col(c)).as(alias), s"MAX($c) AS $alias")
+      case 7 =>
+        // mean = exact decimal sum ÷ non-null count, ONE double division.
+        // An all-null group is NULL/0.0 = NULL in both engines.
+        val c = pick(r, t.decCols)
+        ((decSum(c).cast("double") / count(col(c)).cast("double")).as(alias),
+          s"CAST(${decSumSql(c)} AS DOUBLE) / CAST(COUNT($c) AS DOUBLE) AS $alias")
+      case _ =>
+        // arith over two exact sums
+        val c1 = pick(r, t.decCols)
+        val c2 = pick(r, t.decCols)
+        if (r.nextBoolean())
+          ((decSum(c1) + decSum(c2)).cast("double").as(alias),
+            s"CAST(${decSumSql(c1)} + ${decSumSql(c2)} AS DOUBLE) AS $alias")
+        else ((decSum(c1) - decSum(c2)).cast("double").as(alias),
+          s"CAST(${decSumSql(c1)} - ${decSumSql(c2)} AS DOUBLE) AS $alias")
+    }
+
+  private def genBy(r: Random, t: TMeta): Seq[(Column, String)] = {
+    val nBy = r.nextInt(3) // 0..2 grouping expressions
+    val strs = r.shuffle(t.strCols.map(_._1)).map(c => (col(c), c))
+    val mods = r.shuffle(t.keyCols).take(1).map { c =>
+      val m = 2 + r.nextInt(9)
+      ((col(c) % m).as(s"g_$c"), s"$c % $m AS g_$c")
+    }
+    r.shuffle(strs ++ mods).take(nBy)
+  }
+
+  // ---- shape A: DT[i, j, by] — filter + grouped aggregate ---------------
+
+  private def genAggCase(r: Random, name: String): FuzzCase = {
+    val t = pick(r, Seq(lineitem, orders, events))
+    val salt = pickSalt(r, t.decCols)
+    val (pc, ps) = genPred(r, t, salt)
+    val by = genBy(r, t)
+    val aggs = (0 until 1 + r.nextInt(3)).map(k => genAggExpr(r, t, s"a$k"))
+    val build: Build = (s, dir) => {
+      val base = saltDf(DT(s, dir, t.name).df, t, salt)
+      val d = DT(base)
+      if (by.isEmpty) d(pc).groupAgg(Nil, aggs.map(_._1)).df
+      else d(pc, aggs.map(_._1), by.map(_._1)).df
+    }
+    val sel = (by.map(_._2) ++ aggs.map(_._2)).mkString(", ")
+    val grp =
+      if (by.isEmpty) "" else "\nGROUP BY " + (1 to by.size).mkString(", ")
+    FuzzCase(name, "agg",
+      s"SELECT $sel\nFROM ${saltSql(t, salt)} t\nWHERE $ps$grp",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape B: x[i] joins (inner/left/full/semi/anti) + post-agg -------
+
+  private def genJoinCase(r: Random, name: String): FuzzCase = {
+    val how = pick(r, Seq("inner", "left", "full", "semi", "anti"))
+    val xSalt = pickSalt(r, lineitem.decCols)
+    val (xpC, xpS) =
+      if (r.nextBoolean()) genPred(r, lineitem, xSalt) else (lit(true), "1=1")
+    val (ipC, ipS) =
+      if (r.nextBoolean()) genPred(r, orders, None) else (lit(true), "1=1")
+    val byX = pick(r, Seq("l_returnflag", "l_linestatus"))
+    val keepsI = how == "inner" || how == "left" || how == "full"
+    val withICol = keepsI && r.nextBoolean()
+    val aggs: Seq[(Column, String)] = Seq(
+      (count(lit(1)).as("n"), "COUNT(*) AS n"),
+      (decSum("l_quantity").cast("double").as("sq"),
+        s"CAST(${decSumSql("l_quantity")} AS DOUBLE) AS sq")) ++
+      (if (withICol)
+        Seq((decSum("o_totalprice").cast("double").as("st"),
+          s"CAST(${decSumSql("o_totalprice")} AS DOUBLE) AS st"))
+      else Nil)
+    val build: Build = (s, dir) => {
+      val x = saltDf(DT(s, dir, "lineitem").df, lineitem, xSalt).filter(xpC)
+      val i = DT(s, dir, "orders").df.filter(ipC)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      DT(x).join(DT(i), Seq("l_orderkey"), how).df
+        .groupBy(col(byX)).agg(aggs.head._1, aggs.tail.map(_._1): _*)
+    }
+    val xSql = s"(SELECT * FROM ${saltSql(lineitem, xSalt)} tx WHERE $xpS)"
+    val iSql = "(SELECT o_orderkey AS l_orderkey, o_custkey, o_orderstatus," +
+      s" o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE $ipS)"
+    val fromSql = how match {
+      case "inner" => s"FROM $xSql x JOIN $iSql i USING (l_orderkey)"
+      case "left"  => s"FROM $xSql x LEFT JOIN $iSql i USING (l_orderkey)"
+      case "full"  => s"FROM $xSql x FULL JOIN $iSql i USING (l_orderkey)"
+      case "semi"  =>
+        s"FROM $xSql x WHERE x.l_orderkey IN (SELECT l_orderkey FROM $iSql i)"
+      case _ =>
+        s"FROM $xSql x WHERE x.l_orderkey NOT IN (SELECT l_orderkey FROM $iSql i)"
+    }
+    val sel = (byX +: aggs.map(_._2)).mkString(", ")
+    FuzzCase(name, s"join_$how", s"SELECT $sel\n$fromSql\nGROUP BY 1",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape C: mult=first/last (one x row per probe row) ---------------
+
+  private def genMultCase(r: Random, name: String): FuzzCase = {
+    val mult = pick(r, Seq("first", "last"))
+    val (xpC, xpS) =
+      if (r.nextBoolean()) genPred(r, lineitem, None) else (lit(true), "1=1")
+    val (ipC, ipS) =
+      if (r.nextBoolean()) genPred(r, orders, None) else (lit(true), "1=1")
+    val useAgg = r.nextBoolean() // min_by/max_by tier vs window tier
+    val build: Build = (s, dir) => {
+      val x = DT(DT(s, dir, "lineitem").df.filter(xpC))
+      val i = DT(DT(s, dir, "orders").df.filter(ipC)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")))
+      val ord = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val res =
+        if (useAgg) x.joinMultAgg(i, Seq("l_orderkey"), mult, ord)
+        else x.joinMult(i, Seq("l_orderkey"), mult, ord, probeUnique = true)
+      res.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("o_orderpriority")).df
+    }
+    val d = if (mult == "first") "" else " DESC"
+    val sql =
+      s"""SELECT o_orderkey AS l_orderkey, l_linenumber, l_partkey, o_orderpriority
+         |FROM (SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_partkey,
+         |        row_number() OVER (PARTITION BY o.o_orderkey
+         |          ORDER BY l.l_linenumber$d, l.l_partkey$d, l.l_suppkey$d) AS rn
+         |      FROM (SELECT * FROM orders WHERE $ipS) o
+         |      LEFT JOIN (SELECT * FROM lineitem WHERE $xpS) l
+         |        ON l.l_orderkey = o.o_orderkey) j
+         |WHERE rn = 1""".stripMargin
+    FuzzCase(name, s"mult_$mult", sql, sparkSqlOk = true, build)
+  }
+
+  // ---- shape D: windows (shift / cum / froll) on events ------------------
+
+  private def genWindowCase(r: Random, name: String): FuzzCase = {
+    val t = events
+    val salt = pickSalt(r, Seq("value"))
+    val (pc, ps) =
+      if (r.nextBoolean()) genPred(r, t, salt) else (lit(true), "1=1")
+    val by = pick(r, Seq("user_id", "event_type"))
+    val from = s"(SELECT * FROM ${saltSql(t, salt)} te WHERE $ps) t"
+    r.nextInt(3) match {
+      case 0 =>
+        val n = 1 + r.nextInt(3)
+        val lead0 = r.nextBoolean()
+        val build: Build = (s, dir) =>
+          Windows.shiftDF(saltDf(DT(s, dir, "events").df, t, salt).filter(pc),
+              "out", col("value"), if (lead0) -n else n, Seq(by),
+              Seq(col("event_id").asc))
+            .select(col("event_id"), col("out"))
+        val fn = if (lead0) "LEAD" else "LAG"
+        FuzzCase(name, "shift",
+          s"SELECT event_id, $fn(value, $n) OVER " +
+            s"(PARTITION BY $by ORDER BY event_id) AS out\nFROM $from",
+          sparkSqlOk = true, build)
+      case 1 =>
+        val fn = pick(r, Seq("sum", "min", "max"))
+        val naRm = r.nextBoolean()
+        val build: Build = (s, dir) =>
+          Windows.cumDF(saltDf(DT(s, dir, "events").df, t, salt).filter(pc),
+              "out", fn, col("value").cast("decimal(18,2)"), Seq(by),
+              Seq(col("event_id").asc), naRm = naRm)
+            .select(col("event_id"), col("out").cast("double").as("out"))
+        val w = s"(PARTITION BY $by ORDER BY event_id ROWS UNBOUNDED PRECEDING)"
+        val agg = s"${fn.toUpperCase}(CAST(value AS DECIMAL(18,2))) OVER $w"
+        // naRm=false restores the reference's NA-poisoning (an NA poisons
+        // every position from itself on); SQL window aggs skip NULLs, so
+        // the oracle masks with the same prefix null-count guard.
+        val body =
+          if (naRm) s"CAST($agg AS DOUBLE)"
+          else s"CASE WHEN COUNT(value) OVER $w < COUNT(*) OVER $w " +
+            s"THEN NULL ELSE CAST($agg AS DOUBLE) END"
+        FuzzCase(name, s"cum_$fn",
+          s"SELECT event_id, $body AS out\nFROM $from",
+          sparkSqlOk = true, build)
+      case _ =>
+        val fn = pick(r, Seq("sum", "min", "max"))
+        val n = 2 + r.nextInt(5)
+        val build: Build = (s, dir) =>
+          Windows.frollDF(saltDf(DT(s, dir, "events").df, t, salt).filter(pc),
+              "out", fn, col("value").cast("decimal(18,2)"), n, Seq(by),
+              Seq(col("event_id").asc))
+            .select(col("event_id"), col("out").cast("double").as("out"))
+        val w = s"(PARTITION BY $by ORDER BY event_id " +
+          s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+        // partial=false: incomplete leading windows are NULL; naRm=false:
+        // any NULL inside the window is NULL — both folded into one
+        // COUNT(value) OVER w = n guard (count(value) skips NULLs).
+        val agg = s"${fn.toUpperCase}(CAST(value AS DECIMAL(18,2))) OVER $w"
+        FuzzCase(name, s"froll_$fn",
+          s"SELECT event_id, CASE WHEN COUNT(value) OVER $w = $n " +
+            s"THEN CAST($agg AS DOUBLE) END AS out\nFROM $from",
+          sparkSqlOk = true, build)
+    }
+  }
+
+  // ---- shape E: as-of roll join (DuckDB-only oracle) ---------------------
+
+  private def genAsofCase(r: Random, name: String): FuzzCase = {
+    val xType = pick(r, Seq("purchase", "view", "signup"))
+    val iType = pick(r, Seq("click", "error"))
+    val locf = r.nextBoolean()
+    val vPred = if (r.nextBoolean()) {
+      val k = math.rint(r.nextDouble() * 250 * 100) / 100
+      Some(k)
+    } else None
+    val build: Build = (s, dir) => {
+      val ev = DT(s, dir, "events").df
+      val xv = vPred.fold(ev.filter(col("event_type") === xType))(k =>
+        ev.filter(col("event_type") === xType && col("value") > k))
+      val x = DT(xv.select(col("user_id"), col("ts"),
+        col("event_id").as("x_id"), col("value").as("xv")))
+      val i = DT(ev.filter(col("event_type") === iType)
+        .select(col("event_id"), col("user_id"), col("ts")))
+      x.asofJoin(i, Seq("user_id"), "ts",
+          if (locf) Joins.Locf else Joins.Nocb, Seq("xv"),
+          tieBreak = Seq("x_id"))
+        .select(col("event_id"), col("xv")).df
+    }
+    val vSql = vPred.fold("")(k => s" AND x.value > $k")
+    val (cmp, ord) = if (locf) ("<=", "DESC") else (">=", "ASC")
+    // LOCF ties carry the LAST duplicate, NOCB the FIRST (src/bmerge.c
+    // lands on the run's bound) — the x_id tiebreak makes that exact.
+    val sql =
+      s"""SELECT i.event_id,
+         |  (SELECT x.value FROM events x
+         |   WHERE x.event_type = '$xType'$vSql AND x.user_id = i.user_id
+         |     AND x.ts $cmp i.ts
+         |   ORDER BY x.ts $ord, x.event_id $ord LIMIT 1) AS xv
+         |FROM events i WHERE i.event_type = '$iType'""".stripMargin
+    FuzzCase(name, if (locf) "asof_locf" else "asof_nocb", sql,
+      sparkSqlOk = false, build)
+  }
+
+  // ---- case mix ----------------------------------------------------------
+
+  def cases(seed: Long, n: Int): Seq[FuzzCase] =
+    (0 until n).map { i =>
+      val r = new Random(seed * 1000003L + i)
+      val nm = s"fz_${seed}_$i"
+      r.nextInt(100) match {
+        case x if x < 40 => genAggCase(r, nm)
+        case x if x < 60 => genJoinCase(r, nm)
+        case x if x < 70 => genMultCase(r, nm)
+        case x if x < 90 => genWindowCase(r, nm)
+        case _           => genAsofCase(r, nm)
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 500
+    val seed = if (args.length > 3) args(3).toLong else 19L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.PlanLint.silenceBoundedWindowWarning()
+    new java.io.File(outDir).mkdirs()
+    val cs = cases(seed, n)
+    val sqls = scala.collection.mutable.LinkedHashMap[String, String]()
+    var built = 0
+    var failedBuild = 0
+    cs.foreach { c =>
+      try {
+        c.build(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${c.name}")
+        sqls(c.name) = c.sql
+        built += 1
+        if (built % 100 == 0)
+          System.err.println(s"[fuzz] $built/${cs.size} dumped")
+      } catch {
+        case e: Throwable =>
+          failedBuild += 1
+          // an engine throw on a generated-valid query is itself a
+          // finding — keep the case name and seed in the log
+          System.err.println(
+            s"[fuzz] BUILD FAIL ${c.name} (${c.shape}): ${e.getMessage}")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    println(s"""{"fuzz":"done","seed":$seed,"n":$n,"dumped":$built,""" +
+      s""""build_failures":$failedBuild,"out":"$outDir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.tools.Fuzz
+
+/** In-suite smoke tier of the differential query fuzzer (VERDICT r18
+  * "Next round" #1): every `sparkSqlOk` fuzz case's engine result must
+  * equal `spark.sql(oracle)` over the same tables — the engine's
+  * DT/Windows/Joins operator layer versus Spark's own SQL front end,
+  * two independent plan constructions of the same semantics. The full
+  * external sweep (thousands of cases, DuckDB comparator, as-of shapes
+  * included) runs via `runMain graft.tools.Fuzz` +
+  * `tools/compare_oracle.py`; this tier keeps a deterministic sample
+  * inside `sbt test` so a generator or operator regression fails CI.
+  *
+  * Any divergence found here or in the sweep gets pinned as a numbered
+  * case below (same (seed, i) forever — the generator is a pure
+  * function of them).
+  */
+class FuzzSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val viewsReady: Boolean = {
+    Seq("lineitem", "orders", "events").foreach { t =>
+      spark.read.parquet(s"${SparkTestSession.sfDir}/$t.parquet")
+        .createOrReplaceTempView(t)
+    }
+    true
+  }
+
+  /** The driver-comparator normalization: sort columns by name, stringify
+    * values, sort rows. Exact string equality — the exactness policy in
+    * Fuzz (decimal sums, single double division) makes that attainable.
+    */
+  private def normRows(df: DataFrame): Seq[Seq[String]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect().toSeq
+      .map(_.toSeq.map {
+        case null => "␀"
+        case d: java.lang.Double =>
+          if (d.isNaN) "nan" else d.toString
+        case x => x.toString
+      })
+      .sortBy(_.mkString(""))
+  }
+
+  test("fuzz smoke: 80 deterministic cases, engine == spark.sql(oracle)") {
+    val _ = viewsReady
+    val cs = Fuzz.cases(seed = 7, n = 80).filter(_.sparkSqlOk)
+    assert(cs.size > 50, s"sparkSqlOk mix collapsed: ${cs.size}")
+    // shape coverage guard: the mix must keep exercising every family
+    val shapes = cs.map(_.shape.takeWhile(_ != '_')).toSet
+    assert(Set("agg", "join", "mult", "shift", "cum", "froll")
+      .subsetOf(shapes), s"shapes=$shapes")
+    val bad = cs.flatMap { c =>
+      val eng =
+        try Right(normRows(c.build(spark, SparkTestSession.sfDir)))
+        catch { case e: Throwable => Left(s"engine threw: ${e.getMessage}") }
+      val ora =
+        try Right(normRows(spark.sql(c.sql)))
+        catch { case e: Throwable => Left(s"oracle threw: ${e.getMessage}") }
+      (eng, ora) match {
+        case (Right(a), Right(b)) if a == b => None
+        case (Right(a), Right(b)) =>
+          val firstDiff = a.zip(b).indexWhere { case (x, y) => x != y }
+          Some(s"${c.name} (${c.shape}): rows ${a.size} vs ${b.size}, " +
+            s"first diff at $firstDiff\n  sql: ${c.sql.linesIterator.mkString(" ")}")
+        case (Left(e), _) => Some(s"${c.name} (${c.shape}): $e")
+        case (_, Left(e)) => Some(s"${c.name} (${c.shape}): $e")
+      }
+    }
+    assert(bad.isEmpty, s"${bad.size} fuzz divergences:\n${bad.mkString("\n")}")
+  }
+
+  test("fuzz generator is deterministic: same (seed, i) → same case") {
+    val a = Fuzz.cases(seed = 7, n = 20)
+    val b = Fuzz.cases(seed = 7, n = 20)
+    assert(a.map(c => (c.name, c.shape, c.sql)) ==
+      b.map(c => (c.name, c.shape, c.sql)))
+    // and a different seed actually moves the mix
+    val c2 = Fuzz.cases(seed = 8, n = 20)
+    assert(a.map(_.sql) != c2.map(_.sql))
+  }
+}

@@ -224,6 +224,59 @@ class Round19Spec extends AnyFunSuite {
       .orderBy("query_id", "rk").collect().toSeq
     assert(Similarity19.search(spark, idx, queries) == direct)
   }
+  // ---- prependBytes rename-state idempotence (ADVICE r18 #3) ----------
+
+  test("prependBytes stamps the BOM even when the data itself begins with U+FEFF bytes") {
+    // the ADVICE scenario: a headerless part whose first string field
+    // legitimately starts with U+FEFF — the old content-compare guard
+    // false-positived on it and silently skipped the intended BOM
+    val dir = TestTmp.path("graft_r19_bom_lookalike")
+    new java.io.File(dir).mkdirs()
+    val data = "﻿x,1\ny,2\n".getBytes("UTF-8") // leads with EF BB BF
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.csv"), data)
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    graft.sources.Fread.prependBytes(spark, dir, bom)
+    val out = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000.csv"))
+    assert(out.length == data.length + 3, "BOM was not prepended")
+    assert(out.take(3).toSeq == bom.toSeq &&
+      out.drop(3).toSeq == data.toSeq)
+    // and the whole-pass marker makes a re-invocation a no-op
+    graft.sources.Fread.prependBytes(spark, dir, bom)
+    val again = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000.csv"))
+    assert(again.toSeq == out.toSeq, "re-invocation double-prepended")
+    // no protocol litter left behind
+    val litter = new java.io.File(dir).list().filter(n =>
+      n.endsWith(".orig") || n.endsWith(".bom"))
+    assert(litter.isEmpty, litter.toSeq.toString)
+  }
+
+  test("prependBytes repairs a mid-copy crash: orig restored, rows intact, prefix stamped once") {
+    val dir = TestTmp.path("graft_r19_bom_crash")
+    new java.io.File(dir).mkdirs()
+    val data = "a,1\nb,2\n".getBytes("UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.csv"), data)
+    // simulate a predecessor that died mid-copy: original renamed aside,
+    // half-written tmp left behind, part missing
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "part-00000.csv"),
+      java.nio.file.Paths.get(dir, ".part-00000.csv.orig"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".part-00000.csv.bom"),
+      "GARBAGE-HALF-WRITE".getBytes("UTF-8"))
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    graft.sources.Fread.prependBytes(spark, dir, bom)
+    val out = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000.csv"))
+    assert(out.take(3).toSeq == bom.toSeq && out.drop(3).toSeq == data.toSeq,
+      "crash repair lost rows or the prefix")
+    val litter = new java.io.File(dir).list().filter(n =>
+      n.endsWith(".orig") || n.endsWith(".bom"))
+    assert(litter.isEmpty, litter.toSeq.toString)
+  }
 }
 
 /** Shared save/search shorthands for the round-19 LSH lifecycle tests. */
