@@ -1218,8 +1218,8 @@ object Fread {
     * Two-phase protocol:
     *
     *   phase 1 (one executor task per part): rename the original aside
-    *   to `.<part>.orig` (atomic), stream the prefixed copy to
-    *   `.<part>.bom`, rename it into place as `<part>` (atomic create —
+    *   to `_<part>.orig` (atomic), stream the prefixed copy to
+    *   `_<part>.bom`, rename it into place as `<part>` (atomic create —
     *   the destination is vacant), and KEEP the `.orig`. Which files
     *   exist tells a retried task exactly where its predecessor died:
     *   part only → never processed; orig only → died mid-copy, rebuild
@@ -1232,9 +1232,11 @@ object Fread {
     *   immediately (cleaning any leftover origs from a crash between
     *   marker and cleanup).
     *
-    * Dot-prefixed names keep the `.orig`/`.bom`/marker files invisible
-    * to [[foreachPart]]'s `part-` listing AND to every downstream
-    * reader (FileInputFormat ignores `.`/`_` files). Streams close in
+    * Underscore-prefixed names keep the `.orig`/`.bom`/marker files
+    * invisible to [[foreachPart]]'s `part-` listing, to every Spark/
+    * Hadoop reader (FileInputFormat ignores `_`/`.` files), AND to
+    * fread's own sep/header sniffer (which filters only `_`-prefixed
+    * names — a dot-prefixed marker broke its first-file pick). Streams close in
     * try/finally and a failed copy deletes its temp file.
     */
   private[graft] def prependBytes(spark: SparkSession, path: String,
@@ -1243,18 +1245,21 @@ object Fread {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs0 = dir.getFileSystem(conf0)
     val markerName =
-      "._graft_prepended_" + java.lang.Integer.toHexString(
+      "_graft_prepended_" + java.lang.Integer.toHexString(
         java.util.Arrays.hashCode(prefix))
     val marker = new org.apache.hadoop.fs.Path(dir, markerName)
     def sweepOrigs(): Unit = {
       val ls = fs0.listStatus(dir)
       if (ls != null) ls.foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(".part-") &&
+        if (n.startsWith("_part-") &&
             (n.endsWith(".orig") || n.endsWith(".bom")))
           fs0.delete(st.getPath, false)
       }
     }
+    // (bom/yaml never combine with append= — fwrite refuses — so a
+    // directory is prefixed at most once per prefix and the marker can
+    // safely gate the whole pass.)
     if (fs0.exists(marker)) { sweepOrigs(); return }
     // whole-JOB crash repair: an `.orig` whose part is missing means a
     // previous invocation died mid-copy AFTER renaming the original
@@ -1266,12 +1271,12 @@ object Fread {
       val ls = fs0.listStatus(dir)
       if (ls != null) ls.foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith(".part-") && n.endsWith(".orig")) {
-          val partName = n.stripPrefix(".").stripSuffix(".orig")
+        if (n.startsWith("_part-") && n.endsWith(".orig")) {
+          val partName = n.stripPrefix("_").stripSuffix(".orig")
           val pp = new org.apache.hadoop.fs.Path(dir, partName)
           if (!fs0.exists(pp)) {
             fs0.delete(
-              new org.apache.hadoop.fs.Path(dir, s".$partName.bom"), false)
+              new org.apache.hadoop.fs.Path(dir, s"_$partName.bom"), false)
             require(fs0.rename(st.getPath, pp),
               s"prependBytes: crash-repair rename ${st.getPath} -> $pp failed")
           }
@@ -1283,13 +1288,13 @@ object Fread {
       val fs = p.getFileSystem(conf)
       val gz = p.getName.endsWith(".gz")
       val orig =
-        new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".orig")
+        new org.apache.hadoop.fs.Path(p.getParent, "_" + p.getName + ".orig")
       val haveOrig = fs.exists(orig)
       if (!(haveOrig && fs.exists(p))) { // part+orig → done, skip
         if (!haveOrig) require(fs.rename(p, orig),
           s"prependBytes: rename $p -> $orig failed")
         val tmp =
-          new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + ".bom")
+          new org.apache.hadoop.fs.Path(p.getParent, "_" + p.getName + ".bom")
         var ok = false
         val rawOut: java.io.OutputStream = fs.create(tmp, true)
         try {

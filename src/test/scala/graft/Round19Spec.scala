@@ -263,9 +263,9 @@ class Round19Spec extends AnyFunSuite {
     // half-written tmp left behind, part missing
     java.nio.file.Files.move(
       java.nio.file.Paths.get(dir, "part-00000.csv"),
-      java.nio.file.Paths.get(dir, ".part-00000.csv.orig"))
+      java.nio.file.Paths.get(dir, "_part-00000.csv.orig"))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, ".part-00000.csv.bom"),
+      java.nio.file.Paths.get(dir, "_part-00000.csv.bom"),
       "GARBAGE-HALF-WRITE".getBytes("UTF-8"))
     val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
     graft.sources.Fread.prependBytes(spark, dir, bom)
@@ -276,6 +276,29 @@ class Round19Spec extends AnyFunSuite {
     val litter = new java.io.File(dir).list().filter(n =>
       n.endsWith(".orig") || n.endsWith(".bom"))
     assert(litter.isEmpty, litter.toSeq.toString)
+  }
+
+  test("fwrite refuses bom/yaml with append= — the combination the marker fast-path relies on") {
+    import spark.implicits._
+    val dir = TestTmp.path("graft_r19_bom_append")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val df = Seq((1, "x")).toDF("k", "v").coalesce(1)
+    graft.sources.Fread.fwrite(df, dir,
+      graft.sources.Fread.FwriteOptions(bom = true, header = false))
+    // prependBytes's whole-pass marker gates re-invocation per
+    // directory; that is only sound because a prefixed dir can never
+    // legally gain new parts — fwrite refuses bom/yaml under append=
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.Fread.fwrite(df, dir,
+        graft.sources.Fread.FwriteOptions(bom = true, header = false,
+          append = true))
+    }
+    assert(e1.getMessage.contains("bom=TRUE cannot combine"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Fread.fwrite(df, dir,
+        graft.sources.Fread.FwriteOptions(yaml = true, append = true))
+    }
+    assert(e2.getMessage.contains("yaml=TRUE cannot combine"))
   }
 }
 
