@@ -95,11 +95,35 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     val tmp = keyNames.map(n => n -> s"_graft_k_$n").toMap
     val withKeys = df.select(col("*") +: keys.map { case (n, c) => c.as(tmp(n)) }: _*)
     val gid = "_graft_gid"
-    val grouped = withKeys.groupingSets(
+    val grouped0 = withKeys.groupingSets(
         sets.map(_.map(n => col(tmp(n)))),
         keyNames.map(n => col(tmp(n))): _*)
       .agg(j.head, (j.tail :+ grouping_id().as(gid)): _*)
     val n = keys.size
+    // ANSI GROUPING SETS semantics for the () set over EMPTY input: a
+    // global aggregate returns ONE row (count 0, sums NULL) per () set,
+    // but Spark's Expand+hash-agg plan keys on (keys, gid) and emits
+    // ZERO rows — found by the round-19 differential fuzzer (fz_21_136/
+    // 369/417: rollup/cube over a filtered-to-empty input; DuckDB and
+    // the reference's `x[, j]`-on-empty both produce the total row).
+    // Repair declaratively: the row is missing exactly when the INPUT
+    // is empty, probed with a limit-1 scan at plan-build time (cheap:
+    // short-circuits at the first surviving row; an actually-empty
+    // input pays the scan its own aggregation needs anyway).
+    val nEmptySets = sets.count(_.isEmpty)
+    val grouped =
+      if (nEmptySets == 0 || !withKeys.isEmpty) grouped0
+      else {
+        val totals0 = withKeys.groupBy().agg(j.head,
+          (j.tail :+ lit((1L << n) - 1).cast(
+            grouped0.schema(gid).dataType).as(gid)): _*)
+        val totals = keyNames.foldLeft(totals0)((d, kn) =>
+          d.withColumn(tmp(kn),
+            lit(null).cast(withKeys.schema(tmp(kn)).dataType)))
+          .select(grouped0.columns.map(col).toSeq: _*)
+        (0 until nEmptySets).map(_ => totals)
+          .foldLeft(grouped0)(_ unionByName _)
+      }
     val out = grouped.columns.filterNot(_ == gid).toSeq.map { cn =>
       val i = keyNames.indexWhere(kn => tmp(kn) == cn)
       if (i < 0) col(cn)

@@ -406,6 +406,118 @@ object Fuzz {
     }
   }
 
+  // ---- shape F: set operations (funion/fintersect/fsetdiff × all=) ------
+
+  private def genSetOpCase(r: Random, name: String): FuzzCase = {
+    // low-cardinality projection so both sides carry real multiset
+    // duplicates — the all= variants are only interesting with dups
+    val cols = r.shuffle(Seq("l_returnflag", "l_linestatus",
+      "l_linenumber", "l_quantity")).take(2 + r.nextInt(2)).sorted
+    val (pa, sa) = genPred(r, lineitem, None)
+    val (pb, sb) = genPred(r, lineitem, None)
+    val all = r.nextBoolean()
+    val op = pick(r, Seq("union", "intersect", "setdiff"))
+    val build: Build = (s, dir) => {
+      val base = DT(s, dir, "lineitem").df
+      val x = base.filter(pa).select(cols.map(col): _*)
+      val y = base.filter(pb).select(cols.map(col): _*)
+      op match {
+        case "union"     => graft.operators.SetOps.funion(x, y, all)
+        case "intersect" => graft.operators.SetOps.fintersect(x, y, all)
+        case _           => graft.operators.SetOps.fsetdiff(x, y, all)
+      }
+    }
+    val sqlOp = (op, all) match {
+      case ("union", true)      => "UNION ALL"
+      case ("union", false)     => "UNION"
+      case ("intersect", true)  => "INTERSECT ALL"
+      case ("intersect", false) => "INTERSECT"
+      case ("setdiff", true)    => "EXCEPT ALL"
+      case _                    => "EXCEPT"
+    }
+    val sel = cols.mkString(", ")
+    FuzzCase(name, s"setop_$op${if (all) "_all" else ""}",
+      s"SELECT $sel FROM lineitem WHERE $sa\n$sqlOp\n" +
+        s"SELECT $sel FROM lineitem WHERE $sb",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape G: rollup / cube (one-pass GROUPING SETS) -------------------
+
+  private def genRollupCase(r: Random, name: String): FuzzCase = {
+    val t = pick(r, Seq(lineitem, orders))
+    val (pc, ps) = genPred(r, t, None)
+    val keys = r.shuffle(t.strCols.map(_._1)).take(2)
+    val aggs = Seq(
+      (count(lit(1)).as("n"), "COUNT(*) AS n")) ++
+      (0 until 1 + r.nextInt(2)).map { k =>
+        val c = pick(r, t.decCols)
+        (decSum(c).cast("double").as(s"s$k"),
+          s"CAST(${decSumSql(c)} AS DOUBLE) AS s$k")
+      }
+    val cube = r.nextBoolean()
+    val build: Build = (s, dir) => {
+      val d = DT(s, dir, t.name)(pc)
+      val ks = keys.map(k => k -> col(k))
+      (if (cube) d.cubeAgg(ks, aggs.map(_._1))
+       else d.rollupAgg(ks, aggs.map(_._1))).df
+    }
+    val sqlKeys = keys.mkString(", ")
+    // Engine-agnostic standard semantics for the () set: Spark's plain
+    // GROUP BY ROLLUP emits ZERO rows over empty input while DuckDB
+    // (per ANSI) emits the grand-total row — so the oracle spells the
+    // rollup as its non-() GROUPING SETS plus an UNGUARDED global
+    // aggregate (one row in every engine, empty input or not). The
+    // engine matches the standard (the fz_21_136 fix in
+    // DT.groupingSetsAgg).
+    val nonEmptySets =
+      if (cube) Seq(keys, Seq(keys.head), Seq(keys(1)))
+      else Seq(keys, Seq(keys.head))
+    val gs = nonEmptySets.map(_.mkString("(", ", ", ")")).mkString(", ")
+    val nullKeys = keys.map(k => s"CAST(NULL AS STRING) AS $k").mkString(", ")
+    FuzzCase(name, if (cube) "cube" else "rollup",
+      s"SELECT $sqlKeys, ${aggs.map(_._2).mkString(", ")}\n" +
+        s"FROM ${t.name} t\nWHERE $ps\nGROUP BY GROUPING SETS ($gs)\n" +
+        s"UNION ALL\nSELECT $nullKeys, ${aggs.map(_._2).mkString(", ")}\n" +
+        s"FROM ${t.name} t\nWHERE $ps",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape H: frank rank family over a deterministic order ------------
+
+  private def genRankCase(r: Random, name: String): FuzzCase = {
+    val by = pick(r, Seq("user_id", "event_type"))
+    val desc0 = r.nextBoolean()
+    val (pc, ps) =
+      if (r.nextBoolean()) genPred(r, events, None) else (lit(true), "1=1")
+    val ord = if (desc0) col("value").desc else col("value").asc
+    val sqlOrd = if (desc0) "value DESC" else "value"
+    val ties = pick(r, Seq("min", "dense", "first", "max", "average"))
+    val build: Build = (s, dir) => {
+      val base = DT(s, dir, "events").df.filter(pc)
+      Windows.frank(base, Seq(ord), Seq(col("value")), ties, Seq(by),
+          "rk", appearance = Seq(col("event_id").asc))
+        .select(col("event_id"),
+          (if (ties == "average") col("rk").cast("double")
+           else col("rk").cast("long")).as("rk"))
+    }
+    val w = s"(PARTITION BY $by ORDER BY $sqlOrd"
+    val tiePart = s"(PARTITION BY $by, value)"
+    val rkSql = ties match {
+      case "min"   => s"RANK() OVER $w)"
+      case "dense" => s"DENSE_RANK() OVER $w)"
+      case "first" => s"ROW_NUMBER() OVER $w, event_id)"
+      case "max"   => s"RANK() OVER $w) + COUNT(*) OVER $tiePart - 1"
+      case _ =>
+        s"RANK() OVER $w) + (COUNT(*) OVER $tiePart - 1) / 2.0"
+    }
+    val cast = if (ties == "average") "DOUBLE" else "BIGINT"
+    FuzzCase(name, s"rank_$ties",
+      s"SELECT event_id, CAST($rkSql AS $cast) AS rk\n" +
+        s"FROM events t\nWHERE $ps",
+      sparkSqlOk = true, build)
+  }
+
   // ---- shape E: as-of roll join (DuckDB-only oracle) ---------------------
 
   private def genAsofCase(r: Random, name: String): FuzzCase = {
@@ -451,10 +563,13 @@ object Fuzz {
       val r = new Random(seed * 1000003L + i)
       val nm = s"fz_${seed}_$i"
       r.nextInt(100) match {
-        case x if x < 40 => genAggCase(r, nm)
-        case x if x < 60 => genJoinCase(r, nm)
-        case x if x < 70 => genMultCase(r, nm)
-        case x if x < 90 => genWindowCase(r, nm)
+        case x if x < 30 => genAggCase(r, nm)
+        case x if x < 45 => genJoinCase(r, nm)
+        case x if x < 52 => genMultCase(r, nm)
+        case x if x < 68 => genWindowCase(r, nm)
+        case x if x < 78 => genSetOpCase(r, nm)
+        case x if x < 88 => genRollupCase(r, nm)
+        case x if x < 95 => genRankCase(r, nm)
         case _           => genAsofCase(r, nm)
       }
     }

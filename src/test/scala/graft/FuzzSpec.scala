@@ -47,14 +47,14 @@ class FuzzSpec extends AnyFunSuite {
       .sortBy(_.mkString(""))
   }
 
-  test("fuzz smoke: 80 deterministic cases, engine == spark.sql(oracle)") {
+  test("fuzz smoke: 120 deterministic cases, engine == spark.sql(oracle)") {
     val _ = viewsReady
-    val cs = Fuzz.cases(seed = 7, n = 80).filter(_.sparkSqlOk)
-    assert(cs.size > 50, s"sparkSqlOk mix collapsed: ${cs.size}")
+    val cs = Fuzz.cases(seed = 7, n = 120).filter(_.sparkSqlOk)
+    assert(cs.size > 90, s"sparkSqlOk mix collapsed: ${cs.size}")
     // shape coverage guard: the mix must keep exercising every family
     val shapes = cs.map(_.shape.takeWhile(_ != '_')).toSet
-    assert(Set("agg", "join", "mult", "shift", "cum", "froll")
-      .subsetOf(shapes), s"shapes=$shapes")
+    assert(Set("agg", "join", "mult", "shift", "cum", "froll",
+      "setop", "rollup", "cube", "rank").subsetOf(shapes), s"shapes=$shapes")
     val bad = cs.flatMap { c =>
       val eng =
         try Right(normRows(c.build(spark, SparkTestSession.sfDir)))
@@ -73,6 +73,29 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
     assert(bad.isEmpty, s"${bad.size} fuzz divergences:\n${bad.mkString("\n")}")
+  }
+
+  test("pinned fz_21_136/369/417: empty-input rollup/cube emit the () grand-total row") {
+    // The round-19 sweep's three divergences, one root cause: Spark's
+    // Expand+hash-agg GROUPING SETS plan drops the () set's global row
+    // when the (filtered) input is empty; ANSI, DuckDB, and the
+    // reference all emit it (count 0, sums NULL). Pinned at the exact
+    // (seed, i) coordinates the sweep found them at — the generator is
+    // a pure function of them, so these reproduce forever.
+    val _ = viewsReady
+    val all = Fuzz.cases(seed = 21, n = 418)
+    for (i <- Seq(136, 369, 417)) {
+      val c = all(i)
+      assert(c.shape == "rollup" || c.shape == "cube", s"$i drifted: ${c.shape}")
+      val eng = c.build(spark, SparkTestSession.sfDir)
+      val rows = eng.collect()
+      assert(rows.length == 1,
+        s"${c.name}: ${rows.length} rows — the () grand-total row is missing")
+      // grand total over empty input: keys NULL, count 0, sums NULL
+      assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+      assert(rows(0).getLong(2) == 0L)
+      assert(normRows(eng) == normRows(spark.sql(c.sql)), c.name)
+    }
   }
 
   test("fuzz generator is deterministic: same (seed, i) → same case") {
