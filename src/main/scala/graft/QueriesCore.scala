@@ -456,6 +456,25 @@ object QueriesCore {
              |  round(sum(o_totalprice), 3) AS rev
              |FROM orders GROUP BY ROLLUP (yr, o_orderpriority)""".stripMargin)),
 
+    // ---- rollup over an EMPTY (filtered-to-zero) input ------------------
+    // The () grouping set must still emit its global row (count 0, sums
+    // NULL) — ANSI GROUPING SETS, DuckDB, and the reference's global
+    // `x[, j]` on an empty table all agree; Spark's native Expand plan
+    // drops it. Found by the round-19 differential fuzzer (fz_21_136),
+    // fixed in DT.groupingSetsAgg, driver-gated here.
+    ("q_rollup_empty", ((s, dir) =>
+      dt(s, dir, "orders")(col("o_totalprice") < -1)
+        .rollupAgg(
+          Seq("o_orderstatus" -> col("o_orderstatus"),
+            "o_orderpriority" -> col("o_orderpriority")),
+          Seq(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("rev"))).df): Q,
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM orders WHERE o_totalprice < -1
+             |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
     // ---- cube (R/groupingsets.R cube) ----------------------------------
     ("q_cube", ((s, dir) =>
       dt(s, dir, "lineitem").df
