@@ -74,6 +74,14 @@ object Fuzz {
     keyCols = Seq("o_orderkey", "o_custkey"),
     tsCols = Seq("o_orderdate"), tsYears = (1995, 2001))
 
+  private val customer = TMeta("customer", "c_custkey",
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    decCols = Seq("c_acctbal"),
+    strCols = Seq("c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING",
+      "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+    keyCols = Seq("c_custkey", "c_nationkey"),
+    tsCols = Nil, tsYears = (0, 0))
+
   private val events = TMeta("events", "event_id",
     Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
     decCols = Seq("value"),
@@ -85,7 +93,8 @@ object Fuzz {
   private val decRange: Map[String, (Double, Double)] = Map(
     "l_quantity" -> (1.0, 50.0), "l_extendedprice" -> (1000.0, 90000.0),
     "l_discount" -> (0.0, 0.1), "l_tax" -> (0.0, 0.08),
-    "o_totalprice" -> (2000.0, 450000.0), "value" -> (1.0, 300.0))
+    "o_totalprice" -> (2000.0, 450000.0), "value" -> (1.0, 300.0),
+    "c_acctbal" -> (-800.0, 9900.0))
 
   private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
 
@@ -518,6 +527,37 @@ object Fuzz {
       sparkSqlOk = true, build)
   }
 
+  // ---- shape I: update-join (X[Y, x := i.y]) + conditional := ------------
+
+  private def genUpdateCase(r: Random, name: String): FuzzCase = {
+    val (ipC, ipS) =
+      if (r.nextBoolean()) genPred(r, customer, None) else (lit(true), "1=1")
+    val post = r.nextBoolean()
+    val (ppC, ppS) = genPred(r, orders, None)
+    val seedVal = pick(r, Seq("NONE", "UNKNOWN"))
+    val postVal = pick(r, Seq("FLAGGED", "CAPPED"))
+    val build: Build = (s, dir) => {
+      val probe = DT(DT(s, dir, "customer").df.filter(ipC)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")))
+      val base = DT(s, dir, "orders")
+        .set("tag", lit(seedVal))
+        .updateJoin(probe, Seq("o_custkey"), "tag" -> col("c_mktsegment"))
+      val upd = if (post) base.update(ppC, "tag", lit(postVal)) else base
+      upd.select(col("o_orderkey"), col("tag")).df
+    }
+    val inner =
+      s"SELECT o.*, CASE WHEN c.c_custkey IS NULL THEN '$seedVal' " +
+        s"ELSE c.c_mktsegment END AS tag\nFROM orders o LEFT JOIN " +
+        s"(SELECT * FROM customer WHERE $ipS) c ON o.o_custkey = c.c_custkey"
+    val sql =
+      if (post)
+        s"SELECT o_orderkey, CASE WHEN $ppS THEN '$postVal' ELSE tag END " +
+          s"AS tag\nFROM ($inner) t"
+      else s"SELECT o_orderkey, tag FROM ($inner) t"
+    FuzzCase(name, if (post) "update_join_then_set" else "update_join", sql,
+      sparkSqlOk = true, build)
+  }
+
   // ---- shape E: as-of roll join (DuckDB-only oracle) ---------------------
 
   private def genAsofCase(r: Random, name: String): FuzzCase = {
@@ -562,12 +602,17 @@ object Fuzz {
     (0 until n).map { i =>
       val r = new Random(seed * 1000003L + i)
       val nm = s"fz_${seed}_$i"
+      // NOTE: range boundaries are part of the (seed, i) determinism
+      // contract for PINNED cases — fz_21_136/369/417 drew in [78,88)
+      // and must stay rollup/cube forever; new shapes may only carve
+      // ranges that hold pinned draws' generators fixed.
       r.nextInt(100) match {
         case x if x < 30 => genAggCase(r, nm)
         case x if x < 45 => genJoinCase(r, nm)
         case x if x < 52 => genMultCase(r, nm)
         case x if x < 68 => genWindowCase(r, nm)
-        case x if x < 78 => genSetOpCase(r, nm)
+        case x if x < 73 => genSetOpCase(r, nm)
+        case x if x < 78 => genUpdateCase(r, nm)
         case x if x < 88 => genRollupCase(r, nm)
         case x if x < 95 => genRankCase(r, nm)
         case _           => genAsofCase(r, nm)

@@ -24,7 +24,7 @@ class FuzzSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   private lazy val viewsReady: Boolean = {
-    Seq("lineitem", "orders", "events").foreach { t =>
+    Seq("lineitem", "orders", "events", "customer").foreach { t =>
       spark.read.parquet(s"${SparkTestSession.sfDir}/$t.parquet")
         .createOrReplaceTempView(t)
     }
@@ -54,7 +54,8 @@ class FuzzSpec extends AnyFunSuite {
     // shape coverage guard: the mix must keep exercising every family
     val shapes = cs.map(_.shape.takeWhile(_ != '_')).toSet
     assert(Set("agg", "join", "mult", "shift", "cum", "froll",
-      "setop", "rollup", "cube", "rank").subsetOf(shapes), s"shapes=$shapes")
+      "setop", "rollup", "cube", "rank", "update").subsetOf(shapes),
+      s"shapes=$shapes")
     val bad = cs.flatMap { c =>
       val eng =
         try Right(normRows(c.build(spark, SparkTestSession.sfDir)))
