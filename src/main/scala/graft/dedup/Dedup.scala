@@ -365,7 +365,11 @@ object Dedup {
     val spark = batch.sparkSession
     val b = portableBase(batch, idCol, textCol, k, numHashes)
     val banded = portableBandedOf(b, numHashes, bands)
-    val key = IndexCommit.batchKey(banded, Seq("id", "band", "bh"))
+    // key over the shingle sets, which deterministically derive BOTH
+    // stored components (sh → minhash sigs → banding) — hashing only
+    // the lossy (band, bh) projection would treat a same-id batch with
+    // changed text as an idempotent retry (ADVICE r19)
+    val key = IndexCommit.batchKey(b, Seq("id", "sh"))
     val committed = IndexCommit.commitBatch(spark, path, key) { _ =>
       b.select(col("id"), col("sh")).write.mode("overwrite")
         .parquet(IndexCommit.stagePath(path, key, "shingles"))
@@ -374,6 +378,20 @@ object Dedup {
       None
     }
     if (committed) evictIndexBuckets(s"path=$path")
+  }
+
+  /** Fold a long-appended [[saveBandIndex]] index's batch dirs back into
+    * one base dir per component ([[graft.operators.IndexCommit.compact]]):
+    * match results are unchanged (spec-locked), but readers list one
+    * parquet dir per component instead of one per nightly append.
+    * Returns the batches folded in.
+    */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Int = {
+    val n = graft.operators.IndexCommit.compact(spark, path,
+      Seq("shingles", "banded"))
+    if (n > 0) evictIndexBuckets(s"path=$path")
+    n
   }
 
   /** The shingle sets of a [[saveBandIndex]] index at its CURRENT

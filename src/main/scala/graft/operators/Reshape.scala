@@ -374,17 +374,17 @@ object Reshape {
     // agg name to its empty value; unmapped aggs keep SQL NULL.
     if (fills.isEmpty) wide
     else {
+      // fills are applied POSITIONALLY: pivot emits lhs ++ (per value,
+      // per agg) in agg order REGARDLESS of naming convention, so the
+      // mapping is i % aggs.size — a name-keyed map against the
+      // reference-style renames silently matched nothing under
+      // referenceNames=false (fills ignored, cells stayed NULL;
+      // ADVICE r19).
       val pivotCols = wide.columns.drop(lhs.size).toSeq
-      val fillFor: String => Option[Column] =
-        if (aggs.size == 1) _ => fills.get(aggs.head._1)
-        else {
-          // positional: pivot emits (per value, per agg) in agg order
-          val byCol = values.flatMap(v =>
-            aggs.map { case (n, _) => s"$n$sep$v" -> fills.get(n) }).toMap
-          c => byCol.getOrElse(c, None)
-        }
-      wide.select(lhs.map(col) ++ pivotCols.map(c =>
-        fillFor(c).map(f => coalesce(col(c), f).as(c)).getOrElse(col(c))): _*)
+      wide.select(lhs.map(col) ++ pivotCols.zipWithIndex.map { case (c, i) =>
+        fills.get(aggs(i % aggs.size)._1)
+          .map(f => coalesce(col(c), f).as(c)).getOrElse(col(c))
+      }: _*)
     }
   }
 

@@ -345,7 +345,11 @@ object Similarity {
     val b = lshSigned(batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "id", "vec", dim, nBits)
       .select(col("id"), col("_sig").as("sig"), col("vec"))
-    val key = IndexCommit.batchKey(b, Seq("id", "sig"))
+    // key covers the stored PAYLOAD (vec), not just (id, sig): sig is
+    // lossy (2^nBits values), so a retry-shaped batch with the same ids
+    // but UPDATED vectors landing in the same buckets must get a fresh
+    // key, not be dropped as an idempotent no-op (ADVICE r19).
+    val key = IndexCommit.batchKey(b, Seq("id", "sig", "vec"))
     IndexCommit.commitBatch(spark, root, key) { st =>
       b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(IndexCommit.stagePath(root, key, "sigs"))
@@ -706,7 +710,10 @@ object Similarity {
       .select(col("id"), col("cell"), col("vec"))
     // commit-protocol append (crash-safe + retry-idempotent — see
     // appendToLshIndex): stage at batches/<key>/cells, publish manifest
-    val key = IndexCommit.batchKey(assigned, Seq("id", "cell"))
+    // key covers the stored vec, not just (id, cell) — cell assignment
+    // is lossy (few centroids), same updated-payload trap as the LSH
+    // append (ADVICE r19)
+    val key = IndexCommit.batchKey(assigned, Seq("id", "cell", "vec"))
     val committed = IndexCommit.commitBatch(spark, indexPath, key) { _ =>
       assigned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(IndexCommit.stagePath(indexPath, key, "cells"))
@@ -714,6 +721,25 @@ object Similarity {
     }
     if (committed) evictPersisted(s"cellcorpus:$indexPath:")
   }
+
+  /** Fold a long-appended [[saveCellIndex]] index's batch dirs back into
+    * one base dir per component ([[graft.operators.IndexCommit.compact]]):
+    * search results are unchanged (spec-locked), but readers list one
+    * parquet dir instead of one per nightly append. Run after the batch
+    * count grows past a few dozen. Returns the batches folded in.
+    */
+  def compactCellIndex(spark: SparkSession, indexPath: String): Int = {
+    val n = graft.operators.IndexCommit.compact(spark, indexPath, Seq("cells"))
+    if (n > 0) evictPersisted(s"cellcorpus:$indexPath:")
+    n
+  }
+
+  /** [[compactCellIndex]]'s twin for [[saveLshIndex]] indexes: folds the
+    * appended `sigs` batch dirs into one base (the bucket counts are
+    * already a single consolidated dir and ride along unchanged).
+    */
+  def compactLshIndex(spark: SparkSession, indexPath: String): Int =
+    graft.operators.IndexCommit.compact(spark, s"$indexPath/lsh", Seq("sigs"))
 
   /** The assigned corpus of a [[saveCellIndex]] index at its CURRENT
     * committed state — base cells plus every committed append batch.

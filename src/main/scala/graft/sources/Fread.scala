@@ -1252,8 +1252,10 @@ object Fread {
       val ls = fs0.listStatus(dir)
       if (ls != null) ls.foreach { st =>
         val n = st.getPath.getName
+        // ".bom." catches the attempt-unique tmp names too
         if (n.startsWith("_part-") &&
-            (n.endsWith(".orig") || n.endsWith(".bom")))
+            (n.endsWith(".orig") || n.endsWith(".bom") ||
+             n.contains(".bom.")))
           fs0.delete(st.getPath, false)
       }
     }
@@ -1275,8 +1277,11 @@ object Fread {
           val partName = n.stripPrefix("_").stripSuffix(".orig")
           val pp = new org.apache.hadoop.fs.Path(dir, partName)
           if (!fs0.exists(pp)) {
-            fs0.delete(
-              new org.apache.hadoop.fs.Path(dir, s"_$partName.bom"), false)
+            // drop any half-written tmp(s), attempt-suffixed or not
+            fs0.listStatus(dir).foreach { t =>
+              if (t.getPath.getName.startsWith(s"_$partName.bom"))
+                fs0.delete(t.getPath, false)
+            }
             require(fs0.rename(st.getPath, pp),
               s"prependBytes: crash-repair rename ${st.getPath} -> $pp failed")
           }
@@ -1291,10 +1296,20 @@ object Fread {
         new org.apache.hadoop.fs.Path(p.getParent, "_" + p.getName + ".orig")
       val haveOrig = fs.exists(orig)
       if (!(haveOrig && fs.exists(p))) { // part+orig → done, skip
-        if (!haveOrig) require(fs.rename(p, orig),
-          s"prependBytes: rename $p -> $orig failed")
-        val tmp =
-          new org.apache.hadoop.fs.Path(p.getParent, "_" + p.getName + ".bom")
+        // CONCURRENT duplicate attempts (Spark speculation) are safe:
+        // a lost rename means another live attempt owns that step —
+        // both attempts produce byte-identical output from the same
+        // orig, so the loser defers rather than require-fails, and the
+        // copy tmp is attempt-unique so interleaved writes can never
+        // corrupt a shared file (ADVICE r19).
+        if (!haveOrig && !fs.rename(p, orig))
+          require(fs.exists(orig),
+            s"prependBytes: rename $p -> $orig failed")
+        val attemptTag = Option(org.apache.spark.TaskContext.get())
+          .map(tc => s"${tc.stageAttemptNumber()}-${tc.taskAttemptId()}")
+          .getOrElse(s"drv${ProcessHandle.current().pid()}")
+        val tmp = new org.apache.hadoop.fs.Path(
+          p.getParent, "_" + p.getName + ".bom." + attemptTag)
         var ok = false
         val rawOut: java.io.OutputStream = fs.create(tmp, true)
         try {
@@ -1315,7 +1330,14 @@ object Fread {
           if (!ok) { try rawOut.close() catch { case _: Throwable => () }
                      fs.delete(tmp, false); () }
         }
-        require(fs.rename(tmp, p), s"prependBytes: rename $tmp -> $p failed")
+        if (!fs.rename(tmp, p)) {
+          // HDFS rename fails when dst exists: a concurrent attempt
+          // already installed its (identical) copy — drop ours. (POSIX
+          // rename replaces, which is equally fine: same bytes.)
+          require(fs.exists(p), s"prependBytes: rename $tmp -> $p failed")
+          fs.delete(tmp, false)
+          ()
+        }
       }
       ()
     }
