@@ -51,7 +51,7 @@ object StrictTypes {
             s"$ic (${it.simpleString})")
     }
 
-  private def typeOf(df: DataFrame, c: Column): DataType =
+  private[graft] def typeOf(df: DataFrame, c: Column): DataType =
     df.select(c).schema.head.dataType
 
   /** fifelse with the reference's type discipline (src/fifelse.c:11,52):
@@ -59,20 +59,51 @@ object StrictTypes {
     * int vs double errors — the reference does not promote here). A null
     * literal `na` is the untyped NA and always allowed.
     */
+  /** The reference's int↔real PROMOTION exception (src/fifelse.c:40-58;
+    * tests.Rraw 2188.01/.02): fifelse — unlike fcase — coerces integer
+    * arguments up to double when any of yes/no/na is double, and errors
+    * only on mixes outside {integer, double} (2188.13). Spark integrals
+    * (byte..long) play INTSXP, float/double play REALSXP.
+    */
+  private def intLike(t: org.apache.spark.sql.types.DataType): Boolean =
+    t == ByteType || t == ShortType || t == IntegerType || t == LongType
+  private def realLike(t: org.apache.spark.sql.types.DataType): Boolean =
+    t == FloatType || t == DoubleType
+
   def fifelseStrict(df: DataFrame, test: Column, yes: Column, no: Column,
                     na: Column = lit(null)): Column = {
     if (typeOf(df, test) != BooleanType)
       throw new IllegalArgumentException("Argument 'test' must be logical.")
     val (ty, tn, tna) = (typeOf(df, yes), typeOf(df, no), typeOf(df, na))
-    if (ty != tn)
+    def promotes(a: org.apache.spark.sql.types.DataType,
+                 b: org.apache.spark.sql.types.DataType): Boolean =
+      a == b || (intLike(a) || realLike(a)) && (intLike(b) || realLike(b))
+    if (!promotes(ty, tn))
       throw new IllegalArgumentException(
         s"'no' is of type ${tn.simpleString} but 'yes' is ${ty.simpleString}. " +
           "Please make all arguments have the same type.")
-    if (tna != NullType && tna != ty)
+    if (tna != NullType && !promotes(tna, ty))
       throw new IllegalArgumentException(
-        s"'na' is of type ${tna.simpleString} but 'yes' is ${ty.simpleString}. " +
+        s"'na' is of type ${tna.simpleString} but 'no' is ${tn.simpleString}. " +
           "Please make all arguments have the same type.")
-    Funcs.fifelse(test, yes, no, na)
+    // promote like the reference: any real side lifts everything to
+    // double; int-width mixes lift to the widest integral
+    val all = Seq(ty, tn) ++ (if (tna == NullType) Nil else Seq(tna))
+    val target: Option[org.apache.spark.sql.types.DataType] =
+      if (all.distinct.size <= 1) None
+      else if (all.exists(realLike)) Some(DoubleType)
+      else Some(all.maxBy {
+        case ByteType => 1
+        case ShortType => 2
+        case IntegerType => 3
+        case _ => 4 // LongType
+      })
+    target match {
+      case Some(t) =>
+        Funcs.fifelse(test, yes.cast(t), no.cast(t),
+          if (tna == NullType) na else na.cast(t))
+      case None => Funcs.fifelse(test, yes, no, na)
+    }
   }
 
   /** fcase with the reference's type discipline (src/fifelse.c:238,267):
@@ -88,19 +119,24 @@ object StrictTypes {
         throw new IllegalArgumentException(
           s"Argument #${2 * i + 1} must be logical but was of type ${t.simpleString}.")
     }
+    // fcase is STRICT — unlike fifelse it does NOT promote int↔double
+    // (tests.Rraw 2127.21 errors on exactly that mix); messages mirror
+    // src/fifelse.c:269 (numbered argument) and :277 ('default').
     val t0 = typeOf(df, branches.head._2)
-    branches.foreach { case (_, v) =>
+    branches.zipWithIndex.foreach { case ((_, v), i) =>
       val t = typeOf(df, v)
       if (t != t0)
         throw new IllegalArgumentException(
-          s"Resulting value is of type ${t.simpleString} but 'ans' is of type " +
-            s"${t0.simpleString}. Please make sure all output values have the same type.")
+          s"Argument #${2 * i + 2} is of type ${t.simpleString}, however " +
+            s"argument #2 is of type ${t0.simpleString}. Please make sure " +
+            "all output values have the same type.")
     }
     val td = typeOf(df, default)
     if (td != NullType && td != t0)
       throw new IllegalArgumentException(
-        s"Resulting value is of type ${td.simpleString} but 'ans' is of type " +
-          s"${t0.simpleString}. Please make sure all output values have the same type.")
+        s"Resulting value is of type ${t0.simpleString} but 'default' is of " +
+          s"type ${td.simpleString}. Please make sure that both arguments " +
+          "have the same type.")
     Funcs.fcase(branches, default)
   }
 }

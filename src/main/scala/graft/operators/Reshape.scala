@@ -636,9 +636,31 @@ object Reshape {
       val needs = d.schema.fields.filter(f => target(f.name) != f.dataType)
       if (needs.isEmpty) d
       else d.select(d.columns.map { c =>
-        if (target(c) != d.schema(c).dataType) col(c).cast(target(c)).as(c)
+        if (target(c) != d.schema(c).dataType)
+          referenceCast(col(c), d.schema(c).dataType, target(c)).as(c)
         else col(c)
       }.toSeq: _*)
+    }
+  }
+
+  /** Promotion cast with R's `as.character` spelling where Spark's
+    * differs (top-of-ladder string promotion, tests.Rraw rbindlist
+    * batteries): logical → "TRUE"/"FALSE" (Spark casts to
+    * "true"/"false") and double → R's 15-s.f. shortest form via
+    * [[graft.sources.DtoaExpr]] ("3", not Spark's "3.0"). Every other
+    * pair is Spark's cast.
+    */
+  private def referenceCast(c: Column,
+                            from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (BooleanType, StringType) =>
+        when(c.isNull, lit(null).cast(StringType))
+          .otherwise(when(c, "TRUE").otherwise("FALSE"))
+      case (DoubleType | FloatType, StringType) =>
+        graft.sources.DtoaExpr(c, 0)
+      case _ => c.cast(to)
     }
   }
 
@@ -678,19 +700,23 @@ object Reshape {
     // (For useNames=false the promotion applies after positional
     // renaming below — recompute there; here only the named path.)
     val dfs = if (!useNames) dfs0 else promoteAll(dfs0)
-    require(useNames || !fill || dfs.map(_.columns.length).distinct.size == 1,
-      "rbindlist(use.names=FALSE, fill=TRUE) needs equal column counts " +
-        "(the reference errors here too, R/rbindlist.R)")
     val positional =
       if (useNames) dfs
       else {
-        // use.names=FALSE: bind BY POSITION under the first table's names
-        val names = dfs.head.columns.toSeq
-        promoteAll(dfs.map { d =>
-          require(d.columns.length == names.length,
-            s"rbindlist(use.names=FALSE): ${d.columns.length} cols vs ${names.length}")
-          d.toDF(names: _*)
-        })
+        // use.names=FALSE: bind BY POSITION. fill=TRUE accepts UNEQUAL
+        // column counts (src/rbindlist.c #5444; tests.Rraw 2003.3-.6):
+        // position p takes its name from the FIRST item wide enough to
+        // have it — (a,c)+(b) binds b into a and fills c (2003.4),
+        // (a)+(b,c) yields columns (a, c) (2003.5) — and shorter items
+        // fill the missing trailing positions with typed NA.
+        val width = dfs.map(_.columns.length).max
+        require(fill || dfs.map(_.columns.length).distinct.size == 1,
+          s"rbindlist(use.names=FALSE): item column counts differ " +
+            s"(${dfs.map(_.columns.length).mkString(",")}). To fill " +
+            "missing columns use fill=TRUE (R/rbindlist.R)")
+        val posNames = (0 until width).map(i =>
+          dfs.find(_.columns.length > i).get.columns(i))
+        promoteAll(dfs.map(d => d.toDF(posNames.take(d.columns.length): _*)))
       }
     val tagged = idcol match {
       case Some(name) => positional.zipWithIndex.map { case (d, i) =>

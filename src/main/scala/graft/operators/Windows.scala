@@ -89,7 +89,20 @@ object Windows {
     */
   def shiftDF(df: DataFrame, out: String, c: Column, n: Int, by: Seq[String],
               order: Seq[Column], fill: Column = lit(null),
-              allowGlobal: Boolean = false): DataFrame =
+              allowGlobal: Boolean = false): DataFrame = {
+    // src/shift.c:43-47 (tests.Rraw 1463.81/.82): a Date column filled
+    // with a POSIXct (or vice versa) is refused — silent coercion would
+    // shift the value by the timezone/day boundary
+    val (tc, tf) = (graft.functions.StrictTypes.typeOf(df, c),
+      graft.functions.StrictTypes.typeOf(df, fill))
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def nm(t: org.apache.spark.sql.types.DataType): String =
+      if (t == DateType) "Date" else "POSIXct"
+    if (Set(tc, tf) == Set[org.apache.spark.sql.types.DataType](
+        DateType, TimestampType))
+      throw new IllegalArgumentException(
+        s"Filling ${nm(tc)} with ${nm(tf)} using shift() is unsupported. " +
+          s"Please convert fill to ${nm(tc)} first.")
     if (by.nonEmpty || allowGlobal)
       df.withColumn(out, shift(c, n, by, order, fill, allowGlobal))
     else globalKey(order) match {
@@ -97,6 +110,7 @@ object Windows {
         GlobalOrdered.shift(df, c, n, key, out, fill, asc, nullsFirst = Some(nf))
       case None => globalRouteError("shiftDF")
     }
+  }
 
   /** DataFrame-level cumulative aggregate — the DSL entry point.
     * `by = Nil` AUTO-ROUTES sum/prod/min/max through the GlobalOrdered
@@ -454,22 +468,34 @@ object Windows {
   /** frank with `na.last=` handling (R/frank.R:1): ranks a single value
     * column, controlling where nulls rank. naLast = "keep" (reference
     * default: NA values get NA rank), "true" (NAs rank last), "false"
-    * (NAs rank first). `desc` flips the ranking direction.
+    * (NAs rank first), "NA" (na.last=NA: NA rows are REMOVED from the
+    * result, R/frank.R:70-73 — ranks run over the non-NA rows only;
+    * with ties="random" the runif tiebreak is drawn only for non-NA
+    * rows, #4243/tests.Rraw 1962.027, which ranking-after-NAs-sort-last
+    * then filtering reproduces exactly). `desc` flips direction.
     */
   def frankNa(df: DataFrame, value: Column, desc: Boolean, ties: String,
               by: Seq[String], naLast: String, out: String,
               appearance: Seq[Column] = Nil,
-              allowGlobal: Boolean = false): DataFrame = {
+              allowGlobal: Boolean = false,
+              randomSeed: Option[Long] = None): DataFrame = {
     val ord = (desc, naLast) match {
       case (false, "false") => value.asc_nulls_first
-      case (false, _)       => value.asc_nulls_last   // true | keep
+      case (false, _)       => value.asc_nulls_last   // true | keep | NA
       case (true, "false")  => value.desc_nulls_first
       case (true, _)        => value.desc_nulls_last
     }
-    val ranked = frank(df, Seq(ord), Seq(value), ties, by, out, appearance, allowGlobal)
-    if (naLast == "keep")
-      ranked.withColumn(out, when(value.isNull, lit(null)).otherwise(col(out)))
-    else ranked
+    val ranked = frank(df, Seq(ord), Seq(value), ties, by, out, appearance,
+      allowGlobal, randomSeed)
+    naLast match {
+      case "keep" =>
+        ranked.withColumn(out, when(value.isNull, lit(null)).otherwise(col(out)))
+      // NAs sorted last ⇒ non-NA ranks are already the ranks over the
+      // non-NA subset; dropping the NA rows afterwards is the
+      // reference's ans[which_(nas, FALSE)]
+      case "NA" => ranked.filter(value.isNotNull)
+      case _    => ranked
+    }
   }
 
   // ---- rleid / rowid (src/uniqlist.c:170, R/data.table.R:3267) --------

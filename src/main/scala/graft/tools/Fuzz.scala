@@ -596,6 +596,295 @@ object Fuzz {
       sparkSqlOk = false, build)
   }
 
+  // ---- shape J: between / inrange predicate atoms (R/between.R:2,76) ----
+
+  private def genBetweenCase(r: Random, name: String): FuzzCase = {
+    val t = pick(r, Seq(lineitem, orders, events))
+    val salt = pickSalt(r, t.decCols)
+    val c = pick(r, t.decCols)
+    val (lo0, hi0) = decRange(c)
+    val a = math.rint((lo0 + r.nextDouble() * (hi0 - lo0)) * 100) / 100
+    val b = math.rint((lo0 + r.nextDouble() * (hi0 - lo0)) * 100) / 100
+    val (lo, hi) = if (a <= b) (a, b) else (b, a)
+    val inc = r.nextBoolean()
+    val useInrange = r.nextInt(3) == 0
+    // inrange: 2-3 disjoint-ish intervals (union-of-betweens semantics
+    // holds either way); between: one interval × incbounds
+    val ivs: Seq[(Double, Double)] =
+      if (!useInrange) Seq((lo, hi))
+      else {
+        val w = (hi0 - lo0) / 10
+        (0 until 2 + r.nextInt(2)).map { _ =>
+          val s0 = math.rint((lo0 + r.nextDouble() * (hi0 - lo0)) * 100) / 100
+          (s0, math.rint((s0 + w) * 100) / 100)
+        }
+      }
+    val predC =
+      if (useInrange) graft.functions.Funcs.inrange(col(c), ivs, inc)
+      else graft.functions.Funcs.between(col(c), lit(lo), lit(hi), inc)
+    val predS = ivs.map { case (s0, e0) =>
+      if (inc) s"($c >= $s0 AND $c <= $e0)" else s"($c > $s0 AND $c < $e0)"
+    }.mkString(" OR ")
+    val aggs = (0 until 1 + r.nextInt(2)).map(k => genAggExpr(r, t, s"a$k"))
+    val by = genBy(r, t)
+    val build: Build = (s, dir) => {
+      val base = saltDf(DT(s, dir, t.name).df, t, salt)
+      val d = DT(base)
+      if (by.isEmpty) d(predC).groupAgg(Nil, aggs.map(_._1)).df
+      else d(predC, aggs.map(_._1), by.map(_._1)).df
+    }
+    val sel = (by.map(_._2) ++ aggs.map(_._2)).mkString(", ")
+    val grp =
+      if (by.isEmpty) "" else "\nGROUP BY " + (1 to by.size).mkString(", ")
+    FuzzCase(name, if (useInrange) "inrange" else "between",
+      s"SELECT $sel\nFROM ${saltSql(t, salt)} t\nWHERE $predS$grp",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape K: frollapply (window frame → arbitrary fn) -----------------
+
+  private def genFrollapplyCase(r: Random, name: String): FuzzCase = {
+    // rolling range (max−min) over a trailing n-window: subtraction of
+    // IDENTICAL doubles is IEEE-deterministic cross-engine, no rounding
+    val t = pick(r, Seq(orders, events))
+    val (vc, pc1, ord1, ord2) =
+      if (t.name == "orders")
+        ("o_totalprice", "o_custkey", "o_orderdate", "o_orderkey")
+      else ("value", "user_id", "ts", "event_id")
+    val n = 2 + r.nextInt(4)
+    val (predC, predS) =
+      if (r.nextBoolean()) genPred(r, t, None) else (lit(true), "1=1")
+    val closure = r.nextBoolean() // JVM-closure tier vs window-array tier
+    val build: Build = (s, dir) => {
+      val base = DT(s, dir, t.name).df.filter(predC)
+      val ordCols = Seq(col(ord1).asc, col(ord2).asc)
+      if (closure) {
+        val f = (rows: Seq[org.apache.spark.sql.Row]) => {
+          val vs = rows.map(_.getDouble(0))
+          vs.max - vs.min
+        }
+        Windows.frollApplyF(base, "rng", Seq("p" -> col(vc)), n,
+            Seq(pc1), ordCols, f, org.apache.spark.sql.types.DoubleType)
+          .select(col(ord2), col("rng"))
+      } else {
+        val arr = Windows.frollWindowArray(col(vc), n, Seq(pc1), ordCols)
+        base.withColumn("rng",
+            when(size(arr) === n, array_max(arr) - array_min(arr)))
+          .select(col(ord2), col("rng"))
+      }
+    }
+    val w = s"(PARTITION BY $pc1 ORDER BY $ord1, $ord2 " +
+      s"ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)"
+    FuzzCase(name, if (closure) "frollapply_udf" else "frollapply",
+      s"SELECT $ord2, CASE WHEN count(*) OVER $w = $n " +
+        s"THEN max($vc) OVER $w - min($vc) OVER $w END AS rng\n" +
+        s"FROM (SELECT * FROM ${t.name} WHERE $predS) t",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape L: melt (wide → long, × na.rm) -------------------------------
+
+  private def genMeltCase(r: Random, name: String): FuzzCase = {
+    val t = pick(r, Seq(lineitem, orders, events))
+    val salt = pickSalt(r, t.decCols)
+    // pk stays an id var — a measure equal to the id would make the
+    // select-projection ambiguous
+    val measures = r.shuffle(t.decCols ++ t.keyCols.filterNot(_ == t.pk)
+      .take(2)).take(2 + r.nextInt(2)).sorted
+    val naRm = salt.isDefined && r.nextBoolean()
+    val (predC, predS) =
+      if (r.nextBoolean()) genPred(r, t, salt) else (lit(true), "1=1")
+    val build: Build = (s, dir) => {
+      val base = saltDf(DT(s, dir, t.name).df, t, salt).filter(predC)
+        .select((t.pk +: measures).map(col): _*)
+      graft.operators.Reshape.melt(base, Seq(t.pk), measures, naRm = naRm)
+        .select(col(t.pk), col("variable"),
+          col("value").cast("double").as("value"))
+    }
+    // oracle: stack() = UNION ALL of per-measure projections, promoted
+    // to DOUBLE exactly like melt's numeric-promotion rule
+    val arms = measures.map(m =>
+      s"SELECT ${t.pk}, '$m' AS variable, CAST($m AS DOUBLE) AS value\n" +
+        s"FROM ${saltSql(t, salt)} t WHERE $predS")
+    val sql0 = arms.mkString("\nUNION ALL\n")
+    val sql = if (naRm)
+      s"SELECT * FROM (\n$sql0\n) m WHERE value IS NOT NULL"
+    else sql0
+    FuzzCase(name, if (naRm) "melt_narm" else "melt", sql,
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape M: dcast (long → wide pivot, × fill) -------------------------
+
+  private def genDcastCase(r: Random, name: String): FuzzCase = {
+    // rhs domains whose values are valid bare SQL identifiers
+    val (t, rhs, domain) = pick(r, Seq(
+      (events, "event_type", Seq("click", "error", "purchase", "signup", "view")),
+      (lineitem, "l_returnflag", Seq("A", "N", "R")),
+      (lineitem, "l_linestatus", Seq("F", "O"))))
+    val vc = pick(r, t.decCols)
+    val lhs = if (t.name == "events") "user_id" else "l_orderkey"
+    val (predC, predS) = genPred(r, t, None)
+    val agg = pick(r, Seq("sum", "count", "min", "max"))
+    // count ALWAYS fills 0: SQL's conditional COUNT is 0 for an absent
+    // (lhs, value) cell while pivot leaves it NULL — and 0 is also the
+    // reference's default fill (length of a 0-length vector)
+    val fill = agg match {
+      case "sum" if r.nextBoolean() => Some(lit(0).cast("decimal(18,2)"))
+      case "count"                  => Some(lit(0L))
+      case _                        => None
+    }
+    val aggFn: Column => Column = agg match {
+      case "sum"   => c => sum(c.cast("decimal(18,2)"))
+      case "count" => c => count(c)
+      case "min"   => c => min(c)
+      case "max"   => c => max(c)
+    }
+    val build: Build = (s, dir) => {
+      val base = DT(s, dir, t.name).df.filter(predC)
+      val wide = graft.operators.Reshape.dcast(base, Seq(lhs), rhs, vc,
+        aggFn, values = domain, fill = fill)
+      // post-cast sum columns to double for cross-engine string equality
+      if (agg == "sum")
+        wide.select(col(lhs) +: domain.map(v =>
+          col(v).cast("double").as(v)): _*)
+      else wide
+    }
+    def cell(v: String): String = {
+      val in = s"CASE WHEN $rhs = '$v' THEN $vc END"
+      val core = agg match {
+        case "sum"   => s"SUM(CAST(($in) AS DECIMAL(18,2)))"
+        case "count" => s"COUNT($in)"
+        case "min"   => s"MIN($in)"
+        case "max"   => s"MAX($in)"
+      }
+      val filled = fill match {
+        case Some(_) if agg == "sum" =>
+          s"COALESCE($core, CAST(0 AS DECIMAL(18,2)))"
+        case Some(_) => s"COALESCE($core, 0)"
+        case None    => core
+      }
+      val cast = if (agg == "sum") s"CAST($filled AS DOUBLE)" else filled
+      s"$cast AS $v"
+    }
+    FuzzCase(name, if (fill.isDefined) "dcast_fill" else "dcast",
+      s"SELECT $lhs, ${domain.map(cell).mkString(", ")}\n" +
+        s"FROM ${t.name} t\nWHERE $predS\nGROUP BY 1",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape N: melt → dcast round-trip (inverse property) ----------------
+
+  private def genRoundtripCase(r: Random, name: String): FuzzCase = {
+    // unique-pk tables only: the round-trip must land one value per cell
+    val t = pick(r, Seq(orders, events))
+    val salt = pickSalt(r, t.decCols)
+    val naRm = r.nextBoolean()
+    // a never-null key-col measure guarantees every pk survives a
+    // naRm melt (an all-null row would otherwise vanish from the wide
+    // side but not from the oracle)
+    val measures = (t.decCols ++
+      r.shuffle(t.keyCols.filterNot(_ == t.pk)).take(1)).sorted
+    val (predC, predS) =
+      if (r.nextBoolean()) genPred(r, t, salt) else (lit(true), "1=1")
+    val build: Build = (s, dir) => {
+      val base = saltDf(DT(s, dir, t.name).df, t, salt).filter(predC)
+        .select((t.pk +: measures).map(col): _*)
+      val molten = graft.operators.Reshape.melt(base, Seq(t.pk), measures,
+        naRm = naRm)
+      // melt then dcast must reproduce the input modulo column order
+      // (R/fmelt.R:183-227 + R/fcast.R:126; tests.Rraw 1035/1102) —
+      // sum over the single cell value is exact
+      graft.operators.Reshape.dcast(molten, Seq(t.pk), "variable", "value",
+        c => sum(c), values = measures)
+        .select(col(t.pk) +: measures.map(m =>
+          col(m).cast("double").as(m)): _*)
+    }
+    val sel = measures.map(m => s"CAST($m AS DOUBLE) AS $m").mkString(", ")
+    FuzzCase(name, "melt_dcast_roundtrip",
+      s"SELECT ${t.pk}, $sel\nFROM ${saltSql(t, salt)} t\nWHERE $predS",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape O: groupingsets id=TRUE vs GROUPING_ID() ---------------------
+
+  private def genGsIdCase(r: Random, name: String): FuzzCase = {
+    val t = pick(r, Seq(lineitem, orders))
+    val (predC, predS) = genPred(r, t, None)
+    val keys = r.shuffle(t.strCols.map(_._1)).take(2)
+    val aggs = Seq((count(lit(1)).as("n"), "COUNT(*) AS n")) ++
+      (0 until 1 + r.nextInt(2)).map { k =>
+        val c = pick(r, t.decCols)
+        (decSum(c).cast("double").as(s"s$k"),
+          s"CAST(${decSumSql(c)} AS DOUBLE) AS s$k")
+      }
+    val cube = r.nextBoolean()
+    val build: Build = (s, dir) => {
+      val d = DT(s, dir, t.name)(predC)
+      val ks = keys.map(k => k -> col(k))
+      // id=TRUE: leading `grouping` bitmask column (R/groupingsets.R:
+      // 124-161); aliased gid for a dialect-shared unquoted identifier
+      (if (cube) d.cubeAgg(ks, aggs.map(_._1), id = true)
+       else d.rollupAgg(ks, aggs.map(_._1), id = true)).df
+        .withColumnRenamed("grouping", "gid")
+        .withColumn("gid", col("gid").cast("int"))
+    }
+    val sqlKeys = keys.mkString(", ")
+    val gidExpr = s"CAST(GROUPING_ID($sqlKeys) AS INT)"
+    val nonEmptySets =
+      if (cube) Seq(keys, Seq(keys.head), Seq(keys(1)))
+      else Seq(keys, Seq(keys.head))
+    val gs = nonEmptySets.map(_.mkString("(", ", ", ")")).mkString(", ")
+    val nullKeys = keys.map(k => s"CAST(NULL AS STRING) AS $k").mkString(", ")
+    val allUp = (1 << keys.size) - 1
+    FuzzCase(name, if (cube) "cube_id" else "rollup_id",
+      s"SELECT $gidExpr AS gid, $sqlKeys, ${aggs.map(_._2).mkString(", ")}\n" +
+        s"FROM ${t.name} t\nWHERE $predS\nGROUP BY GROUPING SETS ($gs)\n" +
+        s"UNION ALL\nSELECT $allUp AS gid, $nullKeys, " +
+        s"${aggs.map(_._2).mkString(", ")}\nFROM ${t.name} t\nWHERE $predS",
+      sparkSqlOk = true, build)
+  }
+
+  // ---- shape P: foverlaps vs a range-join oracle (R/foverlaps.R:1-22) ----
+
+  private def genFoverlapsCase(r: Random, name: String): FuzzCase = {
+    val typ = pick(r, Seq("any", "within", "start", "end"))
+    val xType = pick(r, Seq("purchase", "signup"))
+    val yType = pick(r, Seq("click", "error"))
+    val xMin = 1 + r.nextInt(5)
+    val yMin = 1 + r.nextInt(5)
+    val k = math.rint(r.nextDouble() * 200 * 100) / 100
+    val build: Build = (s, dir) => {
+      val ev = DT(s, dir, "events").df
+      val x = ev.filter(col("event_type") === xType && col("value") > k)
+        .select(col("user_id"), col("event_id").as("x_id"),
+          col("ts").as("xs"),
+          (col("ts") + expr(s"INTERVAL $xMin MINUTE")).as("xe"))
+      val y = ev.filter(col("event_type") === yType)
+        .select(col("user_id"), col("event_id").as("y_id"),
+          col("ts").as("ys"),
+          (col("ts") + expr(s"INTERVAL $yMin MINUTE")).as("ye"))
+      Joins.overlap(x, y, Seq("user_id"), "xs", "xe", "ys", "ye", typ)
+        .select(col("x_id"), col("y_id"))
+    }
+    val cond = typ match {
+      case "any"    => "x.xs <= y.ye AND y.ys <= x.xe"
+      case "within" => "x.xs >= y.ys AND x.xe <= y.ye"
+      case "start"  => "x.xs = y.ys"
+      case _        => "x.xe = y.ye"
+    }
+    val sql =
+      s"""SELECT x.x_id, y.y_id
+         |FROM (SELECT user_id, event_id AS x_id, ts AS xs,
+         |        ts + INTERVAL $xMin MINUTE AS xe
+         |      FROM events WHERE event_type = '$xType' AND value > $k) x
+         |JOIN (SELECT user_id, event_id AS y_id, ts AS ys,
+         |        ts + INTERVAL $yMin MINUTE AS ye
+         |      FROM events WHERE event_type = '$yType') y
+         |  ON x.user_id = y.user_id AND $cond""".stripMargin
+    FuzzCase(name, s"foverlaps_$typ", sql, sparkSqlOk = true, build)
+  }
+
   // ---- case mix ----------------------------------------------------------
 
   def cases(seed: Long, n: Int): Seq[FuzzCase] =
@@ -605,16 +894,25 @@ object Fuzz {
       // NOTE: range boundaries are part of the (seed, i) determinism
       // contract for PINNED cases — fz_21_136/369/417 drew in [78,88)
       // and must stay rollup/cube forever; new shapes may only carve
-      // ranges that hold pinned draws' generators fixed.
+      // ranges that hold pinned draws' generators fixed. (The round-20
+      // re-carve touched every OTHER boundary; [78,88) → genRollupCase
+      // is byte-identical, FuzzSpec re-asserts the three pins.)
       r.nextInt(100) match {
-        case x if x < 30 => genAggCase(r, nm)
-        case x if x < 45 => genJoinCase(r, nm)
-        case x if x < 52 => genMultCase(r, nm)
-        case x if x < 68 => genWindowCase(r, nm)
-        case x if x < 73 => genSetOpCase(r, nm)
-        case x if x < 78 => genUpdateCase(r, nm)
-        case x if x < 88 => genRollupCase(r, nm)
+        case x if x < 24 => genAggCase(r, nm)
+        case x if x < 27 => genBetweenCase(r, nm)
+        case x if x < 38 => genJoinCase(r, nm)
+        case x if x < 44 => genMultCase(r, nm)
+        case x if x < 56 => genWindowCase(r, nm)
+        case x if x < 59 => genFrollapplyCase(r, nm)
+        case x if x < 63 => genSetOpCase(r, nm)
+        case x if x < 67 => genUpdateCase(r, nm)
+        case x if x < 71 => genMeltCase(r, nm)
+        case x if x < 74 => genDcastCase(r, nm)
+        case x if x < 78 => genRoundtripCase(r, nm)
+        case x if x < 88 => genRollupCase(r, nm) // PINNED RANGE — never move
+        case x if x < 91 => genGsIdCase(r, nm)
         case x if x < 95 => genRankCase(r, nm)
+        case x if x < 97 => genFoverlapsCase(r, nm)
         case _           => genAsofCase(r, nm)
       }
     }
@@ -624,6 +922,13 @@ object Fuzz {
     val outDir = args(1)
     val n = if (args.length > 2) args(2).toInt else 500
     val seed = if (args.length > 3) args(3).toLong else 19L
+    // optional 5th arg: comma-separated shape PREFIXES — generate the
+    // full deterministic (seed, i) sequence but BUILD only matching
+    // shapes (generation is free; building is the cost). Lets a sweep
+    // concentrate on new families without perturbing case identity.
+    val shapeFilter: Option[Seq[String]] =
+      if (args.length > 4) Some(args(4).split(',').toSeq.map(_.trim))
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -634,7 +939,8 @@ object Fuzz {
     spark.sparkContext.setLogLevel("WARN")
     graft.PlanLint.silenceBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
-    val cs = cases(seed, n)
+    val cs = cases(seed, n).filter(c =>
+      shapeFilter.forall(_.exists(p => c.shape.startsWith(p))))
     val sqls = scala.collection.mutable.LinkedHashMap[String, String]()
     var built = 0
     var failedBuild = 0

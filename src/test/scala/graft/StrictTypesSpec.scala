@@ -74,10 +74,14 @@ class StrictTypesSpec extends AnyFunSuite {
     }.getMessage.contains("'test' must be logical"))
   }
 
-  test("fifelseStrict: int yes vs double no errors (fifelse.c:52)") {
-    assert(intercept[IllegalArgumentException] {
-      StrictTypes.fifelseStrict(num, $"b", lit(1), lit(2.5))
-    }.getMessage.contains("same type"))
+  test("fifelseStrict: int yes vs double no PROMOTES to double (fifelse.c:40-58, tests.Rraw 2188.01)") {
+    // round-20 correction: the reference coerces INTSXP up to REALSXP
+    // here (the error at fifelse.c:50 fires only for non-promotable
+    // mixes) — the earlier spec row encoded the error wrongly
+    val out = num.select(
+      StrictTypes.fifelseStrict(num, $"b", lit(1), lit(2.5)).as("r"))
+    assert(out.schema("r").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(out.as[Double].collect().toSeq == Seq(1.0))
   }
 
   test("fifelseStrict: string yes vs int no errors") {
