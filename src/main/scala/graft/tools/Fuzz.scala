@@ -973,8 +973,10 @@ object Fuzz {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
       sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    val byShape = cs.groupBy(_.shape).toSeq.sortBy(_._1)
+      .map { case (s, xs) => s""""$s":${xs.size}""" }.mkString(",")
     println(s"""{"fuzz":"done","seed":$seed,"n":$n,"dumped":$built,""" +
-      s""""build_failures":$failedBuild,"out":"$outDir"}""")
+      s""""build_failures":$failedBuild,"shapes":{$byShape},"out":"$outDir"}""")
     spark.stop()
   }
 }
