@@ -1134,6 +1134,35 @@ object QueriesTextSim {
     }): Q,
       Some(annLshOracle)),
 
+    // ---- LSH index COMPACTION path (round 20) ---------------------------
+    // The long-lived nightly-append lifecycle's maintenance step: save
+    // over half the corpus, append the other half, then compactLshIndex
+    // folds the batch dirs into one base_v dir (manifest base= redirect,
+    // IndexCommit.compact) — the search through the COMPACTED index must
+    // still equal lshTopK over the full corpus. Same oracle as q_ann_lsh;
+    // this drives the compaction protocol through the driver's gate.
+    ("q_ann_lsh_compacted", ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+      val idx = RuntimeTmp.perPid(
+        "graft_lsh_cpct_idx_" + Integer.toHexString(dir.hashCode))
+      bucketedIdxBuilt.getOrElsePut(s"${System.identityHashCode(s)}:$idx") {
+        Similarity.saveLshIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", idx, dim = 64, nBits = 4)
+        Similarity.appendToLshIndex(s, idx, e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", dim = 64, nBits = 4)
+        require(Similarity.compactLshIndex(s, idx) == 1,
+          s"compactLshIndex folded an unexpected batch count at $idx")
+        true
+      }
+      val queries = e.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+      Similarity.lshTopKIndexed(s, idx, queries, "vec_id", "embedding",
+        dim = 64, nBits = 4, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          (round(col("sim"), 3) + lit(0.0)).as("sim"), col("rk"))
+    }): Q,
+      Some(annLshOracle)),
+
     // ---- IVF coarse quantization (ANN scale path #2) -------------------
     // Deterministic seed centroids (4 lowest vec_ids) ⇒ the assignment
     // argmax is SQL-expressible; the kmeans-fitted variant below

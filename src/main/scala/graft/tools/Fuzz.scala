@@ -596,6 +596,79 @@ object Fuzz {
       sparkSqlOk = false, build)
   }
 
+  // ---- shape Q: nafill locf/nocb/const + rleid (src/nafill.c, rleid) ----
+
+  private def genNafillCase(r: Random, name: String): FuzzCase = {
+    val by = pick(r, Seq("user_id", "event_type"))
+    // force a salt so the fill actually has holes to fill
+    val salt = Salt("value", pick(r, Seq(3, 5, 7)), r.nextInt(3))
+    val (predC, predS) =
+      if (r.nextBoolean()) genPred(r, events, Some(salt)) else (lit(true), "1=1")
+    val from = s"(SELECT * FROM ${saltSql(events, Some(salt))} te " +
+      s"WHERE $predS) t"
+    val w = s"(PARTITION BY $by ORDER BY event_id"
+    r.nextInt(4) match {
+      case 0 =>
+        val build: Build = (s, dir) =>
+          Windows.nafillDF(
+            saltDf(DT(s, dir, "events").df, events, Some(salt)).filter(predC),
+            "out", "locf", col("value"), Seq(by), Seq(col("event_id").asc))
+            .select(col("event_id"), col("out"))
+        FuzzCase(name, "nafill_locf",
+          s"SELECT event_id, last_value(value IGNORE NULLS) OVER " +
+            s"$w ROWS UNBOUNDED PRECEDING) AS out\nFROM $from",
+          sparkSqlOk = false, build) // DuckDB IGNORE NULLS placement
+      case 1 =>
+        val build: Build = (s, dir) =>
+          Windows.nafillDF(
+            saltDf(DT(s, dir, "events").df, events, Some(salt)).filter(predC),
+            "out", "nocb", col("value"), Seq(by), Seq(col("event_id").asc))
+            .select(col("event_id"), col("out"))
+        FuzzCase(name, "nafill_nocb",
+          s"SELECT event_id, first_value(value IGNORE NULLS) OVER " +
+            s"$w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS out\n" +
+            s"FROM $from",
+          sparkSqlOk = false, build)
+      case 2 =>
+        val k = math.rint(r.nextDouble() * 500 * 100) / 100
+        val build: Build = (s, dir) =>
+          saltDf(DT(s, dir, "events").df, events, Some(salt)).filter(predC)
+            .select(col("event_id"),
+              Windows.nafillConst(col("value"), lit(k)).as("out"))
+        FuzzCase(name, "nafill_const",
+          s"SELECT event_id, COALESCE(value, $k) AS out\nFROM $from",
+          sparkSqlOk = true, build)
+      case _ =>
+        // rleid over a low-cardinality run column: gaps-and-islands sum
+        val build: Build = (s, dir) =>
+          Windows.rleid(
+            saltDf(DT(s, dir, "events").df, events, Some(salt)).filter(predC),
+            Seq("event_type"), Seq(col("event_id").asc), Seq(by), "rid")
+            .select(col("event_id"), col("rid").cast("long").as("rid"))
+        // NULL == NULL counts as "no change" (reference rleid treats
+        // consecutive NAs as one run) — IS DISTINCT FROM spells that in
+        // both engines; the first row of each partition opens run 1
+        // DuckDB window SUM(int) widens to HUGEINT (pandas float64) —
+        // CAST to BIGINT for the driver's dtype-kind check
+        val innerCols =
+          if (by == "event_type") "event_id, event_type"
+          else s"event_id, $by, event_type"
+        FuzzCase(name, "rleid",
+          s"""SELECT event_id,
+             |  CAST(SUM(CASE WHEN rn = 1 THEN 1
+             |           WHEN event_type IS DISTINCT FROM prev THEN 1
+             |           ELSE 0 END)
+             |    OVER (PARTITION BY $by ORDER BY event_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rid
+             |FROM (SELECT $innerCols,
+             |        LAG(event_type) OVER wrun AS prev,
+             |        ROW_NUMBER() OVER wrun AS rn
+             |      FROM $from
+             |      WINDOW wrun AS (PARTITION BY $by ORDER BY event_id)) g""".stripMargin,
+          sparkSqlOk = true, build)
+    }
+  }
+
   // ---- shape J: between / inrange predicate atoms (R/between.R:2,76) ----
 
   private def genBetweenCase(r: Random, name: String): FuzzCase = {
@@ -898,7 +971,8 @@ object Fuzz {
       // re-carve touched every OTHER boundary; [78,88) → genRollupCase
       // is byte-identical, FuzzSpec re-asserts the three pins.)
       r.nextInt(100) match {
-        case x if x < 24 => genAggCase(r, nm)
+        case x if x < 21 => genAggCase(r, nm)
+        case x if x < 24 => genNafillCase(r, nm)
         case x if x < 27 => genBetweenCase(r, nm)
         case x if x < 38 => genJoinCase(r, nm)
         case x if x < 44 => genMultCase(r, nm)

@@ -207,6 +207,38 @@ class Round20Spec extends AnyFunSuite {
     assert(snap() == before)
   }
 
+  test("compact bounds reader listing cost: 12 nightly appends → 13 dirs → 1 dir") {
+    import spark.implicits._
+    val idx = freshIdx("graft_r20_compact_cost")
+    graft.dedup.Dedup.saveBandIndex(
+      Seq((0L, "base corpus document text for the listing probe"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    (1 to 12).foreach { d =>
+      graft.dedup.Dedup.appendToBandIndex(
+        Seq((d.toLong, s"unique day $d document body with its own words $d"))
+          .toDF("doc_id", "text"), "doc_id", "text", idx)
+    }
+    val stPre = IndexCommit.read(spark, idx)
+    assert(stPre.batches.size == 12)
+    def listCount(st: IndexCommit.State): Int =
+      IndexCommit.componentPaths(idx, "shingles", st).size +
+        IndexCommit.componentPaths(idx, "banded", st).size
+    val t0 = System.nanoTime()
+    val nPre = graft.dedup.Dedup.bandIndexShingles(spark, idx).count()
+    val msPre = (System.nanoTime() - t0) / 1e6
+    assert(listCount(stPre) == 26) // 13 dirs per component
+    assert(graft.dedup.Dedup.compactBandIndex(spark, idx) == 12)
+    val stPost = IndexCommit.read(spark, idx)
+    assert(listCount(stPost) == 2) // 1 dir per component
+    val t1 = System.nanoTime()
+    val nPost = graft.dedup.Dedup.bandIndexShingles(spark, idx).count()
+    val msPost = (System.nanoTime() - t1) / 1e6
+    assert(nPre == nPost && nPost == 13L)
+    // advisory probe row (wall-clock on local fs is noisy; the path
+    // count is the load-bearing assertion — listing cost ∝ dir count)
+    info(f"compact probe: shingle read 13-dir $msPre%.0f ms -> 1-dir $msPost%.0f ms")
+  }
+
   // ---- prependBytes under concurrent duplicate attempts ----------------
 
   test("prependBytes: stale attempt-unique tmps are harmless and swept") {
