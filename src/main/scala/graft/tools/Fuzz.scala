@@ -921,6 +921,12 @@ object Fuzz {
   // ---- shape P: foverlaps vs a range-join oracle (R/foverlaps.R:1-22) ----
 
   private def genFoverlapsCase(r: Random, name: String): FuzzCase = {
+    // one-in-three: the mult=first/last reduction tier. Intervals are
+    // NUMERIC, anchored at the globally-unique o_orderkey (x = status F
+    // orders, y = status O orders — disjoint key sets), so every y
+    // (ys, ye) is unique and min_by/max_by over (ys, ye) is fully
+    // deterministic cross-engine — no physical-row-order tie ambiguity.
+    if (r.nextInt(3) == 0) return genFoverlapsMultCase(r, name)
     val typ = pick(r, Seq("any", "within", "start", "end"))
     val xType = pick(r, Seq("purchase", "signup"))
     val yType = pick(r, Seq("click", "error"))
@@ -956,6 +962,44 @@ object Fuzz {
          |      FROM events WHERE event_type = '$yType') y
          |  ON x.user_id = y.user_id AND $cond""".stripMargin
     FuzzCase(name, s"foverlaps_$typ", sql, sparkSqlOk = true, build)
+  }
+
+  private def genFoverlapsMultCase(r: Random, name: String): FuzzCase = {
+    val mult = if (r.nextBoolean()) "first" else "last"
+    val xw = (1 + r.nextInt(50)) * 1000L
+    val yw = (1 + r.nextInt(50)) * 1000L
+    val k = 2000.0 + math.rint(r.nextDouble() * 40000000) / 100
+    val build: Build = (s, dir) => {
+      val o = DT(s, dir, "orders").df
+      val x = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > k)
+        .select(col("o_custkey"), col("o_orderkey").as("x_id"),
+          col("o_orderkey").cast("double").as("xs"),
+          (col("o_orderkey") + xw).cast("double").as("xe"))
+      val y = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"), col("o_orderkey").as("y_id"),
+          col("o_orderkey").cast("double").as("ys"),
+          (col("o_orderkey") + yw).cast("double").as("ye"))
+      Joins.overlapMult(x, y, Seq("o_custkey"), "xs", "xe", "ys", "ye",
+          "any", mult)
+        .select(col("x_id"), col("y_id"))
+    }
+    val d = if (mult == "first") "" else " DESC"
+    val sql =
+      s"""SELECT x_id, y_id FROM (
+         |  SELECT x.x_id, y.y_id,
+         |    ROW_NUMBER() OVER (PARTITION BY x.x_id
+         |      ORDER BY y.ys$d, y.ye$d) AS rn
+         |  FROM (SELECT o_custkey, o_orderkey AS x_id,
+         |          CAST(o_orderkey AS DOUBLE) AS xs,
+         |          CAST(o_orderkey + $xw AS DOUBLE) AS xe
+         |        FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > $k) x
+         |  JOIN (SELECT o_custkey, o_orderkey AS y_id,
+         |          CAST(o_orderkey AS DOUBLE) AS ys,
+         |          CAST(o_orderkey + $yw AS DOUBLE) AS ye
+         |        FROM orders WHERE o_orderstatus = 'O') y
+         |    ON x.o_custkey = y.o_custkey AND x.xs <= y.ye AND y.ys <= x.xe
+         |) m WHERE rn = 1""".stripMargin
+    FuzzCase(name, s"foverlaps_mult_$mult", sql, sparkSqlOk = true, build)
   }
 
   // ---- case mix ----------------------------------------------------------
