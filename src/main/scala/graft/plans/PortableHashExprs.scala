@@ -33,14 +33,45 @@ object PortableHash {
   val Mask40: Long = (1L << 40) - 1
   val MaskB: Long = (1L << 53) - 1
 
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` walks the
+    * provider registry on every call — at one digest PER SHINGLE that
+    * lookup (plus the hex formatting below) dominated the kernels
+    * (optimization round 21; digest() leaves the instance reset, so
+    * reuse is safe).
+    */
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private[plans] def md(): MessageDigest = mdLocal.get()
+
   /** md5 hex of UTF-8 bytes — matches Spark's and DuckDB's md5(). */
   def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
+    val d = md().digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** First 15 hex chars of a 16-byte digest as a 60-bit int WITHOUT the
+    * hex detour: hex chars 0..14 are the high nibbles of bytes 0..7
+    * minus byte 7's low nibble, i.e. the big-endian first-8-bytes long
+    * shifted right by one nibble. Bit-identical to
+    * `parseLong(md5Hex(s).take(15), 16)` (spec-locked in Round2Spec).
+    */
+  private[plans] def a60OfDigest(d: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
   }
 
   /** 60-bit shingle/token identity from the md5 prefix. */
-  def a60(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+  def a60(s: String): Long = a60OfDigest(md().digest(s.getBytes("UTF-8")))
 
   /** Derived second affine parameter (bit-mix of a; overflow-free). */
   def bOf(a: Long): Long = ((a >>> 7) ^ ((a & Mask40) << 13)) & MaskB
@@ -58,16 +89,32 @@ case class PortableShingles(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val toks = new Array[String](n)
+    // UTF-8 bytes per token, fetched once: the shingle text is the k
+    // tokens joined with " ", so its digest is the token byte runs fed
+    // through one incremental MessageDigest with a 0x20 separator —
+    // byte-identical to md5(mkString(" ").getBytes(UTF_8)) without
+    // building any String (the former slice+mkString+String.getBytes
+    // per OUTPUT shingle dominated the dedup kernels).
+    val tokBytes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      toks(i) = if (s == null) "" else s.toString
+      tokBytes(i) = if (s == null) PortableShingles.EMPTY else s.getBytes
       i += 1
     }
+    val md = PortableHash.md()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (n < k) seen.add(PortableHash.a60(toks.mkString(" ")))
-    else { i = 0; while (i + k <= n) { seen.add(PortableHash.a60(toks.slice(i, i + k).mkString(" "))); i += 1 } }
+    def digestRange(from: Int, until: Int): Long = {
+      var j = from
+      while (j < until) {
+        md.update(tokBytes(j))
+        if (j + 1 < until) md.update(PortableShingles.SPACE)
+        j += 1
+      }
+      PortableHash.a60OfDigest(md.digest())
+    }
+    if (n < k) seen.add(digestRange(0, n))
+    else { i = 0; while (i + k <= n) { seen.add(digestRange(i, i + k)); i += 1 } }
     val out = new Array[Long](seen.size)
     val it = seen.iterator(); i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
@@ -79,6 +126,8 @@ case class PortableShingles(child: Expression, k: Int)
 }
 
 object PortableShingles {
+  private[plans] val EMPTY = new Array[Byte](0)
+  private[plans] val SPACE: Byte = ' '.toByte
   def apply(tokens: Column, k: Int): Column =
     GraftSqlBridge.column(PortableShingles(GraftSqlBridge.expression(tokens), k))
 }
@@ -133,10 +182,12 @@ case class PortableSimHash(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val ones = new Array[Int](60)
+    val md = PortableHash.md()
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val a = PortableHash.a60(if (s == null) "" else s.toString)
+      md.update(if (s == null) PortableShingles.EMPTY else s.getBytes)
+      val a = PortableHash.a60OfDigest(md.digest())
       var b = 0
       while (b < 60) { if (((a >>> b) & 1L) == 1L) ones(b) += 1; b += 1 }
       i += 1

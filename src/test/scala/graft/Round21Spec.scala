@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PortableHash
+
+/** Round-21 (optimization round) kernel parity locks: every rewrite
+  * here replaced an expression with a faster form that must stay
+  * BIT-IDENTICAL — these tests pin each one to the formula it replaced.
+  */
+class Round21Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- PortableHash fast a60 (no-hex digest prefix) --------------------
+
+  test("a60 equals parsing the first 15 md5 hex chars, incl. edge bytes") {
+    val rnd = new scala.util.Random(21)
+    val cases = Seq("", " ", "a", "hello world", "é中文",
+      "\n\t", "0" * 1000) ++ (1 to 200).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    cases.foreach { s =>
+      val viaHex = java.lang.Long.parseLong(
+        PortableHash.md5Hex(s).substring(0, 15), 16)
+      assert(PortableHash.a60(s) == viaHex, s"a60 mismatch for '$s'")
+    }
+  }
+
+  test("PortableShingles incremental digest equals joined-string md5") {
+    // reference: shingle text = k tokens joined with " ", identity =
+    // a60 of that string (the pre-r21 slice+mkString implementation)
+    def refShingles(toks: Seq[String], k: Int): Seq[Long] = {
+      val texts =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      texts.map(PortableHash.a60).distinct
+    }
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 50).map { i =>
+      val n = rnd.nextInt(12)
+      (i, (0 until n).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString))
+    } :+ (51, Seq("dup", "dup", "dup", "dup")) :+ (52, Seq.empty[String]) :+
+      (53, Seq("", "", "a")) // empty tokens (null-token path shares "")
+    val df = docs.toDF("id", "toks")
+    for (k <- Seq(2, 3, 5)) {
+      val got = df.select($"id",
+          graft.plans.PortableShingles($"toks", k).as("sh"))
+        .as[(Int, Seq[Long])].collect().toMap
+      docs.foreach { case (id, toks) =>
+        assert(got(id) == refShingles(toks, k), s"shingles k=$k id=$id")
+      }
+    }
+  }
+
+  test("PortableSimHash matches per-token a60 bit votes") {
+    val toks = Seq("alpha", "beta", "gamma", "beta", "")
+    def ref(ts: Seq[String]): Long = {
+      val ones = new Array[Int](60)
+      ts.foreach { t =>
+        val a = PortableHash.a60(t)
+        (0 until 60).foreach(b => if (((a >>> b) & 1L) == 1L) ones(b) += 1)
+      }
+      (0 until 60).foldLeft(0L)((sig, b) =>
+        if (2 * ones(b) - ts.length > 0) sig | (1L << b) else sig)
+    }
+    val got = Seq(Tuple1(toks)).toDF("t")
+      .select(graft.plans.PortableSimHash($"t").as("sig")).as[Long].head()
+    assert(got == ref(toks))
+  }
+
+  // ---- JaccardSim one-pass count vs the Catalyst set-op formula --------
+
+  test("JaccardSim equals the array_intersect/array_union formula") {
+    def oldFormula(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) = {
+      val inter = size(array_intersect(a, b)).cast("double")
+      val uni = size(array_union(a, b)).cast("double")
+      when(uni > 0, inter / uni).otherwise(lit(1.0))
+    }
+    val rnd = new scala.util.Random(7)
+    // longs with duplicates, empties, disjoint/overlapping
+    val longRows = (1 to 300).map { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong)
+      (i, arr(), arr())
+    } :+ (301, Seq.empty[Long], Seq.empty[Long]) :+
+      (302, Seq(1L, 1L, 2L), Seq.empty[Long])
+    val ldf = longRows.toDF("id", "a", "b")
+    val lgot = ldf.select($"id", graft.plans.JaccardSim($"a", $"b").as("j"),
+        oldFormula($"a", $"b").as("ref"))
+      .as[(Int, Double, Double)].collect()
+    lgot.foreach { case (id, j, ref) => assert(j == ref, s"long row $id") }
+    // strings (the ngramJaccard path), incl. in-array nulls on both sides
+    val strRows = Seq(
+      (1, Seq("x", "y", "z"), Seq("y", "z", "w")),
+      (2, Seq("x", "x"), Seq("x")),
+      (3, Seq[String](null, "a"), Seq[String](null, "b")),
+      (4, Seq[String](null), Seq("a")),
+      (5, Seq.empty[String], Seq.empty[String]))
+    val sdf = strRows.toDF("id", "a", "b")
+    val sgot = sdf.select($"id", graft.plans.JaccardSim($"a", $"b").as("j"),
+        oldFormula($"a", $"b").as("ref"))
+      .as[(Int, Double, Double)].collect()
+    sgot.foreach { case (id, j, ref) => assert(j == ref, s"string row $id") }
+    // NULL array on either side → the old formula's otherwise(1.0)
+    val ndf = Seq((1, Some(Seq(1L)), None: Option[Seq[Long]]),
+      (2, None: Option[Seq[Long]], None: Option[Seq[Long]]))
+      .toDF("id", "a", "b")
+    val ngot = ndf.select(graft.plans.JaccardSim($"a", $"b").as("j"))
+      .as[Double].collect()
+    assert(ngot.toSeq == Seq(1.0, 1.0))
+  }
+}
