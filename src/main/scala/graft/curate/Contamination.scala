@@ -43,8 +43,12 @@ object Contamination {
     val staged = df.select(col(idCol).as("doc_id"),
       TextFunctions.wsTokens(TextFunctions.normalize(col(textCol)))
         .as("_graft_tk"))
+    // DistinctWordNgrams = array_distinct(ngramsOf(tk, n)) as one native
+    // pass (Round21Spec parity lock) — the interpreted HOF form built a
+    // Seq slice + String per output gram and dominated these queries'
+    // single-split scan stage
     val g = staged.select(col("doc_id"),
-      explode(array_distinct(TextFunctions.ngramsOf(col("_graft_tk"), n)))
+      explode(graft.plans.DistinctWordNgrams(col("_graft_tk"), n))
         .as("gram"))
     if (hashed) g.select(col("doc_id"), xxhash64(col("gram")).as("gram")) else g
   }

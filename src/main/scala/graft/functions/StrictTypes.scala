@@ -51,8 +51,28 @@ object StrictTypes {
             s"$ic (${it.simpleString})")
     }
 
-  private[graft] def typeOf(df: DataFrame, c: Column): DataType =
-    df.select(c).schema.head.dataType
+  private[graft] def typeOf(df: DataFrame, c: Column): DataType = {
+    // fast path: a RESOLVED expression (a literal, or a column plucked
+    // from an analyzed frame) already knows its type — df.select(c)
+    // re-runs the full analyzer over df's tree only to read one field
+    // (the visible per-rep driver cost of shiftDF's Date/POSIXct guard)
+    val e = org.apache.spark.sql.GraftSqlBridge.eagerExpression(c)
+    if (e.resolved) e.dataType
+    else {
+      // simple named column: resolve against the analyzed plan's output
+      // by name (exactly what the analyzer would bind it to)
+      val byName = e match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if u.nameParts.length == 1 =>
+          val res = df.queryExecution.analyzed.output
+            .filter(a => df.sparkSession.sessionState.conf.resolver(
+              a.name, u.nameParts.head))
+          if (res.length == 1) Some(res.head.dataType) else None
+        case _ => None
+      }
+      byName.getOrElse(df.select(c).schema.head.dataType)
+    }
+  }
 
   /** fifelse with the reference's type discipline (src/fifelse.c:11,52):
     * test must be boolean; yes/no/na must share ONE exact type (even

@@ -219,17 +219,44 @@ object GlobalOrdered {
      else df.select(key.as("_graft_k")), numeric)
   }
 
-  private def fitKeyOf(frame: DataFrame, buckets: Int): String =
-    System.identityHashCode(frame.sparkSession).toString + ":" +
-      frame.queryExecution.analyzed.semanticHash().toString + ":" + buckets
+  /** Canonical TEXT of the key expression with exprIds stripped: two
+    * bench reps of one DSL build resolve to fresh exprIds, so hashing a
+    * resolved tree raw would miss the memo every rep, while unresolved
+    * `col(...)` keys are already rep-stable text.
+    */
+  private def keyText(key: Column): String =
+    // Column.toString is the node's SQL text — rep-stable and free of
+    // exprIds/origins (GraftSqlBridge.expression would hand back a lazy
+    // ColumnNodeExpression wrapper whose toString embeds a per-call
+    // stack-trace Origin — a memo key poisoned to always miss)
+    key.toString()
+
+  /** Memo key WITHOUT a fresh analyzer run (optimization round 21): the
+    * input Dataset's plan is already analyzed (Dataset construction is
+    * eager), so its semanticHash costs one canonicalization walk; the
+    * key expression contributes its exprId-stripped text. The former
+    * key — semanticHash of a NEW `df.select(key)` Dataset — re-ran the
+    * full analyzer batch once per prep() AND once per aliasFit() per
+    * bench rep, the dominant driver-side cost of the global-window
+    * family (measured 0.2-0.5 s/rep at sf0.1). Discrimination is
+    * unchanged: (plan hash, key text, buckets) determines the fit
+    * frame; bounds are correctness-neutral either way (bucketCol is
+    * monotone for ANY bound set).
+    */
+  private def fitKeyOf(df: DataFrame, key: Column, buckets: Int): String =
+    System.identityHashCode(df.sparkSession).toString + ":" +
+      df.queryExecution.analyzed.semanticHash().toString + ":" +
+      keyText(key) + ":" + buckets
 
   private def boundsFor(df: DataFrame, key: Column,
                         buckets: Int): (Array[Any], String) = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val (frame, numeric) = fitFrame(df, key)
-    val memoKey = fitKeyOf(frame, buckets)
+    val memoKey = fitKeyOf(df, key, buckets)
     (boundsCache.getOrElsePut(memoKey) {
       fitScans.incrementAndGet()
+      if (sys.env.contains("GRAFT_FIT_DEBUG"))
+        System.err.println(s"[fitdebug] MISS key=$memoKey")
+      val (frame, numeric) = fitFrame(df, key)
       // buckets=1 needs no bounds at all (and approxQuantile returns
       // null for an empty probability array rather than an empty one)
       if (buckets == 1) Array.empty[Any]
@@ -439,8 +466,7 @@ object GlobalOrdered {
     */
   private def aliasFit(out: DataFrame, key: Column, p: Prepped): DataFrame = {
     p.fit.foreach { case (raw, b) =>
-      val (frame, _) = fitFrame(out, key)
-      boundsCache.getOrElsePut(fitKeyOf(frame, b))(raw)
+      boundsCache.getOrElsePut(fitKeyOf(out, key, b))(raw)
     }
     out
   }

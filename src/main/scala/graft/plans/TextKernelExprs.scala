@@ -1,0 +1,196 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-pipeline kernels (optimization round 21): tight single-pass
+  * replacements for interpreted higher-order-function / regex chains on
+  * the curation hot path. Each one is pinned to the Catalyst formula it
+  * replaced by a Round21Spec parity test — the rewrites are
+  * byte-identical, only cheaper.
+  */
+
+/** array<string> tokens → DISTINCT word n-grams, first-occurrence
+  * order — mirrors `array_distinct(TextFunctions.ngramsOf(toks, n))`:
+  *  - null or shorter-than-n input → empty array (ngramsOf's `when`
+  *    falls through to its empty-array branch on null/short input);
+  *  - gram i = array_join(slice(toks, i+1, n), " "), i.e. the n tokens
+  *    joined with one space, null elements skipped WITH their
+  *    delimiter (UTF8String.concatWs has exactly ArrayJoin's skip
+  *    semantics);
+  *  - array_distinct keeps the first occurrence of each value.
+  *
+  * Why: the HOF form evaluates interpreted (transform/slice/array_join
+  * get no whole-stage codegen), allocating a Seq slice + String builder
+  * per OUTPUT gram — at n-gram fan-out that was the single-task scan
+  * stage's dominant cost in every contamination-family query.
+  */
+case class DistinctWordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2, s"DistinctWordNgrams: n must be >= 2, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return new GenericArrayData(new Array[Any](0))
+    val arr = v.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    i = 0
+    while (i + n <= cnt) {
+      System.arraycopy(toks, i, window, 0, n)
+      seen.add(UTF8String.concatWs(SPACE, window: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctWordNgrams =
+    copy(child = newChild)
+}
+
+object DistinctWordNgrams {
+  def apply(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(DistinctWordNgrams(GraftSqlBridge.expression(tokens), n))
+}
+
+/** LOWERCASE string → alnum runs joined by single spaces — mirrors
+  * `trim(regexp_replace(regexp_replace(<lower input>, "[^a-z0-9]", " "),
+  * " +", " "))` in one byte pass. The caller supplies the lowercased
+  * input (Spark's own codegen'd Lower — case mapping is
+  * collation/ICU-sensitive and NOT re-implemented here); this kernel
+  * only replaces the two regex passes + trim.
+  *
+  * Byte-level equivalence: in UTF-8 no byte of a multi-byte sequence is
+  * ASCII, so [a-z0-9] BYTE runs equal the regex's [a-z0-9] CHAR runs;
+  * every non-alnum char (incl. each surrogate half the Java regex sees)
+  * becomes space, runs collapse, edges trim — i.e. exactly "the alnum
+  * runs joined by single spaces".
+  */
+case class AsciiSqueeze(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val out = new Array[Byte](bytes.length)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val alnum = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (alnum) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = b; o += 1
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiSqueeze =
+    copy(child = newChild)
+}
+
+object AsciiSqueeze {
+  def apply(lowered: Column): Column =
+    GraftSqlBridge.column(AsciiSqueeze(GraftSqlBridge.expression(lowered)))
+}
+
+/** array<string> tokens → Σ length(token) as long — mirrors
+  * `aggregate(toks, 0L, (acc, t) => acc + length(t))`: length counts
+  * CHARS (UTF8String.numChars), and a null element poisons the fold to
+  * null exactly like `acc + null`.
+  */
+case class SumTokenLengths(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s == null) return null
+      sum += s.numChars()
+      i += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SumTokenLengths =
+    copy(child = newChild)
+}
+
+object SumTokenLengths {
+  def apply(tokens: Column): Column =
+    GraftSqlBridge.column(SumTokenLengths(GraftSqlBridge.expression(tokens)))
+}
+
+/** array<string> tokens → count of tokens containing an ASCII
+  * lowercase letter — mirrors
+  * `size(filter(toks, t => t.rlike("[a-z]")))`: the regex finds any
+  * a-z char anywhere in the token (in UTF-8 an a-z byte IS an a-z
+  * char), and a null element's null predicate is dropped by `filter`
+  * exactly like a false.
+  */
+case class CountAlphaTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val b = s.getBytes
+        var j = 0
+        var found = false
+        while (j < b.length && !found) {
+          if (b(j) >= 'a' && b(j) <= 'z') found = true
+          j += 1
+        }
+        if (found) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountAlphaTokens =
+    copy(child = newChild)
+}
+
+object CountAlphaTokens {
+  def apply(tokens: Column): Column =
+    GraftSqlBridge.column(CountAlphaTokens(GraftSqlBridge.expression(tokens)))
+}

@@ -36,7 +36,10 @@ object TextFunctions {
     * decision is identical across engines.
     */
   def canonicalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]", " "), " +", " "))
+    // AsciiSqueeze = the two regex passes + trim in one byte pass over
+    // Spark's own lower() (Round21Spec parity lock); case mapping stays
+    // Catalyst's — only the ASCII squeeze is hand-rolled
+    graft.plans.AsciiSqueeze(lower(text))
 
   /** [[canonicalize]] with a Unicode NFKC pre-pass: composes combining
     * marks AND folds width/ligature compatibility variants before the
@@ -227,13 +230,16 @@ object TextFunctions {
                       minStopwords: Int): Column = {
     val toks = nullSafeToks(toks0)
     val nTok = size(toks).cast("double")
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+    // SumTokenLengths/CountAlphaTokens: native one-pass twins of the
+    // aggregate()/filter(rlike) HOFs they replace (Round21Spec parity
+    // locks) — HOFs run interpreted per token
+    val sumLen = graft.plans.SumTokenLengths(toks).cast("double")
     val meanLen = when(nTok > 0, sumLen / nTok).otherwise(0.0)
     val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
     val nEllipsis = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("double")
     val symbolRatio = when(nTok > 0, (nHash + nEllipsis) / nTok).otherwise(0.0)
     val alphaRatio = when(nTok > 0,
-      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nTok).otherwise(0.0)
+      graft.plans.CountAlphaTokens(toks).cast("double") / nTok).otherwise(0.0)
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     // array_intersect already de-duplicates, so its size IS the
     // distinct-stopword count

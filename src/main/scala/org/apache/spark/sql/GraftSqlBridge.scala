@@ -10,6 +10,16 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. [[expression]] may hand back
+    * a lazy ColumnNodeExpression wrapper whose resolved/dataType answers
+    * are meaningless until analysis touches it; this converts the node
+    * outright so callers can pattern-match real catalyst classes
+    * (Literal, UnresolvedAttribute, ...) driver-side without an
+    * analyzer run.
+    */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Re-root `df` on a copy of its analyzed plan whose NamedLambdaVariable
     * instances are FRESH (same exprId, new value slot). Catalyst lambda
     * variables carry their per-row value in a mutable field on the

@@ -69,6 +69,81 @@ class Round21Spec extends AnyFunSuite {
     assert(got == ref(toks))
   }
 
+  // ---- text kernels vs the Catalyst formulas they replaced -------------
+
+  test("DistinctWordNgrams equals array_distinct(ngramsOf)") {
+    import graft.text.TextFunctions
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("the", "cat", "sat", "on", "mat", "é", "中文", "", "x y")
+    val rows = (1 to 120).map { i =>
+      (i, Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))))
+    } :+ (121, Seq.empty[String]) :+ (122, Seq("solo")) :+
+      (123, Seq("a", "a", "a", "a")) // heavy duplicates
+    val df = rows.toDF("id", "toks")
+    for (n <- Seq(2, 3)) {
+      val got = df.select($"id",
+          graft.plans.DistinctWordNgrams($"toks", n).as("g"),
+          array_distinct(TextFunctions.ngramsOf($"toks", n)).as("ref"))
+        .as[(Int, Seq[String], Seq[String])].collect()
+      got.foreach { case (id, g, ref) => assert(g == ref, s"ngrams n=$n id=$id") }
+    }
+    // null token array and in-array nulls
+    val ndf = Seq((1, null: Seq[String]), (2, Seq("a", null, "b", "c")))
+      .toDF("id", "toks")
+    val ngot = ndf.select($"id",
+        graft.plans.DistinctWordNgrams($"toks", 2).as("g"),
+        array_distinct(TextFunctions.ngramsOf($"toks", 2)).as("ref"))
+      .as[(Int, Seq[String], Seq[String])].collect()
+    ngot.foreach { case (id, g, ref) => assert(g == ref, s"null case id=$id") }
+  }
+
+  test("AsciiSqueeze(lower) equals the canonicalize regex chain") {
+    def oldCanon(text: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]", " "), " +", " "))
+    val rows = Seq("Hello,  World!", "", "   ", "a", "É中文x9",
+      "tabs\tand\nnewlines", "123---456", "ÀÉÎ õü ß", "emoji 😀 mixed",
+      "UPPER lower 42", "..a..b..", "ünïcödé wörds") ++
+      (1 to 100).map { i =>
+        val rnd = new scala.util.Random(i)
+        (0 until rnd.nextInt(60)).map(_ =>
+          "aZ9 ,.é中\t😀#".charAt(rnd.nextInt(11))).mkString
+      }
+    val df = rows.zipWithIndex.map(_.swap).toDF("id", "t")
+    val got = df.select($"id", graft.text.TextFunctions.canonicalize($"t").as("g"),
+        oldCanon($"t").as("ref"))
+      .as[(Int, String, String)].collect()
+    got.foreach { case (id, g, ref) => assert(g == ref, s"canonicalize id=$id") }
+  }
+
+  test("SumTokenLengths / CountAlphaTokens equal their HOF formulas") {
+    val rows = Seq(
+      (1, Seq("abc", "Dé", "", "中文字", "x1")),
+      (2, Seq.empty[String]),
+      (3, Seq("ABC", "123", "...")),      // no lowercase at all
+      (4, Seq("z")),
+      (5, Seq("ümläut", "ss", "ß")))
+    val df = rows.toDF("id", "toks")
+    val got = df.select($"id",
+        graft.plans.SumTokenLengths($"toks").as("sl"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("slRef"),
+        graft.plans.CountAlphaTokens($"toks").as("ca"),
+        size(filter($"toks", t => t.rlike("[a-z]"))).as("caRef"))
+      .as[(Int, Long, Long, Int, Int)].collect()
+    got.foreach { case (id, sl, slRef, ca, caRef) =>
+      assert(sl == slRef, s"sumLen id=$id")
+      assert(ca == caRef, s"alpha id=$id")
+    }
+    // null element poisons the length fold to null, filter drops it
+    val ndf = Seq((1, Seq("a", null, "b"))).toDF("id", "toks")
+    val n = ndf.select(
+        graft.plans.SumTokenLengths($"toks").as("sl"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("slRef"),
+        graft.plans.CountAlphaTokens($"toks").as("ca"),
+        size(filter($"toks", t => t.rlike("[a-z]"))).as("caRef"))
+      .as[(Option[Long], Option[Long], Int, Int)].head()
+    assert(n._1 == n._2 && n._1.isEmpty && n._3 == n._4 && n._3 == 2)
+  }
+
   // ---- JaccardSim one-pass count vs the Catalyst set-op formula --------
 
   test("JaccardSim equals the array_intersect/array_union formula") {
