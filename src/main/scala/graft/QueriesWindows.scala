@@ -823,11 +823,16 @@ object QueriesWindows {
     // ---- global shift: phantom boundary rows feed lag/lead -------------
     ("q_shift_global", ((s, dir) => {
       val base = dt(s, dir, "orders").df
-      Windows.shiftDF(
-        Windows.shiftDF(base, "prev_price", col("o_totalprice"), 1, Nil,
-          Seq(col("o_orderkey").asc), fill = lit(0.0)),
-        "next_price", col("o_totalprice"), -1, Nil,
-        Seq(col("o_orderkey").asc), fill = lit(0.0))
+      // ONE shiftMulti pass (optimization r21): lag+lead over the same
+      // unique global order are independent, so one bucketing + one
+      // phantom union + one WindowExec computes both — the former
+      // chained shiftDF pair paid a second full-data exchange and
+      // window pass for the lead (plan: 2 bucket exchanges -> 1;
+      // oracle-identical, same lag/lead + fill semantics)
+      graft.operators.GlobalOrdered.shiftMulti(base,
+          Seq(("prev_price", col("o_totalprice"), 1, lit(0.0)),
+            ("next_price", col("o_totalprice"), -1, lit(0.0))),
+          col("o_orderkey"), asc = true, nullsFirst = Some(true))
         .select(col("o_orderkey"), col("prev_price"), col("next_price"))
     }): Q,
       Some("""SELECT o_orderkey,

@@ -762,15 +762,22 @@ object Dedup {
 
   /** Corpus-wide duplicated spans: (span_fp, n_docs) for every winnowed
     * fingerprint appearing in at least `minDocs` DISTINCT documents.
-    * One hash aggregation on 8-byte keys; count_distinct's expanded
-    * first phase is bounded by the fingerprint density (~2/(w+1) per
-    * char), not the text volume.
+    * One hash aggregation on 8-byte keys, map-side combined (the pair
+    * stream is unique by construction, so a plain count equals the
+    * distinct count — see the in-body note).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 20, w: Int = 8, minDocs: Int = 2): DataFrame =
     docSpans(df, idCol, textCol, k, w)
       .groupBy(col("span_fp"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      // count(1) IS count(DISTINCT doc_id) here: docSpans pairs are
+      // globally unique by construction (WinnowFingerprintsExpr dedups
+      // fingerprints per document, ids are distinct across documents;
+      // Round21Spec locks the equality). The distinct form planned a
+      // second full exchange of the pair stream (dedup by (fp, doc)
+      // before the count); plain count partial-aggregates map-side and
+      // ships only (fp, partial) rows — optimization r21, guide §2.3.
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   /** Documents sharing at least one duplicated span with ANOTHER
@@ -781,8 +788,10 @@ object Dedup {
   def spanFlaggedDocs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 20, w: Int = 8): DataFrame = {
     val spans = docSpans(df, idCol, textCol, k, w)
+    // same unique-pair count(1) == count(DISTINCT doc_id) argument as
+    // [[duplicateSpans]] — one exchange fewer on the pair stream
     val dup = spans.groupBy(col("span_fp"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select(col("span_fp"))
     spans.join(dup, Seq("span_fp"), "left_semi")

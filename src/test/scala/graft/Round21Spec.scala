@@ -144,6 +144,32 @@ class Round21Spec extends AnyFunSuite {
     assert(n._1 == n._2 && n._1.isEmpty && n._3 == n._4 && n._3 == 2)
   }
 
+  // ---- span count(1) == count(DISTINCT doc_id) on the unique pairs -----
+
+  test("duplicateSpans plain count equals the distinct-count formula") {
+    // overlapping docs: shared boilerplate spans across ids, repeated
+    // spans WITHIN one doc (the winnow dedups those per doc)
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1, s"alpha $boiler omega $boiler"), // intra-doc repeat
+      (2, s"beta $boiler something else entirely here that is long enough"),
+      (3, s"gamma $boiler and other words to pad the document out a bit"),
+      (4, "completely unrelated content with no shared spans at all padded"))
+      .toDF("doc_id", "text")
+    val fast = graft.dedup.Dedup.duplicateSpans(docs, "doc_id", "text",
+      k = 10, w = 4).orderBy("span_fp").collect()
+    // reference: explicit countDistinct over the same span pairs
+    val spans = docs
+      .withColumn("_ct", graft.text.TextFunctions.canonicalize($"text"))
+      .select($"doc_id",
+        explode(graft.dedup.Dedup.winnowFingerprints($"_ct", 10, 4)).as("span_fp"))
+    val ref = spans.groupBy($"span_fp")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= 2).orderBy("span_fp").collect()
+    assert(fast.toSeq == ref.toSeq)
+    assert(fast.nonEmpty) // the boilerplate must actually collide
+  }
+
   // ---- JaccardSim one-pass count vs the Catalyst set-op formula --------
 
   test("JaccardSim equals the array_intersect/array_union formula") {
