@@ -420,7 +420,9 @@ object GlobalOrdered {
         when(key === lit(v),
           least(floor(h01 * m), lit(m - 1)).cast("int")).otherwise(acc)
       }
-      Prepped(df.withColumn(TB, h).withColumn(BKT, base + sub),
+      // one projection for both helper columns (withColumns) — two
+      // chained withColumn calls are two analyzer passes over df
+      Prepped(df.withColumns(Map(TB -> h, BKT -> (base + sub))),
         Seq(ord, col(TB).asc), Some((raw, buckets)))
     } else
       Prepped(df.withColumn(BKT, bucketCol(key, distinctB, asc, nf)),
@@ -473,6 +475,23 @@ object GlobalOrdered {
 
   private def joinPriors(b: DataFrame, priors: DataFrame): DataFrame =
     b.join(broadcast(priors), col(BKT) === col("_b"), "left").drop("_b")
+
+  /** `j.withColumn(out, res).drop(dropCols…)` as ONE projection — each
+    * withColumn/drop is a full analyzer pass over the plan, and on the
+    * tier's joined frames the pair was a visible slice of the per-rep
+    * driver-side build cost (optimization r21). Mirrors withColumn's
+    * replace-in-place position when `out` already exists.
+    */
+  private def withOutDropped(j: DataFrame, out: String, res: Column,
+                             dropCols: Seq[String]): DataFrame = {
+    val dropSet = dropCols.toSet
+    val keep = j.columns.filterNot(dropSet)
+    val projected: Seq[Column] =
+      if (keep.contains(out))
+        keep.toSeq.map(c => if (c == out) res.as(out) else col(c))
+      else keep.toSeq.map(col) :+ res.as(out)
+    j.select(projected: _*)
+  }
 
   /** Null-tolerant add: null + x = x, x + null = x, null + null = null
     * (each side is an already-aggregated partial; a missing side means
@@ -527,7 +546,7 @@ object GlobalOrdered {
     val res =
       if (naRm) when(nnPfx === 0, lit(null)).otherwise(value)
       else when(nnPfx < nPfx, lit(null)).otherwise(value)
-    j.withColumn(out, res).drop(BKT, TB, "_ps", "_pnn", "_pn")
+    withOutDropped(j, out, res, Seq(BKT, TB, "_ps", "_pnn", "_pn"))
   }
 
   // ---- cumulative min/max (global tier of Windows.cum("min"/"max")) ---
@@ -562,7 +581,7 @@ object GlobalOrdered {
     val res =
       if (naRm) when(nnPfx === 0, lit(null)).otherwise(value)
       else when(nnPfx < nPfx, lit(null)).otherwise(value)
-    aliasFit(j.withColumn(out, res).drop(BKT, TB, "_pm", "_pnn", "_pn"),
+    aliasFit(withOutDropped(j, out, res, Seq(BKT, TB, "_pm", "_pnn", "_pn")),
       key, p)
   }
 
@@ -616,7 +635,8 @@ object GlobalOrdered {
       if (naRm) when(nnPfx === 0, lit(null).cast("double")).otherwise(body)
       else when(nnPfx < nPfx, lit(null).cast("double")).otherwise(body)
     aliasFit(
-      j.withColumn(out, res).drop(BKT, TB, "_pz", "_pneg", "_plog", "_pnn", "_pn"),
+      withOutDropped(j, out, res,
+        Seq(BKT, TB, "_pz", "_pneg", "_plog", "_pnn", "_pn")),
       key, p)
   }
 
@@ -876,20 +896,25 @@ object GlobalOrdered {
     def side(nEdge: Int, toLater: Boolean): Option[DataFrame] =
       if (nEdge <= 0) None
       else {
+        // fused: the need filter/projection and the post-join
+        // BKT-rewrite + helper-drop + phantom-flag each ran as separate
+        // withColumn/drop Datasets (one analyzer pass apiece over the
+        // growing tree — optimization r21); one select per step now
         val need = between
-          .withColumn("_need", lit(nEdge.toLong) - col("_between"))
-          .filter(col("_need") > 0)
+          .filter(lit(nEdge.toLong) - col("_between") > 0)
           .select((if (toLater) col("_s") else col("_d")).as("_src"),
             (if (toLater) col("_d") else col("_s")).as("_dest"),
-            col("_need"))
-        Some(b
+            (lit(nEdge.toLong) - col("_between")).as("_need"))
+        val joined = b
           .withColumn("_brn",
             row_number().over(if (toLater) wDesc else w).cast("long"))
           .join(broadcast(need),
             col(BKT) === col("_src") && col("_brn") <= col("_need"))
-          .withColumn(BKT, col("_dest"))
-          .drop("_brn", "_src", "_dest", "_need")
-          .withColumn(PH, lit(true)))
+        val outCols = b.columns.toSeq.map {
+          case BKT => col("_dest").as(BKT)
+          case c => col(c)
+        } :+ lit(true).as(PH)
+        Some(joined.select(outCols: _*))
       }
     Seq(side(nBefore, toLater = true), side(nAfter, toLater = false))
       .flatten.foldLeft(real)((acc, ph) => acc.unionByName(ph))
