@@ -139,12 +139,12 @@ object IndexCommit {
     val tmp = new org.apache.hadoop.fs.Path(rootP,
       s"._commit_v$version.tmp.${ProcessHandle.current().pid()}" +
         s".${tmpSeq.incrementAndGet()}")
-    val out = fs.create(tmp, true)
-    try out.write(
-      (s"agg=${aggDir.getOrElse("-")}\n" +
+    val manifestText =
+      s"agg=${aggDir.getOrElse("-")}\n" +
         base.map(b => s"base=$b\n").getOrElse("") +
-        batches.mkString("", "\n", "\n"))
-        .getBytes("UTF-8"))
+        batches.mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(manifestText.getBytes("UTF-8"))
     finally out.close()
     val local = fs.getScheme == "file"
     val ok =
@@ -154,20 +154,49 @@ object IndexCommit {
         try { java.nio.file.Files.createLink(toNio(dst), toNio(tmp)); true }
         catch {
           case _: java.nio.file.FileAlreadyExistsException => false
-          case _: UnsupportedOperationException =>
-            // local mount without hard links: fall back to rename and
-            // verify we are the surviving writer (rename may replace)
-            fs.rename(tmp, dst) && {
-              // true only when the now-visible chain carries every key
-              // we intended to commit (i.e. nobody replaced us)
-              val now = read(spark, root)
-              batches.toSet.subsetOf(now.batches.toSet)
-            }
+          // Local mounts without hard-link support surface as
+          // FileSystemException (EPERM/EOPNOTSUPP — vfat, some
+          // CIFS/NFS), not only UnsupportedOperationException; both
+          // route to the rename fallback instead of throwing and
+          // leaking the tmp file (ADVICE r20 medium). NOTE the
+          // FileAlreadyExistsException case above must stay FIRST —
+          // it IS a FileSystemException, and means "lost fairly".
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            // Rename may atomically REPLACE on POSIX, so the fallback
+            // verifies survivorship by re-reading the manifest and
+            // comparing the FULL content to what we wrote. The former
+            // batches-subset check let two racers both return true
+            // (the loser's keys can be a subset of the winner's) and
+            // was vacuously true for compact()'s batches=Nil manifest
+            // — a compactor losing the race would then gcOld-delete
+            // dirs the surviving manifest references (ADVICE r20).
+            // Exactly one racer's content survives, so exactly one
+            // publisher sees its own bytes.
+            renameAndVerify(fs, tmp, dst, manifestText)
         }
       } else fs.rename(tmp, dst)
     fs.delete(tmp, false)
     ok
   }
+
+  /** No-link-mount publish fallback: rename (which may atomically
+    * REPLACE on POSIX) then claim success only if the full manifest
+    * content now at `dst` is OURS — under any interleaving of
+    * rename-replacing racers exactly one writer's bytes survive, so
+    * exactly one returns true (Round21Spec).
+    */
+  private[graft] def renameAndVerify(fs: org.apache.hadoop.fs.FileSystem,
+                                     tmp: org.apache.hadoop.fs.Path,
+                                     dst: org.apache.hadoop.fs.Path,
+                                     manifestText: String): Boolean =
+    fs.rename(tmp, dst) && {
+      val in = fs.open(dst)
+      val now =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      now == manifestText
+    }
 
   /** Content-derived idempotence key for an append batch: the row
     * count plus an order-independent sum of xxhash64 over the named

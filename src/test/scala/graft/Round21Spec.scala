@@ -144,6 +144,59 @@ class Round21Spec extends AnyFunSuite {
     assert(n._1 == n._2 && n._1.isEmpty && n._3 == n._4 && n._3 == 2)
   }
 
+  // ---- publish fallback: content-verify picks exactly one winner -------
+
+  test("renameAndVerify: rename-replace race has exactly one winner") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rnv").toString
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val dst = new org.apache.hadoop.fs.Path(dir, "_commit_v1")
+    def writeTmp(name: String, txt: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val o = fs.create(p, true)
+      try o.write(txt.getBytes("UTF-8")) finally o.close()
+      p
+    }
+    // Racer A publishes first, racer B follows. Whatever the mount's
+    // rename semantics (Hadoop LocalFileSystem fails on an existing
+    // destination; a raw POSIX mount atomically REPLACES), the
+    // invariant is: the set of writers whose renameAndVerify returns
+    // true has size EXACTLY ONE, and it is the writer whose bytes are
+    // at dst. The old batches-subset check broke this both ways: a
+    // replaced A whose batch list was a subset of B's still claimed
+    // true, and a compact-shaped (batches=Nil) manifest verified
+    // vacuously.
+    def contentAt(): String = {
+      val in = fs.open(dst)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val txtA = "agg=-\nbatchA\n"
+    val txtB = "agg=-\nbatchA\nbatchB\n" // A's list ⊂ B's list
+    val tA = writeTmp("tA", txtA)
+    val tB = writeTmp("tB", txtB)
+    val okA = graft.operators.IndexCommit.renameAndVerify(fs, tA, dst, txtA)
+    val okB = graft.operators.IndexCommit.renameAndVerify(fs, tB, dst, txtB)
+    val winners = Seq(okA -> txtA, okB -> txtB).filter(_._1).map(_._2)
+    assert(winners.size == 1, s"exactly one publish winner, got $winners")
+    assert(contentAt() == winners.head, "the winner's bytes survive")
+    // compact-shaped (batches=Nil) manifest: same single-winner rule,
+    // no vacuous success for the loser
+    fs.delete(dst, false)
+    val txtC = "agg=-\nbase=base_v2\n"
+    val txtD = "agg=-\nbatchZ\n"
+    val tC = writeTmp("tC", txtC)
+    val tD = writeTmp("tD", txtD)
+    val okC = graft.operators.IndexCommit.renameAndVerify(fs, tC, dst, txtC)
+    val okD = graft.operators.IndexCommit.renameAndVerify(fs, tD, dst, txtD)
+    val winners2 = Seq(okC -> txtC, okD -> txtD).filter(_._1).map(_._2)
+    assert(winners2.size == 1 && contentAt() == winners2.head)
+    // and a verify against content that is NOT at dst always loses
+    val tE = writeTmp("tE", txtD)
+    assert(!graft.operators.IndexCommit.renameAndVerify(fs, tE, dst, txtC))
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   // ---- span count(1) == count(DISTINCT doc_id) on the unique pairs -----
 
   test("duplicateSpans plain count equals the distinct-count formula") {
