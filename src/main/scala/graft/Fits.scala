@@ -23,6 +23,7 @@ object Fits {
     curate.Contamination.clearFits()
     curate.Dsir.clearFits()
     operators.GlobalOrdered.clearFits()
+    operators.IndexCommit.evictReadPlans()
     operators.Scale.clearIndexes()
     dedup.Components.clearCheckpoints()
     dedup.Dedup.clearBases()

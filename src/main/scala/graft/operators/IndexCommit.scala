@@ -235,10 +235,36 @@ object IndexCommit {
     base +: state.batches.map(k => s"$root/batches/$k/$sub")
   }
 
-  /** Read component `sub` across base + committed batches. */
+  /** Read component `sub` across base + committed batches.
+    *
+    * Plan-memoized per (session, root, sub, committed STATE) — the
+    * IndexCommit twin of [[graft.Tables]]'s planCache (optimization
+    * r21): `spark.read.parquet` re-reads parquet footers for schema on
+    * every call, so each persisted-index SEARCH paid the footer reads
+    * per bench rep (~0.1-0.3 s driver-side at sf0.1; at production
+    * cadence, per query against a nightly index). The state is part of
+    * the key, so any append/compact (new version) naturally reads
+    * fresh; writers that REUSE a state's paths (reset → rebuild at the
+    * same root) evict via [[evictReadPlans]]. Nothing here caches
+    * RESULTS — the memoized object is the immutable logical plan over
+    * the committed files, recomputed by every action.
+    */
+  private val readPlanCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, State), DataFrame]
+
+  /** Forget memoized read plans — all of them, or one root's. Called
+    * by [[reset]] (same-path rebuild) and [[graft.Fits.clearAll]] (the
+    * bench's cleared-cold discipline).
+    */
+  def evictReadPlans(root: String = ""): Unit =
+    readPlanCache.filterInPlace { case ((s, r, _, _), _) =>
+      !s.sparkContext.isStopped && (root.nonEmpty && r != root)
+    }
+
   def readComponent(spark: SparkSession, root: String, sub: String,
                     state: State): DataFrame =
-    spark.read.parquet(componentPaths(root, sub, state): _*)
+    readPlanCache.getOrElseUpdate((spark, root, sub, state),
+      spark.read.parquet(componentPaths(root, sub, state): _*))
 
   /** Read component `sub` at the CURRENT committed state. */
   def readComponent(spark: SparkSession, root: String,
@@ -258,6 +284,9 @@ object IndexCommit {
     * fresh root and swap at the orchestration layer.
     */
   def reset(spark: SparkSession, root: String): Unit = {
+    // a reset + rebuild reuses the same paths under a same-looking
+    // (version-0) state — stale read plans would hold the OLD file list
+    evictReadPlans(root)
     val (fs, p) = fsOf(spark, root)
     if (!fs.exists(p)) return
     // manifests first: once they are gone readers are on the legacy view

@@ -77,7 +77,8 @@ object QProfile {
     graft.Tables.names.foreach(n => graft.Tables.load(spark, sfDir, n).count())
 
     val names =
-      if (names0.nonEmpty) names0
+      if (names0 == List("all")) graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (names0.nonEmpty) names0
       else Seq("q_curation_pipeline", "q_contamination", "q_contamination_fuzzy",
         "q_dedup_incremental", "q_span_docs", "q_ann_lsh", "q_shift_global",
         "q_overlap_within_mult", "q1_agg", "q_topk", "q_keyby", "q_froll_mean")
