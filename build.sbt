@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to sbt's own stdout/stderr instead of
+// through the logger, which prefixes every line with "[info] " — that
+// prefix is why the driver's bench parser has reported parsed:null since
+// round 1 (it reads the process stdout tail and never de-prefixes). The
+// bench's one-line JSON now arrives bare; Spark INFO noise already goes
+// to stderr either way.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

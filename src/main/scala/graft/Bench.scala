@@ -559,7 +559,19 @@ object Bench {
     val warmByName = results.map(r => r.name -> r.warm).toMap
     val qs = headline.flatMap(k => warmByName.get(k).map(w => "\"" + k + "\":" + r3(w)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":$runLabel,"cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"steal_delta":$stealDelta$contaminatedField,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}""")
+    val summaryLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","run":$runLabel,"cold_total":${r3(coldTotal)},"median":${r3(median)},"n_queries":${results.size},"failed":$failed,"noisy":$noisyCount,"loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},"steal_delta":$stealDelta$contaminatedField,"detail":"BENCH_DETAIL.json","queries":$qs,"sf":"$sfDir"}"""
+    println(summaryLine)
+    // ALSO write the identical one-line JSON to a bare file: the bench's
+    // stdout reaches the driver through sbt, which has prefixed every
+    // line with "[info] " since round 1 — the driver's parser never
+    // parsed a single sweep (BENCH_r17-r21 all carry parsed:null), so no
+    // automated round-over-round comparison has ever run. A prefix-free
+    // file is the robust channel (VERDICT r21 "What's wrong" #1).
+    // Additions-only: the stdout line, the timing methodology and
+    // BENCH_DETAIL.json are byte-for-byte what they were.
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (summaryLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -776,12 +776,15 @@ object QueriesWindows {
       val base = dt(s, dir, "events").df
         .withColumn("v", when(col("event_type") === "error", lit(null))
           .otherwise(col("value")))
-      val r1 = Windows.frankNa(base, col("v"), desc = false, "min", Nil,
-        "true", "rk_min")
-      val r2 = Windows.frankNa(r1, col("v"), desc = false, "dense", Nil,
-        "true", "rk_dense")
-      val r3 = Windows.frankNa(r2, col("v"), desc = false, "average", Nil,
-        "true", "rk_avg")
+      // ONE fused multi-ties pass (optimization r22): min/dense/average
+      // share the (_pn, _pd) bucket offsets, so one bucketing + one
+      // partials aggregation + one join ranks all three — the former
+      // chained frankNa trio paid a full-data bucket exchange per ties
+      // method (plan: 3 bucket exchanges -> 1; oracle-identical — same
+      // rank expressions and na.last="true" placement as frankNa)
+      val r3 = graft.operators.GlobalOrdered.frankMulti(base, col("v"),
+        desc = false, Seq(("min", "rk_min"), ("dense", "rk_dense"),
+          ("average", "rk_avg")), naLast = "true")
       r3.select(col("event_id"), col("rk_min").cast("long").as("rk_min"),
         col("rk_dense").cast("long").as("rk_dense"),
         col("rk_avg").cast("double").as("rk_avg"))
@@ -799,14 +802,16 @@ object QueriesWindows {
     // frankv(cols=, order=) semantics (tests.Rraw 2386.*): first column
     // buckets the tier, the second ranks within its tie blocks (desc).
     ("q_frank_multi_global", ((s, dir) => {
-      val ordCols = Seq(col("vb").asc_nulls_last,
-        col("event_type").desc_nulls_last)
-      val tieCols = Seq(col("vb"), col("event_type"))
       val base = dt(s, dir, "events").df
         .withColumn("vb", floor(col("value")).cast("long"))
-      val r1 = Windows.frank(base, ordCols, tieCols, "min", Nil, "rk_min")
-      val r2 = Windows.frank(r1, ordCols, tieCols, "dense", Nil, "rk_dense")
-      val r3 = Windows.frank(r2, ordCols, tieCols, "average", Nil, "rk_avg")
+      // fused multi-ties pass over the (vb asc, event_type desc) vector —
+      // same translation Windows.frank(by=Nil) applies (head column
+      // buckets, na.last="true" from asc_nulls_last, secondary desc →
+      // more=(col, true)); 3 bucket exchanges -> 1 (optimization r22)
+      val r3 = graft.operators.GlobalOrdered.frankMulti(base, col("vb"),
+        desc = false, Seq(("min", "rk_min"), ("dense", "rk_dense"),
+          ("average", "rk_avg")), naLast = "true",
+        more = Seq((col("event_type"), true)))
       r3.select(col("event_id"), col("rk_min").cast("long").as("rk_min"),
         col("rk_dense").cast("long").as("rk_dense"),
         col("rk_avg").cast("double").as("rk_avg"))
@@ -879,10 +884,14 @@ object QueriesWindows {
       val base = dt(s, dir, "events").df
         .withColumn("v", when(col("event_type") === "error", lit(null))
           .otherwise(col("value")))
-      Windows.nafillDF(
-        Windows.nafillDF(base, "locf", "locf", col("v"), Nil,
-          Seq(col("event_id").asc)),
-        "nocb", "nocb", col("v"), Nil, Seq(col("event_id").asc))
+      // ONE fused locf+nocb pass (optimization r22): both carries read
+      // the RAW v, so one bucketing + one partials aggregation + one
+      // join computes both — the former chained nafillDF pair paid a
+      // second full-data bucket exchange and join for the nocb (plan:
+      // 2 bucket exchanges -> 1; oracle-identical, same carry
+      // semantics as nafillDF(locf) ∘ nafillDF(nocb))
+      graft.operators.GlobalOrdered.nafillLocfNocb(base, col("v"),
+          col("event_id"), "locf", "nocb", nullsFirst = Some(true))
         .select(col("event_id"), col("locf"), col("nocb"))
     }): Q,
       Some("""SELECT event_id,
@@ -1030,10 +1039,16 @@ object QueriesWindows {
       val base = dt(s, dir, "orders").df
         .withColumn("v", when(col("o_orderkey") % 97 === 0,
           lit(null).cast("double")).otherwise(col("o_totalprice")))
-      Windows.cumDF(
-        Windows.cumDF(base, "cmax_narm", "max", col("v"), Nil,
-          Seq(col("o_orderkey").asc), naRm = true),
-        "cmin_poison", "min", col("v"), Nil, Seq(col("o_orderkey").asc))
+      // ONE fused min+max pass (optimization r22): the running extremes
+      // are independent, so one bucketing + one partials aggregation +
+      // one join computes both — the former chained cumDF pair paid a
+      // second full-data bucket exchange and join for the min (plan:
+      // 2 bucket exchanges -> 1; oracle-identical, same naRm/poison
+      // gates as cumDF("max", naRm=true) ∘ cumDF("min"))
+      graft.operators.GlobalOrdered.cumMinMaxMulti(base, col("v"),
+          col("o_orderkey"),
+          Seq(("cmax_narm", false, true), ("cmin_poison", true, false)),
+          nullsFirst = Some(true))
         .select(col("o_orderkey"), col("cmax_narm"), col("cmin_poison"))
     }): Q,
       Some("""SELECT o_orderkey,

@@ -585,6 +585,61 @@ object GlobalOrdered {
       key, p)
   }
 
+  /** FUSED global running max AND min along one key — the chained
+    * `cumMinMax ∘ cumMinMax` pair (q_cumminmax_global's max(naRm) then
+    * min(poison)) paid TWO full-data bucket exchanges, two partials
+    * aggregations and two broadcast joins over the same (df, key); the
+    * extremes are independent of each other, so one bucketing + ONE
+    * partials pass + one join computes both (the within-bucket windows
+    * share partitioning+ordering, so Catalyst plans one WindowExec).
+    * Semantics per output are EXACTLY [[cumMinMax]]'s — same partials
+    * algebra, same null-tolerant carry, same naRm/poison gates
+    * (optimization round 22; the shiftMulti precedent).
+    *
+    * `ops` = (out, isMin, naRm) per output column.
+    */
+  def cumMinMaxMulti(df: DataFrame, x: Column, key: Column,
+                     ops: Seq[(String, Boolean, Boolean)],
+                     asc: Boolean = true, buckets: Int = 0,
+                     nullsFirst: Option[Boolean] = None): DataFrame = {
+    require(ops.nonEmpty, "cumMinMaxMulti needs at least one op")
+    val p = prep(df, key, asc, buckets, nullsFirst, tieAgnostic = true)
+    val b = p.b
+    val wc = Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val needMin = ops.exists(_._2)
+    val needMax = ops.exists(!_._2)
+    val extremeAggs =
+      (if (needMin) Seq(min(x).as("_pmin")) else Nil) ++
+        (if (needMax) Seq(max(x).as("_pmax")) else Nil)
+    val partials = b.groupBy(col(BKT).as("_b"))
+      .agg(extremeAggs.head,
+        (extremeAggs.tail :+ count(x).as("_pnn") :+ count(lit(1)).as("_pn")): _*)
+    val priorAggs =
+      (if (needMin) Seq((min(col("_pmin")): Column) -> "_pmin") else Nil) ++
+        (if (needMax) Seq((max(col("_pmax")): Column) -> "_pmax") else Nil) ++
+        Seq((sum(col("_pnn")): Column) -> "_pnn",
+          (sum(col("_pn")): Column) -> "_pn")
+    val priors = priorsOf(partials, priorAggs: _*)
+    val j = joinPriors(b, priors)
+    val nnPfx = coalesce(col("_pnn"), lit(0L)) + count(x).over(wc)
+    val nPfx = coalesce(col("_pn"), lit(0L)) + count(lit(1)).over(wc)
+    val outCols = ops.map { case (out, isMin, naRm) =>
+      val pm = if (isMin) col("_pmin") else col("_pmax")
+      val within = (if (isMin) min(x) else max(x)).over(wc)
+      val combine = if (isMin) least(pm, within) else greatest(pm, within)
+      val value = when(pm.isNull, within)
+        .when(within.isNull, pm).otherwise(combine)
+      val res =
+        if (naRm) when(nnPfx === 0, lit(null)).otherwise(value)
+        else when(nnPfx < nPfx, lit(null)).otherwise(value)
+      res.as(out)
+    }
+    val dropSet = Set(BKT, TB, "_pmin", "_pmax", "_pnn", "_pn")
+    val keep = j.columns.filterNot(dropSet).filterNot(ops.map(_._1).toSet)
+    aliasFit(j.select(keep.toSeq.map(col) ++ outCols: _*), key, p)
+  }
+
   // ---- cumulative product (global tier of Windows.cum("prod")) --------
 
   /** Global running product along `key` — the log-space sign/zero/null
@@ -728,6 +783,82 @@ object GlobalOrdered {
       value, p)
   }
 
+  /** FUSED multi-ties global frank: every `(ties, out)` entry ranks the
+    * SAME value column (plus `more` secondaries) over ONE bucketing, one
+    * partials aggregation and one broadcast join — a chained
+    * `frank ∘ frank ∘ frank` (q_frank_global's min/dense/average) paid a
+    * full-data bucket exchange, a partials pass and a join PER ties
+    * method even though the (_pn, _pd) offsets are identical across
+    * them. Per-out semantics are EXACTLY [[frank]]'s (same rank
+    * expressions, same na.last handling); the within-bucket windows all
+    * share the bucket partitioning, so no extra exchange appears
+    * (optimization round 22; the shiftMulti precedent).
+    */
+  def frankMulti(df: DataFrame, value: Column, desc: Boolean,
+                 tiesOuts: Seq[(String, String)], naLast: String,
+                 appearance: Seq[Column] = Nil, buckets: Int = 0,
+                 more: Seq[(Column, Boolean)] = Nil): DataFrame = {
+    require(tiesOuts.nonEmpty, "frankMulti needs at least one (ties, out)")
+    if (naLast == "keep" && more.nonEmpty) {
+      // reference multi-column na.last="keep": NA-out rows with ANY
+      // ranked column NA — same union-back shape as [[frank]]'s
+      val anyNull = (value +: more.map(_._1)).map(_.isNull).reduce(_ || _)
+      val ranked = frankMulti(df.filter(!anyNull), value, desc, tiesOuts,
+        "true", appearance, buckets, more)
+      return ranked.unionByName(
+        tiesOuts.foldLeft(df.filter(anyNull)) { case (acc, (ties, out)) =>
+          acc.withColumn(out,
+            lit(null).cast(if (ties == "average") "double" else "long"))
+        })
+    }
+    val nullsFirst = naLast == "false"
+    val asc = !desc
+    val p = prep(df, value, asc, buckets, Some(nullsFirst))
+    val b = p.b
+    val ords = ordOf(value, asc, nullsFirst) +:
+      more.map { case (c, d) => ordOf(c, !d, nullsFirst) }
+    val tieVals = value +: more.map(_._1)
+    val w = Window.partitionBy(col(BKT)).orderBy(ords: _*)
+    val partials = b.groupBy(col(BKT).as("_b")).agg(
+      count(lit(1)).as("_pn"),
+      (if (more.isEmpty)
+         countDistinct(value) + max(when(value.isNull, 1).otherwise(0))
+       else countDistinct(struct(tieVals: _*))).as("_pd"))
+    val priors = priorsOf(partials,
+      sum(col("_pn")) -> "_pn", sum(col("_pd")) -> "_pd")
+    val j = joinPriors(b, priors)
+    val rowOff = coalesce(col("_pn"), lit(0L))
+    val tiePart = Window.partitionBy(col(BKT) +: tieVals: _*)
+    def rankCol(ties: String): Column = ties match {
+      case "min"   => rank().over(w) + rowOff
+      case "dense" => dense_rank().over(w) + coalesce(col("_pd"), lit(0L))
+      case "first" =>
+        require(appearance.nonEmpty,
+          "global frank(ties=\"first\") needs unique `appearance` columns")
+        row_number().over(Window.partitionBy(col(BKT))
+          .orderBy(ords ++ appearance: _*)) + rowOff
+      case "last" =>
+        require(appearance.nonEmpty,
+          "global frank(ties=\"last\") needs unique `appearance` columns")
+        row_number().over(Window.partitionBy(col(BKT))
+          .orderBy(ords ++ appearance.map(Windows.flipOrder): _*)) + rowOff
+      case "max" =>
+        rank().over(w) + count(lit(1)).over(tiePart) - 1 + rowOff
+      case "average" =>
+        rank().over(w) + (count(lit(1)).over(tiePart) - 1) / 2.0 + rowOff
+      case other => throw new IllegalArgumentException(
+        s"global frank ties.method=$other (first|last|min|max|dense|average)")
+    }
+    val outCols = tiesOuts.map { case (ties, out) =>
+      val r = rankCol(ties)
+      (if (naLast == "keep") when(value.isNull, lit(null)).otherwise(r)
+       else r).as(out)
+    }
+    val dropSet = Set(BKT, TB, "_pn", "_pd")
+    val keep = j.columns.filterNot(dropSet).filterNot(tiesOuts.map(_._2).toSet)
+    aliasFit(j.select(keep.toSeq.map(col) ++ outCols: _*), value, p)
+  }
+
   // ---- rleid (global tier of Windows.rleid) ---------------------------
 
   /** Global run-length id along `key` — per-bucket rleid plus a run
@@ -853,6 +984,56 @@ object GlobalOrdered {
       joinPriors(b, followers)
         .withColumn(out, coalesce(within, col("_carry").getField("v")))
         .drop(BKT, TB, "_carry"),
+      key, p)
+  }
+
+  /** FUSED global LOCF + NOCB along one key — the chained
+    * `nafillNocb(nafillLocf(df))` pair (q_nafill_global) paid two
+    * full-data bucket exchanges, two partials aggregations and two
+    * broadcast joins over the same (df, key); the forward and backward
+    * carries are independent (both read the RAW x), so one bucketing +
+    * one partials pass + one join computes both. The two within-bucket
+    * windows share partitioning+ordering (frames differ per window
+    * FUNCTION, which one WindowExec handles). Semantics per output are
+    * EXACTLY [[nafillLocf]]'s / [[nafillNocb]]'s — same carry structs,
+    * same null-key rank pinning (optimization round 22).
+    */
+  def nafillLocfNocb(df: DataFrame, xIn: Column, key: Column,
+                     outLocf: String, outNocb: String,
+                     buckets: Int = 0, nanIsNa: Boolean = true,
+                     nullsFirst: Option[Boolean] = None): DataFrame = {
+    val x = if (nanIsNa) graft.functions.Funcs.nanAsNa(xIn) else xIn
+    val p = prep(df, key, asc = true, buckets, nullsFirst)
+    val b = p.b
+    val withinL = last(x, ignoreNulls = true)
+      .over(Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val withinN = first(x, ignoreNulls = true)
+      .over(Window.partitionBy(col(BKT)).orderBy(p.ords: _*)
+        .rowsBetween(0, Window.unboundedFollowing))
+    val nr = when(key.isNull,
+      lit(if (nullsFirst.getOrElse(true)) -1 else 1)).otherwise(lit(0))
+    val partials = b.groupBy(col(BKT).as("_b"))
+      .agg(max(when(x.isNotNull,
+        struct(nr.as("nr"), key.as("k"), x.as("v")))).as("_lastnn"),
+        min(when(x.isNotNull,
+          struct(nr.as("nr"), key.as("k"), x.as("v")))).as("_firstnn"))
+    // prefix carry for LOCF (strictly-prior buckets), suffix carry for
+    // NOCB (strictly-following) — both read off the tiny partials frame
+    val carries = partials.select(col("_b"),
+      max(col("_lastnn"))
+        .over(partialsWindow.rowsBetween(Window.unboundedPreceding, -1))
+        .as("_carryL"),
+      min(col("_firstnn"))
+        .over(partialsWindow.rowsBetween(1, Window.unboundedFollowing))
+        .as("_carryN"))
+    val j = joinPriors(b, carries)
+    val keep = j.columns.filterNot(Set(BKT, TB, "_carryL", "_carryN"))
+      .filterNot(Set(outLocf, outNocb))
+    aliasFit(
+      j.select(keep.toSeq.map(col) :+
+        coalesce(withinL, col("_carryL").getField("v")).as(outLocf) :+
+        coalesce(withinN, col("_carryN").getField("v")).as(outNocb): _*),
       key, p)
   }
 

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -29,9 +30,19 @@ import org.apache.spark.sql.types._
   * one hash set over `a` and streams `b` — measured 5-10× on the
   * dedup verify stages whose candidate pairs × ~1e3-element shingle
   * arrays dominated their task time.
+  *
+  * Real codegen (optimization round 22, was CodegenFallback): this
+  * expression sits in the dedup verify joins' CONDITIONS (the optimizer
+  * pushes `filter(jaccard >= t)` into the BroadcastHashJoin), and one
+  * fallback expression demotes the whole join stage out of whole-stage
+  * codegen (CollapseCodegenStages rejects any plan carrying a
+  * CodegenFallback). The generated code calls [[sim]] — the same kernel
+  * eval uses, so interpreted and compiled paths cannot diverge. Long
+  * arrays (the shingle-hash verify path) additionally take a
+  * primitive-sorted-merge count with zero boxing.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
@@ -48,17 +59,82 @@ case class JaccardSim(left: Expression, right: Expression)
     }
   }
 
-  private lazy val elemType: DataType =
+  @transient private lazy val elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val isLong: Boolean = elemType == LongType
 
-  override def eval(input: InternalRow): Any = {
-    val a = left.eval(input)
-    val b = right.eval(input)
-    // null array on either side: the replaced when/otherwise formula
-    // lands on its otherwise(1.0) branch (null predicate) — mirror it
+  /** The counting kernel (shared verbatim by eval and generated code).
+    * Null array on either side: the replaced when/otherwise formula
+    * lands on its otherwise(1.0) branch (null predicate) — mirror it.
+    */
+  def sim(a: ArrayData, b: ArrayData): Double = {
     if (a == null || b == null) return 1.0
-    val aa = a.asInstanceOf[ArrayData]
-    val bb = b.asInstanceOf[ArrayData]
+    if (isLong) simLong(a, b) else simGeneric(a, b)
+  }
+
+  /** Long-element fast path: sort+dedup primitive arrays, merge-count
+    * the intersection — same distinct-element counts as the hash-set
+    * form (order never affects a COUNT), zero boxing per element.
+    * In-array nulls (possible under containsNull) are tracked as one
+    * distinct element per side, exactly like the generic path.
+    */
+  private def simLong(aa: ArrayData, bb: ArrayData): Double = {
+    val na = aa.numElements()
+    val nb = bb.numElements()
+    var nullA = false
+    var nullB = false
+    val av = new Array[Long](na)
+    var an = 0
+    var i = 0
+    while (i < na) {
+      if (aa.isNullAt(i)) nullA = true
+      else { av(an) = aa.getLong(i); an += 1 }
+      i += 1
+    }
+    val bv = new Array[Long](nb)
+    var bn = 0
+    i = 0
+    while (i < nb) {
+      if (bb.isNullAt(i)) nullB = true
+      else { bv(bn) = bb.getLong(i); bn += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(av, 0, an)
+    java.util.Arrays.sort(bv, 0, bn)
+    // merge distinct values of both sorted runs
+    var ia = 0
+    var ib = 0
+    var da = if (nullA) 1 else 0 // distinct |a|
+    var inter = if (nullA && nullB) 1 else 0
+    var onlyB = if (nullB && !nullA) 1 else 0
+    while (ia < an && ib < bn) {
+      val x = av(ia)
+      val y = bv(ib)
+      if (x == y) {
+        da += 1; inter += 1
+        while (ia < an && av(ia) == x) ia += 1
+        while (ib < bn && bv(ib) == y) ib += 1
+      } else if (x < y) {
+        da += 1
+        while (ia < an && av(ia) == x) ia += 1
+      } else {
+        onlyB += 1
+        while (ib < bn && bv(ib) == y) ib += 1
+      }
+    }
+    while (ia < an) {
+      val x = av(ia); da += 1
+      while (ia < an && av(ia) == x) ia += 1
+    }
+    while (ib < bn) {
+      val y = bv(ib); onlyB += 1
+      while (ib < bn && bv(ib) == y) ib += 1
+    }
+    val union = da + onlyB
+    if (union > 0) inter.toDouble / union.toDouble else 1.0
+  }
+
+  private def simGeneric(aa: ArrayData, bb: ArrayData): Double = {
     val na = aa.numElements()
     val nb = bb.numElements()
     val setA = new java.util.HashSet[Any](math.max(16, na * 2))
@@ -80,6 +156,24 @@ case class JaccardSim(left: Expression, right: Expression)
     }
     val union = da + onlyB
     if (union > 0) inter.toDouble / union.toDouble else 1.0
+  }
+
+  override def eval(input: InternalRow): Any =
+    sim(left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftJaccard", this,
+      classOf[JaccardSim].getName)
+    ev.copy(code =
+      code"""
+${a.code}
+${b.code}
+double ${ev.value} = $ref.sim(
+  ${a.isNull} ? null : ${a.value}, ${b.isNull} ? null : ${b.value});
+""", isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,12 +21,15 @@ import org.apache.spark.sql.types._
   * members (src-free: our own extension operator).
   */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel shared by eval and generated code (real codegen since
+    * optimization round 22 — a CodegenFallback demotes the whole scan
+    * projection out of whole-stage codegen).
+    */
+  def shingle(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val th = new Array[Long](n)
     var i = 0
@@ -55,6 +58,15 @@ case class ShingleHashes(child: Expression, k: Int)
     new GenericArrayData(out.toArray)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftXxShingles", this,
+      classOf[ShingleHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.shingle($c)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
@@ -71,7 +83,7 @@ object ShingleHashes {
   * universal family), so the signature is one tight loop per row.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -87,8 +99,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     z ^ (z >>> 31)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel shared by eval and generated code. */
+  def sig(arr: ArrayData): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -103,6 +115,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftXxMinHash", this,
+      classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.sig($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -82,12 +82,16 @@ object PortableHash {
   * shingle of all tokens, mirroring Dedup.shingles).
   */
 case class PortableShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel shared by eval and generated code (real codegen since
+    * optimization round 22: a CodegenFallback here demoted the whole
+    * shingling scan projection — normalize/split included — out of
+    * whole-stage codegen; the O(L) digest loop itself is unchanged).
+    */
+  def shingle(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     // UTF-8 bytes per token, fetched once: the shingle text is the k
     // tokens joined with " ", so its digest is the token byte runs fed
@@ -121,6 +125,15 @@ case class PortableShingles(child: Expression, k: Int)
     new GenericArrayData(out)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftShingles", this,
+      classOf[PortableShingles].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.shingle($c)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PortableShingles =
     copy(child = newChild)
 }
@@ -136,12 +149,12 @@ object PortableShingles {
   * the portable affine family (see PortableHash).
   */
 case class PortableMinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel shared by eval and generated code. */
+  def sig(arr: ArrayData): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -160,6 +173,15 @@ case class PortableMinHashSig(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    sig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMinHash", this,
+      classOf[PortableMinHashSig].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.sig($c)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): PortableMinHashSig =
     copy(child = newChild)
 }
@@ -174,12 +196,12 @@ object PortableMinHashSig {
   * have bit b set than clear (votes 2·ones − n > 0).
   */
 case class PortableSimHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel shared by eval and generated code. */
+  def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val ones = new Array[Int](60)
     val md = PortableHash.md()
@@ -196,6 +218,15 @@ case class PortableSimHash(child: Expression)
     var b = 0
     while (b < 60) { if (2 * ones(b) - n > 0) sig |= (1L << b); b += 1 }
     sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSimHash", this,
+      classOf[PortableSimHash].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.simhash($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): PortableSimHash =

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** setNumericRounding semantics (man/setNumericRounding.Rd: "rounding
@@ -34,14 +34,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Round5Spec ("RoundMantissa groups exactly like dtwiddle").
   */
 case class RoundMantissa(child: Expression, bytes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bytes >= 0 && bytes <= 2,
     s"RoundMantissa: bytes must be 0, 1 or 2 (reference surface), got $bytes")
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[Double]
+  /** Kernel shared by eval and generated code (real codegen since
+    * optimization round 22 — a rounded join KEY with a fallback
+    * expression demoted the whole join stage out of whole-stage
+    * codegen).
+    */
+  def roundM(v: Double): Double = {
     if (bytes == 0 || java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) v
     else {
       val bits = java.lang.Double.doubleToRawLongBits(v)
@@ -56,6 +60,15 @@ case class RoundMantissa(child: Expression, bytes: Int)
         java.lang.Double.longBitsToDouble(bits & ~mask)
       else r
     }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    roundM(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftRoundM", this,
+      classOf[RoundMantissa].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.roundM($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RoundMantissa =

@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,6 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the curation hot path. Each one is pinned to the Catalyst formula it
   * replaced by a Round21Spec parity test — the rewrites are
   * byte-identical, only cheaper.
+  *
+  * All four implement REAL codegen (optimization round 22, were
+  * CodegenFallback): one fallback expression demotes its whole
+  * Project/Filter out of whole-stage codegen (CollapseCodegenStages
+  * rejects plans carrying a CodegenFallback), which also de-optimized
+  * the surrounding lower/split/regexp expressions of the scan stages
+  * these kernels live in. Generated code calls the SAME kernel method
+  * eval uses, so the two paths cannot diverge.
   */
 
 /** array<string> tokens → DISTINCT word n-grams, first-occurrence
@@ -32,7 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage's dominant cost in every contamination-family query.
   */
 case class DistinctWordNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 2, s"DistinctWordNgrams: n must be >= 2, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -40,15 +49,14 @@ case class DistinctWordNgrams(child: Expression, n: Int)
 
   private val SPACE = UTF8String.fromString(" ")
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  /** Kernel shared by eval and generated code; null input → empty. */
+  def grams(v: ArrayData): ArrayData = {
     if (v == null) return new GenericArrayData(new Array[Any](0))
-    val arr = v.asInstanceOf[ArrayData]
-    val cnt = arr.numElements()
+    val cnt = v.numElements()
     if (cnt < n) return new GenericArrayData(new Array[Any](0))
     val toks = new Array[UTF8String](cnt)
     var i = 0
-    while (i < cnt) { toks(i) = arr.getUTF8String(i); i += 1 }
+    while (i < cnt) { toks(i) = v.getUTF8String(i); i += 1 }
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val window = new Array[UTF8String](n)
     i = 0
@@ -61,6 +69,21 @@ case class DistinctWordNgrams(child: Expression, n: Int)
     val it = seen.iterator(); i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  override def eval(input: InternalRow): Any =
+    grams(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("graftNgrams", this,
+      classOf[DistinctWordNgrams].getName)
+    ev.copy(code =
+      code"""
+${c.code}
+org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+  $ref.grams(${c.isNull} ? null : ${c.value});
+""", isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): DistinctWordNgrams =
@@ -86,12 +109,12 @@ object DistinctWordNgrams {
   * runs joined by single spaces".
   */
 case class AsciiSqueeze(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  /** Kernel shared by eval and generated code. */
+  def squeeze(s: UTF8String): UTF8String = {
     val bytes = s.getBytes
     val out = new Array[Byte](bytes.length)
     var o = 0
@@ -110,6 +133,15 @@ case class AsciiSqueeze(child: Expression)
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 
+  override def nullSafeEval(input: Any): Any =
+    squeeze(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSqueeze", this,
+      classOf[AsciiSqueeze].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.squeeze($c)")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): AsciiSqueeze =
     copy(child = newChild)
 }
@@ -125,12 +157,23 @@ object AsciiSqueeze {
   * null exactly like `acc + null`.
   */
 case class SumTokenLengths(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** A null ELEMENT poisons the fold even when the array itself is
+    * non-null, so this is nullable regardless of the child — exactly
+    * like the `aggregate(toks, 0L, acc + length(t))` formula it
+    * mirrors (and without it nullSafeCodeGen's non-nullable branch
+    * never declares ev.isNull while the kernel code assigns it — an
+    * uncompilable generated class, found in round 22's codegen pass).
+    */
+  override def nullable: Boolean = true
+
+  /** Kernel shared by eval and generated code: boxed Long, null when a
+    * null element poisons the fold.
+    */
+  def sumLen(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     var sum = 0L
     var i = 0
@@ -140,7 +183,23 @@ case class SumTokenLengths(child: Expression)
       sum += s.numChars()
       i += 1
     }
-    sum
+    java.lang.Long.valueOf(sum)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sumLen(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSumLen", this,
+      classOf[SumTokenLengths].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Long $boxed = $ref.sumLen($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): SumTokenLengths =
@@ -160,12 +219,12 @@ object SumTokenLengths {
   * exactly like a false.
   */
 case class CountAlphaTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = IntegerType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Kernel shared by eval and generated code. */
+  def countAlpha(arr: ArrayData): Int = {
     val n = arr.numElements()
     var cnt = 0
     var i = 0
@@ -184,6 +243,15 @@ case class CountAlphaTokens(child: Expression)
       i += 1
     }
     cnt
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    countAlpha(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCountAlpha", this,
+      classOf[CountAlphaTokens].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.countAlpha($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountAlphaTokens =

@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -120,20 +120,31 @@ object WinnowHash {
   * selection + distinct, fused in ONE O(L) pass per row (no interpreted
   * HOF re-evaluation, no intermediate array column). Null text → null.
   *
-  * CodegenFallback is deliberate (precedent: PortableShingles): the
-  * per-row work is a real O(L) JVM loop either way; codegen would save
-  * one boxed call per DOCUMENT, noise against L mulmods.
+  * Real codegen since optimization round 22: the per-row work is the
+  * same O(L) JVM loop either way, but a CodegenFallback demoted the
+  * whole span-scan projection (canonicalize included) out of
+  * whole-stage codegen — CollapseCodegenStages rejects any plan
+  * carrying a fallback expression, not just the one expression.
   */
 case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0 && w > 0, s"winnow: k=$k, w=$w must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val cp = WinnowHash.codePoints(input.asInstanceOf[UTF8String])
+  /** Kernel shared by eval and generated code. */
+  def winnow(s: UTF8String): ArrayData =
     new GenericArrayData(
-      WinnowHash.winnowSelect(WinnowHash.windowHashes(cp, k), w))
+      WinnowHash.winnowSelect(
+        WinnowHash.windowHashes(WinnowHash.codePoints(s), k), w))
+
+  override def nullSafeEval(input: Any): Any =
+    winnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftWinnow", this,
+      classOf[WinnowFingerprintsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.winnow($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
@@ -151,15 +162,24 @@ object WinnowFingerprintsExpr {
   * the fused [[WinnowFingerprintsExpr]]).
   */
 case class WindowPolyHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k > 0, s"windowPolyHashes: k=$k must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any =
+  /** Kernel shared by eval and generated code. */
+  def hashes(s: UTF8String): ArrayData =
     new GenericArrayData(
-      WinnowHash.windowHashes(
-        WinnowHash.codePoints(input.asInstanceOf[UTF8String]), k))
+      WinnowHash.windowHashes(WinnowHash.codePoints(s), k))
+
+  override def nullSafeEval(input: Any): Any =
+    hashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPolyHashes", this,
+      classOf[WindowPolyHashesExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.hashes($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): WindowPolyHashesExpr =
     copy(child = newChild)
