@@ -754,17 +754,35 @@ object Dedup {
     * evicts it with the corpus's other derived bases.
     */
   private def docSpans(df: DataFrame, idCol: String, textCol: String,
-                       k: Int, w: Int): DataFrame =
+                       k: Int, w: Int): DataFrame = {
+    // debug tripwire for the count(1)==countDistinct precondition below
+    // (r21 ADVICE): -Dgraft.debug.assertUniqueIds=true pays one extra
+    // aggregation job to verify idCol really is unique per input row
+    if (sys.props.get("graft.debug.assertUniqueIds").contains("true")) {
+      val dup = df.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).limit(1).collect()
+      require(dup.isEmpty, s"duplicateSpans/spanFlaggedDocs precondition " +
+        s"violated: $idCol value ${dup.head.get(0)} appears on more than " +
+        "one input row — per-span doc counts would overcount")
+    }
     cachePersisted(s"${baseKeyOf(df)}:spans:$idCol:$textCol:$k:$w",
       df.withColumn("_ct", TextFunctions.canonicalize(col(textCol)))
         .select(col(idCol).as("doc_id"),
           explode(winnowFingerprints(col("_ct"), k, w)).as("span_fp")))
+  }
 
   /** Corpus-wide duplicated spans: (span_fp, n_docs) for every winnowed
     * fingerprint appearing in at least `minDocs` DISTINCT documents.
     * One hash aggregation on 8-byte keys, map-side combined (the pair
     * stream is unique by construction, so a plain count equals the
     * distinct count — see the in-body note).
+    *
+    * PRECONDITION: `idCol` must be unique per input row (one row = one
+    * document — the contract every declared corpus satisfies). With
+    * duplicated ids the r21 count(1) rewrite OVERCOUNTS n_docs where
+    * the old countDistinct collapsed them; run with
+    * `-Dgraft.debug.assertUniqueIds=true` to verify an unfamiliar input
+    * (one extra aggregation job).
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 20, w: Int = 8, minDocs: Int = 2): DataFrame =
@@ -784,6 +802,10 @@ object Dedup {
     * document — the removal candidate list of substring-level dedup.
     * Semi-join against [[duplicateSpans]] keys (cross-doc only, so a
     * span repeated WITHIN one document never flags it).
+    *
+    * PRECONDITION: `idCol` unique per input row — same contract (and
+    * same debug tripwire) as [[duplicateSpans]]; duplicated ids would
+    * flag a document whose span repeats only across its OWN rows.
     */
   def spanFlaggedDocs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 20, w: Int = 8): DataFrame = {

@@ -55,9 +55,16 @@ object StrictTypes {
     // fast path: a RESOLVED expression (a literal, or a column plucked
     // from an analyzed frame) already knows its type — df.select(c)
     // re-runs the full analyzer over df's tree only to read one field
-    // (the visible per-rep driver cost of shiftDF's Date/POSIXct guard)
+    // (the visible per-rep driver cost of shiftDF's Date/POSIXct guard).
+    // A resolved expression whose ATTRIBUTES are not all in df's output
+    // is a caller bug the old df.select(c) failed FAST on (column
+    // plucked from a different frame) — fall through to the analyzer so
+    // it still errors instead of silently answering a type from the
+    // wrong frame (ADVICE r21 low).
     val e = org.apache.spark.sql.GraftSqlBridge.eagerExpression(c)
-    if (e.resolved) e.dataType
+    lazy val outIds = df.queryExecution.analyzed.outputSet
+    if (e.resolved && e.references.forall(outIds.contains)) e.dataType
+    else if (e.resolved) df.select(c).schema.head.dataType
     else {
       // simple named column: resolve against the analyzed plan's output
       // by name (exactly what the analyzer would bind it to)

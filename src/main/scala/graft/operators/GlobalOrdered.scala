@@ -224,12 +224,24 @@ object GlobalOrdered {
     * resolved tree raw would miss the memo every rep, while unresolved
     * `col(...)` keys are already rep-stable text.
     */
-  private def keyText(key: Column): String =
+  private def keyText(df: DataFrame, key: Column): String = {
     // Column.toString is the node's SQL text — rep-stable and free of
     // exprIds/origins (GraftSqlBridge.expression would hand back a lazy
     // ColumnNodeExpression wrapper whose toString embeds a per-call
-    // stack-trace Origin — a memo key poisoned to always miss)
-    key.toString()
+    // stack-trace Origin — a memo key poisoned to always miss).
+    // RESOLVED attribute keys additionally record their position in
+    // df's output: after a self-join two different attributes print the
+    // same text, and a text-only key could hand one the other's bounds
+    // — wrong-type/skewed buckets (ADVICE r21 low). The position is
+    // rep-stable (plan shape, not exprIds).
+    val base = key.toString()
+    org.apache.spark.sql.GraftSqlBridge.eagerExpression(key) match {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        val idx = df.queryExecution.analyzed.output.indexWhere(_.exprId == a.exprId)
+        if (idx >= 0) s"$base@$idx" else base
+      case _ => base
+    }
+  }
 
   /** Memo key WITHOUT a fresh analyzer run (optimization round 21): the
     * input Dataset's plan is already analyzed (Dataset construction is
@@ -246,7 +258,7 @@ object GlobalOrdered {
   private def fitKeyOf(df: DataFrame, key: Column, buckets: Int): String =
     System.identityHashCode(df.sparkSession).toString + ":" +
       df.queryExecution.analyzed.semanticHash().toString + ":" +
-      keyText(key) + ":" + buckets
+      keyText(df, key) + ":" + buckets
 
   private def boundsFor(df: DataFrame, key: Column,
                         buckets: Int): (Array[Any], String) = {

@@ -115,24 +115,31 @@ object Similarity {
               broadcastQueries: Boolean = true): DataFrame = {
     val c = lshSigned(corpus, idCol, vecCol, dim, nBits)
     val q = lshSignedQueries(queries, idCol, vecCol, dim, nBits)
-    // Count pass over the slim (_sig) projection; the semi join admits
-    // only sane buckets to the candidate join (same shape as
-    // Dedup.cappedBuckets — count → semi-join, never materializing an
-    // oversized bucket).
-    val eligible = lshBucketCounts(c).filter(col("_graft_n") <= maxBucket)
-      .select("_sig")
-    // Cap-filter the QUERY side, not the corpus: semi-joining the corpus
-    // against `eligible` (a corpus-derived aggregate with an unknown
-    // planner estimate) re-shuffles the whole corpus by _sig on every
-    // search once past the broadcast threshold. q ⋈ eligible is bounded
-    // by the query count, broadcasts into the corpus scan, and drops the
-    // same oversized buckets (a query whose bucket is oversized loses
-    // its _sig here, so that bucket's corpus rows never score).
+    // Cap-filter the QUERY side, not the corpus: the cap decision is
+    // bounded data (≤ 2^nBits bucket counts), so it is collected once
+    // per (session, corpus, params) and applied as an `isin` literal —
+    // the former count-aggregation + left_semi stage pair ran as full
+    // job rounds PER SEARCH (optimization r22; r21's shape already
+    // avoided re-shuffling the corpus, this deletes the remaining
+    // per-search aggregation outright). A query whose bucket is
+    // oversized loses its _sig here, so that bucket's corpus rows never
+    // score — identical drop set to the semi-join.
     // broadcastQueries=false restores the planner's choice for the rare
     // corpus-sized query batch (self-join-style all-vs-all top-k) that
     // would OOM executors as a broadcast build side — the same escape
     // hatch as semIncremental's broadcastBatch (ADVICE r17).
-    val qe = q.join(eligible, Seq("_sig"), "left_semi")
+    val qe =
+      if (countsCollectable(nBits)) {
+        val cnts = collectedSigCounts(
+          s"lshcounts:${System.identityHashCode(corpus.sparkSession)}:" +
+            s"${corpus.queryExecution.analyzed.semanticHash()}:" +
+            s"$idCol:$vecCol:$dim:$nBits",
+          lshBucketCounts(c))
+        q.filter(sigIn(
+          cnts.collect { case (s, n) if n <= maxBucket => s }.toSeq.sorted))
+      } else
+        q.join(lshBucketCounts(c).filter(col("_graft_n") <= maxBucket)
+          .select("_sig"), Seq("_sig"), "left_semi")
     val qSide = if (broadcastQueries) broadcast(qe) else qe
     val scored = c.join(qSide, Seq("_sig"))
       .filter(col(idCol) =!= col("query_id"))
@@ -153,6 +160,35 @@ object Similarity {
   private def lshBucketCounts(c: DataFrame): DataFrame =
     c.groupBy(col("_sig")).agg(count(lit(1)).as("_graft_n"))
 
+  /** Driver-collected per-signature bucket populations, session-
+    * memoized (optimization r22, VERDICT r21 next-round #3): the counts
+    * table is ≤ 2^nBits rows BY CONSTRUCTION, so collecting it once per
+    * (session, corpus, params) and filtering the QUERY side with an
+    * `isin` over the eligible signatures deletes the per-search
+    * count-aggregation + semi-join stages outright — each was a
+    * full job round (count scan, broadcast build) per bench rep, and
+    * per SEARCH at production cadence. Same fit-memo contract as the
+    * kmeans/gram fits: cleared by [[clearFits]] (the bench's
+    * cleared-cold discipline pays the full cost on every cold rep) and
+    * evicted by the index writers.
+    */
+  private def collectedSigCounts(key: String,
+                                 counts: => DataFrame): Map[String, Long] =
+    fitCache.getOrElsePut(key)(
+      counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .asInstanceOf[Map[String, Long]]
+
+  /** `_sig IN <sigs>` as a literal predicate (empty set → false —
+    * exactly the empty semi-join; _sig is never null, concat_ws output).
+    */
+  private def sigIn(sigs: Seq[String]): Column =
+    if (sigs.isEmpty) lit(false) else col("_sig").isin(sigs: _*)
+
+  /** The collected-counts path is only sane while the bucket-id space
+    * is small; past 2^16 signatures fall back to the semi-join shape.
+    */
+  private def countsCollectable(nBits: Int): Boolean = nBits <= 16
+
   private def lshRank(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -167,25 +203,52 @@ object Similarity {
     * For higher recall, union over `tables` independent signature
     * tables (bit offsets shift the hyperplane family).
     */
+  /** PRECONDITION: `idCol` unique per corpus row (every declared caller
+    * satisfies it; duplicated ids were degenerate in the pre-r22 join
+    * form too — they multiplied each pair by the dup count).
+    */
   def cosinePairs(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                   nBits: Int, threshold: Double, tables: Int = 2,
                   maxBucket: Int = 1000): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = cosineBanded(base, dim, nBits, tables)
-    // Cap enforced before materialization (count → semi-join → collect);
-    // see Dedup.cappedBuckets for why a post-collect filter is an OOM trap.
-    val buckets = graft.dedup.Dedup.cappedBuckets(banded, Seq("_sig"), "id", maxBucket)
-    val pairs = buckets
-      .select(explode(col("ids")).as("idA"), col("ids"))
-      .select(col("idA"), explode(col("ids")).as("idB"))
-      .filter(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
-    val va = base.select(col("id").as("idA"), col("vec").as("_va"))
-    val vb = base.select(col("id").as("idB"), col("vec").as("_vb"))
-    pairs.join(va, "idA").join(vb, "idB")
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+    // Carry (id, vec, norm) STRUCTS through the banding and verify
+    // candidates with exact cosine INSIDE the exploded bucket — the
+    // [[semanticPairs]] shape (optimization r22): the former slim
+    // banding + pair dedup + two per-side vector re-attach joins ran
+    // two extra join stages per call, and only the (idA, idB, sim)
+    // SURVIVORS now reach the cross-table dedup exchange (threshold
+    // filters before the shuffle, guide §2.3). Norms are staged per
+    // ROW; the per-pair value tree is exactly [[cosine]]'s
+    // (dot/(sqrt·sqrt), zero-norm → 0), so sims are bit-identical and
+    // the duplicate pair from a second LSH table carries an IDENTICAL
+    // row — dropDuplicates keeps the same result set. The [2, maxBucket]
+    // window-count eligibility is Dedup.cappedBuckets' rule on the same
+    // single exchange; per-bucket memory stays ≤ maxBucket × dim
+    // doubles (the semanticPairs bound).
+    val banded = (0 until tables).map { t =>
+      base.withColumn("_sig", concat_ws("|", lit(t.toString),
+          lshSignatureOffset(col("vec"), dim, nBits, t * nBits)))
+        .select(col("_sig"),
+          struct(col("id"), col("vec"),
+            sqrt(graft.plans.DotProduct(col("vec"), col("vec"))).as("norm")).as("m"))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_sig"))
+    val buckets = banded
+      .withColumn("_graft_n", count(lit(1)).over(w))
+      .filter(col("_graft_n").between(2, maxBucket))
+      .groupBy(col("_sig")).agg(collect_list(col("m")).as("ms"))
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("sim",
+        when(col("a.norm") > 0 && col("b.norm") > 0,
+          graft.plans.DotProduct(col("a.vec"), col("b.vec")) /
+            (col("a.norm") * col("b.norm")))
+          .otherwise(lit(0.0)))
       .filter(col("sim") >= threshold)
-      .select(col("idA"), col("idB"), col("sim"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"), col("sim"))
+      .dropDuplicates("idA", "idB")
   }
 
   /** Shared multi-table banding of [[cosinePairs]] / [[cosineOversized]]:
@@ -236,23 +299,40 @@ object Similarity {
                           broadcastQueries: Boolean = true): DataFrame = {
     val c = lshSigned(corpus, idCol, vecCol, dim, nBits)
     val q = lshSignedQueries(queries, idCol, vecCol, dim, nBits)
-    val counts = lshBucketCounts(c)
-    val eligible = counts.filter(col("_graft_n") <= maxBucket).select("_sig")
-    val over = counts.filter(col("_graft_n") > maxBucket).select("_sig")
+    // eligible/oversized split from the ONE collected counts map (see
+    // lshTopK — the former counts aggregation + two semi-joins were
+    // per-search job rounds over bounded-by-construction data)
+    val (qe, fbq0) =
+      if (countsCollectable(nBits)) {
+        val cnts = collectedSigCounts(
+          s"lshcounts:${System.identityHashCode(corpus.sparkSession)}:" +
+            s"${corpus.queryExecution.analyzed.semanticHash()}:" +
+            s"$idCol:$vecCol:$dim:$nBits",
+          lshBucketCounts(c))
+        (q.filter(sigIn(
+           cnts.collect { case (s, n) if n <= maxBucket => s }.toSeq.sorted)),
+         q.filter(sigIn(
+           cnts.collect { case (s, n) if n > maxBucket => s }.toSeq.sorted)))
+      } else {
+        val counts = lshBucketCounts(c)
+        (q.join(counts.filter(col("_graft_n") <= maxBucket).select("_sig"),
+           Seq("_sig"), "left_semi"),
+         q.join(counts.filter(col("_graft_n") > maxBucket).select("_sig"),
+           Seq("_sig"), "left_semi"))
+      }
     // same corpus-shuffle-free construction as lshTopK: cap-filter the
     // bounded query side and broadcast it into the corpus scan
     // (broadcastQueries=false = the corpus-sized-batch escape hatch;
     // note the fallback tier is a CROSS join against the full corpus —
     // un-broadcast it only with a cluster-sized shuffle budget)
     def qb(d: DataFrame): DataFrame = if (broadcastQueries) broadcast(d) else d
-    val lshScored = c.join(qb(q.join(eligible, Seq("_sig"), "left_semi")),
-        Seq("_sig"))
+    val lshScored = c.join(qb(qe), Seq("_sig"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("sim", cosine(col(vecCol), col("_qvec")))
       .select(col(idCol), col("query_id"), col("sim"))
     // same bounded-probe construction as [[topKAgainst]]: the fallback
     // cross join's build side is an aggregate (≤ one row per query id)
-    val fbq = q.join(over, Seq("_sig"), "left_semi").drop("_sig")
+    val fbq = fbq0.drop("_sig")
       .groupBy(col("query_id")).agg(first(col("_qvec")).as("_qvec"))
     val fbScored = c.drop("_sig").crossJoin(qb(fbq))
       .filter(col(idCol) =!= col("query_id"))
@@ -277,7 +357,11 @@ object Similarity {
                    dim: Int, nBits: Int): Unit = {
     // a save is a full REBUILD: clear any committed-append state first
     // so a stale manifest can never mix old batch dirs with the new
-    // base (IndexCommit.reset scaladoc has the crash-window analysis)
+    // base (IndexCommit.reset scaladoc has the crash-window analysis);
+    // the collected-counts memo keys on the committed state, which a
+    // same-path rebuild REUSES (version 0) — evict it like reset evicts
+    // the read plans
+    fitCache.evictPrefix(s"lshidxcounts:$path/lsh:")
     graft.operators.IndexCommit.reset(df.sparkSession, s"$path/lsh")
     val c = lshSigned(df.select(col(idCol).as("id"), col(vecCol).as("vec")),
       "id", "vec", dim, nBits)
@@ -388,14 +472,28 @@ object Similarity {
     val c = graft.operators.IndexCommit.readComponent(spark, root, "sigs", st)
       .select(col("id").as(idCol), col("vec").as(vecCol),
         col("sig").as("_sig"))
-    // counts are bounded by construction (≤ 2^nBits rows) but arrive as
-    // a fresh scan with an unknown-small estimate — broadcast the semi
-    // join's build side explicitly so no planner regression can ever
-    // shuffle the query batch by _sig
-    val eligible = spark.read.parquet(lshCountsPath(root, st))
-      .filter(col("n") <= maxBucket).select(col("sig").as("_sig"))
+    // counts are bounded by construction (≤ 2^nBits rows) and versioned
+    // by the committed state: collect them ONCE per (session, root,
+    // state) and filter the query side with an `isin` literal — the
+    // former parquet read + broadcast + semi-join ran as job rounds per
+    // search (the state in the key makes staleness structurally
+    // impossible, the readComponent precedent; saveLshIndex evicts the
+    // same-path version-0 rebuild case)
     val q = lshSignedQueries(queries, idCol, vecCol, dim, nBits)
-    val qe = q.join(broadcast(eligible), Seq("_sig"), "left_semi")
+    val qe =
+      if (countsCollectable(nBits)) {
+        val cnts = collectedSigCounts(
+          s"lshidxcounts:$root:${System.identityHashCode(spark)}:" +
+            s"${st.version}:${st.aggDir.getOrElse("-")}",
+          spark.read.parquet(lshCountsPath(root, st))
+            .select(col("sig"), col("n")))
+        q.filter(sigIn(
+          cnts.collect { case (s, n) if n <= maxBucket => s }.toSeq.sorted))
+      } else {
+        val eligible = spark.read.parquet(lshCountsPath(root, st))
+          .filter(col("n") <= maxBucket).select(col("sig").as("_sig"))
+        q.join(broadcast(eligible), Seq("_sig"), "left_semi")
+      }
     val qSide = if (broadcastQueries) broadcast(qe) else qe
     val scored = c.join(qSide, Seq("_sig"))
       .filter(col(idCol) =!= col("query_id"))
@@ -1088,6 +1186,7 @@ object Similarity {
     */
   def evictIndexFits(path: String): Unit = {
     fitCache.evictPrefix(s"ivfcents:$path:")
+    fitCache.evictPrefix(s"lshidxcounts:$path/lsh:")
     evictPersisted(s"cellcorpus:$path:")
   }
 

@@ -144,57 +144,74 @@ class Round21Spec extends AnyFunSuite {
     assert(n._1 == n._2 && n._1.isEmpty && n._3 == n._4 && n._3 == 2)
   }
 
-  // ---- publish fallback: content-verify picks exactly one winner -------
+  // ---- publish fallback: O_EXCL lock claim, exactly one winner ---------
 
-  test("renameAndVerify: rename-replace race has exactly one winner") {
+  test("lockClaimPublish: racing publishers yield exactly one winner") {
+    // The r21 verify-own-bytes fallback had a TOCTOU hole on replace-
+    // semantics mounts (A-rename, A-verify, B-rename-replace, B-verify:
+    // BOTH true — ADVICE r21 medium). The r22 fallback claims with an
+    // O_EXCL lock-file create — atomic on the filesystem, no
+    // check-then-act window — so no interleaving can double-win, and
+    // only the winner ever renames onto the manifest destination.
     val dir = java.nio.file.Files.createTempDirectory("graft_rnv").toString
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
-    val dst = new org.apache.hadoop.fs.Path(dir, "_commit_v1")
+    val rootP = new org.apache.hadoop.fs.Path(dir)
     def writeTmp(name: String, txt: String): org.apache.hadoop.fs.Path = {
       val p = new org.apache.hadoop.fs.Path(dir, name)
       val o = fs.create(p, true)
       try o.write(txt.getBytes("UTF-8")) finally o.close()
       p
     }
-    // Racer A publishes first, racer B follows. Whatever the mount's
-    // rename semantics (Hadoop LocalFileSystem fails on an existing
-    // destination; a raw POSIX mount atomically REPLACES), the
-    // invariant is: the set of writers whose renameAndVerify returns
-    // true has size EXACTLY ONE, and it is the writer whose bytes are
-    // at dst. The old batches-subset check broke this both ways: a
-    // replaced A whose batch list was a subset of B's still claimed
-    // true, and a compact-shaped (batches=Nil) manifest verified
-    // vacuously.
-    def contentAt(): String = {
+    def contentAt(dst: org.apache.hadoop.fs.Path): String = {
       val in = fs.open(dst)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
+    val IC = graft.operators.IndexCommit
+    // sequential: first claim wins, the stalled follower loses fairly
+    // even though its own rename would have REPLACED on a raw mount
+    val d1 = new org.apache.hadoop.fs.Path(dir, "_commit_v1")
     val txtA = "agg=-\nbatchA\n"
     val txtB = "agg=-\nbatchA\nbatchB\n" // A's list ⊂ B's list
-    val tA = writeTmp("tA", txtA)
-    val tB = writeTmp("tB", txtB)
-    val okA = graft.operators.IndexCommit.renameAndVerify(fs, tA, dst, txtA)
-    val okB = graft.operators.IndexCommit.renameAndVerify(fs, tB, dst, txtB)
-    val winners = Seq(okA -> txtA, okB -> txtB).filter(_._1).map(_._2)
-    assert(winners.size == 1, s"exactly one publish winner, got $winners")
-    assert(contentAt() == winners.head, "the winner's bytes survive")
-    // compact-shaped (batches=Nil) manifest: same single-winner rule,
-    // no vacuous success for the loser
-    fs.delete(dst, false)
-    val txtC = "agg=-\nbase=base_v2\n"
-    val txtD = "agg=-\nbatchZ\n"
-    val tC = writeTmp("tC", txtC)
-    val tD = writeTmp("tD", txtD)
-    val okC = graft.operators.IndexCommit.renameAndVerify(fs, tC, dst, txtC)
-    val okD = graft.operators.IndexCommit.renameAndVerify(fs, tD, dst, txtD)
-    val winners2 = Seq(okC -> txtC, okD -> txtD).filter(_._1).map(_._2)
-    assert(winners2.size == 1 && contentAt() == winners2.head)
-    // and a verify against content that is NOT at dst always loses
-    val tE = writeTmp("tE", txtD)
-    assert(!graft.operators.IndexCommit.renameAndVerify(fs, tE, dst, txtC))
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val okA = IC.lockClaimPublish(fs, rootP, writeTmp("tA", txtA), d1)
+    val okB = IC.lockClaimPublish(fs, rootP, writeTmp("tB", txtB), d1)
+    assert(okA && !okB, "first publisher wins, follower loses fairly")
+    assert(contentAt(d1) == txtA, "the winner's bytes survive")
+    // CONCURRENT claims of one version from many threads, repeated:
+    // exactly one winner per round under any thread interleaving
+    (2 to 9).foreach { v =>
+      val dv = new org.apache.hadoop.fs.Path(dir, s"_commit_v$v")
+      val results = (0 until 4).map { i =>
+        val txt = s"agg=-\nbatch_r${v}_$i\n"
+        val t = writeTmp(s"t_${v}_$i", txt)
+        val th = new java.lang.Thread {
+          @volatile var won = false
+          override def run(): Unit =
+            won = IC.lockClaimPublish(fs, rootP, t, dv)
+        }
+        (th, txt)
+      }
+      results.foreach(_._1.start())
+      results.foreach(_._1.join())
+      val winners = results.filter(_._1.won).map(_._2)
+      assert(winners.size == 1, s"v$v: exactly one winner, got $winners")
+      assert(contentAt(dv) == winners.head, s"v$v: winner's bytes at dst")
+      val st = IC.read(spark, dir)
+      assert(st.version == v, s"read() resolves the latest version at v$v")
+    }
+    // crash healing: a lock naming a complete tmp with NO manifest (the
+    // winner died between lock and rename) — a losing publisher
+    // completes the rename on the winner's behalf
+    val d10 = new org.apache.hadoop.fs.Path(dir, "_commit_v10")
+    val txtW = "agg=-\nbatchW\n"
+    writeTmp("tWinner", txtW)
+    val lockP = java.nio.file.Paths.get(dir, "._commit_v10.lock")
+    java.nio.file.Files.write(lockP, "tWinner".getBytes("UTF-8"))
+    val okLate = IC.lockClaimPublish(fs, rootP, writeTmp("tLate", "agg=-\nbatchL\n"), d10)
+    assert(!okLate, "the healer still loses")
+    assert(contentAt(d10) == txtW, "the crashed winner's manifest was healed")
+    fs.delete(rootP, true)
   }
 
   // ---- span count(1) == count(DISTINCT doc_id) on the unique pairs -----
