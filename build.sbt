@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Per-test durations in the report (-oD): the full suite must fit the
+// driver's `sbt test` budget (VERDICT r21: a truncated run reads as
+// red), so slow suites need to be visible, not guessed at.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 Test / fork := true
 run / fork := true
 // Forked run output goes straight to sbt's own stdout/stderr instead of

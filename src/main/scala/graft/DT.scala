@@ -332,15 +332,23 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
         "columns; use updateJoinFrom(target -> probeColumnName) instead")
     val iRenamed = iTagged
     val joined = df.join(iRenamed, on, "left")
-    val updated = assignments.foldLeft(joined) { case (d, (name, value)) =>
-      val old = if (df.columns.contains(name)) col(name) else lit(null)
-      d.withColumn(name, when(col(matched), value).otherwise(old))
-    }
-    DT(updated.drop(matched).drop(
-      iRenamed.columns.filterNot(c => on.contains(c) || c == matched)
-        .filterNot(c => assignments.map(_._1).contains(c)): _*)
-      .select(df.columns.map(col) ++
-        assignments.map(_._1).filterNot(df.columns.contains).map(col): _*), key)
+    // ONE projection (optimization r22): the former per-assignment
+    // withColumn fold + two drops + final select ran an analyzer pass
+    // per step over the joined tree — the visible buildS slice of
+    // q_update_join/q_pipeline. Every RHS resolves against the JOINED
+    // frame (pre-update values), which is also the reference's := scope
+    // (all j expressions evaluate before any assignment lands).
+    val assignMap = assignments.toMap
+    val outCols =
+      df.columns.toSeq.map { c =>
+        assignMap.get(c) match {
+          case Some(value) => when(col(matched), value).otherwise(col(c)).as(c)
+          case None        => col(c)
+        }
+      } ++ assignments.collect { case (name, value) if !df.columns.contains(name) =>
+        when(col(matched), value).otherwise(lit(null)).as(name)
+      }
+    DT(joined.select(outCols: _*), key)
   }
 
   /** Update join with NAME-based probe references — the safe form when
@@ -363,12 +371,20 @@ final case class DT(df: DataFrame, key: Seq[String] = Nil) {
       case (d, (from, to)) => d.withColumnRenamed(from, to)
     }.select((on.map(col) :+ col(matched)) ++ renames.values.map(col).toSeq: _*)
     val joined = df.join(iPrepped, on, "left")
-    val updated = mapping.foldLeft(joined) { case (d, (tgt, probe)) =>
-      val old = if (df.columns.contains(tgt)) col(tgt) else lit(null)
-      d.withColumn(tgt, when(col(matched), col(renames(probe))).otherwise(old))
-    }
-    DT(updated.select(df.columns.map(col) ++
-      mapping.map(_._1).filterNot(df.columns.contains).map(col): _*), key)
+    // one projection — same fusion (and the same reference := scope) as
+    // [[updateJoinChecked]]
+    val mapByTgt = mapping.toMap
+    val outCols =
+      df.columns.toSeq.map { c =>
+        mapByTgt.get(c) match {
+          case Some(probe) =>
+            when(col(matched), col(renames(probe))).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      } ++ mapping.collect { case (tgt, probe) if !df.columns.contains(tgt) =>
+        when(col(matched), col(renames(probe))).otherwise(lit(null)).as(tgt)
+      }
+    DT(joined.select(outCols: _*), key)
   }
 
   /** Delete a column (`DT[, col := NULL]`). */

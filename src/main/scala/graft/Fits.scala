@@ -23,6 +23,8 @@ object Fits {
     curate.Contamination.clearFits()
     curate.Dsir.clearFits()
     operators.GlobalOrdered.clearFits()
+    operators.Joins.clearFits()
+    operators.Reshape.clearFits()
     operators.IndexCommit.evictReadPlans()
     operators.Scale.clearIndexes()
     dedup.Components.clearCheckpoints()

@@ -197,7 +197,9 @@ object IndexCommit {
                                       rootP: org.apache.hadoop.fs.Path,
                                       tmp: org.apache.hadoop.fs.Path,
                                       dst: org.apache.hadoop.fs.Path): Boolean = {
-    val lock = new org.apache.hadoop.fs.Path(rootP, s"._${dst.getName}.lock")
+    // "." + "_commit_vN" + ".lock" — the name must keep the "._commit_v"
+    // prefix [[reset]] sweeps (dst.getName already starts with "_")
+    val lock = new org.apache.hadoop.fs.Path(rootP, s".${dst.getName}.lock")
     def toNio(p: org.apache.hadoop.fs.Path) =
       java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
     val iWon =
@@ -208,7 +210,12 @@ object IndexCommit {
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (iWon) fs.rename(tmp, dst) // dst never pre-exists: only the winner renames
+    // Only the lock winner's tmp can ever land at dst (healers rename
+    // exactly the tmp the lock names), so for the winner "dst exists"
+    // IS success — a concurrent healer may have completed our rename
+    // before we did, making our own rename return false on the gone
+    // source.
+    if (iWon) fs.rename(tmp, dst) || fs.exists(dst)
     else {
       if (!fs.exists(dst)) {
         // heal a crashed winner: the lock names its tmp; complete the

@@ -184,12 +184,33 @@ object Joins {
     * ([[provablyUniqueOn]]) — no pre-flight job; otherwise one cheap
     * partial-aggregation probe.
     */
+  /** Passed dup-guard probes, session-memoized (optimization r22): the
+    * pre-flight aggregation is a deterministic property of (plan, keys),
+    * and updateJoin-style callers re-run it per bench rep / per pipeline
+    * step — a full probe-side job each time. Only SUCCESS memoizes (a
+    * failing probe throws before registration, so a corrupt input keeps
+    * failing loudly); [[graft.Fits.clearAll]] clears, the cleared-cold
+    * discipline re-pays it per cold rep. Same staleness contract as
+    * every fit memo: data rewritten under an identical plan mid-session
+    * needs a clearFits().
+    */
+  private val noDupCache = new graft.SessionMemo[java.lang.Boolean]()
+
+  private[graft] def clearFits(): Unit = noDupCache.clear()
+
   def assertNoDup(x: DataFrame, on: Seq[String]): Unit = {
     if (provablyUniqueOn(x, on)) return
-    val dups = x.groupBy(on.map(col): _*).count().filter(col("count") > 1).limit(1).count()
-    // message parity with src/bmerge.c:417
-    require(dups == 0,
-      s"mult='error' and multiple matches during merge (on=${on.mkString(",")})")
+    val key = System.identityHashCode(x.sparkSession).toString + ":" +
+      x.queryExecution.analyzed.semanticHash().toString + ":" + on.mkString(",")
+    noDupCache.getOrElsePut(key) {
+      val dups = x.groupBy(on.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      // message parity with src/bmerge.c:417
+      require(dups == 0,
+        s"mult='error' and multiple matches during merge (on=${on.mkString(",")})")
+      java.lang.Boolean.TRUE
+    }
+    ()
   }
 
   // ---- as-of / rolling join -------------------------------------------

@@ -19,13 +19,14 @@ class DriverCollectSpec extends AnyFunSuite {
   private val registry: Map[String, Int] = Map(
     "DT.scala" -> 3,                          // splitBy cap, print head/tail
     "operators/GlobalOrdered.scala" -> 1,     // bounds fit (≤200k sample)
-    "operators/Reshape.scala" -> 2,           // pivot domain cap, transpose names
+    "operators/Reshape.scala" -> 2,           // pivot domains ×2 (implicit/string), both MAX_PIVOT-capped + memoized
     "operators/Scale.scala" -> 1,             // catalog Location row
     "curate/Sampling.scala" -> 1,             // per-source token totals
     "curate/Dsir.scala" -> 2,                 // grand total, 1024-bucket table
     "curate/Contamination.scala" -> 1,        // benchmark-gram bloom build
     "operators/IndexCommit.scala" -> 1,       // batchKey: 1-row agg (count+hash)
-    "sim/Similarity.scala" -> 6,              // kmeans seeds ×2, Lloyd sums, ADC tables, IVF/PQ loads
+    "dedup/Dedup.scala" -> 1,                 // opt-in debug id-uniqueness tripwire: limit(1)
+    "sim/Similarity.scala" -> 7,              // kmeans seeds ×2, Lloyd sums, ADC tables, IVF/PQ loads, LSH counts (≤2^nBits; memoized)
     "QueriesTextSim.scala" -> 1)              // 4 harness seed centroids
 
   private def codeLines(p: java.nio.file.Path): Iterator[String] = {

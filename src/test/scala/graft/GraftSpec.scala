@@ -1054,10 +1054,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-pair vector reconstruction crept back:\n$p")
   }
 
-  test("q_ann_lsh: corpus bucket cap plans as a LeftSemi before the candidate join") {
+  test("q_ann_lsh: corpus bucket cap filters the query side before the candidate join") {
+    // r22 shape: the cap decision is the session-memoized collected
+    // counts map applied as an IN/INSET literal on the query side — the
+    // former count-aggregation + LeftSemi stage pair ran as full job
+    // rounds per search. The plan must carry the literal signature
+    // filter and must NOT re-aggregate corpus bucket counts per search.
     val p = plan("q_ann_lsh")
-    assert(p.contains("LeftSemi"),
-      s"bucket-cap semi join missing — candidate join is uncapped:\n$p")
+    assert(p.contains("_sig IN") || p.contains("INSET") ||
+      p.contains("_sig#") && p.toLowerCase.contains(" in ("),
+      s"bucket-cap signature filter missing — candidate join is uncapped:\n$p")
+    assert(!p.contains("LeftSemi"),
+      s"per-search bucket-count semi join crept back:\n$p")
   }
 
   test("q_mergelist_steps: mult=first is an aggregation, not a window") {

@@ -43,7 +43,12 @@ object ShuffleBudgetSpec {
     "q_contamination" -> 15005L,
     "q_contamination_bloom" -> 15005L,
     "q_contamination_fuzzy" -> 64321L,
-    "q_curation_pipeline" -> 170802L,
+    // q_curation_pipeline: DROPPED in r22 — BudgetCalibrate flags it
+    // UNSTABLE at sf0.001 (99795 ↔ 170802: the same one-AQE-anti-join-
+    // exchange flip Bench.knownBimodal registers at sf0.1 as
+    // 941626 ↔ 1618684; graft.CurationPlanDiff pins the mechanism,
+    // results oracle-identical either way). Policy: unstable volumes
+    // are dropped, never averaged.
     "q_embed_topk" -> 1834L,
     "q_ann_ivf" -> 2188L,
     "q_shard" -> 59L,
