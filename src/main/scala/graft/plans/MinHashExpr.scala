@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,13 +21,13 @@ import org.apache.spark.sql.types._
   * members (src-free: our own extension operator).
   */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  /** Kernel shared by eval and generated code (real codegen since
-    * optimization round 22 — a CodegenFallback demotes the whole scan
-    * projection out of whole-stage codegen).
+  /** The per-row kernel. CodegenFallback deliberate — the round-22
+    * CodegenAB measurement (see PortableShingles) showed the re-enabled
+    * whole-stage method blows the JIT bytecode limit and runs slower.
     */
   def shingle(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -61,12 +61,6 @@ case class ShingleHashes(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any =
     shingle(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftXxShingles", this,
-      classOf[ShingleHashes].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.shingle($c)")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
@@ -83,7 +77,7 @@ object ShingleHashes {
   * universal family), so the signature is one tight loop per row.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -119,12 +113,6 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def nullSafeEval(input: Any): Any =
     sig(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftXxMinHash", this,
-      classOf[MinHashSignature].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.sig($c)")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -82,14 +82,16 @@ object PortableHash {
   * shingle of all tokens, mirroring Dedup.shingles).
   */
 case class PortableShingles(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  /** Kernel shared by eval and generated code (real codegen since
-    * optimization round 22: a CodegenFallback here demoted the whole
-    * shingling scan projection — normalize/split included — out of
-    * whole-stage codegen; the O(L) digest loop itself is unchanged).
+  /** The per-row kernel. CodegenFallback stays DELIBERATE (re-measured
+    * round 22 via graft.tools.CodegenAB): giving the shingling kernels
+    * real codegen re-enables whole-stage codegen on the mega
+    * normalize/split/digest projections, whose single generated method
+    * exceeds the JIT's ~8000-bytecode limit and runs INTERPRETED —
+    * q_dedup_prune 0.69 s vs 0.34 s with the stage demoted.
     */
   def shingle(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -128,12 +130,6 @@ case class PortableShingles(child: Expression, k: Int)
   override def nullSafeEval(input: Any): Any =
     shingle(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftShingles", this,
-      classOf[PortableShingles].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.shingle($c)")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): PortableShingles =
     copy(child = newChild)
 }
@@ -149,7 +145,7 @@ object PortableShingles {
   * the portable affine family (see PortableHash).
   */
 case class PortableMinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -176,12 +172,6 @@ case class PortableMinHashSig(child: Expression, numHashes: Int)
   override def nullSafeEval(input: Any): Any =
     sig(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftMinHash", this,
-      classOf[PortableMinHashSig].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.sig($c)")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): PortableMinHashSig =
     copy(child = newChild)
 }
@@ -196,7 +186,7 @@ object PortableMinHashSig {
   * have bit b set than clear (votes 2·ones − n > 0).
   */
 case class PortableSimHash(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
 
@@ -222,12 +212,6 @@ case class PortableSimHash(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     simhash(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftSimHash", this,
-      classOf[PortableSimHash].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.simhash($c)")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): PortableSimHash =
     copy(child = newChild)

@@ -4,8 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,13 +15,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * replaced by a Round21Spec parity test — the rewrites are
   * byte-identical, only cheaper.
   *
-  * All four implement REAL codegen (optimization round 22, were
-  * CodegenFallback): one fallback expression demotes its whole
-  * Project/Filter out of whole-stage codegen (CollapseCodegenStages
-  * rejects plans carrying a CodegenFallback), which also de-optimized
-  * the surrounding lower/split/regexp expressions of the scan stages
-  * these kernels live in. Generated code calls the SAME kernel method
-  * eval uses, so the two paths cannot diverge.
+  * CodegenFallback is deliberate and MEASURED (optimization round 22):
+  * these kernels anchor mega-projections (gopher's five-rule struct,
+  * the curation dedup key, the contamination gram fan-out) whose
+  * whole-stage-codegen method exceeds the JIT's ~8000-bytecode
+  * DontCompileHugeMethods limit — the generated method then runs in the
+  * bytecode INTERPRETER and the stage is ~2× SLOWER than the demoted
+  * per-expression-codegen path (graft.tools.CodegenAB,
+  * q_curation_pipeline 2.70 s whole-stage vs 1.23 s bailed-out on one
+  * host/load; q_quality_filter 0.27 vs 0.17; q_dedup_prune 0.69 vs
+  * 0.34). A round-22 interim build gave all of them real doGenCode and
+  * regressed exactly these queries; demoting the stage keeps every
+  * surrounding expression in small JIT-friendly projection methods.
+  * Kernels on LEAN stages (JaccardSim in join conditions, RoundMantissa
+  * join keys, DotProduct/NearestCentroid) keep real codegen — there the
+  * stage method stays small and WSCG wins.
   */
 
 /** array<string> tokens → DISTINCT word n-grams, first-occurrence
@@ -41,7 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * stage's dominant cost in every contamination-family query.
   */
 case class DistinctWordNgrams(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
   require(n >= 2, s"DistinctWordNgrams: n must be >= 2, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -74,18 +81,6 @@ case class DistinctWordNgrams(child: Expression, n: Int)
   override def eval(input: InternalRow): Any =
     grams(child.eval(input).asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val ref = ctx.addReferenceObj("graftNgrams", this,
-      classOf[DistinctWordNgrams].getName)
-    ev.copy(code =
-      code"""
-${c.code}
-org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-  $ref.grams(${c.isNull} ? null : ${c.value});
-""", isNull = FalseLiteral)
-  }
-
   override protected def withNewChildInternal(newChild: Expression): DistinctWordNgrams =
     copy(child = newChild)
 }
@@ -109,7 +104,7 @@ object DistinctWordNgrams {
   * runs joined by single spaces".
   */
 case class AsciiSqueeze(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
 
@@ -136,12 +131,6 @@ case class AsciiSqueeze(child: Expression)
   override def nullSafeEval(input: Any): Any =
     squeeze(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftSqueeze", this,
-      classOf[AsciiSqueeze].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.squeeze($c)")
-  }
-
   override protected def withNewChildInternal(newChild: Expression): AsciiSqueeze =
     copy(child = newChild)
 }
@@ -157,7 +146,7 @@ object AsciiSqueeze {
   * null exactly like `acc + null`.
   */
 case class SumTokenLengths(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
 
@@ -189,19 +178,6 @@ case class SumTokenLengths(child: Expression)
   override def nullSafeEval(input: Any): Any =
     sumLen(input.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftSumLen", this,
-      classOf[SumTokenLengths].getName)
-    nullSafeCodeGen(ctx, ev, c => {
-      val boxed = ctx.freshName("boxed")
-      s"""
-         |java.lang.Long $boxed = $ref.sumLen($c);
-         |if ($boxed == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = $boxed.longValue(); }
-       """.stripMargin
-    })
-  }
-
   override protected def withNewChildInternal(newChild: Expression): SumTokenLengths =
     copy(child = newChild)
 }
@@ -219,7 +195,7 @@ object SumTokenLengths {
   * exactly like a false.
   */
 case class CountAlphaTokens(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = IntegerType
 
@@ -247,12 +223,6 @@ case class CountAlphaTokens(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     countAlpha(input.asInstanceOf[ArrayData])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftCountAlpha", this,
-      classOf[CountAlphaTokens].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.countAlpha($c)")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): CountAlphaTokens =
     copy(child = newChild)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -120,14 +120,14 @@ object WinnowHash {
   * selection + distinct, fused in ONE O(L) pass per row (no interpreted
   * HOF re-evaluation, no intermediate array column). Null text → null.
   *
-  * Real codegen since optimization round 22: the per-row work is the
-  * same O(L) JVM loop either way, but a CodegenFallback demoted the
-  * whole span-scan projection (canonicalize included) out of
-  * whole-stage codegen — CollapseCodegenStages rejects any plan
-  * carrying a fallback expression, not just the one expression.
+  * CodegenFallback is deliberate and round-22-re-measured: a real
+  * doGenCode re-enables whole-stage codegen on the span-scan
+  * mega-projection, whose one generated method exceeds the JIT's
+  * ~8000-bytecode limit and runs interpreted — slower than the demoted
+  * per-expression path (graft.tools.CodegenAB; see TextKernelExprs).
   */
 case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
   require(k > 0 && w > 0, s"winnow: k=$k, w=$w must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -140,12 +140,6 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any =
     winnow(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftWinnow", this,
-      classOf[WinnowFingerprintsExpr].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.winnow($c)")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintsExpr =
     copy(child = newChild)
@@ -162,7 +156,7 @@ object WinnowFingerprintsExpr {
   * the fused [[WinnowFingerprintsExpr]]).
   */
 case class WindowPolyHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with CodegenFallback {
   require(k > 0, s"windowPolyHashes: k=$k must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -174,12 +168,6 @@ case class WindowPolyHashesExpr(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any =
     hashes(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftPolyHashes", this,
-      classOf[WindowPolyHashesExpr].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.hashes($c)")
-  }
 
   override protected def withNewChildInternal(newChild: Expression): WindowPolyHashesExpr =
     copy(child = newChild)
