@@ -19,8 +19,11 @@ object TextFunctions {
     * count (useful for budget estimation at scale).
     */
   def bpeishTokens(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => length(t) > 0))
+    // one byte pass (graft.plans.BpeishCount, optimization r22) — the
+    // former `size(filter(split(lookaround-regex), length > 0))` built
+    // a token array + interpreted filter lambda per row (Round22Spec
+    // parity lock, incl. unicode/supplementary chars)
+    graft.plans.BpeishCount(text)
 
   /** Normalized text: lowercase, collapse whitespace — the canonical
     * form used by fingerprints and exact dedup.
@@ -62,12 +65,12 @@ object TextFunctions {
     * yields ONE empty chunk (a document never disappears). Pure
     * per-row expression: no shuffle, explodes map-side.
     */
-  def chunksFixed(text: Column, width: Int): Column = {
-    require(width > 0, s"chunksFixed: width must be positive, got $width")
-    // integer ceil via double div + truncation (exact for lengths < 2^53)
-    val n = greatest(((length(text) + (width - 1)) / width).cast("int"), lit(1))
-    transform(sequence(lit(0), n - 1), i => text.substr(i * width + 1, lit(width)))
-  }
+  def chunksFixed(text: Column, width: Int): Column =
+    // one slicing pass (graft.plans.ChunksFixed, optimization r22) —
+    // the former sequence+transform ran an interpreted lambda and a
+    // Substring eval per OUTPUT chunk (Round22Spec parity lock, incl.
+    // the empty-text one-chunk and null-text [null] conventions)
+    graft.plans.ChunksFixed(text, width)
 
   /** Rolling hash over tokens — an order-sensitive 64-bit signature
     * (distinct from the bag-of-words fingerprint above):
@@ -177,10 +180,13 @@ object TextFunctions {
     */
   def withRepetitionFeatures(df: org.apache.spark.sql.DataFrame, textCol: String,
                              n: Int = 2, out: String = "r"): org.apache.spark.sql.DataFrame =
+    // ONE kernel pass (graft.plans.RepetitionStats, optimization r22)
+    // over the staged tokens — the HOF form ran 2× array_distinct + 2×
+    // aggregate + the n-gram transform interpreted per row (Round22Spec
+    // parity lock against the formula, nulls/unicode included)
     df.withColumn("_graft_tk", wsTokens(normalize(col(textCol))))
-      .withColumn("_graft_gr", ngramsOf(col("_graft_tk"), n))
-      .withColumn(out, repetitionFeaturesTok(col("_graft_tk"), col("_graft_gr")))
-      .drop("_graft_tk", "_graft_gr")
+      .withColumn(out, graft.plans.RepetitionStats(col("_graft_tk"), n))
+      .drop("_graft_tk")
 
   /** Gopher-style document quality filter (Rae et al. 2021 §A1.1,
     * FineWeb variants): five engine-portable rules over the normalized
